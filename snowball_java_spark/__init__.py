@@ -1,0 +1,25 @@
+"""snowball_java_spark — a PySpark-native inverted-index + BM25 engine.
+
+Brand-new engine (NOT a port) with the capability surface of the reference
+``davidsbatista/Snowball-Java`` (see ``SURVEY.md``): corpus tokenization →
+document-frequency statistics → per-document term weights → similarity-ranked
+retrieval → top-k output — re-expressed Spark-first per ``BASELINE.json``
+``north_rule`` as an inverted-index build + BM25 top-k query engine, plus the
+training-data pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) a 100 TB corpus pipeline needs.
+
+Layout:
+  config        engine parameters (analog of reference parameters.cfg,
+                ``snowball/src/bin/SnowballConfig.java:30-45``)
+  functions/    tokenizer, BM25 math, integer codecs, cross-engine hashes
+  sources/      corpus readers, deterministic synthetic corpus, query sets
+  operators/    df/tf stats, join-based BM25, postings build, block-max
+                top-k, dedup, similarity, text analysis, context windows
+  plans/        resumable index build orchestration + metrics
+  streaming/    incremental indexing via Structured Streaming
+"""
+
+from snowball_java_spark.config import EngineConfig
+
+__all__ = ["EngineConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,86 @@
+"""Engine configuration.
+
+Analog of the reference's ``parameters.cfg`` parsing into mutable statics
+(``snowball/src/bin/SnowballConfig.java:30-96``) — here an immutable,
+explicitly-passed dataclass (SURVEY §1.3).
+
+The *semantic* constants (tokenizer regex, BM25 parameters, IDF formula,
+tie-break) are pinned here once and consumed by all three implementations
+that must agree bit-for-bit in rank order:
+
+  1. the Spark engine (this package),
+  2. the pure-Python oracle (``tests/oracle.py``),
+  3. the DuckDB oracle SQL (``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# --- pinned semantics (do not change without regenerating goldens) ---------
+
+#: A token is a maximal run of [a-z0-9_] in the lowercased text.
+#: Python:  re.findall(r"[a-z0-9_]+", text.lower())
+#: Spark:   filter(split(lower(col), '[^a-z0-9_]+'), x -> x != '')
+#: DuckDB:  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+#:                      x -> x <> '')
+TOKEN_PATTERN = r"[a-z0-9_]+"
+TOKEN_SPLIT_PATTERN = r"[^a-z0-9_]+"
+
+#: BM25 parameters (Robertson/Lucene defaults; FIXTURES.md §5).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: IDF is the Lucene-style smoothed form  ln(1 + (N - df + 0.5)/(df + 0.5))
+#: — always >= 0, never divides by zero.  Replaces the reference's
+#: unsmoothed log(N/df) which throws on unseen terms
+#: (``snowball/src/vsm/VectorSpaceModel.java:87-101``, SURVEY §2.8).
+
+#: Query terms are DEDUPLICATED before scoring; ranking tie-break is
+#: (score desc, doc_id asc) — a total order, required for rank-identity
+#: across partition counts (SURVEY §4.3).
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All knobs for index build + query. Immutable; pass explicitly."""
+
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    #: postings are chunked into blocks of this many docs; each block gets
+    #: (last_doc, byte offsets, block-max BM25 weight) skip metadata.
+    block_size: int = 128
+
+    #: documents are range-sharded by doc_id: shard = doc_id // shard_size.
+    #: Each shard holds complete postings for its doc range, so query-time
+    #: scoring is embarrassingly parallel per shard and the only query
+    #: shuffle moves per-shard top-k rows.  At 10^12 docs pick shard_size so
+    #: a shard's postings fit one task (~2-8M docs); tiny default for tests.
+    shard_size: int = 1 << 14
+
+    #: number of index build stages (resume granularity): stage i builds
+    #: shards with shard % build_stages == i; each stage is one Spark job
+    #: with its own manifest entry (SURVEY §7 M3).
+    build_stages: int = 4
+
+    #: terms with df >= hot_df_threshold(N) are "hot" (code keywords); their
+    #: (doc,term,tf) aggregation is salted two-level to bound reducer skew.
+    hot_term_df_frac: float = 0.05
+    n_salts_hot: int = 8
+
+    #: query-time
+    default_k: int = 10
+
+    #: context-window query zone weights (analog of weight_*_context,
+    #: ``snowball/src/bin/SnowballConfig.java:38-40``)
+    w_left: float = 0.2
+    w_middle: float = 0.6
+    w_right: float = 0.2
+    context_window: int = 16
+
+    def hot_df_threshold(self, n_docs: int) -> int:
+        return max(2, int(n_docs * self.hot_term_df_frac))
+
+
+DEFAULT = EngineConfig()

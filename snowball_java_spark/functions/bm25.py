@@ -1,0 +1,62 @@
+"""BM25 scoring math — one definition, three consumers.
+
+Upgrades the reference's hand-rolled TF-IDF
+(``snowball/src/vsm/VectorSpaceModel.java:81-106`` — unsmoothed
+``log(N/df)`` that throws on df=0) to the Lucene-style smoothed BM25
+(SURVEY §2.6 F6/F7):
+
+    idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+    weight(t, d) = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+    score(q, d)  = sum over DISTINCT q terms of weight(t, d)
+
+Exposed as Catalyst column expressions (JVM-side, codegen) and as numpy
+kernels (used inside the Arrow-batched postings scorer).  Both are pure
+float64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+
+
+def idf_expr(df_col: Column, n_docs: Column | int) -> Column:
+    n = F.lit(float(n_docs)) if isinstance(n_docs, (int, float)) else n_docs.cast("double")
+    d = df_col.cast("double")
+    return F.log(F.lit(1.0) + (n - d + F.lit(0.5)) / (d + F.lit(0.5)))
+
+
+def weight_expr(
+    tf_col: Column,
+    idf_col: Column,
+    dl_col: Column,
+    avgdl_col: Column,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Column:
+    tf = tf_col.cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col.cast("double") / avgdl_col.cast("double"))
+    return idf_col * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+
+def idf_np(df: np.ndarray, n_docs: int) -> np.ndarray:
+    df = df.astype(np.float64)
+    # np.log(1.0 + x), NOT log1p: matches ln(1 + x) as evaluated by Spark
+    # and DuckDB bit-for-bit (log1p differs in the last ulp for small x)
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def weight_np(
+    tf: np.ndarray,
+    idf: np.ndarray,
+    dl: np.ndarray,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    norm = k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+    return idf * tf * (k1 + 1.0) / (tf + norm)

@@ -1,0 +1,84 @@
+"""Cross-engine deterministic hashing primitives.
+
+Spark's ``hash()``/``xxhash64()`` and DuckDB's ``hash()`` disagree, so every
+hash that must be oracle-checkable is built from **md5 hex prefixes**, which
+both engines (and Python's hashlib) compute identically:
+
+    h60(s) = int(md5(s).hexdigest()[:15], 16)          # 60 bits, sign-safe
+
+On top of h60 we derive MinHash permutations, SimHash bit sums and a
+polynomial rolling fingerprint — each with a Spark Column builder here and a
+matching SQL builder in ``__spark_entry__`` generated from the SAME
+constants, so the two engines execute the same integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: 60-bit md5 prefix: 15 hex chars < 2^60, always fits signed int64.
+H60_HEX_CHARS = 15
+
+#: MinHash: h_i(x) = (A[i] * h60(x) + B[i]) mod P  — universal hashing.
+#: P is the largest prime < 2^31 so A*h60 stays within int128-free range
+#: only if we reduce h60 mod P first:  ((h60 % P) * A + B) % P  with
+#: A,B < P keeps every intermediate < 2^62 (no overflow in int64, and
+#: DuckDB BIGINT arithmetic never overflows either).
+MINHASH_P = 2147483647
+
+
+def _det_ints(n: int, tag: str, lo: int, hi: int) -> list[int]:
+    """Deterministic pseudo-random ints from md5 counter mode (no RNG state,
+    reproducible everywhere)."""
+    out = []
+    i = 0
+    while len(out) < n:
+        h = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:15], 16)
+        v = lo + h % (hi - lo)
+        out.append(v)
+        i += 1
+    return out
+
+
+NUM_MINHASH = 16
+MINHASH_A = _det_ints(NUM_MINHASH, "minhash-a", 1, MINHASH_P)
+MINHASH_B = _det_ints(NUM_MINHASH, "minhash-b", 0, MINHASH_P)
+
+#: rolling fingerprint:  fp = fold(tokens, acc -> (acc*31 + h60(tok) % P) % P)
+FP_MULT = 31
+FP_MOD = 1000000007
+
+#: SimHash width (bits of the h60 used)
+SIMHASH_BITS = 32
+
+
+def h60_expr(col: Column) -> Column:
+    """Spark: 60-bit md5-prefix hash as BIGINT (matches DuckDB
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, H60_HEX_CHARS), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {H60_HEX_CHARS}))::BIGINT"
+
+
+def h60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:H60_HEX_CHARS], 16)
+
+
+def minhash_expr(h60_col: Column, i: int) -> Column:
+    """i-th MinHash permutation value of a single element hash."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return (h60_col % F.lit(MINHASH_P) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def minhash_sql(h60_expr_s: str, i: int) -> str:
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return f"(({h60_expr_s}) % {MINHASH_P} * {a} + {b}) % {MINHASH_P}"
+
+
+def minhash_py(h60: int, i: int) -> int:
+    return (h60 % MINHASH_P * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P

@@ -1,0 +1,82 @@
+"""Tokenization.
+
+Replaces the reference's LingPipe regex tokenizer + normalize pipeline
+(``snowball/src/nlp/PortugueseTokenizer.java:7-27``,
+``snowball/src/vsm/TermsVector.java:16-36``) with two equivalent Spark
+implementations that produce IDENTICAL token arrays:
+
+  * :func:`tokens_expr` — pure Catalyst column expression (lower → split →
+    filter).  Stays inside whole-stage codegen; this is the hot path for
+    the index build (UDFs are the slow path — SURVEY §2.9).
+  * :func:`tokenize_udf` — Arrow-vectorized pandas UDF.  Same semantics;
+    exists as the extension point for per-``lang`` code-aware tokenization
+    (identifier splitting, string/comment handling) and to satisfy the
+    "vectorized Arrow UDF tokenizer" surface in ``north_star``.
+
+Both lower-case first, then emit maximal ``[a-z0-9_]+`` runs.  The pure
+Python reference is :func:`tokenize_py` (used by tests/oracle.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from snowball_java_spark.config import TOKEN_PATTERN, TOKEN_SPLIT_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# identifier splitting for the optional code-aware mode: camelCase /
+# snake_case → sub-tokens appended after the base token (index grows, base
+# token retained so default-mode queries still match).
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Pinned token semantics; the single source of truth."""
+    if text is None:
+        return []
+    return _TOKEN_RE.findall(text.lower())
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """Catalyst-only tokenizer: ARRAY<STRING> of tokens.
+
+    lower() → split on the complement pattern → drop empty strings (a
+    leading separator yields one leading '').  Equivalent to
+    ``re.findall('[a-z0-9_]+', s.lower())``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), TOKEN_SPLIT_PATTERN),
+        lambda x: x != F.lit(""),
+    )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenizer (pandas str ops, no per-row Python loop
+    beyond the regex engine's own iteration)."""
+    return texts.fillna("").str.lower().str.findall(TOKEN_PATTERN)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_code_udf(texts: pd.Series) -> pd.Series:
+    """Code-aware variant: additionally splits camelCase identifiers into
+    sub-tokens (appended; base tokens preserved).  NOT used on the oracle
+    path — it changes token sets by design."""
+
+    def one(s: str) -> list[str]:
+        base = _TOKEN_RE.findall(s.lower())
+        extra: list[str] = []
+        for raw in set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", s)):
+            parts = [p.lower() for p in _CAMEL_RE.split(raw) if p]
+            if len(parts) > 1:
+                extra.extend(parts)
+        return base + sorted(set(extra) - set(base))
+
+    return texts.fillna("").map(one)

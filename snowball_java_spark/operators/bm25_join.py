@@ -1,0 +1,97 @@
+"""M1 — join-based BM25 top-k (no index): the correctness scaffold.
+
+Generalizes the reference's tfidf lookup join (SURVEY §2.3 J4,
+``snowball/src/vsm/VectorSpaceModel.java:81-106``) + confidence-sorted
+ranking (§2.5 O1, ``snowball/src/bin/Main.java:64-66``):
+
+    query terms (broadcast)  ⋈  tf_long  ⋈  df_stats  ⋈  doc_lengths
+    → weight per (doc, term) → groupBy(doc).sum → top-k
+
+Plan shape at scale: the query-set and df-stats-for-query-terms sides are
+tiny → broadcast hash joins; the only shuffle is the final groupBy(doc_id)
+over rows already filtered to query terms (predicate pushdown prunes the
+tf_long scan to |q| terms).  Catalyst does all of that from the declarative
+form below — verified in tests via explain().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig, DEFAULT
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+
+
+def queries_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
+    """Query set → DataFrame(query_id, term, k); terms DEDUPLICATED
+    (pinned semantics, config.py)."""
+    rows = []
+    for q in queries:
+        for t in sorted(set(q["terms"])):
+            rows.append((int(q["query_id"]), t, int(q.get("k", DEFAULT.default_k))))
+    return spark.createDataFrame(rows, "query_id int, term string, k int")
+
+
+def bm25_scores(
+    qdf: DataFrame,
+    tf: DataFrame,
+    dfs: DataFrame,
+    dl: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, doc_id, score) for every doc matching ≥1 query term."""
+    q_terms = F.broadcast(qdf.select("query_id", "term").distinct())
+    q_stats = q_terms.join(dfs, "term", "left").fillna(0, subset=["df"])
+    matched = tf.join(F.broadcast(q_stats), "term").join(dl, "doc_id")
+    w = weight_expr(
+        F.col("tf"),
+        idf_expr(F.col("df"), n_docs),
+        F.col("dl"),
+        F.lit(float(avgdl)),
+        cfg.k1,
+        cfg.b,
+    )
+    return (
+        matched.withColumn("w", w)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("w").alias("score"))
+    )
+
+
+def topk(scores: DataFrame, qdf: DataFrame) -> DataFrame:
+    """Deterministic per-query top-k: total order (score desc, doc_id asc)
+    — rank-identical across any partitioning (SURVEY §4.3)."""
+    ks = F.broadcast(qdf.select("query_id", "k").distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.join(ks, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_join(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """End-to-end M1 path from a tokenized docs DataFrame."""
+    from snowball_java_spark.operators.df_stats import (
+        corpus_stats,
+        df_stats,
+        doc_lengths,
+        tf_long,
+    )
+
+    tf = tf_long(docs_tok)
+    dfs = df_stats(tf)
+    dl = doc_lengths(docs_tok)
+    st = corpus_stats(docs_tok).collect()[0]
+    qdf = queries_df(spark, queries)
+    scores = bm25_scores(qdf, tf, dfs, dl, st["n_docs"], st["avgdl"], cfg)
+    return topk(scores, qdf)

@@ -1,0 +1,91 @@
+"""Corpus statistics: the (doc,term,tf) long table, df/cf stats, doc lengths.
+
+This is the reference's VectorSpaceModel pass re-expressed declaratively
+(SURVEY §2.4 A1/A2, §2.1 S1):
+
+  * ``term_document_frequency`` map (``snowball/src/vsm/VectorSpaceModel.java:25,40-45``)
+    → ``df_stats = tf_long.groupBy(term).agg(countDistinct→count, sum)``
+  * per-context TF (``snowball/src/vsm/VectorSpaceModel.java:66-78``)
+    → ``explode(tokens).groupBy(doc_id, term).count()``
+
+Skew note (north_rule: "skew handled explicitly"): code keywords like
+``def``/``return`` occur in nearly every document, so a naive
+``groupBy(term)`` sends one term's entire postings stream to one reducer.
+:func:`df_stats_salted` does the classic two-level aggregation —
+``groupBy(term, salt)`` partials then ``groupBy(term)`` final — bounding any
+single reducer's input to ~1/n_salts of the hottest term.  (Spark's
+map-side partial aggregation already helps for pure counts; the salted form
+is the general pattern the postings merge reuses, and it is what survives
+when the aggregate carries non-reducible payloads.)  The skew ratio
+(hottest term's share vs median) is reported in the build metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.tokenize import tokens_expr
+
+
+def with_tokens(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    return docs.withColumn("tokens", tokens_expr(content_col))
+
+
+def doc_lengths(docs_tok: DataFrame) -> DataFrame:
+    """(doc_id, dl) — BM25 length normalization input."""
+    return docs_tok.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+
+
+def tf_long(docs_tok: DataFrame) -> DataFrame:
+    """The exploded long table (doc_id, term, tf) — the engine's central
+    relation; posting lists are this table physically reorganized."""
+    return (
+        docs_tok.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def df_stats(tf: DataFrame) -> DataFrame:
+    """(term, df, cf): document frequency + collection frequency.
+    tf is already distinct on (doc_id, term) so df = count(*)."""
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def df_stats_salted(tf: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Two-level salted aggregation of :func:`df_stats` (explicit skew
+    handling).  Level 1 reduces (term, salt) partials in parallel; level 2
+    combines n_salts tiny rows per term."""
+    lvl1 = (
+        tf.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+        .groupBy("term", "_salt")
+        .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
+    )
+    return lvl1.groupBy("term").agg(
+        F.sum("pdf").alias("df"),
+        F.sum("pcf").alias("cf"),
+    )
+
+
+def corpus_stats(docs_tok: DataFrame) -> DataFrame:
+    """Single-row (n_docs, avgdl, total_tokens)."""
+    return doc_lengths(docs_tok).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    )
+
+
+def skew_report(df_table: DataFrame) -> DataFrame:
+    """Skew metrics over the term distribution: max/median cf ratio — the
+    number the build metrics table records (north_star)."""
+    return df_table.agg(
+        F.max("cf").alias("max_cf"),
+        F.expr("percentile_approx(cf, 0.5)").alias("median_cf"),
+        (F.max("cf") / F.expr("percentile_approx(cf, 0.5)")).alias("skew_ratio"),
+        F.count("*").alias("n_terms"),
+    )

@@ -1,0 +1,115 @@
+"""Corpus ingestion: scan → sha256 invariant → deterministic dense docIDs.
+
+Replaces the reference's BufferedReader double scan of the sentences file
+(``snowball/src/bin/Snowball.java:286-289``,
+``snowball/src/vsm/VectorSpaceModel.java:30-34`` — SURVEY §2.1 S1/S2) with a
+single columnar scan.  Input shape per ``BASELINE.json`` ``input_hint``:
+
+    corpus(repo string, path string, commit string, lang string,
+           content string)
+
+read from Iceberg when the catalog is configured, parquet otherwise (the
+sandbox has no Iceberg jars — SURVEY §1.3).
+
+Deterministic docIDs at scale
+-----------------------------
+``monotonically_increasing_id`` is partition-layout-dependent and would
+break rank identity across cluster sizes (SURVEY §4.3).  Instead doc_id is
+the **global sort rank over the unique natural key (repo, path, commit)**:
+
+  1. ``repartitionByRange`` on the key (one shuffle, range-partitioned),
+  2. ``sortWithinPartitions`` (no extra shuffle),
+  3. per-partition row counts → exclusive prefix offsets (tiny driver
+     collect of one long per partition),
+  4. ``mapInPandas`` adds ``offset[pid] + local_rank``.
+
+Because the key is unique, the resulting id is a pure function of the data
+— independent of partition boundaries, core count, or input split layout —
+which the tests assert by diffing local[2] vs local[8] runs.
+
+A global ``row_number()`` window (what a naive port would do) funnels ALL
+rows through one task; this version keeps the sort fully parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORPUS_KEY = ["repo", "path", "commit"]
+
+
+def read_corpus(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Iceberg table name (contains a catalog dot) or parquet path."""
+    if "/" not in path_or_table and "." in path_or_table:
+        return spark.read.format("iceberg").load(path_or_table)
+    return spark.read.parquet(path_or_table)
+
+
+def with_sha256(df: DataFrame, col: str = "content") -> DataFrame:
+    """Per-row invariant column (input_hint: content sha256 equality is
+    asserted end-to-end between input and indexed docs)."""
+    return df.withColumn("content_sha256", F.sha2(F.col(col), 256))
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    key: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense, deterministic ``doc_id`` = rank in the total order of
+    ``key`` (unique).  Scalable: one range shuffle + in-partition sort."""
+    key = key or CORPUS_KEY
+    sess = df.sparkSession
+    n = num_partitions or sess.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n, *[F.col(k) for k in key])
+        .sortWithinPartitions(*key)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # localCheckpoint pins the partition layout so the count pass and the
+    # id-assignment pass see identical partitioning (and the expensive
+    # upstream scan/shuffle runs once, not twice).
+    parted = parted.localCheckpoint(eager=False)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_offsets = sess.sparkContext.broadcast(offsets)
+
+    out_schema = parted.drop("_pid").schema.add("doc_id", "long")
+    out_cols = [f.name for f in out_schema.fields]
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = base + seen + pd.RangeIndex(len(pdf))
+            seen += len(pdf)
+            yield pdf[out_cols]
+
+    return parted.mapInPandas(add_ids, schema=out_schema)
+
+
+def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: the driver's ``documents`` parquet (doc_id, text, lang,
+    source, n_chars) viewed as a corpus — used by the oracle-gated queries
+    in ``__spark_entry__`` (doc_id is already dense + deterministic)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.col("text").alias("content"),
+        "lang",
+        F.col("source").alias("repo"),
+    )

@@ -1,0 +1,196 @@
+"""Deterministic synthetic code corpus + query sets (FIXTURES.md §1–§3).
+
+Everything is a pure function of (doc index, SEED) via counter-mode integer
+hashing (murmur3 finalizer) — no RNG state — so the corpus is identical
+whether generated in one pandas chunk or across 1000 Spark tasks, at any
+partitioning.  That property is what lets the resume/scaling tests compare
+byte-identical outputs across parallelism levels.
+
+Vocabulary model (FIXTURES.md §1): ~30 Zipf-skewed hot code keywords (the
+salting stress), ~5k mid-frequency identifiers, a long tail of rare
+identifiers in 1–3 docs, plus unicode and empty-file edge cases.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+HOT_KEYWORDS = [
+    "def", "return", "import", "class", "if", "else", "for", "while",
+    "public", "void", "static", "int", "string", "func", "var", "const",
+    "let", "function", "self", "this", "new", "null", "true", "false",
+    "try", "except", "raise", "print", "len", "range",
+]
+assert len(HOT_KEYWORDS) == 30
+
+_W1 = ["parse", "build", "load", "merge", "split", "scan", "read", "write",
+       "fetch", "cache", "hash", "sort", "join", "map", "filter", "reduce",
+       "encode", "decode", "pack", "flush", "sync", "spawn", "queue", "batch",
+       "shard", "index", "query", "score", "rank", "token", "block", "chunk",
+       "frame", "table", "column", "row", "page"]
+_W2 = ["config", "client", "server", "buffer", "stream", "record", "handler",
+       "worker", "context", "session", "request", "response", "manager",
+       "builder", "parser", "writer", "reader", "codec", "store", "pool",
+       "task", "node", "graph", "tree", "list", "dict", "span", "slot", "key"]
+
+N_MID = 5000
+MID_IDS = [f"{_W1[k % len(_W1)]}_{_W2[(k // len(_W1)) % len(_W2)]}_{k}" for k in range(N_MID)]
+
+UNICODE_IDS = ["čitač", "møde_fn", "日志表", "δέλτα_v2"]
+
+LANGS = ["python", "java", "go", "js", "other"]
+LANG_W = np.array([0.4, 0.2, 0.15, 0.15, 0.1])
+EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "other": "txt"}
+
+# Zipf s=1.1 over the hot keywords
+_zipf = 1.0 / np.arange(1, 31, dtype=np.float64) ** 1.1
+HOT_CUM = np.cumsum(_zipf / _zipf.sum())
+_zm = 1.0 / np.arange(1, N_MID + 1, dtype=np.float64) ** 1.05
+MID_CUM = np.cumsum(_zm / _zm.sum())
+
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer, vectorized (counter-mode hash).
+    uint64 wraparound is the point — silence the overflow warning."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64)
+        x ^= x >> np.uint64(33)
+        x *= _M1
+        x ^= x >> np.uint64(33)
+        x *= _M2
+        x ^= x >> np.uint64(33)
+        return x
+
+
+def _base(i: int, mult: int) -> np.uint64:
+    with np.errstate(over="ignore"):
+        return np.uint64(i) * np.uint64(mult) + np.uint64(SEED)
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    return (_mix(x) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+@np.errstate(over="ignore")
+def _doc_tokens(i: int, n_files: int) -> list[str]:
+    """Token stream of doc i — pure function of (i, SEED)."""
+    if i % 997 == 0:
+        return []  # empty/whitespace-only edge case
+    base = _base(i, 0x9E3779B97F4A7C15)
+    # log-normal length in [20, 2000]
+    u = _u01(np.array([base + np.uint64(1), base + np.uint64(2)]))
+    z = np.sqrt(-2.0 * np.log(u[0] + 1e-12)) * np.cos(2.0 * np.pi * u[1])
+    length = int(np.clip(np.exp(4.6 + 0.8 * z), 20, 2000))
+    j = np.arange(length, dtype=np.uint64)
+    r = _u01(base + np.uint64(3) + j * np.uint64(0x632BE59BD9B4E019))
+    pick = _u01(base + np.uint64(4) + j * np.uint64(0xD6E8FEB86659FD93))
+    toks = np.empty(length, dtype=object)
+    hot = r < 0.35
+    mid = (r >= 0.35) & (r < 0.90)
+    rare = r >= 0.90
+    hot_idx = np.searchsorted(HOT_CUM, pick[hot], side="right")
+    toks[hot] = np.array(HOT_KEYWORDS, dtype=object)[hot_idx]
+    mid_idx = np.searchsorted(MID_CUM, pick[mid], side="right")
+    toks[mid] = np.array(MID_IDS, dtype=object)[mid_idx]
+    # rare tail: ~3x n_files distinct names → each appears in 1–3 docs
+    rare_ids = (_mix(base + np.uint64(5) + j[rare]) % np.uint64(max(3 * n_files, 100))).astype(np.int64)
+    toks[rare] = [f"rare_{v}" for v in rare_ids]
+    if i % 613 == 0:
+        toks[0] = UNICODE_IDS[i % len(UNICODE_IDS)]
+    return list(toks)
+
+
+def _render(tokens: list[str], lang: str) -> str:
+    """Render tokens as plausible code lines (8 tokens/line, light punct —
+    punctuation is a token separator so it never changes the token set)."""
+    if not tokens:
+        return "  \n"
+    lines = []
+    for s in range(0, len(tokens), 8):
+        chunk = tokens[s : s + 8]
+        lines.append(" ".join(chunk) + ("(" if (s // 8) % 3 == 0 else ":"))
+    return "\n".join(lines) + "\n"
+
+
+@np.errstate(over="ignore")
+def synth_corpus_pdf(start: int, end: int, n_files: int) -> pd.DataFrame:
+    """Rows [start, end) of the n_files corpus, input_hint schema:
+    (repo, path, commit, lang, content)."""
+    rows = []
+    n_repos = max(10, n_files // 100)
+    for i in range(start, end):
+        base = _base(i, 0xA24BAED4963EE407)
+        u = _u01(np.array([base]))[0]
+        repo_i = int((u**3) * n_repos)  # cubic skew: big-repo/median ≥ 10x
+        repo = f"org{repo_i // 50}/repo{repo_i % 50}"
+        lang = LANGS[int(np.searchsorted(np.cumsum(LANG_W), _u01(np.array([base + np.uint64(7)]))[0]))]
+        path = f"src/m{(i // 37) % 50}/f{i}.{EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}:{path}:{SEED}".encode()).hexdigest()
+        content = _render(_doc_tokens(i, n_files), lang)
+        rows.append((repo, path, commit, lang, content))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def build_synth_corpus(spark, n_files: int, out_path: str, partitions: int | None = None) -> None:
+    """Distributed deterministic generation: spark.range → mapInPandas."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    rng = spark.range(0, n_files, 1, parts)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            yield synth_corpus_pdf(int(ids.min()), int(ids.max()) + 1, n_files)
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    rng.mapInPandas(gen, schema=schema).write.mode("overwrite").parquet(out_path)
+
+
+def reference_queries() -> list[dict]:
+    """The reference query set (FIXTURES.md §2): hot-only, rare-only,
+    hot+rare mixes (WAND pruning paths), absent terms (df=0 smoothing),
+    duplicate terms; k=10 headline with k=1 / k=100 cases."""
+    qs = [
+        {"query_id": 0, "terms": ["def", "return"], "k": 10},
+        {"query_id": 1, "terms": ["import", "class", "if"], "k": 10},
+        {"query_id": 2, "terms": [MID_IDS[3], MID_IDS[77]], "k": 10},
+        {"query_id": 3, "terms": ["rare_11", "rare_42"], "k": 10},
+        {"query_id": 4, "terms": ["def", "rare_7"], "k": 10},
+        {"query_id": 5, "terms": ["public", MID_IDS[900], "rare_123"], "k": 10},
+        {"query_id": 6, "terms": ["zzz_not_in_corpus"], "k": 10},
+        {"query_id": 7, "terms": ["def", "zzz_not_in_corpus"], "k": 10},
+        {"query_id": 8, "terms": ["def", "def", "return"], "k": 10},  # dupes
+        {"query_id": 9, "terms": [MID_IDS[0]], "k": 1},
+        {"query_id": 10, "terms": ["for", "while", MID_IDS[42]], "k": 100},
+        {"query_id": 11, "terms": [MID_IDS[4999], "static"], "k": 10},
+        {"query_id": 12, "terms": ["čitač"], "k": 10},
+        {"query_id": 13, "terms": ["func", "var", "const", "let", "new", "null"], "k": 10},
+    ]
+    return qs
+
+
+def context_queries() -> list[dict]:
+    """Context-window query set (FIXTURES.md §3) — subsumes Snowball's
+    weighted 3-zone matching (``snowball/src/tuples/SnowballTuple.java:75-110``)."""
+    return [
+        {"query_id": 0, "left_terms": ["def"], "middle_terms": [MID_IDS[3]],
+         "right_terms": ["return"], "w_left": 0.2, "w_middle": 0.6,
+         "w_right": 0.2, "window": 16, "k": 10},
+        {"query_id": 1, "left_terms": [], "middle_terms": ["import", "class"],
+         "right_terms": [], "w_left": 0.2, "w_middle": 0.6, "w_right": 0.2,
+         "window": 16, "k": 10},  # empty-zone weight re-allocation
+        {"query_id": 2, "left_terms": ["public"], "middle_terms": [],
+         "right_terms": [MID_IDS[900]], "w_left": 0.3, "w_middle": 0.4,
+         "w_right": 0.3, "window": 8, "k": 10},
+    ]

@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from snowball_java_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("snowball-tests", cores=4, shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def synth_docs(spark):
+    """300-file deterministic corpus with dense doc_ids, cached."""
+    from snowball_java_spark.sources.corpus import assign_doc_ids, with_sha256
+    from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+
+    pdf = synth_corpus_pdf(0, 300, 300)
+    df = assign_doc_ids(with_sha256(spark.createDataFrame(pdf)))
+    df = df.cache()
+    df.count()
+    return df

@@ -1,0 +1,104 @@
+"""Pure-Python BM25 oracle — the engine's semantic anchor (SURVEY §5.2).
+
+The reference ships no tests and no oracle (``README.md:10`` disclaims
+testing), so this obviously-correct in-memory implementation DEFINES the
+semantics the Spark engine must match rank-identically:
+
+  * tokens: ``re.findall('[a-z0-9_]+', text.lower())``
+  * BM25: k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))
+  * query terms deduplicated; score in float64
+  * tie-break: (score desc, doc_id asc)
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+from snowball_java_spark.functions.tokenize import tokenize_py
+
+
+class OracleIndex:
+    def __init__(self, docs: list[tuple[int, str]], k1: float = BM25_K1, b: float = BM25_B):
+        self.k1, self.b = k1, b
+        self.tf: dict[int, Counter] = {}
+        self.dl: dict[int, int] = {}
+        self.df: Counter = Counter()
+        for doc_id, text in docs:
+            toks = tokenize_py(text)
+            c = Counter(toks)
+            self.tf[doc_id] = c
+            self.dl[doc_id] = len(toks)
+            for t in c:
+                self.df[t] += 1
+        self.n = len(self.tf)
+        self.avgdl = (sum(self.dl.values()) / self.n) if self.n else 0.0
+
+    def idf(self, term: str) -> float:
+        d = self.df.get(term, 0)
+        return math.log(1.0 + (self.n - d + 0.5) / (d + 0.5))
+
+    def weight(self, term: str, doc_id: int) -> float:
+        tf = self.tf[doc_id].get(term, 0)
+        if tf == 0:
+            return 0.0
+        dl = self.dl[doc_id]
+        norm = self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        return self.idf(term) * tf * (self.k1 + 1.0) / (tf + norm)
+
+    def score(self, terms: list[str], doc_id: int) -> float:
+        return sum(self.weight(t, doc_id) for t in sorted(set(terms)))
+
+    def topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Only docs matching >=1 query term are candidates (score > 0
+        contributions); ties broken by doc_id asc."""
+        terms = sorted(set(terms))
+        cands = {d for d in self.tf if any(t in self.tf[d] for t in terms)}
+        scored = [(d, self.score(terms, d)) for d in cands]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def context_topk(
+        self,
+        zones: dict[str, list[str]],
+        weights: dict[str, float],
+        window: int,
+        texts: dict[int, str],
+        k: int,
+    ) -> list[tuple[int, float]]:
+        """Weighted 3-zone BM25 (subsumes SnowballTuple.degreeMatchCosTFIDF):
+        left zone = first `window` tokens, right = last `window`, middle =
+        the rest.  Empty query zones re-allocate their weight to the
+        non-empty zones proportionally (SnowballTuple.java:83-105 analog).
+        Zone tf uses the zone's tokens; dl / avgdl / df stay whole-doc."""
+        active = {z: w for z, w in weights.items() if zones.get(z)}
+        if not active:
+            return []
+        wsum = sum(active.values())
+        active = {z: w / wsum for z, w in active.items()}
+        scored = []
+        for d, text in texts.items():
+            toks = tokenize_py(text)
+            if not toks:
+                continue
+            zone_toks = {
+                "left": toks[:window],
+                "right": toks[-window:] if len(toks) > window else toks,
+                "middle": toks[window:-window] if len(toks) > 2 * window else [],
+            }
+            s = 0.0
+            for z, wz in active.items():
+                c = Counter(zone_toks[z])
+                zs = 0.0
+                for t in sorted(set(zones[z])):
+                    tf = c.get(t, 0)
+                    if tf == 0:
+                        continue
+                    norm = self.k1 * (1.0 - self.b + self.b * self.dl[d] / self.avgdl)
+                    zs += self.idf(t) * tf * (self.k1 + 1.0) / (tf + norm)
+                s += wz * zs
+            if s > 0.0:
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]

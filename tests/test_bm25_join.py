@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from snowball_java_spark.operators.bm25_join import bm25_topk_join
+from snowball_java_spark.operators.df_stats import with_tokens
+from snowball_java_spark.sources.corpus import assign_doc_ids, with_sha256
+from snowball_java_spark.sources.synthetic import reference_queries, synth_corpus_pdf
+from tests.oracle import OracleIndex
+
+REL_TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    docs = [(r["doc_id"], r["content"]) for r in rows]
+    return synth_docs, OracleIndex(docs), dict(docs)
+
+
+def test_doc_ids_dense_and_deterministic(spark, synth_docs):
+    ids = sorted(r["doc_id"] for r in synth_docs.select("doc_id").collect())
+    assert ids == list(range(len(ids)))
+    # independence from partitioning: re-assign at a different width
+    pdf = synth_corpus_pdf(0, 300, 300)
+    for n in (2, 7):
+        again = assign_doc_ids(spark.createDataFrame(pdf).repartition(5), num_partitions=n)
+        m = {
+            (r["repo"], r["path"], r["commit"]): r["doc_id"]
+            for r in again.select("repo", "path", "commit", "doc_id").collect()
+        }
+        base = {
+            (r["repo"], r["path"], r["commit"]): r["doc_id"]
+            for r in synth_docs.select("repo", "path", "commit", "doc_id").collect()
+        }
+        assert m == base
+
+
+def test_sha256_invariant(spark, synth_docs):
+    rows = synth_docs.select("content", "content_sha256").collect()
+    for r in rows[:50]:
+        assert r["content_sha256"] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_bm25_join_rank_identical_to_oracle(spark, corpus):
+    docs, oracle, _texts = corpus
+    qs = reference_queries()
+    got = bm25_topk_join(spark, with_tokens(docs), qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = oracle.topk(q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}: row count"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}: doc {doc} != {edoc}"
+            assert score == pytest.approx(escore, rel=REL_TOL), f"q{q['query_id']} rank {rank}"
+
+
+def test_bm25_join_plan_shape(spark, corpus):
+    """The declarative form must plan as broadcast joins on the small sides
+    (no shuffle of tf_long except the final groupBy)."""
+    docs, _, _ = corpus
+    got = bm25_topk_join(spark, with_tokens(docs), reference_queries()[:2])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan

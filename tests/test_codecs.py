@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snowball_java_spark.functions.codecs import (
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(a)), a)
+
+
+def test_varint_empty_and_edges():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+    for v in [0, 1, 127, 128, 2**31, 2**62]:
+        a = np.array([v], dtype=np.uint64)
+        assert varint_decode(varint_encode(a))[0] == v
+
+
+def test_varint_compact_for_small_gaps():
+    gaps = np.ones(10_000, dtype=np.uint64)
+    assert len(varint_encode(gaps)) == 10_000  # 1 byte per small gap
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=300, unique=True)
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(ids):
+    a = np.array(sorted(ids), dtype=np.int64)
+    assert np.array_equal(delta_decode(delta_encode(a)), a)
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode(np.array([3, 2], dtype=np.int64))
+    with pytest.raises(ValueError):
+        delta_encode(np.array([2, 2], dtype=np.int64))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**10), min_size=1, max_size=200, unique=True),
+    st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_postings_roundtrip(ids, data):
+    ids = np.array(sorted(ids), dtype=np.int64)
+    tfs = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=5000),
+                min_size=len(ids),
+                max_size=len(ids),
+            )
+        ),
+        dtype=np.int64,
+    )
+    db, tb = encode_postings(ids, tfs)
+    d2, t2 = decode_postings(db, tb)
+    assert np.array_equal(d2, ids)
+    assert np.array_equal(t2, tfs)

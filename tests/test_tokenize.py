@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from snowball_java_spark.functions.tokenize import (
+    tokenize_py,
+    tokenize_udf,
+    tokens_expr,
+)
+
+CASES = [
+    "def foo(bar): return bar_1 + 42",
+    "  leading space\tand TABS\nand CamelCase9 mixed",
+    "",
+    "   ",
+    "___",
+    "a-b.c,d:e(f)g",
+    "UPPER lower 123 _x_",
+    "unicode: čitač møde_fn δέλτα_v2 日志表",
+    "x" * 5000,
+]
+
+
+def test_tokenize_py_basics():
+    assert tokenize_py("def foo(bar):") == ["def", "foo", "bar"]
+    assert tokenize_py("") == []
+    assert tokenize_py(None) == []
+    assert tokenize_py("A_B-C") == ["a_b", "c"]
+
+
+@pytest.mark.parametrize("impl", ["expr", "udf"])
+def test_spark_tokenizers_match_python(spark, impl):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(CASES)], "i int, content string")
+    col = tokens_expr("content") if impl == "expr" else tokenize_udf("content")
+    got = {r["i"]: r["toks"] for r in df.select("i", col.alias("toks")).collect()}
+    for i, c in enumerate(CASES):
+        assert got[i] == tokenize_py(c), f"case {i}: {c[:40]!r}"
+
+
+def test_spark_tokenizers_match_on_synth_corpus(spark, synth_docs):
+    both = synth_docs.select(
+        tokens_expr("content").alias("a"), tokenize_udf("content").alias("b")
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
