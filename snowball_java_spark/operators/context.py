@@ -1,0 +1,132 @@
+"""Context-window BM25 queries — subsumes Snowball's 3-zone matching.
+
+The reference scores tuples by a weighted cosine over left/middle/right
+context vectors, re-allocating weights when zones are empty
+(``snowball/src/tuples/SnowballTuple.java:75-110``), with windows cut by
+``context_window_size`` (``snowball/src/bin/Snowball.java:348-369``).
+Per ``north_star``'s last sentence this is re-expressed as **BM25-scored
+context-window queries** over the same corpus:
+
+    left zone   = first `window` tokens        (getLeftContext analog)
+    right zone  = last `window` tokens         (getRightContext analog)
+    middle zone = the remainder
+    score(q, d) = Σ_zones ŵ_z · Σ_{t ∈ q_z} bm25(tf_zone(t,d))
+
+where ŵ re-normalizes over zones whose query-term list is non-empty
+(empty-zone weight re-allocation, ``SnowballTuple.java:83-105``), and df /
+dl / avgdl remain whole-document statistics.
+
+Implementation is pure Catalyst: ``slice`` for the windows (SURVEY §2.2 P7),
+``explode`` + broadcast semi-join against the query terms BEFORE the groupBy
+so only query-relevant tokens ever shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.operators.bm25_join import topk
+
+
+def zone_columns(docs_tok: DataFrame, window: int) -> DataFrame:
+    t, n = F.col("tokens"), F.size("tokens")
+    return (
+        docs_tok.withColumn("left_toks", F.slice(t, 1, window))
+        .withColumn(
+            "right_toks",
+            F.when(n > window, F.slice(t, -window, window)).otherwise(t),
+        )
+        .withColumn(
+            "middle_toks",
+            F.when(n > 2 * window, F.slice(t, window + 1, n - 2 * window))
+            .otherwise(F.array().cast("array<string>")),
+        )
+    )
+
+
+def _zone_query_rows(queries: list[dict], cfg: EngineConfig) -> list[tuple]:
+    rows = []
+    for q in queries:
+        zones = {
+            "left": (q.get("left_terms") or [], q.get("w_left", cfg.w_left)),
+            "middle": (q.get("middle_terms") or [], q.get("w_middle", cfg.w_middle)),
+            "right": (q.get("right_terms") or [], q.get("w_right", cfg.w_right)),
+        }
+        active = {z: (ts, w) for z, (ts, w) in zones.items() if ts}
+        wsum = sum(w for _, w in active.values())
+        for z, (ts, w) in active.items():
+            for t in sorted(set(ts)):
+                rows.append(
+                    (int(q["query_id"]), z, t, w / wsum,
+                     int(q.get("window", cfg.context_window)),
+                     int(q.get("k", cfg.default_k)))
+                )
+    return rows
+
+
+def context_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    dfs: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) for context-window queries.
+
+    All queries in one pass per distinct window size (usually one)."""
+    rows = _zone_query_rows(queries, cfg)
+    if not rows:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    qdf = spark.createDataFrame(
+        rows, "query_id int, zone string, term string, wz double, window int, k int"
+    )
+    results = []
+    for w in sorted({r[4] for r in rows}):
+        zoned = zone_columns(docs_tok, w)
+        qw = F.broadcast(qdf.filter(F.col("window") == w))
+        per_zone = []
+        for zone in ("left", "middle", "right"):
+            per_zone.append(
+                zoned.select(
+                    "doc_id", F.col("dl"),
+                    F.lit(zone).alias("zone"),
+                    F.explode(f"{zone}_toks").alias("term"),
+                )
+            )
+        exploded = per_zone[0].unionByName(per_zone[1]).unionByName(per_zone[2])
+        matched = exploded.join(qw, ["zone", "term"])
+        tf_zone = matched.groupBy(
+            "query_id", "doc_id", "zone", "term", "wz", "dl", "k"
+        ).agg(F.count("*").alias("tf"))
+        # df stats restricted to query terms before broadcast (the full
+        # stats table is not broadcastable at scale)
+        dfs_q = dfs.select("term", "df").join(
+            F.broadcast(qw.select("term").distinct()), "term"
+        )
+        scored = (
+            tf_zone.join(F.broadcast(dfs_q), "term", "left")
+            .fillna(0, subset=["df"])
+            .withColumn(
+                "w",
+                F.col("wz")
+                * weight_expr(F.col("tf"), idf_expr(F.col("df"), n_docs),
+                              F.col("dl"), F.lit(float(avgdl)), cfg.k1, cfg.b),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("w").alias("score"))
+            .filter(F.col("score") > 0)
+        )
+        results.append(scored)
+    scores = results[0]
+    for r in results[1:]:
+        scores = scores.unionByName(r)
+    return topk(scores, qdf)
+
+
+def context_docs_with_dl(docs_tok: DataFrame) -> DataFrame:
+    return docs_tok.withColumn("dl", F.size("tokens").cast("long"))

@@ -1,0 +1,204 @@
+"""M2 — posting-list construction (the structure the reference lacks).
+
+The reference keeps only df(t) and throws the docIDs away
+(``snowball/src/vsm/VectorSpaceModel.java:25,40-45`` — SURVEY §1.1 item 2);
+here we materialize the full inverted index, document-sharded:
+
+    shard  = doc_id // shard_size         (dense ranges → small deltas)
+    bucket = h60(term) % n_buckets        (directory-level term pruning)
+
+``postings``  one row per (shard, bucket, term):
+    delta-varint docIDs + varint tfs, chunked into blocks of
+    ``cfg.block_size`` with (first_doc, last_doc, byte offsets, block-max
+    BM25 weight) skip metadata — the block-max WAND structure.
+``doc_meta``  one row per shard: varint doc lengths for the shard's dense
+    doc range (query-time BM25 length normalization without a join).
+
+Why document-sharded rather than term-partitioned: each shard holds complete
+postings for its doc range, so query scoring is embarrassingly parallel per
+shard and the only query-time shuffle moves per-shard top-k rows.  Hot terms
+(``def``, ``return``) appear in EVERY shard — the doc-sharding itself spreads
+a hot term's postings uniformly across tasks, which is the structural answer
+to term skew; the salted two-level aggregation (df_stats_salted) handles the
+remaining skewed groupBys on the stats path.
+
+All encoding is numpy inside ``applyInPandas`` — Arrow batches in, binary
+columns out, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import weight_np
+from snowball_java_spark.functions.codecs import varint_encode
+from snowball_java_spark.functions.hashes import h60_expr
+
+POSTINGS_SCHEMA = (
+    "shard long, bucket int, term string, df_local long, n long, "
+    "doc_bytes binary, tf_bytes binary, "
+    "block_first_doc array<long>, block_last_doc array<long>, "
+    "block_doc_off array<long>, block_tf_off array<long>, "
+    "block_max_w array<double>, max_w double"
+)
+
+DOC_META_SCHEMA = "shard long, first_doc long, n_docs long, dl_bytes binary"
+
+
+def shard_expr(doc_id_col, shard_size: int):
+    return (F.col(doc_id_col) / F.lit(shard_size)).cast("long")
+
+
+def bucket_expr(term_col, n_buckets: int):
+    return F.pmod(h60_expr(F.col(term_col)), F.lit(n_buckets)).cast("int")
+
+
+def encode_term_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    idf: float,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> dict:
+    """One term's sorted (doc, tf, dl) arrays → encoded posting row fields.
+
+    Blocks are independently decodable: block k stores its first doc
+    absolute (block_first_doc) and varint deltas for the remaining docs,
+    so the scorer can skip straight to a block via the offsets.
+    """
+    n = doc_ids.size
+    bs = cfg.block_size
+    weights = weight_np(tfs, np.float64(idf), dls, avgdl, cfg.k1, cfg.b)
+    doc_chunks: list[bytes] = []
+    tf_chunks: list[bytes] = []
+    first, last, doff, toff, bmax = [], [], [], [], []
+    dpos = tpos = 0
+    for s in range(0, n, bs):
+        e = min(s + bs, n)
+        d = doc_ids[s:e]
+        first.append(int(d[0]))
+        last.append(int(d[-1]))
+        doff.append(dpos)
+        toff.append(tpos)
+        db = varint_encode(np.diff(d).astype(np.uint64))
+        tb = varint_encode(tfs[s:e].astype(np.uint64))
+        doc_chunks.append(db)
+        tf_chunks.append(tb)
+        dpos += len(db)
+        tpos += len(tb)
+        bmax.append(float(weights[s:e].max()))
+    return {
+        "df_local": int(n),
+        "n": int(n),
+        "doc_bytes": b"".join(doc_chunks),
+        "tf_bytes": b"".join(tf_chunks),
+        "block_first_doc": first,
+        "block_last_doc": last,
+        "block_doc_off": doff,
+        "block_tf_off": toff,
+        "block_max_w": bmax,
+        "max_w": float(weights.max()) if n else 0.0,
+    }
+
+
+def build_postings_groups(
+    pdf: pd.DataFrame, avgdl: float, cfg: EngineConfig
+) -> pd.DataFrame:
+    """applyInPandas kernel for one (shard, bucket) group.
+
+    Input columns: shard, bucket, term, doc_id, tf, dl, idf.
+    """
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
+    doc_id = pdf["doc_id"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.int64)
+    dl = pdf["dl"].to_numpy(np.int64)
+    idf = pdf["idf"].to_numpy(np.float64)
+    shard = int(pdf["shard"].iloc[0])
+    bucket = int(pdf["bucket"].iloc[0])
+    # term boundaries without per-row Python: positions where term changes
+    change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(terms)]])
+    rows = []
+    for s, e in zip(starts, ends):
+        enc = encode_term_postings(
+            doc_id[s:e], tf[s:e], dl[s:e], float(idf[s]), avgdl, cfg
+        )
+        enc.update({"shard": shard, "bucket": bucket, "term": terms[s]})
+        rows.append(enc)
+    cols = [
+        "shard", "bucket", "term", "df_local", "n", "doc_bytes", "tf_bytes",
+        "block_first_doc", "block_last_doc", "block_doc_off", "block_tf_off",
+        "block_max_w", "max_w",
+    ]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def build_postings(
+    tf_enriched: DataFrame,
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """tf_enriched(doc_id, term, tf, dl, idf) → postings DataFrame.
+
+    The groupBy key (shard, bucket) bounds each Arrow group to
+    ~shard_size * avgdl / n_buckets postings — sized to executor memory
+    independent of corpus size (SURVEY §4.3 spill-awareness).
+    """
+    keyed = tf_enriched.withColumn(
+        "shard", shard_expr("doc_id", cfg.shard_size)
+    ).withColumn("bucket", bucket_expr("term", n_buckets))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return build_postings_groups(pdf, avgdl, cfg)
+
+    return keyed.groupBy("shard", "bucket").applyInPandas(kernel, POSTINGS_SCHEMA)
+
+
+def build_doc_meta(dl_df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """doc_lengths(doc_id, dl) → per-shard varint dl sidecar.
+
+    Requires dense doc_ids (assign_doc_ids guarantees it); asserts density
+    per shard so corruption fails loudly at build, not silently at query.
+    """
+    keyed = dl_df.withColumn("shard", shard_expr("doc_id", cfg.shard_size))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        if ids.size and not np.array_equal(ids, np.arange(ids[0], ids[0] + ids.size)):
+            raise ValueError(f"shard {pdf['shard'].iloc[0]}: doc_ids not dense")
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "first_doc": [int(ids[0]) if ids.size else 0],
+                "n_docs": [int(ids.size)],
+                "dl_bytes": [varint_encode(pdf["dl"].to_numpy(np.uint64))],
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandas(kernel, DOC_META_SCHEMA)
+
+
+def decode_doc_meta(row) -> tuple[int, np.ndarray]:
+    from snowball_java_spark.functions.codecs import varint_decode
+
+    return int(row["first_doc"]), varint_decode(bytes(row["dl_bytes"])).astype(np.int64)
+
+
+def iter_blocks(row) -> Iterable[tuple[int, int, int, int]]:
+    """(block_idx, first_doc, doc_byte_range, tf_byte_range) helper."""
+    doff = row["block_doc_off"]
+    toff = row["block_tf_off"]
+    nb = len(doff)
+    for i in range(nb):
+        yield i, doff[i], toff[i]

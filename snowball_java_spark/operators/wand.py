@@ -1,0 +1,253 @@
+"""M4 — block-max pruned top-k BM25 over the binary postings (WAND family).
+
+Replaces the reference's doc-level cross-join scoring
+(``snowball/src/bin/Snowball.java:164-255`` — every tuple × every pattern,
+SURVEY §2.3 J2) with term-level posting-list intersection.
+
+Algorithm: **MaxScore with block-level lazy decode** (Turtle & Flood 1995;
+block-max refinement after Ding & Suel's BMW, SIGIR 2011):
+
+  1. θ seeded with the k-th best single-term weight of the highest-impact
+     term (a valid lower bound on the final k-th best total score).
+  2. Terms sorted by shard-local max weight; the longest prefix whose
+     max-weight sum < θ is NON-ESSENTIAL — a doc containing only those
+     terms can never reach θ, so candidates are generated from the
+     essential lists only.
+  3. Essential lists decode fully (vectorized); non-essential lists decode
+     ONLY the blocks that contain a candidate (skip via block_last_doc —
+     this is where the block metadata pays: for a hot term like ``def``
+     most blocks are skipped).
+  4. After exact scoring, the exclusion bound is re-checked against the
+     final θ; on the (pathological) failure the term set is promoted and
+     the loop repeats — guaranteeing EXACT rank identity, not approximate.
+
+Everything is numpy on Arrow batches inside ``applyInPandas`` grouped by
+shard; per-shard top-k rows are the only thing shuffled to the final merge
+(``score desc, doc_id asc`` total order → deterministic global ranks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import weight_np
+from snowball_java_spark.functions.codecs import varint_decode
+from snowball_java_spark.functions.hashes import h60_py
+from snowball_java_spark.operators.bm25_join import topk
+
+SCORE_SCHEMA = "query_id int, doc_id long, score double"
+
+
+class _TermList:
+    """Decoded-on-demand view over one postings row (one term, one shard)."""
+
+    __slots__ = ("n", "bs", "first", "last", "doff", "toff", "bmax",
+                 "doc_bytes", "tf_bytes", "max_w", "idf", "_cache")
+
+    def __init__(self, row, block_size: int):
+        self.n = int(row["n"])
+        self.bs = block_size
+        self.first = np.asarray(row["block_first_doc"], dtype=np.int64)
+        self.last = np.asarray(row["block_last_doc"], dtype=np.int64)
+        self.doff = np.asarray(row["block_doc_off"], dtype=np.int64)
+        self.toff = np.asarray(row["block_tf_off"], dtype=np.int64)
+        self.bmax = np.asarray(row["block_max_w"], dtype=np.float64)
+        self.doc_bytes = bytes(row["doc_bytes"])
+        self.tf_bytes = bytes(row["tf_bytes"])
+        self.max_w = float(row["max_w"])
+        self.idf = float(row["idf"])
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.first)
+
+    def _block_count(self, b: int) -> int:
+        return self.bs if b < self.n_blocks - 1 else self.n - self.bs * (self.n_blocks - 1)
+
+    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        if b in self._cache:
+            return self._cache[b]
+        dend = self.doff[b + 1] if b + 1 < self.n_blocks else len(self.doc_bytes)
+        tend = self.toff[b + 1] if b + 1 < self.n_blocks else len(self.tf_bytes)
+        c = self._block_count(b)
+        deltas = varint_decode(self.doc_bytes[self.doff[b]:dend], count=c - 1)
+        docs = np.empty(c, dtype=np.int64)
+        docs[0] = self.first[b]
+        if c > 1:
+            np.cumsum(deltas.astype(np.int64), out=docs[1:])
+            docs[1:] += self.first[b]
+        tfs = varint_decode(self.tf_bytes[self.toff[b]:tend], count=c).astype(np.int64)
+        self._cache[b] = (docs, tfs)
+        return docs, tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        parts = [self.decode_block(b) for b in range(self.n_blocks)]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def lookup(self, sorted_docs: np.ndarray) -> np.ndarray:
+        """tf for each doc in sorted_docs (0 if absent) — decodes only the
+        blocks that can contain one of them (block-max skip pointers)."""
+        out = np.zeros(sorted_docs.size, dtype=np.int64)
+        bidx = np.searchsorted(self.last, sorted_docs, side="left")
+        for b in np.unique(bidx):
+            if b >= self.n_blocks:
+                continue
+            sel = np.nonzero(bidx == b)[0]
+            docs, tfs = self.decode_block(int(b))
+            pos = np.searchsorted(docs, sorted_docs[sel])
+            ok = pos < docs.size
+            match = np.zeros(sel.size, dtype=bool)
+            match[ok] = docs[pos[ok]] == sorted_docs[sel[ok]]
+            out[sel[match]] = tfs[pos[match]]
+        return out
+
+
+def _weights(tl: _TermList, tfs: np.ndarray, docs: np.ndarray,
+             dls: np.ndarray, first_doc: int, avgdl: float,
+             cfg: EngineConfig) -> np.ndarray:
+    dl = dls[docs - first_doc]
+    return weight_np(tfs, np.float64(tl.idf), dl, avgdl, cfg.k1, cfg.b)
+
+
+def maxscore_topk_shard(
+    lists: list[_TermList],
+    k: int,
+    dls: np.ndarray,
+    first_doc: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k (docs, scores) for one query within one shard."""
+    if not lists:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    lists = sorted(lists, key=lambda t: t.max_w)
+    maxw = np.array([t.max_w for t in lists])
+
+    # 1. seed θ from the strongest term alone
+    docs_s, tfs_s = lists[-1].decode_all()
+    w_s = _weights(lists[-1], tfs_s, docs_s, dls, first_doc, avgdl, cfg)
+    theta = float(np.partition(w_s, -k)[-k]) if w_s.size >= k else 0.0
+
+    n_ess = 1  # at least the strongest list is essential
+    while True:
+        # 2. essential = suffix whose exclusion bound would violate θ
+        cum = np.cumsum(maxw)
+        n_non = int(np.searchsorted(cum, theta, side="left"))
+        n_non = min(n_non, len(lists) - 1)
+        n_non = min(n_non, len(lists) - n_ess)
+        ess, non = lists[n_non:], lists[:n_non]
+
+        # 3. candidates from essential lists (full vectorized decode)
+        decoded = [t.decode_all() for t in ess]
+        cand = np.unique(np.concatenate([d[0] for d in decoded]))
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t, (docs, tfs) in zip(ess, decoded):
+            w = _weights(t, tfs, docs, dls, first_doc, avgdl, cfg)
+            scores[np.searchsorted(cand, docs)] += w
+        # 4. non-essential: lazy block decode for candidate docs only
+        for t in non:
+            tfs = t.lookup(cand)
+            m = tfs > 0
+            if m.any():
+                scores[m] += _weights(t, tfs[m], cand[m], dls, first_doc, avgdl, cfg)
+
+        if cand.size > k:
+            kth = float(np.partition(scores, -k)[-k])
+        else:
+            kth = 0.0
+        # exclusion check: docs with only non-essential terms score
+        # <= cum[n_non-1]; they can be ignored iff that bound < kth strictly
+        bound = float(cum[n_non - 1]) if n_non else -1.0
+        if n_non == 0 or bound < kth:
+            break
+        # pathological tie / underfull top-k: promote and retry
+        n_ess = len(lists) - n_non + 1
+        theta = max(theta, kth)
+        if n_ess >= len(lists):
+            ess, non = lists, []
+            decoded = [t.decode_all() for t in ess]
+            cand = np.unique(np.concatenate([d[0] for d in decoded]))
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for t, (docs, tfs) in zip(ess, decoded):
+                scores[np.searchsorted(cand, docs)] += _weights(
+                    t, tfs, docs, dls, first_doc, avgdl, cfg)
+            break
+
+    # 5. exact top-k under the (score desc, doc_id asc) total order
+    if cand.size > k:
+        # keep every doc at or above the k-th score so float ties break
+        # deterministically by doc_id, then order and cut
+        kth = np.partition(scores, -k)[-k]
+        keep = np.nonzero(scores >= kth)[0]
+    else:
+        keep = np.arange(cand.size)
+    order = np.lexsort((cand[keep], -scores[keep]))[:k]
+    sel = keep[order]
+    return cand[sel], scores[sel]
+
+
+def score_shards(
+    postings_with_meta: DataFrame,
+    queries: list[dict],
+    avgdl: float,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """postings rows (joined with doc_meta + idf) grouped by shard →
+    per-shard (query_id, doc_id, score) top-k candidates."""
+    q_spec = [
+        (int(q["query_id"]), sorted(set(q["terms"])), int(q.get("k", cfg.default_k)))
+        for q in queries
+    ]
+    block_size = cfg.block_size
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_doc = int(pdf["first_doc"].iloc[0])
+        dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        by_term: dict[str, _TermList] = {}
+        for _, row in pdf.iterrows():
+            by_term[row["term"]] = _TermList(row, block_size)
+        out_q, out_d, out_s = [], [], []
+        for qid, terms, k in q_spec:
+            lists = [by_term[t] for t in terms if t in by_term]
+            docs, scores = maxscore_topk_shard(
+                lists, k, dls, first_doc, avgdl, cfg)
+            out_q.extend([qid] * docs.size)
+            out_d.extend(docs.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    return postings_with_meta.groupBy("shard").applyInPandas(kernel, SCORE_SCHEMA)
+
+
+def bm25_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Query the on-disk index (plans.build_index.IndexReader).
+
+    Plan at scale: term + bucket predicates prune the postings scan
+    (directory partition pruning on bucket, parquet row-group min/max on
+    term); doc_meta joins on shard; the shuffle is per-shard top-k rows.
+    """
+    terms = sorted({t for q in queries for t in q["terms"]})
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    posts = index.postings(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    tstats = index.term_stats(spark).filter(F.col("term").isin(terms)).select("term", "idf")
+    posts = posts.join(F.broadcast(tstats), "term")
+    meta = index.doc_meta(spark)
+    with_meta = posts.join(meta, "shard")
+    scores = score_shards(with_meta, queries, index.avgdl, cfg)
+    from snowball_java_spark.operators.bm25_join import queries_df
+
+    qdf = queries_df(spark, queries)
+    return topk(scores, qdf)

@@ -1,0 +1,229 @@
+"""M3 — resumable, metered index build (driver-side orchestration).
+
+The reference memoizes its two expensive passes as Java-serialization
+checkpoints and reloads them if present (``snowball/src/bin/Snowball.java:45-71``,
+``snowball/src/bin/SnowballConfig.java:138-167`` — SURVEY §2.7 C3).  This is
+the scaled-up version: every build step is gated by a JSON manifest carrying
+per-stage lineage (input files, row counts) and metrics (docs/sec,
+postings/sec, bytes, skew ratio), so a killed build resumes from the last
+completed stage and re-produces byte-identical output (tested).
+
+Index layout on disk::
+
+    index_dir/
+      _conf.json             n_docs, avgdl, cfg, n_buckets, completion flag
+      docs/                  doc_id, repo, path, commit, lang, content_sha256
+      term_stats/            term, df, cf, idf, max_w
+      scratch/tf/stage=i/    enriched long table (doc_id,term,tf,dl,df,idf,...)
+      postings/stage=i/bucket=j/   binary posting rows (operators.postings)
+      doc_meta/stage=i/      per-shard varint doc-length sidecars
+      manifest/*.json        per-stage lineage + status
+      metrics.jsonl          one line per completed step
+
+Stage i owns shards with ``shard % build_stages == i`` — scratch is
+directory-partitioned by stage so each stage's job scans only its own files
+(partition pruning), and stages never overlap, making reruns idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.operators.df_stats import (
+    corpus_stats,
+    df_stats_salted,
+    doc_lengths,
+    tf_long,
+    with_tokens,
+)
+from snowball_java_spark.operators.postings import (
+    bucket_expr,
+    build_doc_meta,
+    build_postings,
+    shard_expr,
+)
+from snowball_java_spark.sources.corpus import assign_doc_ids, with_sha256
+
+
+def _manifest_path(index_dir: str, step: str) -> str:
+    return os.path.join(index_dir, "manifest", f"{step}.json")
+
+
+def _done(index_dir: str, step: str) -> bool:
+    p = _manifest_path(index_dir, step)
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        return json.load(f).get("status") == "done"
+
+
+def _write_manifest(index_dir: str, step: str, payload: dict) -> None:
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    tmp = _manifest_path(index_dir, step) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"status": "done", **payload}, f, indent=1)
+    os.replace(tmp, _manifest_path(index_dir, step))  # atomic commit
+
+
+def _metric(index_dir: str, **kv) -> None:
+    with open(os.path.join(index_dir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(kv) + "\n")
+
+
+class IndexReader:
+    """Handle over a completed on-disk index."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "_conf.json")) as f:
+            conf = json.load(f)
+        self.n_docs: int = conf["n_docs"]
+        self.avgdl: float = conf["avgdl"]
+        self.n_buckets: int = conf["n_buckets"]
+        self.cfg = EngineConfig(**conf["cfg"])
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        p = os.path.join(self.index_dir, "postings")
+        return spark.read.option("basePath", p).parquet(p)
+
+    def doc_meta(self, spark: SparkSession) -> DataFrame:
+        p = os.path.join(self.index_dir, "doc_meta")
+        return spark.read.option("basePath", p).parquet(p).drop("stage")
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    n_buckets: int = 64,
+) -> IndexReader:
+    """Build (or resume building) the index for ``corpus`` (input_hint
+    schema: repo, path, commit, lang, content)."""
+    os.makedirs(index_dir, exist_ok=True)
+    scratch = os.path.join(index_dir, "scratch", "tf")
+
+    # ---- step: prepare (docs table, enriched long table, term stats) ----
+    if not _done(index_dir, "prepare"):
+        t0 = time.time()
+        docs = assign_doc_ids(with_sha256(corpus))
+        docs_tok = with_tokens(docs).persist()
+        docs_tok.select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+
+        tf = tf_long(docs_tok)
+        dfs = df_stats_salted(tf, n_salts=cfg.n_salts_hot)
+        dl = doc_lengths(docs_tok)
+        enriched = (
+            tf.join(dfs, "term")
+            .join(dl, "doc_id")
+            .withColumn("idf", idf_expr(F.col("df"), n_docs))
+            .withColumn(
+                "w",
+                weight_expr(F.col("tf"), F.col("idf"), F.col("dl"),
+                            F.lit(avgdl), cfg.k1, cfg.b),
+            )
+            .withColumn("shard", shard_expr("doc_id", cfg.shard_size))
+            .withColumn("bucket", bucket_expr("term", n_buckets))
+            .withColumn("stage", F.pmod(F.col("shard"), F.lit(cfg.build_stages)).cast("int"))
+        )
+        enriched.write.mode("overwrite").partitionBy("stage").parquet(scratch)
+
+        term_stats = (
+            spark.read.option("basePath", scratch).parquet(scratch)
+            .groupBy("term")
+            .agg(F.first("df").alias("df"), F.first("cf").alias("cf"),
+                 F.first("idf").alias("idf"), F.max("w").alias("max_w"))
+        )
+        term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+
+        # dl table for doc_meta stages (tiny: one long per doc)
+        dl.write.mode("overwrite").parquet(os.path.join(index_dir, "scratch", "dl"))
+        docs_tok.unpersist()
+
+        from snowball_java_spark.operators.df_stats import skew_report
+
+        skew = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        sk = skew_report(skew).collect()[0]
+        elapsed = time.time() - t0
+        _metric(index_dir, step="prepare", elapsed_sec=elapsed,
+                n_docs=n_docs, docs_per_sec=n_docs / elapsed,
+                skew_ratio=float(sk["skew_ratio"]), n_terms=int(sk["n_terms"]))
+        _write_manifest(index_dir, "prepare", {
+            "n_docs": n_docs, "avgdl": avgdl,
+            "input_files": sorted(corpus.inputFiles())[:1000],
+            "elapsed_sec": elapsed,
+        })
+
+    with open(_manifest_path(index_dir, "prepare")) as f:
+        prep = json.load(f)
+    n_docs, avgdl = prep["n_docs"], prep["avgdl"]
+
+    # ---- per-stage posting builds (resume granularity) ----
+    for stage in range(cfg.build_stages):
+        step = f"stage_{stage}"
+        if _done(index_dir, step):
+            continue
+        t0 = time.time()
+        part = spark.read.option("basePath", scratch).parquet(scratch).filter(
+            F.col("stage") == stage
+        )
+        posts = build_postings(part.drop("stage", "w", "df", "cf"), avgdl, cfg, n_buckets)
+        out = os.path.join(index_dir, "postings", f"stage={stage}")
+        posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+        dl = spark.read.parquet(os.path.join(index_dir, "scratch", "dl")).filter(
+            F.pmod(shard_expr("doc_id", cfg.shard_size), F.lit(cfg.build_stages)) == stage
+        )
+        meta = build_doc_meta(dl, cfg)
+        meta.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "doc_meta", f"stage={stage}")
+        )
+
+        written = spark.read.parquet(out)
+        agg = written.agg(
+            F.sum("n").alias("n_postings"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+        ).collect()[0]
+        elapsed = time.time() - t0
+        _metric(index_dir, step=step, elapsed_sec=elapsed,
+                n_postings=int(agg["n_postings"] or 0),
+                postings_per_sec=(agg["n_postings"] or 0) / elapsed,
+                bytes_compressed=int(agg["bytes"] or 0))
+        _write_manifest(index_dir, step, {
+            "stage": stage,
+            "input_files": sorted(f for f in spark.read.parquet(scratch).inputFiles()
+                                  if f"stage={stage}" in f)[:1000],
+            "n_postings": int(agg["n_postings"] or 0),
+            "elapsed_sec": elapsed,
+        })
+
+    # ---- finalize ----
+    conf = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_buckets": n_buckets,
+        "cfg": asdict(cfg),
+    }
+    with open(os.path.join(index_dir, "_conf.json"), "w") as f:
+        json.dump(conf, f, indent=1)
+    return IndexReader(index_dir)

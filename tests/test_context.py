@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import pytest
+
+from snowball_java_spark.operators.context import context_docs_with_dl, context_topk
+from snowball_java_spark.operators.df_stats import df_stats, tf_long, with_tokens
+from snowball_java_spark.sources.synthetic import context_queries
+from tests.oracle import OracleIndex
+
+REL_TOL = 1e-9
+
+
+def test_context_topk_matches_oracle(spark, synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    texts = {r["doc_id"]: r["content"] for r in rows}
+    oracle = OracleIndex(list(texts.items()))
+    docs_tok = context_docs_with_dl(with_tokens(synth_docs))
+    dfs = df_stats(tf_long(docs_tok))
+    qs = context_queries()
+    got = context_topk(spark, docs_tok, qs, dfs, oracle.n, oracle.avgdl)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        zones = {"left": q["left_terms"], "middle": q["middle_terms"],
+                 "right": q["right_terms"]}
+        weights = {"left": q["w_left"], "middle": q["w_middle"],
+                   "right": q["w_right"]}
+        expect = oracle.context_topk(zones, weights, q["window"], texts, q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], f"q{q['query_id']}"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)

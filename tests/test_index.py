@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.wand import bm25_topk_index
+from snowball_java_spark.plans.build_index import IndexReader, build_index
+from snowball_java_spark.sources.synthetic import reference_queries
+from tests.oracle import OracleIndex
+
+REL_TOL = 1e-9
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=3)
+
+
+@pytest.fixture(scope="module")
+def index(spark, synth_docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    rdr = build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    return rdr, d
+
+
+@pytest.fixture(scope="module")
+def oracle(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+
+
+def test_index_df_consistency(spark, index, oracle):
+    """sum of per-shard df_local == oracle document frequency, per term."""
+    rdr, _ = index
+    posts = rdr.postings(spark)
+    got = {
+        r["term"]: r["df"]
+        for r in posts.groupBy("term").sum("df_local")
+        .withColumnRenamed("sum(df_local)", "df").collect()
+    }
+    assert got == {t: d for t, d in oracle.df.items()}
+    # term_stats agrees too
+    ts = {r["term"]: r["df"] for r in rdr.term_stats(spark).collect()}
+    assert ts == got
+
+
+def test_index_sha256_invariant(spark, index, synth_docs):
+    rdr, _ = index
+    idx_docs = {r["doc_id"]: r["content_sha256"] for r in rdr.docs(spark).collect()}
+    src = {r["doc_id"]: r["content_sha256"] for r in
+           synth_docs.select("doc_id", "content_sha256").collect()}
+    assert idx_docs == src
+
+
+def test_wand_rank_identical_to_oracle_and_join_path(spark, index, oracle):
+    rdr, _ = index
+    qs = reference_queries()
+    got = bm25_topk_index(spark, rdr, qs, cfg=CFG)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = oracle.topk(q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], f"q{q['query_id']} docs"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_metrics_and_manifest_written(index):
+    rdr, d = index
+    metrics = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+    steps = {m["step"] for m in metrics}
+    assert "prepare" in steps
+    assert {f"stage_{i}" for i in range(CFG.build_stages)} <= steps
+    prep = [m for m in metrics if m["step"] == "prepare"][0]
+    assert prep["skew_ratio"] > 10  # hot keywords really are skewed
+    st = [m for m in metrics if m["step"] == "stage_0"][0]
+    assert st["n_postings"] > 0 and st["bytes_compressed"] > 0
+    for i in range(CFG.build_stages):
+        man = json.load(open(os.path.join(d, "manifest", f"stage_{i}.json")))
+        assert man["status"] == "done"
+
+
+def test_resume_rebuilds_only_missing_stage(spark, index, synth_docs):
+    """Kill/restart simulation: nuke one stage's outputs + manifest; the
+    rebuild must redo exactly that stage and reproduce identical postings."""
+    rdr, d = index
+    posts_before = (
+        rdr.postings(spark)
+        .orderBy("shard", "bucket", "term")
+        .select("shard", "term", "df_local", "doc_bytes", "tf_bytes")
+        .collect()
+    )
+    os.remove(os.path.join(d, "manifest", "stage_1.json"))
+    shutil.rmtree(os.path.join(d, "postings", "stage=1"))
+    done_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(d, "postings", "stage=0", "**", "*.parquet"),
+                           recursive=True)
+    }
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    rdr2 = build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    # untouched stages were not rewritten
+    for p, mt in done_before.items():
+        assert os.path.getmtime(p) == mt, f"stage 0 file rewritten: {p}"
+    posts_after = (
+        rdr2.postings(spark)
+        .orderBy("shard", "bucket", "term")
+        .select("shard", "term", "df_local", "doc_bytes", "tf_bytes")
+        .collect()
+    )
+    assert len(posts_before) == len(posts_after)
+    for a, b in zip(posts_before, posts_after):
+        assert a == b
