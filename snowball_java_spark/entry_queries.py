@@ -1,0 +1,815 @@
+"""Paired (Spark, DuckDB-SQL) queries for the driver correctness gate.
+
+Every operator from SURVEY §2 plus the training-data pipeline ops is
+exposed here twice: a PySpark DataFrame implementation and the equivalent
+ANSI SQL that DuckDB runs on the same parquet — built from the SAME pinned
+constants (config, functions.hashes), so both engines execute identical
+arithmetic.  Float columns are rounded to 6 dp on BOTH sides (sum order
+differs between engines by ~1e-15).
+
+Spark-side scale discipline: every query is a declarative DataFrame plan —
+broadcast-able dims marked, aggregations two-phase, no collect() except
+single-row stats, no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import BM25_B as _B
+from snowball_java_spark.config import BM25_K1 as _K1
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.functions.hashes import (
+    FP_MOD,
+    FP_MULT,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_MINHASH,
+    h60_expr,
+    h60_sql,
+)
+from snowball_java_spark.functions.tokenize import tokens_expr
+from snowball_java_spark.operators import dedup, similarity, textstats
+from snowball_java_spark.operators.df_stats import (
+    corpus_stats,
+    df_stats,
+    doc_lengths,
+    tf_long,
+)
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+
+BASE_CTES = f"""
+toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl,
+              sum(dl)::BIGINT AS total_tokens FROM dl),
+tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY 1, 2),
+dfx AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+        FROM tfx GROUP BY 1)
+""".strip()
+
+# BM25 weight with whole-document stats; identical literal structure on
+# both engines (see functions/bm25.py)
+W_SQL = (
+    f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tfx.tf * {_K1 + 1.0} "
+    f"/ (tfx.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl))"
+)
+
+HOT_TERMS = ["table", "row"]
+MIXED_TERMS = ["spark", "vector", "dup"]
+RARE_TERMS = ["dup"]
+
+EN_STOPS = textstats.LANG_PROFILES["en"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "text", "source", tokens_expr("text").alias("tokens")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) -> DataFrame:
+    """Join-path BM25 over the documents table (M1 operator)."""
+    docs_tok = _docs_tok(spark, sf_dir)
+    tf = tf_long(docs_tok)
+    dfs = df_stats(tf)
+    dl = doc_lengths(docs_tok)
+    st = corpus_stats(docs_tok).collect()[0]
+    qdf = spark.createDataFrame(
+        [(0, t, k) for t in sorted(set(terms))], "query_id int, term string, k int"
+    )
+    from snowball_java_spark.operators.bm25_join import bm25_scores
+
+    scores = bm25_scores(qdf, tf, dfs, dl, st["n_docs"], float(st["avgdl"]))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def _bm25_topk_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# index-path query (builds/reuses a real on-disk index per sf_dir)
+# ---------------------------------------------------------------------------
+
+_INDEX_CFG = EngineConfig(shard_size=128, block_size=32, build_stages=2)
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    from snowball_java_spark.plans.build_index import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/sjs_index_cache/{tag}"
+    corpus = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text").alias("content"),
+        F.col("source").alias("repo"),
+        F.lit("x").alias("path"),
+        F.lit("x").alias("commit"),
+        F.col("lang"),
+    )
+    return build_index(spark, corpus, idx_dir, cfg=_INDEX_CFG, n_buckets=8)
+
+
+def _bm25_index_topk(spark: SparkSession, sf_dir: str, terms: list[str], k: int) -> DataFrame:
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": terms, "k": k}], cfg=_INDEX_CFG
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+
+
+def _q_corpus_stats(spark, sf_dir):
+    return corpus_stats(_docs_tok(spark, sf_dir)).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl"), "total_tokens"
+    )
+
+
+def _q_doc_lengths(spark, sf_dir):
+    return doc_lengths(_docs_tok(spark, sf_dir)).select("doc_id", "dl")
+
+
+def _q_term_df(spark, sf_dir):
+    return df_stats(tf_long(_docs_tok(spark, sf_dir))).select("term", "df", "cf")
+
+
+def _q_postings_term_df(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return (
+        idx.postings(spark)
+        .groupBy("term")
+        .agg(F.sum("df_local").alias("df"))
+        .select("term", "df")
+    )
+
+
+def _q_sha256(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2("text", 256).alias("sha")
+    )
+
+
+_SEEDS = [("table", "vector"), ("dup", "key"), ("spark", "zzz_absent")]
+
+
+def _q_seed_match(spark, sf_dir):
+    """J1 analog: broadcast hash equi-semantics seed join — docs containing
+    both seed terms."""
+    seeds = spark.createDataFrame(_SEEDS, "e1 string, e2 string")
+    d = _docs_tok(spark, sf_dir)
+    return (
+        d.crossJoin(F.broadcast(seeds))
+        .filter(
+            F.array_contains("tokens", F.col("e1"))
+            & F.array_contains("tokens", F.col("e2"))
+        )
+        .select("e1", "e2", "doc_id")
+    )
+
+
+_NOISY_TERMS = ["table", "row", "vector"]
+
+
+def _q_noisy_or(spark, sf_dir):
+    """A8 analog: noisy-or confidence via log-sum-exp product aggregate."""
+    d = _docs_tok(spark, sf_dir)
+    tf = tf_long(d)
+    matched = tf.filter(F.col("term").isin(_NOISY_TERMS))
+    p = F.col("tf").cast("double") / (F.col("tf").cast("double") + F.lit(1.0))
+    conf = (
+        matched.withColumn("lg", F.log(F.lit(1.0) - p))
+        .groupBy("doc_id")
+        .agg((F.lit(1.0) - F.exp(F.sum("lg"))).alias("conf"))
+    )
+    w = Window.orderBy(F.desc("conf"), F.asc("doc_id"))
+    return (
+        conf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank", F.round("conf", 6).alias("conf"))
+    )
+
+
+def _q_top_terms_per_doc(spark, sf_dir):
+    """O9 argmax analog: top-3 terms per doc by (tf·idf desc, term asc)."""
+    d = _docs_tok(spark, sf_dir)
+    tf = tf_long(d).filter(F.col("doc_id") < 50)
+    dfs = df_stats(tf_long(d))
+    st = corpus_stats(d).collect()[0]
+    scored = tf.join(F.broadcast(dfs), "term").withColumn(
+        "w", F.col("tf").cast("double") * idf_expr(F.col("df"), st["n_docs"])
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", F.round("w", 6).alias("w"))
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    g = dedup.exact_dup_groups(d, "content")
+    return g.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1).otherwise(0)).alias(
+            "n_redundant"
+        ),
+    )
+
+
+def _q_minhash(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir).filter(F.col("doc_id") < 20)
+    mh = dedup.with_minhash(d)
+    arr = F.array(*[F.col(f"mh_{i}") for i in range(NUM_MINHASH)])
+    return (
+        mh.select("doc_id", F.posexplode(arr).alias("mh_idx", "mh_val"))
+        .select("doc_id", F.col("mh_idx").cast("long").alias("mh_idx"), "mh_val")
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir).filter(F.col("doc_id") < 50)
+    tf = tf_long(d)
+    pairs = tf.withColumn("h", h60_expr(F.col("term"))).groupBy("doc_id").agg(
+        F.collect_list(F.struct("h", "tf")).alias("pairs")
+    )
+    return pairs.select("doc_id", dedup.simhash_expr(F.col("pairs")).alias("simhash"))
+
+
+def _q_jaccard(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, "source")
+    w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (bands of 2 over 16 minhashes)."""
+    d = _docs_tok(spark, sf_dir)
+    mh = dedup.with_minhash(d)
+    pairs = dedup.lsh_candidate_pairs(mh)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_emb_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.brute_force_topk(e, qvec, 10)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+def _q_emb_lsh(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.lsh_topk(e, qvec, 10, n_planes=4)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    pairs = similarity.embedding_near_dup_pairs(e, "label", min_cosine=0.6)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sc = textstats.lang_scores(F.col("tokens"))
+    return d.select(
+        "doc_id",
+        textstats.lang_id_expr(F.col("tokens")).alias("lang_pred"),
+        F.round(sc["en"], 6).alias("score_en"),
+    )
+
+
+def _q_quality(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.round(
+            textstats.quality_score_expr(F.col("tokens"), F.col("text")), 6
+        ).alias("quality"),
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir)
+    c = textstats.token_counts_expr(F.col("tokens"))
+    return d.select("doc_id", c["n_tokens"].alias("n_tokens"),
+                    c["n_subwords"].alias("n_subwords"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir)
+    return d.select(
+        "doc_id", textstats.fingerprint_expr(F.col("tokens")).alias("fp")
+    )
+
+
+def _q_multimodal(spark, sf_dir):
+    from snowball_java_spark.operators.multimodal import media_metadata, pack_media
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return media_metadata(pack_media(d))
+
+
+def _q_media_features(spark, sf_dir):
+    """Rows-only (no SQL oracle): stubbed decode through the real
+    mapInPandas plumbing."""
+    from snowball_java_spark.operators.multimodal import decode_features, pack_media
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return decode_features(pack_media(d)).select("doc_id", "n_bytes", "width", "height")
+
+
+def _q_events_window(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("hour", "event_type", "n", "sum_value")
+    )
+
+
+def _q_context_window(spark, sf_dir):
+    from snowball_java_spark.operators.context import context_topk
+
+    d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens").cast("long"))
+    dfs = df_stats(tf_long(d))
+    st = corpus_stats(d).collect()[0]
+    qs = [{
+        "query_id": 0, "left_terms": ["key"], "middle_terms": ["table"],
+        "right_terms": ["vector"], "w_left": 0.2, "w_middle": 0.6,
+        "w_right": 0.2, "window": 8, "k": 10,
+    }]
+    res = context_topk(spark, d, qs, dfs, st["n_docs"], float(st["avgdl"]))
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score")
+    )
+
+
+# --- SQL builders ----------------------------------------------------------
+
+
+def _minhash_sql() -> str:
+    sh = (
+        "list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    parts = []
+    for i in range(NUM_MINHASH):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        parts.append(
+            f"SELECT doc_id, {i}::BIGINT AS mh_idx, "
+            f"list_min(list_transform(sh, s -> "
+            f"(({h60_sql('s')}) % {MINHASH_P} * {a} + {b}) % {MINHASH_P})) AS mh_val "
+            f"FROM shx"
+        )
+    return (
+        f"WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents "
+        f"WHERE doc_id < 20),\n"
+        f"shx AS (SELECT doc_id, {sh} AS sh FROM toks)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    cases = " + ".join(
+        f"(CASE WHEN sum(tf * (((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE doc_id < 50),
+tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks) GROUP BY 1, 2),
+hx AS (SELECT doc_id, tf, {h60_sql('term')} AS h FROM tfx)
+SELECT doc_id, {cases} AS simhash FROM hx GROUP BY doc_id
+"""
+
+
+def _jaccard_sql() -> str:
+    sh = (
+        "list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
+shx AS (SELECT doc_id, source, unnest({sh}) AS sh FROM toks),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shx GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+  FROM shx a JOIN shx b ON a.source = b.source AND a.sh = b.sh
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b,
+         n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
+  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
+             JOIN sizes sb ON inter.doc_b = sb.doc_id
+)
+SELECT rank, doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT doc_a, doc_b, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC)::BIGINT AS rank
+  FROM j
+) WHERE rank <= 20
+"""
+
+
+def _lsh_pairs_sql(bands: int = 8, rows_per_band: int = 2) -> str:
+    sh = (
+        "list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> (({h60_sql('s')}) % {MINHASH_P} * "
+        f"{MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
+        for i in range(NUM_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + " AS key, sig FROM mh"
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN a.sig[{i + 1}] = b.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(NUM_MINHASH)
+    )
+    sig = ", ".join(f"mh_{i}" for i in range(NUM_MINHASH))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+shx AS (SELECT doc_id, {sh} AS sh FROM toks),
+mh0 AS (SELECT doc_id, {mh_cols} FROM shx),
+mh AS (SELECT *, [{sig}] AS sig FROM mh0),
+buckets AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({eq.replace('a.sig', 'sig_a').replace('b.sig', 'sig_b')})::DOUBLE
+             / {NUM_MINHASH}.0, 6) AS est_jaccard
+FROM pairs ORDER BY doc_a, doc_b
+"""
+
+
+def _context_sql(k: int = 10, w: int = 8) -> str:
+    def wterm(tf_col: str, term: str) -> str:
+        idf = f"ln(1 + (st.n_docs - (SELECT df FROM dfx WHERE term = '{term}') + 0.5) / ((SELECT df FROM dfx WHERE term = '{term}') + 0.5))"
+        return (
+            f"CASE WHEN {tf_col} > 0 THEN {idf} * {tf_col} * {_K1 + 1.0} "
+            f"/ ({tf_col} + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl)) ELSE 0 END"
+        )
+
+    return f"""
+WITH {BASE_CTES},
+z AS (SELECT doc_id,
+        toks[1:{w}] AS lz,
+        CASE WHEN len(toks) > {w} THEN toks[len(toks)-{w - 1}:len(toks)]
+             ELSE toks END AS rz,
+        CASE WHEN len(toks) > {2 * w} THEN toks[{w + 1}:len(toks)-{w}]
+             ELSE []::VARCHAR[] END AS mz
+      FROM toks),
+tfz AS (SELECT doc_id,
+        len(list_filter(lz, x -> x = 'key'))::BIGINT AS tf_l,
+        len(list_filter(mz, x -> x = 'table'))::BIGINT AS tf_m,
+        len(list_filter(rz, x -> x = 'vector'))::BIGINT AS tf_r
+      FROM z),
+sc AS (SELECT tfz.doc_id,
+        0.2 * ({wterm('tf_l', 'key')})
+      + 0.6 * ({wterm('tf_m', 'table')})
+      + 0.2 * ({wterm('tf_r', 'vector')}) AS score
+      FROM tfz JOIN dl ON tfz.doc_id = dl.doc_id CROSS JOIN st)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM sc WHERE score > 0
+) WHERE rank <= {k}
+"""
+
+
+def _emb_sql(lsh: bool) -> str:
+    from snowball_java_spark.operators.similarity import hyperplane
+
+    cos = (
+        "list_dot_product(e.emb, q.emb) / "
+        "(sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(q.emb, q.emb)))"
+    )
+    bucket_filter = ""
+    bucket_cte = ""
+    if lsh:
+        planes = [hyperplane(p, 64) for p in range(4)]
+        bexpr = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, [{', '.join(str(v) for v in pl)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+        bucket_cte = f", bk AS (SELECT vec_id, emb, {bexpr} AS bucket FROM e)"
+        bucket_filter = (
+            "WHERE e.bucket = (SELECT bucket FROM bk WHERE vec_id = 0)"
+        )
+    src = "bk" if lsh else "e"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+{bucket_cte},
+q AS (SELECT emb FROM e WHERE vec_id = 0),
+cs AS (
+  SELECT e.vec_id, round({cos}, 6) AS cosine
+  FROM {src} e CROSS JOIN q
+  {bucket_filter}
+)
+SELECT rank, vec_id, cosine FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM cs
+) WHERE rank <= 10
+"""
+
+
+def _lang_sql() -> str:
+    def hits(words):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        return f"len(list_filter(toks, x -> x IN ({inlist})))::DOUBLE / greatest(len(toks), 1)"
+
+    p = textstats.LANG_PROFILES
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE doc_id < 100),
+sc AS (SELECT doc_id, {hits(p['en'])} AS s_en, {hits(p['de'])} AS s_de,
+              {hits(p['fr'])} AS s_fr FROM toks)
+SELECT doc_id,
+       CASE WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS lang_pred,
+       round(s_en, 6) AS score_en
+FROM sc
+"""
+
+
+def _quality_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in EN_STOPS)
+    return f"""
+WITH toks AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+m AS (SELECT doc_id,
+        len(toks)::DOUBLE AS n,
+        greatest(len(toks), 1)::DOUBLE AS sn,
+        list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+            / greatest(len(toks), 1) AS mean_len,
+        len(list_filter(toks, x -> x IN ({stops})))::DOUBLE
+            / greatest(len(toks), 1) AS stop_ratio,
+        length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1) AS alnum_ratio
+      FROM toks)
+SELECT doc_id, n::BIGINT AS n_tokens,
+       round(
+         (CASE WHEN n >= 20 AND n <= 1000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 0.25 ELSE 0.0 END)
+       + least(1.0, stop_ratio * 5) * 0.25
+       + alnum_ratio * 0.25, 6) AS quality
+FROM m
+"""
+
+
+def build_registry() -> dict[str, Q]:
+    stops = ", ".join(f"'{w}'" for w in EN_STOPS)
+    seeds_sql = ", ".join(f"('{a}', '{b}')" for a, b in _SEEDS)
+    noisy = ", ".join(f"('{t}')" for t in _NOISY_TERMS)
+    reg: dict[str, Q] = {
+        "corpus_stats": Q(
+            _q_corpus_stats,
+            f"WITH {BASE_CTES} SELECT n_docs, round(avgdl, 6) AS avgdl, "
+            f"total_tokens FROM st",
+        ),
+        "doc_lengths": Q(
+            _q_doc_lengths,
+            f"WITH {BASE_CTES} SELECT doc_id, dl FROM dl",
+        ),
+        "term_df": Q(
+            _q_term_df,
+            f"WITH {BASE_CTES} SELECT term, df, cf FROM dfx",
+        ),
+        "bm25_topk_hot": Q(
+            lambda s, d: _bm25_topk_df(s, d, HOT_TERMS, 10),
+            _bm25_topk_sql(HOT_TERMS, 10),
+        ),
+        "bm25_topk_mixed": Q(
+            lambda s, d: _bm25_topk_df(s, d, MIXED_TERMS, 10),
+            _bm25_topk_sql(MIXED_TERMS, 10),
+        ),
+        "bm25_topk_rare": Q(
+            lambda s, d: _bm25_topk_df(s, d, RARE_TERMS, 10),
+            _bm25_topk_sql(RARE_TERMS, 10),
+        ),
+        "bm25_index_topk": Q(
+            lambda s, d: _bm25_index_topk(s, d, HOT_TERMS, 10),
+            _bm25_topk_sql(HOT_TERMS, 10),
+        ),
+        "postings_term_df": Q(
+            _q_postings_term_df,
+            f"WITH {BASE_CTES} SELECT term, df FROM dfx",
+        ),
+        "context_window_topk": Q(_q_context_window, _context_sql()),
+        "sha256_docs": Q(
+            _q_sha256,
+            "SELECT doc_id, sha256(text) AS sha FROM documents",
+        ),
+        "seed_match_join": Q(
+            _q_seed_match,
+            f"WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents) "
+            f"SELECT e1, e2, doc_id FROM toks "
+            f"CROSS JOIN (VALUES {seeds_sql}) s(e1, e2) "
+            f"WHERE list_contains(toks, e1) AND list_contains(toks, e2)",
+        ),
+        "noisy_or_confidence": Q(
+            _q_noisy_or,
+            f"""
+WITH {BASE_CTES},
+m AS (SELECT doc_id, 1.0 - exp(sum(ln(1.0 - tf::DOUBLE / (tf::DOUBLE + 1.0)))) AS conf
+      FROM tfx JOIN (VALUES {noisy}) q(term) USING (term) GROUP BY 1)
+SELECT doc_id, rank, round(conf, 6) AS conf FROM (
+  SELECT doc_id, conf,
+         row_number() OVER (ORDER BY conf DESC, doc_id ASC)::BIGINT AS rank
+  FROM m
+) WHERE rank <= 50
+""",
+        ),
+        "top_terms_per_doc": Q(
+            _q_top_terms_per_doc,
+            f"""
+WITH {BASE_CTES},
+s AS (SELECT tfx.doc_id, tfx.term,
+        tfx.tf::DOUBLE * ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) AS w
+      FROM tfx JOIN dfx USING (term) CROSS JOIN st
+      WHERE tfx.doc_id < 50)
+SELECT doc_id, rank, term, round(w, 6) AS w FROM (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC)::BIGINT AS rank
+  FROM s
+) WHERE rank <= 3
+""",
+        ),
+        "dedup_exact": Q(
+            _q_dedup_exact,
+            """
+WITH g AS (SELECT md5(text) AS h, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1)
+SELECT sum(n_docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN n_docs > 1 THEN n_docs - 1 ELSE 0 END)::BIGINT AS n_redundant
+FROM g
+""",
+        ),
+        "dedup_minhash_sigs": Q(_q_minhash, _minhash_sql()),
+        "dedup_simhash": Q(_q_simhash, _simhash_sql()),
+        "dedup_ngram_jaccard": Q(_q_jaccard, _jaccard_sql()),
+        "dedup_lsh_pairs": Q(_q_lsh_pairs, _lsh_pairs_sql()),
+        "embedding_cosine_topk": Q(_q_emb_topk, _emb_sql(lsh=False)),
+        "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
+        "embedding_near_dup": Q(
+            _q_emb_near_dup,
+            """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id < 100),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.6
+""",
+        ),
+        "lang_id": Q(_q_lang_id, _lang_sql()),
+        "quality_score": Q(_q_quality, _quality_sql()),
+        "token_count": Q(
+            _q_token_count,
+            f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       coalesce(list_sum(list_transform(toks,
+           t -> cast(ceil(length(t) / 4.0) AS BIGINT))), 0)::BIGINT AS n_subwords
+FROM toks
+""",
+        ),
+        "doc_fingerprint": Q(
+            _q_fingerprint,
+            f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(toks, t -> ({h60_sql('t')}) % {FP_MOD})),
+         (a, b) -> (a * {FP_MULT} + b) % {FP_MOD}) AS fp
+FROM toks
+""",
+        ),
+        "multimodal_meta": Q(
+            _q_multimodal,
+            """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (octet_length(encode(text)) % 640)::INTEGER AS declared_w,
+       (octet_length(encode(text)) % 480)::INTEGER AS declared_h
+FROM documents
+""",
+        ),
+        "media_features_stub": Q(_q_media_features, None),
+        "events_hourly": Q(
+            _q_events_window,
+            """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        ),
+    }
+    return reg
+
+
+REGISTRY = build_registry()

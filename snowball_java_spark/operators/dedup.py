@@ -1,0 +1,185 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — each built from cross-engine-deterministic
+md5-prefix hashes (functions.hashes) so every step is oracle-checkable in
+DuckDB with the same integer arithmetic.
+
+Scale notes:
+  * shingling/minhashing is per-row Catalyst (transform/aggregate higher-
+    order functions — JVM-side, no UDF);
+  * the LSH candidate join is an equi-join on (band, bucket) — a shuffle
+    on a key whose cardinality grows with corpus size, the standard way
+    to avoid the O(n²) all-pairs comparison at 100 TB;
+  * exact-dup grouping is a hash aggregation on md5(content) — map-side
+    partial aggregation makes it skew-tolerant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.hashes import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_MINHASH,
+    h60_expr,
+)
+
+SHINGLE_K = 3
+
+
+def shingles_expr(tokens_col: Column, k: int = SHINGLE_K) -> Column:
+    """k-word shingles as ' '-joined strings (empty array if < k tokens).
+    Pure Catalyst: transform over a sequence of start offsets."""
+    n = F.size(tokens_col)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingle_hashes: Column, i: int) -> Column:
+    """i-th minhash: min over shingles of the i-th universal hash."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return F.array_min(
+        F.transform(
+            shingle_hashes,
+            lambda h: (h % MINHASH_P * F.lit(a) + F.lit(b)) % MINHASH_P,
+        )
+    )
+
+
+def with_minhash(docs_tok: DataFrame, num: int = NUM_MINHASH) -> DataFrame:
+    """Adds mh_0..mh_{num-1} columns; docs with no shingles get NULL."""
+    sh = shingles_expr(F.col("tokens"))
+    hashed = F.transform(sh, lambda s: h60_expr(s))
+    out = docs_tok.withColumn("_sh", hashed)
+    for i in range(num):
+        out = out.withColumn(f"mh_{i}", minhash_signature(F.col("_sh"), i))
+    return out.drop("_sh")
+
+
+def lsh_candidate_pairs(
+    with_mh: DataFrame, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    assert bands * rows_per_band <= NUM_MINHASH
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    sig = [F.col(f"mh_{i}") for i in range(NUM_MINHASH)]
+    buckets = with_mh.select(
+        "doc_id", F.array(*sig).alias("sig"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / F.lit(float(NUM_MINHASH))).alias("est_jaccard"),
+    )
+
+
+def simhash_expr(hashed_tf_pairs: Column, bits: int = 32) -> Column:
+    """SimHash over array<struct<h:long, tf:long>> (h = h60(term), hashed
+    once upstream): bit j set iff Σ tf·(2·bit_j(h)−1) > 0.
+    Pure Catalyst aggregate — no UDF."""
+    total = F.aggregate(
+        hashed_tf_pairs,
+        F.array(*[F.lit(0).cast("long") for _ in range(bits)]),
+        lambda acc, p: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    p["tf"] * (F.shiftright(p["h"], j).bitwiseAND(F.lit(1)) * 2 - 1)
+                    for j in range(bits)
+                ]
+            ),
+            lambda s, d: s + d,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            total,
+            F.array(*[F.lit(1 << j).cast("long") for j in range(bits)]),
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def exact_dup_groups(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Exact dedup: md5-keyed groups with counts and representative id."""
+    return (
+        docs.groupBy(F.md5(F.col(content_col)).alias("content_md5"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_tok: DataFrame, group_col: str, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingles for doc pairs within the same
+    group (blocking key bounds the candidate set — at scale this is the
+    LSH bucket; here any low-cardinality column works).
+
+    Output: (doc_a, doc_b, jaccard)."""
+    sh = docs_tok.select(
+        "doc_id",
+        F.col(group_col).alias("grp"),
+        F.explode(F.array_distinct(shingles_expr(F.col("tokens")))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.sh") == F.col("b.sh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as `binary` columns with a metadata struct; the
+Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
+signatures) is real and tested, while the actual codec calls are STUBBED —
+the decode libraries (Pillow/ffmpeg/torchaudio) are not in this container.
+Each stub either raises ``NotImplementedError`` (strict mode) or produces a
+deterministic fake (test mode) so pipelines exercise the full dataflow.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<n_bytes: long, declared_w: int, declared_h: int>"
+)
+
+FEATURE_SCHEMA = "doc_id long, n_bytes long, width int, height int, feat array<float>"
+
+
+def pack_media(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Wrap text content as a fake media payload (utf-8 bytes) with typed
+    metadata — the schema shape real image ingestion would use."""
+    payload = F.encode(F.col(content_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            (F.length(payload) % 640).cast("int").alias("declared_w"),
+            (F.length(payload) % 480).cast("int").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, strict: bool) -> tuple[int, int, np.ndarray]:
+    """STUB decode: real impl would be Pillow/libvips.  Deterministic fake:
+    dimensions from payload length, 8-dim 'feature' from byte histogram."""
+    if strict:
+        raise NotImplementedError(
+            "image decode requires Pillow/libvips — not present in this "
+            "container; run with strict=False for the deterministic fake"
+        )
+    w = len(payload) % 640
+    h = len(payload) % 480
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % 8, minlength=8).astype(np.float32)
+    denom = max(float(arr.size), 1.0)
+    return w, h, hist / denom
+
+
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, fixed-width
+    feature vectors out.  Batch-shape note for 100 TB: payloads are large,
+    so maxRecordsPerBatch must be sized by bytes not rows — callers set
+    spark.sql.execution.arrow.maxRecordsPerBatch accordingly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ws, hs, feats, nb = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                w, h, f = _decode_stub(b, strict)
+                ws.append(w)
+                hs.append(h)
+                feats.append(f.tolist())
+                nb.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "width": ws,
+                    "height": hs,
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata projection — never touches payload bytes; with parquet the
+    payload column is not even read (column pruning; verified in tests)."""
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.declared_w").alias("declared_w"),
+        F.col("meta.declared_h").alias("declared_h"),
+    )

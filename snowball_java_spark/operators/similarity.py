@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a sign-random-
+projection LSH-bucketed variant as the scale path: at 10^12 rows the
+bucket equi-join prunes the candidate set by ~2^n_planes while the
+per-row dot products stay JVM-side (zip_with/aggregate — no UDF, no
+collect).
+
+Hyperplanes are deterministic ±1 vectors derived from md5 parity so the
+DuckDB oracle can inline the identical constants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane component i = parity of md5(plane:i)."""
+    return [
+        1.0 if int(hashlib.md5(f"lsh:{plane}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """float64 dot product of two array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """bucket = Σ_p 2^p · [vec · plane_p > 0]"""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot_expr(vec, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k against a constant query vector.
+    At scale: one pass, partial top-k per partition via the sort-limit
+    (Spark's TakeOrderedAndProject), no shuffle of full scores."""
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col("embedding"), qcol), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: restrict to the query's LSH bucket, then exact cosine top-k.
+    Recall < 1 by design; the bucket predicate is what scales."""
+    dim = len(query_vec)
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qbucket |= 1 << p
+    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    return brute_force_topk(
+        bucketed.filter(F.col("bucket") == qbucket), query_vec, k, id_col
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, group_col: str, min_cosine: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine within a blocking group
+    (at scale the group is an LSH bucket)."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,96 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Catalyst column expressions (higher-order functions on the token
+array) — they run inside whole-stage codegen and push no work to Python.
+Each has a matching DuckDB SQL form generated from the same constants
+(entry_queries), so every score is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.hashes import FP_MOD, FP_MULT, h60_expr
+
+#: tiny stopword profiles for n-gram-free language ID (heuristic — the
+#: honest label for what ships in a pipeline before a real classifier)
+LANG_PROFILES = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour"],
+}
+
+
+def lang_scores(tokens_col: Column) -> dict[str, Column]:
+    """Per-language stopword hit ratio (0..1)."""
+    n = F.greatest(F.size(tokens_col), F.lit(1)).cast("double")
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(tokens_col, lambda t: t.isin(words)))
+        out[lang] = hits.cast("double") / n
+    return out
+
+
+def lang_id_expr(tokens_col: Column) -> Column:
+    """Deterministic argmax: sort by (score desc, lang asc), take first."""
+    scores = lang_scores(tokens_col)
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg_s"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    return F.array_min(pairs)["lang"]
+
+
+def quality_score_expr(tokens_col: Column, text_col: Column) -> Column:
+    """Composite quality in [0,1]: length band, mean token length band,
+    stopword presence, alnum density.  Fixed formula (pinned for oracle):
+
+        q = 0.25·[20 ≤ n_tok ≤ 1000] + 0.25·[3 ≤ mean_len ≤ 12]
+          + 0.25·min(1, stop_ratio·5) + 0.25·alnum_ratio
+    """
+    n = F.size(tokens_col).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    mean_len = (
+        F.aggregate(tokens_col, F.lit(0.0), lambda a, t: a + F.length(t).cast("double"))
+        / safe_n
+    )
+    stop_ratio = (
+        F.size(F.filter(tokens_col, lambda t: t.isin(LANG_PROFILES["en"]))).cast("double")
+        / safe_n
+    )
+    alnum = F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9]", "")).cast("double")
+    alnum_ratio = alnum / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+    return (
+        F.when((n >= 20) & (n <= 1000), 0.25).otherwise(0.0)
+        + F.when((mean_len >= 3) & (mean_len <= 12), 0.25).otherwise(0.0)
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.25
+        + alnum_ratio * 0.25
+    )
+
+
+def token_counts_expr(tokens_col: Column) -> dict[str, Column]:
+    """Whitespace-ish token count + a BPE-ish subword estimate
+    (Σ ceil(len/4) — the standard ~4-chars-per-token heuristic)."""
+    return {
+        "n_tokens": F.size(tokens_col).cast("long"),
+        "n_subwords": F.aggregate(
+            tokens_col,
+            F.lit(0).cast("long"),
+            lambda a, t: a + F.ceil(F.length(t).cast("double") / 4.0).cast("long"),
+        ),
+    }
+
+
+def fingerprint_expr(tokens_col: Column) -> Column:
+    """Rolling polynomial hash of the token stream (order-sensitive):
+        fp = fold(tokens, acc -> (acc·31 + h60(tok) % M) % M),  M = 1e9+7
+    Same fold in DuckDB via list_reduce — identical int64 arithmetic."""
+    return F.aggregate(
+        tokens_col,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_MULT + h60_expr(t) % FP_MOD) % FP_MOD,
+    )

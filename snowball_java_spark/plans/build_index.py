@@ -120,7 +120,13 @@ def build_index(
     # ---- step: prepare (docs table, enriched long table, term stats) ----
     if not _done(index_dir, "prepare"):
         t0 = time.time()
-        docs = assign_doc_ids(with_sha256(corpus))
+        # corpora that already carry a dense deterministic doc_id (e.g. the
+        # driver's documents table) keep it; raw corpora get the scalable
+        # sort-rank assignment
+        if "doc_id" in corpus.columns:
+            docs = with_sha256(corpus)
+        else:
+            docs = assign_doc_ids(with_sha256(corpus))
         docs_tok = with_tokens(docs).persist()
         docs_tok.select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256"

@@ -1,0 +1,75 @@
+"""Local replica of the driver correctness gate: run every queries() entry
+at sf0.01 and compare row count, column names, and (sorted) values against
+the DuckDB oracle SQL."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c] if isinstance(r, dict) else r[cols.index(c)]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+ALL_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if name not in sqls:
+        assert len(srows) >= 0  # rows-only check (driver does the same)
+        return
+    ddf = duck.sql(sqls[name])
+    dcols = [d[0] for d in ddf.description]
+    drows = ddf.fetchall()
+    assert sorted(scols) == sorted(dcols), f"{name}: column names"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    s_n = _normalize([r.asDict() for r in srows], scols)
+    d_n = _normalize(drows, dcols)
+    mism = [i for i, (a, b) in enumerate(zip(s_n, d_n)) if a != b]
+    assert not mism, f"{name}: first mismatch {s_n[mism[0]]} vs {d_n[mism[0]]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["doc_id", "rank", "score"]
