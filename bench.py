@@ -1,0 +1,127 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Phase A: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]: join-path BM25, index build + block-max query,
+dedup/similarity/text-analysis pipeline ops.
+
+Phase B (north_rule scaling evidence): the SAME index-build job on a
+deterministic synthetic corpus at two parallelism levels (N and 4N cores
+stand in for N and 4N executors — no real cluster in this sandbox), with
+throughput at both and efficiency = thr(4N) / (4 · thr(N)).
+Defaults: 150k files, cores 2→8.  The committed full-scale evidence run
+(400k files) lives in BENCH/BASELINE.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_FILES,
+SPARK_GRAFT_BENCH_CORES ("2,8"), SPARK_GRAFT_SKIP_SCALING=1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "300000"))
+BENCH_CORES = [
+    int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8").split(",")
+]
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+HEADLINE = [
+    "bm25_topk_hot",
+    "bm25_topk_mixed",
+    "bm25_index_topk",
+    "context_window_topk",
+    "dedup_minhash_sigs",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_topk",
+    "doc_fingerprint",
+    "quality_score",
+    "events_hourly",
+]
+
+
+def phase_a() -> tuple[dict, float, dict]:
+    from snowball_java_spark.entry_queries import REGISTRY, _index_for
+    from snowball_java_spark.session import get_spark
+
+    spark = get_spark("bench-queries", cores=CPUS)
+    # pay the index build once, reported separately from query latency
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    shutil.rmtree(f"/tmp/sjs_index_cache/{tag}", ignore_errors=True)
+    t0 = time.time()
+    _index_for(spark, SF_DIR)
+    index_build_sec = time.time() - t0
+
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        n = len(fn(spark, SF_DIR).collect())
+        out[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    meta = {"index_build_sec": round(index_build_sec, 2)}
+    spark.stop()
+    return out, sum(out.values()), meta
+
+
+def phase_b() -> dict:
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import build_index
+    from snowball_java_spark.session import get_spark
+    from snowball_java_spark.sources.corpus import read_corpus
+    from snowball_java_spark.sources.synthetic import build_synth_corpus
+
+    corpus_dir = f"/tmp/sjs_bench/corpus_{BENCH_FILES}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        spark = get_spark("bench-gen", cores=CPUS)
+        build_synth_corpus(spark, BENCH_FILES, corpus_dir)
+        spark.stop()
+
+    cfg = EngineConfig(shard_size=8192, block_size=128, build_stages=1)
+    thr: dict[int, float] = {}
+    for cores in BENCH_CORES:
+        spark = get_spark("bench-scaling", cores=cores)
+        d = f"/tmp/sjs_bench/idx_{BENCH_FILES}_{cores}"
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, read_corpus(spark, corpus_dir), d, cfg=cfg, n_buckets=32)
+        el = time.time() - t0
+        thr[cores] = BENCH_FILES / el
+        spark.stop()
+    lo, hi = min(BENCH_CORES), max(BENCH_CORES)
+    ratio = hi / lo
+    eff = thr[hi] / (ratio * thr[lo])
+    return {
+        "files": BENCH_FILES,
+        "cores": BENCH_CORES,
+        **{f"files_per_sec_local{c}": round(thr[c], 1) for c in BENCH_CORES},
+        "scaling_efficiency": round(eff, 3),
+        "note": f"same job at local[{lo}] and local[{hi}] (N and {ratio:.0f}N "
+                f"cores stand in for executors; sandbox has no real cluster)",
+    }
+
+
+def main() -> None:
+    queries, total, meta = phase_a()
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        **meta,
+    }
+    if not SKIP_SCALING:
+        result["scaling"] = phase_b()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

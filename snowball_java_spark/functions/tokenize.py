@@ -20,11 +20,12 @@ Python reference is :func:`tokenize_py` (used by tests/oracle.py).
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, MapType, StringType
 
 from snowball_java_spark.config import TOKEN_PATTERN, TOKEN_SPLIT_PATTERN
 
@@ -62,6 +63,18 @@ def tokenize_udf(texts: pd.Series) -> pd.Series:
     """Arrow-vectorized tokenizer (pandas str ops, no per-row Python loop
     beyond the regex engine's own iteration)."""
     return texts.fillna("").str.lower().str.findall(TOKEN_PATTERN)
+
+
+@F.pandas_udf(MapType(StringType(), IntegerType()))
+def tf_map_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenize + per-document term-frequency map.
+
+    The index-build hot path: emitting term→tf per row is a map-side
+    combine done at the source, so the (doc, term, tf) long table needs NO
+    groupBy shuffle at all (SURVEY §2.4 A2 without the shuffle).  Semantics
+    are pinned to tokenize_py: Counter(re.findall(TOKEN_PATTERN, lower))."""
+    find = _TOKEN_RE.findall
+    return texts.fillna("").map(lambda s: dict(Counter(find(s.lower()))))
 
 
 @F.pandas_udf(ArrayType(StringType()))

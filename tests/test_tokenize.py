@@ -43,3 +43,22 @@ def test_spark_tokenizers_match_on_synth_corpus(spark, synth_docs):
         tokens_expr("content").alias("a"), tokenize_udf("content").alias("b")
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_tf_map_udf_matches_explode_groupby(spark, synth_docs):
+    """The build hot path (per-doc tf map, no shuffle) must equal the
+    declarative explode+groupBy tf."""
+    from collections import Counter
+
+    from snowball_java_spark.functions.tokenize import tf_map_udf
+
+    via_map = {
+        (r["doc_id"], t): c
+        for r in synth_docs.select("doc_id", tf_map_udf("content").alias("m")).collect()
+        for t, c in (r["m"] or {}).items()
+    }
+    via_py = {}
+    for r in synth_docs.select("doc_id", "content").collect():
+        for t, c in Counter(tokenize_py(r["content"])).items():
+            via_py[(r["doc_id"], t)] = c
+    assert via_map == via_py
