@@ -86,6 +86,7 @@ def phase_b() -> dict:
 
     cfg = EngineConfig(shard_size=8192, block_size=128, build_stages=1)
     thr: dict[int, float] = {}
+    steps: dict[int, dict[str, float]] = {}
     for cores in BENCH_CORES:
         spark = get_spark("bench-scaling", cores=cores)
         d = f"/tmp/sjs_bench/idx_{BENCH_FILES}_{cores}"
@@ -94,15 +95,30 @@ def phase_b() -> dict:
         build_index(spark, read_corpus(spark, corpus_dir), d, cfg=cfg, n_buckets=32)
         el = time.time() - t0
         thr[cores] = BENCH_FILES / el
+        with open(os.path.join(d, "metrics.jsonl")) as f:
+            steps[cores] = {
+                m["step"]: m["elapsed_sec"] for m in map(json.loads, f)
+            }
         spark.stop()
     lo, hi = min(BENCH_CORES), max(BENCH_CORES)
     ratio = hi / lo
     eff = thr[hi] / (ratio * thr[lo])
+    # per-step decomposition: prepare is IO/orchestration-weighted (scales
+    # with cluster disks on a real cluster, not with local cores); the
+    # postings stage is the CPU-dominant phase at scale
+    step_eff = {
+        s: round(steps[lo][s] / (ratio * steps[hi][s]), 3)
+        for s in steps[lo]
+        if s in steps[hi]
+    }
     return {
         "files": BENCH_FILES,
         "cores": BENCH_CORES,
         **{f"files_per_sec_local{c}": round(thr[c], 1) for c in BENCH_CORES},
         "scaling_efficiency": round(eff, 3),
+        "step_efficiency": step_eff,
+        "step_seconds": {f"local{c}": {k: round(v, 1) for k, v in steps[c].items()}
+                         for c in BENCH_CORES},
         "note": f"same job at local[{lo}] and local[{hi}] (N and {ratio:.0f}N "
                 f"cores stand in for executors; sandbox has no real cluster)",
     }

@@ -400,6 +400,63 @@ def _q_media_features(spark, sf_dir):
     return decode_features(pack_media(d)).select("doc_id", "n_bytes", "width", "height")
 
 
+_COOC_LEFT = ["table", "spark"]
+_COOC_WINDOW = 3
+
+
+def _q_term_cooccurrence(spark, sf_dir):
+    """P1 analog (1→N windowed pair extraction,
+    ``bin/Snowball.java:284-342``): for anchor terms, emit co-occurring
+    terms within +3 positions, counted corpus-wide."""
+    d = _docs_tok(spark, sf_dir)
+    pos = d.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+    a = pos.filter(F.col("term").isin(_COOC_LEFT)).select(
+        "doc_id", F.col("pos").alias("pos_a"), F.col("term").alias("term_a")
+    )
+    b = pos.select("doc_id", F.col("pos").alias("pos_b"), F.col("term").alias("term_b"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("pos_b") > F.col("pos_a"))
+        & (F.col("pos_b") <= F.col("pos_a") + _COOC_WINDOW)
+    )
+    return (
+        pairs.groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+def _q_label_centroids(spark, sf_dir):
+    """A3 analog (centroid recomputation, ``clustering/SnowballPattern.java:113-196``
+    minus its bugs): per-label mean embedding as a grouped aggregate."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .select("label", F.col("dim").cast("long").alias("dim"), "centroid")
+    )
+
+
+_EWMA_ALPHA = 0.3
+
+
+def _q_events_ewma(spark, sf_dir):
+    """A9 analog (EWMA confidence smoothing, ``bin/Snowball.java:272-274``):
+    order-sensitive fold over each user's event values by time."""
+    e = _events(spark, sf_dir)
+    ordered = (
+        e.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq"))
+        .withColumn("vals", F.transform("seq", lambda s: s["value"]))
+    )
+    ewma = F.aggregate(
+        "vals",
+        F.lit(0.0),
+        lambda acc, v: v * F.lit(_EWMA_ALPHA) + acc * F.lit(1.0 - _EWMA_ALPHA),
+    )
+    return ordered.select("user_id", F.round(ewma, 6).alias("ewma"))
+
+
 def _q_events_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
@@ -800,6 +857,39 @@ FROM documents
 """,
         ),
         "media_features_stub": Q(_q_media_features, None),
+        "term_cooccurrence": Q(
+            _q_term_cooccurrence,
+            f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               generate_subscripts(toks, 1) AS p FROM toks)
+SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS n
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p > a.p AND b.p <= a.p + {_COOC_WINDOW}
+WHERE a.term IN ({", ".join(f"'{t}'" for t in _COOC_LEFT)})
+GROUP BY 1, 2 HAVING count(*) >= 5
+""",
+        ),
+        "label_centroids": Q(
+            _q_label_centroids,
+            """
+SELECT label, (dim - 1)::BIGINT AS dim, round(avg(v::DOUBLE), 6) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY 1, 2
+""",
+        ),
+        "events_ewma": Q(
+            _q_events_ewma,
+            f"""
+SELECT user_id,
+       round(list_reduce(
+         list_prepend(0.0::DOUBLE, list(value::DOUBLE ORDER BY ts, event_id)),
+         (a, b) -> b * {_EWMA_ALPHA} + a * {1.0 - _EWMA_ALPHA}), 6) AS ewma
+FROM events GROUP BY user_id
+""",
+        ),
         "events_hourly": Q(
             _q_events_window,
             """

@@ -28,8 +28,6 @@ columns out, no per-row Python.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -193,12 +191,3 @@ def decode_doc_meta(row) -> tuple[int, np.ndarray]:
     from snowball_java_spark.functions.codecs import varint_decode
 
     return int(row["first_doc"]), varint_decode(bytes(row["dl_bytes"])).astype(np.int64)
-
-
-def iter_blocks(row) -> Iterable[tuple[int, int, int, int]]:
-    """(block_idx, first_doc, doc_byte_range, tf_byte_range) helper."""
-    doff = row["block_doc_off"]
-    toff = row["block_tf_off"]
-    nb = len(doff)
-    for i in range(nb):
-        yield i, doff[i], toff[i]

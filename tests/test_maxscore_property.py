@@ -1,0 +1,65 @@
+"""Property test: block-max MaxScore pruning is EXACTLY rank-identical to
+exhaustive scoring on randomized corpora — including score ties, k larger
+than the candidate set, single-term queries, and hot terms in every doc.
+
+Runs at the numpy level (no Spark) so hypothesis can hammer hundreds of
+cases quickly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.functions.bm25 import idf_np, weight_np
+from snowball_java_spark.operators.postings import encode_term_postings
+from snowball_java_spark.operators.wand import _TermList, maxscore_topk_shard
+
+CFG = EngineConfig(block_size=4)  # tiny blocks → many skip boundaries
+
+
+def _mk_termlist(docs, tfs, dls_all, idf, avgdl):
+    enc = encode_term_postings(
+        np.asarray(docs, np.int64), np.asarray(tfs, np.int64),
+        dls_all[np.asarray(docs, np.int64)], idf, avgdl, CFG,
+    )
+    row = pd.Series({**enc, "idf": idf})
+    return _TermList(row, CFG.block_size)
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_maxscore_equals_exhaustive(data):
+    n_docs = data.draw(st.integers(8, 60))
+    n_terms = data.draw(st.integers(1, 6))
+    k = data.draw(st.integers(1, 15))
+    rng = np.random.RandomState(data.draw(st.integers(0, 10**6)))
+    dls = rng.randint(1, 50, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    lists, truth = [], {}
+    for t in range(n_terms):
+        density = data.draw(st.sampled_from([0.1, 0.5, 1.0]))  # rare → hot
+        mask = rng.rand(n_docs) < density
+        docs = np.nonzero(mask)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        # duplicate tf values on purpose → score ties
+        tfs = rng.choice([1, 1, 2, 3], size=docs.size).astype(np.int64)
+        idf = float(idf_np(np.array([docs.size]), n_docs)[0])
+        lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
+        w = weight_np(tfs, np.float64(idf), dls[docs], avgdl, CFG.k1, CFG.b)
+        for d, wv in zip(docs, w):
+            truth[d] = truth.get(d, 0.0) + wv
+
+    got_docs, got_scores = maxscore_topk_shard(
+        lists, k, dls, 0, avgdl, CFG
+    )
+    expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert list(got_docs) == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got_scores, [s for _, s in expect], rtol=1e-12, atol=0
+    )

@@ -1,0 +1,49 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.multimodal import (
+    decode_features,
+    media_metadata,
+    pack_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, synth_docs):
+    return pack_media(synth_docs.select("doc_id", "content")).cache()
+
+
+def test_pack_media_schema_and_bytes(spark, media, synth_docs):
+    row = media.filter(F.col("doc_id") == 1).collect()[0]
+    src = synth_docs.filter(F.col("doc_id") == 1).collect()[0]["content"]
+    assert bytes(row["payload"]) == src.encode("utf-8")
+    assert row["meta"]["n_bytes"] == len(src.encode("utf-8"))
+    assert row["media_type"] == "image/fake"
+
+
+def test_decode_features_deterministic_fake(spark, media):
+    feats = decode_features(media).collect()
+    assert len(feats) == media.count()
+    for r in feats[:20]:
+        assert r["width"] == r["n_bytes"] % 640
+        assert len(r["feat"]) == 8
+        total = sum(r["feat"])
+        assert total == pytest.approx(1.0, abs=1e-5) or r["n_bytes"] == 0
+
+
+def test_decode_features_strict_raises(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        decode_features(media.limit(2), strict=True).collect()
+
+
+def test_metadata_projection_never_reads_payload(spark, media, tmp_path):
+    p = str(tmp_path / "media")
+    media.write.parquet(p)
+    plan = (
+        media_metadata(spark.read.parquet(p))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    schema_part = plan.split("ReadSchema", 1)[1][:300]
+    assert "payload" not in schema_part

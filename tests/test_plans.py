@@ -1,0 +1,66 @@
+"""Physical-plan assertions — the 100 TB design contract, checked in CI.
+
+These tests read .explain() output so regressions in pushdown / pruning /
+broadcast selection fail loudly rather than silently costing a full scan
+at scale (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from snowball_java_spark.entry_queries import _index_for
+from snowball_java_spark.functions.hashes import h60_py
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return _index_for(spark, SF)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_prunes_bucket_and_pushes_term(spark, idx):
+    terms = ["table", "row"]
+    buckets = sorted({h60_py(t) % idx.n_buckets for t in terms})
+    q = idx.postings(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    plan = _plan(q)
+    # bucket is a directory partition column → PartitionFilters prune dirs
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    # term predicate reaches the parquet reader (row-group min/max skip)
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "term" in pushed and "In(term" in pushed
+
+
+def test_docs_reader_prunes_fat_tf_map_column(spark, idx):
+    plan = _plan(idx.docs(spark).select("doc_id", "content_sha256"))
+    schema_part = plan.split("ReadSchema", 1)[1][:300]
+    assert "tf_map" not in schema_part, "metadata read is paying for tf_map"
+
+
+def test_bm25_join_uses_broadcast_not_cartesian(spark):
+    from snowball_java_spark.entry_queries import _bm25_topk_df
+
+    plan = _plan(_bm25_topk_df(spark, SF, ["table", "row"], 10))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wand_query_shuffles_only_topk(spark, idx):
+    """The index query plan's final exchange input is per-shard top-k rows,
+    not postings: assert the scorer output (tiny) feeds the window sort."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    df = bm25_topk_index(spark, idx, [{"query_id": 0, "terms": ["table"], "k": 5}])
+    plan = _plan(df)
+    # FlatMapGroupsInPandas (the scorer) must appear below the final window
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.index("Window") < plan.index("FlatMapGroupsInPandas"), (
+        "window (global top-k) should consume the scorer output"
+    )
