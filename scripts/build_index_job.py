@@ -1,0 +1,75 @@
+"""spark-submit entry point: index build.
+
+    zip -r dist.zip snowball_java_spark
+    spark-submit --driver-memory 8g --py-files dist.zip \
+        scripts/build_index_job.py \
+        --corpus /path/or/iceberg.table --index-dir /path/index \
+        [--shard-size 4194304] [--block-size 128] [--stages 8] \
+        [--buckets 64] [--queries queries.jsonl --verify-topk]
+
+(--driver-memory matters in local mode where the driver JVM is the whole
+cluster; on a real cluster size --executor-memory to hold
+shard_size·avgdl/n_buckets postings per task.)
+
+On a cluster, drop the local master: spark-submit inherits the cluster
+master/deploy-mode; the same script runs unchanged at N or 4N executors
+(the build is resumable, so a preempted run continues from its manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--shard-size", type=int, default=1 << 22)
+    p.add_argument("--block-size", type=int, default=128)
+    p.add_argument("--stages", type=int, default=8)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--queries", default=None, help="jsonl: {query_id, terms, k}")
+    p.add_argument("--verify-topk", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import build_index
+    from snowball_java_spark.sources.corpus import read_corpus
+
+    spark = SparkSession.builder.appName("sjs-build-index").getOrCreate()
+    cfg = EngineConfig(
+        shard_size=args.shard_size,
+        block_size=args.block_size,
+        build_stages=args.stages,
+    )
+    t0 = time.time()
+    idx = build_index(spark, read_corpus(spark, args.corpus), args.index_dir,
+                      cfg=cfg, n_buckets=args.buckets)
+    print(json.dumps({
+        "index_dir": args.index_dir,
+        "n_docs": idx.n_docs,
+        "avgdl": idx.avgdl,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }))
+
+    if args.queries and args.verify_topk:
+        from snowball_java_spark.operators.wand import bm25_topk_index
+
+        with open(args.queries) as f:
+            qs = [json.loads(line) for line in f if line.strip()]
+        res = bm25_topk_index(spark, idx, qs, cfg=cfg)
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"], "score": r["score"]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

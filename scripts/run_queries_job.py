@@ -1,0 +1,43 @@
+"""spark-submit entry point: top-k BM25 queries over a built index.
+
+    spark-submit --py-files dist.zip scripts/run_queries_job.py \
+        --index-dir /path/index --queries queries.jsonl --out /path/results
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--queries", required=True, help="jsonl: {query_id, terms, k}")
+    p.add_argument("--out", default=None, help="parquet output dir (default: stdout)")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.plans.build_index import IndexReader
+
+    spark = SparkSession.builder.appName("sjs-run-queries").getOrCreate()
+    idx = IndexReader(args.index_dir)
+    with open(args.queries) as f:
+        qs = [json.loads(line) for line in f if line.strip()]
+    res = bm25_topk_index(spark, idx, qs, cfg=idx.cfg)
+    if args.out:
+        res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "queries": len(qs)}))
+    else:
+        for r in res.orderBy("query_id", "rank").collect():
+            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+                              "doc_id": r["doc_id"], "score": r["score"]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

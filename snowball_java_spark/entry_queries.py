@@ -343,6 +343,18 @@ def _q_emb_lsh(spark, sf_dir):
     )
 
 
+def _q_emb_ivf(spark, sf_dir):
+    """IVF ANN with full probe (== exact brute force, so the same SQL
+    oracle verifies the cell-assignment + probe plumbing end-to-end)."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.ivf_topk(e, qvec, 10, n_probe=8)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
 def _q_emb_near_dup(spark, sf_dir):
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
     pairs = similarity.embedding_near_dup_pairs(e, "label", min_cosine=0.6)
@@ -807,6 +819,7 @@ FROM g
         "dedup_lsh_pairs": Q(_q_lsh_pairs, _lsh_pairs_sql()),
         "embedding_cosine_topk": Q(_q_emb_topk, _emb_sql(lsh=False)),
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
+        "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
         "embedding_near_dup": Q(
             _q_emb_near_dup,
             """

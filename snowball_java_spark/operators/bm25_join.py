@@ -74,6 +74,14 @@ def topk(scores: DataFrame, qdf: DataFrame) -> DataFrame:
     )
 
 
+def grow_seeds(seeds: DataFrame, promoted: DataFrame) -> DataFrame:
+    """Seed-set growth (the reference's only set operation — SURVEY §2.5
+    O8, ``bin/Snowball.java:151-156``): union new high-confidence pairs
+    into the seed set with value dedup."""
+    cols = seeds.columns
+    return seeds.unionByName(promoted.select(*cols)).dropDuplicates(cols)
+
+
 def bm25_topk_join(
     spark: SparkSession,
     docs_tok: DataFrame,

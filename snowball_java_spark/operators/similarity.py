@@ -97,6 +97,71 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+) -> "np.ndarray":
+    """Deterministic k-means for IVF coarse quantization: sample = first
+    ``sample_rows`` by id (stable), init = first n_cells distinct sampled
+    vectors, fixed Lloyd iterations in float64 numpy on the driver.
+
+    At 10^12 rows the sample collect stays tiny and constant; assignment
+    (the heavy part) is distributed (see ivf_topk)."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(id_col).limit(sample_rows).select("embedding").collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = x[:n_cells].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def cell_assign_expr(vec: Column, centroids) -> Column:
+    """argmin_c ||v - c||² = argmin_c (|c|² − 2·v·c) — JVM-side expression,
+    ties to the lowest cell id (deterministic)."""
+    candidates = []
+    for ci, c in enumerate(centroids):
+        cc = float((c * c).sum())
+        d = F.lit(cc) - F.lit(2.0) * dot_expr(vec, F.array(*[F.lit(float(v)) for v in c]))
+        candidates.append(F.struct(d.alias("d"), F.lit(ci).alias("cell")))
+    return F.array_min(F.array(*candidates))["cell"]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    centroids=None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize rows into cells (broadcast centroids,
+    JVM-side assignment), search only the n_probe cells nearest the query.
+    n_probe == n_cells degrades gracefully to exact brute force (tested)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, id_col=id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    cells = emb.withColumn("cell", cell_assign_expr(F.col("embedding"), centroids))
+    return brute_force_topk(
+        cells.filter(F.col("cell").isin(probe)), query_vec, k, id_col
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, group_col: str, min_cosine: float, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb, qvec):
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb, qvec, 10).collect()]
+    ivf = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk(emb, qvec, 10, centroids=cents, n_probe=8).collect()]
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark, emb, qvec):
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, 10).collect()}
+    ivf = {r["vec_id"] for r in ivf_topk(emb, qvec, 10, centroids=cents, n_probe=2).collect()}
+    recall = len(exact & ivf) / 10
+    assert recall >= 0.5, f"recall@10 {recall} too low for n_probe=2"
+
+
+def test_ivf_deterministic_centroids(spark, emb):
+    a = train_ivf_centroids(emb, n_cells=4)
+    b = train_ivf_centroids(emb, n_cells=4)
+    assert (a == b).all()
+
+
+def test_lsh_results_subset_of_corpus_and_sorted(spark, emb, qvec):
+    rows = lsh_topk(emb, qvec, 10, n_planes=4).collect()
+    assert rows, "query's own bucket must at least contain itself"
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)

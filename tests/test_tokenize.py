@@ -45,6 +45,32 @@ def test_spark_tokenizers_match_on_synth_corpus(spark, synth_docs):
     assert both.filter(F.col("a") != F.col("b")).count() == 0
 
 
+def test_code_aware_tokenizer_splits_identifiers(spark):
+    from snowball_java_spark.functions.tokenize import tokenize_code_udf
+
+    df = spark.createDataFrame(
+        [(0, "HttpClient parseConfig x"), (1, "plain lower_snake only")],
+        "i int, content string",
+    )
+    got = {r["i"]: r["toks"] for r in df.select("i", tokenize_code_udf("content").alias("toks")).collect()}
+    # base tokens preserved, camelCase sub-tokens appended
+    assert got[0][:3] == ["httpclient", "parseconfig", "x"]
+    assert {"http", "client", "parse", "config"} <= set(got[0])
+    # no camelCase → identical to the default tokenizer
+    assert got[1] == tokenize_py("plain lower_snake only")
+
+
+def test_grow_seeds_union_dedup(spark):
+    from snowball_java_spark.operators.bm25_join import grow_seeds
+
+    seeds = spark.createDataFrame([("a", "b"), ("c", "d")], "e1 string, e2 string")
+    promoted = spark.createDataFrame(
+        [("c", "d"), ("e", "f"), ("e", "f")], "e1 string, e2 string"
+    )
+    got = sorted((r["e1"], r["e2"]) for r in grow_seeds(seeds, promoted).collect())
+    assert got == [("a", "b"), ("c", "d"), ("e", "f")]
+
+
 def test_tf_map_udf_matches_explode_groupby(spark, synth_docs):
     """The build hot path (per-doc tf map, no shuffle) must equal the
     declarative explode+groupBy tf."""
