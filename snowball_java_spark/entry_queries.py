@@ -95,23 +95,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) -> DataFrame:
-    """Join-path BM25 over the documents table (M1 operator)."""
-    docs_tok = _docs_tok(spark, sf_dir)
-    tf = tf_long(docs_tok)
-    dfs = df_stats(tf)
-    dl = doc_lengths(docs_tok)
-    st = corpus_stats(docs_tok).collect()[0]
-    qdf = spark.createDataFrame(
-        [(0, t, k) for t in sorted(set(terms))], "query_id int, term string, k int"
-    )
-    from snowball_java_spark.operators.bm25_join import bm25_scores
+    """Join-path BM25 over the documents table (M1 operator) — pruned path:
+    token arrays are filtered to the query terms before any explode."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
 
-    scores = bm25_scores(qdf, tf, dfs, dl, st["n_docs"], float(st["avgdl"]))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "rank", F.round("score", 6).alias("score"))
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir), [{"query_id": 0, "terms": terms, "k": k}]
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -484,10 +477,13 @@ def _q_events_window(spark, sf_dir):
 
 
 def _q_context_window(spark, sf_dir):
+    from snowball_java_spark.operators.bm25_join import df_for_terms
     from snowball_java_spark.operators.context import context_topk
 
     d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens").cast("long"))
-    dfs = df_stats(tf_long(d))
+    # whole-document dfs, pruned to the query terms (df_stats over the full
+    # vocabulary would shuffle every token for a 3-term query)
+    dfs = df_for_terms(d, ["key", "table", "vector"])
     st = corpus_stats(d).collect()[0]
     qs = [{
         "query_id": 0, "left_terms": ["key"], "middle_terms": ["table"],

@@ -33,6 +33,61 @@ def queries_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
     return spark.createDataFrame(rows, "query_id int, term string, k int")
 
 
+def ordered_sum(key_col: str, val_col: str) -> F.Column:
+    """Aggregate expression: Σ val folded in ascending ``key_col`` order.
+
+    Float addition is non-associative; a plain ``sum()`` accumulates in
+    partition-dependent order, so two docs whose true scores are byte-equal
+    (common in synthetic corpora) can flip their tie order between runs —
+    breaking exact rank identity (SURVEY §4.3 "fixed operation order").
+    The oracle sums per-doc weights in sorted-term order; folding a
+    key-sorted list from 0.0 reproduces its float result bit-for-bit.
+    Group sizes are bounded by the query length, so the collect_list is a
+    few dozen elements at most — this is NOT for unbounded groups.
+    """
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col(key_col), F.col(val_col)))),
+        F.lit(0.0),
+        lambda acc, s: acc + s[val_col],
+    )
+
+
+def pruned_tf(docs_tok: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, dl, term, tf) restricted to ``terms``.
+
+    The token arrays are filtered down to the query terms BEFORE explode
+    (`F.filter` keeps duplicates, so tf is exact), so the rows that reach
+    the groupBy shuffle are proportional to the query terms' postings —
+    not the corpus token stream.  At 100 TB that is the difference between
+    shuffling ~10^13 tokens and shuffling the few million rows the query
+    actually touches.  dl rides along the projection (functionally
+    dependent on doc_id), so no doc-length join is needed downstream.
+    """
+    kept = F.filter("tokens", lambda x: x.isin(*terms))
+    return (
+        docs_tok.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("dl"),
+            F.explode(kept).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def df_for_terms(docs_tok: DataFrame, terms: list[str]) -> DataFrame:
+    """(term, df) whole-document document-frequencies for ``terms`` only —
+    ``array_distinct`` before explode, so each doc contributes at most one
+    row per query term to the aggregation (same pruning argument as
+    :func:`pruned_tf`; the full vocabulary never shuffles)."""
+    kept = F.array_distinct(F.filter("tokens", lambda x: x.isin(*terms)))
+    return (
+        docs_tok.select(F.explode(kept).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
 def bm25_scores(
     qdf: DataFrame,
     tf: DataFrame,
@@ -57,7 +112,7 @@ def bm25_scores(
     return (
         matched.withColumn("w", w)
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("w").alias("score"))
+        .agg(ordered_sum("term", "w").alias("score"))
     )
 
 
@@ -88,18 +143,43 @@ def bm25_topk_join(
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
-    """End-to-end M1 path from a tokenized docs DataFrame."""
-    from snowball_java_spark.operators.df_stats import (
-        corpus_stats,
-        df_stats,
-        doc_lengths,
-        tf_long,
-    )
+    """End-to-end M1 path from a tokenized docs DataFrame.
 
-    tf = tf_long(docs_tok)
-    dfs = df_stats(tf)
-    dl = doc_lengths(docs_tok)
-    st = corpus_stats(docs_tok).collect()[0]
+    Three pruned passes over the corpus (stats, df-for-query-terms, tf),
+    each cheap: nothing but query-term rows is ever exploded or shuffled.
+    The generic full-table path (:func:`bm25_scores` over ``tf_long``)
+    remains for callers that already materialized the long table.
+    """
+    from snowball_java_spark.operators.df_stats import corpus_stats
+
+    terms = sorted({t for q in queries for t in q["terms"]})
     qdf = queries_df(spark, queries)
-    scores = bm25_scores(qdf, tf, dfs, dl, st["n_docs"], st["avgdl"], cfg)
+    if not terms:
+        return topk(
+            spark.createDataFrame([], "query_id int, doc_id long, score double"),
+            qdf,
+        )
+    st = corpus_stats(docs_tok).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    tfq = pruned_tf(docs_tok, terms)
+    q_stats = F.broadcast(
+        qdf.select("query_id", "term")
+        .distinct()
+        .join(df_for_terms(docs_tok, terms), "term", "left")
+        .fillna(0, subset=["df"])
+    )
+    w = weight_expr(
+        F.col("tf"),
+        idf_expr(F.col("df"), n_docs),
+        F.col("dl"),
+        F.lit(avgdl),
+        cfg.k1,
+        cfg.b,
+    )
+    scores = (
+        tfq.join(q_stats, "term")
+        .withColumn("w", w)
+        .groupBy("query_id", "doc_id")
+        .agg(ordered_sum("term", "w").alias("score"))
+    )
     return topk(scores, qdf)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
-from snowball_java_spark.operators.bm25_join import topk
+from snowball_java_spark.operators.bm25_join import ordered_sum, topk
 
 
 def zone_columns(docs_tok: DataFrame, window: int) -> DataFrame:
@@ -87,18 +87,35 @@ def context_topk(
     )
     results = []
     for w in sorted({r[4] for r in rows}):
+        sub = [r for r in rows if r[4] == w]
+        terms_by_zone = {
+            z: sorted({r[2] for r in sub if r[1] == z})
+            for z in ("left", "middle", "right")
+        }
         zoned = zone_columns(docs_tok, w)
         qw = F.broadcast(qdf.filter(F.col("window") == w))
-        per_zone = []
-        for zone in ("left", "middle", "right"):
-            per_zone.append(
-                zoned.select(
-                    "doc_id", F.col("dl"),
-                    F.lit(zone).alias("zone"),
-                    F.explode(f"{zone}_toks").alias("term"),
-                )
+
+        # ONE corpus scan: each zone's token array is pruned to that zone's
+        # query terms BEFORE explode (duplicates kept → tf exact), tagged
+        # with its zone, and the three small arrays concatenated.  The rows
+        # that reach the shuffle are proportional to query-term postings,
+        # not to 3× the corpus token stream.  Zones with no query terms
+        # contribute a literal empty array — Catalyst then prunes that
+        # zone's slice expression entirely.
+        def zone_structs(zone: str):
+            ts = terms_by_zone[zone]
+            if not ts:
+                return F.array().cast("array<struct<zone:string,term:string>>")
+            return F.transform(
+                F.filter(F.col(f"{zone}_toks"), lambda x: x.isin(*ts)),
+                lambda t: F.struct(F.lit(zone).alias("zone"), t.alias("term")),
             )
-        exploded = per_zone[0].unionByName(per_zone[1]).unionByName(per_zone[2])
+
+        zt = F.concat(*[zone_structs(z) for z in ("left", "middle", "right")])
+        exploded = zoned.select(
+            "doc_id", "dl", F.explode(zt).alias("zt")
+        ).select("doc_id", "dl", F.col("zt.zone").alias("zone"),
+                 F.col("zt.term").alias("term"))
         matched = exploded.join(qw, ["zone", "term"])
         tf_zone = matched.groupBy(
             "query_id", "doc_id", "zone", "term", "wz", "dl", "k"
@@ -108,17 +125,30 @@ def context_topk(
         dfs_q = dfs.select("term", "df").join(
             F.broadcast(qw.select("term").distinct()), "term"
         )
-        scored = (
+        # accumulation mirrors the oracle exactly (bit-for-bit float order):
+        # per zone, term weights fold in term-asc order → zs; per doc, the
+        # weighted zone sums fold in (left, middle, right) order.
+        zone_scored = (
             tf_zone.join(F.broadcast(dfs_q), "term", "left")
             .fillna(0, subset=["df"])
             .withColumn(
-                "w",
-                F.col("wz")
-                * weight_expr(F.col("tf"), idf_expr(F.col("df"), n_docs),
-                              F.col("dl"), F.lit(float(avgdl)), cfg.k1, cfg.b),
+                "tw",
+                weight_expr(F.col("tf"), idf_expr(F.col("df"), n_docs),
+                            F.col("dl"), F.lit(float(avgdl)), cfg.k1, cfg.b),
             )
+            .groupBy("query_id", "doc_id", "zone", "wz")
+            .agg(ordered_sum("term", "tw").alias("zs"))
+        )
+        zrank = (
+            F.when(F.col("zone") == "left", 0)
+            .when(F.col("zone") == "middle", 1)
+            .otherwise(2)
+        )
+        scored = (
+            zone_scored.withColumn("zr", zrank)
+            .withColumn("wzs", F.col("wz") * F.col("zs"))
             .groupBy("query_id", "doc_id")
-            .agg(F.sum("w").alias("score"))
+            .agg(ordered_sum("zr", "wzs").alias("score"))
             .filter(F.col("score") > 0)
         )
         results.append(scored)
