@@ -108,8 +108,16 @@ def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) ->
     )
 
 
-def _bm25_topk_sql(terms: list[str], k: int) -> str:
+def _bm25_topk_sql(
+    terms: list[str], k: int, conjunctive: bool = False, source: str | None = None
+) -> str:
     tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+    cand_join = (
+        f"JOIN documents doc ON tfx.doc_id = doc.doc_id AND doc.source = '{source}'"
+        if source
+        else ""
+    )
     return f"""
 WITH {BASE_CTES},
 q(term) AS (VALUES {tlist}),
@@ -118,8 +126,10 @@ scores AS (
   FROM tfx JOIN q USING (term)
            JOIN dfx USING (term)
            JOIN dl ON tfx.doc_id = dl.doc_id
+           {cand_join}
            CROSS JOIN st
   GROUP BY 1
+  {having}
 )
 SELECT doc_id, rank, round(score, 6) AS score FROM (
   SELECT doc_id, score,
@@ -127,6 +137,100 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
   FROM scores
 ) WHERE rank <= {k}
 """
+
+
+def _phrase_sql(phrase: list[str], k: int) -> str:
+    L = len(phrase)
+    cond = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(phrase))
+    tf_expr = f"len(list_filter(range(1, len(toks) - {L} + 2), i -> {cond}))"
+    w = (
+        f"ln(1 + (st.n_docs - dfp.df + 0.5) / (dfp.df + 0.5)) * m.tf * {_K1 + 1.0} "
+        f"/ (m.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+m AS (SELECT doc_id, {tf_expr}::BIGINT AS tf FROM toks WHERE {tf_expr} > 0),
+dfp AS (SELECT count(*)::BIGINT AS df FROM m),
+sc AS (SELECT m.doc_id, {w} AS score
+       FROM m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfp)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+_PHRASE = ["table", "value"]
+_FILTER_SOURCE = "src0"
+
+
+def _q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) BM25: every query term must be present."""
+    from snowball_java_spark.operators.phrase import bm25_topk_conjunctive
+
+    res = bm25_topk_conjunctive(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25: the token sequence scored as one synthetic term."""
+    from snowball_java_spark.operators.phrase import phrase_topk
+
+    res = phrase_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "phrase": _PHRASE, "k": 10}],
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase top-k via the positional sidecar of the on-disk index —
+    same semantics (and same SQL oracle) as the expression path."""
+    from snowball_java_spark.operators.positions import phrase_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = phrase_topk_index(
+        spark, idx, [{"query_id": 0, "phrase": _PHRASE, "k": 10}], cfg=_INDEX_CFG
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped search: candidates restricted to one source, stats global.
+    The source predicate reaches the parquet scan (pushdown / partition
+    pruning on a source-partitioned corpus)."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        candidate_predicate=F.col("source") == _FILTER_SOURCE,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -754,6 +858,14 @@ def build_registry() -> dict[str, Q]:
         "bm25_index_topk": Q(
             lambda s, d: _bm25_index_topk(s, d, HOT_TERMS, 10),
             _bm25_topk_sql(HOT_TERMS, 10),
+        ),
+        "bm25_topk_and": Q(
+            _q_bm25_and, _bm25_topk_sql(MIXED_TERMS, 10, conjunctive=True)
+        ),
+        "bm25_phrase_topk": Q(_q_bm25_phrase, _phrase_sql(_PHRASE, 10)),
+        "bm25_phrase_index_topk": Q(_q_bm25_phrase_index, _phrase_sql(_PHRASE, 10)),
+        "bm25_topk_filtered": Q(
+            _q_bm25_filtered, _bm25_topk_sql(HOT_TERMS, 10, source=_FILTER_SOURCE)
         ),
         "postings_term_df": Q(
             _q_postings_term_df,

@@ -77,6 +77,24 @@ def tf_map_udf(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(lambda s: dict(Counter(find(s.lower()))))
 
 
+@F.pandas_udf(MapType(StringType(), ArrayType(IntegerType())))
+def positions_map_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenize + per-document term→positions map
+    (0-based token indexes, ascending).  The positional-index analog of
+    :func:`tf_map_udf`: emitting the map at the source is a map-side
+    combine, so the positions long table shuffles one row per (doc, term)
+    instead of one per token occurrence."""
+    find = _TOKEN_RE.findall
+
+    def one(s: str) -> dict[str, list[int]]:
+        out: dict[str, list[int]] = {}
+        for i, t in enumerate(find(s.lower())):
+            out.setdefault(t, []).append(i)
+        return out
+
+    return texts.fillna("").map(one)
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_code_udf(texts: pd.Series) -> pd.Series:
     """Code-aware variant: additionally splits camelCase identifiers into

@@ -142,6 +142,7 @@ def bm25_topk_join(
     docs_tok: DataFrame,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    candidate_predicate: F.Column | None = None,
 ) -> DataFrame:
     """End-to-end M1 path from a tokenized docs DataFrame.
 
@@ -149,6 +150,13 @@ def bm25_topk_join(
     each cheap: nothing but query-term rows is ever exploded or shuffled.
     The generic full-table path (:func:`bm25_scores` over ``tf_long``)
     remains for callers that already materialized the long table.
+
+    ``candidate_predicate`` restricts the CANDIDATE docs (search within a
+    repo / lang / source scope) while df, n_docs and avgdl stay
+    whole-corpus — the standard "filtered search with global relevance
+    stats" semantics.  The predicate lands on the parquet/Iceberg scan
+    (predicate pushdown; partition pruning when the corpus is partitioned
+    on that column), so scoped queries read only the scope's files.
     """
     from snowball_java_spark.operators.df_stats import corpus_stats
 
@@ -161,7 +169,12 @@ def bm25_topk_join(
         )
     st = corpus_stats(docs_tok).collect()[0]
     n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
-    tfq = pruned_tf(docs_tok, terms)
+    cand = (
+        docs_tok.filter(candidate_predicate)
+        if candidate_predicate is not None
+        else docs_tok
+    )
+    tfq = pruned_tf(cand, terms)
     q_stats = F.broadcast(
         qdf.select("query_id", "term")
         .distinct()

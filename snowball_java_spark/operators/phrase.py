@@ -1,0 +1,177 @@
+"""Phrase and conjunctive (AND) BM25 top-k — query operators beyond plain
+disjunctive BM25.
+
+Reference lineage: Snowball's pattern matcher requires ALL of an extraction
+pattern's evidence to line up in one sentence — ordered tokens at bounded
+positions (``snowball/src/bin/Snowball.java:284-342``, the regex pair
+extraction; SURVEY §2.2 P1/P3-P5).  Re-expressed as index-engine query
+modes over the same corpus:
+
+  * **phrase query** — the exact token sequence must occur; its occurrence
+    count is the tf of one synthetic "term" (df = docs containing the
+    phrase, same smoothed BM25 idf/weight as any term);
+  * **conjunctive query** — every term must occur (the AND semantics of
+    the seed match J1, ``bin/Snowball.java:371-404``), scored as the usual
+    BM25 sum over the terms.
+
+Both are pure Catalyst: the phrase matcher evaluates inside whole-stage
+codegen per row (no explode of the token stream, no shuffle besides the
+final top-k), and the conjunctive path reuses the pruned-explode tf with a
+``count(distinct term) = |q|`` gate.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.operators.bm25_join import (
+    df_for_terms,
+    ordered_sum,
+    pruned_tf,
+    queries_df,
+    topk,
+)
+from snowball_java_spark.operators.df_stats import corpus_stats
+
+
+def phrase_tf_expr(tokens_col: Column | str, phrase: list[str]) -> Column:
+    """Number of occurrences of the exact token sequence ``phrase``.
+
+    Evaluates row-local inside whole-stage codegen: candidate start
+    positions are ``sequence(1, n-L+1)`` filtered by L equality tests —
+    no explode, no shuffle, no UDF.  Empty/short docs yield 0 (guarded:
+    ``sequence(1, 0)`` would generate a DESCENDING range in Spark).
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n = F.size(t)
+    L = len(phrase)
+    if L == 0:
+        return F.lit(0)
+    starts = F.sequence(F.lit(1), n - (L - 1))
+    hit = lambda i: reduce(  # noqa: E731
+        Column.__and__,
+        [F.element_at(t, i + j) == F.lit(w) for j, w in enumerate(phrase)],
+    )
+    return F.when(n < L, F.lit(0)).otherwise(F.size(F.filter(starts, hit)))
+
+
+def phrase_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — each query is
+    ``{"query_id": int, "phrase": [str, ...], "k": int}``.
+
+    The phrase is scored as ONE synthetic term: tf = occurrence count,
+    df = number of docs with tf > 0, weight = the standard smoothed-idf
+    BM25 weight.  Matching docs are found in a single pruned corpus scan
+    (an ``array_contains`` pre-filter on the first phrase word lets the
+    row-group statistics and the cheap containment test skip non-matching
+    docs before the O(n·L) position scan).
+    """
+    st = corpus_stats(docs_tok).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    results = []
+    for q in queries:
+        qid, phrase = int(q["query_id"]), [str(w) for w in q["phrase"]]
+        k = int(q.get("k", cfg.default_k))
+        if not phrase:
+            continue
+        base = (
+            docs_tok.filter(F.array_contains("tokens", phrase[0]))
+            .select(
+                "doc_id",
+                F.size("tokens").cast("long").alias("dl"),
+                phrase_tf_expr("tokens", phrase).cast("long").alias("tf"),
+            )
+            .filter(F.col("tf") > 0)
+        )
+        dfp = base.agg(F.count("*").alias("df"))
+        scored = base.crossJoin(F.broadcast(dfp)).select(
+            F.lit(qid).alias("query_id"),
+            "doc_id",
+            weight_expr(
+                F.col("tf"),
+                idf_expr(F.col("df"), n_docs),
+                F.col("dl"),
+                F.lit(avgdl),
+                cfg.k1,
+                cfg.b,
+            ).alias("score"),
+            F.lit(k).alias("k"),
+        )
+        results.append(scored)
+    if not results:
+        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    scores = results[0]
+    for r in results[1:]:
+        scores = scores.unionByName(r)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_conjunctive(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """AND-semantics BM25 top-k: only docs containing EVERY query term are
+    candidates; the score is the ordinary BM25 sum over the terms.
+
+    Same pruned-explode shape as the disjunctive path plus a
+    ``n_distinct_terms = |q|`` gate inside the per-doc aggregation — the
+    gate runs in the same shuffle, so AND costs nothing extra.
+    """
+    terms = sorted({t for q in queries for t in q["terms"]})
+    qdf = queries_df(spark, queries)
+    if not terms:
+        return topk(
+            spark.createDataFrame([], "query_id int, doc_id long, score double"), qdf
+        )
+    st = corpus_stats(docs_tok).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    n_terms_per_q = F.broadcast(
+        qdf.groupBy("query_id").agg(F.countDistinct("term").alias("nq"))
+    )
+    tfq = pruned_tf(docs_tok, terms)
+    q_stats = F.broadcast(
+        qdf.select("query_id", "term")
+        .distinct()
+        .join(df_for_terms(docs_tok, terms), "term", "left")
+        .fillna(0, subset=["df"])
+    )
+    w = weight_expr(
+        F.col("tf"),
+        idf_expr(F.col("df"), n_docs),
+        F.col("dl"),
+        F.lit(avgdl),
+        cfg.k1,
+        cfg.b,
+    )
+    scores = (
+        tfq.join(q_stats, "term")
+        .withColumn("w", w)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            ordered_sum("term", "w").alias("score"),
+            F.count("*").alias("n_hit"),
+        )
+        .join(n_terms_per_q, "query_id")
+        .filter(F.col("n_hit") == F.col("nq"))
+        .drop("n_hit", "nq")
+    )
+    return topk(scores, qdf)

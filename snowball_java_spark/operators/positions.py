@@ -1,0 +1,270 @@
+"""Positional postings sidecar + index-backed phrase queries.
+
+The reference's pattern matcher is fundamentally positional — entity pairs
+must occur in order within bounded token distances
+(``snowball/src/bin/Snowball.java:284-342``, SURVEY §2.2 P1/P3-P5) — but it
+re-derives positions by regex on every pass.  This module materializes the
+positional structure once, as a sidecar table next to the main postings
+(the classic ``.pos`` file of an inverted index), enabling exact phrase
+queries without rescanning content.
+
+Layout (one row per ``(shard, bucket, term)``, mirroring
+``operators/postings.py``)::
+
+    positions(shard, bucket, term, n,
+              doc_bytes  = delta-varint docIDs,
+              tf_bytes   = varint per-doc occurrence counts,
+              pos_bytes  = varint per-doc position stream:
+                           first position absolute, rest deltas,
+                           doc segments concatenated in doc order)
+
+Encoding and decoding are whole-array numpy (segmented delta via one
+subtract + boundary restore; segmented cumsum via one cumsum + per-segment
+offset subtraction) — no per-element Python, same discipline as
+``functions/codecs.py``.
+
+Phrase matching is the textbook positional intersection, vectorized: for
+phrase w0..w(L-1), encode each term j's occurrences as keys
+``doc·2^32 + (pos − j)``; the successive ``np.intersect1d`` of the L key
+sets leaves exactly the phrase start positions, and a ``np.unique`` on the
+doc half yields per-doc phrase tf.  Everything runs per shard inside
+``applyInPandas``; only (query, doc, tf, dl) match rows shuffle out, and
+the BM25 scoring of the phrase-as-one-term happens declaratively on that
+small relation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.functions.codecs import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from snowball_java_spark.functions.hashes import h60_py
+from snowball_java_spark.operators.postings import bucket_expr, shard_expr
+
+POSITIONS_SCHEMA = (
+    "shard long, bucket int, term string, n long, "
+    "doc_bytes binary, tf_bytes binary, pos_bytes binary"
+)
+
+MATCH_SCHEMA = "query_id int, doc_id long, tf long, dl long"
+
+_DOC_SHIFT = np.int64(1) << np.int64(32)  # positions fit 32 bits (dl < 2^32)
+
+
+def encode_positions(tfs: np.ndarray, flat_pos: np.ndarray) -> bytes:
+    """Per-doc position lists (concatenated, each ascending) → varint bytes.
+
+    ``tfs[i]`` is doc i's occurrence count; ``flat_pos`` is the
+    concatenation of the per-doc ascending position lists.  Within each
+    segment the first value stays absolute and the rest become deltas —
+    done with ONE vectorized subtract plus a boundary restore.
+    """
+    if flat_pos.size == 0:
+        return b""
+    a = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    d = np.empty_like(a)
+    d[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=d[1:])
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    d[starts] = a[starts]  # segment firsts absolute
+    return varint_encode(d.astype(np.uint64))
+
+
+def decode_positions(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` → flat absolute positions.
+
+    Segmented cumsum without loops: global cumsum, then subtract each
+    segment's incoming prefix (repeated across the segment).
+    """
+    vals = varint_decode(pos_bytes).astype(np.int64)
+    if vals.size == 0:
+        return vals
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    c = np.cumsum(vals)
+    prefix = c[starts] - vals[starts]  # cumsum just before each segment
+    return c - np.repeat(prefix, tfs.astype(np.int64))
+
+
+def positions_long(docs_with_posmap: DataFrame) -> DataFrame:
+    """(doc_id, term, positions array<int>) from the per-doc positions map."""
+    return docs_with_posmap.select(
+        "doc_id", F.explode("pos_map").alias("term", "positions")
+    )
+
+
+def build_position_postings(
+    docs_with_posmap: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """docs(doc_id, pos_map) → positional postings rows.
+
+    Same (shard, bucket) grouping discipline as the main postings build:
+    group size ~ shard_size·avgdl/n_buckets rows, sized to executor memory
+    independent of corpus size.
+    """
+    keyed = (
+        positions_long(docs_with_posmap)
+        .withColumn("shard", shard_expr("doc_id", cfg.shard_size))
+        .withColumn("bucket", bucket_expr("term", n_buckets))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        doc_id = pdf["doc_id"].to_numpy(np.int64)
+        pos_lists = pdf["positions"].to_numpy()
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(terms)]])
+        rows = []
+        for s, e in zip(starts, ends):
+            tfs = np.array([len(p) for p in pos_lists[s:e]], dtype=np.int64)
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists[s:e]])
+                if e > s
+                else np.empty(0, np.int64)
+            )
+            rows.append(
+                {
+                    "shard": shard,
+                    "bucket": bucket,
+                    "term": terms[s],
+                    "n": int(e - s),
+                    "doc_bytes": varint_encode(delta_encode(doc_id[s:e])),
+                    "tf_bytes": varint_encode(tfs.astype(np.uint64)),
+                    "pos_bytes": encode_positions(tfs, flat),
+                }
+            )
+        cols = ["shard", "bucket", "term", "n", "doc_bytes", "tf_bytes", "pos_bytes"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return keyed.groupBy("shard", "bucket").applyInPandas(kernel, POSITIONS_SCHEMA)
+
+
+def _decode_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    docs = delta_decode(varint_decode(bytes(row["doc_bytes"])))
+    tfs = varint_decode(bytes(row["tf_bytes"])).astype(np.int64)
+    pos = decode_positions(bytes(row["pos_bytes"]), tfs)
+    return docs, tfs, pos
+
+
+def _phrase_keys(docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray, j: int) -> np.ndarray:
+    """Occurrences of term j as sorted keys doc·2^32 + (pos − j).
+
+    Occurrences with pos < j can never start a phrase (the phrase would
+    begin before the document) — dropped so the key arithmetic stays
+    non-negative and collision-free."""
+    doc_rep = np.repeat(docs.astype(np.int64), tfs)
+    shifted = pos - np.int64(j)
+    ok = shifted >= 0
+    return doc_rep[ok] * _DOC_SHIFT + shifted[ok]
+
+
+def phrase_match_kernel(
+    pdf: pd.DataFrame, q_spec: list[tuple[int, list[str], int]]
+) -> pd.DataFrame:
+    """One shard's positional rows (+ dl sidecar columns) → phrase match
+    rows (query_id, doc_id, tf, dl)."""
+    first_doc = int(pdf["first_doc"].iloc[0])
+    dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+    by_term = {row["term"]: row for _, row in pdf.iterrows()}
+    out_q, out_d, out_t, out_l = [], [], [], []
+    for qid, phrase, _k in q_spec:
+        if any(t not in by_term for t in phrase):
+            continue
+        decoded = {t: _decode_row(by_term[t]) for t in set(phrase)}
+        keys: np.ndarray | None = None
+        for j, t in enumerate(phrase):
+            docs, tfs, pos = decoded[t]
+            kj = _phrase_keys(docs, tfs, pos, j)
+            keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
+            if keys.size == 0:
+                break
+        if keys is None or keys.size == 0:
+            continue
+        match_docs, counts = np.unique(keys >> np.int64(32), return_counts=True)
+        out_q.extend([qid] * match_docs.size)
+        out_d.extend(match_docs.tolist())
+        out_t.extend(counts.tolist())
+        out_l.extend(dls[match_docs - first_doc].tolist())
+    return pd.DataFrame(
+        {"query_id": out_q, "doc_id": out_d, "tf": out_t, "dl": out_l}
+    )
+
+
+def phrase_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Phrase top-k over the positional sidecar of an IndexReader.
+
+    Scan pruning mirrors the WAND path: bucket directory pruning + term
+    row-group pruning, so only the phrase terms' rows are read.  Per-shard
+    matching emits (query, doc, tf, dl); global df and BM25 scoring happen
+    declaratively on that small relation (df = match count per query,
+    since each matching doc contributes exactly one row).
+    """
+    q_spec = [
+        (int(q["query_id"]), [str(w) for w in q["phrase"]],
+         int(q.get("k", cfg.default_k)))
+        for q in queries
+        if q.get("phrase")
+    ]
+    terms = sorted({t for _, ph, _ in q_spec for t in ph})
+    empty = spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
+    if not terms:
+        return empty
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    pos = index.positions(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    with_meta = pos.join(index.doc_meta(spark), "shard")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return phrase_match_kernel(pdf, q_spec)
+
+    matches = with_meta.groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
+    dfq = matches.groupBy("query_id").agg(F.count("*").alias("df"))
+    scored = matches.join(F.broadcast(dfq), "query_id").select(
+        "query_id",
+        "doc_id",
+        weight_expr(
+            F.col("tf"),
+            idf_expr(F.col("df"), index.n_docs),
+            F.col("dl"),
+            F.lit(float(index.avgdl)),
+            cfg.k1,
+            cfg.b,
+        ).alias("score"),
+    )
+    ks = F.broadcast(
+        spark.createDataFrame(
+            [(qid, k) for qid, _, k in q_spec], "query_id int, k int"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(ks, "query_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -100,6 +100,14 @@ class IndexReader:
         # pruning — metadata readers never pay for it)
         return spark.read.parquet(os.path.join(self.index_dir, "docs")).drop("tf_map")
 
+    @property
+    def has_positions(self) -> bool:
+        return _done(self.index_dir, "positions")
+
+    def positions(self, spark: SparkSession) -> DataFrame:
+        p = os.path.join(self.index_dir, "positions")
+        return spark.read.option("basePath", p).parquet(p)
+
 
 def build_index(
     spark: SparkSession,
@@ -293,3 +301,43 @@ def _build_index_inner(
     with open(os.path.join(index_dir, "_conf.json"), "w") as f:
         json.dump(conf, f, indent=1)
     return IndexReader(index_dir)
+
+
+def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) -> IndexReader:
+    """Build the positional sidecar (``positions/``) for an existing index.
+
+    A separate manifest-gated step, not part of the mandatory build:
+    positions roughly double index size, so they are opt-in (the classic
+    separate ``.pos`` file).  Reruns are no-ops once the manifest says
+    done; a killed build restarts cleanly because the parquet write is
+    atomic-by-directory and the manifest commits last.
+    """
+    from snowball_java_spark.functions.tokenize import positions_map_udf
+    from snowball_java_spark.operators.positions import build_position_postings
+
+    index_dir = index.index_dir
+    if _done(index_dir, "positions"):
+        return index
+    t0 = time.time()
+    if "doc_id" not in corpus.columns:
+        corpus = assign_doc_ids(corpus)
+    docs_pos = corpus.select(
+        "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
+    )
+    posts = build_position_postings(docs_pos, cfg=index.cfg, n_buckets=index.n_buckets)
+    out = os.path.join(index_dir, "positions")
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    written = spark.read.parquet(out)
+    agg = written.agg(
+        F.sum("n").alias("n_postings"),
+        F.sum(F.length("pos_bytes")).alias("pos_bytes"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    _metric(index_dir, step="positions", elapsed_sec=elapsed,
+            n_postings=int(agg["n_postings"] or 0),
+            pos_bytes=int(agg["pos_bytes"] or 0))
+    _write_manifest(index_dir, "positions", {
+        "n_postings": int(agg["n_postings"] or 0),
+        "elapsed_sec": elapsed,
+    })
+    return index

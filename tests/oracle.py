@@ -25,9 +25,11 @@ class OracleIndex:
         self.tf: dict[int, Counter] = {}
         self.dl: dict[int, int] = {}
         self.df: Counter = Counter()
+        self.toks: dict[int, list[str]] = {}
         for doc_id, text in docs:
             toks = tokenize_py(text)
             c = Counter(toks)
+            self.toks[doc_id] = toks
             self.tf[doc_id] = c
             self.dl[doc_id] = len(toks)
             for t in c:
@@ -56,6 +58,39 @@ class OracleIndex:
         terms = sorted(set(terms))
         cands = {d for d in self.tf if any(t in self.tf[d] for t in terms)}
         scored = [(d, self.score(terms, d)) for d in cands]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def conjunctive_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """AND semantics: only docs containing EVERY term; score = the
+        ordinary BM25 sum (same accumulation order as :meth:`score`)."""
+        terms = sorted(set(terms))
+        cands = {d for d in self.tf if all(t in self.tf[d] for t in terms)}
+        scored = [(d, self.score(terms, d)) for d in cands]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def phrase_topk(self, phrase: list[str], k: int) -> list[tuple[int, float]]:
+        """Exact-sequence phrase scored as ONE synthetic term: tf = number
+        of (possibly overlapping) occurrences, df = docs with tf > 0."""
+        L = len(phrase)
+        if L == 0:
+            return []
+        tfs: dict[int, int] = {}
+        for d, toks in self.toks.items():
+            n = sum(
+                1
+                for i in range(len(toks) - L + 1)
+                if toks[i : i + L] == phrase
+            )
+            if n:
+                tfs[d] = n
+        df = len(tfs)
+        idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+        scored = []
+        for d, tf in tfs.items():
+            norm = self.k1 * (1.0 - self.b + self.b * self.dl[d] / self.avgdl)
+            scored.append((d, idf * tf * (self.k1 + 1.0) / (tf + norm)))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 

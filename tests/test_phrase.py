@@ -1,0 +1,100 @@
+"""Phrase and conjunctive BM25 query modes vs the pure-Python oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowball_java_spark.operators.df_stats import with_tokens
+from snowball_java_spark.operators.phrase import bm25_topk_conjunctive, phrase_topk
+from snowball_java_spark.sources.synthetic import reference_queries
+from tests.oracle import OracleIndex
+
+REL_TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    docs = [(r["doc_id"], r["content"]) for r in rows]
+    return synth_docs, OracleIndex(docs)
+
+
+def _phrase_queries(oracle: OracleIndex) -> list[dict]:
+    """Phrases cut from real documents (guaranteed matches) + an absent one."""
+    qs = []
+    for qid, (doc_id, start, length) in enumerate(
+        [(0, 2, 2), (3, 5, 3), (7, 0, 2), (11, 4, 4)]
+    ):
+        toks = oracle.toks[doc_id]
+        if len(toks) >= start + length:
+            qs.append({"query_id": qid, "phrase": toks[start : start + length], "k": 10})
+    qs.append({"query_id": 98, "phrase": ["zzz_absent", "def"], "k": 10})
+    qs.append({"query_id": 99, "phrase": ["def"], "k": 5})  # single-word phrase
+    return qs
+
+
+def test_phrase_topk_matches_oracle(spark, corpus):
+    docs, oracle = corpus
+    qs = _phrase_queries(oracle)
+    got = phrase_topk(spark, with_tokens(docs), qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = oracle.phrase_topk(q["phrase"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}: row count"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}: doc {doc} != {edoc}"
+            assert score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_phrase_counts_overlapping_occurrences(spark):
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.phrase import phrase_tf_expr
+
+    df = spark.createDataFrame(
+        [("a a a a",), ("a b a b a",), ("b b",), ("",)], "text string"
+    ).select(F.split("text", " ").alias("tokens"))
+    vals = [
+        r["tf"]
+        for r in df.select(phrase_tf_expr("tokens", ["a", "a"]).alias("tf")).collect()
+    ]
+    assert vals == [3, 0, 0, 0]
+
+
+def test_conjunctive_topk_matches_oracle(spark, corpus):
+    docs, oracle = corpus
+    qs = reference_queries()
+    got = bm25_topk_conjunctive(spark, with_tokens(docs), qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = oracle.conjunctive_topk(q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}: row count"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}: doc {doc} != {edoc}"
+            assert score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_conjunctive_subset_of_disjunctive(spark, corpus):
+    """Every conjunctive hit must appear in the disjunctive candidate set
+    with the SAME score (the gate must not change arithmetic)."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    docs, _ = corpus
+    q = [{"query_id": 0, "terms": ["def", "return"], "k": 300}]
+    a = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_join(spark, with_tokens(docs), q).collect()
+    }
+    c = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_conjunctive(spark, with_tokens(docs), q).collect()
+    }
+    assert set(c) <= set(a)
+    for d, s in c.items():
+        assert s == a[d]

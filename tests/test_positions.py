@@ -1,0 +1,112 @@
+"""Positional sidecar: codec roundtrip + index-backed phrase rank identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.positions import decode_positions, encode_positions
+
+REL_TOL = 1e-9
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50_000), min_size=1, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_positions_codec_roundtrip(pos_lists):
+    pos_lists = [sorted(set(p)) for p in pos_lists]
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    flat = np.concatenate([np.array(p, dtype=np.int64) for p in pos_lists])
+    back = decode_positions(encode_positions(tfs, flat), tfs)
+    assert np.array_equal(back, flat)
+
+
+def test_positions_codec_empty():
+    tfs = np.empty(0, dtype=np.int64)
+    assert decode_positions(b"", tfs).size == 0
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, synth_docs, tmp_path_factory):
+    from snowball_java_spark.plans.build_index import add_positions, build_index
+    from tests.oracle import OracleIndex
+
+    idx_dir = str(tmp_path_factory.mktemp("posidx"))
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    idx = build_index(spark, synth_docs, idx_dir, cfg=cfg, n_buckets=8)
+    add_positions(spark, synth_docs, idx)
+    rows = synth_docs.select("doc_id", "content").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+    return idx, oracle
+
+
+def test_index_phrase_rank_identical_to_oracle(spark, pos_index):
+    from snowball_java_spark.operators.positions import phrase_topk_index
+
+    idx, oracle = pos_index
+    qs = []
+    for qid, (doc_id, start, length) in enumerate(
+        [(0, 2, 2), (3, 5, 3), (7, 0, 2), (11, 4, 4), (60, 1, 2)]
+    ):
+        toks = oracle.toks[doc_id]
+        if len(toks) >= start + length:
+            qs.append({"query_id": qid, "phrase": toks[start : start + length], "k": 10})
+    qs.append({"query_id": 98, "phrase": ["zzz_absent", "def"], "k": 10})
+    qs.append({"query_id": 99, "phrase": ["def"], "k": 5})
+    got = phrase_topk_index(spark, idx, qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert any(by_q.values()), "no phrase matched at all — fixture broken"
+    for q in qs:
+        expect = oracle.phrase_topk(q["phrase"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}: row count"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}: doc {doc} != {edoc}"
+            assert score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_index_phrase_equals_expression_path(spark, synth_docs, pos_index):
+    """The positional-index path and the expression (no-index) path must
+    return identical rows — same semantics, two physical strategies."""
+    from snowball_java_spark.operators.df_stats import with_tokens
+    from snowball_java_spark.operators.phrase import phrase_topk
+    from snowball_java_spark.operators.positions import phrase_topk_index
+
+    idx, oracle = pos_index
+    qs = [
+        {"query_id": 0, "phrase": oracle.toks[0][2:4], "k": 20},
+        {"query_id": 1, "phrase": oracle.toks[9][0:3], "k": 20},
+    ]
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk(spark, with_tokens(synth_docs), qs).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in phrase_topk_index(spark, idx, qs).collect()
+    )
+    assert a == b
+
+
+def test_add_positions_resumes_as_noop(spark, synth_docs, pos_index):
+    import json
+    import os
+
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx, _ = pos_index
+    manifest = os.path.join(idx.index_dir, "manifest", "positions.json")
+    before = json.load(open(manifest))
+    add_positions(spark, synth_docs, idx)  # must not rebuild
+    after = json.load(open(manifest))
+    assert before == after
