@@ -116,14 +116,34 @@ def bm25_scores(
     )
 
 
-def topk(scores: DataFrame, qdf: DataFrame) -> DataFrame:
+def topk(scores: DataFrame, qdf: DataFrame, n_partial: int = 32) -> DataFrame:
     """Deterministic per-query top-k: total order (score desc, doc_id asc)
-    — rank-identical across any partitioning (SURVEY §4.3)."""
+    — rank-identical across any partitioning (SURVEY §4.3).
+
+    Two-phase: a single ``Window.partitionBy(query_id)`` would funnel every
+    candidate doc of a query through ONE task (millions of rows for a hot
+    term at corpus scale).  Phase 1 takes top-k within (query, salt) —
+    ``n_partial`` parallel reducers per query; phase 2 merges the ≤ k·n_partial
+    survivors per query in one tiny task.  The global top-k is a subset of
+    the union of per-salt top-ks, so results are identical to the
+    single-window form, and ranks are recomputed in phase 2 under the same
+    total order, so determinism is preserved.
+    """
     ks = F.broadcast(qdf.select("query_id", "k").distinct())
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    order = [F.desc("score"), F.asc("doc_id")]
+    salted = (
         scores.join(ks, "query_id")
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_partial)))
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= F.col("k"))
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", "rank", "doc_id", "score")
     )

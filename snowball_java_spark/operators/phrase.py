@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,6 +61,35 @@ def phrase_tf_expr(tokens_col: Column | str, phrase: list[str]) -> Column:
     return F.when(n < L, F.lit(0)).otherwise(F.size(F.filter(starts, hit)))
 
 
+def phrase_tf_udf(phrase: list[str]):
+    """Arrow-batched phrase occurrence counter over a tokens column.
+
+    Same semantics as :func:`phrase_tf_expr` (tested equivalent), chosen as
+    the hot-path physical strategy: Spark's higher-order functions
+    (``filter``/``sequence`` lambdas) are evaluated interpreted per
+    element — NOT whole-stage-codegen'd — so the pure-expression scan costs
+    milliseconds per document, while this kernel streams token arrays
+    through Arrow and scans them at Python-loop speed bounded by the
+    (tiny) per-doc token count.  The standard "custom kernel → vectorized
+    UDF" rule of this engine (SURVEY §2.9).
+    """
+    L = len(phrase)
+    ph = list(phrase)
+
+    @F.pandas_udf("long")
+    def _tf(tokens: pd.Series) -> pd.Series:
+        def one(t) -> int:
+            lt = list(t) if t is not None else []
+            n = len(lt)
+            if n < L:
+                return 0
+            return sum(1 for i in range(n - L + 1) if lt[i : i + L] == ph)
+
+        return tokens.map(one)
+
+    return _tf
+
+
 def phrase_topk(
     spark: SparkSession,
     docs_tok: DataFrame,
@@ -89,7 +119,7 @@ def phrase_topk(
             .select(
                 "doc_id",
                 F.size("tokens").cast("long").alias("dl"),
-                phrase_tf_expr("tokens", phrase).cast("long").alias("tf"),
+                phrase_tf_udf(phrase)(F.col("tokens")).alias("tf"),
             )
             .filter(F.col("tf") > 0)
         )
@@ -105,22 +135,17 @@ def phrase_topk(
                 cfg.k1,
                 cfg.b,
             ).alias("score"),
-            F.lit(k).alias("k"),
         )
-        results.append(scored)
+        results.append((scored, qid, k))
     if not results:
         return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
-    scores = results[0]
-    for r in results[1:]:
+    scores = results[0][0]
+    for r, _, _ in results[1:]:
         scores = scores.unionByName(r)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
+    ksdf = spark.createDataFrame(
+        [(qid, k) for _, qid, k in results], "query_id int, k int"
     )
+    return topk(scores, ksdf)
 
 
 def bm25_topk_conjunctive(

@@ -254,17 +254,9 @@ def phrase_topk_index(
             cfg.b,
         ).alias("score"),
     )
-    ks = F.broadcast(
-        spark.createDataFrame(
-            [(qid, k) for qid, _, k in q_spec], "query_id int, k int"
-        )
-    )
-    from pyspark.sql import Window
+    from snowball_java_spark.operators.bm25_join import topk
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.join(ks, "query_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
+    ksdf = spark.createDataFrame(
+        [(qid, k) for qid, _, k in q_spec], "query_id int, k int"
     )
+    return topk(scored, ksdf)

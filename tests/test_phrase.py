@@ -64,6 +64,24 @@ def test_phrase_counts_overlapping_occurrences(spark):
     assert vals == [3, 0, 0, 0]
 
 
+def test_phrase_udf_equals_expr(spark, corpus):
+    """The Arrow kernel and the Catalyst expression are two physical
+    strategies for the same function — must agree on every doc."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.phrase import phrase_tf_expr, phrase_tf_udf
+
+    docs, oracle = corpus
+    for phrase in [oracle.toks[0][2:4], oracle.toks[3][0:3], ["zzz", "absent"]]:
+        d = with_tokens(docs).select(
+            "doc_id",
+            phrase_tf_expr("tokens", phrase).cast("long").alias("a"),
+            phrase_tf_udf(phrase)(F.col("tokens")).alias("b"),
+        )
+        bad = d.filter(F.col("a") != F.col("b")).count()
+        assert bad == 0, f"phrase {phrase}: {bad} docs disagree"
+
+
 def test_conjunctive_topk_matches_oracle(spark, corpus):
     docs, oracle = corpus
     qs = reference_queries()
