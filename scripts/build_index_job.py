@@ -34,12 +34,16 @@ def main(argv: list[str]) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--queries", default=None, help="jsonl: {query_id, terms, k}")
     p.add_argument("--verify-topk", action="store_true")
+    p.add_argument(
+        "--positions", action="store_true",
+        help="also build the positional sidecar (enables phrase queries)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from snowball_java_spark.config import EngineConfig
-    from snowball_java_spark.plans.build_index import build_index
+    from snowball_java_spark.plans.build_index import add_positions, build_index
     from snowball_java_spark.sources.corpus import read_corpus
 
     spark = SparkSession.builder.appName("sjs-build-index").getOrCreate()
@@ -49,8 +53,13 @@ def main(argv: list[str]) -> int:
         build_stages=args.stages,
     )
     t0 = time.time()
-    idx = build_index(spark, read_corpus(spark, args.corpus), args.index_dir,
+    corpus = read_corpus(spark, args.corpus)
+    idx = build_index(spark, corpus, args.index_dir,
                       cfg=cfg, n_buckets=args.buckets)
+    if args.positions:
+        # assign_doc_ids is a pure function of the corpus key, so the
+        # sidecar's ids reproduce the index's ids exactly (tested)
+        add_positions(spark, corpus, idx)
     print(json.dumps({
         "index_dir": args.index_dir,
         "n_docs": idx.n_docs,

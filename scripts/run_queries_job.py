@@ -1,7 +1,13 @@
-"""spark-submit entry point: top-k BM25 queries over a built index.
+"""spark-submit entry point: top-k queries over a built index.
 
     spark-submit --py-files dist.zip scripts/run_queries_job.py \
         --index-dir /path/index --queries queries.jsonl --out /path/results
+
+Query jsonl, one object per line:
+    {"query_id": 0, "terms": ["def", "return"], "k": 10}            # OR (default)
+    {"query_id": 1, "terms": ["def", "rare_7"], "mode": "and"}      # conjunctive
+    {"query_id": 2, "phrase": ["def", "main"], "k": 10}             # exact phrase
+                                                # (needs the positions/ sidecar)
 """
 
 from __future__ import annotations
@@ -14,12 +20,16 @@ import sys
 def main(argv: list[str]) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--index-dir", required=True)
-    p.add_argument("--queries", required=True, help="jsonl: {query_id, terms, k}")
+    p.add_argument(
+        "--queries", required=True,
+        help="jsonl: {query_id, terms|phrase, k, mode?}",
+    )
     p.add_argument("--out", default=None, help="parquet output dir (default: stdout)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
+    from snowball_java_spark.operators.positions import phrase_topk_index
     from snowball_java_spark.operators.wand import bm25_topk_index
     from snowball_java_spark.plans.build_index import IndexReader
 
@@ -27,7 +37,21 @@ def main(argv: list[str]) -> int:
     idx = IndexReader(args.index_dir)
     with open(args.queries) as f:
         qs = [json.loads(line) for line in f if line.strip()]
-    res = bm25_topk_index(spark, idx, qs, cfg=idx.cfg)
+    term_qs = [q for q in qs if "phrase" not in q]
+    phrase_qs = [q for q in qs if "phrase" in q]
+    if phrase_qs and not idx.has_positions:
+        raise SystemExit(
+            "phrase queries need the positional sidecar — run "
+            "scripts/build_index_job.py with --positions first"
+        )
+    parts = []
+    if term_qs:
+        parts.append(bm25_topk_index(spark, idx, term_qs, cfg=idx.cfg))
+    if phrase_qs:
+        parts.append(phrase_topk_index(spark, idx, phrase_qs, cfg=idx.cfg))
+    res = parts[0]
+    for p_ in parts[1:]:
+        res = res.unionByName(p_)
     if args.out:
         res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out, "queries": len(qs)}))

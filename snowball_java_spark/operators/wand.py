@@ -192,6 +192,47 @@ def maxscore_topk_shard(
     return cand[sel], scores[sel]
 
 
+def conjunctive_topk_shard(
+    lists: list[_TermList],
+    n_terms: int,
+    k: int,
+    dls: np.ndarray,
+    first_doc: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """AND semantics within one shard: docs present in EVERY term list.
+
+    Correct per shard because the index is doc-sharded — a doc's complete
+    postings live in its shard, so a term absent from this shard means no
+    doc of this shard contains it.  Lists intersect smallest-first (each
+    step can only shrink the candidate set); weights then sum in the
+    caller-provided sorted-term order for oracle-bit-exact accumulation.
+    """
+    if len(lists) < n_terms or not lists:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    by_size = sorted(range(len(lists)), key=lambda i: lists[i].n)
+    cand, _ = lists[by_size[0]].decode_all()
+    for i in by_size[1:]:
+        docs_i, _ = lists[i].decode_all()
+        cand = cand[np.isin(cand, docs_i, assume_unique=True)]
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in lists:  # caller passes sorted-term order
+        docs, tfs = t.decode_all()
+        pos = np.searchsorted(docs, cand)
+        scores += _weights(t, tfs[pos], cand, dls, first_doc, avgdl, cfg)
+    if cand.size > k:
+        kth = np.partition(scores, -k)[-k]
+        keep = np.nonzero(scores >= kth)[0]
+    else:
+        keep = np.arange(cand.size)
+    order = np.lexsort((cand[keep], -scores[keep]))[:k]
+    sel = keep[order]
+    return cand[sel], scores[sel]
+
+
 def score_shards(
     postings_with_meta: DataFrame,
     queries: list[dict],
@@ -199,9 +240,13 @@ def score_shards(
     cfg: EngineConfig = DEFAULT,
 ) -> DataFrame:
     """postings rows (joined with doc_meta + idf) grouped by shard →
-    per-shard (query_id, doc_id, score) top-k candidates."""
+    per-shard (query_id, doc_id, score) top-k candidates.
+
+    Per-query ``mode``: "or" (default, MaxScore pruned) or "and"
+    (conjunctive posting-list intersection)."""
     q_spec = [
-        (int(q["query_id"]), sorted(set(q["terms"])), int(q.get("k", cfg.default_k)))
+        (int(q["query_id"]), sorted(set(q["terms"])),
+         int(q.get("k", cfg.default_k)), str(q.get("mode", "or")))
         for q in queries
     ]
     block_size = cfg.block_size
@@ -213,10 +258,14 @@ def score_shards(
         for _, row in pdf.iterrows():
             by_term[row["term"]] = _TermList(row, block_size)
         out_q, out_d, out_s = [], [], []
-        for qid, terms, k in q_spec:
+        for qid, terms, k, mode in q_spec:
             lists = [by_term[t] for t in terms if t in by_term]
-            docs, scores = maxscore_topk_shard(
-                lists, k, dls, first_doc, avgdl, cfg)
+            if mode == "and":
+                docs, scores = conjunctive_topk_shard(
+                    lists, len(terms), k, dls, first_doc, avgdl, cfg)
+            else:
+                docs, scores = maxscore_topk_shard(
+                    lists, k, dls, first_doc, avgdl, cfg)
             out_q.extend([qid] * docs.size)
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())

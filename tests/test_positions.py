@@ -98,6 +98,29 @@ def test_index_phrase_equals_expression_path(spark, synth_docs, pos_index):
     assert a == b
 
 
+def test_index_conjunctive_rank_identical_to_oracle(spark, pos_index):
+    """mode="and" on the block-max index path vs the oracle's AND top-k."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.sources.synthetic import reference_queries
+
+    idx, oracle = pos_index
+    qs = [dict(q, mode="and") for q in reference_queries()]
+    got = bm25_topk_index(spark, idx, qs, cfg=idx.cfg)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    n_nonempty = 0
+    for q in qs:
+        expect = oracle.conjunctive_topk(q["terms"], q["k"])
+        n_nonempty += bool(expect)
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}: row count"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}: doc {doc} != {edoc}"
+            assert score == pytest.approx(escore, rel=REL_TOL)
+    assert n_nonempty >= 5, "query set too weak to exercise AND"
+
+
 def test_add_positions_resumes_as_noop(spark, synth_docs, pos_index):
     import json
     import os
