@@ -195,6 +195,46 @@ def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNIPPET_W = 8
+
+
+def _q_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with text evidence: context snippet around the earliest
+    query-term occurrence (Main.java's sentence+zones report analog)."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.snippets import with_snippets
+
+    d = _docs_tok(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, d, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}]
+    )
+    out = with_snippets(res, d, HOT_TERMS, window=_SNIPPET_W)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"), "snippet",
+    )
+
+
+def _snippets_sql(terms: list[str], k: int, w: int) -> str:
+    anchor = "least(" + ", ".join(
+        f"coalesce(nullif(list_position(toks, '{t}'), 0), {1 << 40})"
+        for t in sorted(set(terms))
+    ) + ")" if len(set(terms)) > 1 else (
+        f"coalesce(nullif(list_position(toks, '{sorted(set(terms))[0]}'), 0), {1 << 40})"
+    )
+    base = _bm25_topk_sql(terms, k).strip()
+    return f"""
+WITH res AS ({base}),
+tk AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+a AS (SELECT res.doc_id, res.rank, res.score,
+             greatest(1, {anchor} - {w}) AS s, toks
+      FROM res JOIN tk ON res.doc_id = tk.doc_id)
+SELECT doc_id, rank, score,
+       array_to_string(toks[s : s + {2 * w - 1}], ' ') AS snippet
+FROM a
+"""
+
+
 def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase top-k via the positional sidecar of the on-disk index —
     same semantics (and same SQL oracle) as the expression path."""
@@ -864,6 +904,9 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25_phrase_topk": Q(_q_bm25_phrase, _phrase_sql(_PHRASE, 10)),
         "bm25_phrase_index_topk": Q(_q_bm25_phrase_index, _phrase_sql(_PHRASE, 10)),
+        "bm25_snippets": Q(
+            _q_bm25_snippets, _snippets_sql(HOT_TERMS, 10, _SNIPPET_W)
+        ),
         "bm25_topk_filtered": Q(
             _q_bm25_filtered, _bm25_topk_sql(HOT_TERMS, 10, source=_FILTER_SOURCE)
         ),
