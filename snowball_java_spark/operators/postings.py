@@ -43,7 +43,7 @@ POSTINGS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, "
     "block_first_doc array<long>, block_last_doc array<long>, "
     "block_doc_off array<long>, block_tf_off array<long>, "
-    "block_max_w array<double>, max_w double"
+    "block_max_tff array<double>, max_tff double"
 )
 
 DOC_META_SCHEMA = "shard long, first_doc long, n_docs long, dl_bytes binary"
@@ -61,7 +61,6 @@ def encode_term_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf: float,
     avgdl: float,
     cfg: EngineConfig,
 ) -> dict:
@@ -70,10 +69,18 @@ def encode_term_postings(
     Blocks are independently decodable: block k stores its first doc
     absolute (block_first_doc) and varint deltas for the remaining docs,
     so the scorer can skip straight to a block via the offsets.
+
+    Block bounds are stored **idf-free** (``max_tff`` = the tf/length
+    factor ``tf·(k1+1)/(tf + k1·norm(dl))`` only); the scorer multiplies
+    by the CURRENT idf from term_stats at query time.  Consequences:
+    (a) the posting build needs no term_stats join at all, and (b) when
+    df/N change later (incremental/streaming appends), re-writing
+    term_stats alone keeps the pruning bounds correct — stored idf-scaled
+    bounds would silently go stale and break exact top-k.
     """
     n = doc_ids.size
     bs = cfg.block_size
-    weights = weight_np(tfs, np.float64(idf), dls, avgdl, cfg.k1, cfg.b)
+    weights = weight_np(tfs, np.float64(1.0), dls, avgdl, cfg.k1, cfg.b)
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
     first, last, doff, toff, bmax = [], [], [], [], []
@@ -101,8 +108,8 @@ def encode_term_postings(
         "block_last_doc": last,
         "block_doc_off": doff,
         "block_tf_off": toff,
-        "block_max_w": bmax,
-        "max_w": float(weights.max()) if n else 0.0,
+        "block_max_tff": bmax,
+        "max_tff": float(weights.max()) if n else 0.0,
     }
 
 
@@ -118,7 +125,6 @@ def build_postings_groups(
     doc_id = pdf["doc_id"].to_numpy(np.int64)
     tf = pdf["tf"].to_numpy(np.int64)
     dl = pdf["dl"].to_numpy(np.int64)
-    idf = pdf["idf"].to_numpy(np.float64)
     shard = int(pdf["shard"].iloc[0])
     bucket = int(pdf["bucket"].iloc[0])
     # term boundaries without per-row Python: positions where term changes
@@ -127,15 +133,13 @@ def build_postings_groups(
     ends = np.concatenate([change, [len(terms)]])
     rows = []
     for s, e in zip(starts, ends):
-        enc = encode_term_postings(
-            doc_id[s:e], tf[s:e], dl[s:e], float(idf[s]), avgdl, cfg
-        )
+        enc = encode_term_postings(doc_id[s:e], tf[s:e], dl[s:e], avgdl, cfg)
         enc.update({"shard": shard, "bucket": bucket, "term": terms[s]})
         rows.append(enc)
     cols = [
         "shard", "bucket", "term", "df_local", "n", "doc_bytes", "tf_bytes",
         "block_first_doc", "block_last_doc", "block_doc_off", "block_tf_off",
-        "block_max_w", "max_w",
+        "block_max_tff", "max_tff",
     ]
     return pd.DataFrame(rows, columns=cols)
 
@@ -146,7 +150,8 @@ def build_postings(
     cfg: EngineConfig = DEFAULT,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """tf_enriched(doc_id, term, tf, dl, idf) → postings DataFrame.
+    """tf_enriched(doc_id, term, tf, dl) → postings DataFrame (no idf
+    needed — bounds are idf-free, see :func:`encode_term_postings`).
 
     The groupBy key (shard, bucket) bounds each Arrow group to
     ~shard_size * avgdl / n_buckets postings — sized to executor memory

@@ -42,8 +42,22 @@ from snowball_java_spark.operators.bm25_join import topk
 SCORE_SCHEMA = "query_id int, doc_id long, score double"
 
 
+#: Stored bounds are idf-free tf-factors multiplied by the current idf at
+#: load time; that product can differ from the exactly-computed per-doc
+#: weight by a few ulp (different multiply association), so bounds get a
+#: hair of slack — pruning stays CONSERVATIVE (never drops a true top-k
+#: doc), at the cost of negligibly less skipping.
+_BOUND_SLACK = 1.0 + 1e-9
+
+
 class _TermList:
-    """Decoded-on-demand view over one postings row (one term, one shard)."""
+    """Decoded-on-demand view over one postings row (one term, one shard).
+
+    ``max_tff`` / ``block_max_tff`` come idf-free from the index (see
+    ``operators/postings.encode_term_postings``); the CURRENT idf joined
+    from term_stats scales them here, so pruning bounds track live stats
+    even after incremental appends changed df/N.
+    """
 
     __slots__ = ("n", "bs", "first", "last", "doff", "toff", "bmax",
                  "doc_bytes", "tf_bytes", "max_w", "idf", "_cache")
@@ -55,11 +69,14 @@ class _TermList:
         self.last = np.asarray(row["block_last_doc"], dtype=np.int64)
         self.doff = np.asarray(row["block_doc_off"], dtype=np.int64)
         self.toff = np.asarray(row["block_tf_off"], dtype=np.int64)
-        self.bmax = np.asarray(row["block_max_w"], dtype=np.float64)
         self.doc_bytes = bytes(row["doc_bytes"])
         self.tf_bytes = bytes(row["tf_bytes"])
-        self.max_w = float(row["max_w"])
         self.idf = float(row["idf"])
+        self.bmax = (
+            np.asarray(row["block_max_tff"], dtype=np.float64)
+            * self.idf * _BOUND_SLACK
+        )
+        self.max_w = float(row["max_tff"]) * self.idf * _BOUND_SLACK
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property

@@ -152,9 +152,9 @@ def _build_index_inner(
     # dl rides along the explode, so there is no doc_id join; term stats
     # never join back onto the long table — max_w is decomposed as
     # idf(df) · max(tf_factor) where tf_factor = tf(k1+1)/(tf+k1·norm(dl))
-    # is computable per row without df.  idf reaches the posting builder
-    # via a small term_stats join per stage (broadcast under AQE at
-    # small scale, sort-merge at large).
+    # is computable per row without df.  The posting builder needs no idf
+    # at all (bounds stored idf-free, scaled at query time), so the stage
+    # jobs have zero joins.
     if not _done(index_dir, "prepare"):
         t0 = time.time()
         # corpora that already carry a dense deterministic doc_id (e.g. the
@@ -253,12 +253,10 @@ def _build_index_inner(
         part = spark.read.option("basePath", scratch).parquet(scratch).filter(
             F.col("stage") == stage
         ).drop("stage")
-        tstats = spark.read.parquet(os.path.join(index_dir, "term_stats")).select(
-            "term", "idf"
-        )
-        # small term_stats auto-broadcasts (AQE size stats from parquet);
-        # at 10^12-doc scale this becomes a sort-merge join on term
-        posts = build_postings(part.join(tstats, "term"), avgdl, cfg, n_buckets)
+        # NO term_stats join: block bounds are stored idf-free (tf-factor
+        # only) and scaled by the live idf at query time — the stage job
+        # is a pure scan→group→encode pipeline with a single shuffle
+        posts = build_postings(part, avgdl, cfg, n_buckets)
         out = os.path.join(index_dir, "postings", f"stage={stage}")
         posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
 

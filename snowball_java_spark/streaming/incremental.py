@@ -84,7 +84,8 @@ def start_incremental_postings(
                 F.explode("tf_map").alias("term", "tf"),
             )
             .withColumn("tf", F.col("tf").cast("long"))
-            .withColumn("idf", F.lit(1.0))  # provisional; fixed at compaction
+            # no idf column needed: block bounds are idf-free by design,
+            # so appended segments stay correct when df/N later change
         )
         posts = build_postings(tf, avgdl, cfg, n_buckets)
         posts.write.mode("append").partitionBy("bucket").parquet(
