@@ -8,8 +8,10 @@ Phase B (north_rule scaling evidence): the SAME index-build job on a
 deterministic synthetic corpus at two parallelism levels (N and 4N cores
 stand in for N and 4N executors — no real cluster in this sandbox), with
 throughput at both and efficiency = thr(4N) / (4 · thr(N)).
-Defaults: 150k files, cores 2→8.  The committed full-scale evidence run
-(400k files) lives in BENCH/BASELINE.md.
+Defaults: 400k files, cores 2→8 — large enough that the per-session
+fixed costs and single-disk IO (which do NOT scale with local cores but
+DO scale with per-executor disks on a real cluster) stay small relative
+to compute; see BENCH/BASELINE.md for the step-level decomposition.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_FILES,
 SPARK_GRAFT_BENCH_CORES ("2,8"), SPARK_GRAFT_SKIP_SCALING=1.
@@ -27,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "300000"))
+BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "400000"))
 BENCH_CORES = [
     int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8").split(",")
 ]

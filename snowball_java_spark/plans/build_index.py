@@ -39,12 +39,11 @@ from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import idf_expr
 from snowball_java_spark.functions.tokenize import tf_map_udf
 from snowball_java_spark.operators.postings import (
-    bucket_expr,
     build_doc_meta,
     build_postings,
     shard_expr,
 )
-from snowball_java_spark.sources.corpus import assign_doc_ids, with_sha256
+from snowball_java_spark.sources.corpus import CORPUS_KEY, assign_doc_ids, with_sha256
 
 
 def _manifest_path(index_dir: str, step: str) -> str:
@@ -97,8 +96,14 @@ class IndexReader:
 
     def docs(self, spark: SparkSession) -> DataFrame:
         # tf_map stays on disk unless explicitly selected (parquet column
-        # pruning — metadata readers never pay for it)
-        return spark.read.parquet(os.path.join(self.index_dir, "docs")).drop("tf_map")
+        # pruning — metadata readers never pay for it); refresh generations
+        # live in sibling docs_gen{g}/ dirs and union in
+        import glob as _glob
+
+        paths = [os.path.join(self.index_dir, "docs")] + sorted(
+            _glob.glob(os.path.join(self.index_dir, "docs_gen*"))
+        )
+        return spark.read.parquet(*paths).drop("tf_map")
 
     @property
     def has_positions(self) -> bool:
@@ -159,72 +164,22 @@ def _build_index_inner(
         t0 = time.time()
         # corpora that already carry a dense deterministic doc_id (e.g. the
         # driver's documents table) keep it; raw corpora get the scalable
-        # sort-rank assignment
-        if "doc_id" in corpus.columns:
-            docs = with_sha256(corpus)
-        else:
-            docs = assign_doc_ids(with_sha256(corpus))
-        # ONE pass over the corpus: the Arrow tokenizer UDF emits a per-doc
-        # term→tf map (map-side combine at the source — the (doc,term,tf)
-        # long table then needs no groupBy shuffle at all); dl derives from
-        # the map.  Downstream readers of docs/ prune the fat tf_map column.
-        keep = [c for c in ("doc_id", "repo", "path", "commit", "lang",
-                            "content_sha256") if c in docs.columns]
-        docs_full = (
-            docs.withColumn("tf_map", tf_map_udf(F.col("content")))
-            .withColumn(
-                "dl",
-                F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
-                            lambda a, x: a + x),
-            )
-            .select(*keep, "dl", "tf_map")
+        # sort-rank assignment (_write_docs_table handles both)
+        docs_tbl = _write_docs_table(
+            spark, corpus, os.path.join(index_dir, "docs")
         )
-        docs_full.write.mode("overwrite").parquet(os.path.join(index_dir, "docs"))
-
-        docs_tbl = spark.read.parquet(os.path.join(index_dir, "docs"))
         st = docs_tbl.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         ).collect()[0]
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
 
         # slim long table from the stored maps: pure JVM explode, no
-        # shuffle — partitionBy(stage) only splits output files
-        tf = (
-            docs_tbl.select(
-                "doc_id", "dl", F.explode("tf_map").alias("term", "tf")
-            )
-            .withColumn("tf", F.col("tf").cast("long"))
-            .withColumn("shard", shard_expr("doc_id", cfg.shard_size))
-            .withColumn("bucket", bucket_expr("term", n_buckets))
-            .withColumn("stage", F.pmod(F.col("shard"), F.lit(cfg.build_stages)).cast("int"))
-        )
-        tf.write.mode("overwrite").partitionBy("stage").parquet(scratch)
-
-        # term stats from scratch: salted two-level agg (explicit skew
-        # handling — hot code keywords land on one reducer otherwise)
-        sc = spark.read.option("basePath", scratch).parquet(scratch)
-        tf_factor = (
-            F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
-            / (F.col("tf").cast("double")
-               + F.lit(cfg.k1) * (F.lit(1.0 - cfg.b)
-                                  + F.lit(cfg.b) * F.col("dl") / F.lit(avgdl)))
-        )
-        lvl1 = (
-            sc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts_hot)))
-            .withColumn("tff", tf_factor)
-            .groupBy("term", "_salt")
-            .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"),
-                 F.max("tff").alias("pmax"))
-        )
-        term_stats = (
-            lvl1.groupBy("term")
-            .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"),
-                 F.max("pmax").alias("max_tff"))
-            .withColumn("idf", idf_expr(F.col("df"), n_docs))
-            .withColumn("max_w", F.col("idf") * F.col("max_tff"))
-            .drop("max_tff")
-        )
-        term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+        # shuffle — partitionBy(stage) only splits output files.  Only
+        # (doc_id, dl, term, tf) persist: shard/bucket are pure functions
+        # of doc_id/term and are recomputed by readers, keeping the
+        # scratch write (the dominant non-scaling IO of prepare) minimal.
+        _write_scratch(spark, docs_tbl, scratch, cfg, stage_offset=0)
+        _write_term_stats(spark, index_dir, scratch, cfg, n_docs, avgdl)
 
         from snowball_java_spark.operators.df_stats import skew_report
 
@@ -246,48 +201,11 @@ def _build_index_inner(
 
     # ---- per-stage posting builds (resume granularity) ----
     for stage in range(cfg.build_stages):
-        step = f"stage_{stage}"
-        if _done(index_dir, step):
-            continue
-        t0 = time.time()
-        part = spark.read.option("basePath", scratch).parquet(scratch).filter(
-            F.col("stage") == stage
-        ).drop("stage")
-        # NO term_stats join: block bounds are stored idf-free (tf-factor
-        # only) and scaled by the live idf at query time — the stage job
-        # is a pure scan→group→encode pipeline with a single shuffle
-        posts = build_postings(part, avgdl, cfg, n_buckets)
-        out = os.path.join(index_dir, "postings", f"stage={stage}")
-        posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
-
-        dl = spark.read.parquet(os.path.join(index_dir, "docs")).select(
-            "doc_id", "dl"
-        ).filter(
-            F.pmod(shard_expr("doc_id", cfg.shard_size), F.lit(cfg.build_stages)) == stage
+        _build_stage(
+            spark, index_dir, scratch, cfg, n_buckets, avgdl,
+            stage_id=stage, local_stage=stage,
+            docs_path=os.path.join(index_dir, "docs"),
         )
-        meta = build_doc_meta(dl, cfg)
-        meta.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "doc_meta", f"stage={stage}")
-        )
-
-        written = spark.read.parquet(out)
-        agg = written.agg(
-            F.sum("n").alias("n_postings"),
-            F.count("*").alias("n_rows"),
-            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
-        ).collect()[0]
-        elapsed = time.time() - t0
-        _metric(index_dir, step=step, elapsed_sec=elapsed,
-                n_postings=int(agg["n_postings"] or 0),
-                postings_per_sec=(agg["n_postings"] or 0) / elapsed,
-                bytes_compressed=int(agg["bytes"] or 0))
-        _write_manifest(index_dir, step, {
-            "stage": stage,
-            "input_files": sorted(f for f in spark.read.parquet(scratch).inputFiles()
-                                  if f"stage={stage}" in f)[:1000],
-            "n_postings": int(agg["n_postings"] or 0),
-            "elapsed_sec": elapsed,
-        })
 
     # ---- finalize ----
     conf = {
@@ -295,9 +213,291 @@ def _build_index_inner(
         "avgdl": avgdl,
         "n_buckets": n_buckets,
         "cfg": asdict(cfg),
+        "next_doc_id": n_docs,
+        "generations": 1,
     }
     with open(os.path.join(index_dir, "_conf.json"), "w") as f:
         json.dump(conf, f, indent=1)
+    return IndexReader(index_dir)
+
+
+def _write_docs_table(spark, corpus: DataFrame, out_dir: str, id_offset: int = 0):
+    """corpus → docs table (ids, sha256, dl, tf_map) at ``out_dir``.
+    ONE Arrow-UDF pass: tokenize → per-doc tf map (map-side combine at the
+    source, so the long table later needs no groupBy shuffle)."""
+    if "doc_id" in corpus.columns:
+        docs = with_sha256(corpus)
+    else:
+        docs = assign_doc_ids(with_sha256(corpus))
+        if id_offset:
+            docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
+    keep = [c for c in ("doc_id", "repo", "path", "commit", "lang",
+                        "content_sha256") if c in docs.columns]
+    docs_full = (
+        docs.withColumn("tf_map", tf_map_udf(F.col("content")))
+        .withColumn(
+            "dl",
+            F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
+                        lambda a, x: a + x),
+        )
+        .select(*keep, "dl", "tf_map")
+    )
+    docs_full.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def _write_scratch(spark, docs_tbl: DataFrame, scratch: str, cfg: EngineConfig,
+                   stage_offset: int) -> None:
+    """docs tf maps → slim (doc_id, dl, term, tf) long table, directory-
+    partitioned by stage.  Dynamic partition overwrite replaces only the
+    stages this call produces — idempotent under refresh reruns."""
+    tf = (
+        docs_tbl.select("doc_id", "dl", F.explode("tf_map").alias("term", "tf"))
+        .withColumn("tf", F.col("tf").cast("long"))
+        .withColumn(
+            "stage",
+            (F.pmod(shard_expr("doc_id", cfg.shard_size),
+                    F.lit(cfg.build_stages)) + F.lit(stage_offset)).cast("int"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        tf.write.mode("overwrite").partitionBy("stage").parquet(scratch)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _write_term_stats(spark, index_dir: str, scratch: str, cfg: EngineConfig,
+                      n_docs: int, avgdl: float) -> None:
+    """Global term stats over ALL scratch stages: salted two-level agg
+    (explicit skew handling — hot code keywords land on one reducer
+    otherwise).  Recomputed whole on refresh: df/idf/max_w must reflect
+    the full corpus, and nothing idf/avgdl-dependent lives in postings."""
+    sc = spark.read.option("basePath", scratch).parquet(scratch)
+    tf_factor = (
+        F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
+        / (F.col("tf").cast("double")
+           + F.lit(cfg.k1) * (F.lit(1.0 - cfg.b)
+                              + F.lit(cfg.b) * F.col("dl") / F.lit(avgdl)))
+    )
+    lvl1 = (
+        sc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts_hot)))
+        .withColumn("tff", tf_factor)
+        .groupBy("term", "_salt")
+        .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"),
+             F.max("tff").alias("pmax"))
+    )
+    term_stats = (
+        lvl1.groupBy("term")
+        .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"),
+             F.max("pmax").alias("max_tff"))
+        .withColumn("idf", idf_expr(F.col("df"), n_docs))
+        .withColumn("max_w", F.col("idf") * F.col("max_tff"))
+        .drop("max_tff")
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+
+
+def _build_stage(spark, index_dir: str, scratch: str, cfg: EngineConfig,
+                 n_buckets: int, avgdl: float, stage_id: int, local_stage: int,
+                 docs_path: str, step_prefix: str = "") -> None:
+    """One posting-build stage: scratch stage=stage_id → postings + doc_meta.
+
+    NO term_stats join: block bounds are stored idf-free (tf-factor only)
+    and scaled by the live idf at query time — the stage job is a pure
+    scan→group→encode pipeline with a single shuffle.
+    """
+    step = f"{step_prefix}stage_{local_stage}" if step_prefix else f"stage_{local_stage}"
+    if _done(index_dir, step):
+        return
+    t0 = time.time()
+    part = spark.read.option("basePath", scratch).parquet(scratch).filter(
+        F.col("stage") == stage_id
+    ).drop("stage")
+    posts = build_postings(part, avgdl, cfg, n_buckets)
+    out = os.path.join(index_dir, "postings", f"stage={stage_id}")
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    dl = spark.read.parquet(docs_path).select("doc_id", "dl").filter(
+        F.pmod(shard_expr("doc_id", cfg.shard_size),
+               F.lit(cfg.build_stages)) == local_stage
+    )
+    meta = build_doc_meta(dl, cfg)
+    meta.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_meta", f"stage={stage_id}")
+    )
+
+    import glob as _glob
+
+    if _glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True):
+        written = spark.read.parquet(out)
+        agg = written.agg(
+            F.sum("n").alias("n_postings"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("doc_bytes") + F.length("tf_bytes")).alias("bytes"),
+        ).collect()[0]
+    else:
+        # a stage can legitimately be empty (e.g. a small refresh delta
+        # whose shards all map to other stages)
+        agg = {"n_postings": 0, "bytes": 0}
+    elapsed = time.time() - t0
+    _metric(index_dir, step=step, elapsed_sec=elapsed,
+            n_postings=int(agg["n_postings"] or 0),
+            postings_per_sec=(agg["n_postings"] or 0) / elapsed,
+            bytes_compressed=int(agg["bytes"] or 0))
+    _write_manifest(index_dir, step, {
+        "stage": stage_id,
+        "input_files": sorted(f for f in spark.read.parquet(scratch).inputFiles()
+                              if f"stage={stage_id}" in f)[:1000],
+        "n_postings": int(agg["n_postings"] or 0),
+        "elapsed_sec": elapsed,
+    })
+
+
+def _delta_fingerprint(corpus: DataFrame) -> str:
+    """Cheap deterministic identity of a refresh delta (one column-pruned
+    pass): input files when available, else key-set aggregates."""
+    import hashlib
+
+    files = sorted(corpus.inputFiles())
+    if files:
+        return hashlib.sha256("\n".join(files).encode()).hexdigest()
+    key = [c for c in CORPUS_KEY if c in corpus.columns] or corpus.columns[:1]
+    k = F.concat_ws("|", *[F.col(c) for c in key])
+    row = corpus.agg(
+        F.count("*").alias("n"), F.min(k).alias("lo"), F.max(k).alias("hi"),
+        F.sum(F.crc32(k)).alias("crc"),
+    ).collect()[0]
+    return hashlib.sha256(
+        f"{row['n']}|{row['lo']}|{row['hi']}|{row['crc']}".encode()
+    ).hexdigest()
+
+
+def refresh_index(spark: SparkSession, new_corpus: DataFrame,
+                  index_dir: str) -> IndexReader:
+    """Append a batch of new documents to an existing index (generation g).
+
+    The incremental-indexing path (the batch half of
+    ``streaming/incremental``): new docs get dense ids starting at the
+    next SHARD BOUNDARY after the previous generation (per-shard density
+    is what doc_meta requires; the gap ids simply never exist), only the
+    new shards' postings/doc_meta are built (new ``stage`` partitions —
+    old segment files are never touched), and term_stats + _conf are
+    recomputed globally.  Correct top-k over the merged index is possible
+    precisely because stored postings are parameter-free: idf and avgdl
+    enter only at query time, so old segments cannot go stale.
+
+    Resumable like the build: every sub-step is manifest-gated and writes
+    are partition-overwrite idempotent; the generation's final manifest
+    records the delta fingerprint, so re-running with the same delta is a
+    no-op and running with a new delta opens the next generation.
+    """
+    idx = IndexReader(index_dir)
+    cfg, n_buckets = idx.cfg, idx.n_buckets
+    scratch = os.path.join(index_dir, "scratch", "tf")
+    fp = _delta_fingerprint(new_corpus)
+
+    gen = 1
+    while _done(index_dir, f"refresh_{gen}"):
+        with open(_manifest_path(index_dir, f"refresh_{gen}")) as f:
+            if json.load(f).get("input_fp") == fp:
+                return IndexReader(index_dir)  # this delta already applied
+        gen += 1
+    prefix = f"refresh_{gen}_"
+
+    with open(os.path.join(index_dir, "_conf.json")) as f:
+        conf = json.load(f)
+    next_id = int(conf.get("next_doc_id", conf["n_docs"]))
+    base_id = -(-next_id // cfg.shard_size) * cfg.shard_size
+    stage_offset = gen * cfg.build_stages
+    docs_path = os.path.join(index_dir, f"docs_gen{gen}")
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        # -- prepare: docs table for the delta + scratch stages + stats --
+        if not _done(index_dir, prefix + "prepare"):
+            t0 = time.time()
+            docs_tbl = _write_docs_table(spark, new_corpus, docs_path,
+                                         id_offset=base_id)
+            st = docs_tbl.agg(
+                F.count("*").alias("n"), F.sum("dl").alias("sdl")
+            ).collect()[0]
+            n_new, new_dl = int(st["n"]), int(st["sdl"] or 0)
+            _write_scratch(spark, docs_tbl, scratch, cfg,
+                           stage_offset=stage_offset)
+            # global stats over ALL generations (docs dirs are slim reads:
+            # parquet prunes to the dl column)
+            paths = [os.path.join(index_dir, "docs")] + [
+                os.path.join(index_dir, f"docs_gen{g}") for g in range(1, gen + 1)
+            ]
+            tot = spark.read.parquet(*paths).agg(
+                F.count("*").alias("n"), F.sum("dl").alias("sdl"),
+                F.avg("dl").alias("avgdl"),
+            ).collect()[0]
+            n_docs, avgdl = int(tot["n"]), float(tot["avgdl"])
+            _write_term_stats(spark, index_dir, scratch, cfg, n_docs, avgdl)
+            _write_manifest(index_dir, prefix + "prepare", {
+                "gen": gen, "n_new": n_new, "base_id": base_id,
+                "n_docs": n_docs, "avgdl": avgdl,
+                "elapsed_sec": time.time() - t0,
+            })
+            _metric(index_dir, step=prefix + "prepare", elapsed_sec=time.time() - t0,
+                    n_new=n_new, n_docs_total=n_docs)
+
+        with open(_manifest_path(index_dir, prefix + "prepare")) as f:
+            prep = json.load(f)
+        n_docs, avgdl, n_new = prep["n_docs"], prep["avgdl"], prep["n_new"]
+
+        # -- per-stage builds for the NEW shards only --
+        for i in range(cfg.build_stages):
+            _build_stage(spark, index_dir, scratch, cfg, n_buckets, avgdl,
+                         stage_id=stage_offset + i, local_stage=i,
+                         docs_path=docs_path, step_prefix=prefix)
+
+        # -- positions sidecar follows along when present --
+        if idx.has_positions and not _done(index_dir, prefix + "positions"):
+            from snowball_java_spark.functions.tokenize import positions_map_udf
+            from snowball_java_spark.operators.positions import (
+                build_position_postings,
+            )
+
+            delta = new_corpus
+            if "doc_id" not in delta.columns:
+                delta = assign_doc_ids(delta).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(base_id)
+                )
+            docs_pos = delta.select(
+                "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
+            )
+            posts = build_position_postings(docs_pos, cfg=cfg, n_buckets=n_buckets)
+            posts = posts.withColumn("gen", F.lit(gen))
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                posts.write.mode("overwrite").partitionBy("gen", "bucket").parquet(
+                    os.path.join(index_dir, "positions")
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            _write_manifest(index_dir, prefix + "positions", {"gen": gen})
+
+        # -- finalize: global conf, then the generation's commit manifest --
+        conf.update({
+            "n_docs": n_docs, "avgdl": avgdl,
+            "next_doc_id": base_id + n_new,
+            "generations": gen + 1,
+        })
+        with open(os.path.join(index_dir, "_conf.json"), "w") as f:
+            json.dump(conf, f, indent=1)
+        _write_manifest(index_dir, f"refresh_{gen}", {
+            "gen": gen, "input_fp": fp, "n_new": n_new,
+            "n_docs": n_docs,
+        })
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
     return IndexReader(index_dir)
 
 
@@ -322,9 +522,13 @@ def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) ->
     docs_pos = corpus.select(
         "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
     )
-    posts = build_position_postings(docs_pos, cfg=index.cfg, n_buckets=index.n_buckets)
+    posts = build_position_postings(
+        docs_pos, cfg=index.cfg, n_buckets=index.n_buckets
+    ).withColumn("gen", F.lit(0))
     out = os.path.join(index_dir, "positions")
-    posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    # gen partition from day one so refresh generations append as sibling
+    # partitions (dynamic overwrite) without mixing directory depths
+    posts.write.mode("overwrite").partitionBy("gen", "bucket").parquet(out)
     written = spark.read.parquet(out)
     agg = written.agg(
         F.sum("n").alias("n_postings"),

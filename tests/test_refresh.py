@@ -1,0 +1,143 @@
+"""Incremental index refresh: appending new documents must reproduce the
+full-rebuild index exactly (possible only because stored postings are
+parameter-free — no idf/avgdl baked in)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.sources.corpus import CORPUS_KEY, assign_doc_ids, with_sha256
+from snowball_java_spark.sources.synthetic import reference_queries, synth_corpus_pdf
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+N_BUCKETS = 8
+SPLIT = 256  # multiple of shard_size → refresh starts exactly at a boundary
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    """300 docs split along the doc_id sort order at a shard boundary."""
+    pdf = synth_corpus_pdf(0, 300, 300)
+    pdf = pdf.sort_values(CORPUS_KEY).reset_index(drop=True)
+    base = spark.createDataFrame(pdf.iloc[:SPLIT])
+    delta = spark.createDataFrame(pdf.iloc[SPLIT:])
+    full = spark.createDataFrame(pdf)
+    return base, delta, full
+
+
+def _query_rows(spark, idx, conjunctive=False):
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    qs = reference_queries()
+    if conjunctive:
+        qs = [dict(q, mode="and") for q in qs]
+    res = bm25_topk_index(spark, idx, qs, cfg=idx.cfg)
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in res.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, split_corpus, tmp_path_factory):
+    from snowball_java_spark.plans.build_index import build_index, refresh_index
+
+    base, delta, full = split_corpus
+    d_full = str(tmp_path_factory.mktemp("full"))
+    d_inc = str(tmp_path_factory.mktemp("inc"))
+    idx_full = build_index(spark, full, d_full, cfg=CFG, n_buckets=N_BUCKETS)
+    idx_base = build_index(spark, base, d_inc, cfg=CFG, n_buckets=N_BUCKETS)
+    idx_inc = refresh_index(spark, delta, d_inc)
+    return idx_full, idx_inc
+
+
+def test_refresh_stats_match_full_build(spark, indexes):
+    idx_full, idx_inc = indexes
+    assert idx_inc.n_docs == idx_full.n_docs
+    assert idx_inc.avgdl == pytest.approx(idx_full.avgdl, rel=1e-12)
+    ts_full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in idx_full.term_stats(spark).collect()
+    }
+    ts_inc = {
+        r["term"]: (r["df"], r["cf"])
+        for r in idx_inc.term_stats(spark).collect()
+    }
+    assert ts_full == ts_inc
+
+
+def test_refresh_queries_identical_to_full_build(spark, indexes):
+    idx_full, idx_inc = indexes
+    assert _query_rows(spark, idx_full) == _query_rows(spark, idx_inc)
+    assert _query_rows(spark, idx_full, conjunctive=True) == _query_rows(
+        spark, idx_inc, conjunctive=True
+    )
+
+
+def test_refresh_queries_match_oracle(spark, split_corpus, indexes):
+    from tests.oracle import OracleIndex
+
+    _, _, full = split_corpus
+    _, idx_inc = indexes
+    rows = assign_doc_ids(with_sha256(full)).select("doc_id", "content").collect()
+    oracle = OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+    by_q: dict[int, list] = {}
+    for qid, rank, doc, score in _query_rows(spark, idx_inc):
+        by_q.setdefault(qid, []).append((rank, doc, score))
+    for q in reference_queries():
+        expect = oracle.topk(q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}"
+            assert score == pytest.approx(escore, rel=1e-9)
+
+
+def test_refresh_is_resumable_noop(spark, split_corpus, indexes):
+    """Re-running the same refresh generation must not change anything."""
+    import json
+    import os
+
+    from snowball_java_spark.plans.build_index import refresh_index
+
+    _, delta, _ = split_corpus
+    _, idx_inc = indexes
+    conf_before = json.load(open(os.path.join(idx_inc.index_dir, "_conf.json")))
+    refresh_index(spark, delta, idx_inc.index_dir)
+    conf_after = json.load(open(os.path.join(idx_inc.index_dir, "_conf.json")))
+    assert conf_before == conf_after
+
+
+def test_refresh_with_boundary_gap(spark, tmp_path_factory):
+    """When the old doc count is NOT a shard multiple, new ids start at the
+    next shard boundary (per-shard density preserved); results still match
+    an oracle built on the same id mapping."""
+    from snowball_java_spark.plans.build_index import build_index, refresh_index
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from tests.oracle import OracleIndex
+
+    pdf = synth_corpus_pdf(7, 150, 300).sort_values(CORPUS_KEY).reset_index(drop=True)
+    base_pdf, delta_pdf = pdf.iloc[:100], pdf.iloc[100:]
+    d = str(tmp_path_factory.mktemp("gap"))
+    idx = build_index(spark, spark.createDataFrame(base_pdf), d,
+                      cfg=CFG, n_buckets=N_BUCKETS)
+    idx = refresh_index(spark, spark.createDataFrame(delta_pdf), d)
+    # expected mapping: base ids 0..99, delta ids start at 128 (next boundary)
+    docs = []
+    for i, row in enumerate(base_pdf.itertuples()):
+        docs.append((i, row.content))
+    for i, row in enumerate(delta_pdf.itertuples()):
+        docs.append((128 + i, row.content))
+    oracle = OracleIndex(docs)
+    qs = reference_queries()
+    res = bm25_topk_index(spark, idx, qs, cfg=idx.cfg)
+    by_q: dict[int, list] = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = oracle.topk(q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}: {doc} != {edoc}"
+            assert score == pytest.approx(escore, rel=1e-9)
