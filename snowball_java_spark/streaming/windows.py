@@ -1,0 +1,59 @@
+"""Watermarked event-time windowed aggregation (Structured Streaming).
+
+The reference has no streaming at all (SURVEY §2.9) and ``north_rule``
+demands none; this is the additive surface a living corpus/metrics
+pipeline needs: event-time windows with a watermark, so late events
+within the allowed lateness still land in their window and events later
+than the watermark are dropped instead of growing state forever.
+
+Shapes follow the batch ``events_hourly`` gate query so the two paths
+can be cross-checked: the streaming result for a finalized window equals
+the batch groupBy over the same (non-dropped) input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_SCHEMA = (
+    "event_id long, user_id long, event_type string, ts timestamp, value double"
+)
+
+
+def stream_events(spark, path: str) -> DataFrame:
+    """File-source stream of event parquet files (Kafka in production)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def watermarked_hourly(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Hourly per-type counts/sums with bounded lateness.
+
+    State is bounded: a window's state is dropped once the watermark
+    passes its end, which is what makes this runnable indefinitely at
+    scale — the alternative (complete-mode global agg) holds every
+    window forever.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def start_hourly_to_memory(
+    events: DataFrame, query_name: str, watermark: str = "2 hours"
+) -> StreamingQuery:
+    """Append-mode memory sink: only FINALIZED windows (watermark passed
+    window end) are emitted — the test surface for late-data semantics."""
+    return (
+        watermarked_hourly(events, watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

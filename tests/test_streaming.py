@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import datetime as dt
 from collections import Counter
 
 from snowball_java_spark.functions.tokenize import tokenize_py
@@ -8,6 +9,12 @@ from snowball_java_spark.streaming.incremental import (
     start_df_maintenance,
     stream_corpus,
 )
+
+_T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, minutes, etype="click", value=1.0):
+    return (eid, eid % 7, etype, _T0 + dt.timedelta(minutes=minutes), value)
 
 
 def test_streaming_df_counts_match_batch(spark, tmp_path):
@@ -33,3 +40,97 @@ def test_streaming_df_counts_match_batch(spark, tmp_path):
         for t in set(tokenize_py(content)):
             expect[t] += 1
     assert got == dict(expect)
+
+
+def test_incremental_postings_append(spark, tmp_path):
+    """foreachBatch postings appends: the delta segments under
+    stage=stream must carry exactly the batch's df per term and decode
+    cleanly."""
+    import numpy as np
+    import pandas as pd
+
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.wand import _TermList
+    from snowball_java_spark.streaming.incremental import (
+        start_incremental_postings,
+        stream_corpus,
+    )
+
+    pdf = synth_corpus_pdf(0, 60, 120)
+    d = tmp_path / "inc_corpus"
+    d.mkdir()
+    idx_dir = tmp_path / "inc_idx"
+    cfg = EngineConfig(shard_size=1 << 12, block_size=16, build_stages=1)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+    q = start_incremental_postings(
+        stream_corpus(spark, str(d)), str(idx_dir), avgdl=100.0, cfg=cfg, n_buckets=4
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(str(idx_dir / "postings" / "stage=stream")).collect()
+    got_df: Counter = Counter()
+    for r in rows:
+        tl = _TermList(pd.Series({**r.asDict(), "idf": 1.0}), cfg.block_size)
+        docs, tfs = tl.decode_all()
+        assert docs.size == r["n"] == r["df_local"]
+        assert np.all(tfs >= 1)
+        assert np.all(np.diff(docs) > 0)
+        got_df[r["term"]] += r["n"]
+    expect: Counter = Counter()
+    for content in pdf["content"]:
+        for t in set(tokenize_py(content)):
+            expect[t] += 1
+    assert dict(got_df) == dict(expect)
+
+
+def test_watermarked_window_late_data(spark, tmp_path):
+    """Append-mode watermarked windows: a late event inside the allowed
+    lateness lands in its window; an event older than the watermark is
+    dropped; windows finalize only when the watermark passes their end."""
+    from snowball_java_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        start_hourly_to_memory,
+        stream_events,
+    )
+
+    d = tmp_path / "events"
+    d.mkdir()
+
+    def push(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+
+    # batch 1: three events in hour-0, one at 04:00 → watermark after this
+    # batch = 04:00 - 2h = 02:00 (applied from the NEXT trigger on)
+    push([_ev(1, 5), _ev(2, 20), _ev(3, 50), _ev(4, 240)])
+    q = start_hourly_to_memory(stream_events(spark, str(d)), "win_t")
+    try:
+        q.processAllAvailable()
+        # batch 2 (watermark 02:00): 00:30 is older → DROPPED; 02:30 is
+        # late vs the 04:00 max but within lateness → lands in hour-2;
+        # 06:00 advances the watermark to 04:00 for the next trigger;
+        # hour-0 (end 01:00 ≤ 02:00) finalizes and emits in this batch
+        push([_ev(5, 30), _ev(6, 150), _ev(7, 360)])
+        q.processAllAvailable()
+        # batch 3 (watermark 04:00): hour-2 (end 03:00 ≤ 04:00) emits;
+        # hour-4 / hour-6 / hour-8 stay open
+        push([_ev(8, 480)])
+        q.processAllAvailable()
+        rows = {
+            (r["hour"].hour, r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_t").collect()
+        }
+    finally:
+        q.stop()
+
+    assert rows[(0, "click")] == (3, 3.0), "late-beyond-watermark must be dropped"
+    assert rows[(2, "click")] == (1, 1.0), "late-within-watermark must count"
+    assert rows[(4, "click")] == (1, 1.0)
+    # final watermark = 08:00 - 2h = 06:00 (no-data micro-batches apply
+    # it), so hour-6 / hour-8 end after it and must still be open
+    for h in (6, 8):
+        assert (h, "click") not in rows, f"unfinalized hour-{h} must not emit"
