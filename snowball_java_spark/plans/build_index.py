@@ -11,18 +11,25 @@ completed stage and re-produces byte-identical output (tested).
 Index layout on disk::
 
     index_dir/
-      _conf.json             n_docs, avgdl, cfg, n_buckets, completion flag
-      docs/                  doc_id, repo, path, commit, lang, content_sha256
+      _conf.json             n_docs, avgdl, cfg, n_buckets, generations
+      docs/stage=i/          doc_id, repo…, sha256, dl, tf_map (the ONLY
+                             materialization of the tokenized corpus)
+      docs_gen{g}/stage=i/   refresh generations (same schema)
       term_stats/            term, df, cf, idf, max_w
-      scratch/tf/stage=i/    enriched long table (doc_id,term,tf,dl,df,idf,...)
       postings/stage=i/bucket=j/   binary posting rows (operators.postings)
       doc_meta/stage=i/      per-shard varint doc-length sidecars
+      positions/gen=g/bucket=j/    optional phrase sidecar
       manifest/*.json        per-stage lineage + status
       metrics.jsonl          one line per completed step
 
-Stage i owns shards with ``shard % build_stages == i`` — scratch is
-directory-partitioned by stage so each stage's job scans only its own files
-(partition pruning), and stages never overlap, making reruns idempotent.
+Stage i owns shards with ``shard % build_stages == i``; docs/ is
+directory-partitioned by stage, so each stage's posting job scans only its
+own files (partition pruning) and stages never overlap, making reruns
+idempotent.  There is deliberately NO separate long-table scratch: the
+per-doc ``tf_map`` column (built by one Arrow-UDF pass) IS the long table
+— stage jobs and term_stats explode it JVM-side on read, which trades a
+cheap re-explode for eliminating a full write+read of the token stream,
+the build's dominant non-scaling IO on a shared disk.
 """
 
 from __future__ import annotations
@@ -103,7 +110,7 @@ class IndexReader:
         paths = [os.path.join(self.index_dir, "docs")] + sorted(
             _glob.glob(os.path.join(self.index_dir, "docs_gen*"))
         )
-        return spark.read.parquet(*paths).drop("tf_map")
+        return _read_docs(spark, paths).drop("tf_map", "stage")
 
     @property
     def has_positions(self) -> bool:
@@ -124,7 +131,6 @@ def build_index(
     """Build (or resume building) the index for ``corpus`` (input_hint
     schema: repo, path, commit, lang, content)."""
     os.makedirs(index_dir, exist_ok=True)
-    scratch = os.path.join(index_dir, "scratch", "tf")
 
     # AQE partition coalescing optimizes for shuffle-byte size, but the
     # postings kernel is CPU-bound Python-per-group — coalescing its input
@@ -135,7 +141,7 @@ def build_index(
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        return _build_index_inner(spark, corpus, index_dir, cfg, n_buckets, scratch)
+        return _build_index_inner(spark, corpus, index_dir, cfg, n_buckets)
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
 
@@ -146,40 +152,31 @@ def _build_index_inner(
     index_dir: str,
     cfg: EngineConfig,
     n_buckets: int,
-    scratch: str,
 ) -> IndexReader:
 
-    # ---- step: prepare (docs table + slim scratch + term stats) ----
+    # ---- step: prepare (stage-partitioned docs table + term stats) ----
     #
     # Shuffle budget (the thing that matters at 100 TB): the token long
-    # table is shuffled exactly ONCE (the groupBy(doc_id, term) tf
-    # aggregation, which doubles as the stage/shard partitioning input).
-    # dl rides along the explode, so there is no doc_id join; term stats
-    # never join back onto the long table — max_w is decomposed as
-    # idf(df) · max(tf_factor) where tf_factor = tf(k1+1)/(tf+k1·norm(dl))
-    # is computable per row without df.  The posting builder needs no idf
-    # at all (bounds stored idf-free, scaled at query time), so the stage
-    # jobs have zero joins.
+    # table is never shuffled at all — the Arrow UDF emits per-doc tf maps
+    # (map-side combine at the source), the maps land stage-partitioned in
+    # docs/, and every downstream consumer explodes them JVM-side on read.
+    # dl rides along the projection, term stats never join back onto the
+    # long table, and the posting builder needs no idf (bounds stored
+    # parameter-free, scaled at query time), so the stage jobs have zero
+    # joins and their one shuffle is the (shard, bucket) grouping.
+    docs_path = os.path.join(index_dir, "docs")
     if not _done(index_dir, "prepare"):
         t0 = time.time()
         # corpora that already carry a dense deterministic doc_id (e.g. the
         # driver's documents table) keep it; raw corpora get the scalable
         # sort-rank assignment (_write_docs_table handles both)
-        docs_tbl = _write_docs_table(
-            spark, corpus, os.path.join(index_dir, "docs")
-        )
+        docs_tbl = _write_docs_table(spark, corpus, docs_path, cfg)
         st = docs_tbl.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         ).collect()[0]
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
 
-        # slim long table from the stored maps: pure JVM explode, no
-        # shuffle — partitionBy(stage) only splits output files.  Only
-        # (doc_id, dl, term, tf) persist: shard/bucket are pure functions
-        # of doc_id/term and are recomputed by readers, keeping the
-        # scratch write (the dominant non-scaling IO of prepare) minimal.
-        _write_scratch(spark, docs_tbl, scratch, cfg, stage_offset=0)
-        _write_term_stats(spark, index_dir, scratch, cfg, n_docs, avgdl)
+        _write_term_stats(spark, index_dir, [docs_path], cfg, n_docs, avgdl)
 
         from snowball_java_spark.operators.df_stats import skew_report
 
@@ -202,9 +199,8 @@ def _build_index_inner(
     # ---- per-stage posting builds (resume granularity) ----
     for stage in range(cfg.build_stages):
         _build_stage(
-            spark, index_dir, scratch, cfg, n_buckets, avgdl,
+            spark, index_dir, docs_path, cfg, n_buckets, avgdl,
             stage_id=stage, local_stage=stage,
-            docs_path=os.path.join(index_dir, "docs"),
         )
 
     # ---- finalize ----
@@ -221,10 +217,15 @@ def _build_index_inner(
     return IndexReader(index_dir)
 
 
-def _write_docs_table(spark, corpus: DataFrame, out_dir: str, id_offset: int = 0):
-    """corpus → docs table (ids, sha256, dl, tf_map) at ``out_dir``.
+def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
+                      cfg: EngineConfig, id_offset: int = 0):
+    """corpus → stage-partitioned docs table (ids, sha256, dl, tf_map).
+
     ONE Arrow-UDF pass: tokenize → per-doc tf map (map-side combine at the
-    source, so the long table later needs no groupBy shuffle)."""
+    source, so the long table never needs a groupBy shuffle).  The stage
+    partition directory (``shard % build_stages``) lets each posting-build
+    stage read only its own files.
+    """
     if "doc_id" in corpus.columns:
         docs = with_sha256(corpus)
     else:
@@ -240,41 +241,42 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str, id_offset: int = 0
             F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
                         lambda a, x: a + x),
         )
-        .select(*keep, "dl", "tf_map")
-    )
-    docs_full.write.mode("overwrite").parquet(out_dir)
-    return spark.read.parquet(out_dir)
-
-
-def _write_scratch(spark, docs_tbl: DataFrame, scratch: str, cfg: EngineConfig,
-                   stage_offset: int) -> None:
-    """docs tf maps → slim (doc_id, dl, term, tf) long table, directory-
-    partitioned by stage.  Dynamic partition overwrite replaces only the
-    stages this call produces — idempotent under refresh reruns."""
-    tf = (
-        docs_tbl.select("doc_id", "dl", F.explode("tf_map").alias("term", "tf"))
-        .withColumn("tf", F.col("tf").cast("long"))
         .withColumn(
             "stage",
-            (F.pmod(shard_expr("doc_id", cfg.shard_size),
-                    F.lit(cfg.build_stages)) + F.lit(stage_offset)).cast("int"),
+            F.pmod(shard_expr("doc_id", cfg.shard_size),
+                   F.lit(cfg.build_stages)).cast("int"),
         )
+        .select(*keep, "dl", "tf_map", "stage")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        tf.write.mode("overwrite").partitionBy("stage").parquet(scratch)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    docs_full.write.mode("overwrite").partitionBy("stage").parquet(out_dir)
+    return spark.read.option("basePath", out_dir).parquet(out_dir)
 
 
-def _write_term_stats(spark, index_dir: str, scratch: str, cfg: EngineConfig,
-                      n_docs: int, avgdl: float) -> None:
-    """Global term stats over ALL scratch stages: salted two-level agg
+def _tf_long(docs_tbl: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) view over stored tf maps — JVM-side explode,
+    no shuffle, no extra materialization."""
+    return docs_tbl.select(
+        "doc_id", "dl", F.explode("tf_map").alias("term", "tf")
+    ).withColumn("tf", F.col("tf").cast("long"))
+
+
+def _read_docs(spark, docs_paths: list[str]) -> DataFrame:
+    dfs = [
+        spark.read.option("basePath", p).parquet(p) for p in docs_paths
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _write_term_stats(spark, index_dir: str, docs_paths: list[str],
+                      cfg: EngineConfig, n_docs: int, avgdl: float) -> None:
+    """Global term stats over ALL generations' docs: salted two-level agg
     (explicit skew handling — hot code keywords land on one reducer
     otherwise).  Recomputed whole on refresh: df/idf/max_w must reflect
     the full corpus, and nothing idf/avgdl-dependent lives in postings."""
-    sc = spark.read.option("basePath", scratch).parquet(scratch)
+    sc = _tf_long(_read_docs(spark, docs_paths))
     tf_factor = (
         F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
         / (F.col("tf").cast("double")
@@ -299,31 +301,30 @@ def _write_term_stats(spark, index_dir: str, scratch: str, cfg: EngineConfig,
     term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
 
 
-def _build_stage(spark, index_dir: str, scratch: str, cfg: EngineConfig,
+def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
                  n_buckets: int, avgdl: float, stage_id: int, local_stage: int,
-                 docs_path: str, step_prefix: str = "") -> None:
-    """One posting-build stage: scratch stage=stage_id → postings + doc_meta.
+                 step_prefix: str = "") -> None:
+    """One posting-build stage: docs stage=local_stage → postings + doc_meta.
 
-    NO term_stats join: block bounds are stored idf-free (tf-factor only)
-    and scaled by the live idf at query time — the stage job is a pure
-    scan→group→encode pipeline with a single shuffle.
+    The input is the stage's partition of the docs table (partition-pruned
+    scan), exploded JVM-side into the (doc_id, dl, term, tf) long form.  NO
+    term_stats join: block bounds are stored idf-free (tf-factor only) and
+    scaled by the live idf at query time — the stage job is a pure
+    scan→explode→group→encode pipeline with a single shuffle.
     """
     step = f"{step_prefix}stage_{local_stage}" if step_prefix else f"stage_{local_stage}"
     if _done(index_dir, step):
         return
     t0 = time.time()
-    part = spark.read.option("basePath", scratch).parquet(scratch).filter(
-        F.col("stage") == stage_id
-    ).drop("stage")
-    posts = build_postings(part, avgdl, cfg, n_buckets)
+    stage_docs = (
+        spark.read.option("basePath", docs_path).parquet(docs_path)
+        .filter(F.col("stage") == local_stage)
+    )
+    posts = build_postings(_tf_long(stage_docs), avgdl, cfg, n_buckets)
     out = os.path.join(index_dir, "postings", f"stage={stage_id}")
     posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
-    dl = spark.read.parquet(docs_path).select("doc_id", "dl").filter(
-        F.pmod(shard_expr("doc_id", cfg.shard_size),
-               F.lit(cfg.build_stages)) == local_stage
-    )
-    meta = build_doc_meta(dl, cfg)
+    meta = build_doc_meta(stage_docs.select("doc_id", "dl"), cfg)
     meta.write.mode("overwrite").parquet(
         os.path.join(index_dir, "doc_meta", f"stage={stage_id}")
     )
@@ -348,8 +349,7 @@ def _build_stage(spark, index_dir: str, scratch: str, cfg: EngineConfig,
             bytes_compressed=int(agg["bytes"] or 0))
     _write_manifest(index_dir, step, {
         "stage": stage_id,
-        "input_files": sorted(f for f in spark.read.parquet(scratch).inputFiles()
-                              if f"stage={stage_id}" in f)[:1000],
+        "input_files": sorted(stage_docs.inputFiles())[:1000],
         "n_postings": int(agg["n_postings"] or 0),
         "elapsed_sec": elapsed,
     })
@@ -395,7 +395,6 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     """
     idx = IndexReader(index_dir)
     cfg, n_buckets = idx.cfg, idx.n_buckets
-    scratch = os.path.join(index_dir, "scratch", "tf")
     fp = _delta_fingerprint(new_corpus)
 
     gen = 1
@@ -417,28 +416,23 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        # -- prepare: docs table for the delta + scratch stages + stats --
+        # -- prepare: docs table for the delta + global stats --
+        all_docs_paths = [os.path.join(index_dir, "docs")] + [
+            os.path.join(index_dir, f"docs_gen{g}") for g in range(1, gen + 1)
+        ]
         if not _done(index_dir, prefix + "prepare"):
             t0 = time.time()
-            docs_tbl = _write_docs_table(spark, new_corpus, docs_path,
+            docs_tbl = _write_docs_table(spark, new_corpus, docs_path, cfg,
                                          id_offset=base_id)
-            st = docs_tbl.agg(
-                F.count("*").alias("n"), F.sum("dl").alias("sdl")
-            ).collect()[0]
-            n_new, new_dl = int(st["n"]), int(st["sdl"] or 0)
-            _write_scratch(spark, docs_tbl, scratch, cfg,
-                           stage_offset=stage_offset)
+            n_new = docs_tbl.count()
             # global stats over ALL generations (docs dirs are slim reads:
             # parquet prunes to the dl column)
-            paths = [os.path.join(index_dir, "docs")] + [
-                os.path.join(index_dir, f"docs_gen{g}") for g in range(1, gen + 1)
-            ]
-            tot = spark.read.parquet(*paths).agg(
-                F.count("*").alias("n"), F.sum("dl").alias("sdl"),
-                F.avg("dl").alias("avgdl"),
+            tot = _read_docs(spark, all_docs_paths).agg(
+                F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
             ).collect()[0]
             n_docs, avgdl = int(tot["n"]), float(tot["avgdl"])
-            _write_term_stats(spark, index_dir, scratch, cfg, n_docs, avgdl)
+            _write_term_stats(spark, index_dir, all_docs_paths, cfg,
+                              n_docs, avgdl)
             _write_manifest(index_dir, prefix + "prepare", {
                 "gen": gen, "n_new": n_new, "base_id": base_id,
                 "n_docs": n_docs, "avgdl": avgdl,
@@ -453,9 +447,9 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
 
         # -- per-stage builds for the NEW shards only --
         for i in range(cfg.build_stages):
-            _build_stage(spark, index_dir, scratch, cfg, n_buckets, avgdl,
+            _build_stage(spark, index_dir, docs_path, cfg, n_buckets, avgdl,
                          stage_id=stage_offset + i, local_stage=i,
-                         docs_path=docs_path, step_prefix=prefix)
+                         step_prefix=prefix)
 
         # -- positions sidecar follows along when present --
         if idx.has_positions and not _done(index_dir, prefix + "positions"):
