@@ -229,7 +229,15 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
     if "doc_id" in corpus.columns:
         docs = with_sha256(corpus)
     else:
-        docs = assign_doc_ids(with_sha256(corpus))
+        # 4x the core count: the docs table's FILE COUNT is the map-side
+        # parallelism ceiling of every downstream scan (term_stats, stage
+        # builds) — at exactly N partitions, range-sampling skew leaves
+        # some cores idle and each file becomes one indivisible split
+        sess = corpus.sparkSession
+        docs = assign_doc_ids(
+            with_sha256(corpus),
+            num_partitions=4 * sess.sparkContext.defaultParallelism,
+        )
         if id_offset:
             docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
     keep = [c for c in ("doc_id", "repo", "path", "commit", "lang",

@@ -44,6 +44,22 @@ def test_docs_reader_prunes_fat_tf_map_column(spark, idx):
     assert "tf_map" not in schema_part, "metadata read is paying for tf_map"
 
 
+def test_stage_build_scan_prunes_on_stage_partition(spark, idx):
+    """Each posting-build stage must scan only its own docs/stage=i files
+    (directory partition pruning) — the property that keeps stage jobs
+    disjoint and reruns idempotent."""
+    import os
+
+    docs_path = os.path.join(idx.index_dir, "docs")
+    stage_docs = (
+        spark.read.option("basePath", docs_path).parquet(docs_path)
+        .filter(F.col("stage") == 0)
+    )
+    plan = _plan(stage_docs.select("doc_id", "dl"))
+    assert "PartitionFilters" in plan
+    assert "stage" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_bm25_join_uses_broadcast_not_cartesian(spark):
     from snowball_java_spark.entry_queries import _bm25_topk_df
 
