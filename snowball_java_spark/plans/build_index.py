@@ -136,7 +136,10 @@ def build_index(
     # postings kernel is CPU-bound Python-per-group — coalescing its input
     # to a handful of 64MB partitions serializes the build.  Keep task
     # parallelism at core count for the build, restore the session conf
-    # after.  (Measured: 1.3-2x end-to-end on local[32].)
+    # after.  (Measured: 1.3-2x end-to-end on local[32].)  Shuffle
+    # partitions are pinned to 4x core count for the build: the docs-table
+    # write inherits the id-join's partitioning, and its FILE COUNT is the
+    # map-side parallelism ceiling of every downstream scan.
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
@@ -169,12 +172,21 @@ def _build_index_inner(
         t0 = time.time()
         # corpora that already carry a dense deterministic doc_id (e.g. the
         # driver's documents table) keep it; raw corpora get the scalable
-        # sort-rank assignment (_write_docs_table handles both)
-        docs_tbl = _write_docs_table(spark, corpus, docs_path, cfg)
-        st = docs_tbl.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+        # sort-rank assignment (_write_docs_table handles both).  Shuffle
+        # partitions are pinned to 4x core count for THIS step only: the
+        # docs write inherits the id-join's partitioning, and its FILE
+        # COUNT is the map-side parallelism ceiling of every downstream
+        # scan (the posting stages keep the session's partitioning — finer
+        # groups there only add per-group Arrow overhead).
+        shuffle_key = "spark.sql.shuffle.partitions"
+        prev_shuffle = spark.conf.get(shuffle_key)
+        spark.conf.set(
+            shuffle_key, str(4 * spark.sparkContext.defaultParallelism)
+        )
+        try:
+            n_docs, avgdl = _write_docs_table(spark, corpus, docs_path, cfg)
+        finally:
+            spark.conf.set(shuffle_key, prev_shuffle)
 
         _write_term_stats(spark, index_dir, [docs_path], cfg, n_docs, avgdl)
 
@@ -218,46 +230,62 @@ def _build_index_inner(
 
 
 def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
-                      cfg: EngineConfig, id_offset: int = 0):
-    """corpus → stage-partitioned docs table (ids, sha256, dl, tf_map).
+                      cfg: EngineConfig, id_offset: int = 0) -> tuple[int, float]:
+    """corpus → stage-partitioned docs table (ids, sha256, dl, tf_map);
+    returns (n_docs, avgdl) observed for free on the write job.
 
     ONE Arrow-UDF pass: tokenize → per-doc tf map (map-side combine at the
     source, so the long table never needs a groupBy shuffle).  The stage
     partition directory (``shard % build_stages``) lets each posting-build
     stage read only its own files.
     """
-    if "doc_id" in corpus.columns:
-        docs = with_sha256(corpus)
+    from pyspark.sql import Observation
+    # tokenize + sha on the SCAN side, then drop content: the fat column
+    # is read exactly once and NEVER shuffled — doc_ids are computed on a
+    # slim key-only projection (so the range partitioner's sampling pass,
+    # which re-executes its child, re-reads only 3 pruned string columns,
+    # not the tokenizer UDF) and joined back on the unique natural key
+    tokenized = (
+        with_sha256(corpus)
+        .withColumn("tf_map", tf_map_udf(F.col("content")))
+        .withColumn(
+            "dl",
+            F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
+                        lambda a, x: a + x),
+        )
+        .drop("content")
+    )
+    if "doc_id" in tokenized.columns:
+        docs = tokenized
     else:
         # 4x the core count: the docs table's FILE COUNT is the map-side
         # parallelism ceiling of every downstream scan (term_stats, stage
         # builds) — at exactly N partitions, range-sampling skew leaves
         # some cores idle and each file becomes one indivisible split
         sess = corpus.sparkSession
-        docs = assign_doc_ids(
-            with_sha256(corpus),
+        key = [k for k in CORPUS_KEY if k in corpus.columns]
+        ids = assign_doc_ids(
+            corpus.select(*key), key=key,
             num_partitions=4 * sess.sparkContext.defaultParallelism,
         )
         if id_offset:
-            docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
+            ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
+        docs = tokenized.join(ids, key)
     keep = [c for c in ("doc_id", "repo", "path", "commit", "lang",
                         "content_sha256") if c in docs.columns]
-    docs_full = (
-        docs.withColumn("tf_map", tf_map_udf(F.col("content")))
-        .withColumn(
-            "dl",
-            F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
-                        lambda a, x: a + x),
-        )
-        .withColumn(
-            "stage",
-            F.pmod(shard_expr("doc_id", cfg.shard_size),
-                   F.lit(cfg.build_stages)).cast("int"),
-        )
-        .select(*keep, "dl", "tf_map", "stage")
+    docs_full = docs.withColumn(
+        "stage",
+        F.pmod(shard_expr("doc_id", cfg.shard_size),
+               F.lit(cfg.build_stages)).cast("int"),
+    ).select(*keep, "dl", "tf_map", "stage")
+    # corpus stats ride the write job (no separate scan)
+    obs = Observation("docs_stats")
+    docs_full = docs_full.observe(
+        obs, F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     docs_full.write.mode("overwrite").partitionBy("stage").parquet(out_dir)
-    return spark.read.option("basePath", out_dir).parquet(out_dir)
+    got = obs.get
+    return int(got["n_docs"]), float(got["avgdl"])
 
 
 def _tf_long(docs_tbl: DataFrame) -> DataFrame:
@@ -430,9 +458,9 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
         ]
         if not _done(index_dir, prefix + "prepare"):
             t0 = time.time()
-            docs_tbl = _write_docs_table(spark, new_corpus, docs_path, cfg,
-                                         id_offset=base_id)
-            n_new = docs_tbl.count()
+            n_new, _delta_avgdl = _write_docs_table(
+                spark, new_corpus, docs_path, cfg, id_offset=base_id
+            )
             # global stats over ALL generations (docs dirs are slim reads:
             # parquet prunes to the dl column)
             tot = _read_docs(spark, all_docs_paths).agg(
