@@ -8,13 +8,16 @@ Phase B (north_rule scaling evidence): the SAME index-build job on a
 deterministic synthetic corpus at two parallelism levels (N and 4N cores
 stand in for N and 4N executors — no real cluster in this sandbox), with
 throughput at both and efficiency = thr(4N) / (4 · thr(N)).
-Defaults: 400k files, cores 2→8 — large enough that the per-session
+Defaults: 400k files, cores 2→8, best of 2 clean runs per leg (min-time
+is the least-noise estimator on the ±15-20%-volatile shared /tmp disk;
+per-run walls are reported in the JSON).  400k files keeps per-session
 fixed costs and single-disk IO (which do NOT scale with local cores but
-DO scale with per-executor disks on a real cluster) stay small relative
-to compute; see BENCH/BASELINE.md for the step-level decomposition.
+DO scale with per-executor disks on a real cluster) small relative to
+compute; see BENCH/BASELINE.md for the step-level decomposition.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_FILES,
-SPARK_GRAFT_BENCH_CORES ("2,8"), SPARK_GRAFT_SKIP_SCALING=1.
+SPARK_GRAFT_BENCH_CORES ("2,8"), SPARK_GRAFT_BENCH_REPEATS,
+SPARK_GRAFT_SKIP_SCALING=1.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "400000"))
 BENCH_CORES = [
     int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8").split(",")
 ]
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 HEADLINE = [
@@ -114,19 +118,29 @@ def phase_b() -> dict:
     cfg = EngineConfig(shard_size=8192, block_size=128, build_stages=1)
     thr: dict[int, float] = {}
     steps: dict[int, dict[str, float]] = {}
+    runs: dict[str, list[float]] = {}
+    # best-of-N per leg: the /tmp shared disk swings end-to-end times
+    # ±15-20% run to run; min-time is the standard least-noise estimator
+    # (each repeat is a full clean build — per-run walls reported below)
     for cores in BENCH_CORES:
-        spark = get_spark("bench-scaling", cores=cores)
-        d = f"/tmp/sjs_bench/idx_{BENCH_FILES}_{cores}"
-        shutil.rmtree(d, ignore_errors=True)
-        t0 = time.time()
-        build_index(spark, read_corpus(spark, corpus_dir), d, cfg=cfg, n_buckets=32)
-        el = time.time() - t0
-        thr[cores] = BENCH_FILES / el
-        with open(os.path.join(d, "metrics.jsonl")) as f:
-            steps[cores] = {
-                m["step"]: m["elapsed_sec"] for m in map(json.loads, f)
-            }
-        spark.stop()
+        best = None
+        for rep in range(BENCH_REPEATS):
+            spark = get_spark("bench-scaling", cores=cores)
+            d = f"/tmp/sjs_bench/idx_{BENCH_FILES}_{cores}"
+            shutil.rmtree(d, ignore_errors=True)
+            t0 = time.time()
+            build_index(spark, read_corpus(spark, corpus_dir), d,
+                        cfg=cfg, n_buckets=32)
+            el = time.time() - t0
+            runs.setdefault(f"local{cores}", []).append(round(el, 1))
+            if best is None or el < best:
+                best = el
+                with open(os.path.join(d, "metrics.jsonl")) as f:
+                    steps[cores] = {
+                        m["step"]: m["elapsed_sec"] for m in map(json.loads, f)
+                    }
+            spark.stop()
+        thr[cores] = BENCH_FILES / best
     lo, hi = min(BENCH_CORES), max(BENCH_CORES)
     ratio = hi / lo
     eff = thr[hi] / (ratio * thr[lo])
@@ -146,7 +160,9 @@ def phase_b() -> dict:
         "step_efficiency": step_eff,
         "step_seconds": {f"local{c}": {k: round(v, 1) for k, v in steps[c].items()}
                          for c in BENCH_CORES},
-        "note": f"same job at local[{lo}] and local[{hi}] (N and {ratio:.0f}N "
+        "run_walls_sec": runs,
+        "note": f"same job at local[{lo}] and local[{hi}], best of "
+                f"{BENCH_REPEATS} clean runs per leg (N and {ratio:.0f}N "
                 f"cores stand in for executors; sandbox has no real cluster)",
     }
 

@@ -162,7 +162,8 @@ def _build_index_inner(
     # Shuffle budget (the thing that matters at 100 TB): the token long
     # table is never shuffled at all — the Arrow UDF emits per-doc tf maps
     # (map-side combine at the source), the maps land stage-partitioned in
-    # docs/, and every downstream consumer explodes them JVM-side on read.
+    # docs/ (riding the slim id join's exchange when ids must be assigned),
+    # and every downstream consumer explodes them JVM-side on read.
     # dl rides along the projection, term stats never join back onto the
     # long table, and the posting builder needs no idf (bounds stored
     # parameter-free, scaled at query time), so the stage jobs have zero
