@@ -66,9 +66,8 @@ def phase_a() -> tuple[dict, float, dict]:
 
     spark = get_spark("bench-queries", cores=CPUS)
     # pay the index + positions builds once, reported separately from
-    # query latency
-    tag = os.path.basename(os.path.normpath(SF_DIR))
-    shutil.rmtree(f"/tmp/sjs_index_cache/{tag}", ignore_errors=True)
+    # query latency (cache dirs are fingerprint-keyed — wipe them all)
+    shutil.rmtree("/tmp/sjs_index_cache", ignore_errors=True)
     t0 = time.time()
     idx = _index_for(spark, SF_DIR)
     index_build_sec = time.time() - t0

@@ -280,11 +280,33 @@ def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_CFG = EngineConfig(shard_size=128, block_size=32, build_stages=2)
 
 
+def _data_fingerprint(path: str) -> str:
+    """Identity of a parquet file/dir from (path, size, mtime) of every
+    file — no Spark job, no content read.  Guards the index cache against
+    a driver that regenerates data under the same sf tag: same directory
+    name with new bytes yields a new fingerprint and forces a rebuild."""
+    import glob as _glob
+    import hashlib
+
+    files = (
+        sorted(_glob.glob(os.path.join(path, "**"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    parts = []
+    for p in files:
+        if os.path.isfile(p):
+            st = os.stat(p)
+            parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def _index_for(spark: SparkSession, sf_dir: str):
     from snowball_java_spark.plans.build_index import build_index
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx_dir = f"/tmp/sjs_index_cache/{tag}"
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    idx_dir = f"/tmp/sjs_index_cache/{tag}_{fp}"
     corpus = _docs(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("content"),

@@ -163,13 +163,17 @@ def _decode_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return docs, tfs, pos
 
 
-def _phrase_keys(docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray, j: int) -> np.ndarray:
-    """Occurrences of term j as sorted keys doc·2^32 + (pos − j).
+def _phrase_keys(docs: np.ndarray, tfs: np.ndarray, pos: np.ndarray, j: int,
+                 first_doc: int) -> np.ndarray:
+    """Occurrences of term j as sorted keys local_doc·2^32 + (pos − j).
 
-    Occurrences with pos < j can never start a phrase (the phrase would
-    begin before the document) — dropped so the key arithmetic stays
-    non-negative and collision-free."""
-    doc_rep = np.repeat(docs.astype(np.int64), tfs)
+    Keys use SHARD-LOCAL doc offsets (doc_id − first_doc, bounded by
+    shard_size), not global doc_ids: a global id ≥ 2^31 would overflow
+    the signed-int64 key (doc·2^32 + pos) well below the 10^12-doc scale
+    this engine targets.  Occurrences with pos < j can never start a
+    phrase (the phrase would begin before the document) — dropped so the
+    key arithmetic stays non-negative and collision-free."""
+    doc_rep = np.repeat(docs.astype(np.int64) - np.int64(first_doc), tfs)
     shifted = pos - np.int64(j)
     ok = shifted >= 0
     return doc_rep[ok] * _DOC_SHIFT + shifted[ok]
@@ -191,17 +195,18 @@ def phrase_match_kernel(
         keys: np.ndarray | None = None
         for j, t in enumerate(phrase):
             docs, tfs, pos = decoded[t]
-            kj = _phrase_keys(docs, tfs, pos, j)
+            kj = _phrase_keys(docs, tfs, pos, j, first_doc)
             keys = kj if keys is None else np.intersect1d(keys, kj, assume_unique=True)
             if keys.size == 0:
                 break
         if keys is None or keys.size == 0:
             continue
-        match_docs, counts = np.unique(keys >> np.int64(32), return_counts=True)
+        local_docs, counts = np.unique(keys >> np.int64(32), return_counts=True)
+        match_docs = local_docs + np.int64(first_doc)
         out_q.extend([qid] * match_docs.size)
         out_d.extend(match_docs.tolist())
         out_t.extend(counts.tolist())
-        out_l.extend(dls[match_docs - first_doc].tolist())
+        out_l.extend(dls[local_docs].tolist())
     return pd.DataFrame(
         {"query_id": out_q, "doc_id": out_d, "tf": out_t, "dl": out_l}
     )

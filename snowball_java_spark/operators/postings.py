@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
-from snowball_java_spark.functions.bm25 import weight_np
 from snowball_java_spark.functions.codecs import varint_encode
 from snowball_java_spark.functions.hashes import h60_expr
 
@@ -43,7 +42,8 @@ POSTINGS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, "
     "block_first_doc array<long>, block_last_doc array<long>, "
     "block_doc_off array<long>, block_tf_off array<long>, "
-    "block_max_tff array<double>, max_tff double"
+    "block_max_tf array<long>, block_min_dl array<long>, "
+    "max_tf long, min_dl long"
 )
 
 DOC_META_SCHEMA = "shard long, first_doc long, n_docs long, dl_bytes binary"
@@ -61,7 +61,6 @@ def encode_term_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
     cfg: EngineConfig,
 ) -> dict:
     """One term's sorted (doc, tf, dl) arrays → encoded posting row fields.
@@ -70,20 +69,24 @@ def encode_term_postings(
     absolute (block_first_doc) and varint deltas for the remaining docs,
     so the scorer can skip straight to a block via the offsets.
 
-    Block bounds are stored **idf-free** (``max_tff`` = the tf/length
-    factor ``tf·(k1+1)/(tf + k1·norm(dl))`` only); the scorer multiplies
-    by the CURRENT idf from term_stats at query time.  Consequences:
-    (a) the posting build needs no term_stats join at all, and (b) when
-    df/N change later (incremental/streaming appends), re-writing
-    term_stats alone keeps the pruning bounds correct — stored idf-scaled
-    bounds would silently go stale and break exact top-k.
+    Block bounds are stored **parameter-free**: integer ``(max_tf,
+    min_dl)`` per block, never a precomputed weight.  The scorer derives
+    the pruning bound at query time as ``idf · tff(max_tf, min_dl,
+    live_avgdl)`` — BM25 weight is monotone increasing in tf and
+    decreasing in dl, so the pair dominates every posting in the block
+    for ANY (idf, avgdl).  Consequences: (a) the posting build needs no
+    term_stats join and no corpus avgdl at all, and (b) when df/N/avgdl
+    change later (incremental/streaming appends rewrite term_stats and
+    _conf globally), old segments' bounds stay exactly correct — a
+    stored weight computed with the build-time avgdl would silently
+    under-bound once a refresh raises avgdl, breaking exact top-k.
     """
     n = doc_ids.size
     bs = cfg.block_size
-    weights = weight_np(tfs, np.float64(1.0), dls, avgdl, cfg.k1, cfg.b)
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
-    first, last, doff, toff, bmax = [], [], [], [], []
+    first, last, doff, toff = [], [], [], []
+    bmax_tf, bmin_dl = [], []
     dpos = tpos = 0
     for s in range(0, n, bs):
         e = min(s + bs, n)
@@ -98,7 +101,8 @@ def encode_term_postings(
         tf_chunks.append(tb)
         dpos += len(db)
         tpos += len(tb)
-        bmax.append(float(weights[s:e].max()))
+        bmax_tf.append(int(tfs[s:e].max()))
+        bmin_dl.append(int(dls[s:e].min()))
     return {
         "df_local": int(n),
         "n": int(n),
@@ -108,17 +112,17 @@ def encode_term_postings(
         "block_last_doc": last,
         "block_doc_off": doff,
         "block_tf_off": toff,
-        "block_max_tff": bmax,
-        "max_tff": float(weights.max()) if n else 0.0,
+        "block_max_tf": bmax_tf,
+        "block_min_dl": bmin_dl,
+        "max_tf": int(tfs.max()) if n else 0,
+        "min_dl": int(dls.min()) if n else 1,
     }
 
 
-def build_postings_groups(
-    pdf: pd.DataFrame, avgdl: float, cfg: EngineConfig
-) -> pd.DataFrame:
+def build_postings_groups(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
     """applyInPandas kernel for one (shard, bucket) group.
 
-    Input columns: shard, bucket, term, doc_id, tf, dl, idf.
+    Input columns: shard, bucket, term, doc_id, tf, dl.
     """
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     terms = pdf["term"].to_numpy()
@@ -133,25 +137,25 @@ def build_postings_groups(
     ends = np.concatenate([change, [len(terms)]])
     rows = []
     for s, e in zip(starts, ends):
-        enc = encode_term_postings(doc_id[s:e], tf[s:e], dl[s:e], avgdl, cfg)
+        enc = encode_term_postings(doc_id[s:e], tf[s:e], dl[s:e], cfg)
         enc.update({"shard": shard, "bucket": bucket, "term": terms[s]})
         rows.append(enc)
     cols = [
         "shard", "bucket", "term", "df_local", "n", "doc_bytes", "tf_bytes",
         "block_first_doc", "block_last_doc", "block_doc_off", "block_tf_off",
-        "block_max_tff", "max_tff",
+        "block_max_tf", "block_min_dl", "max_tf", "min_dl",
     ]
     return pd.DataFrame(rows, columns=cols)
 
 
 def build_postings(
     tf_enriched: DataFrame,
-    avgdl: float,
     cfg: EngineConfig = DEFAULT,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """tf_enriched(doc_id, term, tf, dl) → postings DataFrame (no idf
-    needed — bounds are idf-free, see :func:`encode_term_postings`).
+    """tf_enriched(doc_id, term, tf, dl) → postings DataFrame (no idf OR
+    avgdl needed — bounds are parameter-free integer (max_tf, min_dl),
+    see :func:`encode_term_postings`).
 
     The groupBy key (shard, bucket) bounds each Arrow group to
     ~shard_size * avgdl / n_buckets postings — sized to executor memory
@@ -162,7 +166,7 @@ def build_postings(
     ).withColumn("bucket", bucket_expr("term", n_buckets))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return build_postings_groups(pdf, avgdl, cfg)
+        return build_postings_groups(pdf, cfg)
 
     return keyed.groupBy("shard", "bucket").applyInPandas(kernel, POSTINGS_SCHEMA)
 

@@ -42,27 +42,32 @@ from snowball_java_spark.operators.bm25_join import topk
 SCORE_SCHEMA = "query_id int, doc_id long, score double"
 
 
-#: Stored bounds are idf-free tf-factors multiplied by the current idf at
-#: load time; that product can differ from the exactly-computed per-doc
-#: weight by a few ulp (different multiply association), so bounds get a
-#: hair of slack — pruning stays CONSERVATIVE (never drops a true top-k
-#: doc), at the cost of negligibly less skipping.
+#: Stored bounds are integer (max_tf, min_dl) pairs; the bound weight is
+#: recomputed here with the live (idf, avgdl).  BM25 weight is monotone
+#: increasing in tf and decreasing in dl in REAL arithmetic; in float64
+#: the independently-rounded numerator/denominator can disagree with the
+#: per-doc scoring result by a few ulp, so bounds get a hair of relative
+#: slack — pruning stays CONSERVATIVE (never drops a true top-k doc), at
+#: the cost of negligibly less skipping.
 _BOUND_SLACK = 1.0 + 1e-9
 
 
 class _TermList:
     """Decoded-on-demand view over one postings row (one term, one shard).
 
-    ``max_tff`` / ``block_max_tff`` come idf-free from the index (see
+    ``(max_tf, min_dl)`` / ``(block_max_tf, block_min_dl)`` come
+    parameter-free from the index (see
     ``operators/postings.encode_term_postings``); the CURRENT idf joined
-    from term_stats scales them here, so pruning bounds track live stats
-    even after incremental appends changed df/N.
+    from term_stats and the CURRENT corpus avgdl turn them into weight
+    bounds here, so pruning tracks live stats even after incremental
+    appends changed df/N/avgdl — old segments never go stale.
     """
 
     __slots__ = ("n", "bs", "first", "last", "doff", "toff", "bmax",
                  "doc_bytes", "tf_bytes", "max_w", "idf", "_cache")
 
-    def __init__(self, row, block_size: int):
+    def __init__(self, row, block_size: int, avgdl: float,
+                 cfg: EngineConfig = DEFAULT):
         self.n = int(row["n"])
         self.bs = block_size
         self.first = np.asarray(row["block_first_doc"], dtype=np.int64)
@@ -72,11 +77,17 @@ class _TermList:
         self.doc_bytes = bytes(row["doc_bytes"])
         self.tf_bytes = bytes(row["tf_bytes"])
         self.idf = float(row["idf"])
-        self.bmax = (
-            np.asarray(row["block_max_tff"], dtype=np.float64)
-            * self.idf * _BOUND_SLACK
-        )
-        self.max_w = float(row["max_tff"]) * self.idf * _BOUND_SLACK
+        idf_arr = np.float64(self.idf)
+        self.bmax = weight_np(
+            np.asarray(row["block_max_tf"], dtype=np.int64), idf_arr,
+            np.asarray(row["block_min_dl"], dtype=np.int64), avgdl,
+            cfg.k1, cfg.b,
+        ) * _BOUND_SLACK
+        self.max_w = float(weight_np(
+            np.asarray([row["max_tf"]], dtype=np.int64), idf_arr,
+            np.asarray([row["min_dl"]], dtype=np.int64), avgdl,
+            cfg.k1, cfg.b,
+        )[0]) * _BOUND_SLACK
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
@@ -273,7 +284,7 @@ def score_shards(
         dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
         by_term: dict[str, _TermList] = {}
         for _, row in pdf.iterrows():
-            by_term[row["term"]] = _TermList(row, block_size)
+            by_term[row["term"]] = _TermList(row, block_size, avgdl, cfg)
         out_q, out_d, out_s = [], [], []
         for qid, terms, k, mode in q_spec:
             lists = [by_term[t] for t in terms if t in by_term]

@@ -212,7 +212,7 @@ def _build_index_inner(
     # ---- per-stage posting builds (resume granularity) ----
     for stage in range(cfg.build_stages):
         _build_stage(
-            spark, index_dir, docs_path, cfg, n_buckets, avgdl,
+            spark, index_dir, docs_path, cfg, n_buckets,
             stage_id=stage, local_stage=stage,
         )
 
@@ -257,7 +257,12 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
         .drop("content")
     )
     if "doc_id" in tokenized.columns:
+        # a refresh delta that already carries ids must still land in the
+        # generation's reserved id range — otherwise its ids collide with
+        # generation 0 and postings silently drop rows
         docs = tokenized
+        if id_offset:
+            docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
     else:
         # 4x the core count: the docs table's FILE COUNT is the map-side
         # parallelism ceiling of every downstream scan (term_stats, stage
@@ -339,15 +344,17 @@ def _write_term_stats(spark, index_dir: str, docs_paths: list[str],
 
 
 def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
-                 n_buckets: int, avgdl: float, stage_id: int, local_stage: int,
+                 n_buckets: int, stage_id: int, local_stage: int,
                  step_prefix: str = "") -> None:
     """One posting-build stage: docs stage=local_stage → postings + doc_meta.
 
     The input is the stage's partition of the docs table (partition-pruned
     scan), exploded JVM-side into the (doc_id, dl, term, tf) long form.  NO
-    term_stats join: block bounds are stored idf-free (tf-factor only) and
-    scaled by the live idf at query time — the stage job is a pure
-    scan→explode→group→encode pipeline with a single shuffle.
+    term_stats join and no corpus-stats dependency: block bounds are
+    stored as parameter-free integer (max_tf, min_dl) pairs and turned
+    into weight bounds with the live (idf, avgdl) at query time — the
+    stage job is a pure scan→explode→group→encode pipeline with a single
+    shuffle.
     """
     step = f"{step_prefix}stage_{local_stage}" if step_prefix else f"stage_{local_stage}"
     if _done(index_dir, step):
@@ -357,7 +364,7 @@ def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
         spark.read.option("basePath", docs_path).parquet(docs_path)
         .filter(F.col("stage") == local_stage)
     )
-    posts = build_postings(_tf_long(stage_docs), avgdl, cfg, n_buckets)
+    posts = build_postings(_tf_long(stage_docs), cfg, n_buckets)
     out = os.path.join(index_dir, "postings", f"stage={stage_id}")
     posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
@@ -411,6 +418,29 @@ def _delta_fingerprint(corpus: DataFrame) -> str:
     ).hexdigest()
 
 
+def _reset_generation(index_dir: str, gen: int, cfg: EngineConfig,
+                      stage_offset: int) -> None:
+    """Discard an UNCOMMITTED generation's partial state (manifests, docs,
+    postings, doc_meta, positions).  Only safe before ``refresh_{gen}``
+    commits — callers check that first."""
+    import glob as _glob
+    import shutil
+
+    assert not _done(index_dir, f"refresh_{gen}"), "cannot reset committed gen"
+    for m in _glob.glob(_manifest_path(index_dir, f"refresh_{gen}_*")):
+        os.remove(m)
+    shutil.rmtree(os.path.join(index_dir, f"docs_gen{gen}"), ignore_errors=True)
+    for i in range(cfg.build_stages):
+        shutil.rmtree(
+            os.path.join(index_dir, "postings", f"stage={stage_offset + i}"),
+            ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(index_dir, "doc_meta", f"stage={stage_offset + i}"),
+            ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "positions", f"gen={gen}"),
+                  ignore_errors=True)
+
+
 def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                   index_dir: str) -> IndexReader:
     """Append a batch of new documents to an existing index (generation g).
@@ -453,6 +483,17 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
+        # -- resume safety: partial progress is BOUND to this delta.  If a
+        # previous refresh of this generation crashed mid-way with a
+        # DIFFERENT delta, its prepare manifest would otherwise short-
+        # circuit and we'd commit generation g containing the old delta's
+        # documents under the new delta's fingerprint.  Wipe the partial
+        # generation and start it clean.
+        if _done(index_dir, prefix + "prepare"):
+            with open(_manifest_path(index_dir, prefix + "prepare")) as f:
+                if json.load(f).get("input_fp") != fp:
+                    _reset_generation(index_dir, gen, cfg, stage_offset)
+
         # -- prepare: docs table for the delta + global stats --
         all_docs_paths = [os.path.join(index_dir, "docs")] + [
             os.path.join(index_dir, f"docs_gen{g}") for g in range(1, gen + 1)
@@ -472,7 +513,7 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                               n_docs, avgdl)
             _write_manifest(index_dir, prefix + "prepare", {
                 "gen": gen, "n_new": n_new, "base_id": base_id,
-                "n_docs": n_docs, "avgdl": avgdl,
+                "n_docs": n_docs, "avgdl": avgdl, "input_fp": fp,
                 "elapsed_sec": time.time() - t0,
             })
             _metric(index_dir, step=prefix + "prepare", elapsed_sec=time.time() - t0,
@@ -484,7 +525,7 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
 
         # -- per-stage builds for the NEW shards only --
         for i in range(cfg.build_stages):
-            _build_stage(spark, index_dir, docs_path, cfg, n_buckets, avgdl,
+            _build_stage(spark, index_dir, docs_path, cfg, n_buckets,
                          stage_id=stage_offset + i, local_stage=i,
                          step_prefix=prefix)
 

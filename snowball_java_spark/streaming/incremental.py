@@ -87,7 +87,7 @@ def start_incremental_postings(
             # no idf column needed: block bounds are idf-free by design,
             # so appended segments stay correct when df/N later change
         )
-        posts = build_postings(tf, avgdl, cfg, n_buckets)
+        posts = build_postings(tf, cfg, n_buckets)
         posts.write.mode("append").partitionBy("bucket").parquet(
             f"{index_dir}/postings/stage=stream"
         )

@@ -73,3 +73,27 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["doc_id", "rank", "score"]
+
+
+def test_index_cache_invalidated_when_corpus_changes(spark, tmp_path):
+    """Regression (VERDICT r1 #8): the /tmp index cache must key on the
+    DATA, not the directory basename — regenerating a corpus under the
+    same tag must force a rebuild."""
+    import shutil
+
+    from snowball_java_spark.entry_queries import _index_for
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", sf / "documents.parquet")
+    idx1 = _index_for(spark, str(sf))
+    # same bytes → cache hit (same directory)
+    idx1b = _index_for(spark, str(sf))
+    assert idx1b.index_dir == idx1.index_dir
+    # mutate the corpus under the same tag → different cache dir + stats
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100).write.mode(
+        "overwrite"
+    ).parquet(str(sf / "documents.parquet"))
+    idx2 = _index_for(spark, str(sf))
+    assert idx2.index_dir != idx1.index_dir
+    assert idx2.n_docs == 100 != idx1.n_docs

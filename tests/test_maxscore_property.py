@@ -24,10 +24,10 @@ CFG = EngineConfig(block_size=4)  # tiny blocks → many skip boundaries
 def _mk_termlist(docs, tfs, dls_all, idf, avgdl):
     enc = encode_term_postings(
         np.asarray(docs, np.int64), np.asarray(tfs, np.int64),
-        dls_all[np.asarray(docs, np.int64)], avgdl, CFG,
+        dls_all[np.asarray(docs, np.int64)], CFG,
     )
     row = pd.Series({**enc, "idf": idf})
-    return _TermList(row, CFG.block_size)
+    return _TermList(row, CFG.block_size, avgdl, CFG)
 
 
 @given(st.data())

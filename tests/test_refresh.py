@@ -108,6 +108,106 @@ def test_refresh_is_resumable_noop(spark, split_corpus, indexes):
     assert conf_before == conf_after
 
 
+def _mk_pdf(n: int, n_tokens: int, tag: str):
+    """n docs of ~n_tokens tokens each; zero-padded paths so the
+    (repo, path, commit) sort order equals the row order."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        toks = ["def"] * (1 + i % 3) + [f"{tag}_{i % 7}"] * (n_tokens - (1 + i % 3))
+        rows.append((f"r{tag}", f"p{i:05d}", f"c{i}", "python", " ".join(toks)))
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def test_refresh_avgdl_growth_keeps_exact_topk(spark, tmp_path_factory):
+    """Regression (ADVICE r1, high): a refresh that RAISES the corpus avgdl
+    must not invalidate generation-0 pruning bounds.  Bounds stored as a
+    build-time weight would under-bound old segments once avgdl grows and
+    MaxScore would prune true top-k docs; parameter-free (max_tf, min_dl)
+    bounds recomputed with the live avgdl stay exact."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.plans.build_index import build_index, refresh_index
+    from tests.oracle import OracleIndex
+
+    base_pdf = _mk_pdf(96, 20, "short")     # avgdl ~20 at gen 0
+    delta_pdf = _mk_pdf(96, 400, "long")    # avgdl ~210 after refresh
+    d = str(tmp_path_factory.mktemp("avgdl"))
+    idx = build_index(spark, spark.createDataFrame(base_pdf), d,
+                      cfg=CFG, n_buckets=N_BUCKETS)
+    idx = refresh_index(spark, spark.createDataFrame(delta_pdf), d)
+    assert idx.avgdl > 100  # the refresh really did grow avgdl
+
+    docs = [(i, c) for i, c in enumerate(base_pdf["content"])]
+    docs += [(128 + i, c) for i, c in enumerate(delta_pdf["content"])]
+    oracle = OracleIndex(docs)
+    qs = [{"query_id": 0, "terms": ["def"], "k": 20},
+          {"query_id": 1, "terms": ["def", "short_0"], "k": 10},
+          {"query_id": 2, "terms": ["long_3"], "k": 10}]
+    res = bm25_topk_index(spark, idx, qs, cfg=idx.cfg)
+    by_q: dict[int, list] = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = oracle.topk(q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], f"q{q['query_id']}"
+        for (_, _, score), (_, escore) in zip(mine, expect):
+            assert score == pytest.approx(escore, rel=1e-9)
+
+
+def test_refresh_resume_binds_to_delta_fingerprint(spark, tmp_path_factory):
+    """Regression (ADVICE r1, medium): a refresh that crashed mid-
+    generation with delta A must NOT be resumed with delta B — the partial
+    generation is wiped and rebuilt from B."""
+    import json
+    import os
+
+    from snowball_java_spark.plans.build_index import build_index, refresh_index
+
+    base_pdf = _mk_pdf(64, 30, "base")
+    delta_a = _mk_pdf(32, 30, "aaa")
+    delta_b = _mk_pdf(40, 30, "bbb")
+    d = str(tmp_path_factory.mktemp("fpbind"))
+    build_index(spark, spark.createDataFrame(base_pdf), d,
+                cfg=CFG, n_buckets=N_BUCKETS)
+    refresh_index(spark, spark.createDataFrame(delta_a), d)
+    # simulate a crash after all sub-steps but before the commit manifest
+    os.remove(os.path.join(d, "manifest", "refresh_1.json"))
+    idx = refresh_index(spark, spark.createDataFrame(delta_b), d)
+
+    assert idx.n_docs == 64 + 40  # B's docs, not A's
+    with open(os.path.join(d, "manifest", "refresh_1.json")) as f:
+        assert json.load(f)["n_new"] == 40
+    terms = {r["term"] for r in idx.term_stats(spark).collect()}
+    assert "bbb_0" in terms and "aaa_0" not in terms
+
+
+def test_refresh_delta_with_own_doc_ids_gets_offset(spark, tmp_path_factory):
+    """Regression (ADVICE r1, medium): a delta corpus that already carries
+    dense doc_ids must still be shifted into the generation's reserved id
+    range — without the offset its ids collide with generation 0."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.plans.build_index import build_index, refresh_index
+
+    base_pdf = _mk_pdf(96, 25, "base")
+    delta_pdf = _mk_pdf(32, 25, "delta")
+    d = str(tmp_path_factory.mktemp("idoff"))
+    base = spark.createDataFrame(base_pdf)
+    delta = spark.createDataFrame(delta_pdf).withColumn(
+        "doc_id",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("path")
+        ).cast("long") - 1,
+    )
+    build_index(spark, base, d, cfg=CFG, n_buckets=N_BUCKETS)
+    idx = refresh_index(spark, delta, d)
+    ids = [r["doc_id"] for r in idx.docs(spark).select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 96 + 32
+    assert min(i for i in ids if i >= 96) == 128  # delta starts at boundary
+
+
 def test_refresh_with_boundary_gap(spark, tmp_path_factory):
     """When the old doc count is NOT a shard multiple, new ids start at the
     next shard boundary (per-shard density preserved); results still match

@@ -73,7 +73,8 @@ def test_incremental_postings_append(spark, tmp_path):
     rows = spark.read.parquet(str(idx_dir / "postings" / "stage=stream")).collect()
     got_df: Counter = Counter()
     for r in rows:
-        tl = _TermList(pd.Series({**r.asDict(), "idf": 1.0}), cfg.block_size)
+        tl = _TermList(pd.Series({**r.asDict(), "idf": 1.0}), cfg.block_size,
+                       100.0, cfg)
         docs, tfs = tl.decode_all()
         assert docs.size == r["n"] == r["df_local"]
         assert np.all(tfs >= 1)
