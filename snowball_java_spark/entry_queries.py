@@ -412,6 +412,48 @@ def _q_noisy_or(spark, sf_dir):
     )
 
 
+def _q_rlogf(spark, sf_dir):
+    """A5/A6/A7 analog (``clustering/SnowballPattern.java:198-213``,
+    ``bin/Snowball.java:196-208``): per-seed selectivity counters
+    (pos = docs with both terms, neg = docs with e1 but not e2),
+    confidence = pos/(pos+neg), RlogF = conf·(1+log2(pos)), normalized by
+    the global max RlogF.  Plan: broadcast nested-loop over 3 seed rows
+    (no shuffle of tokens), tiny groupBy, broadcast global-max join."""
+    seeds = spark.createDataFrame(_SEEDS, "e1 string, e2 string")
+    d = _docs_tok(spark, sf_dir).select("tokens")
+    x = d.crossJoin(F.broadcast(seeds)).select(
+        "e1", "e2",
+        F.array_contains("tokens", F.col("e1")).alias("h1"),
+        F.array_contains("tokens", F.col("e2")).alias("h2"),
+    )
+    agg = (
+        x.filter("h1")
+        .groupBy("e1", "e2")
+        .agg(
+            F.sum(F.when(F.col("h2"), 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(~F.col("h2"), 1).otherwise(0)).alias("neg"),
+        )
+    )
+    conf = F.col("pos").cast("double") / (F.col("pos") + F.col("neg"))
+    rlogf = F.when(
+        F.col("pos") > 0,
+        conf * (F.lit(1.0) + F.log2(F.col("pos").cast("double"))),
+    ).otherwise(F.lit(0.0))
+    scored = agg.withColumn("conf", conf).withColumn("rlogf", rlogf)
+    mx = scored.agg(F.max("rlogf").alias("mx"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .select(
+            "e1", "e2", "pos", "neg",
+            F.round("conf", 6).alias("conf"),
+            F.round(
+                F.when(F.col("mx") > 0, F.col("rlogf") / F.col("mx"))
+                .otherwise(F.lit(0.0)), 6,
+            ).alias("rlogf_norm"),
+        )
+    )
+
+
 def _q_top_terms_per_doc(spark, sf_dir):
     """O9 argmax analog: top-3 terms per doc by (tf·idf desc, term asc)."""
     d = _docs_tok(spark, sf_dir)
@@ -462,8 +504,11 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard VERIFYING MinHash-LSH candidates — the scale
+    wiring (pair count bounded by LSH buckets, never O(n²)/group)."""
     d = _docs_tok(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_pairs(d, "source")
+    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d))
+    pairs = dedup.jaccard_verify_pairs(d, cand)
     w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -563,12 +608,36 @@ def _q_multimodal(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Rows-only (no SQL oracle): stubbed decode through the real
-    mapInPandas plumbing."""
+    """Real decode: pack each doc as a valid 24bpp BMP, then PARSE the
+    binary header back in pure numpy through the mapInPandas plumbing.
+    Every output column is read from header bytes; the oracle recomputes
+    them from octet_length arithmetic."""
     from snowball_java_spark.operators.multimodal import decode_features, pack_media
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    return decode_features(pack_media(d)).select("doc_id", "n_bytes", "width", "height")
+    return decode_features(pack_media(d)).select(
+        "doc_id", "n_bytes", "width", "height", "row_size", "data_size"
+    )
+
+
+_NORM_ALIASES = {"row": "record", "table": "relation", "vector": "vec"}
+
+
+def _q_token_normalize(spark, sf_dir):
+    """S6/J6 analog (dictionary lemmatizer,
+    ``nlp/PortugueseVerbNormalizer.java:57-108``): broadcast alias map
+    applied inside the tokenizer pipeline; df over the canonical forms."""
+    from snowball_java_spark.functions.normalize import alias_normalize_expr
+
+    d = _docs_tok(spark, sf_dir)
+    norm = alias_normalize_expr(F.col("tokens"), _NORM_ALIASES)
+    targets = sorted(set(_NORM_ALIASES.values()))
+    return (
+        d.select(F.explode(F.array_distinct(norm)).alias("term"))
+        .filter(F.col("term").isin(targets))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
 
 
 _COOC_LEFT = ["table", "spark"]
@@ -703,25 +772,45 @@ SELECT doc_id, {cases} AS simhash FROM hx GROUP BY doc_id
 """
 
 
-def _jaccard_sql() -> str:
+def _jaccard_sql(bands: int = 8, rows_per_band: int = 2) -> str:
+    """Exact Jaccard over LSH candidate pairs (mirrors the Spark wiring:
+    same minhash constants, same banding, list_intersect verify)."""
     sh = (
-        "list_distinct(list_transform(range(1, len(toks) - 1), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+        "list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> (({h60_sql('s')}) % {MINHASH_P} * "
+        f"{MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
+        for i in range(NUM_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + " AS key FROM mh"
+        for b in range(bands)
     )
     return f"""
-WITH toks AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents),
-shx AS (SELECT doc_id, source, unnest({sh}) AS sh FROM toks),
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shx GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
-  FROM shx a JOIN shx b ON a.source = b.source AND a.sh = b.sh
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+shx AS (SELECT doc_id, {sh} AS sh FROM toks),
+sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM shx),
+mh AS (SELECT doc_id, {mh_cols} FROM shx),
+buckets AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
 ),
 j AS (
   SELECT doc_a, doc_b,
-         n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE AS jaccard
-  FROM inter JOIN sizes sa ON inter.doc_a = sa.doc_id
-             JOIN sizes sb ON inter.doc_b = sb.doc_id
+         CASE WHEN len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) > 0
+              THEN len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                   / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))::DOUBLE
+              ELSE 0.0 END AS jaccard
+  FROM pairs JOIN sets sa ON pairs.doc_a = sa.doc_id
+             JOIN sets sb ON pairs.doc_b = sb.doc_id
 )
 SELECT rank, doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
   SELECT doc_a, doc_b, jaccard,
@@ -948,6 +1037,28 @@ def build_registry() -> dict[str, Q]:
             f"CROSS JOIN (VALUES {seeds_sql}) s(e1, e2) "
             f"WHERE list_contains(toks, e1) AND list_contains(toks, e2)",
         ),
+        "rlogf_confidence": Q(
+            _q_rlogf,
+            f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+x AS (SELECT s.e1, s.e2,
+             list_contains(toks, s.e1) AS h1, list_contains(toks, s.e2) AS h2
+      FROM toks t CROSS JOIN (VALUES {seeds_sql}) s(e1, e2)),
+a AS (SELECT e1, e2,
+             sum(CASE WHEN h2 THEN 1 ELSE 0 END)::BIGINT AS pos,
+             sum(CASE WHEN NOT h2 THEN 1 ELSE 0 END)::BIGINT AS neg
+      FROM x WHERE h1 GROUP BY 1, 2),
+r AS (SELECT e1, e2, pos, neg, pos::DOUBLE / (pos + neg) AS conf,
+             CASE WHEN pos > 0
+                  THEN pos::DOUBLE / (pos + neg) * (1 + log2(pos::DOUBLE))
+                  ELSE 0.0 END AS rlogf
+      FROM a),
+m AS (SELECT max(rlogf) AS mx FROM r)
+SELECT e1, e2, pos, neg, round(conf, 6) AS conf,
+       round(CASE WHEN mx > 0 THEN rlogf / mx ELSE 0.0 END, 6) AS rlogf_norm
+FROM r CROSS JOIN m
+""",
+        ),
         "noisy_or_confidence": Q(
             _q_noisy_or,
             f"""
@@ -1034,15 +1145,46 @@ FROM toks
         ),
         "multimodal_meta": Q(
             _q_multimodal,
+            # same BMP-dimension arithmetic as operators.multimodal._bmp_dims
             """
+WITH m AS (SELECT doc_id,
+                  (1 + octet_length(encode(text)) % 64)::INTEGER AS w,
+                  (1 + octet_length(encode(text)) % 37)::INTEGER AS h
+           FROM documents)
 SELECT doc_id,
-       octet_length(encode(text))::BIGINT AS n_bytes,
-       (octet_length(encode(text)) % 640)::INTEGER AS declared_w,
-       (octet_length(encode(text)) % 480)::INTEGER AS declared_h
-FROM documents
+       (54 + ((w * 3 + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+       w AS declared_w, h AS declared_h
+FROM m
 """,
         ),
-        "media_features_stub": Q(_q_media_features, None),
+        "media_features_bmp": Q(
+            _q_media_features,
+            """
+WITH m AS (SELECT doc_id,
+                  (1 + octet_length(encode(text)) % 64)::INTEGER AS w,
+                  (1 + octet_length(encode(text)) % 37)::INTEGER AS h
+           FROM documents),
+d AS (SELECT doc_id, w, h, (((w * 3 + 3) // 4) * 4)::INTEGER AS row_size FROM m)
+SELECT doc_id,
+       (54 + row_size * h)::BIGINT AS n_bytes,
+       w AS width, h AS height, row_size,
+       (row_size * h)::BIGINT AS data_size
+FROM d
+""",
+        ),
+        "token_normalize": Q(
+            _q_token_normalize,
+            f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+n AS (SELECT doc_id, list_transform(toks, t -> CASE
+        {" ".join(f"WHEN t = '{k}' THEN '{v}'" for k, v in sorted(_NORM_ALIASES.items()))}
+        ELSE t END) AS toks FROM toks)
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM n)
+WHERE term IN ({", ".join(f"'{v}'" for v in sorted(set(_NORM_ALIASES.values())))})
+GROUP BY 1
+""",
+        ),
         "term_cooccurrence": Q(
             _q_term_cooccurrence,
             f"""

@@ -1,0 +1,111 @@
+"""Dictionary-based token normalization (S6/J6 analog).
+
+The reference lemmatizes verbs through a broadcast conjugation→infinitive
+dictionary with ambiguity arbitration
+(``snowball/src/nlp/PortugueseVerbNormalizer.java:18-108`` — load at
+:18-55, lookup + arbitration at :57-108).  The engine analog is alias
+normalization for code tokens (``fn``→``function`` style): two
+implementations with identical semantics,
+
+  * :func:`alias_normalize_expr` — Catalyst ``transform`` over a literal
+    map.  For the small dictionaries this feature uses, the map literal
+    embedded in the plan IS the broadcast (shipped once per task, JVM-side
+    lookup, whole-stage codegen) — the fastest possible form.
+  * :func:`alias_normalize_join` — the broadcast-JOIN form for
+    dictionaries too large to inline (millions of entries): posexplode →
+    broadcast left join → re-assemble in position order.  Ambiguity
+    arbitration (a surface form mapping to several canonicals) picks the
+    highest-weight entry, ties broken alphabetically — the reference's
+    "most frequent infinitive wins" rule made deterministic.
+
+The pure-Python reference is :func:`normalize_py` (parity-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_py(tokens: list[str], aliases: dict[str, str]) -> list[str]:
+    """Pinned semantics: per-token dictionary replacement, order kept."""
+    return [aliases.get(t, t) for t in tokens]
+
+
+def arbitrate_py(entries: list[tuple[str, str, float]]) -> dict[str, str]:
+    """(surface, canonical, weight) rows → unambiguous dict: max weight
+    wins, ties alphabetically on canonical."""
+    best: dict[str, tuple[float, str]] = {}
+    for surface, canonical, w in entries:
+        cur = best.get(surface)
+        cand = (-w, canonical)
+        if cur is None or cand < cur:
+            best[surface] = cand
+    return {s: c for s, (_, c) in best.items()}
+
+
+def alias_map_expr(aliases: dict[str, str]) -> Column:
+    """The dictionary as a Catalyst map literal."""
+    kv = []
+    for k, v in sorted(aliases.items()):
+        kv.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*kv)
+
+
+def alias_normalize_expr(tokens_col: Column | str, aliases: dict[str, str]) -> Column:
+    """transform(tokens, t -> coalesce(dict[t], t)) — JVM-side, codegen."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    m = alias_map_expr(aliases)
+    return F.transform(c, lambda t: F.coalesce(F.element_at(m, t), t))
+
+
+def arbitrate_dictionary(entries: DataFrame) -> DataFrame:
+    """entries(surface, canonical, weight) → one row per surface.
+
+    The reference resolves ambiguous conjugations by frequency
+    (``PortugueseVerbNormalizer.java:57-108``); here: weight desc,
+    canonical asc — a total order, so the dictionary is deterministic."""
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("weight"), F.asc("canonical")
+    )
+    return (
+        entries.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("surface", "canonical")
+    )
+
+
+def alias_normalize_join(
+    docs_tok: DataFrame, dictionary: DataFrame, tokens_col: str = "tokens"
+) -> DataFrame:
+    """Broadcast-join normalization for large dictionaries.
+
+    posexplode → broadcast left join on the surface form → collect back
+    into position order.  The dictionary side broadcasts (dimension
+    table); the fact side never shuffles — ``collect_list`` groups by
+    doc_id on rows that are already co-partitioned by the explode's
+    parent, and the array is re-ordered by position inside the aggregate,
+    so results are partitioning-independent."""
+    exploded = docs_tok.select(
+        "doc_id", F.posexplode(tokens_col).alias("pos", "surface")
+    )
+    joined = exploded.join(F.broadcast(dictionary), "surface", "left").select(
+        "doc_id", "pos",
+        F.coalesce("canonical", "surface").alias("token"),
+    )
+    rebuilt = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ).alias(tokens_col)
+        )
+    )
+    # docs whose token array was empty produce no exploded rows — restore
+    # them with empty arrays so the operator is total
+    base = docs_tok.select("doc_id")
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(tokens_col, F.array().cast("array<string>")).alias(tokens_col),
+    )

@@ -66,11 +66,8 @@ def with_minhash(docs_tok: DataFrame, num: int = NUM_MINHASH) -> DataFrame:
     return out.drop("_sh")
 
 
-def lsh_candidate_pairs(
-    with_mh: DataFrame, bands: int = 8, rows_per_band: int = 2
-) -> DataFrame:
-    """Band the signature; docs sharing any band bucket are candidates.
-    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+def _lsh_buckets(with_mh: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, sig, band, key) — one row per doc per band."""
     assert bands * rows_per_band <= NUM_MINHASH
     band_cols = [
         F.struct(
@@ -82,9 +79,47 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     sig = [F.col(f"mh_{i}") for i in range(NUM_MINHASH)]
-    buckets = with_mh.select(
+    return with_mh.select(
         "doc_id", F.array(*sig).alias("sig"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", "sig", "bk.band", "bk.key")
+
+
+def lsh_hot_buckets(
+    with_mh: DataFrame, max_bucket_size: int,
+    bands: int = 8, rows_per_band: int = 2,
+) -> DataFrame:
+    """Quarantine relation: (band, key, n_docs) for buckets ABOVE the cap.
+    These are pathological near-identical clusters (boilerplate files);
+    emitting them as a metric instead of pairing them bounds the join."""
+    return (
+        _lsh_buckets(with_mh, bands, rows_per_band)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    with_mh: DataFrame, bands: int = 8, rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    ``max_bucket_size`` caps the pathological hot bucket: a million
+    byte-identical boilerplate files share every band bucket, and pairing
+    inside such a bucket is quadratic no matter how good the banding is.
+    Buckets above the cap are EXCLUDED here (use :func:`lsh_hot_buckets`
+    to surface them — their members are trivially near-identical and are
+    better handled by exact dedup on the cluster representative)."""
+    buckets = _lsh_buckets(with_mh, bands, rows_per_band)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+        buckets = (
+            buckets.join(sizes, ["band", "key"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -145,6 +180,40 @@ def exact_dup_groups(docs: DataFrame, content_col: str = "content") -> DataFrame
     return (
         docs.groupBy(F.md5(F.col(content_col)).alias("content_md5"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def jaccard_verify_pairs(
+    docs_tok: DataFrame, cand_pairs: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard as the VERIFY stage over candidate pairs
+    (normally the output of :func:`lsh_candidate_pairs`) — the scale-
+    correct wiring: work is bounded by the candidate generator's output,
+    never by O(n²) within a blocking group.
+
+    Per-doc distinct-shingle ARRAYS (bounded by doc length) join to the
+    pair relation on each side; the intersection is a per-row Catalyst
+    ``array_intersect`` — no shingle-level shuffle at all.  Output:
+    (doc_a, doc_b, jaccard)."""
+    sets_ = docs_tok.select(
+        "doc_id", F.array_distinct(shingles_expr(F.col("tokens"))).alias("sh")
+    )
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = (
+        cand_pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+    )
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0,
+                   F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

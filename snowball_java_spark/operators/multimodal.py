@@ -1,11 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video travel as `binary` columns with a metadata struct; the
+Image/audio/video travel as `binary` columns with a metadata struct.  The
 Spark-side plumbing (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested, while the actual codec calls are STUBBED —
-the decode libraries (Pillow/ffmpeg/torchaudio) are not in this container.
-Each stub either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake (test mode) so pipelines exercise the full dataflow.
+signatures) is real AND the decode is real for one trivial container:
+**BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp) is written and parsed
+in pure numpy — no Pillow required — so the full pack→decode dataflow is
+oracle-checkable byte arithmetic.  Rich formats (PNG/JPEG/audio/video)
+remain honestly stubbed behind ``NotImplementedError``: their codec
+libraries are not in this container.
+
+Scale note for 100 TB: payloads are large, so Arrow batch sizing must be
+by bytes not rows — callers set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly, and the
+payload column lives in its own parquet column so metadata-only readers
+never touch it (column pruning; pinned by a plan test).
 """
 
 from __future__ import annotations
@@ -22,68 +30,154 @@ MEDIA_SCHEMA = (
     "meta struct<n_bytes: long, declared_w: int, declared_h: int>"
 )
 
-FEATURE_SCHEMA = "doc_id long, n_bytes long, width int, height int, feat array<float>"
+_PACK_SCHEMA = "doc_id long, payload binary, declared_w int, declared_h int"
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, "
+    "row_size int, data_size long, mean_px double, feat array<float>"
+)
+
+_BMP_HEADER = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_dims(n_src: int) -> tuple[int, int, int, int]:
+    """Deterministic (w, h, row_size, data_size) from source byte count —
+    the SAME arithmetic the DuckDB oracle reproduces from
+    octet_length(encode(text))."""
+    w = 1 + n_src % 64
+    h = 1 + n_src % 37
+    row_size = (w * 3 + 3) // 4 * 4  # 24bpp rows padded to 4 bytes
+    return w, h, row_size, row_size * h
+
+
+def bmp_bytes(src: bytes) -> bytes:
+    """A valid minimal 24bpp BMP whose pixel data is ``src`` cycled to
+    fill the raster (deterministic fake imagery; real headers)."""
+    w, h, row_size, data_size = _bmp_dims(len(src))
+    arr = np.frombuffer(src, np.uint8) if src else np.zeros(1, np.uint8)
+    px = np.resize(arr, data_size)
+    hdr = np.zeros(_BMP_HEADER, np.uint8)
+    u32 = np.empty(1, dtype="<u4")
+
+    def le32(off: int, v: int) -> None:
+        u32[0] = v
+        hdr[off:off + 4] = u32.view(np.uint8)
+
+    hdr[0], hdr[1] = 0x42, 0x4D  # 'BM'
+    le32(2, _BMP_HEADER + data_size)   # bfSize
+    le32(10, _BMP_HEADER)              # bfOffBits
+    le32(14, 40)                       # biSize
+    le32(18, w)
+    le32(22, h)
+    hdr[26] = 1                        # biPlanes
+    hdr[28] = 24                       # biBitCount
+    le32(34, data_size)                # biSizeImage
+    le32(38, 2835)                     # 72 dpi
+    le32(42, 2835)
+    return hdr.tobytes() + px.tobytes()
 
 
 def pack_media(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """Wrap text content as a fake media payload (utf-8 bytes) with typed
-    metadata — the schema shape real image ingestion would use."""
-    payload = F.encode(F.col(content_col), "UTF-8")
-    return docs.select(
-        "doc_id",
-        F.lit("image/fake").alias("media_type"),
-        payload.alias("payload"),
-        F.struct(
-            F.length(payload).cast("long").alias("n_bytes"),
-            (F.length(payload) % 640).cast("int").alias("declared_w"),
-            (F.length(payload) % 480).cast("int").alias("declared_h"),
-        ).alias("meta"),
-    )
+    """content → real BMP payload + typed metadata struct.
 
-
-def _decode_stub(payload: bytes, strict: bool) -> tuple[int, int, np.ndarray]:
-    """STUB decode: real impl would be Pillow/libvips.  Deterministic fake:
-    dimensions from payload length, 8-dim 'feature' from byte histogram."""
-    if strict:
-        raise NotImplementedError(
-            "image decode requires Pillow/libvips — not present in this "
-            "container; run with strict=False for the deterministic fake"
-        )
-    w = len(payload) % 640
-    h = len(payload) % 480
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr % 8, minlength=8).astype(np.float32)
-    denom = max(float(arr.size), 1.0)
-    return w, h, hist / denom
-
-
-def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches in, fixed-width
-    feature vectors out.  Batch-shape note for 100 TB: payloads are large,
-    so maxRecordsPerBatch must be sized by bytes not rows — callers set
-    spark.sql.execution.arrow.maxRecordsPerBatch accordingly."""
+    The payload is assembled in mapInPandas (binary construction is not
+    expressible in Catalyst); the metadata struct is built declaratively
+    from the UDF's scalar outputs so it lives in its own parquet columns.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ws, hs, feats, nb = [], [], [], []
-            for payload in pdf["payload"]:
-                b = bytes(payload)
-                w, h, f = _decode_stub(b, strict)
+            payloads, ws, hs = [], [], []
+            for text in pdf[content_col]:
+                src = ("" if text is None else str(text)).encode("utf-8")
+                w, h, _, _ = _bmp_dims(len(src))
+                payloads.append(bmp_bytes(src))
                 ws.append(w)
                 hs.append(h)
-                feats.append(f.tolist())
-                nb.append(len(b))
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": nb,
-                    "width": ws,
-                    "height": hs,
-                    "feat": feats,
-                }
+                {"doc_id": pdf["doc_id"], "payload": payloads,
+                 "declared_w": ws, "declared_h": hs}
             )
+
+    packed = docs.select("doc_id", content_col).mapInPandas(run, _PACK_SCHEMA)
+    return packed.select(
+        "doc_id",
+        F.lit("image/bmp").alias("media_type"),
+        "payload",
+        F.struct(
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("declared_w").alias("declared_w"),
+            F.col("declared_h").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def parse_bmp(payload: bytes) -> tuple[int, int, int, int, float, np.ndarray]:
+    """Pure-numpy BMP header parse → (w, h, row_size, data_size, mean_px,
+    8-bin byte histogram).  Every field is READ from the binary header and
+    cross-checked, so corruption fails loudly."""
+    if len(payload) < _BMP_HEADER or payload[0] != 0x42 or payload[1] != 0x4D:
+        raise ValueError("not a BMP payload (bad magic)")
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off:off + 4], "little")
+
+    file_size, off_bits = u32(2), u32(10)
+    w, h = u32(18), u32(22)
+    bpp = int.from_bytes(payload[28:30], "little")
+    data_size = u32(34)
+    row_size = (w * bpp // 8 + 3) // 4 * 4
+    if (file_size != len(payload) or off_bits != _BMP_HEADER or bpp != 24
+            or data_size != row_size * h):
+        raise ValueError("corrupt BMP header")
+    px = np.frombuffer(payload, np.uint8, count=data_size, offset=off_bits)
+    denom = max(data_size, 1)
+    hist = np.bincount(px & 7, minlength=8).astype(np.float32) / denom
+    mean_px = float(px.sum()) / denom
+    return w, h, row_size, data_size, mean_px, hist
+
+
+def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, parsed header
+    fields + fixed-width feature vectors out.
+
+    BMP decodes for real (``parse_bmp``).  Other media types are stubbed:
+    ``NotImplementedError`` — the codec libraries (Pillow/ffmpeg/
+    torchaudio) are not in this container; ``strict=False`` skips those
+    rows instead of failing the job.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("doc_id", "n_bytes", "width", "height",
+                                   "row_size", "data_size", "mean_px", "feat")}
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mtype != "image/bmp":
+                    if strict:
+                        raise NotImplementedError(
+                            f"decode of {mtype} requires Pillow/ffmpeg — "
+                            "not present in this container"
+                        )
+                    continue
+                b = bytes(payload)
+                w, h, row_size, data_size, mean_px, hist = parse_bmp(b)
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(b))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["row_size"].append(row_size)
+                out["data_size"].append(data_size)
+                out["mean_px"].append(mean_px)
+                out["feat"].append(hist.tolist())
+            if out["doc_id"]:  # all-skipped batch: empty object columns
+                yield pd.DataFrame(out)  # would break Arrow list<float>
+
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 

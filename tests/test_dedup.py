@@ -1,0 +1,71 @@
+"""Dedup operator tests: LSH hot-bucket cap + Jaccard verify wiring."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.tokenize import tokens_expr
+from snowball_java_spark.operators import dedup
+
+BOILERPLATE = "def main import config return handler " * 5
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    """40 byte-identical boilerplate docs + 10 distinct docs."""
+    rows = [(i, BOILERPLATE) for i in range(40)]
+    rows += [(100 + i, f"unique_{i} token_{i} alpha_{i} beta_{i} gamma_{i}")
+             for i in range(10)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return (
+        spark.createDataFrame(pdf)
+        .select("doc_id", tokens_expr("text").alias("tokens"))
+        .cache()
+    )
+
+
+def test_hot_bucket_cap_bounds_pairs(spark, boiler_docs):
+    mh = dedup.with_minhash(boiler_docs).cache()
+    uncapped = dedup.lsh_candidate_pairs(mh).count()
+    assert uncapped >= 40 * 39 // 2  # quadratic blowup without the cap
+
+    capped = dedup.lsh_candidate_pairs(mh, max_bucket_size=10)
+    assert capped.count() == 0  # every boilerplate bucket exceeds the cap
+
+    hot = dedup.lsh_hot_buckets(mh, max_bucket_size=10).collect()
+    assert hot, "quarantine relation must surface the capped buckets"
+    assert all(r["n_docs"] == 40 for r in hot)
+    assert len(hot) == 8  # one hot bucket per band
+
+
+def test_cap_keeps_small_buckets(spark, boiler_docs):
+    """Docs in buckets at/below the cap still pair normally."""
+    mh = dedup.with_minhash(boiler_docs)
+    capped = dedup.lsh_candidate_pairs(mh, max_bucket_size=45)
+    # cap above the hot-bucket size → identical to uncapped
+    assert capped.count() == dedup.lsh_candidate_pairs(mh).count()
+
+
+def test_jaccard_verify_matches_blocked_exact(spark, boiler_docs):
+    """jaccard_verify_pairs over an all-pairs candidate set must equal the
+    blocked exact-Jaccard operator on the same docs."""
+    docs = boiler_docs.filter(F.col("doc_id").isin([0, 1, 100, 101, 102]))
+    blocked = dedup.ngram_jaccard_pairs(
+        docs.withColumn("grp", F.lit("g")), "grp"
+    )
+    all_pairs = (
+        docs.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    verified = dedup.jaccard_verify_pairs(docs, all_pairs)
+    got = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9) for r in verified.collect()}
+    exp = {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 9) for r in blocked.collect()}
+    # ngram_jaccard_pairs emits only intersecting pairs; verify emits all
+    # candidates (jaccard 0 for disjoint) — compare on the union domain
+    for k, v in exp.items():
+        assert got[k] == v
+    for k, v in got.items():
+        assert exp.get(k, 0.0) == v

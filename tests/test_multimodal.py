@@ -1,12 +1,16 @@
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from snowball_java_spark.operators.multimodal import (
+    _bmp_dims,
+    bmp_bytes,
     decode_features,
     media_metadata,
     pack_media,
+    parse_bmp,
 )
 
 
@@ -15,27 +19,58 @@ def media(spark, synth_docs):
     return pack_media(synth_docs.select("doc_id", "content")).cache()
 
 
-def test_pack_media_schema_and_bytes(spark, media, synth_docs):
+def test_pack_media_is_valid_bmp(spark, media, synth_docs):
     row = media.filter(F.col("doc_id") == 1).collect()[0]
     src = synth_docs.filter(F.col("doc_id") == 1).collect()[0]["content"]
-    assert bytes(row["payload"]) == src.encode("utf-8")
-    assert row["meta"]["n_bytes"] == len(src.encode("utf-8"))
-    assert row["media_type"] == "image/fake"
+    payload = bytes(row["payload"])
+    assert payload[:2] == b"BM"
+    assert payload == bmp_bytes(src.encode("utf-8"))
+    w, h, _, data_size = _bmp_dims(len(src.encode("utf-8")))
+    assert row["meta"]["n_bytes"] == 54 + data_size == len(payload)
+    assert (row["meta"]["declared_w"], row["meta"]["declared_h"]) == (w, h)
+    assert row["media_type"] == "image/bmp"
 
 
-def test_decode_features_deterministic_fake(spark, media):
-    feats = decode_features(media).collect()
+def test_decode_parses_real_header(spark, media, synth_docs):
+    feats = {r["doc_id"]: r for r in decode_features(media).collect()}
     assert len(feats) == media.count()
-    for r in feats[:20]:
-        assert r["width"] == r["n_bytes"] % 640
+    srcs = {
+        r["doc_id"]: r["content"].encode("utf-8")
+        for r in synth_docs.select("doc_id", "content").collect()
+    }
+    for doc_id, src in list(srcs.items())[:30]:
+        r = feats[doc_id]
+        w, h, row_size, data_size = _bmp_dims(len(src))
+        assert (r["width"], r["height"], r["row_size"], r["data_size"]) == (
+            w, h, row_size, data_size)
+        assert r["n_bytes"] == 54 + data_size
+        # pixel stats match an independent pure-python recompute
+        px = np.resize(np.frombuffer(src, np.uint8) if src else np.zeros(1, np.uint8),
+                       data_size)
+        assert r["mean_px"] == pytest.approx(px.mean(), rel=1e-12)
         assert len(r["feat"]) == 8
-        total = sum(r["feat"])
-        assert total == pytest.approx(1.0, abs=1e-5) or r["n_bytes"] == 0
+        assert sum(r["feat"]) == pytest.approx(1.0, abs=1e-5)
 
 
-def test_decode_features_strict_raises(spark, media):
+def test_parse_bmp_rejects_corruption():
+    good = bmp_bytes(b"hello world, this is a bmp payload test")
+    with pytest.raises(ValueError, match="magic"):
+        parse_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_bmp(good[:-4])  # truncated → file_size mismatch
+    bad_w = bytearray(good)
+    bad_w[18] ^= 0x01  # flip a width bit → data_size cross-check fails
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_bmp(bytes(bad_w))
+
+
+def test_decode_non_bmp_stubbed(spark, media):
+    other = media.withColumn("media_type", F.lit("image/png"))
+    # strict → honest NotImplementedError (codec libs absent)
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        decode_features(media.limit(2), strict=True).collect()
+        decode_features(other.limit(2), strict=True).collect()
+    # non-strict → rows skipped, job survives
+    assert decode_features(other.limit(5)).count() == 0
 
 
 def test_metadata_projection_never_reads_payload(spark, media, tmp_path):

@@ -1,0 +1,100 @@
+"""Dictionary normalization (S6/J6 analog) — parity of the Catalyst-map
+path, the broadcast-join path, and the pure-Python reference; plus the
+ambiguity-arbitration rule."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.normalize import (
+    alias_normalize_expr,
+    alias_normalize_join,
+    arbitrate_dictionary,
+    arbitrate_py,
+    normalize_py,
+)
+from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
+
+ALIASES = {"fn": "function", "func": "function", "str": "string",
+           "int": "integer", "impl": "implementation"}
+
+TEXTS = [
+    "fn main str x int y",
+    "func compose fn apply",
+    "no aliases here at all",
+    "",
+    "impl Str FN",  # case folding happens in tokenize, before normalize
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    return (
+        spark.createDataFrame(pdf)
+        .select("doc_id", tokens_expr("text").alias("tokens"))
+        .cache()
+    )
+
+
+def test_expr_path_matches_python(spark, docs):
+    got = {
+        r["doc_id"]: r["norm"]
+        for r in docs.select(
+            "doc_id", alias_normalize_expr("tokens", ALIASES).alias("norm")
+        ).collect()
+    }
+    for i, text in enumerate(TEXTS):
+        assert got[i] == normalize_py(tokenize_py(text), ALIASES), f"doc {i}"
+
+
+def test_join_path_matches_expr_path(spark, docs):
+    dictionary = spark.createDataFrame(
+        [(k, v) for k, v in ALIASES.items()], "surface string, canonical string"
+    )
+    via_join = {
+        r["doc_id"]: r["tokens"]
+        for r in alias_normalize_join(docs, dictionary).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["norm"]
+        for r in docs.select(
+            "doc_id", alias_normalize_expr("tokens", ALIASES).alias("norm")
+        ).collect()
+    }
+    assert via_join == via_expr
+
+
+def test_ambiguity_arbitration(spark):
+    entries = [
+        ("fn", "function", 10.0),
+        ("fn", "funnel", 3.0),          # lower weight loses
+        ("str", "string", 5.0),
+        ("str", "stream", 5.0),         # tie → alphabetical: stream < string
+        ("impl", "implementation", 1.0),
+    ]
+    expect = arbitrate_py(entries)
+    assert expect == {"fn": "function", "str": "stream",
+                      "impl": "implementation"}
+    df = spark.createDataFrame(
+        entries, "surface string, canonical string, weight double"
+    )
+    got = {r["surface"]: r["canonical"] for r in arbitrate_dictionary(df).collect()}
+    assert got == expect
+
+
+def test_join_path_partitioning_independent(spark, docs):
+    dictionary = spark.createDataFrame(
+        [(k, v) for k, v in ALIASES.items()], "surface string, canonical string"
+    )
+    one = {
+        r["doc_id"]: r["tokens"]
+        for r in alias_normalize_join(docs.repartition(1), dictionary).collect()
+    }
+    many = {
+        r["doc_id"]: r["tokens"]
+        for r in alias_normalize_join(docs.repartition(7), dictionary).collect()
+    }
+    assert one == many
