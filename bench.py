@@ -166,6 +166,41 @@ def phase_b() -> dict:
     }
 
 
+def phase_codec() -> dict:
+    """Codec comparison (north_star: varint/PForDelta): bytes per posting
+    block + encode/decode throughput on deterministic synthetic delta
+    blocks (geometric gaps with rare large jumps — the docID-delta shape)."""
+    import numpy as np
+
+    from snowball_java_spark.functions.codecs import CODECS
+
+    rng = np.random.RandomState(7)
+    blocks = []
+    for _ in range(2000):
+        d = rng.geometric(0.3, 128).astype(np.uint64)
+        d[rng.rand(128) < 0.02] += rng.randint(1 << 12, 1 << 20)
+        blocks.append(d)
+    out = {}
+    for name, (enc, dec) in CODECS.items():
+        encs = [enc(b) for b in blocks]
+        t0 = time.time()
+        for _ in range(5):
+            encs = [enc(b) for b in blocks]
+        te = time.time() - t0
+        t0 = time.time()
+        for _ in range(5):
+            for e in encs:
+                dec(e, count=128)
+        td = time.time() - t0
+        nvals = 128 * len(blocks) * 5
+        out[name] = {
+            "bytes_per_block": round(sum(map(len, encs)) / len(encs), 1),
+            "encode_mvals_per_sec": round(nvals / te / 1e6, 2),
+            "decode_mvals_per_sec": round(nvals / td / 1e6, 2),
+        }
+    return out
+
+
 def main() -> None:
     queries, total, meta = phase_a()
     result = {
@@ -176,6 +211,7 @@ def main() -> None:
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         **meta,
     }
+    result["codecs"] = phase_codec()
     if not SKIP_SCALING:
         result["scaling"] = phase_b()
     print(json.dumps(result))

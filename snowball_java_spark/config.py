@@ -52,6 +52,13 @@ class EngineConfig:
     #: (last_doc, byte offsets, block-max BM25 weight) skip metadata.
     block_size: int = 128
 
+    #: integer codec for the postings doc-delta and tf streams: "varint"
+    #: (LEB128) or "pfor" (patched frame-of-reference bit packing —
+    #: smaller and faster to decode on dense blocks; north_star names
+    #: both).  Per-block dispatch via functions.codecs.get_codec; doc_meta
+    #: and positions sidecars stay varint (tiny, not worth a knob).
+    codec: str = "varint"
+
     #: documents are range-sharded by doc_id: shard = doc_id // shard_size.
     #: Each shard holds complete postings for its doc range, so query-time
     #: scoring is embarrassingly parallel per shard and the only query

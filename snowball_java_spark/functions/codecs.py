@@ -65,6 +65,156 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return vals
 
 
+_POW2 = [np.uint64(1) << np.uint64(w) for w in range(64)]
+
+
+def _varint_len(v: np.ndarray) -> np.ndarray:
+    """Byte length each value takes as a varint (vectorized)."""
+    n = np.ones(v.size, dtype=np.int64)
+    x = v >> _SEVEN
+    while x.any():
+        n += (x > 0).astype(np.int64)
+        x >>= _SEVEN
+    return n
+
+
+_PFOR_VARINT_MODE = 255
+
+# data-independent width-search tables (see pfor_encode): for candidate
+# width w and value bit-length b, the per-exception byte cost
+_BL = np.arange(1, 65)
+_REL = _BL[None, :] - np.arange(65)[:, None]
+_EXC_TBL = np.where(_REL > 0, 2 + (_REL - 1) // 7, 0).astype(np.int64)
+_VLEN_TBL = (1 + (_BL - 1) // 7).astype(np.int64)
+_POW2_ARR = np.array([np.uint64(1) << np.uint64(w) for w in range(64)], dtype=np.uint64)
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PForDelta-style frame-of-reference bit packing (NewPFD flavor).
+
+    Layout: 1 mode byte, then
+      * mode = width w in [0, 64]: varint n_exceptions ·
+        ceil(count·w/8) packed low bits (LSB-first) · exception position
+        deltas (varint) · exception high bits (varint);
+      * mode = 255: plain varint stream (the fallback for tiny blocks
+        where bit-packing headers cost more than they save).
+
+    The count is NOT stored — posting blocks always know their length
+    from block metadata, so the decoder takes it as a parameter (same
+    contract the varint path uses for corruption checks).
+
+    The width is chosen by exact cost minimization over the value's
+    bit-length histogram — outliers (a huge docID gap, a pathological tf)
+    become exceptions instead of widening every slot, which is the whole
+    point of patched frame-of-reference coding.  Callers encode one
+    posting BLOCK per call (≤ cfg.block_size values), so the single
+    per-call width is exactly PFor's per-128-block adaptivity.
+
+    All operations are whole-array numpy (packbits/unpackbits); loops are
+    bounded by the 64 candidate widths, never by the value count.
+    """
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return bytes([_PFOR_VARINT_MODE])
+    srt = np.sort(a)
+    # n_lt[w] = how many values < 2^w, for w = 0..64 — ONE searchsorted
+    # call; everything below is arithmetic over 65 bins, so the width
+    # search costs O(n log n + 65) instead of 65 passes over the data.
+    n = a.size
+    n_lt = np.empty(65, dtype=np.int64)
+    n_lt[:64] = np.searchsorted(srt, _POW2_ARR, side="left")
+    n_lt[64] = n
+    h = np.diff(n_lt)            # h[b-1] = # values with bit length exactly b
+    # varint_len(x) = 1 + (bl-1)//7 for x>0; zeros take 1 byte
+    vbytes = int(n_lt[0]) + int((h * _VLEN_TBL).sum())
+    # cost(w) = mode byte + packed bytes + Σ_{b>w} h[b]·(2+(b-w-1)//7)
+    costs = 1 + (n * np.arange(65) + 7) // 8 + _EXC_TBL @ h
+    w = int(np.argmin(costs))
+    if int(costs[w]) >= vbytes:
+        w = _PFOR_VARINT_MODE
+    if w == _PFOR_VARINT_MODE:
+        return bytes([w]) + varint_encode(a)
+    if w == 64:
+        mask_fit = np.ones(a.size, dtype=bool)
+        low = a
+    else:
+        mask_fit = a < _POW2[w]
+        low = a & (_POW2[w] - _U64(1)) if w else np.zeros(a.size, np.uint64)
+    exc_pos = np.nonzero(~mask_fit)[0]
+    parts = [bytes([w]),
+             varint_encode(np.array([exc_pos.size], dtype=np.uint64))]
+    if w:
+        bits = (low[:, None] >> np.arange(w, dtype=np.uint64)) & _U64(1)
+        parts.append(np.packbits(
+            bits.astype(np.uint8).ravel(), bitorder="little").tobytes())
+    if exc_pos.size:
+        pos_delta = np.diff(exc_pos, prepend=np.int64(0)).astype(np.uint64)
+        parts.append(varint_encode(pos_delta))
+        parts.append(varint_encode(a[exc_pos] >> np.uint64(w) if w else a[exc_pos]))
+    return b"".join(parts)
+
+
+def pfor_decode(buf: bytes, count: int) -> np.ndarray:
+    """Inverse of :func:`pfor_encode`; ``count`` is required (posting
+    blocks carry their lengths in block metadata)."""
+    if count is None:
+        raise ValueError("pfor_decode requires the value count")
+    b = np.frombuffer(buf, dtype=np.uint8)
+    w = int(b[0]) if b.size else _PFOR_VARINT_MODE
+    if w == _PFOR_VARINT_MODE:
+        return varint_decode(buf[1:], count=count)
+    n, off = count, 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_exc, off = _read_varint_scalar(b, off)
+    if w:
+        nbytes = (n * w + 7) // 8
+        bits = np.unpackbits(b[off:off + nbytes], count=n * w, bitorder="little")
+        vals = (
+            bits.reshape(n, w).astype(np.uint64)
+            << np.arange(w, dtype=np.uint64)
+        ).sum(axis=1, dtype=np.uint64)
+        off += nbytes
+    else:
+        vals = np.zeros(n, dtype=np.uint64)
+    if n_exc:
+        rest = varint_decode(b[off:].tobytes(), count=2 * n_exc)
+        pos = np.cumsum(rest[:n_exc].astype(np.int64))
+        high = rest[n_exc:]
+        if w == 64:
+            vals[pos] = high
+        else:
+            with np.errstate(over="ignore"):
+                vals[pos] |= high << np.uint64(w)
+    return vals
+
+
+def _read_varint_scalar(b: np.ndarray, off: int) -> tuple[int, int]:
+    v, shift = 0, 0
+    while True:
+        byte = int(b[off]); off += 1
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return v, off
+        shift += 7
+
+
+#: Codec registry — postings doc/tf streams dispatch on
+#: ``EngineConfig.codec``; both satisfy encode(uint64[]) -> bytes /
+#: decode(bytes, count) -> uint64[].
+CODECS = {
+    "varint": (varint_encode, varint_decode),
+    "pfor": (pfor_encode, pfor_decode),
+}
+
+
+def get_codec(name: str):
+    try:
+        return CODECS[name]
+    except KeyError:
+        raise ValueError(f"unknown codec {name!r}; known: {sorted(CODECS)}")
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64/uint64 array → first value + successive gaps.
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
-from snowball_java_spark.functions.codecs import varint_encode
+from snowball_java_spark.functions.codecs import get_codec, varint_encode
 from snowball_java_spark.functions.hashes import h60_expr
 
 POSTINGS_SCHEMA = (
@@ -83,6 +83,7 @@ def encode_term_postings(
     """
     n = doc_ids.size
     bs = cfg.block_size
+    enc, _ = get_codec(cfg.codec)
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
     first, last, doff, toff = [], [], [], []
@@ -95,8 +96,8 @@ def encode_term_postings(
         last.append(int(d[-1]))
         doff.append(dpos)
         toff.append(tpos)
-        db = varint_encode(np.diff(d).astype(np.uint64))
-        tb = varint_encode(tfs[s:e].astype(np.uint64))
+        db = enc(np.diff(d).astype(np.uint64))
+        tb = enc(tfs[s:e].astype(np.uint64))
         doc_chunks.append(db)
         tf_chunks.append(tb)
         dpos += len(db)

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import weight_np
-from snowball_java_spark.functions.codecs import varint_decode
+from snowball_java_spark.functions.codecs import get_codec, varint_decode
 from snowball_java_spark.functions.hashes import h60_py
 from snowball_java_spark.operators.bm25_join import topk
 
@@ -64,12 +64,13 @@ class _TermList:
     """
 
     __slots__ = ("n", "bs", "first", "last", "doff", "toff", "bmax",
-                 "doc_bytes", "tf_bytes", "max_w", "idf", "_cache")
+                 "doc_bytes", "tf_bytes", "max_w", "idf", "_dec", "_cache")
 
     def __init__(self, row, block_size: int, avgdl: float,
                  cfg: EngineConfig = DEFAULT):
         self.n = int(row["n"])
         self.bs = block_size
+        self._dec = get_codec(cfg.codec)[1]
         self.first = np.asarray(row["block_first_doc"], dtype=np.int64)
         self.last = np.asarray(row["block_last_doc"], dtype=np.int64)
         self.doff = np.asarray(row["block_doc_off"], dtype=np.int64)
@@ -103,13 +104,13 @@ class _TermList:
         dend = self.doff[b + 1] if b + 1 < self.n_blocks else len(self.doc_bytes)
         tend = self.toff[b + 1] if b + 1 < self.n_blocks else len(self.tf_bytes)
         c = self._block_count(b)
-        deltas = varint_decode(self.doc_bytes[self.doff[b]:dend], count=c - 1)
+        deltas = self._dec(self.doc_bytes[self.doff[b]:dend], count=c - 1)
         docs = np.empty(c, dtype=np.int64)
         docs[0] = self.first[b]
         if c > 1:
             np.cumsum(deltas.astype(np.int64), out=docs[1:])
             docs[1:] += self.first[b]
-        tfs = varint_decode(self.tf_bytes[self.toff[b]:tend], count=c).astype(np.int64)
+        tfs = self._dec(self.tf_bytes[self.toff[b]:tend], count=c).astype(np.int64)
         self._cache[b] = (docs, tfs)
         return docs, tfs
 

@@ -10,6 +10,9 @@ from snowball_java_spark.functions.codecs import (
     delta_decode,
     delta_encode,
     encode_postings,
+    get_codec,
+    pfor_decode,
+    pfor_encode,
     varint_decode,
     varint_encode,
 )
@@ -49,6 +52,51 @@ def test_delta_rejects_unsorted():
         delta_encode(np.array([3, 2], dtype=np.int64))
     with pytest.raises(ValueError):
         delta_encode(np.array([2, 2], dtype=np.int64))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(pfor_decode(pfor_encode(a), count=a.size), a)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=16, max_size=128),
+    st.lists(st.integers(min_value=2**40, max_value=2**50), min_size=0, max_size=6),
+)
+@settings(max_examples=100, deadline=None)
+def test_pfor_outliers_become_exceptions(small, outliers):
+    """The patched representation: a few huge values must not widen every
+    slot — size stays near the small-value optimum."""
+    a = np.array(small + outliers, dtype=np.uint64)
+    rng = np.random.RandomState(0)
+    rng.shuffle(a)
+    enc = pfor_encode(a)
+    assert np.array_equal(pfor_decode(enc, count=a.size), a)
+    if outliers:
+        # ≤ 5 bits/slot for the small values + bounded exception overhead
+        assert len(enc) <= 4 + (a.size * 5 + 7) // 8 + len(outliers) * 12
+
+
+def test_pfor_count_contract():
+    # varint-fallback blocks verify the count like the plain codec
+    enc = pfor_encode(np.array([1], dtype=np.uint64))
+    assert enc[0] == 255  # tiny block → varint mode
+    with pytest.raises(ValueError, match="expected"):
+        pfor_decode(enc, count=2)
+    # count is mandatory (block metadata is authoritative)
+    with pytest.raises(ValueError, match="count"):
+        pfor_decode(enc, count=None)
+
+
+def test_get_codec_registry():
+    for name in ("varint", "pfor"):
+        enc, dec = get_codec(name)
+        a = np.array([5, 500, 2**40], dtype=np.uint64)
+        assert np.array_equal(dec(enc(a), count=3), a)
+    with pytest.raises(ValueError, match="unknown codec"):
+        get_codec("zstd")
 
 
 @given(
