@@ -573,6 +573,85 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     return IndexReader(index_dir)
 
 
+def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
+    """Collapse all refresh/streaming generations into the canonical
+    single-generation layout (the LSM compaction the streaming path
+    appends against).
+
+    doc_ids are PRESERVED — including the unused gap ids below each
+    generation's shard-boundary base — so (shard, bucket, term) groups
+    are exactly the union of the generations' groups and the re-encoded
+    postings come out byte-identical (encoding is a deterministic
+    function of the group; tested).  The positions sidecar keys on the
+    same ids and simply moves across.  What compaction buys: segment
+    count drops back to ``build_stages`` stage partitions (file count,
+    driver listing, and scan fan-out stop growing with stream batches),
+    while n_docs / avgdl / term_stats / query results are unchanged.
+
+    Crash-safe: everything builds in a sibling ``.compacting`` dir, the
+    swap is two renames, and a leftover ``.pre_compact`` dir from a crash
+    between them is finished by the next call.
+    """
+    import shutil
+
+    # finish an interrupted swap first
+    old = index_dir.rstrip("/") + ".pre_compact"
+    if os.path.exists(old):
+        if not os.path.exists(os.path.join(index_dir, "_conf.json")):
+            shutil.rmtree(index_dir, ignore_errors=True)
+            os.rename(old, index_dir)
+        else:
+            shutil.rmtree(old)
+
+    idx = IndexReader(index_dir)
+    cfg, n_buckets = idx.cfg, idx.n_buckets
+    with open(os.path.join(index_dir, "_conf.json")) as f:
+        conf = json.load(f)
+    if conf.get("generations", 1) <= 1:
+        return idx
+
+    import glob as _glob
+
+    tmp = index_dir.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    t0 = time.time()
+    all_paths = [os.path.join(index_dir, "docs")] + sorted(
+        _glob.glob(os.path.join(index_dir, "docs_gen*"))
+    )
+    merged = _read_docs(spark, all_paths).drop("stage").withColumn(
+        "stage",
+        F.pmod(shard_expr("doc_id", cfg.shard_size),
+               F.lit(cfg.build_stages)).cast("int"),
+    )
+    docs_path = os.path.join(tmp, "docs")
+    merged.write.mode("overwrite").partitionBy("stage").parquet(docs_path)
+    _write_manifest(tmp, "prepare", {
+        "n_docs": conf["n_docs"], "avgdl": conf["avgdl"],
+        "compacted_from": len(all_paths),
+    })
+    for stage in range(cfg.build_stages):
+        _build_stage(spark, tmp, docs_path, cfg, n_buckets,
+                     stage_id=stage, local_stage=stage)
+    _write_term_stats(spark, tmp, [docs_path], cfg,
+                      conf["n_docs"], conf["avgdl"])
+    if os.path.exists(os.path.join(index_dir, "positions")):
+        shutil.copytree(os.path.join(index_dir, "positions"),
+                        os.path.join(tmp, "positions"))
+        _write_manifest(tmp, "positions", {"carried_by": "compact"})
+    new_conf = dict(conf)
+    new_conf["generations"] = 1
+    with open(os.path.join(tmp, "_conf.json"), "w") as f:
+        json.dump(new_conf, f, indent=1)
+    _metric(tmp, step="compact", elapsed_sec=time.time() - t0,
+            generations_in=conf.get("generations", 1))
+
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old)
+    return IndexReader(index_dir)
+
+
 def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) -> IndexReader:
     """Build the positional sidecar (``positions/``) for an existing index.
 

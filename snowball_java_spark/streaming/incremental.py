@@ -2,13 +2,24 @@
 
 The reference is strictly batch (SURVEY §2.9: no watermarks, no event-time,
 no stateful ops anywhere), and ``north_rule`` requires batch build + query
-only — this module is the additive scale feature a living corpus needs:
-new documents stream in, per-micro-batch tf/df deltas fold into the index's
-stats tables, and ``foreachBatch`` appends postings for new doc ranges.
+only — this module is the additive scale feature a living corpus needs.
 
-Kept intentionally small: the batch engine owns the formats; streaming just
-feeds it micro-batches through the SAME operators (tokens_expr → tf map →
-postings), so semantics cannot drift between paths.
+Design: streaming owns NOTHING of the index format.  Each micro-batch is
+handed to the batch engine's generational refresh
+(``plans.build_index.refresh_index``), which reserves a dense doc_id range
+at the next shard boundary, builds the new shards' postings + doc_meta as
+fresh ``stage=`` partitions, and rewrites term_stats/_conf globally — so
+streamed documents are IMMEDIATELY visible to ``bm25_topk_index`` with
+exact BM25 semantics (stored postings are parameter-free; live idf/avgdl
+apply at query time).  Because the refresh is manifest-gated and
+fingerprint-bound, a crashed micro-batch replays idempotently on restart —
+the same delta resumes, a different one starts a clean generation.
+
+Segment growth is bounded by the companion compaction job
+(``plans.build_index.compact_index``): generations collapse back into the
+canonical single-generation layout, byte-identical postings, doc_ids
+unchanged — classic LSM shape (stream appends small sorted runs, compaction
+merges them).
 """
 
 from __future__ import annotations
@@ -45,7 +56,8 @@ def start_df_maintenance(
     stream: DataFrame, query_name: str = "df_table"
 ) -> StreamingQuery:
     """complete-mode in-memory sink: smoke/demo scale.  Real deployments
-    write foreachBatch upserts into the term_stats table."""
+    use :func:`start_incremental_refresh`, which maintains the real
+    term_stats table as part of each generation."""
     return (
         streaming_df_counts(stream)
         .writeStream.outputMode("complete")
@@ -55,41 +67,22 @@ def start_df_maintenance(
     )
 
 
-def start_incremental_postings(
-    stream: DataFrame,
-    index_dir: str,
-    avgdl: float,
-    cfg,
-    n_buckets: int = 8,
+def start_incremental_refresh(
+    stream: DataFrame, index_dir: str
 ) -> StreamingQuery:
-    """foreachBatch: each micro-batch of new docs becomes appended posting
-    rows under postings/stage=stream (delta segments; a compaction job
-    merges them into the main segments — classic LSM-style index refresh)."""
-    from snowball_java_spark.operators.postings import build_postings
-    from snowball_java_spark.functions.tokenize import tf_map_udf
+    """foreachBatch → generational refresh: every micro-batch of new docs
+    becomes the next index generation, fully queryable on commit.
+
+    Requires an existing index at ``index_dir`` (build_index ran at least
+    once); empty micro-batches are skipped.  Exactly-once across restarts
+    comes from the refresh manifest being fingerprint-bound: a replayed
+    batch no-ops, a half-applied batch resumes, and a divergent partial
+    generation is wiped and rebuilt (see refresh_index)."""
+    from snowball_java_spark.plans.build_index import refresh_index
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        tf = (
-            batch.withColumn("tf_map", tf_map_udf(F.col("content")))
-            .withColumn(
-                "dl",
-                F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
-                            lambda a, x: a + x),
-            )
-            .select(
-                F.xxhash64("repo", "path", "commit").alias("doc_id"),
-                "dl",
-                F.explode("tf_map").alias("term", "tf"),
-            )
-            .withColumn("tf", F.col("tf").cast("long"))
-            # no idf column needed: block bounds are idf-free by design,
-            # so appended segments stay correct when df/N later change
-        )
-        posts = build_postings(tf, cfg, n_buckets)
-        posts.write.mode("append").partitionBy("bucket").parquet(
-            f"{index_dir}/postings/stage=stream"
-        )
+        refresh_index(batch.sparkSession, batch, index_dir)
 
     return stream.writeStream.foreachBatch(sink).start()

@@ -4,7 +4,10 @@ import datetime as dt
 from collections import Counter
 
 from snowball_java_spark.functions.tokenize import tokenize_py
-from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+from snowball_java_spark.sources.synthetic import (
+    reference_queries,
+    synth_corpus_pdf,
+)
 from snowball_java_spark.streaming.incremental import (
     start_df_maintenance,
     stream_corpus,
@@ -42,49 +45,100 @@ def test_streaming_df_counts_match_batch(spark, tmp_path):
     assert got == dict(expect)
 
 
-def test_incremental_postings_append(spark, tmp_path):
-    """foreachBatch postings appends: the delta segments under
-    stage=stream must carry exactly the batch's df per term and decode
-    cleanly."""
-    import numpy as np
-    import pandas as pd
-
+def test_streamed_docs_are_queryable_and_compaction_is_byte_identical(
+    spark, tmp_path
+):
+    """The living-corpus path end-to-end: build a base index, stream two
+    micro-batches through the generational refresh sink, and require
+    (a) bm25_topk_index is rank-identical to an oracle over base+streamed
+    docs, (b) compaction collapses the generations with byte-identical
+    postings and unchanged query results."""
     from snowball_java_spark.config import EngineConfig
-    from snowball_java_spark.operators.wand import _TermList
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.plans.build_index import (
+        IndexReader,
+        build_index,
+        compact_index,
+    )
+    from snowball_java_spark.sources.corpus import CORPUS_KEY
     from snowball_java_spark.streaming.incremental import (
-        start_incremental_postings,
+        start_incremental_refresh,
         stream_corpus,
     )
+    from tests.oracle import OracleIndex
 
-    pdf = synth_corpus_pdf(0, 60, 120)
-    d = tmp_path / "inc_corpus"
-    d.mkdir()
-    idx_dir = tmp_path / "inc_idx"
-    cfg = EngineConfig(shard_size=1 << 12, block_size=16, build_stages=1)
-    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
-    q = start_incremental_postings(
-        stream_corpus(spark, str(d)), str(idx_dir), avgdl=100.0, cfg=cfg, n_buckets=4
-    )
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    base_pdf = synth_corpus_pdf(0, 100, 300).sort_values(CORPUS_KEY).reset_index(drop=True)
+    b1_pdf = synth_corpus_pdf(100, 140, 300).sort_values(CORPUS_KEY).reset_index(drop=True)
+    b2_pdf = synth_corpus_pdf(140, 170, 300).sort_values(CORPUS_KEY).reset_index(drop=True)
+
+    idx_dir = str(tmp_path / "stream_idx")
+    build_index(spark, spark.createDataFrame(base_pdf), idx_dir,
+                cfg=cfg, n_buckets=4)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    spark.createDataFrame(b1_pdf).coalesce(1).write.mode("append").parquet(str(feed))
+    q = start_incremental_refresh(stream_corpus(spark, str(feed)), idx_dir)
     try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2_pdf).coalesce(1).write.mode("append").parquet(str(feed))
         q.processAllAvailable()
     finally:
         q.stop()
 
-    rows = spark.read.parquet(str(idx_dir / "postings" / "stage=stream")).collect()
-    got_df: Counter = Counter()
-    for r in rows:
-        tl = _TermList(pd.Series({**r.asDict(), "idf": 1.0}), cfg.block_size,
-                       100.0, cfg)
-        docs, tfs = tl.decode_all()
-        assert docs.size == r["n"] == r["df_local"]
-        assert np.all(tfs >= 1)
-        assert np.all(np.diff(docs) > 0)
-        got_df[r["term"]] += r["n"]
-    expect: Counter = Counter()
-    for content in pdf["content"]:
-        for t in set(tokenize_py(content)):
-            expect[t] += 1
-    assert dict(got_df) == dict(expect)
+    # expected id mapping: base 0..99; gen1 at next shard boundary (128);
+    # gen2 at the boundary after 128+40=168 → 192
+    docs = [(i, r.content) for i, r in enumerate(base_pdf.itertuples())]
+    docs += [(128 + i, r.content) for i, r in enumerate(b1_pdf.itertuples())]
+    docs += [(192 + i, r.content) for i, r in enumerate(b2_pdf.itertuples())]
+    oracle = OracleIndex(docs)
+
+    idx = IndexReader(idx_dir)
+    assert idx.n_docs == 170
+
+    def run_queries(reader):
+        qs = reference_queries()
+        res = bm25_topk_index(spark, reader, qs, cfg=reader.cfg)
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 10))
+            for r in res.collect()
+        )
+
+    got = run_queries(idx)
+    streamed_ids = set(range(128, 168)) | set(range(192, 222))
+    assert {d for _, _, d, _ in got} & streamed_ids, "streamed docs never rank"
+    by_q: dict[int, list] = {}
+    for qid, rank, doc, score in got:
+        by_q.setdefault(qid, []).append((rank, doc, score))
+    for q_ in reference_queries():
+        expect = oracle.topk(q_["terms"], q_["k"])
+        mine = sorted(by_q.get(q_["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], f"q{q_['query_id']}"
+
+    # --- compaction: byte-identical postings, same results, 1 generation
+    def postings_rows(reader):
+        return sorted(
+            (r["shard"], r["bucket"], r["term"], r["df_local"],
+             bytes(r["doc_bytes"]), bytes(r["tf_bytes"]),
+             tuple(r["block_max_tf"]), tuple(r["block_min_dl"]))
+            for r in reader.postings(spark).collect()
+        )
+
+    before = postings_rows(idx)
+    compacted = compact_index(spark, idx_dir)
+    import json
+    import os
+
+    conf = json.load(open(os.path.join(idx_dir, "_conf.json")))
+    assert conf["generations"] == 1
+    assert conf["next_doc_id"] == 222  # id reservation survives compaction
+    assert not [p for p in os.listdir(idx_dir) if p.startswith("docs_gen")]
+    assert postings_rows(compacted) == before
+    assert run_queries(compacted) == got
+    # stage partition count is back to build_stages
+    stages = {p for p in os.listdir(os.path.join(idx_dir, "postings"))}
+    assert stages == {f"stage={i}" for i in range(cfg.build_stages)}
 
 
 def test_watermarked_window_late_data(spark, tmp_path):
