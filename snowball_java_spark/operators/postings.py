@@ -42,9 +42,28 @@ POSTINGS_SCHEMA = (
     "doc_bytes binary, tf_bytes binary, "
     "block_first_doc array<long>, block_last_doc array<long>, "
     "block_doc_off array<long>, block_tf_off array<long>, "
-    "block_max_tf array<long>, block_min_dl array<long>, "
-    "max_tf long, min_dl long"
+    "block_ub_tf array<array<long>>, block_ub_dl array<array<long>>"
 )
+
+
+def _block_frontier(tfs: np.ndarray, dls: np.ndarray) -> tuple[list, list]:
+    """Pareto frontier of one block's (tf, dl) pairs.
+
+    BM25 weight is monotone ↑tf and ↓dl, so the block's TRUE max weight
+    under ANY (idf, avgdl) is attained on the frontier
+    {(t, min dl among docs with tf ≥ t)} — each frontier dl belongs to a
+    real doc with tf ≥ t, so max-over-frontier equals the exact block
+    max (no cross-doc inflation like a (max_tf, min_dl) pair).  Entries
+    whose running min-dl did not improve are dominated and pruned;
+    typical frontiers are 1-5 pairs per 128-doc block.
+    """
+    order = np.argsort(-tfs, kind="stable")
+    tf_s = tfs[order]
+    run_min = np.minimum.accumulate(dls[order])
+    last_of_tf = np.r_[tf_s[1:] != tf_s[:-1], True]
+    c_tf, c_dl = tf_s[last_of_tf], run_min[last_of_tf]
+    keep = np.r_[True, c_dl[1:] < c_dl[:-1]]
+    return c_tf[keep].tolist(), c_dl[keep].tolist()
 
 DOC_META_SCHEMA = "shard long, first_doc long, n_docs long, dl_bytes binary"
 
@@ -69,17 +88,19 @@ def encode_term_postings(
     absolute (block_first_doc) and varint deltas for the remaining docs,
     so the scorer can skip straight to a block via the offsets.
 
-    Block bounds are stored **parameter-free**: integer ``(max_tf,
-    min_dl)`` per block, never a precomputed weight.  The scorer derives
-    the pruning bound at query time as ``idf · tff(max_tf, min_dl,
-    live_avgdl)`` — BM25 weight is monotone increasing in tf and
-    decreasing in dl, so the pair dominates every posting in the block
-    for ANY (idf, avgdl).  Consequences: (a) the posting build needs no
-    term_stats join and no corpus avgdl at all, and (b) when df/N/avgdl
-    change later (incremental/streaming appends rewrite term_stats and
-    _conf globally), old segments' bounds stay exactly correct — a
-    stored weight computed with the build-time avgdl would silently
-    under-bound once a refresh raises avgdl, breaking exact top-k.
+    Block bounds are stored **parameter-free**: the integer Pareto
+    frontier of each block's (tf, dl) pairs (:func:`_block_frontier`),
+    never a precomputed weight.  The scorer derives the pruning bound at
+    query time as ``idf · max over frontier of tff(t, m, live_avgdl)`` —
+    EXACT for the live parameters, since BM25 weight is monotone ↑tf ↓dl.
+    Consequences: (a) the posting build needs no term_stats join and no
+    corpus avgdl at all, and (b) when df/N/avgdl change later
+    (incremental/streaming appends rewrite term_stats and _conf
+    globally), old segments' bounds stay exactly correct — a stored
+    weight computed with the build-time avgdl would silently under-bound
+    once a refresh raises avgdl, breaking exact top-k; a loose
+    cross-doc (max_tf, min_dl) pair would stay correct but over-bound
+    every block to ~the term max and kill block skipping.
     """
     n = doc_ids.size
     bs = cfg.block_size
@@ -87,7 +108,7 @@ def encode_term_postings(
     doc_chunks: list[bytes] = []
     tf_chunks: list[bytes] = []
     first, last, doff, toff = [], [], [], []
-    bmax_tf, bmin_dl = [], []
+    ub_tf, ub_dl = [], []
     dpos = tpos = 0
     for s in range(0, n, bs):
         e = min(s + bs, n)
@@ -102,8 +123,9 @@ def encode_term_postings(
         tf_chunks.append(tb)
         dpos += len(db)
         tpos += len(tb)
-        bmax_tf.append(int(tfs[s:e].max()))
-        bmin_dl.append(int(dls[s:e].min()))
+        f_tf, f_dl = _block_frontier(tfs[s:e], dls[s:e])
+        ub_tf.append(f_tf)
+        ub_dl.append(f_dl)
     return {
         "df_local": int(n),
         "n": int(n),
@@ -113,10 +135,8 @@ def encode_term_postings(
         "block_last_doc": last,
         "block_doc_off": doff,
         "block_tf_off": toff,
-        "block_max_tf": bmax_tf,
-        "block_min_dl": bmin_dl,
-        "max_tf": int(tfs.max()) if n else 0,
-        "min_dl": int(dls.min()) if n else 1,
+        "block_ub_tf": ub_tf,
+        "block_ub_dl": ub_dl,
     }
 
 
@@ -144,7 +164,7 @@ def build_postings_groups(pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
     cols = [
         "shard", "bucket", "term", "df_local", "n", "doc_bytes", "tf_bytes",
         "block_first_doc", "block_last_doc", "block_doc_off", "block_tf_off",
-        "block_max_tf", "block_min_dl", "max_tf", "min_dl",
+        "block_ub_tf", "block_ub_dl",
     ]
     return pd.DataFrame(rows, columns=cols)
 

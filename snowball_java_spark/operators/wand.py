@@ -55,12 +55,13 @@ _BOUND_SLACK = 1.0 + 1e-9
 class _TermList:
     """Decoded-on-demand view over one postings row (one term, one shard).
 
-    ``(max_tf, min_dl)`` / ``(block_max_tf, block_min_dl)`` come
-    parameter-free from the index (see
+    ``(block_ub_tf, block_ub_dl)`` — the per-block (tf, dl) Pareto
+    frontiers — come parameter-free from the index (see
     ``operators/postings.encode_term_postings``); the CURRENT idf joined
-    from term_stats and the CURRENT corpus avgdl turn them into weight
-    bounds here, so pruning tracks live stats even after incremental
-    appends changed df/N/avgdl — old segments never go stale.
+    from term_stats and the CURRENT corpus avgdl turn them into EXACT
+    per-block weight bounds here, so pruning tracks live stats even
+    after incremental appends changed df/N/avgdl — old segments never go
+    stale, and bounds are tight enough for block skipping to pay.
     """
 
     __slots__ = ("n", "bs", "first", "last", "doff", "toff", "bmax",
@@ -78,17 +79,18 @@ class _TermList:
         self.doc_bytes = bytes(row["doc_bytes"])
         self.tf_bytes = bytes(row["tf_bytes"])
         self.idf = float(row["idf"])
-        idf_arr = np.float64(self.idf)
-        self.bmax = weight_np(
-            np.asarray(row["block_max_tf"], dtype=np.int64), idf_arr,
-            np.asarray(row["block_min_dl"], dtype=np.int64), avgdl,
-            cfg.k1, cfg.b,
-        ) * _BOUND_SLACK
-        self.max_w = float(weight_np(
-            np.asarray([row["max_tf"]], dtype=np.int64), idf_arr,
-            np.asarray([row["min_dl"]], dtype=np.int64), avgdl,
-            cfg.k1, cfg.b,
-        )[0]) * _BOUND_SLACK
+        # flatten the per-block frontiers, weight every pair once, then
+        # segment-max back to per-block bounds (no per-block Python math)
+        ub_tf, ub_dl = row["block_ub_tf"], row["block_ub_dl"]
+        lens = np.array([len(f) for f in ub_tf], dtype=np.int64)
+        flat_tf = np.concatenate([np.asarray(f, dtype=np.int64) for f in ub_tf])
+        flat_dl = np.concatenate([np.asarray(f, dtype=np.int64) for f in ub_dl])
+        w = weight_np(flat_tf, np.float64(self.idf), flat_dl, avgdl,
+                      cfg.k1, cfg.b)
+        offsets = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        self.bmax = np.maximum.reduceat(w, offsets) * _BOUND_SLACK
+        self.max_w = float(self.bmax.max())
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
@@ -144,6 +146,25 @@ def _weights(tl: _TermList, tfs: np.ndarray, docs: np.ndarray,
     return weight_np(tfs, np.float64(tl.idf), dl, avgdl, cfg.k1, cfg.b)
 
 
+def _score_docs(
+    lists: list[_TermList],
+    cand: np.ndarray,
+    dls: np.ndarray,
+    first_doc: int,
+    avgdl: float,
+    cfg: EngineConfig,
+) -> np.ndarray:
+    """Exact scores for sorted candidate docs via lazy per-list lookup
+    (decodes only blocks that contain a candidate; cached blocks free)."""
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t in lists:
+        tfs = t.lookup(cand)
+        m = tfs > 0
+        if m.any():
+            scores[m] += _weights(t, tfs[m], cand[m], dls, first_doc, avgdl, cfg)
+    return scores
+
+
 def maxscore_topk_shard(
     lists: list[_TermList],
     k: int,
@@ -152,73 +173,161 @@ def maxscore_topk_shard(
     avgdl: float,
     cfg: EngineConfig,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k (docs, scores) for one query within one shard."""
+    """Exact top-k (docs, scores) for one query within one shard.
+
+    Block-max MaxScore (Turtle & Flood 1995 split; Ding & Suel 2011
+    block-level bounds), batch-vectorized:
+
+      1. θ seeding: walk lists strongest-first, decode each list's
+         highest-``bmax`` blocks until ≥ k distinct docs are in hand,
+         exact-score them (lazy lookups) — θ = their k-th best TRUE
+         score.  (Seeding only from the strongest list fails on rare
+         terms: df < k ⇒ θ = 0 ⇒ no pruning anywhere.)
+      2. MaxScore split: the maximal prefix of lists (ascending max
+         weight) whose summed bounds stay below θ is non-essential — a
+         doc found ONLY there cannot reach θ.
+      3. Block-max pruning of the ESSENTIAL lists: essential list i need
+         only decode blocks with bmaxᵢ(b) + Σ_{j≠i} maxwⱼ ≥ θ — a doc
+         confined to skipped blocks is bounded below θ even with every
+         other list maxed out.  This is what makes two-hot-term queries
+         cheap: most of a hot list's blocks can't beat a θ set by the
+         genuinely best blocks.
+      4. Exact scoring of the candidate union via lazy lookups; then the
+         exclusion bounds are re-checked against the ACTUAL k-th best
+         score, and on any violation (ties, pathological bounds,
+         underfull candidate set) the shard falls back to exhaustive
+         scoring — EXACT rank identity is guaranteed, pruning is only an
+         optimization.
+    """
     if not lists:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     lists = sorted(lists, key=lambda t: t.max_w)
     maxw = np.array([t.max_w for t in lists])
+    cum = np.cumsum(maxw)
+    total_docs = sum(t.n for t in lists)
 
-    # 1. seed θ from the strongest term alone
-    docs_s, tfs_s = lists[-1].decode_all()
-    w_s = _weights(lists[-1], tfs_s, docs_s, dls, first_doc, avgdl, cfg)
-    theta = float(np.partition(w_s, -k)[-k]) if w_s.size >= k else 0.0
-
-    n_ess = 1  # at least the strongest list is essential
-    while True:
-        # 2. essential = suffix whose exclusion bound would violate θ
-        cum = np.cumsum(maxw)
-        n_non = int(np.searchsorted(cum, theta, side="left"))
-        n_non = min(n_non, len(lists) - 1)
-        n_non = min(n_non, len(lists) - n_ess)
-        ess, non = lists[n_non:], lists[:n_non]
-
-        # 3. candidates from essential lists (full vectorized decode)
-        decoded = [t.decode_all() for t in ess]
-        cand = np.unique(np.concatenate([d[0] for d in decoded]))
-        scores = np.zeros(cand.size, dtype=np.float64)
-        for t, (docs, tfs) in zip(ess, decoded):
-            w = _weights(t, tfs, docs, dls, first_doc, avgdl, cfg)
-            scores[np.searchsorted(cand, docs)] += w
-        # 4. non-essential: lazy block decode for candidate docs only
-        for t in non:
-            tfs = t.lookup(cand)
-            m = tfs > 0
-            if m.any():
-                scores[m] += _weights(t, tfs[m], cand[m], dls, first_doc, avgdl, cfg)
-
+    def finalize(cand: np.ndarray, scores: np.ndarray):
         if cand.size > k:
-            kth = float(np.partition(scores, -k)[-k])
+            kth = np.partition(scores, -k)[-k]
+            keep = np.nonzero(scores >= kth)[0]
         else:
-            kth = 0.0
-        # exclusion check: docs with only non-essential terms score
-        # <= cum[n_non-1]; they can be ignored iff that bound < kth strictly
-        bound = float(cum[n_non - 1]) if n_non else -1.0
-        if n_non == 0 or bound < kth:
-            break
-        # pathological tie / underfull top-k: promote and retry
-        n_ess = len(lists) - n_non + 1
-        theta = max(theta, kth)
-        if n_ess >= len(lists):
-            ess, non = lists, []
-            decoded = [t.decode_all() for t in ess]
-            cand = np.unique(np.concatenate([d[0] for d in decoded]))
-            scores = np.zeros(cand.size, dtype=np.float64)
-            for t, (docs, tfs) in zip(ess, decoded):
-                scores[np.searchsorted(cand, docs)] += _weights(
-                    t, tfs, docs, dls, first_doc, avgdl, cfg)
-            break
+            keep = np.arange(cand.size)
+        order = np.lexsort((cand[keep], -scores[keep]))[:k]
+        sel = keep[order]
+        return cand[sel], scores[sel]
 
-    # 5. exact top-k under the (score desc, doc_id asc) total order
-    if cand.size > k:
-        # keep every doc at or above the k-th score so float ties break
-        # deterministically by doc_id, then order and cut
-        kth = np.partition(scores, -k)[-k]
-        keep = np.nonzero(scores >= kth)[0]
+    def exhaustive():
+        parts = [t.decode_all()[0] for t in lists]
+        cand = np.unique(np.concatenate(parts))
+        return finalize(
+            cand, _score_docs(lists, cand, dls, first_doc, avgdl, cfg))
+
+    if total_docs <= max(4 * k, 64):
+        return exhaustive()  # pruning machinery can't pay for itself
+
+    # --- 1. θ seed from the best blocks of the strongest lists ---
+    seed_parts, seeded = [], 0
+    for t in reversed(lists):
+        for b in np.argsort(-t.bmax):
+            docs, _ = t.decode_block(int(b))
+            seed_parts.append(docs)
+            seeded += docs.size
+            if seeded >= k:
+                break
+        if seeded >= k:
+            break
+    seed = np.unique(np.concatenate(seed_parts))
+    theta = 0.0
+    if seed.size >= k:
+        s_scores = _score_docs(lists, seed, dls, first_doc, avgdl, cfg)
+        theta = float(np.partition(s_scores, -k)[-k])
+    if theta <= 0.0:
+        return exhaustive()
+
+    # --- 2. essential/non-essential split ---
+    n_non = min(int(np.searchsorted(cum, theta, side="left")), len(lists) - 1)
+    sum_non = float(cum[n_non - 1]) if n_non else 0.0
+    ess = lists[n_non:]
+
+    # --- 2b. SMALL essential lists decode fully upfront.  A rare term
+    # is essential (huge idf) but tiny; once its docs are all scored,
+    # every still-unscored doc provably lacks it, so the rare maxw drops
+    # OUT of the other lists' block bounds — without this, a hot list
+    # paired with a rare term gets every block bound inflated by the
+    # rare weight and nothing ever prunes. ---
+    small = [t for t in ess if t.n_blocks <= 4 or t.n <= 4 * k]
+    big = [t for t in ess if not (t.n_blocks <= 4 or t.n <= 4 * k)]
+    small_sum = sum(t.max_w for t in small)
+
+    o = np.argsort(seed)
+    all_docs, all_scores = seed[o], s_scores[o]
+    if small:
+        sm_docs = np.unique(np.concatenate([t.decode_all()[0] for t in small]))
+        new = np.setdiff1d(sm_docs, all_docs, assume_unique=True)
+        if new.size:
+            new_scores = _score_docs(lists, new, dls, first_doc, avgdl, cfg)
+            all_docs = np.concatenate([all_docs, new])
+            all_scores = np.concatenate([all_scores, new_scores])
+            o = np.argsort(all_docs)
+            all_docs, all_scores = all_docs[o], all_scores[o]
+        if all_docs.size >= k:
+            theta = max(theta, float(np.partition(all_scores, -k)[-k]))
+
+    # --- 3. adaptive best-bound-first block processing ---
+    # One pool of (bound, list, block) over the essential lists, bound =
+    # block bmax + every other list maxed out.  Blocks are decoded in
+    # DESCENDING bound order in small chunks, candidates scored exactly
+    # (lazy lookups fill in the other lists), and θ tightens to the
+    # running k-th best TRUE score after every chunk — so the scan stops
+    # as soon as no remaining block can beat the current top-k.  θ only
+    # grows and the pool is sorted, so one pointer pass suffices.  (The
+    # one-shot split decodes every block whose bound beats the SEED θ —
+    # a θ a few percent slack costs the whole list when bounds cluster,
+    # which they do under BM25 tf saturation.)
+    bound_parts, li_parts, b_parts = [], [], []
+    for li, t in enumerate(big):
+        # unscored docs have no small-list terms (2b) and no chance at
+        # more than every remaining list's max
+        rest = float(cum[-1]) - small_sum - t.max_w
+        bound_parts.append(t.bmax + rest)
+        li_parts.append(np.full(t.n_blocks, li, dtype=np.int64))
+        b_parts.append(np.arange(t.n_blocks, dtype=np.int64))
+    if bound_parts:
+        bound_all = np.concatenate(bound_parts)
+        order = np.argsort(-bound_all, kind="stable")
+        bound_all = bound_all[order]
+        li_all = np.concatenate(li_parts)[order]
+        b_all = np.concatenate(b_parts)[order]
     else:
-        keep = np.arange(cand.size)
-    order = np.lexsort((cand[keep], -scores[keep]))[:k]
-    sel = keep[order]
-    return cand[sel], scores[sel]
+        bound_all = np.empty(0, np.float64)
+        li_all = b_all = np.empty(0, np.int64)
+
+    ptr, chunk = 0, 8
+    while ptr < bound_all.size and bound_all[ptr] >= theta:
+        end = min(ptr + chunk, bound_all.size)
+        parts = [big[li_all[i]].decode_block(int(b_all[i]))[0]
+                 for i in range(ptr, end)]
+        ptr = end
+        new = np.setdiff1d(np.unique(np.concatenate(parts)), all_docs,
+                           assume_unique=True)
+        if new.size:
+            new_scores = _score_docs(lists, new, dls, first_doc, avgdl, cfg)
+            all_docs = np.concatenate([all_docs, new])
+            all_scores = np.concatenate([all_scores, new_scores])
+            o = np.argsort(all_docs)
+            all_docs, all_scores = all_docs[o], all_scores[o]
+        if all_docs.size >= k:
+            # θ ≤ running kth always (seed ⊆ scored set), so when the
+            # loop exits every unprocessed block is STRICTLY below the
+            # final kth — exactness holds without a re-check
+            theta = max(theta, float(np.partition(all_scores, -k)[-k]))
+
+    if all_docs.size < k:
+        return exhaustive()  # top-k must reach into non-essential docs
+    kth = float(np.partition(all_scores, -k)[-k])
+    if n_non and not sum_non < kth:
+        return exhaustive()  # non-essential exclusion tie: be exact
+    return finalize(all_docs, all_scores)
 
 
 def conjunctive_topk_shard(
@@ -267,18 +376,26 @@ def score_shards(
     queries: list[dict],
     avgdl: float,
     cfg: EngineConfig = DEFAULT,
+    block_metrics: dict | None = None,
 ) -> DataFrame:
     """postings rows (joined with doc_meta + idf) grouped by shard →
     per-shard (query_id, doc_id, score) top-k candidates.
 
     Per-query ``mode``: "or" (default, MaxScore pruned) or "and"
-    (conjunctive posting-list intersection)."""
+    (conjunctive posting-list intersection).
+
+    ``block_metrics``: optional {"decoded": Accumulator, "total":
+    Accumulator} — each shard adds how many posting blocks it actually
+    decoded vs how many its query-term lists hold, the block-max skipping
+    effectiveness number (bench evidence that lazy decode pays)."""
     q_spec = [
         (int(q["query_id"]), sorted(set(q["terms"])),
          int(q.get("k", cfg.default_k)), str(q.get("mode", "or")))
         for q in queries
     ]
     block_size = cfg.block_size
+    acc_decoded = block_metrics.get("decoded") if block_metrics else None
+    acc_total = block_metrics.get("total") if block_metrics else None
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         first_doc = int(pdf["first_doc"].iloc[0])
@@ -298,6 +415,9 @@ def score_shards(
             out_q.extend([qid] * docs.size)
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())
+        if acc_decoded is not None:
+            acc_decoded.add(sum(len(t._cache) for t in by_term.values()))
+            acc_total.add(sum(t.n_blocks for t in by_term.values()))
         return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
 
     return postings_with_meta.groupBy("shard").applyInPandas(kernel, SCORE_SCHEMA)
@@ -308,6 +428,7 @@ def bm25_topk_index(
     index,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    block_metrics: dict | None = None,
 ) -> DataFrame:
     """Query the on-disk index (plans.build_index.IndexReader).
 
@@ -324,7 +445,8 @@ def bm25_topk_index(
     posts = posts.join(F.broadcast(tstats), "term")
     meta = index.doc_meta(spark)
     with_meta = posts.join(meta, "shard")
-    scores = score_shards(with_meta, queries, index.avgdl, cfg)
+    scores = score_shards(with_meta, queries, index.avgdl, cfg,
+                          block_metrics=block_metrics)
     from snowball_java_spark.operators.bm25_join import queries_df
 
     qdf = queries_df(spark, queries)

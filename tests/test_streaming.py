@@ -121,7 +121,8 @@ def test_streamed_docs_are_queryable_and_compaction_is_byte_identical(
         return sorted(
             (r["shard"], r["bucket"], r["term"], r["df_local"],
              bytes(r["doc_bytes"]), bytes(r["tf_bytes"]),
-             tuple(r["block_max_tf"]), tuple(r["block_min_dl"]))
+             tuple(map(tuple, r["block_ub_tf"])),
+             tuple(map(tuple, r["block_ub_dl"])))
             for r in reader.postings(spark).collect()
         )
 
