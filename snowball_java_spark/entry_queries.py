@@ -318,12 +318,16 @@ def _index_for(spark: SparkSession, sf_dir: str):
     return build_index(spark, corpus, idx_dir, cfg=_INDEX_CFG, n_buckets=8)
 
 
-def _bm25_index_topk(spark: SparkSession, sf_dir: str, terms: list[str], k: int) -> DataFrame:
+def _bm25_index_topk(
+    spark: SparkSession, sf_dir: str, terms: list[str], k: int,
+    mode: str = "or",
+) -> DataFrame:
     from snowball_java_spark.operators.wand import bm25_topk_index
 
     idx = _index_for(spark, sf_dir)
     res = bm25_topk_index(
-        spark, idx, [{"query_id": 0, "terms": terms, "k": k}], cfg=_INDEX_CFG
+        spark, idx, [{"query_id": 0, "terms": terms, "k": k, "mode": mode}],
+        cfg=_INDEX_CFG,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -618,6 +622,108 @@ def _q_media_features(spark, sf_dir):
     return decode_features(pack_media(d)).select(
         "doc_id", "n_bytes", "width", "height", "row_size", "data_size"
     )
+
+
+def _q_clean_corpus(spark, sf_dir):
+    """Composed training-data pipeline (exact dedup → LSH+Jaccard near-dup
+    removal → quality/length filter → token accounting) — the end-to-end
+    job a corpus owner runs; every stage is an already-oracle-tested
+    operator, and the 1-row report is itself oracle-checked."""
+    from snowball_java_spark.plans.clean_corpus import CleanConfig, clean_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    _, report = clean_corpus(d, CleanConfig())
+    return report
+
+
+def _lsh_fragment(src: str, tag: str, bands: int = 8,
+                  rows_per_band: int = 2) -> str:
+    """CTEs ``sh{tag}``/``mh{tag}``/``bk{tag}`` — shingles, minhash
+    signature and band buckets over table ``src(doc_id, toks)``."""
+    sh = (
+        "list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    )
+    mh_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> (({h60_sql('s')}) % {MINHASH_P} * "
+        f"{MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
+        for i in range(NUM_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + f" AS key FROM mh{tag}"
+        for b in range(bands)
+    )
+    return (
+        f"sh{tag} AS (SELECT doc_id, {sh} AS sh FROM {src}),\n"
+        f"mh{tag} AS (SELECT doc_id, {mh_cols} FROM sh{tag}),\n"
+        f"bk{tag} AS ({band_rows})"
+    )
+
+
+def _clean_corpus_sql(
+    min_tokens: int = 10, max_tokens: int = 100_000,
+    min_quality: float = 0.25, tau: float = 0.8, cap: int = 1000,
+) -> str:
+    stops = ", ".join(f"'{w}'" for w in EN_STOPS)
+    return f"""
+WITH toks0 AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+keep1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT t.* FROM toks0 t JOIN keep1 USING (doc_id)),
+{_lsh_fragment("d1", "1")},
+sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM sh1),
+ok1 AS (SELECT band, key FROM bk1 GROUP BY 1, 2 HAVING count(*) <= {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk1 a JOIN ok1 USING (band, key)
+       JOIN bk1 b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+            JOIN sets sb ON cand.doc_b = sb.doc_id
+  WHERE len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) > 0
+    AND len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))::DOUBLE
+        >= {tau}
+),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+{_lsh_fragment("d2", "2")},
+hot2 AS (SELECT count(*)::BIGINT AS n FROM (
+  SELECT band, key FROM bk2 GROUP BY 1, 2 HAVING count(*) > {cap})),
+m AS (SELECT doc_id, len(toks)::BIGINT AS n,
+        list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+            / greatest(len(toks), 1) AS mean_len,
+        len(list_filter(toks, x -> x IN ({stops})))::DOUBLE
+            / greatest(len(toks), 1) AS stop_ratio,
+        length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+            / greatest(length(text), 1) AS alnum_ratio
+      FROM d2),
+q AS (SELECT doc_id, n,
+        (CASE WHEN n >= 20 AND n <= 1000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 0.25 ELSE 0.0 END)
+      + least(1.0, stop_ratio * 5) * 0.25
+      + alnum_ratio * 0.25 AS quality
+      FROM m),
+kept AS (SELECT doc_id, n FROM q
+         WHERE n >= {min_tokens} AND n <= {max_tokens}
+           AND quality >= {min_quality}),
+c AS (SELECT
+  (SELECT count(*) FROM documents)::BIGINT AS n_input,
+  (SELECT count(*) FROM d1)::BIGINT AS n_d1,
+  (SELECT count(*) FROM d2)::BIGINT AS n_d2,
+  (SELECT n FROM hot2)::BIGINT AS n_hot_buckets,
+  (SELECT count(*) FROM kept)::BIGINT AS n_kept,
+  (SELECT coalesce(sum(n), 0) FROM kept)::BIGINT AS total_tokens)
+SELECT n_input, (n_input - n_d1)::BIGINT AS n_exact_dups,
+       (n_d1 - n_d2)::BIGINT AS n_near_dups, n_hot_buckets,
+       (n_d2 - n_kept)::BIGINT AS n_filtered, n_kept, total_tokens
+FROM c
+"""
 
 
 _NORM_ALIASES = {"row": "record", "table": "relation", "vector": "vec"}
@@ -1010,6 +1116,14 @@ def build_registry() -> dict[str, Q]:
             lambda s, d: _bm25_index_topk(s, d, HOT_TERMS, 10),
             _bm25_topk_sql(HOT_TERMS, 10),
         ),
+        "bm25_index_mixed": Q(
+            lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),
+            _bm25_topk_sql(MIXED_TERMS, 10),
+        ),
+        "bm25_index_and": Q(
+            lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10, mode="and"),
+            _bm25_topk_sql(MIXED_TERMS, 10, conjunctive=True),
+        ),
         "bm25_topk_and": Q(
             _q_bm25_and, _bm25_topk_sql(MIXED_TERMS, 10, conjunctive=True)
         ),
@@ -1172,6 +1286,7 @@ SELECT doc_id,
 FROM d
 """,
         ),
+        "clean_corpus_report": Q(_q_clean_corpus, _clean_corpus_sql()),
         "token_normalize": Q(
             _q_token_normalize,
             f"""

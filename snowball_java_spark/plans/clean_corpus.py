@@ -1,0 +1,110 @@
+"""Training-data cleaning pipeline — the composed job a 100 TB corpus
+actually runs before indexing/training, built entirely from this engine's
+oracle-tested operators:
+
+    1. exact dedup            (md5 hash-groupBy, keep min doc_id)
+    2. near-dup removal       (MinHash → LSH bands with hot-bucket cap →
+                               exact-Jaccard verify → connected "keep one
+                               per pair" greedy by doc_id)
+    3. quality / language / length filters   (textstats expressions)
+    4. per-document token accounting         (budget reporting)
+
+Shuffle budget at scale: one hash agg on md5 (map-side combined), the LSH
+band equi-join (bounded by the bucket cap), one semi-join per removal set,
+and the final write.  Content is never shuffled except into its output
+file; every filter is a Catalyst expression evaluated on the scan.
+
+Near-dup "keep" rule: for every verified pair (a, b) with jaccard ≥ τ the
+LARGER doc_id is dropped.  Deterministic and idempotent; transitive
+clusters collapse to their minimum id after at most one extra pass
+(exposed as ``rounds`` — one round is the standard choice; boilerplate
+mega-clusters are already quarantined by the LSH hot-bucket cap and
+handled by exact dedup).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.tokenize import tokens_expr
+from snowball_java_spark.operators import dedup, textstats
+
+
+@dataclass(frozen=True)
+class CleanConfig:
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    min_quality: float = 0.25
+    near_dup_jaccard: float = 0.8
+    lsh_max_bucket: int = 1000
+    langs: tuple[str, ...] | None = None  # None = keep all
+
+
+def clean_corpus(
+    docs: DataFrame,
+    cfg: CleanConfig = CleanConfig(),
+    text_col: str = "text",
+    rounds: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept_docs, report) — ``docs`` needs (doc_id, <text_col>).
+
+    ``report`` is a 1-row DataFrame of stage-by-stage counts (the metrics
+    a pipeline owner actually wants: what did each stage cost me).
+    """
+    base = docs.withColumn("_toks", tokens_expr(text_col))
+    n_input = base.count()
+
+    # -- 1. exact dedup ----------------------------------------------------
+    keep_exact = dedup.exact_dup_groups(
+        base.select("doc_id", F.col(text_col).alias("content"))
+    ).select(F.col("keep_doc_id").alias("doc_id"))
+    d1 = base.join(keep_exact, "doc_id", "left_semi")
+    n_exact = d1.count()
+
+    # -- 2. near-dup removal (LSH candidates → exact-Jaccard verify) -------
+    d1t = d1.select("doc_id", F.col("_toks").alias("tokens"))
+    for _ in range(rounds):
+        mh = dedup.with_minhash(d1t)
+        cand = dedup.lsh_candidate_pairs(mh, max_bucket_size=cfg.lsh_max_bucket)
+        pairs = dedup.jaccard_verify_pairs(
+            d1t, cand, min_jaccard=cfg.near_dup_jaccard
+        )
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        d1 = d1.join(drop, "doc_id", "left_anti")
+        d1t = d1t.join(drop, "doc_id", "left_anti")
+    n_neardup = d1.count()
+    quarantined = dedup.lsh_hot_buckets(
+        dedup.with_minhash(d1t), cfg.lsh_max_bucket
+    ).count()
+
+    # -- 3. quality / language / length filters ----------------------------
+    q = textstats.quality_score_expr(F.col("_toks"), F.col(text_col))
+    filt = (
+        (F.size("_toks") >= cfg.min_tokens)
+        & (F.size("_toks") <= cfg.max_tokens)
+        & (q >= cfg.min_quality)
+    )
+    if cfg.langs is not None:
+        filt = filt & textstats.lang_id_expr(F.col("_toks")).isin(*cfg.langs)
+    d2 = d1.filter(filt)
+
+    # -- 4. token accounting ------------------------------------------------
+    counts = textstats.token_counts_expr(F.col("_toks"))
+    kept = d2.withColumn("n_tokens", counts["n_tokens"]).drop("_toks")
+    agg = kept.agg(
+        F.count("*").alias("n_kept"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+    ).collect()[0]
+
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [(n_input, n_input - n_exact, n_exact - n_neardup, int(quarantined),
+          n_neardup - int(agg["n_kept"]), int(agg["n_kept"]),
+          int(agg["total_tokens"]))],
+        "n_input long, n_exact_dups long, n_near_dups long, "
+        "n_hot_buckets long, n_filtered long, n_kept long, total_tokens long",
+    )
+    return kept, report

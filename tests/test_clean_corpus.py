@@ -1,0 +1,57 @@
+"""Composed cleaning pipeline: planted exact dups, near-dups, and junk
+docs must be removed by the right stage, and the report must account for
+every document exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from snowball_java_spark.plans.clean_corpus import CleanConfig, clean_corpus
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "builds an index of many tokens for the test corpus with plenty of "
+    "words to pass the quality gate and some more filler text here"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = []
+    for i in range(20):  # unique docs
+        rows.append((i, BASE.replace("fox", f"fox{i}").replace("dog", f"dog{i}")))
+    rows.append((100, rows[0][1]))          # exact dup of doc 0
+    rows.append((101, rows[0][1]))          # another exact dup of doc 0
+    near = rows[1][1].rsplit(" ", 2)[0] + " changed tail"
+    rows.append((102, near))                # near-dup of doc 1 (high jaccard)
+    rows.append((103, "x " * 3))            # too short
+    rows.append((104, "z " * 1500))         # 1500 single-char tokens, no
+                                            # stopwords → quality 0.125
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def test_clean_corpus_stages_and_report(spark, planted):
+    kept, report = clean_corpus(planted, CleanConfig(min_tokens=10))
+    r = report.collect()[0]
+    assert r["n_input"] == 25
+    assert r["n_exact_dups"] == 2            # docs 100, 101
+    assert r["n_near_dups"] == 1             # doc 102 (larger id dropped)
+    assert r["n_filtered"] == 2              # docs 103, 104
+    assert r["n_kept"] == 20
+    ids = {row["doc_id"] for row in kept.select("doc_id").collect()}
+    assert ids == set(range(20))
+    assert r["n_input"] == (r["n_exact_dups"] + r["n_near_dups"]
+                            + r["n_filtered"] + r["n_kept"])
+    assert r["total_tokens"] > 0
+
+
+def test_clean_corpus_idempotent(spark, planted):
+    kept, _ = clean_corpus(planted, CleanConfig(min_tokens=10))
+    kept2, report2 = clean_corpus(kept.select("doc_id", "text"),
+                                  CleanConfig(min_tokens=10))
+    r2 = report2.collect()[0]
+    assert r2["n_exact_dups"] == r2["n_near_dups"] == r2["n_filtered"] == 0
+    assert r2["n_kept"] == kept.count()
