@@ -624,6 +624,76 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+_SAMPLE_FRAC = 0.3
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 50_000
+_CC_TAU = 0.8
+
+
+def _q_sample(spark, sf_dir):
+    """Deterministic hash-threshold sampling — a pure function of the
+    row, reproducible across partitionings, retries, and engines."""
+    from snowball_java_spark.operators.sampling import sample_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return sample_corpus(d, _SAMPLE_FRAC).select("doc_id")
+
+
+def _q_source_mix(spark, sf_dir):
+    """Source-mix budgeting: per-source keep fractions toward a target
+    token mixture (one tiny map-combined aggregation at any scale)."""
+    from snowball_java_spark.operators.sampling import source_mix_plan
+
+    d = _docs_tok(spark, sf_dir)
+    plan = source_mix_plan(d, _MIX_TARGETS, _MIX_BUDGET)
+    return plan.select(
+        "source", "n_docs", "n_tokens",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("keep_frac", 6).alias("keep_frac"),
+    )
+
+
+def _q_components(spark, sf_dir):
+    """Near-dup clusters as connected components over verified Jaccard
+    pairs (iterative min-label propagation; exact fixpoint — matches the
+    DuckDB recursive-CTE transitive closure)."""
+    d = _docs_tok(spark, sf_dir)
+    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d))
+    pairs = dedup.jaccard_verify_pairs(d, cand, min_jaccard=_CC_TAU)
+    return dedup.connected_components(pairs).select("doc_id", "component")
+
+
+def _components_sql(tau: float) -> str:
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+{_lsh_fragment("toks", "1")},
+sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM sh1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk1 a JOIN bk1 b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+jp AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+            JOIN sets sb ON cand.doc_b = sb.doc_id
+  WHERE len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)) > 0
+    AND len(list_intersect(sa.shs, sb.shs))::DOUBLE
+        / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))::DOUBLE
+        >= {tau}
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+          UNION SELECT doc_b, doc_a FROM jp),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS component
+FROM reach GROUP BY 1
+"""
+
+
 def _q_clean_corpus(spark, sf_dir):
     """Composed training-data pipeline (exact dedup → LSH+Jaccard near-dup
     removal → quality/length filter → token accounting) — the end-to-end
@@ -1287,6 +1357,28 @@ FROM d
 """,
         ),
         "clean_corpus_report": Q(_q_clean_corpus, _clean_corpus_sql()),
+        "deterministic_sample": Q(
+            _q_sample,
+            f"SELECT doc_id FROM documents "
+            f"WHERE ({h60_sql('doc_id::VARCHAR')}) % 1000000 "
+            f"< {int(_SAMPLE_FRAC * 1_000_000)}",
+        ),
+        "source_mix_plan": Q(
+            _q_source_mix,
+            f"""
+WITH t AS (SELECT source, count(*)::BIGINT AS n_docs,
+                  sum(len({TOKS_SQL}))::BIGINT AS n_tokens
+           FROM documents GROUP BY 1),
+s AS (SELECT *, CASE {" ".join(f"WHEN source = '{k}' THEN {v}" for k, v in sorted(_MIX_TARGETS.items()))}
+                ELSE 0.0 END::DOUBLE AS target_share FROM t)
+SELECT source, n_docs, n_tokens,
+       round(target_share, 6)::DOUBLE AS target_share,
+       round(least(1.0, target_share * {float(_MIX_BUDGET)}
+                        / greatest(n_tokens::DOUBLE, 1.0)), 6)::DOUBLE AS keep_frac
+FROM s
+""",
+        ),
+        "dedup_components": Q(_q_components, _components_sql(_CC_TAU)),
         "token_normalize": Q(
             _q_token_normalize,
             f"""

@@ -146,6 +146,61 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(doc_a, doc_b) similarity pairs → (doc_id, component) with
+    component = the minimum doc_id reachable — the canonical
+    representative each near-dup cluster keeps.
+
+    Iterative min-label propagation (the standard large-graph CC shape:
+    Kiveris et al. "Connected Components in MapReduce", SoCC 2014 —
+    simplified to label propagation):
+
+        label(v) ← min(label(v), min over neighbors u of label(u))
+
+    Each round is one join + one aggregation; rounds needed = graph
+    diameter (near-dup clusters are dense → 2-3 rounds).  The driver
+    loop stops when a round changes nothing (exact fixpoint, checked
+    with a one-row count) — a deterministic result independent of
+    partitioning.  Checkpoint-free: the label relation is tiny (distinct
+    endpoint docs only, not the corpus).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # reused every round
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("component", F.coalesce("n_min", F.col("component")))
+                .alias("component"),
+                (F.coalesce("n_min", F.col("component")) < F.col("component"))
+                .alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage chain
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
 def simhash_expr(hashed_tf_pairs: Column, bits: int = 32) -> Column:
     """SimHash over array<struct<h:long, tf:long>> (h = h60(term), hashed
     once upstream): bit j set iff Σ tf·(2·bit_j(h)−1) > 0.

@@ -1,0 +1,70 @@
+"""Deterministic sampling + source-mix budgeting for training pipelines.
+
+Sampling at 100 TB must be a pure function of the ROW, never of the
+partitioning: ``df.sample()`` re-draws per task attempt (retries change
+the sample), while a hash-threshold keep rule is reproducible across
+cluster sizes, retries, and engines — the same md5-based ``h60`` hash the
+dedup operators use, so DuckDB verifies the exact membership.
+
+``source_mix_plan`` is the budgeting step in front of it: given target
+proportions per source and a total token budget, derive each source's
+keep fraction (capped at 1 — a source cannot contribute more than it
+has) so the sampled corpus approaches the target mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.hashes import h60_expr
+
+#: hash-threshold denominator: keep iff h60(key||salt) % SCALE < frac·SCALE
+SAMPLE_SCALE = 1_000_000
+
+
+def sample_keep_expr(key_col: Column | str, frac: float, salt: str = "") -> Column:
+    """Deterministic keep predicate: pure function of (key, salt, frac)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    keyed = F.concat(c.cast("string"), F.lit(salt))
+    return F.pmod(h60_expr(keyed), F.lit(SAMPLE_SCALE)) < int(frac * SAMPLE_SCALE)
+
+
+def sample_corpus(
+    docs: DataFrame, frac: float, key: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Hash-threshold sample — partition/retry/engine independent."""
+    return docs.filter(sample_keep_expr(key, frac, salt))
+
+
+def source_mix_plan(
+    docs_tok: DataFrame,
+    targets: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling plan for a target mixture.
+
+    Output (source, n_docs, n_tokens, target_share, keep_frac): keep_frac
+    = min(1, target_share·budget / n_tokens).  Sources missing from
+    ``targets`` get share 0.  One aggregation over (source) — the map
+    side combines, so the plan costs a single tiny shuffle at any scale.
+    """
+    shares = F.create_map(
+        *[x for k, v in sorted(targets.items()) for x in (F.lit(k), F.lit(float(v)))]
+    )
+    per_src = (
+        docs_tok.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("tokens")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("target_share",
+                    F.coalesce(F.element_at(shares, F.col("source")), F.lit(0.0)))
+    )
+    keep = F.least(
+        F.lit(1.0),
+        F.col("target_share") * F.lit(float(token_budget))
+        / F.greatest(F.col("n_tokens").cast("double"), F.lit(1.0)),
+    )
+    return per_src.withColumn("keep_frac", keep)

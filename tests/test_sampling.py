@@ -1,0 +1,81 @@
+"""Sampling, source-mix budgeting, and connected-components tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.dedup import connected_components
+from snowball_java_spark.operators.sampling import (
+    SAMPLE_SCALE,
+    sample_corpus,
+    source_mix_plan,
+)
+
+
+def test_sample_partitioning_independent_and_deterministic(spark):
+    d = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in sample_corpus(d.repartition(1), 0.25).collect()}
+    b = {r["doc_id"] for r in sample_corpus(d.repartition(13), 0.25).collect()}
+    assert a == b
+    assert 0.2 < len(a) / 5000 < 0.3  # hash threshold lands near the frac
+    # different salt → different (deterministic) sample
+    c = {r["doc_id"] for r in sample_corpus(d, 0.25, salt="v2").collect()}
+    assert c != a
+    # nested property: a smaller frac with the same salt is a subset
+    small = {r["doc_id"] for r in sample_corpus(d, 0.1).collect()}
+    assert small <= a
+
+
+def test_source_mix_caps_at_one(spark):
+    rows = [(i, "big" if i < 90 else "small",
+             ["tok"] * (100 if i < 90 else 10)) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, tokens array<string>")
+    plan = {r["source"]: r for r in
+            source_mix_plan(d, {"big": 0.5, "small": 0.5}, 10_000).collect()}
+    # small source has 100 tokens total; 0.5*10000=5000 wanted → capped at 1
+    assert plan["small"]["keep_frac"] == 1.0
+    assert plan["big"]["keep_frac"] == pytest.approx(5000 / 9000.0)
+    assert plan["big"]["n_tokens"] == 9000
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in list(parent):
+        out[n] = find(n)
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_matches_union_find(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(200))
+    pairs = [(min(a, b), max(a, b))
+             for a, b in (rng.sample(nodes, 2) for _ in range(120))]
+    # include a long chain (worst-case diameter for label propagation)
+    pairs += [(i, i + 1) for i in range(150, 160)]
+    pdf = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    df = spark.createDataFrame(pdf)
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _uf_components(pairs)
+
+
+def test_connected_components_empty(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
