@@ -32,7 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "1000000"))
+# 400k is the per-round default (a full driver bench stays ~15 min, the
+# r1-proven envelope); the flagship 1M-file scaling evidence in
+# BENCH/BASELINE.md was produced with SPARK_GRAFT_BENCH_FILES=1000000
+# (larger corpus → prepare IO shrinks to ~13% of wall and the postings
+# stage reaches 0.96 step efficiency).
+BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "400000"))
 BENCH_CORES = [
     int(c) for c in os.environ.get("SPARK_GRAFT_BENCH_CORES", "2,8").split(",")
 ]
