@@ -90,13 +90,30 @@ class IndexReader:
         self.n_buckets: int = conf["n_buckets"]
         self.cfg = EngineConfig(**conf["cfg"])
 
-    def postings(self, spark: SparkSession) -> DataFrame:
-        p = os.path.join(self.index_dir, "postings")
+    def _read_or_empty(self, spark: SparkSession, subdir: str,
+                       empty_schema: str) -> DataFrame:
+        """Partitioned read; an index built from zero documents has
+        partition dirs with no parquet files (schema-less), so fall back
+        to an explicit empty DataFrame — queries over an empty index are
+        legal and return zero rows."""
+        import glob as _glob
+
+        p = os.path.join(self.index_dir, subdir)
+        if not _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True):
+            return spark.createDataFrame([], empty_schema)
         return spark.read.option("basePath", p).parquet(p)
 
+    def postings(self, spark: SparkSession) -> DataFrame:
+        from snowball_java_spark.operators.postings import POSTINGS_SCHEMA
+
+        return self._read_or_empty(
+            spark, "postings", POSTINGS_SCHEMA + ", stage int")
+
     def doc_meta(self, spark: SparkSession) -> DataFrame:
-        p = os.path.join(self.index_dir, "doc_meta")
-        return spark.read.option("basePath", p).parquet(p).drop("stage")
+        from snowball_java_spark.operators.postings import DOC_META_SCHEMA
+
+        return self._read_or_empty(
+            spark, "doc_meta", DOC_META_SCHEMA + ", stage int").drop("stage")
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
@@ -117,8 +134,10 @@ class IndexReader:
         return _done(self.index_dir, "positions")
 
     def positions(self, spark: SparkSession) -> DataFrame:
-        p = os.path.join(self.index_dir, "positions")
-        return spark.read.option("basePath", p).parquet(p)
+        from snowball_java_spark.operators.positions import POSITIONS_SCHEMA
+
+        return self._read_or_empty(
+            spark, "positions", POSITIONS_SCHEMA + ", gen int")
 
 
 def build_index(
@@ -198,7 +217,8 @@ def _build_index_inner(
         elapsed = time.time() - t0
         _metric(index_dir, step="prepare", elapsed_sec=elapsed,
                 n_docs=n_docs, docs_per_sec=n_docs / elapsed,
-                skew_ratio=float(sk["skew_ratio"]), n_terms=int(sk["n_terms"]))
+                skew_ratio=float(sk["skew_ratio"] or 0.0),  # NULL on empty
+                n_terms=int(sk["n_terms"] or 0))
         _write_manifest(index_dir, "prepare", {
             "n_docs": n_docs, "avgdl": avgdl,
             "input_files": sorted(corpus.inputFiles())[:1000],
@@ -291,7 +311,16 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
     )
     docs_full.write.mode("overwrite").partitionBy("stage").parquet(out_dir)
     got = obs.get
-    return int(got["n_docs"]), float(got["avgdl"])
+    n_docs = int(got["n_docs"])
+    if n_docs == 0:
+        # an empty corpus/delta is legal (e.g. a stream micro-batch whose
+        # rows were all filtered).  A partitioned write of zero rows
+        # stores NO schema (unreadable dir); rewrite non-partitioned so
+        # the schema survives — `stage` becomes an ordinary int column,
+        # which every reader treats identically.
+        docs_full.write.mode("overwrite").parquet(out_dir)
+    # avg(dl) of zero rows is NULL, not a number
+    return n_docs, float(got["avgdl"] or 0.0)
 
 
 def _tf_long(docs_tbl: DataFrame) -> DataFrame:
@@ -508,7 +537,7 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
             tot = _read_docs(spark, all_docs_paths).agg(
                 F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
             ).collect()[0]
-            n_docs, avgdl = int(tot["n"]), float(tot["avgdl"])
+            n_docs, avgdl = int(tot["n"]), float(tot["avgdl"] or 0.0)
             _write_term_stats(spark, index_dir, all_docs_paths, cfg,
                               n_docs, avgdl)
             _write_manifest(index_dir, prefix + "prepare", {

@@ -208,6 +208,32 @@ def test_refresh_delta_with_own_doc_ids_gets_offset(spark, tmp_path_factory):
     assert min(i for i in ids if i >= 96) == 128  # delta starts at boundary
 
 
+def test_empty_corpus_and_empty_delta(spark, tmp_path_factory):
+    """An empty corpus builds a queryable (zero-row) index; a real delta
+    can then refresh onto it; an empty delta is a harmless generation —
+    the living-corpus lifecycle has no empty-input crashes."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.plans.build_index import build_index, refresh_index
+
+    d = str(tmp_path_factory.mktemp("empty"))
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    idx = build_index(spark, empty, d, cfg=CFG, n_buckets=4)
+    assert idx.n_docs == 0
+    q = [{"query_id": 0, "terms": ["def"], "k": 5}]
+    assert bm25_topk_index(spark, idx, q, cfg=CFG).count() == 0
+
+    pdf = _mk_pdf(10, 20, "seed")
+    idx = refresh_index(spark, spark.createDataFrame(pdf), d)
+    assert idx.n_docs == 10
+    assert bm25_topk_index(spark, idx, q, cfg=CFG).count() == 5
+
+    idx = refresh_index(spark, empty, d)
+    assert idx.n_docs == 10
+    assert bm25_topk_index(spark, idx, q, cfg=CFG).count() == 5
+
+
 def test_refresh_with_boundary_gap(spark, tmp_path_factory):
     """When the old doc count is NOT a shard multiple, new ids start at the
     next shard boundary (per-shard density preserved); results still match
