@@ -343,24 +343,32 @@ def conjunctive_topk_shard(
 
     Correct per shard because the index is doc-sharded — a doc's complete
     postings live in its shard, so a term absent from this shard means no
-    doc of this shard contains it.  Lists intersect smallest-first (each
-    step can only shrink the candidate set); weights then sum in the
-    caller-provided sorted-term order for oracle-bit-exact accumulation.
+    doc of this shard contains it.  The textbook skip-based intersection:
+    only the SMALLEST list decodes fully; every other list is probed with
+    ``lookup`` (block-max skip pointers → only blocks containing a
+    surviving candidate decode), and the candidate set can only shrink.
+    Weights sum in the caller-provided sorted-term order for
+    oracle-bit-exact accumulation.
     """
     if len(lists) < n_terms or not lists:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     by_size = sorted(range(len(lists)), key=lambda i: lists[i].n)
-    cand, _ = lists[by_size[0]].decode_all()
+    cand, tf0 = lists[by_size[0]].decode_all()
+    tf_by_list: dict[int, np.ndarray] = {by_size[0]: tf0}
     for i in by_size[1:]:
-        docs_i, _ = lists[i].decode_all()
-        cand = cand[np.isin(cand, docs_i, assume_unique=True)]
+        tfs_i = lists[i].lookup(cand)
+        m = tfs_i > 0
+        if not m.all():
+            cand = cand[m]
+            for j in tf_by_list:
+                tf_by_list[j] = tf_by_list[j][m]
+            tfs_i = tfs_i[m]
+        tf_by_list[i] = tfs_i
         if cand.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.float64)
     scores = np.zeros(cand.size, dtype=np.float64)
-    for t in lists:  # caller passes sorted-term order
-        docs, tfs = t.decode_all()
-        pos = np.searchsorted(docs, cand)
-        scores += _weights(t, tfs[pos], cand, dls, first_doc, avgdl, cfg)
+    for i, t in enumerate(lists):  # caller passes sorted-term order
+        scores += _weights(t, tf_by_list[i], cand, dls, first_doc, avgdl, cfg)
     if cand.size > k:
         kth = np.partition(scores, -k)[-k]
         keep = np.nonzero(scores >= kth)[0]

@@ -208,6 +208,50 @@ def test_refresh_delta_with_own_doc_ids_gets_offset(spark, tmp_path_factory):
     assert min(i for i in ids if i >= 96) == 128  # delta starts at boundary
 
 
+def test_compaction_carries_positions_sidecar(spark, tmp_path_factory):
+    """Phrase queries must survive refresh + compaction: the positional
+    sidecar keys on preserved doc_ids and is carried across."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.positions import phrase_topk_index
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+        compact_index,
+        refresh_index,
+    )
+
+    def mk(n, tag, with_phrase):
+        rows = []
+        for i in range(n):
+            mid = "hello world " if with_phrase and i % 3 == 0 else "hello there "
+            rows.append((f"r{tag}", f"p{i:04d}", "c", "py",
+                         f"start {mid}finish token{i % 5} " * 3))
+        return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    base_pdf, delta_pdf = mk(64, "base", True), mk(30, "delta", True)
+    d = str(tmp_path_factory.mktemp("cpos"))
+    idx = build_index(spark, spark.createDataFrame(base_pdf), d,
+                      cfg=CFG, n_buckets=N_BUCKETS)
+    add_positions(spark, spark.createDataFrame(base_pdf), idx)
+    idx = refresh_index(spark, spark.createDataFrame(delta_pdf), d)
+    q = [{"query_id": 0, "phrase": ["hello", "world"], "k": 50}]
+
+    def rows_of(reader):
+        return sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in phrase_topk_index(spark, reader, q, cfg=CFG).collect()
+        )
+
+    before = rows_of(idx)
+    assert before, "phrase must match docs in BOTH generations"
+    assert any(doc >= 64 for _, doc, _ in before), "delta docs must match too"
+    compacted = compact_index(spark, d)
+    assert compacted.has_positions
+    assert rows_of(compacted) == before
+
+
 def test_empty_corpus_and_empty_delta(spark, tmp_path_factory):
     """An empty corpus builds a queryable (zero-row) index; a real delta
     can then refresh onto it; an empty delta is a harmless generation —
