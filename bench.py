@@ -53,6 +53,7 @@ HEADLINE = [
     "bm25_index_topk",
     "bm25_phrase_index_topk",
     "context_window_topk",
+    "context_window_index_topk",
     "dedup_minhash_sigs",
     "dedup_ngram_jaccard",
     "embedding_cosine_topk",

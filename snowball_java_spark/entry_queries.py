@@ -887,6 +887,33 @@ def _q_events_window(spark, sf_dir):
     )
 
 
+_CONTEXT_QS = [{
+    "query_id": 0, "left_terms": ["key"], "middle_terms": ["table"],
+    "right_terms": ["vector"], "w_left": 0.2, "w_middle": 0.6,
+    "w_right": 0.2, "window": 8, "k": 10,
+}]
+
+
+def _q_context_window_index(spark, sf_dir):
+    """Same 3-zone context query answered from the positional sidecar of
+    the on-disk index — zero corpus scan (north_star subsumption: zone
+    matching over the SAME index)."""
+    from snowball_java_spark.operators.context import context_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = context_topk_index(spark, idx, _CONTEXT_QS, cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score")
+    )
+
+
 def _q_context_window(spark, sf_dir):
     from snowball_java_spark.operators.bm25_join import df_for_terms
     from snowball_java_spark.operators.context import context_topk
@@ -896,12 +923,7 @@ def _q_context_window(spark, sf_dir):
     # vocabulary would shuffle every token for a 3-term query)
     dfs = df_for_terms(d, ["key", "table", "vector"])
     st = corpus_stats(d).collect()[0]
-    qs = [{
-        "query_id": 0, "left_terms": ["key"], "middle_terms": ["table"],
-        "right_terms": ["vector"], "w_left": 0.2, "w_middle": 0.6,
-        "w_right": 0.2, "window": 8, "k": 10,
-    }]
-    res = context_topk(spark, d, qs, dfs, st["n_docs"], float(st["avgdl"]))
+    res = context_topk(spark, d, _CONTEXT_QS, dfs, st["n_docs"], float(st["avgdl"]))
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
         F.round("score", 6).alias("score")
@@ -1210,6 +1232,7 @@ def build_registry() -> dict[str, Q]:
             f"WITH {BASE_CTES} SELECT term, df FROM dfx",
         ),
         "context_window_topk": Q(_q_context_window, _context_sql()),
+        "context_window_index_topk": Q(_q_context_window_index, _context_sql()),
         "sha256_docs": Q(
             _q_sha256,
             "SELECT doc_id, sha256(text) AS sha FROM documents",

@@ -160,3 +160,124 @@ def context_topk(
 
 def context_docs_with_dl(docs_tok: DataFrame) -> DataFrame:
     return docs_tok.withColumn("dl", F.size("tokens").cast("long"))
+
+
+def context_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Context-window top-k over the POSITIONAL SIDECAR of an on-disk
+    index — no corpus scan at all (north_star's subsumption sentence:
+    Snowball's 3-zone matching as BM25 context queries *over the same
+    index*).
+
+    Zone membership comes from stored token positions + the doc-length
+    sidecar: ``left: pos < w``; ``right: pos ≥ dl−w`` (whole doc when
+    dl ≤ w); ``middle: w ≤ pos < dl−w`` when dl > 2w — exactly the
+    ``slice``-based zones of :func:`zone_columns`, and accumulation
+    replicates :func:`context_topk`'s fold orders bit-for-bit (terms
+    ascending within a zone, zones in (left, middle, right) order, zero
+    contributions are exact float no-ops).  Scan pruning mirrors the
+    WAND path (bucket directory + term row-group); per shard only the
+    query terms' position lists decode, and the shuffle moves per-shard
+    top-k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from snowball_java_spark.functions.bm25 import weight_np
+    from snowball_java_spark.functions.codecs import varint_decode
+    from snowball_java_spark.functions.hashes import h60_py
+    from snowball_java_spark.operators.positions import _decode_row
+
+    rows = _zone_query_rows(queries, cfg)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double")
+    if not rows:
+        return empty
+    qdf = spark.createDataFrame(
+        rows, "query_id int, zone string, term string, wz double, window int, k int"
+    )
+    terms = sorted({r[2] for r in rows})
+    stats = {
+        r["term"]: float(r["idf"])
+        for r in index.term_stats(spark).filter(F.col("term").isin(terms))
+        .select("term", "idf").collect()
+    }
+    avgdl = float(index.avgdl)
+    # (query_id, k, [(zone_rank, wz, [terms sorted])...]) with zones in
+    # (left, middle, right) fold order
+    q_spec = []
+    for q in {r[0] for r in rows}:
+        sub = [r for r in rows if r[0] == q]
+        k = sub[0][5]
+        w = sub[0][4]
+        zs = []
+        for zr, zone in enumerate(("left", "middle", "right")):
+            zterms = sorted({r[2] for r in sub if r[1] == zone})
+            if zterms:
+                zs.append((zone, [r for r in sub if r[1] == zone][0][3], zterms))
+        q_spec.append((int(q), int(k), int(w), zs))
+
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    pos = index.positions(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    with_meta = pos.join(index.doc_meta(spark), "shard")
+    k1, b = cfg.k1, cfg.b
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_doc = int(pdf["first_doc"].iloc[0])
+        dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        decoded = {}
+        for _, row in pdf.iterrows():
+            decoded[row["term"]] = _decode_row(row)
+        out_q, out_d, out_s = [], [], []
+        for qid, k, w, zones in q_spec:
+            qterms = {t for _, _, ts in zones for t in ts}
+            present = [t for t in sorted(qterms) if t in decoded]
+            if not present:
+                continue
+            cand = np.unique(np.concatenate(
+                [decoded[t][0] for t in present]))
+            score = np.zeros(cand.size, dtype=np.float64)
+            for zone, wz, zterms in zones:
+                zs = np.zeros(cand.size, dtype=np.float64)
+                for t in zterms:  # ascending order = oracle fold order
+                    if t not in decoded:
+                        continue
+                    docs_t, tfs_t, pos_t = decoded[t]
+                    doc_rep = np.repeat(docs_t, tfs_t)
+                    dl_rep = dls[doc_rep - first_doc]
+                    if zone == "left":
+                        m = pos_t < w
+                    elif zone == "right":
+                        m = (dl_rep <= w) | (pos_t >= dl_rep - w)
+                    else:
+                        m = (dl_rep > 2 * w) & (pos_t >= w) & (pos_t < dl_rep - w)
+                    if not m.any():
+                        continue
+                    seg = np.repeat(np.arange(docs_t.size), tfs_t)
+                    ztf_all = np.bincount(seg[m], minlength=docs_t.size)
+                    nz = np.nonzero(ztf_all)[0]
+                    tw = weight_np(
+                        ztf_all[nz], np.float64(stats[t]),
+                        dls[docs_t[nz] - first_doc], avgdl, k1, b)
+                    zs[np.searchsorted(cand, docs_t[nz])] += tw
+                score += wz * zs
+            keep = np.nonzero(score > 0)[0]
+            if keep.size > k:
+                kth = np.partition(score[keep], -k)[-k]
+                keep = keep[score[keep] >= kth]
+            order = np.lexsort((cand[keep], -score[keep]))[:k]
+            sel = keep[order]
+            out_q.extend([qid] * sel.size)
+            out_d.extend(cand[sel].tolist())
+            out_s.extend(score[sel].tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    scores = with_meta.groupBy("shard").applyInPandas(
+        kernel, "query_id int, doc_id long, score double")
+    return topk(scores, qdf)

@@ -10,6 +10,40 @@ from tests.oracle import OracleIndex
 REL_TOL = 1e-9
 
 
+def test_context_topk_index_matches_oracle(spark, synth_docs, tmp_path_factory):
+    """Index-backed 3-zone queries (positional sidecar, zero corpus
+    scan) must be rank-identical to the oracle — including the
+    empty-zone weight re-allocation cases."""
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.context import context_topk_index
+    from snowball_java_spark.plans.build_index import add_positions, build_index
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    d = str(tmp_path_factory.mktemp("ctx_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    idx = build_index(spark, corpus, d, cfg=cfg, n_buckets=8)
+    add_positions(spark, corpus, idx)
+
+    rows = synth_docs.select("doc_id", "content").collect()
+    texts = {r["doc_id"]: r["content"] for r in rows}
+    oracle = OracleIndex(list(texts.items()))
+    qs = context_queries()
+    got = context_topk_index(spark, idx, qs, cfg=cfg)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        zones = {"left": q["left_terms"], "middle": q["middle_terms"],
+                 "right": q["right_terms"]}
+        weights = {"left": q["w_left"], "middle": q["w_middle"],
+                   "right": q["w_right"]}
+        expect = oracle.context_topk(zones, weights, q["window"], texts, q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [doc for _, doc, _ in mine] == [doc for doc, _ in expect], f"q{q['query_id']}"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+
+
 def test_context_topk_matches_oracle(spark, synth_docs):
     rows = synth_docs.select("doc_id", "content").collect()
     texts = {r["doc_id"]: r["content"] for r in rows}
