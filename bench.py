@@ -124,6 +124,11 @@ def phase_a() -> tuple[dict, float, dict]:
     wand_cfg = EngineConfig(shard_size=16384, block_size=128, build_stages=1)
     wand_qs = [q for q in reference_queries() if q["terms"]] + [
         {"query_id": 100, "terms": ["def", "return", MID_IDS[7]], "k": 10},
+        # conjunctive: skip-based intersection decodes only the blocks
+        # the smallest list's survivors touch
+        {"query_id": 101, "terms": ["def", "rare_7"], "k": 10, "mode": "and"},
+        {"query_id": 102, "terms": ["def", "return", "import"], "k": 10,
+         "mode": "and"},
     ]
     sc = spark.sparkContext
     wand = {"files": 50_000, "shard_size": wand_cfg.shard_size,

@@ -129,6 +129,36 @@ class IndexReader:
         )
         return _read_docs(spark, paths).drop("tf_map", "stage")
 
+    def describe(self, spark: SparkSession) -> dict:
+        """Operational summary of the index (the DESCRIBE surface):
+        doc/term/posting counts, compressed bytes, segment layout,
+        generation count, codec, sidecar presence."""
+        p = self.postings(spark).agg(
+            F.count("*").alias("rows"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("postings"),
+            F.coalesce(F.sum(F.length("doc_bytes") + F.length("tf_bytes")),
+                       F.lit(0)).alias("bytes"),
+            F.countDistinct("term").alias("terms"),
+            F.countDistinct("stage").alias("segments"),
+        ).collect()[0]
+        with open(os.path.join(self.index_dir, "_conf.json")) as f:
+            conf = json.load(f)
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "generations": int(conf.get("generations", 1)),
+            "next_doc_id": int(conf.get("next_doc_id", self.n_docs)),
+            "n_terms": int(p["terms"]),
+            "posting_rows": int(p["rows"]),
+            "postings": int(p["postings"]),
+            "compressed_bytes": int(p["bytes"]),
+            "segments": int(p["segments"]),
+            "codec": self.cfg.codec,
+            "shard_size": self.cfg.shard_size,
+            "block_size": self.cfg.block_size,
+            "has_positions": self.has_positions,
+        }
+
     @property
     def has_positions(self) -> bool:
         return _done(self.index_dir, "positions")

@@ -110,6 +110,17 @@ def test_pfor_index_identical_results_smaller_bytes(spark, synth_docs, oracle,
     assert nbytes(rdr_p, 0) <= nbytes(rdr_v, 0) * 1.25
 
 
+def test_describe_summary(spark, index, oracle):
+    rdr, _ = index
+    d = rdr.describe(spark)
+    assert d["n_docs"] == oracle.n
+    assert d["n_terms"] == len(oracle.df)
+    assert d["postings"] == sum(oracle.df.values())
+    assert d["segments"] == CFG.build_stages
+    assert d["generations"] == 1 and d["codec"] == "varint"
+    assert d["compressed_bytes"] > 0 and not d["has_positions"]
+
+
 def test_metrics_and_manifest_written(index):
     rdr, d = index
     metrics = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
