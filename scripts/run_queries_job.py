@@ -7,7 +7,9 @@ Query jsonl, one object per line:
     {"query_id": 0, "terms": ["def", "return"], "k": 10}            # OR (default)
     {"query_id": 1, "terms": ["def", "rare_7"], "mode": "and"}      # conjunctive
     {"query_id": 2, "phrase": ["def", "main"], "k": 10}             # exact phrase
-                                                # (needs the positions/ sidecar)
+    {"query_id": 3, "left_terms": ["def"], "middle_terms": ["x"],   # 3-zone
+     "right_terms": ["return"], "window": 16, "k": 10}              # context
+                                 # (phrase + context need positions/ sidecar)
 """
 
 from __future__ import annotations
@@ -37,11 +39,19 @@ def main(argv: list[str]) -> int:
     idx = IndexReader(args.index_dir)
     with open(args.queries) as f:
         qs = [json.loads(line) for line in f if line.strip()]
-    term_qs = [q for q in qs if "phrase" not in q]
-    phrase_qs = [q for q in qs if "phrase" in q]
-    if phrase_qs and not idx.has_positions:
+    def kind(q):
+        if "phrase" in q:
+            return "phrase"
+        if any(f"{z}_terms" in q for z in ("left", "middle", "right")):
+            return "context"
+        return "terms"
+
+    term_qs = [q for q in qs if kind(q) == "terms"]
+    phrase_qs = [q for q in qs if kind(q) == "phrase"]
+    context_qs = [q for q in qs if kind(q) == "context"]
+    if (phrase_qs or context_qs) and not idx.has_positions:
         raise SystemExit(
-            "phrase queries need the positional sidecar — run "
+            "phrase/context queries need the positional sidecar — run "
             "scripts/build_index_job.py with --positions first"
         )
     parts = []
@@ -49,6 +59,10 @@ def main(argv: list[str]) -> int:
         parts.append(bm25_topk_index(spark, idx, term_qs, cfg=idx.cfg))
     if phrase_qs:
         parts.append(phrase_topk_index(spark, idx, phrase_qs, cfg=idx.cfg))
+    if context_qs:
+        from snowball_java_spark.operators.context import context_topk_index
+
+        parts.append(context_topk_index(spark, idx, context_qs, cfg=idx.cfg))
     res = parts[0]
     for p_ in parts[1:]:
         res = res.unionByName(p_)

@@ -4,22 +4,26 @@ Replaces the reference's doc-level cross-join scoring
 (``snowball/src/bin/Snowball.java:164-255`` — every tuple × every pattern,
 SURVEY §2.3 J2) with term-level posting-list intersection.
 
-Algorithm: **MaxScore with block-level lazy decode** (Turtle & Flood 1995;
-block-max refinement after Ding & Suel's BMW, SIGIR 2011):
+Algorithm: **adaptive block-max MaxScore** (Turtle & Flood 1995 split;
+block-level bounds after Ding & Suel's BMW, SIGIR 2011) — the full design
+notes live on :func:`maxscore_topk_shard`:
 
-  1. θ seeded with the k-th best single-term weight of the highest-impact
-     term (a valid lower bound on the final k-th best total score).
-  2. Terms sorted by shard-local max weight; the longest prefix whose
-     max-weight sum < θ is NON-ESSENTIAL — a doc containing only those
-     terms can never reach θ, so candidates are generated from the
-     essential lists only.
-  3. Essential lists decode fully (vectorized); non-essential lists decode
-     ONLY the blocks that contain a candidate (skip via block_last_doc —
-     this is where the block metadata pays: for a hot term like ``def``
-     most blocks are skipped).
-  4. After exact scoring, the exclusion bound is re-checked against the
-     final θ; on the (pathological) failure the term set is promoted and
-     the loop repeats — guaranteeing EXACT rank identity, not approximate.
+  1. θ seeded from EXACT scores of the strongest lists' best-bound blocks
+     (k docs' worth), so rare terms with df < k cannot zero the seed.
+  2. MaxScore split: lists whose cumulative max-weight sum stays below θ
+     are NON-ESSENTIAL — probed only for candidate docs via block-skip
+     ``lookup``.
+  3. SMALL essential lists (rare high-idf terms) decode fully upfront;
+     every still-unscored doc then provably lacks them, dropping their
+     weight out of the remaining bounds.
+  4. Remaining essential blocks process best-bound-first in chunks, θ
+     tightening to the running true k-th score — the scan stops when no
+     block can beat it.  Skipped bounds are STRICTLY below the final
+     k-th score, and every degenerate case (underfull top-k, bound ties)
+     falls back to exhaustive scoring — EXACT rank identity always.
+
+AND mode intersects smallest-list-first with skip-lookups
+(:func:`conjunctive_topk_shard`).
 
 Everything is numpy on Arrow batches inside ``applyInPandas`` grouped by
 shard; per-shard top-k rows are the only thing shuffled to the final merge
