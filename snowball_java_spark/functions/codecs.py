@@ -68,16 +68,6 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
 _POW2 = [np.uint64(1) << np.uint64(w) for w in range(64)]
 
 
-def _varint_len(v: np.ndarray) -> np.ndarray:
-    """Byte length each value takes as a varint (vectorized)."""
-    n = np.ones(v.size, dtype=np.int64)
-    x = v >> _SEVEN
-    while x.any():
-        n += (x > 0).astype(np.int64)
-        x >>= _SEVEN
-    return n
-
-
 _PFOR_VARINT_MODE = 255
 
 # data-independent width-search tables (see pfor_encode): for candidate
