@@ -1,0 +1,55 @@
+"""spark-submit entry point: index maintenance (describe / compact).
+
+    spark-submit --py-files dist.zip scripts/maintain_index_job.py \
+        --index-dir /path/index --describe
+    spark-submit --py-files dist.zip scripts/maintain_index_job.py \
+        --index-dir /path/index --compact
+
+``--describe`` prints the operational summary (doc/term/posting counts,
+compressed bytes, segments, generations, codec, sidecars) as one JSON
+line.  ``--compact`` collapses all refresh/streaming generations back
+into the canonical single-generation layout (byte-identical postings,
+doc_ids preserved, positions carried over) — run it when the generation
+count from ``--describe`` grows past your file-count comfort level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--describe", action="store_true")
+    p.add_argument("--compact", action="store_true")
+    args = p.parse_args(argv)
+    if not (args.describe or args.compact):
+        p.error("nothing to do: pass --describe and/or --compact")
+
+    from pyspark.sql import SparkSession
+
+    from snowball_java_spark.plans.build_index import IndexReader, compact_index
+
+    spark = SparkSession.builder.appName("sjs-maintain-index").getOrCreate()
+    if args.compact:
+        t0 = time.time()
+        before = IndexReader(args.index_dir).describe(spark)
+        idx = compact_index(spark, args.index_dir)
+        print(json.dumps({
+            "compacted": True,
+            "generations_in": before["generations"],
+            "generations_out": idx.describe(spark)["generations"],
+            "elapsed_sec": round(time.time() - t0, 1),
+        }))
+    if args.describe:
+        print(json.dumps(IndexReader(args.index_dir).describe(spark)))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
