@@ -302,11 +302,13 @@ def _data_fingerprint(path: str) -> str:
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
-    from snowball_java_spark.plans.build_index import build_index
+    from snowball_java_spark.plans.build_index import INDEX_FORMAT_V, build_index
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    idx_dir = f"/tmp/sjs_index_cache/{tag}_{fp}"
+    # format version in the key: an on-disk layout change (e.g. the r2
+    # frontier bounds) must invalidate caches left by older code
+    idx_dir = f"/tmp/sjs_index_cache/v{INDEX_FORMAT_V}_{tag}_{fp}"
     corpus = _docs(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("content"),

@@ -53,6 +53,12 @@ from snowball_java_spark.operators.postings import (
 from snowball_java_spark.sources.corpus import CORPUS_KEY, assign_doc_ids, with_sha256
 
 
+#: on-disk layout version; bump on any schema/encoding change so stale
+#: indexes are detected instead of misread.  v2: (tf, dl) Pareto-frontier
+#: block bounds + codec field (round 2).
+INDEX_FORMAT_V = 2
+
+
 def _manifest_path(index_dir: str, step: str) -> str:
     return os.path.join(index_dir, "manifest", f"{step}.json")
 
@@ -85,6 +91,13 @@ class IndexReader:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "_conf.json")) as f:
             conf = json.load(f)
+        v = conf.get("format_version", 1)
+        if v != INDEX_FORMAT_V:
+            raise ValueError(
+                f"index at {index_dir} has on-disk format v{v}; this build "
+                f"reads v{INDEX_FORMAT_V} — rebuild the index (postings "
+                "block-bound layout changed)"
+            )
         self.n_docs: int = conf["n_docs"]
         self.avgdl: float = conf["avgdl"]
         self.n_buckets: int = conf["n_buckets"]
@@ -268,6 +281,7 @@ def _build_index_inner(
 
     # ---- finalize ----
     conf = {
+        "format_version": INDEX_FORMAT_V,
         "n_docs": n_docs,
         "avgdl": avgdl,
         "n_buckets": n_buckets,

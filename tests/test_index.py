@@ -110,6 +110,23 @@ def test_pfor_index_identical_results_smaller_bytes(spark, synth_docs, oracle,
     assert nbytes(rdr_p, 0) <= nbytes(rdr_v, 0) * 1.25
 
 
+def test_stale_format_rejected(index, tmp_path):
+    """An index written by an older on-disk format must fail loudly at
+    open, not be silently misread."""
+    import shutil as _sh
+
+    from snowball_java_spark.plans.build_index import IndexReader
+
+    rdr, d = index
+    stale = str(tmp_path / "stale")
+    _sh.copytree(d, stale)
+    conf = json.load(open(os.path.join(stale, "_conf.json")))
+    conf.pop("format_version")
+    json.dump(conf, open(os.path.join(stale, "_conf.json"), "w"))
+    with pytest.raises(ValueError, match="format v1"):
+        IndexReader(stale)
+
+
 def test_describe_summary(spark, index, oracle):
     rdr, _ = index
     d = rdr.describe(spark)
