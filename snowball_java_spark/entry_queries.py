@@ -309,6 +309,14 @@ def _index_for(spark: SparkSession, sf_dir: str):
     # format version in the key: an on-disk layout change (e.g. the r2
     # frontier bounds) must invalidate caches left by older code
     idx_dir = f"/tmp/sjs_index_cache/v{INDEX_FORMAT_V}_{tag}_{fp}"
+    # GC: superseded caches for the same sf tag (older format versions or
+    # regenerated data) are dead weight — drop them before building
+    import glob as _glob
+    import shutil as _sh
+
+    for stale in _glob.glob(f"/tmp/sjs_index_cache/*_{tag}_*"):
+        if os.path.normpath(stale) != os.path.normpath(idx_dir):
+            _sh.rmtree(stale, ignore_errors=True)
     corpus = _docs(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("content"),
@@ -764,9 +772,8 @@ drops AS (
         >= {tau}
 ),
 d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
-{_lsh_fragment("d2", "2")},
 hot2 AS (SELECT count(*)::BIGINT AS n FROM (
-  SELECT band, key FROM bk2 GROUP BY 1, 2 HAVING count(*) > {cap})),
+  SELECT band, key FROM bk1 GROUP BY 1, 2 HAVING count(*) > {cap})),
 m AS (SELECT doc_id, len(toks)::BIGINT AS n,
         list_sum(list_transform(toks, t -> length(t)))::DOUBLE
             / greatest(len(toks), 1) AS mean_len,

@@ -141,7 +141,13 @@ def pfor_encode(values: np.ndarray) -> bytes:
         pos_delta = np.diff(exc_pos, prepend=np.int64(0)).astype(np.uint64)
         parts.append(varint_encode(pos_delta))
         parts.append(varint_encode(a[exc_pos] >> np.uint64(w) if w else a[exc_pos]))
-    return b"".join(parts)
+    packed = b"".join(parts)
+    # the width search estimates exception bytes (position deltas assumed
+    # 1 byte, n_exceptions varint ignored); guard with the ACTUAL sizes so
+    # pfor is never larger than its own varint fallback mode
+    if len(packed) >= 1 + vbytes:
+        return bytes([_PFOR_VARINT_MODE]) + varint_encode(a)
+    return packed
 
 
 def pfor_decode(buf: bytes, count: int) -> np.ndarray:

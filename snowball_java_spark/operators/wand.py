@@ -399,7 +399,11 @@ def score_shards(
     ``block_metrics``: optional {"decoded": Accumulator, "total":
     Accumulator} — each shard adds how many posting blocks it actually
     decoded vs how many its query-term lists hold, the block-max skipping
-    effectiveness number (bench evidence that lazy decode pays)."""
+    effectiveness number (bench evidence that lazy decode pays).
+    Accumulators updated inside a transformation are at-LEAST-once under
+    task retries/speculation (Spark guarantee gap) — treat the numbers as
+    metrics, never as correctness inputs; bench runs are retry-free in
+    practice and the fraction is stable."""
     q_spec = [
         (int(q["query_id"]), sorted(set(q["terms"])),
          int(q.get("k", cfg.default_k)), str(q.get("mode", "or")))

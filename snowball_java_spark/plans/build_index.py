@@ -219,6 +219,22 @@ def _build_index_inner(
     n_buckets: int,
 ) -> IndexReader:
 
+    # ---- resume safety: a build left behind by an OLDER on-disk format
+    # must not be resumed — stage manifests would be honored and the new
+    # stages written with the new schema, yielding a mixed-schema index
+    # stamped with the current version.  The prepare manifest carries the
+    # format it was written with; mismatch wipes the build.  (Nothing is
+    # lost: a versioned mismatch means no _conf.json of this version ever
+    # committed, or the layout is unreadable by this code anyway.) ----
+    if _done(index_dir, "prepare"):
+        with open(_manifest_path(index_dir, "prepare")) as f:
+            if json.load(f).get("format_version", 1) != INDEX_FORMAT_V:
+                import shutil as _sh
+
+                for entry in os.listdir(index_dir):
+                    p = os.path.join(index_dir, entry)
+                    _sh.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
     # ---- step: prepare (stage-partitioned docs table + term stats) ----
     #
     # Shuffle budget (the thing that matters at 100 TB): the token long
@@ -264,6 +280,7 @@ def _build_index_inner(
                 n_terms=int(sk["n_terms"] or 0))
         _write_manifest(index_dir, "prepare", {
             "n_docs": n_docs, "avgdl": avgdl,
+            "format_version": INDEX_FORMAT_V,
             "input_files": sorted(corpus.inputFiles())[:1000],
             "elapsed_sec": elapsed,
         })
@@ -609,11 +626,20 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                 build_position_postings,
             )
 
+            # EXACTLY the docs-table id assignment (_write_docs_table):
+            # carried ids shift by base_id; otherwise sort-rank over the
+            # SAME key subset, then shift.  Any divergence here keys the
+            # sidecar in the wrong id space and phrase/context queries
+            # silently attribute matches to the wrong documents.
             delta = new_corpus
-            if "doc_id" not in delta.columns:
-                delta = assign_doc_ids(delta).withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(base_id)
-                )
+            if "doc_id" in delta.columns:
+                delta = delta.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(base_id))
+            else:
+                key = [k for k in CORPUS_KEY if k in delta.columns]
+                ids = assign_doc_ids(delta.select(*key), key=key)
+                delta = delta.join(ids, key).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(base_id))
             docs_pos = delta.select(
                 "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
             )
@@ -709,8 +735,18 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
     _write_term_stats(spark, tmp, [docs_path], cfg,
                       conf["n_docs"], conf["avgdl"])
     if os.path.exists(os.path.join(index_dir, "positions")):
-        shutil.copytree(os.path.join(index_dir, "positions"),
-                        os.path.join(tmp, "positions"))
+        # collapse the sidecar's generations into gen=0 too: compaction
+        # resets the refresh numbering (no refresh_* manifests in the
+        # new dir), so the NEXT refresh writes positions/gen=1 again —
+        # carried data parked at gen>=1 would be clobbered by its
+        # dynamic partition overwrite.  Rows are copied verbatim (ids
+        # unchanged), only the gen partition value collapses.
+        old_pos = spark.read.option(
+            "basePath", os.path.join(index_dir, "positions")
+        ).parquet(os.path.join(index_dir, "positions"))
+        (old_pos.drop("gen").withColumn("gen", F.lit(0))
+         .write.mode("overwrite").partitionBy("gen", "bucket")
+         .parquet(os.path.join(tmp, "positions")))
         _write_manifest(tmp, "positions", {"carried_by": "compact"})
     new_conf = dict(conf)
     new_conf["generations"] = 1

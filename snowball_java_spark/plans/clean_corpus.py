@@ -4,22 +4,31 @@ oracle-tested operators:
 
     1. exact dedup            (md5 hash-groupBy, keep min doc_id)
     2. near-dup removal       (MinHash → LSH bands with hot-bucket cap →
-                               exact-Jaccard verify → connected "keep one
-                               per pair" greedy by doc_id)
+                               exact-Jaccard verify → drop the larger id
+                               of each verified pair)
     3. quality / language / length filters   (textstats expressions)
     4. per-document token accounting         (budget reporting)
 
-Shuffle budget at scale: one hash agg on md5 (map-side combined), the LSH
-band equi-join (bounded by the bucket cap), one semi-join per removal set,
-and the final write.  Content is never shuffled except into its output
-file; every filter is a Catalyst expression evaluated on the scan.
+Pass discipline at scale: the CORPUS is scanned exactly three times —
+(A) the md5 group aggregation, (B) the shingle/minhash pass over the
+exact-deduped set, (C) the final filter + token accounting — and every
+count in the report is either derived arithmetically or read off an
+aggregation those passes already do.  The only materialized artifacts
+(executor-local checkpoints, never driver-collected) are the standard
+dedup relations: the md5 keep-set, the LSH bucket sizes, and the verified
+drop-set — all id/hash-width rows, orders of magnitude below content
+size.  Content never shuffles; filters stay on the scan.
 
 Near-dup "keep" rule: for every verified pair (a, b) with jaccard ≥ τ the
 LARGER doc_id is dropped.  Deterministic and idempotent; transitive
-clusters collapse to their minimum id after at most one extra pass
-(exposed as ``rounds`` — one round is the standard choice; boilerplate
-mega-clusters are already quarantined by the LSH hot-bucket cap and
-handled by exact dedup).
+clusters collapse to their minimum id after at most one extra ``rounds``
+pass (one round is the standard choice — boilerplate mega-clusters are
+already quarantined by the LSH hot-bucket cap and handled by exact
+dedup; use ``operators.dedup.connected_components`` when full closure
+matters).
+
+The hot-bucket quarantine count is measured on the exact-deduped set
+(the same banding that generates candidates — zero extra passes).
 """
 
 from __future__ import annotations
@@ -55,32 +64,65 @@ def clean_corpus(
     a pipeline owner actually wants: what did each stage cost me).
     """
     base = docs.withColumn("_toks", tokens_expr(text_col))
-    n_input = base.count()
 
-    # -- 1. exact dedup ----------------------------------------------------
-    keep_exact = dedup.exact_dup_groups(
+    # -- pass A: exact dedup — ONE scan yields the keep-set AND the
+    # input/dup counts (no separate count() actions over the corpus)
+    groups = dedup.exact_dup_groups(
         base.select("doc_id", F.col(text_col).alias("content"))
-    ).select(F.col("keep_doc_id").alias("doc_id"))
+    ).localCheckpoint(eager=False)
+    ga = groups.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_input"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1)
+                  .otherwise(0)), F.lit(0)).alias("n_exact_dups"),
+    ).collect()[0]
+    n_input, n_exact_dups = int(ga["n_input"]), int(ga["n_exact_dups"])
+    keep_exact = groups.select(F.col("keep_doc_id").alias("doc_id"))
     d1 = base.join(keep_exact, "doc_id", "left_semi")
-    n_exact = d1.count()
 
-    # -- 2. near-dup removal (LSH candidates → exact-Jaccard verify) -------
+    # -- pass B (×rounds): near-dup removal.  Bucket sizes are computed
+    # once per round and reused for BOTH the candidate cap and the
+    # quarantine count; the drop-set is ids-only.
     d1t = d1.select("doc_id", F.col("_toks").alias("tokens"))
-    for _ in range(rounds):
+    n_near_dups = 0
+    quarantined = 0
+    for r in range(rounds):
         mh = dedup.with_minhash(d1t)
-        cand = dedup.lsh_candidate_pairs(mh, max_bucket_size=cfg.lsh_max_bucket)
+        buckets = dedup._lsh_buckets(mh, bands=8, rows_per_band=2)
+        sizes = (
+            buckets.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+            .localCheckpoint(eager=False)
+        )
+        if r == 0:
+            quarantined = sizes.filter(
+                F.col("_bn") > cfg.lsh_max_bucket).count()
+        ok = buckets.join(
+            sizes.filter(F.col("_bn") <= cfg.lsh_max_bucket), ["band", "key"]
+        ).drop("_bn")
+        a, b = ok.alias("a"), ok.alias("b")
+        cand = (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
         pairs = dedup.jaccard_verify_pairs(
             d1t, cand, min_jaccard=cfg.near_dup_jaccard
         )
-        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        drop = (
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_drop = drop.count()
+        n_near_dups += n_drop
+        if n_drop == 0:
+            break
         d1 = d1.join(drop, "doc_id", "left_anti")
         d1t = d1t.join(drop, "doc_id", "left_anti")
-    n_neardup = d1.count()
-    quarantined = dedup.lsh_hot_buckets(
-        dedup.with_minhash(d1t), cfg.lsh_max_bucket
-    ).count()
 
-    # -- 3. quality / language / length filters ----------------------------
+    # -- pass C: quality/length/lang filters + token accounting in the
+    # same scan; remaining counts derive arithmetically
     q = textstats.quality_score_expr(F.col("_toks"), F.col(text_col))
     filt = (
         (F.size("_toks") >= cfg.min_tokens)
@@ -89,21 +131,19 @@ def clean_corpus(
     )
     if cfg.langs is not None:
         filt = filt & textstats.lang_id_expr(F.col("_toks")).isin(*cfg.langs)
-    d2 = d1.filter(filt)
-
-    # -- 4. token accounting ------------------------------------------------
     counts = textstats.token_counts_expr(F.col("_toks"))
-    kept = d2.withColumn("n_tokens", counts["n_tokens"]).drop("_toks")
+    kept = d1.filter(filt).withColumn("n_tokens", counts["n_tokens"]).drop("_toks")
     agg = kept.agg(
         F.count("*").alias("n_kept"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
     ).collect()[0]
+    n_kept = int(agg["n_kept"])
+    n_filtered = (n_input - n_exact_dups - n_near_dups) - n_kept
 
     spark = docs.sparkSession
     report = spark.createDataFrame(
-        [(n_input, n_input - n_exact, n_exact - n_neardup, int(quarantined),
-          n_neardup - int(agg["n_kept"]), int(agg["n_kept"]),
-          int(agg["total_tokens"]))],
+        [(n_input, n_exact_dups, n_near_dups, int(quarantined),
+          n_filtered, n_kept, int(agg["total_tokens"]))],
         "n_input long, n_exact_dups long, n_near_dups long, "
         "n_hot_buckets long, n_filtered long, n_kept long, total_tokens long",
     )

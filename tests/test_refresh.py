@@ -251,6 +251,61 @@ def test_compaction_carries_positions_sidecar(spark, tmp_path_factory):
     assert compacted.has_positions
     assert rows_of(compacted) == before
 
+    # regression (review r2): compaction resets the generation numbering,
+    # so a POST-compact refresh writes positions/gen=1 again — the
+    # carried sidecar must have been collapsed into gen=0, not parked
+    # where the new write's dynamic partition overwrite deletes it
+    late_pdf = mk(20, "late", True)
+    idx2 = refresh_index(spark, spark.createDataFrame(late_pdf), d)
+    after = rows_of(idx2)
+    assert set(doc for _, doc, _ in before) <= set(doc for _, doc, _ in after), \
+        "pre-compaction phrase matches lost after post-compact refresh"
+    assert any(doc >= 128 for _, doc, _ in after), "late docs must match"
+
+
+def test_refresh_positions_with_carried_doc_ids(spark, tmp_path_factory):
+    """Regression (review r2): a delta that already carries doc_ids must
+    get the SAME base_id shift in the positional sidecar as in the docs
+    table — otherwise phrase matches key to the wrong documents."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+
+    from snowball_java_spark.operators.positions import phrase_topk_index
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+        refresh_index,
+    )
+
+    def mk(n, tag, phrase_every):
+        rows = []
+        for i in range(n):
+            mid = "magic phrase " if i % phrase_every == 0 else "other words "
+            rows.append((f"r{tag}", f"p{i:04d}", "c", "py",
+                         f"lead {mid}tail tok{i % 7} " * 2))
+        return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    d = str(tmp_path_factory.mktemp("cpid"))
+    idx = build_index(spark, spark.createDataFrame(mk(64, "base", 4)), d,
+                      cfg=CFG, n_buckets=N_BUCKETS)
+    add_positions(spark, spark.createDataFrame(mk(64, "base", 4)), idx)
+
+    delta = spark.createDataFrame(mk(24, "delta", 2)).withColumn(
+        "doc_id",
+        F.row_number().over(Window.orderBy("path")).cast("long") - 1,
+    )
+    idx = refresh_index(spark, delta, d)
+    res = phrase_topk_index(
+        spark, idx, [{"query_id": 0, "phrase": ["magic", "phrase"], "k": 60}],
+        cfg=CFG,
+    )
+    docs = {r["doc_id"] for r in res.collect()}
+    # 64 base docs at shard_size 64 → delta ids reserve at base_id 64:
+    # exactly the even delta docs (shifted) + every 4th base doc match
+    expect = {i for i in range(64) if i % 4 == 0}
+    expect |= {64 + i for i in range(24) if i % 2 == 0}
+    assert docs == expect, f"diff: {docs ^ expect}"
+
 
 def test_empty_corpus_and_empty_delta(spark, tmp_path_factory):
     """An empty corpus builds a queryable (zero-row) index; a real delta

@@ -67,8 +67,9 @@ def test_connected_components_matches_union_find(spark, seed):
     nodes = list(range(200))
     pairs = [(min(a, b), max(a, b))
              for a, b in (rng.sample(nodes, 2) for _ in range(120))]
-    # include a long chain (worst-case diameter for label propagation)
-    pairs += [(i, i + 1) for i in range(150, 160)]
+    # long chain: diameter 49 ≫ max_iter would allow with plain one-hop
+    # propagation — pointer jumping must converge it in O(log) rounds
+    pairs += [(i, i + 1) for i in range(150, 199)]
     pdf = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
     df = spark.createDataFrame(pdf)
     got = {r["doc_id"]: r["component"]
