@@ -778,7 +778,24 @@ def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) ->
         return index
     t0 = time.time()
     if "doc_id" not in corpus.columns:
-        corpus = assign_doc_ids(corpus)
+        # ids come from the INDEX's own docs table (natural-key join),
+        # not a fresh assignment: correct for any generation layout,
+        # including post-refresh gap ids a re-ranking could never
+        # reproduce.  (For a single-generation index this equals
+        # assign_doc_ids — tested.)
+        spark_s = corpus.sparkSession
+        docs_tbl = index.docs(spark_s)
+        key = [k for k in CORPUS_KEY
+               if k in corpus.columns and k in docs_tbl.columns]
+        corpus = corpus.join(docs_tbl.select("doc_id", *key), key)
+        n_cov = corpus.count()
+        if n_cov != index.n_docs:
+            raise ValueError(
+                f"add_positions corpus covers {n_cov} of {index.n_docs} "
+                "indexed documents — pass the FULL corpus (all "
+                "generations), or phrase/context queries would silently "
+                "miss the uncovered documents"
+            )
     docs_pos = corpus.select(
         "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
     )

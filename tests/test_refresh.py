@@ -263,6 +263,47 @@ def test_compaction_carries_positions_sidecar(spark, tmp_path_factory):
     assert any(doc >= 128 for _, doc, _ in after), "late docs must match"
 
 
+def test_add_positions_after_refresh_covers_all_generations(
+    spark, tmp_path_factory
+):
+    """add_positions on a multi-generation index: ids come from the
+    index's docs table (gap ids included), and a partial corpus is
+    rejected loudly instead of silently missing documents."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from snowball_java_spark.operators.positions import phrase_topk_index
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+        refresh_index,
+    )
+
+    def mk(n, tag):
+        rows = [(f"r{tag}", f"p{i:04d}", "c", "py",
+                 f"alpha beta gamma tok{i % 5} " * 2) for i in range(n)]
+        return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    base_pdf, delta_pdf = mk(100, "base"), mk(30, "delta")
+    d = str(tmp_path_factory.mktemp("posmg"))
+    build_index(spark, spark.createDataFrame(base_pdf), d,
+                cfg=CFG, n_buckets=N_BUCKETS)
+    idx = refresh_index(spark, spark.createDataFrame(delta_pdf), d)
+
+    with _pytest.raises(ValueError, match="covers 100 of 130"):
+        add_positions(spark, spark.createDataFrame(base_pdf), idx)
+
+    full = spark.createDataFrame(pd.concat([base_pdf, delta_pdf]))
+    add_positions(spark, full, idx)
+    res = phrase_topk_index(
+        spark, idx, [{"query_id": 0, "phrase": ["alpha", "beta"], "k": 200}],
+        cfg=CFG,
+    )
+    docs = {r["doc_id"] for r in res.collect()}
+    # every doc matches; delta ids live at the 128 boundary (100→128)
+    assert docs == set(range(100)) | {128 + i for i in range(30)}
+
+
 def test_refresh_positions_with_carried_doc_ids(spark, tmp_path_factory):
     """Regression (review r2): a delta that already carries doc_ids must
     get the SAME base_id shift in the positional sidecar as in the docs
