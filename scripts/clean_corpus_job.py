@@ -1,0 +1,71 @@
+"""spark-submit entry point: training-data cleaning pipeline.
+
+    spark-submit --py-files dist.zip scripts/clean_corpus_job.py \
+        --in /path/or/iceberg.table --out /path/cleaned \
+        [--min-tokens 10] [--max-tokens 100000] [--min-quality 0.25] \
+        [--near-dup-jaccard 0.8] [--lsh-max-bucket 1000] \
+        [--langs en,de] [--text-col text]
+
+Runs exact dedup → capped-LSH + exact-Jaccard near-dup removal →
+quality/length/language filters → token accounting
+(``plans.clean_corpus``), writes the kept documents to ``--out``, and
+prints the one-row stage report as a JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--in", dest="inp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=10)
+    p.add_argument("--max-tokens", type=int, default=100_000)
+    p.add_argument("--min-quality", type=float, default=0.25)
+    p.add_argument("--near-dup-jaccard", type=float, default=0.8)
+    p.add_argument("--lsh-max-bucket", type=int, default=1000)
+    p.add_argument("--langs", default=None, help="comma list; default keep all")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from snowball_java_spark.plans.clean_corpus import CleanConfig, clean_corpus
+    from snowball_java_spark.sources.corpus import assign_doc_ids, read_corpus
+
+    spark = SparkSession.builder.appName("sjs-clean-corpus").getOrCreate()
+    cfg = CleanConfig(
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        min_quality=args.min_quality,
+        near_dup_jaccard=args.near_dup_jaccard,
+        lsh_max_bucket=args.lsh_max_bucket,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+    )
+    t0 = time.time()
+    docs = read_corpus(spark, args.inp)
+    text_col = args.text_col
+    if text_col not in docs.columns:
+        if "content" in docs.columns:  # input_hint corpus shape
+            text_col = "content"
+        else:
+            raise SystemExit(f"no text column {args.text_col!r} in {docs.columns}")
+    if "doc_id" not in docs.columns:
+        docs = assign_doc_ids(docs)
+    kept, report = clean_corpus(docs, cfg, text_col=text_col)
+    kept.write.mode("overwrite").parquet(args.out)
+    out = report.collect()[0].asDict()
+    out["out"] = args.out
+    out["elapsed_sec"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
