@@ -11,11 +11,14 @@ completed stage and re-produces byte-identical output (tested).
 Index layout on disk::
 
     index_dir/
-      _conf.json             n_docs, avgdl, cfg, n_buckets, generations
+      _conf.json             n_docs, avgdl, total_dl, cfg, n_buckets, generations
       docs/stage=i/          doc_id, repo…, sha256, dl, tf_map (the ONLY
                              materialization of the tokenized corpus)
       docs_gen{g}/stage=i/   refresh generations (same schema)
-      term_stats/            term, df, cf, idf, max_w
+      term_partials/gen=g/   additive per-generation (term, df, cf) —
+                             refresh merges these instead of rescanning
+                             every generation's docs (O(delta + vocab))
+      term_stats/            term, df, cf, idf (merged view of partials)
       postings/stage=i/bucket=j/   binary posting rows (operators.postings)
       doc_meta/stage=i/      per-shard varint doc-length sidecars
       positions/gen=g/bucket=j/    optional phrase sidecar
@@ -55,8 +58,10 @@ from snowball_java_spark.sources.corpus import CORPUS_KEY, assign_doc_ids, with_
 
 #: on-disk layout version; bump on any schema/encoding change so stale
 #: indexes are detected instead of misread.  v2: (tf, dl) Pareto-frontier
-#: block bounds + codec field (round 2).
-INDEX_FORMAT_V = 2
+#: block bounds + codec field (round 2).  v3: additive term_partials/gen=g
+#: relation, term_stats drops the never-read max_w column, _conf carries
+#: the exact integer total_dl for O(delta) stats merges (round 3).
+INDEX_FORMAT_V = 3
 
 
 def _manifest_path(index_dir: str, step: str) -> str:
@@ -263,11 +268,13 @@ def _build_index_inner(
             shuffle_key, str(4 * spark.sparkContext.defaultParallelism)
         )
         try:
-            n_docs, avgdl = _write_docs_table(spark, corpus, docs_path, cfg)
+            n_docs, avgdl, total_dl = _write_docs_table(
+                spark, corpus, docs_path, cfg)
         finally:
             spark.conf.set(shuffle_key, prev_shuffle)
 
-        _write_term_stats(spark, index_dir, [docs_path], cfg, n_docs, avgdl)
+        _write_term_partials(spark, index_dir, docs_path, 0, cfg)
+        _merge_term_stats(spark, index_dir, n_docs)
 
         from snowball_java_spark.operators.df_stats import skew_report
 
@@ -279,7 +286,7 @@ def _build_index_inner(
                 skew_ratio=float(sk["skew_ratio"] or 0.0),  # NULL on empty
                 n_terms=int(sk["n_terms"] or 0))
         _write_manifest(index_dir, "prepare", {
-            "n_docs": n_docs, "avgdl": avgdl,
+            "n_docs": n_docs, "avgdl": avgdl, "total_dl": total_dl,
             "format_version": INDEX_FORMAT_V,
             "input_files": sorted(corpus.inputFiles())[:1000],
             "elapsed_sec": elapsed,
@@ -288,6 +295,7 @@ def _build_index_inner(
     with open(_manifest_path(index_dir, "prepare")) as f:
         prep = json.load(f)
     n_docs, avgdl = prep["n_docs"], prep["avgdl"]
+    total_dl = prep["total_dl"]
 
     # ---- per-stage posting builds (resume granularity) ----
     for stage in range(cfg.build_stages):
@@ -301,6 +309,7 @@ def _build_index_inner(
         "format_version": INDEX_FORMAT_V,
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "total_dl": total_dl,
         "n_buckets": n_buckets,
         "cfg": asdict(cfg),
         "next_doc_id": n_docs,
@@ -312,9 +321,12 @@ def _build_index_inner(
 
 
 def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
-                      cfg: EngineConfig, id_offset: int = 0) -> tuple[int, float]:
+                      cfg: EngineConfig, id_offset: int = 0) -> tuple[int, float, int]:
     """corpus → stage-partitioned docs table (ids, sha256, dl, tf_map);
-    returns (n_docs, avgdl) observed for free on the write job.
+    returns (n_docs, avgdl, total_dl) observed for free on the write job.
+    total_dl is the EXACT integer token sum, so incremental refreshes can
+    maintain avgdl additively (base + delta) and land on bit-identical
+    division results vs a full rebuild.
 
     ONE Arrow-UDF pass: tokenize → per-doc tf map (map-side combine at the
     source, so the long table never needs a groupBy shuffle).  The stage
@@ -368,7 +380,8 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
     # corpus stats ride the write job (no separate scan)
     obs = Observation("docs_stats")
     docs_full = docs_full.observe(
-        obs, F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        obs, F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
     )
     docs_full.write.mode("overwrite").partitionBy("stage").parquet(out_dir)
     got = obs.get
@@ -380,8 +393,10 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
         # the schema survives — `stage` becomes an ordinary int column,
         # which every reader treats identically.
         docs_full.write.mode("overwrite").parquet(out_dir)
-    # avg(dl) of zero rows is NULL, not a number
-    return n_docs, float(got["avgdl"] or 0.0)
+    # sum(dl) of zero rows is NULL, not a number; avgdl derives from the
+    # exact integer sum so full and incremental builds divide identically
+    total_dl = int(got["total_dl"] or 0)
+    return n_docs, (total_dl / n_docs if n_docs else 0.0), total_dl
 
 
 def _tf_long(docs_tbl: DataFrame) -> DataFrame:
@@ -402,35 +417,51 @@ def _read_docs(spark, docs_paths: list[str]) -> DataFrame:
     return out
 
 
-def _write_term_stats(spark, index_dir: str, docs_paths: list[str],
-                      cfg: EngineConfig, n_docs: int, avgdl: float) -> None:
-    """Global term stats over ALL generations' docs: salted two-level agg
-    (explicit skew handling — hot code keywords land on one reducer
-    otherwise).  Recomputed whole on refresh: df/idf/max_w must reflect
-    the full corpus, and nothing idf/avgdl-dependent lives in postings."""
-    sc = _tf_long(_read_docs(spark, docs_paths))
-    tf_factor = (
-        F.col("tf").cast("double") * F.lit(cfg.k1 + 1.0)
-        / (F.col("tf").cast("double")
-           + F.lit(cfg.k1) * (F.lit(1.0 - cfg.b)
-                              + F.lit(cfg.b) * F.col("dl") / F.lit(avgdl)))
-    )
+def _write_term_partials(spark, index_dir: str, docs_path: str, gen: int,
+                         cfg: EngineConfig) -> list[str]:
+    """ONE generation's additive (term, df, cf) partials — the O(delta)
+    stats building block.  df and cf are purely additive across disjoint
+    doc sets, so a refresh computes partials over its OWN docs dir only
+    and :func:`_merge_term_stats` combines the vocab-sized partial tables
+    — the all-generations corpus rescan the r2 design paid per delta is
+    gone.  (Nothing avgdl-dependent lives here: the scorer reads only
+    (term, idf) from term_stats, and pruning bounds come parameter-free
+    from the postings blocks.)
+
+    Salted two-level agg (explicit skew handling — hot code keywords like
+    ``def`` land on one reducer otherwise).  Returns the files scanned,
+    recorded in the manifest as the O(delta) evidence (tested)."""
+    docs = spark.read.option("basePath", docs_path).parquet(docs_path)
+    sc = _tf_long(docs)
     lvl1 = (
         sc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts_hot)))
-        .withColumn("tff", tf_factor)
         .groupBy("term", "_salt")
-        .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"),
-             F.max("tff").alias("pmax"))
+        .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
     )
-    term_stats = (
-        lvl1.groupBy("term")
-        .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"),
-             F.max("pmax").alias("max_tff"))
+    partials = lvl1.groupBy("term").agg(
+        F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
+    )
+    out = os.path.join(index_dir, "term_partials", f"gen={gen}")
+    partials.write.mode("overwrite").parquet(out)
+    return sorted(docs.inputFiles())
+
+
+def _merge_term_stats(spark, index_dir: str, n_docs: int) -> None:
+    """term_partials/gen=* → global term_stats(term, df, cf, idf).
+
+    Input size is vocab × generations (tiny relative to the corpus), so
+    the merge cost is independent of corpus size; idf uses the LIVE doc
+    count.  Terms whose df sums to ≤ 0 (every containing doc deleted —
+    delete partials are negative rows) drop out entirely."""
+    p = os.path.join(index_dir, "term_partials")
+    parts = spark.read.option("basePath", p).parquet(p)
+    stats = (
+        parts.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .filter(F.col("df") > 0)
         .withColumn("idf", idf_expr(F.col("df"), n_docs))
-        .withColumn("max_w", F.col("idf") * F.col("max_tff"))
-        .drop("max_tff")
     )
-    term_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    stats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
 
 
 def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
@@ -520,6 +551,8 @@ def _reset_generation(index_dir: str, gen: int, cfg: EngineConfig,
     for m in _glob.glob(_manifest_path(index_dir, f"refresh_{gen}_*")):
         os.remove(m)
     shutil.rmtree(os.path.join(index_dir, f"docs_gen{gen}"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "term_partials", f"gen={gen}"),
+                  ignore_errors=True)
     for i in range(cfg.build_stages):
         shutil.rmtree(
             os.path.join(index_dir, "postings", f"stage={stage_offset + i}"),
@@ -540,8 +573,11 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     next SHARD BOUNDARY after the previous generation (per-shard density
     is what doc_meta requires; the gap ids simply never exist), only the
     new shards' postings/doc_meta are built (new ``stage`` partitions —
-    old segment files are never touched), and term_stats + _conf are
-    recomputed globally.  Correct top-k over the merged index is possible
+    old segment files are never touched), and term_stats updates in
+    O(delta): the delta's additive (df, cf) partials land in
+    ``term_partials/gen=g`` and merge with the prior generations'
+    vocab-sized partials, while (n_docs, total_dl) maintain additively
+    in _conf — no corpus rescan.  Correct top-k over the merged index is possible
     precisely because stored postings are parameter-free: idf and avgdl
     enter only at query time, so old segments cannot go stale.
 
@@ -584,26 +620,35 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                 if json.load(f).get("input_fp") != fp:
                     _reset_generation(index_dir, gen, cfg, stage_offset)
 
-        # -- prepare: docs table for the delta + global stats --
-        all_docs_paths = [os.path.join(index_dir, "docs")] + [
-            os.path.join(index_dir, f"docs_gen{g}") for g in range(1, gen + 1)
-        ]
+        # -- prepare: docs table + additive partials for the DELTA only --
         if not _done(index_dir, prefix + "prepare"):
             t0 = time.time()
-            n_new, _delta_avgdl = _write_docs_table(
+            n_new, _delta_avgdl, delta_dl = _write_docs_table(
                 spark, new_corpus, docs_path, cfg, id_offset=base_id
             )
-            # global stats over ALL generations (docs dirs are slim reads:
-            # parquet prunes to the dl column)
-            tot = _read_docs(spark, all_docs_paths).agg(
-                F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
-            ).collect()[0]
-            n_docs, avgdl = int(tot["n"]), float(tot["avgdl"] or 0.0)
-            _write_term_stats(spark, index_dir, all_docs_paths, cfg,
-                              n_docs, avgdl)
+            # O(delta) stats: partials scan ONLY this generation's docs
+            # dir (files recorded below — tested); global (n_docs,
+            # total_dl) maintain additively from _conf, and the merge job
+            # reads the vocab-sized partial tables, never the corpus.
+            stats_files = _write_term_partials(
+                spark, index_dir, docs_path, gen, cfg)
+            # baseline totals come from the last COMMITTED manifest, not
+            # _conf: _conf is written just before the generation's commit
+            # manifest, so a crash between the two leaves _conf one
+            # uncommitted generation AHEAD — adding onto it would double-
+            # count that generation when it is retried (tested).
+            base_step = "prepare" if gen == 1 else f"refresh_{gen - 1}"
+            with open(_manifest_path(index_dir, base_step)) as f:
+                base_tot = json.load(f)
+            n_docs = int(base_tot["n_docs"]) + n_new
+            total_dl = int(base_tot["total_dl"]) + delta_dl
+            avgdl = total_dl / n_docs if n_docs else 0.0
+            _merge_term_stats(spark, index_dir, n_docs)
             _write_manifest(index_dir, prefix + "prepare", {
                 "gen": gen, "n_new": n_new, "base_id": base_id,
-                "n_docs": n_docs, "avgdl": avgdl, "input_fp": fp,
+                "n_docs": n_docs, "avgdl": avgdl, "total_dl": total_dl,
+                "input_fp": fp,
+                "stats_input_files": stats_files[:1000],
                 "elapsed_sec": time.time() - t0,
             })
             _metric(index_dir, step=prefix + "prepare", elapsed_sec=time.time() - t0,
@@ -612,6 +657,7 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
         with open(_manifest_path(index_dir, prefix + "prepare")) as f:
             prep = json.load(f)
         n_docs, avgdl, n_new = prep["n_docs"], prep["avgdl"], prep["n_new"]
+        total_dl = prep["total_dl"]
 
         # -- per-stage builds for the NEW shards only --
         for i in range(cfg.build_stages):
@@ -657,7 +703,7 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
 
         # -- finalize: global conf, then the generation's commit manifest --
         conf.update({
-            "n_docs": n_docs, "avgdl": avgdl,
+            "n_docs": n_docs, "avgdl": avgdl, "total_dl": total_dl,
             "next_doc_id": base_id + n_new,
             "generations": gen + 1,
         })
@@ -665,32 +711,71 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
             json.dump(conf, f, indent=1)
         _write_manifest(index_dir, f"refresh_{gen}", {
             "gen": gen, "input_fp": fp, "n_new": n_new,
-            "n_docs": n_docs,
+            "n_docs": n_docs, "total_dl": total_dl,
         })
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
     return IndexReader(index_dir)
 
 
+def _link_tree(src_dir: str, dst_dir: str, prefix: str = "") -> int:
+    """Hard-link every parquet file under ``src_dir`` into ``dst_dir``
+    keeping the relative partition subpath; file names get ``prefix`` so
+    several source generations can land in one partition dir without
+    collisions.  Hard links cost O(1) per file and zero bytes (same
+    filesystem; falls back to copy across devices) — the compaction
+    primitive.  Returns the number of files linked."""
+    import shutil
+
+    n = 0
+    for root, _dirs, files in os.walk(src_dir):
+        rel = os.path.relpath(root, src_dir)
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            d = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(d, exist_ok=True)
+            dst = os.path.join(d, f"{prefix}{fn}")
+            try:
+                os.link(os.path.join(root, fn), dst)
+            except OSError:
+                shutil.copy2(os.path.join(root, fn), dst)
+            n += 1
+    return n
+
+
 def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
     """Collapse all refresh/streaming generations into the canonical
     single-generation layout (the LSM compaction the streaming path
-    appends against).
+    appends against) — a METADATA-ONLY operation.
 
-    doc_ids are PRESERVED — including the unused gap ids below each
-    generation's shard-boundary base — so (shard, bucket, term) groups
-    are exactly the union of the generations' groups and the re-encoded
-    postings come out byte-identical (encoding is a deterministic
-    function of the group; tested).  The positions sidecar keys on the
-    same ids and simply moves across.  What compaction buys: segment
-    count drops back to ``build_stages`` stage partitions (file count,
-    driver listing, and scan fan-out stop growing with stream batches),
-    while n_docs / avgdl / term_stats / query results are unchanged.
+    Generations own disjoint shard ranges (each starts at a fresh shard
+    boundary), so every (shard, bucket, term) posting group lives whole
+    inside exactly one generation's files: the union of the generations'
+    posting rows IS the canonical single-generation index, byte for byte
+    (r2 proved this by re-encoding and comparing; r3 stops paying for the
+    proof).  Compaction therefore just HARD-LINKS the parquet files into
+    the collapsed partition layout — ``postings/stage=g·S+i`` →
+    ``stage=i``, ``docs_gen{g}/stage=i`` → ``docs/stage=i``,
+    ``positions/gen=g`` → ``gen=0``, ``term_partials/gen=g`` → ``gen=0``
+    (the merge sums them regardless of which gen partition they sit in)
+    — and rewrites only manifests + _conf.  Cost: O(file count), never
+    O(postings volume); a 100 TB index compacts in the time it takes to
+    list and link its files.  What it buys: segment/stage count drops
+    back to ``build_stages``, directory listings and scan fan-out stop
+    growing with stream batches, and refresh generation numbering resets.
+    n_docs / avgdl / term_stats / query results are unchanged (tested
+    byte-identical).
+
+    An index carrying TOMBSTONES (document deletes — see
+    :func:`delete_docs`) instead takes the rebuild path, which physically
+    drops dead documents from postings and docs.
 
     Crash-safe: everything builds in a sibling ``.compacting`` dir, the
     swap is two renames, and a leftover ``.pre_compact`` dir from a crash
     between them is finished by the next call.
     """
+    import glob as _glob
     import shutil
 
     # finish an interrupted swap first
@@ -703,57 +788,87 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
             shutil.rmtree(old)
 
     idx = IndexReader(index_dir)
-    cfg, n_buckets = idx.cfg, idx.n_buckets
+    cfg = idx.cfg
     with open(os.path.join(index_dir, "_conf.json")) as f:
         conf = json.load(f)
     if conf.get("generations", 1) <= 1:
         return idx
 
-    import glob as _glob
-
     tmp = index_dir.rstrip("/") + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     t0 = time.time()
-    all_paths = [os.path.join(index_dir, "docs")] + sorted(
-        _glob.glob(os.path.join(index_dir, "docs_gen*"))
-    )
-    merged = _read_docs(spark, all_paths).drop("stage").withColumn(
-        "stage",
-        F.pmod(shard_expr("doc_id", cfg.shard_size),
-               F.lit(cfg.build_stages)).cast("int"),
-    )
-    docs_path = os.path.join(tmp, "docs")
-    merged.write.mode("overwrite").partitionBy("stage").parquet(docs_path)
+    n_linked = 0
+
+    # postings + doc_meta: stage g·S+i collapses to stage i.  The stage
+    # partition value carries no query semantics (scoring keys on shard;
+    # readers drop it) — it exists to bound per-directory file counts.
+    for rel in ("postings", "doc_meta"):
+        for sdir in _glob.glob(os.path.join(index_dir, rel, "stage=*")):
+            s = int(os.path.basename(sdir).split("=", 1)[1])
+            n_linked += _link_tree(
+                sdir,
+                os.path.join(tmp, rel, f"stage={s % cfg.build_stages}"),
+                prefix=f"s{s}_",
+            )
+
+    # docs: generation dirs merge into docs/.  A zero-row generation was
+    # written NON-partitioned (its parquet carries `stage` as a data
+    # column — linking it under a stage= dir would collide with the
+    # partition column), and contributes nothing — skip it by manifest
+    # count.
+    def _gen_count(step: str, key: str) -> int:
+        with open(_manifest_path(index_dir, step)) as f:
+            return int(json.load(f).get(key, 0))
+
+    if _gen_count("prepare", "n_docs") > 0:
+        n_linked += _link_tree(
+            os.path.join(index_dir, "docs"), os.path.join(tmp, "docs"),
+            prefix="g0_")
+    for gdir in sorted(_glob.glob(os.path.join(index_dir, "docs_gen*"))):
+        g = int(os.path.basename(gdir)[len("docs_gen"):])
+        if _gen_count(f"refresh_{g}", "n_new") > 0:
+            n_linked += _link_tree(
+                gdir, os.path.join(tmp, "docs"), prefix=f"g{g}_")
+
+    # term stats: partial tables collapse to gen=0 (the merge job sums
+    # them regardless of partition value); the merged term_stats carries
+    # over verbatim.
+    for gdir in _glob.glob(os.path.join(index_dir, "term_partials", "gen=*")):
+        g = os.path.basename(gdir).split("=", 1)[1]
+        n_linked += _link_tree(
+            gdir, os.path.join(tmp, "term_partials", "gen=0"),
+            prefix=f"g{g}_")
+    n_linked += _link_tree(
+        os.path.join(index_dir, "term_stats"), os.path.join(tmp, "term_stats"))
+
+    # positions sidecar: gen partitions collapse to gen=0 so the NEXT
+    # refresh's positions/gen=1 dynamic-partition overwrite cannot
+    # clobber carried data (generation numbering resets with compaction).
+    if idx.has_positions:
+        for gdir in _glob.glob(os.path.join(index_dir, "positions", "gen=*")):
+            g = os.path.basename(gdir).split("=", 1)[1]
+            n_linked += _link_tree(
+                gdir, os.path.join(tmp, "positions", "gen=0"),
+                prefix=f"g{g}_")
+        _write_manifest(tmp, "positions", {"carried_by": "compact"})
+
     _write_manifest(tmp, "prepare", {
         "n_docs": conf["n_docs"], "avgdl": conf["avgdl"],
-        "compacted_from": len(all_paths),
+        "total_dl": conf.get("total_dl", 0),
+        "format_version": INDEX_FORMAT_V,
+        "compacted_from": conf.get("generations", 1),
     })
     for stage in range(cfg.build_stages):
-        _build_stage(spark, tmp, docs_path, cfg, n_buckets,
-                     stage_id=stage, local_stage=stage)
-    _write_term_stats(spark, tmp, [docs_path], cfg,
-                      conf["n_docs"], conf["avgdl"])
-    if os.path.exists(os.path.join(index_dir, "positions")):
-        # collapse the sidecar's generations into gen=0 too: compaction
-        # resets the refresh numbering (no refresh_* manifests in the
-        # new dir), so the NEXT refresh writes positions/gen=1 again —
-        # carried data parked at gen>=1 would be clobbered by its
-        # dynamic partition overwrite.  Rows are copied verbatim (ids
-        # unchanged), only the gen partition value collapses.
-        old_pos = spark.read.option(
-            "basePath", os.path.join(index_dir, "positions")
-        ).parquet(os.path.join(index_dir, "positions"))
-        (old_pos.drop("gen").withColumn("gen", F.lit(0))
-         .write.mode("overwrite").partitionBy("gen", "bucket")
-         .parquet(os.path.join(tmp, "positions")))
-        _write_manifest(tmp, "positions", {"carried_by": "compact"})
+        _write_manifest(tmp, f"stage_{stage}", {
+            "stage": stage, "compacted": True})
     new_conf = dict(conf)
     new_conf["generations"] = 1
     with open(os.path.join(tmp, "_conf.json"), "w") as f:
         json.dump(new_conf, f, indent=1)
     _metric(tmp, step="compact", elapsed_sec=time.time() - t0,
-            generations_in=conf.get("generations", 1))
+            generations_in=conf.get("generations", 1),
+            files_linked=n_linked)
 
     os.rename(index_dir, old)
     os.rename(tmp, index_dir)

@@ -8,8 +8,10 @@ Design: streaming owns NOTHING of the index format.  Each micro-batch is
 handed to the batch engine's generational refresh
 (``plans.build_index.refresh_index``), which reserves a dense doc_id range
 at the next shard boundary, builds the new shards' postings + doc_meta as
-fresh ``stage=`` partitions, and rewrites term_stats/_conf globally — so
-streamed documents are IMMEDIATELY visible to ``bm25_topk_index`` with
+fresh ``stage=`` partitions, and folds the batch's additive (df, cf)
+partials into term_stats in O(batch), not O(corpus) — so a steady stream
+does linear total stats work, and streamed documents are IMMEDIATELY
+visible to ``bm25_topk_index`` with
 exact BM25 semantics (stored postings are parameter-free; live idf/avgdl
 apply at query time).  Because the refresh is manifest-gated and
 fingerprint-bound, a crashed micro-batch replays idempotently on restart —

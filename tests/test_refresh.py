@@ -66,6 +66,63 @@ def test_refresh_stats_match_full_build(spark, indexes):
     assert ts_full == ts_inc
 
 
+def test_refresh_stats_scan_only_delta(spark, indexes):
+    """O(delta) stats (VERDICT r2 #1): the refresh's term-stats partials
+    scan reads ONLY the new generation's docs files — the base corpus is
+    never rescanned (additive df/cf partials + counter merge instead)."""
+    import json
+    import os
+
+    _, idx_inc = indexes
+    p = os.path.join(idx_inc.index_dir, "manifest", "refresh_1_prepare.json")
+    with open(p) as f:
+        prep = json.load(f)
+    files = prep["stats_input_files"]
+    assert files, "partials scan recorded no input files"
+    assert all("docs_gen1" in f for f in files), files
+    # term_stats carries nothing avgdl-dependent (the r2 max_w column was
+    # never read by any consumer — dropped, enabling the additive merge)
+    assert set(idx_inc.term_stats(spark).columns) == {"term", "df", "cf", "idf"}
+
+
+def test_compaction_is_metadata_only(spark, indexes):
+    """Compaction hard-links generation files into the collapsed layout
+    instead of re-encoding postings (VERDICT r2 #3) — the metrics record
+    the linked-file count, and no Spark encode job runs."""
+    import json
+    import os
+    import shutil
+
+    from snowball_java_spark.plans.build_index import compact_index
+
+    _, idx_inc = indexes
+    # compact a COPY so the module-scoped fixture stays multi-generation
+    d = idx_inc.index_dir + "_compact_copy"
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(idx_inc.index_dir, d)
+    before = sorted(
+        (r["stage"], r["shard"], r["bucket"], r["term"],
+         bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
+        for r in idx_inc.postings(spark).collect()
+    )
+    compacted = compact_index(spark, d)
+    with open(os.path.join(d, "metrics.jsonl")) as f:
+        steps = [json.loads(line) for line in f]
+    comp = [m for m in steps if m["step"] == "compact"]
+    assert comp and comp[-1]["files_linked"] > 0
+    # stage partition values collapse (gen·S+i → i); rows byte-identical
+    S = idx_inc.cfg.build_stages
+    after = sorted(
+        (r["stage"], r["shard"], r["bucket"], r["term"],
+         bytes(r["doc_bytes"]), bytes(r["tf_bytes"]))
+        for r in compacted.postings(spark).collect()
+    )
+    assert after == sorted(
+        (s % S, *rest) for s, *rest in before
+    )
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_refresh_queries_identical_to_full_build(spark, indexes):
     idx_full, idx_inc = indexes
     assert _query_rows(spark, idx_full) == _query_rows(spark, idx_inc)
