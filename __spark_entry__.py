@@ -4,9 +4,12 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (46/46 as of round 2 — including the real BMP decode,
-                  the composed cleaning pipeline, and connected
-                  components via a recursive CTE).
+                  (50/50 as of round 3 — including the real BMP decode,
+                  the composed cleaning pipeline, connected components
+                  via a recursive CTE, and the living-corpus lifecycle:
+                  upsert/supersede, delete, and tombstone-dropping
+                  compaction, each oracle-checked over the equivalent
+                  mutated corpus).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.

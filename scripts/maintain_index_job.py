@@ -1,16 +1,24 @@
-"""spark-submit entry point: index maintenance (describe / compact).
+"""spark-submit entry point: index maintenance — the whole LSM lifecycle
+(refresh / upsert / delete / compact / stats / describe) from one CLI.
 
     spark-submit --py-files dist.zip scripts/maintain_index_job.py \
         --index-dir /path/index --describe
-    spark-submit --py-files dist.zip scripts/maintain_index_job.py \
-        --index-dir /path/index --compact
+    ... --refresh /path/new_docs.parquet [--supersede-on repo,path]
+    ... --delete-keys /path/keys.parquet
+    ... --compact
+    ... --rebuild-stats
 
-``--describe`` prints the operational summary (doc/term/posting counts,
-compressed bytes, segments, generations, codec, sidecars) as one JSON
-line.  ``--compact`` collapses all refresh/streaming generations back
-into the canonical single-generation layout (byte-identical postings,
-doc_ids preserved, positions carried over) — run it when the generation
-count from ``--describe`` grows past your file-count comfort level.
+``--refresh`` appends a corpus delta as the next generation; with
+``--supersede-on`` prior docs matching the delta's key are tombstoned
+(upsert — exactly one live version ranks).  ``--delete-keys`` tombstones
+docs matching a small key table (columns = any subset of the stored
+natural key, or doc_id).  ``--compact`` collapses generations: a
+metadata-only hard-link pass when there are no tombstones, or a rebuild
+that physically drops dead docs when there are.  ``--rebuild-stats``
+re-merges term_stats from the on-disk additive partials (the stats-only
+repair path — no corpus scan).  ``--describe`` prints the operational
+summary as one JSON line.  Steps compose and run in the order refresh →
+delete → compact → rebuild-stats → describe.
 """
 
 from __future__ import annotations
@@ -26,15 +34,57 @@ def main(argv: list[str]) -> int:
     p.add_argument("--index-dir", required=True)
     p.add_argument("--describe", action="store_true")
     p.add_argument("--compact", action="store_true")
+    p.add_argument("--refresh", metavar="CORPUS",
+                   help="parquet dir / Iceberg table of new documents")
+    p.add_argument("--supersede-on", metavar="COLS",
+                   help="comma-separated key columns: prior docs matching "
+                        "a delta doc's key are tombstoned (upsert)")
+    p.add_argument("--delete-keys", metavar="PATH",
+                   help="parquet of key columns; matching docs are tombstoned")
+    p.add_argument("--rebuild-stats", action="store_true",
+                   help="re-merge term_stats from the stored partials")
     args = p.parse_args(argv)
-    if not (args.describe or args.compact):
-        p.error("nothing to do: pass --describe and/or --compact")
+    if not any((args.describe, args.compact, args.refresh,
+                args.delete_keys, args.rebuild_stats)):
+        p.error("nothing to do: pass --describe/--compact/--refresh/"
+                "--delete-keys/--rebuild-stats")
+    if args.supersede_on and not args.refresh:
+        p.error("--supersede-on requires --refresh")
 
     from pyspark.sql import SparkSession
 
-    from snowball_java_spark.plans.build_index import IndexReader, compact_index
+    from snowball_java_spark.plans.build_index import (
+        IndexReader,
+        _merge_term_stats,
+        compact_index,
+        delete_docs,
+        refresh_index,
+    )
+    from snowball_java_spark.sources.corpus import read_corpus
 
     spark = SparkSession.builder.appName("sjs-maintain-index").getOrCreate()
+
+    if args.refresh:
+        t0 = time.time()
+        sup = args.supersede_on.split(",") if args.supersede_on else None
+        before = IndexReader(args.index_dir).describe(spark)
+        idx = refresh_index(spark, read_corpus(spark, args.refresh),
+                            args.index_dir, supersede_on=sup)
+        print(json.dumps({
+            "refreshed": True, "supersede_on": sup,
+            "n_docs_before": before["n_docs"], "n_docs_after": idx.n_docs,
+            "elapsed_sec": round(time.time() - t0, 1),
+        }))
+    if args.delete_keys:
+        t0 = time.time()
+        keys = spark.read.parquet(args.delete_keys)
+        before = IndexReader(args.index_dir).describe(spark)
+        idx = delete_docs(spark, args.index_dir, keys)
+        print(json.dumps({
+            "deleted": before["n_docs"] - idx.n_docs,
+            "n_docs_after": idx.n_docs,
+            "elapsed_sec": round(time.time() - t0, 1),
+        }))
     if args.compact:
         t0 = time.time()
         before = IndexReader(args.index_dir).describe(spark)
@@ -43,6 +93,15 @@ def main(argv: list[str]) -> int:
             "compacted": True,
             "generations_in": before["generations"],
             "generations_out": idx.describe(spark)["generations"],
+            "tombstones_dropped": before["n_tombstones"],
+            "elapsed_sec": round(time.time() - t0, 1),
+        }))
+    if args.rebuild_stats:
+        t0 = time.time()
+        idx = IndexReader(args.index_dir)
+        _merge_term_stats(spark, args.index_dir, idx.n_docs)
+        print(json.dumps({
+            "stats_rebuilt": True, "n_docs": idx.n_docs,
             "elapsed_sec": round(time.time() - t0, 1),
         }))
     if args.describe:

@@ -301,6 +301,18 @@ def _data_fingerprint(path: str) -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
+def _gc_index_caches(tag: str, keep_prefix: str) -> None:
+    """Drop superseded cache dirs for an sf tag (older format versions or
+    regenerated data); siblings sharing the current version+fingerprint
+    prefix (the upsert-lifecycle variants) are kept."""
+    import glob as _glob
+    import shutil as _sh
+
+    for stale in _glob.glob(f"/tmp/sjs_index_cache/*_{tag}_*"):
+        if not os.path.basename(stale).startswith(keep_prefix):
+            _sh.rmtree(stale, ignore_errors=True)
+
+
 def _index_for(spark: SparkSession, sf_dir: str):
     from snowball_java_spark.plans.build_index import INDEX_FORMAT_V, build_index
 
@@ -309,14 +321,7 @@ def _index_for(spark: SparkSession, sf_dir: str):
     # format version in the key: an on-disk layout change (e.g. the r2
     # frontier bounds) must invalidate caches left by older code
     idx_dir = f"/tmp/sjs_index_cache/v{INDEX_FORMAT_V}_{tag}_{fp}"
-    # GC: superseded caches for the same sf tag (older format versions or
-    # regenerated data) are dead weight — drop them before building
-    import glob as _glob
-    import shutil as _sh
-
-    for stale in _glob.glob(f"/tmp/sjs_index_cache/*_{tag}_*"):
-        if os.path.normpath(stale) != os.path.normpath(idx_dir):
-            _sh.rmtree(stale, ignore_errors=True)
+    _gc_index_caches(tag, f"v{INDEX_FORMAT_V}_{tag}_{fp}")
     corpus = _docs(spark, sf_dir).select(
         "doc_id",
         F.col("text").alias("content"),
@@ -343,6 +348,131 @@ def _bm25_index_topk(
         "doc_id", F.col("rank").cast("long").alias("rank"),
         F.round("score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# living-corpus (upsert/delete) lifecycle gates
+#
+# docs with doc_id % 7 == 3 are SUPERSEDED by an updated commit (text +
+# " upduniq markuniq"); docs with doc_id % 11 == 5 are DELETED.  The
+# Spark side drives the real index lifecycle (build → supersede-refresh →
+# delete → optionally compact); the oracle recomputes BM25 over the
+# equivalent live corpus expressed in SQL — both engines derive the
+# mutation deterministically from the same documents table.
+# ---------------------------------------------------------------------------
+
+_MDOCS_CTE = (
+    "mdocs AS (SELECT doc_id, CASE WHEN doc_id % 7 = 3 "
+    "THEN text || ' upduniq markuniq' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 11 <> 5)"
+)
+
+
+def _upsertify(sql: str) -> str:
+    """Rewrite an oracle over ``documents`` to run over the mutated live
+    corpus (the CTE above).  Source swapped BEFORE the CTE is prepended so
+    the CTE's own ``FROM documents`` stays intact."""
+    out = sql.replace("FROM documents", "FROM mdocs")
+    return out.replace("WITH ", f"WITH {_MDOCS_CTE},\n", 1)
+
+
+def _upsert_corpus_parts(spark: SparkSession, sf_dir: str):
+    """(base, delta, delete_keys) — repo constant and path = zero-padded
+    original doc_id, so the delta's internal id assignment (sort rank on
+    the natural key) follows original-id order and tie-breaks agree with
+    the oracle's."""
+    path = F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", F.col("text").alias("content"),
+        F.lit("corpus").alias("repo"), path.alias("path"),
+        F.lit("c0").alias("commit"), F.col("lang"))
+    delta = d.filter(F.col("doc_id") % 7 == 3).select(
+        F.concat(F.col("text"), F.lit(" upduniq markuniq")).alias("content"),
+        F.lit("corpus").alias("repo"), path.alias("path"),
+        F.lit("c1").alias("commit"), F.col("lang"))
+    del_keys = d.filter(F.col("doc_id") % 11 == 5).select(
+        F.lit("corpus").alias("repo"), path.alias("path"))
+    return base, delta, del_keys
+
+
+def _upsert_index_for(spark: SparkSession, sf_dir: str):
+    """Cached build → supersede-refresh → delete lifecycle (tombstones
+    live, exercising the dead-sidecar scoring path)."""
+    from snowball_java_spark.plans.build_index import (
+        INDEX_FORMAT_V,
+        build_index,
+        delete_docs,
+        refresh_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    _gc_index_caches(tag, f"v{INDEX_FORMAT_V}_{tag}_{fp}")
+    idx_dir = f"/tmp/sjs_index_cache/v{INDEX_FORMAT_V}_{tag}_{fp}_upsert"
+    base, delta, del_keys = _upsert_corpus_parts(spark, sf_dir)
+    build_index(spark, base, idx_dir, cfg=_INDEX_CFG, n_buckets=8)
+    refresh_index(spark, delta, idx_dir, supersede_on=["repo", "path"])
+    return delete_docs(spark, idx_dir, del_keys)
+
+
+def _upsert_compact_index_for(spark: SparkSession, sf_dir: str):
+    """The same mutated index after compaction: dead docs physically
+    dropped, tombstones cleared — results must be identical."""
+    import shutil as _sh
+
+    from snowball_java_spark.plans.build_index import compact_index
+
+    src = _upsert_index_for(spark, sf_dir)
+    cdir = src.index_dir + "_compacted"
+    if not os.path.exists(os.path.join(cdir, "_conf.json")):
+        _sh.rmtree(cdir, ignore_errors=True)
+        _sh.copytree(src.index_dir, cdir)
+    return compact_index(spark, cdir)
+
+
+def _upsert_topk(spark, idx, terms: list[str]) -> DataFrame:
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": terms, "k": 10}],
+        cfg=_INDEX_CFG)
+    # map internal ids back to the original doc_id carried in `path`
+    # (docs() is live-only, so dead versions cannot resolve)
+    ids = idx.docs(spark).select(
+        "doc_id", F.col("path").cast("long").alias("orig_id"))
+    return (
+        res.join(ids, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rank"),
+                F.round("score", 6).alias("score"))
+    )
+
+
+def _q_bm25_upsert(spark, sf_dir):
+    """Exactly one live version ranks: the marker term exists only in the
+    superseded docs' NEW commits."""
+    return _upsert_topk(spark, _upsert_index_for(spark, sf_dir), ["upduniq"])
+
+
+def _q_bm25_delete(spark, sf_dir):
+    """Deleted docs never rank and idf/avgdl reflect live docs only."""
+    return _upsert_topk(spark, _upsert_index_for(spark, sf_dir), HOT_TERMS)
+
+
+def _q_bm25_compacted(spark, sf_dir):
+    """Same query after compaction physically dropped the dead rows —
+    same oracle, byte-identical answers."""
+    return _upsert_topk(
+        spark, _upsert_compact_index_for(spark, sf_dir), HOT_TERMS)
+
+
+def _q_upsert_term_df(spark, sf_dir):
+    """Live-exact stats after mutations: term_stats (maintained via
+    additive + negative partials, never a corpus rescan) vs the oracle's
+    df/cf over the mutated live corpus."""
+    idx = _upsert_index_for(spark, sf_dir)
+    return idx.term_stats(spark).select("term", "df", "cf")
 
 
 # ---------------------------------------------------------------------------
@@ -1409,6 +1539,19 @@ SELECT source, n_docs, n_tokens,
                         / greatest(n_tokens::DOUBLE, 1.0)), 6)::DOUBLE AS keep_frac
 FROM s
 """,
+        ),
+        "bm25_upsert_topk": Q(
+            _q_bm25_upsert, _upsertify(_bm25_topk_sql(["upduniq"], 10))
+        ),
+        "bm25_delete_topk": Q(
+            _q_bm25_delete, _upsertify(_bm25_topk_sql(HOT_TERMS, 10))
+        ),
+        "bm25_compacted_topk": Q(
+            _q_bm25_compacted, _upsertify(_bm25_topk_sql(HOT_TERMS, 10))
+        ),
+        "upsert_term_df": Q(
+            _q_upsert_term_df,
+            _upsertify(f"WITH {BASE_CTES} SELECT term, df, cf FROM dfx"),
         ),
         "dedup_components": Q(_q_components, _components_sql(_CC_TAU)),
         "token_normalize": Q(

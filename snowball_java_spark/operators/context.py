@@ -225,12 +225,16 @@ def context_topk_index(
     pos = index.positions(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    with_meta = pos.join(index.doc_meta(spark), "shard")
+    with_meta = pos.join(index.scoring_doc_meta(spark), "shard")
     k1, b = cfg.k1, cfg.b
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from snowball_java_spark.operators.postings import decode_dead_bytes
+
         first_doc = int(pdf["first_doc"].iloc[0])
         dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
         decoded = {}
         for _, row in pdf.iterrows():
             decoded[row["term"]] = _decode_row(row)
@@ -267,6 +271,11 @@ def context_topk_index(
                         dls[docs_t[nz] - first_doc], avgdl, k1, b)
                     zs[np.searchsorted(cand, docs_t[nz])] += tw
                 score += wz * zs
+            # dead docs stay in `cand` so searchsorted positions above
+            # remain aligned; they are excluded from the result set here
+            if dead is not None and dead.size:
+                p = np.minimum(np.searchsorted(dead, cand), dead.size - 1)
+                score[dead[p] == cand] = 0.0
             keep = np.nonzero(score > 0)[0]
             if keep.size > k:
                 kth = np.partition(score[keep], -k)[-k]

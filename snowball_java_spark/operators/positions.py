@@ -184,8 +184,12 @@ def phrase_match_kernel(
 ) -> pd.DataFrame:
     """One shard's positional rows (+ dl sidecar columns) → phrase match
     rows (query_id, doc_id, tf, dl)."""
+    from snowball_java_spark.operators.postings import decode_dead_bytes
+
     first_doc = int(pdf["first_doc"].iloc[0])
     dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+    dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+            if "dead_bytes" in pdf.columns else None)
     by_term = {row["term"]: row for _, row in pdf.iterrows()}
     out_q, out_d, out_t, out_l = [], [], [], []
     for qid, phrase, _k in q_spec:
@@ -203,6 +207,13 @@ def phrase_match_kernel(
             continue
         local_docs, counts = np.unique(keys >> np.int64(32), return_counts=True)
         match_docs = local_docs + np.int64(first_doc)
+        if dead is not None and dead.size:
+            p = np.minimum(np.searchsorted(dead, match_docs), dead.size - 1)
+            live = dead[p] != match_docs
+            match_docs, counts, local_docs = (
+                match_docs[live], counts[live], local_docs[live])
+            if match_docs.size == 0:
+                continue
         out_q.extend([qid] * match_docs.size)
         out_d.extend(match_docs.tolist())
         out_t.extend(counts.tolist())
@@ -240,7 +251,7 @@ def phrase_topk_index(
     pos = index.positions(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    with_meta = pos.join(index.doc_meta(spark), "shard")
+    with_meta = pos.join(index.scoring_doc_meta(spark), "shard")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return phrase_match_kernel(pdf, q_spec)

@@ -221,3 +221,40 @@ def decode_doc_meta(row) -> tuple[int, np.ndarray]:
     from snowball_java_spark.functions.codecs import varint_decode
 
     return int(row["first_doc"]), varint_decode(bytes(row["dl_bytes"])).astype(np.int64)
+
+
+DEAD_META_SCHEMA = "shard long, dead_bytes binary"
+
+
+def build_dead_meta(dead_ids: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Tombstoned doc_ids → per-shard sorted delta-varint dead-id sidecar.
+
+    The query-time liveness structure (the per-shard deletion bitmap of a
+    classic LSM index): scoring kernels left-join it on shard and drop
+    dead docs as posting blocks decode, so deletes never touch stored
+    segments.  Size ∝ deletes since the last compaction — compaction
+    physically removes dead docs and clears the tombstones."""
+    from snowball_java_spark.functions.codecs import delta_encode
+
+    keyed = dead_ids.select("doc_id").withColumn(
+        "shard", shard_expr("doc_id", cfg.shard_size))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(pdf["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "shard": [int(pdf["shard"].iloc[0])],
+            "dead_bytes": [varint_encode(delta_encode(ids))],
+        })
+
+    return keyed.groupBy("shard").applyInPandas(kernel, DEAD_META_SCHEMA)
+
+
+def decode_dead_bytes(val) -> "np.ndarray | None":
+    """Kernel-side inverse of :func:`build_dead_meta` — sorted dead ids
+    for one shard, or None when the shard has no tombstones."""
+    from snowball_java_spark.functions.codecs import delta_decode, varint_decode
+
+    if val is None:
+        return None
+    ids = delta_decode(varint_decode(bytes(val)))
+    return ids if ids.size else None

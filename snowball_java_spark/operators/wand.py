@@ -69,10 +69,12 @@ class _TermList:
     """
 
     __slots__ = ("n", "bs", "first", "last", "doff", "toff", "bmax",
-                 "doc_bytes", "tf_bytes", "max_w", "idf", "_dec", "_cache")
+                 "doc_bytes", "tf_bytes", "max_w", "idf", "_dec", "_cache",
+                 "dead")
 
     def __init__(self, row, block_size: int, avgdl: float,
-                 cfg: EngineConfig = DEFAULT):
+                 cfg: EngineConfig = DEFAULT,
+                 dead: "np.ndarray | None" = None):
         self.n = int(row["n"])
         self.bs = block_size
         self._dec = get_codec(cfg.codec)[1]
@@ -95,6 +97,12 @@ class _TermList:
         np.cumsum(lens[:-1], out=offsets[1:])
         self.bmax = np.maximum.reduceat(w, offsets) * _BOUND_SLACK
         self.max_w = float(self.bmax.max())
+        # sorted tombstoned doc_ids for this shard (None = all live);
+        # filtered out at block decode, so every downstream consumer
+        # (seeding, lookups, exhaustive fallback) only ever sees live
+        # docs.  Stored block bounds still count dead docs — a bound can
+        # only be LOOSER than the live truth, so pruning stays exact.
+        self.dead = dead if dead is not None and dead.size else None
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     @property
@@ -117,6 +125,11 @@ class _TermList:
             np.cumsum(deltas.astype(np.int64), out=docs[1:])
             docs[1:] += self.first[b]
         tfs = self._dec(self.tf_bytes[self.toff[b]:tend], count=c).astype(np.int64)
+        if self.dead is not None:
+            p = np.minimum(np.searchsorted(self.dead, docs), self.dead.size - 1)
+            live = self.dead[p] != docs
+            if not live.all():
+                docs, tfs = docs[live], tfs[live]
         self._cache[b] = (docs, tfs)
         return docs, tfs
 
@@ -414,11 +427,18 @@ def score_shards(
     acc_total = block_metrics.get("total") if block_metrics else None
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from snowball_java_spark.operators.postings import decode_dead_bytes
+
         first_doc = int(pdf["first_doc"].iloc[0])
         dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        # per-shard tombstone sidecar (column only present when the index
+        # has deletes; see IndexReader.scoring_doc_meta)
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
         by_term: dict[str, _TermList] = {}
         for _, row in pdf.iterrows():
-            by_term[row["term"]] = _TermList(row, block_size, avgdl, cfg)
+            by_term[row["term"]] = _TermList(row, block_size, avgdl, cfg,
+                                             dead=dead)
         out_q, out_d, out_s = [], [], []
         for qid, terms, k, mode in q_spec:
             lists = [by_term[t] for t in terms if t in by_term]
@@ -459,7 +479,7 @@ def bm25_topk_index(
     )
     tstats = index.term_stats(spark).filter(F.col("term").isin(terms)).select("term", "idf")
     posts = posts.join(F.broadcast(tstats), "term")
-    meta = index.doc_meta(spark)
+    meta = index.scoring_doc_meta(spark)
     with_meta = posts.join(meta, "shard")
     scores = score_shards(with_meta, queries, index.avgdl, cfg,
                           block_metrics=block_metrics)

@@ -1,0 +1,221 @@
+"""Document supersede/delete (VERDICT r2 ask #2): a living corpus where a
+new commit of an existing (repo, path) REPLACES the old version and
+explicit deletes remove documents — exactly one live version ranks,
+stats stay live-exact (idf/avgdl from live docs only), and compaction
+physically drops the dead rows.
+
+The reference has no mutable-corpus analog (batch-only; its checkpoint
+reload ``snowball/src/bin/Snowball.java:45-71`` just memoizes a frozen
+corpus) — this is north_star scope.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from tests.oracle import OracleIndex
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+N_BUCKETS = 8
+
+N_BASE = 96
+UPD = [f"p{i:04d}" for i in range(10)]          # paths superseded by new commits
+DEL = [f"p{i:04d}" for i in range(20, 28)]      # paths explicitly deleted
+BASE_ID0_DELTA = 128                             # 96 docs → next 64-boundary
+
+
+def _base_content(i: int) -> str:
+    return f"def magic phrase base_{i % 7} filler{i} common " * 2
+
+
+def _upd_content(i: int) -> str:
+    # updated version: phrase removed, marker term added
+    return f"def updated_marker new_{i % 3} other words " * 2
+
+
+def _base_pdf() -> pd.DataFrame:
+    rows = [("rbase", f"p{i:04d}", "c0", "py", _base_content(i))
+            for i in range(N_BASE)]
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def _delta_pdf() -> pd.DataFrame:
+    rows = [("rbase", p, "c1", "py", _upd_content(int(p[1:])))
+            for p in UPD]
+    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def _live_oracle_docs() -> list[tuple[int, str]]:
+    """The id → content mapping of LIVE docs after upsert + delete:
+    base ids for untouched docs, boundary-offset ids for the updates."""
+    docs = [(i, _base_content(i)) for i in range(N_BASE)
+            if f"p{i:04d}" not in UPD and f"p{i:04d}" not in DEL]
+    docs += [(BASE_ID0_DELTA + j, _upd_content(int(p[1:])))
+             for j, p in enumerate(sorted(UPD))]
+    return docs
+
+
+@pytest.fixture(scope="module")
+def mutated_idx(spark, tmp_path_factory):
+    """build(96) + positions → upsert-refresh(10 new commits) →
+    delete(8 paths): the full living-corpus lifecycle, tombstones live."""
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+        delete_docs,
+        refresh_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("mut"))
+    base = spark.createDataFrame(_base_pdf())
+    idx = build_index(spark, base, d, cfg=CFG, n_buckets=N_BUCKETS)
+    add_positions(spark, base, idx)
+    idx = refresh_index(spark, spark.createDataFrame(_delta_pdf()), d,
+                        supersede_on=["repo", "path"])
+    keys = spark.createDataFrame([("rbase", p) for p in DEL],
+                                 "repo string, path string")
+    return delete_docs(spark, d, keys)
+
+
+def _topk_rows(spark, idx, terms, k, mode="or"):
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": terms, "k": k, "mode": mode}],
+        cfg=idx.cfg)
+    return sorted((r["rank"], r["doc_id"], r["score"]) for r in res.collect())
+
+
+def test_exactly_one_live_version_ranks(spark, mutated_idx):
+    oracle = OracleIndex(_live_oracle_docs())
+    live_ids = {d for d, _ in _live_oracle_docs()}
+    assert mutated_idx.n_docs == len(live_ids) == N_BASE - 18 + 10
+
+    # the hot term hits every live doc — and ONLY live docs
+    mine = _topk_rows(spark, mutated_idx, ["def"], k=200)
+    expect = oracle.topk(["def"], 200)
+    assert [d for _, d, _ in mine] == [d for d, _ in expect]
+    for (_, _, s), (_, es) in zip(mine, expect):
+        assert s == pytest.approx(es, rel=1e-9)
+    assert {d for _, d, _ in mine} == live_ids
+
+    # the updated docs' marker hits exactly the 10 new versions
+    mine = _topk_rows(spark, mutated_idx, ["updated_marker"], k=50)
+    assert {d for _, d, _ in mine} == {BASE_ID0_DELTA + j for j in range(10)}
+    expect = oracle.topk(["updated_marker"], 50)
+    for (_, d, s), (ed, es) in zip(mine, expect):
+        assert d == ed and s == pytest.approx(es, rel=1e-9)
+
+
+def test_term_stats_are_live_exact(spark, mutated_idx):
+    oracle = OracleIndex(_live_oracle_docs())
+    ts = {r["term"]: (r["df"], r["cf"])
+          for r in mutated_idx.term_stats(spark).collect()}
+    assert ts["updated_marker"][0] == 10
+    assert ts["magic"][0] == oracle.df["magic"] == N_BASE - 18
+    # no phantom terms from dead docs (df <= 0 rows dropped by the merge)
+    assert all(df > 0 for df, _ in ts.values())
+    assert set(ts) == set(oracle.df)
+    assert mutated_idx.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_docs_and_describe_reflect_liveness(spark, mutated_idx):
+    live_ids = {d for d, _ in _live_oracle_docs()}
+    assert {r["doc_id"] for r in
+            mutated_idx.docs(spark).select("doc_id").collect()} == live_ids
+    desc = mutated_idx.describe(spark)
+    assert desc["n_tombstones"] == 18
+    assert desc["n_docs"] == len(live_ids)
+
+
+def test_phrase_and_context_exclude_dead(spark, mutated_idx):
+    from snowball_java_spark.operators.context import context_topk_index
+    from snowball_java_spark.operators.positions import phrase_topk_index
+
+    live_base = {i for i in range(N_BASE)
+                 if f"p{i:04d}" not in UPD and f"p{i:04d}" not in DEL}
+    res = phrase_topk_index(
+        spark, mutated_idx,
+        [{"query_id": 0, "phrase": ["magic", "phrase"], "k": 200}], cfg=CFG)
+    # updated docs dropped the phrase; their OLD versions are dead
+    assert {r["doc_id"] for r in res.collect()} == live_base
+
+    ctx = context_topk_index(
+        spark, mutated_idx,
+        [{"query_id": 0, "left_terms": ["def"], "middle_terms": [],
+          "right_terms": [], "w_left": 1.0, "w_middle": 0.0, "w_right": 0.0,
+          "window": 4, "k": 200}], cfg=CFG)
+    got = {r["doc_id"] for r in ctx.collect()}
+    live_ids = {d for d, _ in _live_oracle_docs()}
+    assert got, "context query must match live docs"
+    assert got <= live_ids, f"dead docs leaked: {got - live_ids}"
+
+
+def test_replay_same_mutation_is_noop(spark, mutated_idx):
+    import json
+    import os
+
+    from snowball_java_spark.plans.build_index import delete_docs
+
+    conf_before = json.load(
+        open(os.path.join(mutated_idx.index_dir, "_conf.json")))
+    keys = spark.createDataFrame([("rbase", p) for p in DEL],
+                                 "repo string, path string")
+    delete_docs(spark, mutated_idx.index_dir, keys)
+    conf_after = json.load(
+        open(os.path.join(mutated_idx.index_dir, "_conf.json")))
+    assert conf_before == conf_after
+
+
+def test_delete_without_matches_stays_fast_path(spark, tmp_path_factory):
+    from snowball_java_spark.plans.build_index import build_index, delete_docs
+
+    d = str(tmp_path_factory.mktemp("nodel"))
+    idx = build_index(spark, spark.createDataFrame(_base_pdf()), d,
+                      cfg=CFG, n_buckets=N_BUCKETS)
+    keys = spark.createDataFrame([("rother", "nope")],
+                                 "repo string, path string")
+    idx = delete_docs(spark, d, keys)
+    assert idx.n_docs == N_BASE
+    assert not idx.has_tombstones  # empty tombstone dirs are not written
+
+
+def test_compaction_physically_drops_dead(spark, mutated_idx):
+    import shutil
+
+    from snowball_java_spark.plans.build_index import compact_index
+    from snowball_java_spark.operators.positions import phrase_topk_index
+
+    d = mutated_idx.index_dir + "_compact_copy"
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.copytree(mutated_idx.index_dir, d)
+
+    before_q = _topk_rows(spark, mutated_idx, ["def", "base_0"], k=200)
+    compacted = compact_index(spark, d)
+
+    assert not compacted.has_tombstones
+    assert compacted.describe(spark)["n_tombstones"] == 0
+    # queries identical pre/post compaction
+    assert _topk_rows(spark, compacted, ["def", "base_0"], k=200) == before_q
+    # postings physically exclude the dead: per-term df over stored rows
+    # now equals the LIVE df (it over-counted before compaction)
+    live_df = {r["term"]: r["df"]
+               for r in compacted.term_stats(spark).collect()}
+    stored_df = {
+        r["term"]: r["df"]
+        for r in compacted.postings(spark).groupBy("term")
+        .agg(F.sum("df_local").alias("df")).collect()
+    }
+    for t in ("def", "magic", "updated_marker"):
+        assert stored_df[t] == live_df[t], t
+    # positions sidecar filtered too: phrase results unchanged
+    live_base = {i for i in range(N_BASE)
+                 if f"p{i:04d}" not in UPD and f"p{i:04d}" not in DEL}
+    res = phrase_topk_index(
+        spark, compacted,
+        [{"query_id": 0, "phrase": ["magic", "phrase"], "k": 200}], cfg=CFG)
+    assert {r["doc_id"] for r in res.collect()} == live_base
+    shutil.rmtree(d, ignore_errors=True)
