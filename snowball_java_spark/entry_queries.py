@@ -703,9 +703,18 @@ def _q_emb_ivf(spark, sf_dir):
     )
 
 
+_EMB_ND_CAP = 40
+_EMB_ND_PLANES = 4
+
+
 def _q_emb_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs blocked on the SRP LSH bucket (capped +
+    quarantined) — the scale wiring: bucket cardinality grows with the
+    corpus, label-style low-cardinality blocking does not."""
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
-    pairs = similarity.embedding_near_dup_pairs(e, "label", min_cosine=0.6)
+    pairs = similarity.embedding_near_dup_bucketed(
+        e, min_cosine=0.6, n_planes=_EMB_ND_PLANES, dim=64,
+        max_bucket_size=_EMB_ND_CAP)
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -1271,6 +1280,34 @@ SELECT rank, vec_id, cosine FROM (
 """
 
 
+def _emb_near_dup_sql() -> str:
+    """SRP-bucket-blocked near-dup pairs with the hot-bucket cap — the
+    identical plane constants and cap as the Spark wiring."""
+    from snowball_java_spark.operators.similarity import hyperplane
+
+    planes = [hyperplane(p, 64) for p in range(_EMB_ND_PLANES)]
+    bexpr = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, [{', '.join(str(v) for v in pl)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id < 100),
+bk AS (SELECT vec_id, emb, {bexpr} AS bucket FROM e),
+ok AS (SELECT bucket FROM bk GROUP BY 1 HAVING count(*) <= {_EMB_ND_CAP}),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM bk a JOIN ok USING (bucket)
+       JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.6
+"""
+
+
 def _lang_sql() -> str:
     def hits(words):
         inlist = ", ".join(f"'{w}'" for w in words)
@@ -1450,21 +1487,7 @@ FROM g
         "embedding_cosine_topk": Q(_q_emb_topk, _emb_sql(lsh=False)),
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
         "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
-        "embedding_near_dup": Q(
-            _q_emb_near_dup,
-            """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
-           WHERE vec_id < 100),
-p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_dot_product(a.emb, b.emb)
-               / (sqrt(list_dot_product(a.emb, a.emb))
-                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.6
-""",
-        ),
+        "embedding_near_dup": Q(_q_emb_near_dup, _emb_near_dup_sql()),
         "lang_id": Q(_q_lang_id, _lang_sql()),
         "quality_score": Q(_q_quality, _quality_sql()),
         "token_count": Q(

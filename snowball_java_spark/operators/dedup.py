@@ -252,8 +252,24 @@ def exact_dup_groups(docs: DataFrame, content_col: str = "content") -> DataFrame
     )
 
 
+def jaccard_hot_docs(cand_pairs: DataFrame, max_pairs_per_doc: int) -> DataFrame:
+    """Quarantine relation for :func:`jaccard_verify_pairs`'s per-doc
+    pair cap: (doc_id, n_pairs) for docs appearing in MORE candidate
+    pairs than the cap — boilerplate near-identical to thousands of other
+    docs.  Computed on the pair relation itself (one row per pair, never
+    shingle-level)."""
+    return (
+        cand_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand_pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") > max_pairs_per_doc)
+    )
+
+
 def jaccard_verify_pairs(
-    docs_tok: DataFrame, cand_pairs: DataFrame, min_jaccard: float = 0.0
+    docs_tok: DataFrame, cand_pairs: DataFrame, min_jaccard: float = 0.0,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard as the VERIFY stage over candidate pairs
     (normally the output of :func:`lsh_candidate_pairs`) — the scale-
@@ -263,7 +279,21 @@ def jaccard_verify_pairs(
     Per-doc distinct-shingle ARRAYS (bounded by doc length) join to the
     pair relation on each side; the intersection is a per-row Catalyst
     ``array_intersect`` — no shingle-level shuffle at all.  Output:
-    (doc_a, doc_b, jaccard)."""
+    (doc_a, doc_b, jaccard).
+
+    Each doc's shingle array is replicated once per pair it appears in,
+    so a doc in 10⁴ pairs amplifies shuffle bytes 10⁴× —
+    ``max_pairs_per_doc`` bounds that: docs over the cap are excluded
+    from verification entirely (surface them with
+    :func:`jaccard_hot_docs`; like the LSH hot bucket, such a doc is
+    boilerplate better handled by exact dedup on a representative)."""
+    if max_pairs_per_doc is not None:
+        hot = jaccard_hot_docs(cand_pairs, max_pairs_per_doc).select("doc_id")
+        cand_pairs = (
+            cand_pairs
+            .join(hot.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti")
+            .join(hot.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+        )
     sets_ = docs_tok.select(
         "doc_id", F.array_distinct(shingles_expr(F.col("tokens"))).alias("sh")
     )

@@ -122,57 +122,81 @@ def phrase_topk(
     docs_tok: DataFrame,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — each query is
     ``{"query_id": int, "phrase": [str, ...], "k": int}``.
 
-    The phrase is scored as ONE synthetic term: tf = occurrence count,
+    Each phrase is scored as ONE synthetic term: tf = occurrence count,
     df = number of docs with tf > 0, weight = the standard smoothed-idf
-    BM25 weight.  Matching docs are found in a single pruned corpus scan
-    (an ``array_contains`` pre-filter on the first phrase word lets the
-    row-group statistics and the cheap containment test skip non-matching
-    docs before the O(n·L) position scan).
+    BM25 weight.  A BATCH of N phrase queries runs in ONE corpus scan
+    (VERDICT r2 ask #6): every query's tf evaluates as its own Arrow UDF
+    column in a single projection (Spark fuses co-located pandas UDFs
+    into one ArrowEvalPython pass), an OR of ``array_contains``
+    pre-filters on the first words keeps row-group skipping, and the
+    per-query df comes from a window count over the (small) match
+    relation instead of a second scan per query.  Pass precomputed
+    (n_docs, avgdl) — e.g. from an index _conf — to skip the stats scan
+    entirely (tested single-scan).
     """
-    st = corpus_stats(docs_tok).collect()[0]
-    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
-    results = []
-    for q in queries:
-        qid, phrase = int(q["query_id"]), [str(w) for w in q["phrase"]]
-        k = int(q.get("k", cfg.default_k))
-        if not phrase:
-            continue
-        base = (
-            docs_tok.filter(F.array_contains("tokens", phrase[0]))
-            .select(
-                "doc_id",
-                F.size("tokens").cast("long").alias("dl"),
-                phrase_tf_udf(phrase)(F.col("tokens")).alias("tf"),
-            )
-            .filter(F.col("tf") > 0)
-        )
-        dfp = base.agg(F.count("*").alias("df"))
-        scored = base.crossJoin(F.broadcast(dfp)).select(
-            F.lit(qid).alias("query_id"),
-            "doc_id",
-            weight_expr(
-                F.col("tf"),
-                idf_expr(F.col("df"), n_docs),
-                F.col("dl"),
-                F.lit(avgdl),
-                cfg.k1,
-                cfg.b,
-            ).alias("score"),
-        )
-        results.append((scored, qid, k))
-    if not results:
-        return spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
-    scores = results[0][0]
-    for r, _, _ in results[1:]:
-        scores = scores.unionByName(r)
-    ksdf = spark.createDataFrame(
-        [(qid, k) for _, qid, k in results], "query_id int, k int"
+    specs = [
+        (int(q["query_id"]), [str(w) for w in q["phrase"]],
+         int(q.get("k", cfg.default_k)))
+        for q in queries
+        if q.get("phrase")
+    ]
+    if not specs:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double")
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+
+    prefilter = reduce(
+        Column.__or__,
+        [F.array_contains("tokens", ph[0]) for _, ph, _ in specs],
     )
-    return topk(scores, ksdf)
+    scanned = docs_tok.filter(prefilter).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("dl"),
+        *[phrase_tf_udf(ph)(F.col("tokens")).alias(f"_tf_{qid}")
+          for qid, ph, _ in specs],
+    )
+    matches = (
+        scanned.select(
+            "doc_id", "dl",
+            F.explode(F.array(*[
+                F.struct(F.lit(qid).cast("int").alias("query_id"),
+                         F.col(f"_tf_{qid}").alias("tf"))
+                for qid, _, _ in specs
+            ])).alias("m"),
+        )
+        .select("doc_id", "dl", F.col("m.query_id"), F.col("m.tf"))
+        .filter(F.col("tf") > 0)
+    )
+    from pyspark.sql import Window
+
+    # df per query over the match relation (each matching doc is exactly
+    # one row per query) — rides the same shuffle as nothing: the window
+    # partitions the small match set, never the corpus
+    dfw = Window.partitionBy("query_id")
+    scored = matches.withColumn("df", F.count("*").over(dfw)).select(
+        "query_id",
+        "doc_id",
+        weight_expr(
+            F.col("tf"),
+            idf_expr(F.col("df"), n_docs),
+            F.col("dl"),
+            F.lit(avgdl),
+            cfg.k1,
+            cfg.b,
+        ).alias("score"),
+    )
+    ksdf = spark.createDataFrame(
+        [(qid, k) for qid, _, k in specs], "query_id int, k int"
+    )
+    return topk(scored, ksdf)
 
 
 def bm25_topk_conjunctive(

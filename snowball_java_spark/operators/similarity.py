@@ -162,11 +162,67 @@ def ivf_topk(
     )
 
 
+def embedding_hot_buckets(
+    emb: DataFrame,
+    max_bucket_size: int,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Quarantine relation for :func:`embedding_near_dup_bucketed`:
+    (bucket, n_vecs) for SRP buckets ABOVE the cap — pathological
+    near-identical embedding clusters whose all-pairs comparison would be
+    quadratic no matter how the blocking is chosen.  Same cap+quarantine
+    pattern as the text-side ``lsh_hot_buckets``."""
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    return (
+        emb.select(lsh_bucket_expr(F.col("embedding"), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
+    )
+
+
+def embedding_near_dup_bucketed(
+    emb: DataFrame,
+    min_cosine: float,
+    n_planes: int = 4,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs blocked on the SIGN-RANDOM-
+    PROJECTION bucket — the scale wiring (VERDICT r2 ask #5): the blocking
+    key's cardinality grows ~2^n_planes, so within-group work shrinks as
+    the corpus grows, instead of the O(n²/group) a low-cardinality label
+    column gives.  ``max_bucket_size`` caps the pathological hot bucket
+    (a million identical embeddings share every plane sign); buckets over
+    the cap are EXCLUDED here and surfaced by
+    :func:`embedding_hot_buckets` — their members are trivially
+    near-identical and belong to exact dedup on a representative.
+
+    Recall < 1 by design (near-dups straddling a hyperplane land in
+    different buckets); raise recall with fewer planes or multiple plane
+    sets, exactly like MinHash banding."""
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    bucketed = emb.withColumn(
+        "_bk", lsh_bucket_expr(F.col("embedding"), planes))
+    if max_bucket_size is not None:
+        sizes = bucketed.groupBy("_bk").agg(F.count("*").alias("_bn"))
+        bucketed = (
+            bucketed.join(sizes, "_bk")
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    return embedding_near_dup_pairs(bucketed, "_bk", min_cosine, id_col)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, group_col: str, min_cosine: float, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine within a blocking group
-    (at scale the group is an LSH bucket)."""
+    """Near-duplicate pairs by embedding cosine within a blocking group.
+    Use :func:`embedding_near_dup_bucketed` at scale — it supplies an
+    LSH bucket as the group, capped and quarantined; an arbitrary
+    low-cardinality column is O(n²) within each group."""
     a = emb.alias("a")
     b = emb.alias("b")
     return (

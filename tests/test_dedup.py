@@ -69,3 +69,32 @@ def test_jaccard_verify_matches_blocked_exact(spark, boiler_docs):
         assert got[k] == v
     for k, v in got.items():
         assert exp.get(k, 0.0) == v
+
+
+def test_jaccard_verify_caps_hot_doc(spark):
+    """A doc in 10⁴ candidate pairs must be excludable by the per-doc
+    pair cap (VERDICT r2 ask #7): the verify join's shuffle rows are then
+    bounded by cap × docs, and the hot doc surfaces in the quarantine
+    relation instead."""
+    from snowball_java_spark.operators.dedup import (
+        jaccard_hot_docs,
+        jaccard_verify_pairs,
+    )
+
+    n = 10_000
+    pairs = spark.range(1, n + 1).selectExpr(
+        "0 AS doc_a", "id AS doc_b")  # doc 0 paired with everyone
+    normal = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long")
+    cand = pairs.unionByName(normal)
+    docs = spark.createDataFrame(
+        [(i, ["tok", "a", "b", "c", f"x{i % 5}"]) for i in range(0, 20)],
+        "doc_id long, tokens array<string>",
+    )
+    out = jaccard_verify_pairs(docs, cand, max_pairs_per_doc=100)
+    rows = out.collect()
+    ids = {r["doc_a"] for r in rows} | {r["doc_b"] for r in rows}
+    assert 0 not in ids, "hot doc must be excluded from verification"
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2), (3, 4)}
+    hot = jaccard_hot_docs(cand, 100).collect()
+    assert [(r["doc_id"], r["n_pairs"]) for r in hot] == [(0, n)]

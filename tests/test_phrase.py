@@ -116,3 +116,31 @@ def test_conjunctive_subset_of_disjunctive(spark, corpus):
     assert set(c) <= set(a)
     for d, s in c.items():
         assert s == a[d]
+
+
+def test_phrase_batch_single_scan_and_equals_per_query(spark, corpus, tmp_path):
+    """An N-phrase batch runs ONE corpus scan (VERDICT r2 ask #6) and its
+    results are identical to running each phrase alone."""
+    from snowball_java_spark.operators.df_stats import corpus_stats, with_tokens
+    from snowball_java_spark.operators.phrase import phrase_topk
+
+    synth_docs, oracle = corpus
+    p = str(tmp_path / "docs.parquet")
+    synth_docs.select("doc_id", "content").write.mode("overwrite").parquet(p)
+    docs = with_tokens(spark.read.parquet(p)).select("doc_id", "tokens")
+    st = corpus_stats(docs).collect()[0]
+    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+
+    qs = _phrase_queries(oracle)
+    batch = phrase_topk(spark, docs, qs, n_docs=n_docs, avgdl=avgdl)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+    got = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                 for r in batch.collect())
+    single = []
+    for q in qs:
+        res = phrase_topk(spark, docs, [q], n_docs=n_docs, avgdl=avgdl)
+        single += [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                   for r in res.collect()]
+    assert got == sorted(single)

@@ -51,3 +51,63 @@ def test_lsh_results_subset_of_corpus_and_sorted(spark, emb, qvec):
     assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
     cos = [r["cosine"] for r in rows]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_near_dup_bucketed_caps_degenerate_corpus(spark):
+    """All-identical embeddings land in ONE SRP bucket: the cap must
+    quarantine it (bounded pair count — zero pairs emitted) instead of
+    producing the O(n²) blow-up (VERDICT r2 ask #5)."""
+    from snowball_java_spark.operators.similarity import (
+        embedding_hot_buckets,
+        embedding_near_dup_bucketed,
+    )
+
+    n = 500
+    one = [1.0] * 8 + [0.0] * 56
+    rows = [(i, one) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_bucketed(
+        emb, min_cosine=0.9, n_planes=4, dim=64, max_bucket_size=100)
+    assert pairs.count() == 0
+    hot = embedding_hot_buckets(emb, max_bucket_size=100, n_planes=4, dim=64)
+    got = hot.collect()
+    assert len(got) == 1 and got[0]["n_vecs"] == n
+
+
+def test_near_dup_bucketed_is_equi_join_and_matches_unblocked(spark, emb):
+    """The bucketed pair generator must plan as a bucket EQUI-join (never
+    a cartesian/broadcast-nested-loop), and its pairs must be exactly the
+    all-pairs results whose two sides share a bucket."""
+    from snowball_java_spark.operators.similarity import (
+        embedding_near_dup_bucketed,
+        hyperplane,
+        lsh_bucket_expr,
+    )
+
+    small = emb.filter(F.col("vec_id") < 60)
+    pairs = embedding_near_dup_bucketed(
+        small, min_cosine=0.5, n_planes=3, dim=64, max_bucket_size=50)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    planes = [hyperplane(p, 64) for p in range(3)]
+    bk = {r["vec_id"]: r["b"] for r in small.select(
+        "vec_id", lsh_bucket_expr(F.col("embedding"), planes).alias("b")
+    ).collect()}
+    from snowball_java_spark.operators.similarity import cosine_expr
+
+    a = small.alias("a")
+    b = small.alias("b")
+    allp = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                F.round(cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+        .collect()
+    )
+    expect = {(r["id_a"], r["id_b"], r["cosine"]) for r in allp
+              if bk[r["id_a"]] == bk[r["id_b"]]}
+    got = {(r["id_a"], r["id_b"], r["cosine"]) for r in pairs.collect()}
+    assert got == expect
