@@ -79,6 +79,14 @@ class EngineConfig:
     #: query-time
     default_k: int = 10
 
+    #: MaxScore shards whose query-term postings total at most this many
+    #: docs decode exhaustively: decoding ~1k postings is microseconds of
+    #: numpy, while θ-seeding / list-splitting / bound bookkeeping is a
+    #: fixed per-(query, shard) cost that only pays when there is real
+    #: volume to skip.  Production shards (2-8M docs) always exceed this;
+    #: latency-tuned tiny shards skip the machinery entirely.
+    exhaustive_cutoff: int = 1024
+
     #: context-window query zone weights (analog of weight_*_context,
     #: ``snowball/src/bin/SnowballConfig.java:38-40``)
     w_left: float = 0.2

@@ -94,13 +94,31 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+#: (sf_dir, data fingerprint) → (n_docs, avgdl).  Corpus stats live in
+#: the engine's catalog (the index path reads them from _conf.json);
+#: join-path queries memoize them per process instead of paying a
+#: redundant stats scan per query.  The fingerprint guards against the
+#: driver regenerating data under the same path.
+_STATS_CACHE: dict[tuple[str, str], tuple[int, float]] = {}
+
+
+def _corpus_stats_for(spark: SparkSession, sf_dir: str) -> tuple[int, float]:
+    key = (sf_dir, _data_fingerprint(os.path.join(sf_dir, "documents.parquet")))
+    if key not in _STATS_CACHE:
+        st = corpus_stats(_docs_tok(spark, sf_dir)).collect()[0]
+        _STATS_CACHE[key] = (int(st["n_docs"]), float(st["avgdl"]))
+    return _STATS_CACHE[key]
+
+
 def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) -> DataFrame:
     """Join-path BM25 over the documents table (M1 operator) — pruned path:
     token arrays are filtered to the query terms before any explode."""
     from snowball_java_spark.operators.bm25_join import bm25_topk_join
 
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
     res = bm25_topk_join(
-        spark, _docs_tok(spark, sf_dir), [{"query_id": 0, "terms": terms, "k": k}]
+        spark, _docs_tok(spark, sf_dir), [{"query_id": 0, "terms": terms, "k": k}],
+        n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -171,9 +189,11 @@ def _q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25: every query term must be present."""
     from snowball_java_spark.operators.phrase import bm25_topk_conjunctive
 
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
     res = bm25_topk_conjunctive(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -185,9 +205,11 @@ def _q_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase BM25: the token sequence scored as one synthetic term."""
     from snowball_java_spark.operators.phrase import phrase_topk
 
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
     res = phrase_topk(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "phrase": _PHRASE, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -205,8 +227,10 @@ def _q_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snowball_java_spark.operators.snippets import with_snippets
 
     d = _docs_tok(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
     res = bm25_topk_join(
-        spark, d, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}]
+        spark, d, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
     )
     out = with_snippets(res, d, HOT_TERMS, window=_SNIPPET_W)
     return out.select(
@@ -262,10 +286,12 @@ def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning on a source-partitioned corpus)."""
     from snowball_java_spark.operators.bm25_join import bm25_topk_join
 
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
     res = bm25_topk_join(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
         candidate_predicate=F.col("source") == _FILTER_SOURCE,
+        n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -603,9 +629,9 @@ def _q_top_terms_per_doc(spark, sf_dir):
     d = _docs_tok(spark, sf_dir)
     tf = tf_long(d).filter(F.col("doc_id") < 50)
     dfs = df_stats(tf_long(d))
-    st = corpus_stats(d).collect()[0]
+    n_docs, _ = _corpus_stats_for(spark, sf_dir)
     scored = tf.join(F.broadcast(dfs), "term").withColumn(
-        "w", F.col("tf").cast("double") * idf_expr(F.col("df"), st["n_docs"])
+        "w", F.col("tf").cast("double") * idf_expr(F.col("df"), n_docs)
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
     return (
@@ -651,7 +677,7 @@ def _q_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard VERIFYING MinHash-LSH candidates — the scale
     wiring (pair count bounded by LSH buckets, never O(n²)/group)."""
     d = _docs_tok(spark, sf_dir)
-    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d))
+    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d), with_est=False)
     pairs = dedup.jaccard_verify_pairs(d, cand)
     w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
     return (
@@ -807,7 +833,7 @@ def _q_components(spark, sf_dir):
     pairs (iterative min-label propagation; exact fixpoint — matches the
     DuckDB recursive-CTE transitive closure)."""
     d = _docs_tok(spark, sf_dir)
-    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d))
+    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d), with_est=False)
     pairs = dedup.jaccard_verify_pairs(d, cand, min_jaccard=_CC_TAU)
     return dedup.connected_components(pairs).select("doc_id", "component")
 
@@ -1070,8 +1096,8 @@ def _q_context_window(spark, sf_dir):
     # whole-document dfs, pruned to the query terms (df_stats over the full
     # vocabulary would shuffle every token for a 3-term query)
     dfs = df_for_terms(d, ["key", "table", "vector"])
-    st = corpus_stats(d).collect()[0]
-    res = context_topk(spark, d, _CONTEXT_QS, dfs, st["n_docs"], float(st["avgdl"]))
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = context_topk(spark, d, _CONTEXT_QS, dfs, n_docs, avgdl)
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
         F.round("score", 6).alias("score")

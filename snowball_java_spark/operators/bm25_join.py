@@ -163,6 +163,8 @@ def bm25_topk_join(
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
     candidate_predicate: F.Column | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """End-to-end M1 path from a tokenized docs DataFrame.
 
@@ -177,6 +179,10 @@ def bm25_topk_join(
     stats" semantics.  The predicate lands on the parquet/Iceberg scan
     (predicate pushdown; partition pruning when the corpus is partitioned
     on that column), so scoped queries read only the scope's files.
+
+    Pass precomputed ``(n_docs, avgdl)`` — from an index _conf or a
+    caller-level catalog — to skip the stats scan (two passes instead of
+    three).
     """
     from snowball_java_spark.operators.df_stats import corpus_stats
 
@@ -187,8 +193,9 @@ def bm25_topk_join(
             spark.createDataFrame([], "query_id int, doc_id long, score double"),
             qdf,
         )
-    st = corpus_stats(docs_tok).collect()[0]
-    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     cand = (
         docs_tok.filter(candidate_predicate)
         if candidate_predicate is not None

@@ -101,10 +101,16 @@ def lsh_hot_buckets(
 
 def lsh_candidate_pairs(
     with_mh: DataFrame, bands: int = 8, rows_per_band: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = None, with_est: bool = True,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket are candidates.
     Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    ``with_est=False`` drops the signature columns before the bucket
+    join and omits ``est_jaccard`` — callers that EXACT-verify the pairs
+    anyway (jaccard_verify_pairs, connected components, clean_corpus)
+    shouldn't pay to carry a 16-long array through every band row of the
+    self-join shuffle.
 
     ``max_bucket_size`` caps the pathological hot bucket: a million
     byte-identical boilerplate files share every band bucket, and pairing
@@ -113,6 +119,8 @@ def lsh_candidate_pairs(
     to surface them — their members are trivially near-identical and are
     better handled by exact dedup on the cluster representative)."""
     buckets = _lsh_buckets(with_mh, bands, rows_per_band)
+    if not with_est:
+        buckets = buckets.drop("sig")
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "key").agg(F.count("*").alias("_bn"))
         buckets = (
@@ -122,6 +130,16 @@ def lsh_candidate_pairs(
         )
     a = buckets.alias("a")
     b = buckets.alias("b")
+    if not with_est:
+        return (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

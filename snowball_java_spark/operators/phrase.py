@@ -204,6 +204,8 @@ def bm25_topk_conjunctive(
     docs_tok: DataFrame,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """AND-semantics BM25 top-k: only docs containing EVERY query term are
     candidates; the score is the ordinary BM25 sum over the terms.
@@ -218,8 +220,9 @@ def bm25_topk_conjunctive(
         return topk(
             spark.createDataFrame([], "query_id int, doc_id long, score double"), qdf
         )
-    st = corpus_stats(docs_tok).collect()[0]
-    n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     n_terms_per_q = F.broadcast(
         qdf.groupBy("query_id").agg(F.countDistinct("term").alias("nq"))
     )

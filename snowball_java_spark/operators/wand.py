@@ -239,7 +239,7 @@ def maxscore_topk_shard(
         return finalize(
             cand, _score_docs(lists, cand, dls, first_doc, avgdl, cfg))
 
-    if total_docs <= max(4 * k, 64):
+    if total_docs <= max(4 * k, cfg.exhaustive_cutoff):
         return exhaustive()  # pruning machinery can't pay for itself
 
     # --- 1. θ seed from the best blocks of the strongest lists ---

@@ -18,7 +18,10 @@ from snowball_java_spark.functions.bm25 import idf_np, weight_np
 from snowball_java_spark.operators.postings import encode_term_postings
 from snowball_java_spark.operators.wand import _TermList, maxscore_topk_shard
 
-CFG = EngineConfig(block_size=4)  # tiny blocks → many skip boundaries
+#: tiny blocks → many skip boundaries; cutoff forced low so the property
+#: cases (300-1200 docs) exercise the PRUNING paths, not the exhaustive
+#: shortcut production uses for shards this small
+CFG = EngineConfig(block_size=4, exhaustive_cutoff=64)
 
 
 def _mk_termlist(docs, tfs, dls_all, idf, avgdl):
