@@ -284,6 +284,95 @@ def phase_codec() -> dict:
     return out
 
 
+def _delta_corpus(spark, start: int, end: int, out_path: str) -> None:
+    """Rows [start, end) of the (end)-file synthetic corpus — key-disjoint
+    from any corpus of ≤ start files because paths embed the absolute id."""
+    from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+
+    rng = spark.range(start, end, 1, max(1, (end - start) // 4096))
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy()
+            yield synth_corpus_pdf(int(ids.min()), int(ids.max()) + 1, end)
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    rng.mapInPandas(gen, schema=schema).write.mode("overwrite").parquet(out_path)
+
+
+def phase_lifecycle() -> dict:
+    """LSM lifecycle economics at two corpus sizes (50k and BENCH_FILES):
+
+    - refresh with a 1% delta must cost O(delta) — wall ≪ base build,
+      near-flat across corpus sizes (stats merge is vocab-partials-sized,
+      never a corpus rescan);
+    - compaction is metadata-only (hard-link + manifest rewrite) — wall
+      scales with FILE COUNT, not postings volume, so the 8× corpus pays
+      far less than 8× (and orders of magnitude under a re-encode, whose
+      cost is the build's postings stage).
+
+    Reuses the phase-B corpus/index cache when present.
+    """
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import (
+        IndexReader, build_index, compact_index, refresh_index,
+    )
+    from snowball_java_spark.session import get_spark
+    from snowball_java_spark.sources.corpus import read_corpus
+    from snowball_java_spark.sources.synthetic import build_synth_corpus
+
+    cfg = EngineConfig(shard_size=8192, block_size=128, build_stages=1)
+    out = {}
+    for files in sorted({50_000, BENCH_FILES}):
+        spark = get_spark("bench-lifecycle", cores=CPUS)
+        corpus_dir = f"/tmp/sjs_bench/corpus_{files}"
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            build_synth_corpus(spark, files, corpus_dir)
+        idx_dir = f"/tmp/sjs_bench/lc_idx_{files}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        idx = build_index(spark, read_corpus(spark, corpus_dir), idx_dir,
+                          cfg=cfg, n_buckets=32)
+        build_sec = time.time() - t0
+
+        n_delta = max(500, files // 100)
+        delta_dir = f"/tmp/sjs_bench/lc_delta_{files}"
+        if not os.path.exists(os.path.join(delta_dir, "_SUCCESS")):
+            _delta_corpus(spark, files, files + n_delta, delta_dir)
+        t0 = time.time()
+        refresh_index(spark, read_corpus(spark, delta_dir), idx_dir)
+        refresh_sec = time.time() - t0
+
+        t0 = time.time()
+        compact_index(spark, idx_dir)
+        compact_sec = time.time() - t0
+        idx = IndexReader(idx_dir)
+        out[f"files_{files}"] = {
+            "base_build_sec": round(build_sec, 2),
+            "delta_files": n_delta,
+            "refresh_sec": round(refresh_sec, 2),
+            "refresh_frac_of_build": round(refresh_sec / build_sec, 3),
+            "compact_sec": round(compact_sec, 2),
+            "n_docs": idx.n_docs,
+        }
+        spark.stop()
+    sizes = sorted({50_000, BENCH_FILES})
+    if len(sizes) == 2:
+        lo, hi = (out[f"files_{s}"] for s in sizes)
+        out["compact_growth_vs_corpus_growth"] = round(
+            (hi["compact_sec"] / lo["compact_sec"]) / (sizes[1] / sizes[0]), 3)
+        out["refresh_growth_vs_corpus_growth"] = round(
+            (hi["refresh_sec"] / lo["refresh_sec"]) / (sizes[1] / sizes[0]), 3)
+    out["note"] = (
+        "1%-delta refresh and metadata-only compaction at two corpus "
+        "sizes; growth ratios ≪ 1 mean the operation does NOT scale with "
+        "corpus/postings volume (refresh is O(delta)+vocab-partials "
+        "merge, compaction is O(file count) hard-links)")
+    return out
+
+
 def main() -> None:
     queries, total, meta = phase_a()
     result = {
@@ -297,6 +386,7 @@ def main() -> None:
     result["codecs"] = phase_codec()
     if not SKIP_SCALING:
         result["scaling"] = phase_b()
+        result["lifecycle"] = phase_lifecycle()
     print(json.dumps(result))
 
 
