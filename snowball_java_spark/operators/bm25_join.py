@@ -149,6 +149,28 @@ def topk(scores: DataFrame, qdf: DataFrame, n_partial: int = 32) -> DataFrame:
     )
 
 
+def global_topn(
+    df: DataFrame, order, n: int, salt_cols: list[str], n_partial: int = 32
+) -> DataFrame:
+    """Global (query-less) top-n under a total ``order`` with a ``rank``
+    column — the same two-phase shape as :func:`topk` so no single task
+    ever sees more than its salt's share of candidates plus the
+    ≤ n·n_partial merge.  ``salt_cols`` must be deterministic row
+    identity columns (the tie-breakers of ``order``)."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(*salt_cols), F.lit(n_partial)))
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= n)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+    )
+
+
 def grow_seeds(seeds: DataFrame, promoted: DataFrame) -> DataFrame:
     """Seed-set growth (the reference's only set operation — SURVEY §2.5
     O8, ``bin/Snowball.java:151-156``): union new high-confidence pairs

@@ -1,0 +1,87 @@
+"""Benchmark decontamination: n-gram overlap between corpus documents
+and an evaluation/benchmark set.
+
+The training-data-pipeline op the reference has no analog for (its corpus
+is assumed clean; closest surface is the seed-occurrence matching of
+``snowball/src/bin/Snowball.java:96-118`` — find documents containing a
+given small set of strings).  Before training on a 100 TB corpus you must
+drop documents that quote evaluation benchmarks; the standard detector is
+k-gram overlap (as used by the GPT-3/PaLM decontamination appendices).
+
+Scale shape: the benchmark side is small (10^4–10^6 short items — MMLU,
+HumanEval, GSM8K are kilobytes to megabytes) → its distinct shingle set
+broadcasts.  The corpus side is one scan: per-doc distinct shingles are
+exploded and the broadcast-hash inner join discards every non-matching
+shingle at the scan task — shuffle volume is ∝ TRUE overlap (near zero
+for a clean corpus), never ∝ corpus tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.dedup import SHINGLE_K, shingles_expr
+
+
+def _distinct_shingles(tokens_col: Column, k: int) -> Column:
+    return F.array_distinct(shingles_expr(tokens_col, k))
+
+
+def contamination_overlap(
+    docs_tok: DataFrame,
+    bench_tok: DataFrame,
+    k: int = SHINGLE_K,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_id, n_hits, doc_ngrams, overlap_frac) for every
+    (document, benchmark item) pair sharing ≥ ``min_hits`` distinct
+    k-gram shingles.
+
+    ``docs_tok``: (doc_id, tokens, ...); ``bench_tok``: (bench_id,
+    tokens, ...).  ``overlap_frac`` is n_hits / the DOCUMENT's distinct
+    shingle count — the "how much of this doc is benchmark text" ratio a
+    drop rule thresholds on (a contaminated doc quoting one GSM8K
+    problem has small frac; a verbatim benchmark dump has frac ≈ 1 for
+    its item).
+    """
+    doc_sh = docs_tok.select(
+        "doc_id", _distinct_shingles(F.col("tokens"), k).alias("_shs")
+    ).select(
+        "doc_id",
+        F.size("_shs").alias("doc_ngrams"),
+        F.explode("_shs").alias("sh"),
+    )
+    bench_sh = F.broadcast(
+        bench_tok.select(
+            "bench_id", F.explode(_distinct_shingles(F.col("tokens"), k)).alias("sh")
+        ).dropDuplicates(["bench_id", "sh"])
+    )
+    return (
+        doc_sh.join(bench_sh, "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.first("doc_ngrams").alias("doc_ngrams"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+        .withColumn(
+            "overlap_frac",
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("doc_ngrams"), F.lit(1)).cast("double"),
+        )
+    )
+
+
+def decontaminate(
+    docs_tok: DataFrame,
+    bench_tok: DataFrame,
+    k: int = SHINGLE_K,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Documents with every contaminated doc removed (left-anti join on
+    the overlap relation) — the composable clean-pipeline form."""
+    hits = contamination_overlap(docs_tok, bench_tok, k, min_hits).select(
+        "doc_id"
+    ).distinct()
+    return docs_tok.join(hits, "doc_id", "left_anti")

@@ -1,0 +1,77 @@
+"""Secret / PII scrubbing for source-code corpora.
+
+Code crawls leak credentials (the input_hint corpus is (repo, path,
+commit, lang, content) — exactly the data AWS key scanners run on); a
+training pipeline must detect and redact them before the corpus ships.
+No reference analog (closest: the tag-strip projection of
+``snowball/src/utils/TextUtils.java`` — regex-driven content rewriting).
+
+All detectors are single-pass JVM-side regexes (whole-stage codegen; no
+Python in the hot path), deliberately restricted to the RE2-compatible
+subset (no lookaround / backreferences) so the DuckDB oracle runs the
+byte-identical pattern.  Detection (`with_secret_flags`) and redaction
+(`scrub_secrets`) are split: flagging is a cheap metadata pass you can
+run at ingest; rewriting touches content and belongs in the clean
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: name → RE2-safe regex.  Order matters for scrubbing: earlier patterns
+#: are replaced first (private-key blocks before generic assignments so
+#: the block placeholder isn't re-matched).
+SECRET_PATTERNS: dict[str, str] = {
+    # AWS access key id: fixed prefix + 16 uppercase base-36 chars
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    # PEM private key header (the block body is useless without it)
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    # quoted assignment to a credential-ish name, ≥ 8 chars of value
+    "cred_assign": r"(?i)(api_key|apikey|secret|token|password|passwd)"
+                   r"\s*[:=]\s*['\"][^'\"]{8,}['\"]",
+    # email address (contributor PII in code headers)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+}
+
+
+def with_secret_flags(
+    docs: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Adds ``n_<name>`` match counts per detector plus ``has_secret``.
+    One scan; counts come from ``regexp_extract_all`` lengths (Catalyst,
+    codegen'd) so the pass is corpus-scan bound."""
+    out = docs
+    for name, pat in SECRET_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(content_col), F.lit(pat), 0)).cast("long"),
+        )
+    flag = None
+    for name in SECRET_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_secret", flag)
+
+
+def scrub_secrets(
+    docs: DataFrame,
+    content_col: str = "content",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Adds ``out_col`` = content with every detector match replaced by
+    ``<REDACTED:name>`` and ``n_redactions`` = total replacements.
+    Replacement is a chained ``regexp_replace`` (global, leftmost-first
+    in one pass per pattern — identical semantics on Spark and RE2)."""
+    flagged = with_secret_flags(docs, content_col)
+    scrubbed = F.col(content_col)
+    for name, pat in SECRET_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<REDACTED:{name}>")
+    n_total = None
+    for name in SECRET_PATTERNS:
+        c = F.col(f"n_{name}")
+        n_total = c if n_total is None else (n_total + c)
+    return flagged.withColumn(out_col, scrubbed).withColumn(
+        "n_redactions", n_total
+    )

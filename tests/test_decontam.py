@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.decontam import (
+    contamination_overlap,
+    decontaminate,
+)
+
+
+def _tok(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>"
+    )
+
+
+def _bench(spark, rows):
+    return spark.createDataFrame(
+        rows, "bench_id long, tokens array<string>"
+    )
+
+
+WORDS = "the quick brown fox jumps over a lazy dog tonight".split()
+
+
+def test_planted_overlap_found_disjoint_not(spark):
+    docs = _tok(spark, [
+        (0, WORDS),                         # contains the bench 3-grams
+        (1, ["alpha", "beta", "gamma", "delta", "epsilon"]),  # disjoint
+        (2, WORDS[2:7]),                    # partial overlap
+    ])
+    bench = _bench(spark, [(100, WORDS[:6])])
+    hits = {
+        (r["doc_id"], r["bench_id"]): r
+        for r in contamination_overlap(docs, bench, min_hits=1).collect()
+    }
+    assert (0, 100) in hits and (2, 100) in hits
+    assert not any(d == 1 for d, _ in hits)
+    # doc 0 holds all 4 distinct 3-grams of the 6-token bench item
+    assert hits[(0, 100)]["n_hits"] == 4
+    # doc 0 has 8 distinct 3-grams total -> frac 0.5
+    assert abs(hits[(0, 100)]["overlap_frac"] - 0.5) < 1e-12
+
+
+def test_min_hits_threshold(spark):
+    docs = _tok(spark, [(0, WORDS[:4])])    # shares exactly 2 shingles
+    bench = _bench(spark, [(9, WORDS[:5])])
+    assert contamination_overlap(docs, bench, min_hits=3).count() == 0
+    assert contamination_overlap(docs, bench, min_hits=2).count() == 1
+
+
+def test_decontaminate_removes_hit_docs(spark):
+    docs = _tok(spark, [
+        (0, WORDS),
+        (1, ["alpha", "beta", "gamma", "delta"]),
+    ])
+    bench = _bench(spark, [(5, WORDS[:5])])
+    kept = decontaminate(docs, bench).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_short_docs_and_empty_bench(spark):
+    docs = _tok(spark, [(0, ["just", "two"]), (1, [])])
+    bench = _bench(spark, [(1, ["a", "b"])])  # < k tokens: no shingles
+    assert contamination_overlap(docs, bench).count() == 0
+    assert decontaminate(docs, bench).count() == 2
+
+
+def test_bench_side_is_broadcast(spark):
+    docs = _tok(spark, [(0, WORDS)])
+    bench = _bench(spark, [(5, WORDS[:5])])
+    plan = contamination_overlap(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
