@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (52/52 as of round 3 — including the real BMP decode,
+                  (54/54 as of round 3 — including the real BMP decode,
                   the composed cleaning pipeline, connected components
                   via a recursive CTE, and the living-corpus lifecycle:
                   upsert/supersede, delete, and tombstone-dropping

@@ -782,6 +782,44 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-3-gram repetition signals per document."""
+    d = _docs_tok(spark, sf_dir)
+    r = textstats.repetition_expr(F.col("tokens"))
+    return d.select(
+        "doc_id", r["n_ngrams"].alias("n_ngrams"),
+        r["n_distinct"].alias("n_distinct"),
+        F.round(r["dup_frac"], 6).alias("dup_frac"),
+    )
+
+
+_SPLIT_W = {"train": 0.9, "val": 0.05, "test": 0.04}  # 1% holdout
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment — stable under corpus
+    growth, retries, and partitioning (pure hash of the doc key)."""
+    from snowball_java_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(d, _SPLIT_W).orderBy("doc_id")
+
+
+def _hash_split_sql() -> str:
+    from snowball_java_spark.operators.sampling import SAMPLE_SCALE
+
+    acc, cases = 0.0, []
+    for name, w in sorted(_SPLIT_W.items()):
+        acc += w
+        cases.append(f"WHEN b < {int(round(acc * SAMPLE_SCALE))} THEN '{name}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(cases)} ELSE 'holdout' END AS split
+FROM (SELECT doc_id,
+             ({h60_sql("doc_id::VARCHAR || 'split'")}) % {SAMPLE_SCALE} AS b
+      FROM documents) ORDER BY doc_id
+"""
+
+
 #: decontamination gate: every doc_id % 97 == 1 doc's first 30 tokens act
 #: as a "benchmark item" — guaranteeing true overlap hits (each bench doc
 #: contaminates at least itself) plus any doc sharing those 3-grams
@@ -1655,6 +1693,23 @@ FROM toks
         ),
         "decontam_overlap": Q(_q_decontam, _decontam_sql()),
         "secret_scrub": Q(_q_secret_scrub, _secret_scrub_sql()),
+        "repetition_stats": Q(
+            _q_repetition,
+            f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+       FROM toks)
+SELECT doc_id, len(shs)::BIGINT AS n_ngrams,
+       len(list_distinct(shs))::BIGINT AS n_distinct,
+       CASE WHEN len(shs) > 0
+            THEN round((len(shs) - len(list_distinct(shs)))::DOUBLE
+                       / len(shs)::DOUBLE, 6)
+            ELSE 0.0 END AS dup_frac
+FROM sh
+""",
+        ),
+        "hash_split": Q(_q_hash_split, _hash_split_sql()),
         "multimodal_meta": Q(
             _q_multimodal,
             # same BMP-dimension arithmetic as operators.multimodal._bmp_dims

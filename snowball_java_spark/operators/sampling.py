@@ -37,6 +37,39 @@ def sample_corpus(
     return docs.filter(sample_keep_expr(key, frac, salt))
 
 
+def hash_split_expr(
+    key_col: Column | str, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Deterministic train/val/test assignment: the h60 bucket of
+    (key, salt) falls into cumulative weight ranges.  Pure function of
+    the row — stable across partitioning, retries, cluster sizes, AND
+    corpus growth (a doc's split never changes when more data arrives,
+    unlike any sort/row_number scheme).  Weights must sum to ≤ 1; any
+    remainder is labeled ``holdout``."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket = F.pmod(h60_expr(F.concat(c.cast("string"), F.lit(salt))),
+                    F.lit(SAMPLE_SCALE))
+    expr = F.lit("holdout")
+    acc = 0.0
+    cum = []
+    for name, w in sorted(weights.items()):
+        acc += w
+        # round, not truncate: 0.04+0.9+0.05 accumulates to 0.9899999…,
+        # and int() would shave the last bucket off the final split
+        cum.append((name, int(round(acc * SAMPLE_SCALE))))
+    for name, hi in reversed(cum):
+        expr = F.when(bucket < hi, name).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    docs: DataFrame, weights: dict[str, float],
+    key: str = "doc_id", salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column per :func:`hash_split_expr`."""
+    return docs.withColumn("split", hash_split_expr(key, weights, salt))
+
+
 def source_mix_plan(
     docs_tok: DataFrame,
     targets: dict[str, float],

@@ -85,6 +85,25 @@ def token_counts_expr(tokens_col: Column) -> dict[str, Column]:
     }
 
 
+def repetition_expr(tokens_col: Column, k: int = 3) -> dict[str, Column]:
+    """Gopher-style repetition signals: duplicate k-gram fraction
+    (1 − distinct/total) plus the raw counts.  High dup_frac marks
+    boilerplate / template / minified-generator text that survives
+    per-doc dedup but poisons training.  Pure Catalyst — one pass over
+    the token array, no shuffle at all."""
+    from snowball_java_spark.operators.dedup import shingles_expr
+
+    sh = shingles_expr(tokens_col, k)
+    n = F.size(sh).cast("long")
+    nd = F.size(F.array_distinct(sh)).cast("long")
+    return {
+        "n_ngrams": n,
+        "n_distinct": nd,
+        "dup_frac": F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
+                     .otherwise(F.lit(0.0)),
+    }
+
+
 def fingerprint_expr(tokens_col: Column) -> Column:
     """Rolling polynomial hash of the token stream (order-sensitive):
         fp = fold(tokens, acc -> (acc·31 + h60(tok) % M) % M),  M = 1e9+7

@@ -80,3 +80,64 @@ def test_connected_components_matches_union_find(spark, seed):
 def test_connected_components_empty(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_hash_split_deterministic_stable_and_proportional(spark):
+    from snowball_java_spark.operators.sampling import hash_split
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.04}
+    d = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, w).collect()}
+    # repartitioning must not change any assignment
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d.repartition(13), w).collect()
+    }
+    assert a == b
+    # corpus growth must not change existing docs' splits
+    big = spark.range(0, 40000).select(F.col("id").alias("doc_id"))
+    c = {r["doc_id"]: r["split"] for r in hash_split(big, w).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # proportions approach the weights (md5 is uniform)
+    n = len(a)
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert abs(counts["train"] / n - 0.9) < 0.02
+    assert abs(counts["val"] / n - 0.05) < 0.01
+    assert abs(counts["test"] / n - 0.04) < 0.01
+    assert abs(counts["holdout"] / n - 0.01) < 0.01
+
+
+def test_hash_split_weight_edges(spark):
+    from snowball_java_spark.operators.sampling import hash_split
+
+    d = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    # weights summing to 1.0 leave no holdout; float accumulation
+    # (0.04 + 0.9 + 0.06 = 0.9999999...) must not strand a bucket
+    w = {"train": 0.9, "val": 0.06, "test": 0.04}
+    splits = {r["split"] for r in hash_split(d, w).collect()}
+    assert "holdout" not in splits
+
+
+def test_repetition_expr(spark):
+    from snowball_java_spark.operators.textstats import repetition_expr
+
+    rows = [
+        (0, ["a", "b", "c", "a", "b", "c", "a", "b", "c"]),  # repeated 3-grams
+        (1, ["u", "v", "w", "x", "y", "z"]),                 # all distinct
+        (2, ["one", "two"]),                                 # too short: none
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    r = repetition_expr(F.col("tokens"))
+    out = {
+        x["doc_id"]: x
+        for x in d.select(
+            "doc_id", r["n_ngrams"].alias("n"), r["n_distinct"].alias("nd"),
+            r["dup_frac"].alias("f")
+        ).collect()
+    }
+    assert out[0]["n"] == 7 and out[0]["nd"] == 3
+    assert abs(out[0]["f"] - 4 / 7) < 1e-12
+    assert out[1]["f"] == 0.0 and out[1]["nd"] == 4
+    assert out[2]["n"] == 0 and out[2]["f"] == 0.0
