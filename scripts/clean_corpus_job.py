@@ -4,10 +4,12 @@
         --in /path/or/iceberg.table --out /path/cleaned \
         [--min-tokens 10] [--max-tokens 100000] [--min-quality 0.25] \
         [--near-dup-jaccard 0.8] [--lsh-max-bucket 1000] \
-        [--langs en,de] [--text-col text]
+        [--langs en,de] [--text-col text] [--max-dup-ngram-frac 0.5] \
+        [--scrub-secrets] [--bench /path/eval_set [--decontam-min-hits 2]]
 
 Runs exact dedup → capped-LSH + exact-Jaccard near-dup removal →
-quality/length/language filters → token accounting
+optional benchmark decontamination → quality/length/language/repetition
+filters → optional secret redaction → token accounting
 (``plans.clean_corpus``), writes the kept documents to ``--out``, and
 prints the one-row stage report as a JSON line.
 """
@@ -31,6 +33,16 @@ def main(argv: list[str]) -> int:
     p.add_argument("--near-dup-jaccard", type=float, default=0.8)
     p.add_argument("--lsh-max-bucket", type=int, default=1000)
     p.add_argument("--langs", default=None, help="comma list; default keep all")
+    p.add_argument("--max-dup-ngram-frac", type=float, default=None,
+                   help="drop docs whose duplicate-3-gram fraction exceeds "
+                        "this (Gopher-style repetition filter)")
+    p.add_argument("--scrub-secrets", action="store_true",
+                   help="redact secrets/PII in the kept output")
+    p.add_argument("--bench", default=None,
+                   help="parquet/Iceberg of benchmark items (any text "
+                        "column) — enables k-gram decontamination")
+    p.add_argument("--bench-text-col", default="text")
+    p.add_argument("--decontam-min-hits", type=int, default=2)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +58,8 @@ def main(argv: list[str]) -> int:
         near_dup_jaccard=args.near_dup_jaccard,
         lsh_max_bucket=args.lsh_max_bucket,
         langs=tuple(args.langs.split(",")) if args.langs else None,
+        max_dup_ngram_frac=args.max_dup_ngram_frac,
+        scrub_secrets=args.scrub_secrets,
     )
     t0 = time.time()
     docs = read_corpus(spark, args.inp)
@@ -57,7 +71,23 @@ def main(argv: list[str]) -> int:
             raise SystemExit(f"no text column {args.text_col!r} in {docs.columns}")
     if "doc_id" not in docs.columns:
         docs = assign_doc_ids(docs)
-    kept, report = clean_corpus(docs, cfg, text_col=text_col)
+    bench_tok = None
+    if args.bench:
+        from pyspark.sql import functions as F
+
+        from snowball_java_spark.functions.tokenize import tokens_expr
+
+        b = read_corpus(spark, args.bench)
+        bcol = args.bench_text_col
+        if bcol not in b.columns and "content" in b.columns:
+            bcol = "content"
+        bench_tok = b.select(
+            F.monotonically_increasing_id().alias("bench_id"),
+            tokens_expr(bcol).alias("tokens"),
+        )
+    kept, report = clean_corpus(docs, cfg, text_col=text_col,
+                                bench_tok=bench_tok,
+                                decontam_min_hits=args.decontam_min_hits)
     kept.write.mode("overwrite").parquet(args.out)
     out = report.collect()[0].asDict()
     out["out"] = args.out

@@ -674,14 +674,33 @@ def _q_simhash(spark, sf_dir):
     return pairs.select("doc_id", dedup.simhash_expr(F.col("pairs")).alias("simhash"))
 
 
+def _shingle_sets(d):
+    """One materialized (doc_id, sh, shh) relation — distinct shingles +
+    their hashes, computed in a single corpus pass and reused by the
+    signature, banding, and exact-verify stages (the persisted
+    signature-table shape a production dedup run stores anyway).
+    ``localCheckpoint`` executes the plan once instead of three times."""
+    from snowball_java_spark.functions.hashes import h60_expr
+
+    sh = F.array_distinct(dedup.shingles_expr(F.col("tokens")))
+    return (
+        d.select("doc_id", sh.alias("sh"))
+        .withColumn("shh", F.transform("sh", lambda s: h60_expr(s)))
+        .localCheckpoint(eager=False)
+    )
+
+
 def _q_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard VERIFYING MinHash-LSH candidates — the scale
     wiring (pair count bounded by LSH buckets, never O(n²)/group)."""
     d = _docs_tok(spark, sf_dir)
     from snowball_java_spark.operators.bm25_join import global_topn
 
-    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d), with_est=False)
-    pairs = dedup.jaccard_verify_pairs(d, cand)
+    sh = _shingle_sets(d)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_from_hashes(sh, "shh"), with_est=False)
+    pairs = dedup.jaccard_verify_pairs(
+        d, cand, sets=sh.select("doc_id", "sh"))
     return (
         global_topn(pairs, [F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")],
                     20, ["doc_a", "doc_b"])
@@ -839,7 +858,12 @@ def _q_decontam(spark, sf_dir):
         F.col("doc_id").alias("bench_id"),
         F.slice("tokens", 1, _DECON_SLICE).alias("tokens"),
     )
-    res = contamination_overlap(d, bench, min_hits=_DECON_MIN_HITS)
+    # k=3 pinned: the oracle SQL is written as trigrams and the 30-token
+    # bench slices need short grams; the guard is disabled so the Spark
+    # plan and the SQL are term-for-term identical (at gate scale no
+    # shingle could cross the 100-bench-item bar anyway)
+    res = contamination_overlap(d, bench, k=3, min_hits=_DECON_MIN_HITS,
+                                max_bench_items_per_shingle=None)
     return res.select(
         "doc_id", "bench_id", "n_hits",
         F.col("doc_ngrams").cast("long").alias("doc_ngrams"),
@@ -986,8 +1010,11 @@ def _q_components(spark, sf_dir):
     pairs (iterative min-label propagation; exact fixpoint — matches the
     DuckDB recursive-CTE transitive closure)."""
     d = _docs_tok(spark, sf_dir)
-    cand = dedup.lsh_candidate_pairs(dedup.with_minhash(d), with_est=False)
-    pairs = dedup.jaccard_verify_pairs(d, cand, min_jaccard=_CC_TAU)
+    sh = _shingle_sets(d)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_from_hashes(sh, "shh"), with_est=False)
+    pairs = dedup.jaccard_verify_pairs(
+        d, cand, min_jaccard=_CC_TAU, sets=sh.select("doc_id", "sh"))
     return dedup.connected_components(pairs).select("doc_id", "component")
 
 
@@ -1118,7 +1145,9 @@ c AS (SELECT
   (SELECT coalesce(sum(n), 0) FROM kept)::BIGINT AS total_tokens)
 SELECT n_input, (n_input - n_d1)::BIGINT AS n_exact_dups,
        (n_d1 - n_d2)::BIGINT AS n_near_dups, n_hot_buckets,
-       (n_d2 - n_kept)::BIGINT AS n_filtered, n_kept, total_tokens
+       0::BIGINT AS n_contaminated,
+       (n_d2 - n_kept)::BIGINT AS n_filtered, n_kept, total_tokens,
+       0::BIGINT AS n_redactions
 FROM c
 """
 

@@ -21,7 +21,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from snowball_java_spark.operators.dedup import SHINGLE_K, shingles_expr
+from snowball_java_spark.operators.dedup import shingles_expr
+
+#: default k: real decontamination uses LONG n-grams (GPT-3 used 13-gram,
+#: Gopher/PaLM 8–13) — short shingles like the dedup k=3 are shared by
+#: unrelated code ("} } }", "def main ():"), and a hot shingle in B bench
+#: items × D docs inflates the overlap join by B·D rows.  Long k-grams
+#: are near-unique, so join output ≈ true contamination.
+DECONTAM_K = 8
+
+#: bench-side guard: a shingle appearing in more than this many DISTINCT
+#: bench items is boilerplate, not benchmark identity — drop it before
+#: the join (cheap: the bench relation is broadcast-sized)
+MAX_BENCH_ITEMS_PER_SHINGLE = 100
 
 
 def _distinct_shingles(tokens_col: Column, k: int) -> Column:
@@ -31,8 +43,9 @@ def _distinct_shingles(tokens_col: Column, k: int) -> Column:
 def contamination_overlap(
     docs_tok: DataFrame,
     bench_tok: DataFrame,
-    k: int = SHINGLE_K,
+    k: int = DECONTAM_K,
     min_hits: int = 1,
+    max_bench_items_per_shingle: int | None = MAX_BENCH_ITEMS_PER_SHINGLE,
 ) -> DataFrame:
     """(doc_id, bench_id, n_hits, doc_ngrams, overlap_frac) for every
     (document, benchmark item) pair sharing ≥ ``min_hits`` distinct
@@ -52,11 +65,14 @@ def contamination_overlap(
         F.size("_shs").alias("doc_ngrams"),
         F.explode("_shs").alias("sh"),
     )
-    bench_sh = F.broadcast(
-        bench_tok.select(
-            "bench_id", F.explode(_distinct_shingles(F.col("tokens"), k)).alias("sh")
-        ).dropDuplicates(["bench_id", "sh"])
-    )
+    bench_rows = bench_tok.select(
+        "bench_id", F.explode(_distinct_shingles(F.col("tokens"), k)).alias("sh")
+    ).dropDuplicates(["bench_id", "sh"])
+    if max_bench_items_per_shingle is not None:
+        hot = bench_rows.groupBy("sh").agg(F.count("*").alias("_n")).filter(
+            F.col("_n") > max_bench_items_per_shingle).select("sh")
+        bench_rows = bench_rows.join(F.broadcast(hot), "sh", "left_anti")
+    bench_sh = F.broadcast(bench_rows)
     return (
         doc_sh.join(bench_sh, "sh")
         .groupBy("doc_id", "bench_id")
@@ -76,7 +92,7 @@ def contamination_overlap(
 def decontaminate(
     docs_tok: DataFrame,
     bench_tok: DataFrame,
-    k: int = SHINGLE_K,
+    k: int = DECONTAM_K,
     min_hits: int = 1,
 ) -> DataFrame:
     """Documents with every contaminated doc removed (left-anti join on

@@ -33,16 +33,30 @@ SHINGLE_K = 3
 
 def shingles_expr(tokens_col: Column, k: int = SHINGLE_K) -> Column:
     """k-word shingles as ' '-joined strings (empty array if < k tokens).
-    Pure Catalyst: transform over a sequence of start offsets."""
-    n = F.size(tokens_col)
-    return F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens_col, i + j) for j in range(k)]
-            ),
+    Pure Catalyst: transform over a sequence of start offsets.
+
+    The input array is BOUND to a lambda variable (via a 1-element
+    ``transform``) before any per-position ``element_at`` touches it.
+    Without the binding, a caller composing this over an unmaterialized
+    ``tokens_expr(content)`` column gets the tokenizer INLINED into all
+    ~3k positional references after predicate pushdown / project
+    collapse — O(doc_len) re-tokenizations per row (measured: a plain
+    repetition filter over 2k uncached docs ran minutes instead of
+    ~1 s).  With the binding, inlining can only ever duplicate the
+    array constructor's single evaluation."""
+
+    def body(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n < k, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(k)]
+                ),
+            )
         )
-    )
+
+    return F.transform(F.array(tokens_col), body).getItem(0)
 
 
 def minhash_signature(shingle_hashes: Column, i: int) -> Column:
@@ -64,6 +78,21 @@ def with_minhash(docs_tok: DataFrame, num: int = NUM_MINHASH) -> DataFrame:
     for i in range(num):
         out = out.withColumn(f"mh_{i}", minhash_signature(F.col("_sh"), i))
     return out.drop("_sh")
+
+
+def minhash_from_hashes(
+    df: DataFrame, hashes_col: str, num: int = NUM_MINHASH
+) -> DataFrame:
+    """Adds mh_0..mh_{num-1} from a PRECOMPUTED array<long> shingle-hash
+    column — the persisted-signature-table shape: compute the (distinct)
+    shingle hashes once, derive signatures, candidates, and exact-verify
+    sets from that single materialized relation instead of re-scanning
+    the corpus per stage.  min over distinct hashes ≡ min over the full
+    multiset, so signatures equal :func:`with_minhash`'s exactly."""
+    out = df
+    for i in range(num):
+        out = out.withColumn(f"mh_{i}", minhash_signature(F.col(hashes_col), i))
+    return out
 
 
 def _lsh_buckets(with_mh: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -288,6 +317,7 @@ def jaccard_hot_docs(cand_pairs: DataFrame, max_pairs_per_doc: int) -> DataFrame
 def jaccard_verify_pairs(
     docs_tok: DataFrame, cand_pairs: DataFrame, min_jaccard: float = 0.0,
     max_pairs_per_doc: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard as the VERIFY stage over candidate pairs
     (normally the output of :func:`lsh_candidate_pairs`) — the scale-
@@ -312,7 +342,10 @@ def jaccard_verify_pairs(
             .join(hot.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti")
             .join(hot.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
         )
-    sets_ = docs_tok.select(
+    # ``sets``: optionally a precomputed/materialized (doc_id, sh)
+    # relation (sh = DISTINCT shingles) so the shingle pass isn't
+    # recomputed when the caller already built one for the signatures
+    sets_ = sets if sets is not None else docs_tok.select(
         "doc_id", F.array_distinct(shingles_expr(F.col("tokens"))).alias("sh")
     )
     a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -6,8 +6,11 @@ oracle-tested operators:
     2. near-dup removal       (MinHash → LSH bands with hot-bucket cap →
                                exact-Jaccard verify → drop the larger id
                                of each verified pair)
-    3. quality / language / length filters   (textstats expressions)
-    4. per-document token accounting         (budget reporting)
+    3. benchmark decontamination (opt-in: k-gram overlap vs a broadcast
+                               eval set — ``bench_tok``)
+    4. quality / language / length / repetition filters  (textstats)
+    5. secret/PII redaction   (opt-in: ``cfg.scrub_secrets``)
+    6. per-document token accounting         (budget reporting)
 
 Pass discipline at scale: the CORPUS is scanned exactly three times —
 (A) the md5 group aggregation, (B) the shingle/minhash pass over the
@@ -50,6 +53,13 @@ class CleanConfig:
     near_dup_jaccard: float = 0.8
     lsh_max_bucket: int = 1000
     langs: tuple[str, ...] | None = None  # None = keep all
+    #: Gopher-style repetition cap: drop docs whose duplicate-3-gram
+    #: fraction exceeds this (None = no repetition filter).  Rides the
+    #: pass-C scan — zero extra passes.
+    max_dup_ngram_frac: float | None = None
+    #: redact secrets/PII in the kept output (operators.scrub) — a pure
+    #: projection on pass C, zero extra passes
+    scrub_secrets: bool = False
 
 
 def clean_corpus(
@@ -57,11 +67,18 @@ def clean_corpus(
     cfg: CleanConfig = CleanConfig(),
     text_col: str = "text",
     rounds: int = 1,
+    bench_tok: DataFrame | None = None,
+    decontam_min_hits: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """(kept_docs, report) — ``docs`` needs (doc_id, <text_col>).
 
     ``report`` is a 1-row DataFrame of stage-by-stage counts (the metrics
     a pipeline owner actually wants: what did each stage cost me).
+
+    ``bench_tok`` (bench_id, tokens) switches on benchmark
+    decontamination between near-dup removal and the filter pass — one
+    extra scan over the surviving docs (shingle explode → broadcast
+    bench join; see ``operators.decontam``).
     """
     base = docs.withColumn("_toks", tokens_expr(text_col))
 
@@ -121,8 +138,22 @@ def clean_corpus(
         d1 = d1.join(drop, "doc_id", "left_anti")
         d1t = d1t.join(drop, "doc_id", "left_anti")
 
-    # -- pass C: quality/length/lang filters + token accounting in the
-    # same scan; remaining counts derive arithmetically
+    # -- optional pass: benchmark decontamination over the survivors
+    # (ids-only drop relation; shuffle ∝ true overlap)
+    n_contaminated = 0
+    if bench_tok is not None:
+        from snowball_java_spark.operators.decontam import contamination_overlap
+
+        hits = (
+            contamination_overlap(d1t, bench_tok, min_hits=decontam_min_hits)
+            .select("doc_id").distinct().localCheckpoint(eager=False)
+        )
+        n_contaminated = hits.count()
+        if n_contaminated:
+            d1 = d1.join(hits, "doc_id", "left_anti")
+
+    # -- pass C: quality/length/lang/repetition filters + token
+    # accounting in the same scan; remaining counts derive arithmetically
     q = textstats.quality_score_expr(F.col("_toks"), F.col(text_col))
     filt = (
         (F.size("_toks") >= cfg.min_tokens)
@@ -131,20 +162,45 @@ def clean_corpus(
     )
     if cfg.langs is not None:
         filt = filt & textstats.lang_id_expr(F.col("_toks")).isin(*cfg.langs)
+    if cfg.max_dup_ngram_frac is not None:
+        rep = textstats.repetition_expr(F.col("_toks"))
+        filt = filt & (rep["dup_frac"] <= cfg.max_dup_ngram_frac)
     counts = textstats.token_counts_expr(F.col("_toks"))
     kept = d1.filter(filt).withColumn("n_tokens", counts["n_tokens"]).drop("_toks")
-    agg = kept.agg(
-        F.count("*").alias("n_kept"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
-    ).collect()[0]
+    n_redactions = 0
+    if cfg.scrub_secrets:
+        from snowball_java_spark.operators.scrub import (
+            SECRET_PATTERNS,
+            scrub_secrets,
+        )
+
+        kept = scrub_secrets(kept, content_col=text_col, out_col="_scrubbed")
+        agg = kept.agg(
+            F.count("*").alias("n_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+            F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("n_redactions"),
+        ).collect()[0]
+        n_redactions = int(agg["n_redactions"])
+        kept = (
+            kept.drop(text_col, "n_redactions", "has_secret",
+                      *[f"n_{name}" for name in SECRET_PATTERNS])
+            .withColumnRenamed("_scrubbed", text_col)
+        )
+    else:
+        agg = kept.agg(
+            F.count("*").alias("n_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+        ).collect()[0]
     n_kept = int(agg["n_kept"])
-    n_filtered = (n_input - n_exact_dups - n_near_dups) - n_kept
+    n_filtered = (n_input - n_exact_dups - n_near_dups - n_contaminated) - n_kept
 
     spark = docs.sparkSession
     report = spark.createDataFrame(
         [(n_input, n_exact_dups, n_near_dups, int(quarantined),
-          n_filtered, n_kept, int(agg["total_tokens"]))],
+          int(n_contaminated), n_filtered, n_kept,
+          int(agg["total_tokens"]), int(n_redactions))],
         "n_input long, n_exact_dups long, n_near_dups long, "
-        "n_hot_buckets long, n_filtered long, n_kept long, total_tokens long",
+        "n_hot_buckets long, n_contaminated long, n_filtered long, "
+        "n_kept long, total_tokens long, n_redactions long",
     )
     return kept, report

@@ -32,7 +32,7 @@ def test_planted_overlap_found_disjoint_not(spark):
     bench = _bench(spark, [(100, WORDS[:6])])
     hits = {
         (r["doc_id"], r["bench_id"]): r
-        for r in contamination_overlap(docs, bench, min_hits=1).collect()
+        for r in contamination_overlap(docs, bench, k=3, min_hits=1).collect()
     }
     assert (0, 100) in hits and (2, 100) in hits
     assert not any(d == 1 for d, _ in hits)
@@ -45,8 +45,8 @@ def test_planted_overlap_found_disjoint_not(spark):
 def test_min_hits_threshold(spark):
     docs = _tok(spark, [(0, WORDS[:4])])    # shares exactly 2 shingles
     bench = _bench(spark, [(9, WORDS[:5])])
-    assert contamination_overlap(docs, bench, min_hits=3).count() == 0
-    assert contamination_overlap(docs, bench, min_hits=2).count() == 1
+    assert contamination_overlap(docs, bench, k=3, min_hits=3).count() == 0
+    assert contamination_overlap(docs, bench, k=3, min_hits=2).count() == 1
 
 
 def test_decontaminate_removes_hit_docs(spark):
@@ -55,21 +55,44 @@ def test_decontaminate_removes_hit_docs(spark):
         (1, ["alpha", "beta", "gamma", "delta"]),
     ])
     bench = _bench(spark, [(5, WORDS[:5])])
-    kept = decontaminate(docs, bench).select("doc_id").collect()
+    kept = decontaminate(docs, bench, k=3).select("doc_id").collect()
     assert [r["doc_id"] for r in kept] == [1]
 
 
 def test_short_docs_and_empty_bench(spark):
     docs = _tok(spark, [(0, ["just", "two"]), (1, [])])
     bench = _bench(spark, [(1, ["a", "b"])])  # < k tokens: no shingles
-    assert contamination_overlap(docs, bench).count() == 0
-    assert decontaminate(docs, bench).count() == 2
+    assert contamination_overlap(docs, bench, k=3).count() == 0
+    assert decontaminate(docs, bench, k=3).count() == 2
 
 
 def test_bench_side_is_broadcast(spark):
     docs = _tok(spark, [(0, WORDS)])
     bench = _bench(spark, [(5, WORDS[:5])])
-    plan = contamination_overlap(docs, bench)._jdf.queryExecution() \
+    plan = contamination_overlap(docs, bench, k=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bench_hot_shingle_guard(spark):
+    # a shingle shared by MANY bench items is dropped before the join
+    docs = _tok(spark, [(0, WORDS)])
+    bench = _bench(spark, [(i, WORDS[:3]) for i in range(50)])
+    with_guard = contamination_overlap(
+        docs, bench, k=3, min_hits=1, max_bench_items_per_shingle=10)
+    assert with_guard.count() == 0
+    no_guard = contamination_overlap(
+        docs, bench, k=3, min_hits=1, max_bench_items_per_shingle=None)
+    assert no_guard.count() == 50
+
+
+def test_default_k_is_long_gram(spark):
+    from snowball_java_spark.operators.decontam import DECONTAM_K
+
+    assert DECONTAM_K >= 8
+    # ten-token docs share a 3-gram but no 8-gram -> clean at default k
+    docs = _tok(spark, [(0, WORDS)])
+    bench = _bench(spark, [(1, WORDS[:5] + ["entirely", "different", "tail", "words", "now"])])
+    assert contamination_overlap(docs, bench).count() == 0
+    assert contamination_overlap(docs, bench, k=3).count() > 0

@@ -98,3 +98,32 @@ def test_jaccard_verify_caps_hot_doc(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2), (3, 4)}
     hot = jaccard_hot_docs(cand, 100).collect()
     assert [(r["doc_id"], r["n_pairs"]) for r in hot] == [(0, n)]
+
+
+def test_minhash_from_hashes_matches_with_minhash(spark, synth_docs):
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.hashes import h60_expr
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.dedup import (
+        NUM_MINHASH,
+        minhash_from_hashes,
+        shingles_expr,
+        with_minhash,
+    )
+
+    d = synth_docs.select("doc_id", tokens_expr("content").alias("tokens"))
+    ref = with_minhash(d).select(
+        "doc_id", *[f"mh_{i}" for i in range(NUM_MINHASH)]
+    )
+    sh = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles_expr(F.col("tokens"))),
+            lambda s: h60_expr(s),
+        ).alias("shh"),
+    )
+    alt = minhash_from_hashes(sh, "shh").select(
+        "doc_id", *[f"mh_{i}" for i in range(NUM_MINHASH)]
+    )
+    assert ref.exceptAll(alt).count() == 0 and alt.exceptAll(ref).count() == 0
