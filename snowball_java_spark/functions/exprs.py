@@ -1,0 +1,28 @@
+"""Catalyst expression utilities.
+
+``bind`` is the guard against Catalyst's expression-inlining blowup:
+project collapse and predicate pushdown substitute a column's defining
+expression into EVERY reference site, so an expression that reads its
+input N times costs N evaluations of the whole upstream chain (e.g. a
+filter over ``tokens_expr(content)`` re-tokenizes the document once per
+reference — measured minutes instead of seconds on per-position
+``element_at`` patterns; see ``operators/dedup.shingles_expr``).
+Wrapping the input in a 1-element array and referencing it through a
+higher-order-function lambda variable pins it to exactly one evaluation
+per row, no matter how the optimizer rewrites the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def bind(col: Column, body: Callable[[Column], Column]) -> Column:
+    """``body(col)`` with ``col`` evaluated exactly once per row.
+
+    ``body`` must be a pure expression builder; the value it receives is
+    a lambda variable bound to ``col``'s single evaluation."""
+    return F.transform(F.array(col), body).getItem(0)

@@ -35,8 +35,8 @@ def shingles_expr(tokens_col: Column, k: int = SHINGLE_K) -> Column:
     """k-word shingles as ' '-joined strings (empty array if < k tokens).
     Pure Catalyst: transform over a sequence of start offsets.
 
-    The input array is BOUND to a lambda variable (via a 1-element
-    ``transform``) before any per-position ``element_at`` touches it.
+    The input array is BOUND to a lambda variable (``functions.exprs
+    .bind``) before any per-position ``element_at`` touches it.
     Without the binding, a caller composing this over an unmaterialized
     ``tokens_expr(content)`` column gets the tokenizer INLINED into all
     ~3k positional references after predicate pushdown / project
@@ -44,6 +44,7 @@ def shingles_expr(tokens_col: Column, k: int = SHINGLE_K) -> Column:
     repetition filter over 2k uncached docs ran minutes instead of
     ~1 s).  With the binding, inlining can only ever duplicate the
     array constructor's single evaluation."""
+    from snowball_java_spark.functions.exprs import bind
 
     def body(arr: Column) -> Column:
         n = F.size(arr)
@@ -56,7 +57,7 @@ def shingles_expr(tokens_col: Column, k: int = SHINGLE_K) -> Column:
             )
         )
 
-    return F.transform(F.array(tokens_col), body).getItem(0)
+    return bind(tokens_col, body)
 
 
 def minhash_signature(shingle_hashes: Column, i: int) -> Column:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from snowball_java_spark.functions.exprs import bind
 from snowball_java_spark.functions.hashes import FP_MOD, FP_MULT, h60_expr
 
 #: tiny stopword profiles for n-gram-free language ID (heuristic — the
@@ -24,25 +25,42 @@ LANG_PROFILES = {
 
 
 def lang_scores(tokens_col: Column) -> dict[str, Column]:
-    """Per-language stopword hit ratio (0..1)."""
-    n = F.greatest(F.size(tokens_col), F.lit(1)).cast("double")
-    out = {}
-    for lang, words in LANG_PROFILES.items():
-        hits = F.size(F.filter(tokens_col, lambda t: t.isin(words)))
-        out[lang] = hits.cast("double") / n
-    return out
+    """Per-language stopword hit ratio (0..1).  Each score evaluates the
+    token array once (``bind`` — see functions/exprs.py)."""
+    def ratio_of(words):
+        # NOTE: a second lambda parameter would be bound to transform's
+        # index argument by PySpark's arity sniffing — capture via
+        # closure, never via default args, in HOF lambdas
+        return lambda toks: (
+            F.size(F.filter(toks, lambda t: t.isin(words))).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        )
+
+    return {
+        lang: bind(tokens_col, ratio_of(words))
+        for lang, words in LANG_PROFILES.items()
+    }
 
 
 def lang_id_expr(tokens_col: Column) -> Column:
-    """Deterministic argmax: sort by (score desc, lang asc), take first."""
-    scores = lang_scores(tokens_col)
-    pairs = F.array(
-        *[
-            F.struct((-scores[lang]).alias("neg_s"), F.lit(lang).alias("lang"))
-            for lang in sorted(LANG_PROFILES)
-        ]
-    )
-    return F.array_min(pairs)["lang"]
+    """Deterministic argmax: sort by (score desc, lang asc), take first.
+    One bound evaluation of the token array for all language scores."""
+
+    def body(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+        pairs = F.array(
+            *[
+                F.struct(
+                    (-(F.size(F.filter(toks, lambda t: t.isin(words)))
+                       .cast("double") / n)).alias("neg_s"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, words in sorted(LANG_PROFILES.items())
+            ]
+        )
+        return F.array_min(pairs)["lang"]
+
+    return bind(tokens_col, body)
 
 
 def quality_score_expr(tokens_col: Column, text_col: Column) -> Column:
@@ -51,25 +69,33 @@ def quality_score_expr(tokens_col: Column, text_col: Column) -> Column:
 
         q = 0.25·[20 ≤ n_tok ≤ 1000] + 0.25·[3 ≤ mean_len ≤ 12]
           + 0.25·min(1, stop_ratio·5) + 0.25·alnum_ratio
+
+    The token array is evaluated ONCE per row (bound lambda variable)
+    even though the formula reads it four times — without the binding a
+    pushed-down filter re-tokenizes per reference.
     """
-    n = F.size(tokens_col).cast("double")
-    safe_n = F.greatest(n, F.lit(1.0))
-    mean_len = (
-        F.aggregate(tokens_col, F.lit(0.0), lambda a, t: a + F.length(t).cast("double"))
-        / safe_n
-    )
-    stop_ratio = (
-        F.size(F.filter(tokens_col, lambda t: t.isin(LANG_PROFILES["en"]))).cast("double")
-        / safe_n
-    )
-    alnum = F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9]", "")).cast("double")
-    alnum_ratio = alnum / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
-    return (
-        F.when((n >= 20) & (n <= 1000), 0.25).otherwise(0.0)
-        + F.when((mean_len >= 3) & (mean_len <= 12), 0.25).otherwise(0.0)
-        + F.least(F.lit(1.0), stop_ratio * 5) * 0.25
-        + alnum_ratio * 0.25
-    )
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        safe_n = F.greatest(n, F.lit(1.0))
+        mean_len = (
+            F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t).cast("double"))
+            / safe_n
+        )
+        stop_ratio = (
+            F.size(F.filter(toks, lambda t: t.isin(LANG_PROFILES["en"]))).cast("double")
+            / safe_n
+        )
+        alnum = F.length(F.regexp_replace(text_col, "[^a-zA-Z0-9]", "")).cast("double")
+        alnum_ratio = alnum / F.greatest(F.length(text_col).cast("double"), F.lit(1.0))
+        return (
+            F.when((n >= 20) & (n <= 1000), 0.25).otherwise(0.0)
+            + F.when((mean_len >= 3) & (mean_len <= 12), 0.25).otherwise(0.0)
+            + F.least(F.lit(1.0), stop_ratio * 5) * 0.25
+            + alnum_ratio * 0.25
+        )
+
+    return bind(tokens_col, body)
 
 
 def token_counts_expr(tokens_col: Column) -> dict[str, Column]:
@@ -89,18 +115,23 @@ def repetition_expr(tokens_col: Column, k: int = 3) -> dict[str, Column]:
     """Gopher-style repetition signals: duplicate k-gram fraction
     (1 − distinct/total) plus the raw counts.  High dup_frac marks
     boilerplate / template / minified-generator text that survives
-    per-doc dedup but poisons training.  Pure Catalyst — one pass over
-    the token array, no shuffle at all."""
+    per-doc dedup but poisons training.  Pure Catalyst — each output
+    column evaluates the shingle array once (bound), no shuffle at
+    all."""
     from snowball_java_spark.operators.dedup import shingles_expr
 
     sh = shingles_expr(tokens_col, k)
-    n = F.size(sh).cast("long")
-    nd = F.size(F.array_distinct(sh)).cast("long")
     return {
-        "n_ngrams": n,
-        "n_distinct": nd,
-        "dup_frac": F.when(n > 0, (n - nd).cast("double") / n.cast("double"))
-                     .otherwise(F.lit(0.0)),
+        "n_ngrams": F.size(sh).cast("long"),
+        "n_distinct": F.size(F.array_distinct(sh)).cast("long"),
+        "dup_frac": bind(
+            sh,
+            lambda s: F.when(
+                F.size(s) > 0,
+                (F.size(s) - F.size(F.array_distinct(s))).cast("double")
+                / F.size(s).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ),
     }
 
 
