@@ -9,7 +9,15 @@ Query jsonl, one object per line:
     {"query_id": 2, "phrase": ["def", "main"], "k": 10}             # exact phrase
     {"query_id": 3, "left_terms": ["def"], "middle_terms": ["x"],   # 3-zone
      "right_terms": ["return"], "window": 16, "k": 10}              # context
+    {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
+    {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
                                  # (phrase + context need positions/ sidecar)
+
+Query strings (``q``) use the mini-language of
+``functions/queryparse.py``: bare terms = OR, ``AND`` / all-``+`` =
+conjunctive, ``-term`` = NOT, ``"quoted words"`` = exact phrase.
+``field:value`` filters are a corpus-scan feature (the index stores no
+doc metadata) — rejected here with a pointer at the join path.
 """
 
 from __future__ import annotations
@@ -39,6 +47,22 @@ def main(argv: list[str]) -> int:
     idx = IndexReader(args.index_dir)
     with open(args.queries) as f:
         qs = [json.loads(line) for line in f if line.strip()]
+    from snowball_java_spark.functions.queryparse import parse_query
+
+    for i, q in enumerate(qs):
+        if "q" in q:
+            parsed = parse_query(q["q"], query_id=q.get("query_id", i),
+                                 k=q.get("k", 10))
+            if parsed["filters"]:
+                raise SystemExit(
+                    "field:value filters need the document metadata the "
+                    "index does not store — run them on the corpus-scan "
+                    "path (bm25_topk_join(candidate_predicate=…))")
+            qs[i] = parsed
+    if any(q.get("not_terms") and "terms" not in q for q in qs):
+        raise SystemExit(
+            "NOT terms are only supported on terms queries (OR/AND)")
+
     def kind(q):
         if "phrase" in q:
             return "phrase"

@@ -127,7 +127,8 @@ def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) ->
 
 
 def _bm25_topk_sql(
-    terms: list[str], k: int, conjunctive: bool = False, source: str | None = None
+    terms: list[str], k: int, conjunctive: bool = False,
+    source: str | None = None, not_terms: list[str] | None = None,
 ) -> str:
     tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
@@ -136,6 +137,13 @@ def _bm25_topk_sql(
         if source
         else ""
     )
+    not_where = ""
+    if not_terms:
+        ntlist = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+        not_where = (
+            "WHERE NOT EXISTS (SELECT 1 FROM tfx ex "
+            f"WHERE ex.doc_id = tfx.doc_id AND ex.term IN ({ntlist}))"
+        )
     return f"""
 WITH {BASE_CTES},
 q(term) AS (VALUES {tlist}),
@@ -146,6 +154,7 @@ scores AS (
            JOIN dl ON tfx.doc_id = dl.doc_id
            {cand_join}
            CROSS JOIN st
+  {not_where}
   GROUP BY 1
   {having}
 )
@@ -299,6 +308,96 @@ def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOT_TERMS = ["vector"]
+_QUERY_STRING = f'table row -vector source:{_FILTER_SOURCE}'
+
+
+def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean NOT on the join path: docs containing any excluded term
+    are anti-joined out of the score relation before top-k."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": HOT_TERMS, "k": 10,
+          "not_terms": _NOT_TERMS}],
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-STRING surface: the mini-language parse drives the same
+    oracle-checked operators (terms + NOT + field filter here)."""
+    from functools import reduce
+
+    from snowball_java_spark.functions.queryparse import parse_query
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    parsed = parse_query(_QUERY_STRING, k=10)
+    assert parsed["mode"] == "or"
+    pred = reduce(
+        lambda a, b: a & b,
+        [F.col(c) == v for c, v in sorted(parsed["filters"].items())],
+    )
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
+          "not_terms": parsed["not_terms"]}],
+        candidate_predicate=pred, n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_FACET_COLS = ["source", "lang"]
+
+
+def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-facet match counts for one query."""
+    from snowball_java_spark.operators.facets import facet_counts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", *_FACET_COLS, tokens_expr("text").alias("tokens"))
+    res = facet_counts(
+        spark, docs, [{"query_id": 0, "terms": MIXED_TERMS}],
+        facet_cols=_FACET_COLS, n_facets=5,
+    )
+    return res.select(
+        "facet", "value", "n_docs", F.col("rank").cast("long").alias("rank"))
+
+
+def _facet_counts_sql(terms: list[str], facet_cols: list[str], n: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    fv_selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS facet, d.{c}::VARCHAR AS value "
+        f"FROM documents d JOIN m USING (doc_id)"
+        for c in facet_cols
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+m AS (SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      WHERE term IN ({tlist})),
+fv AS ({fv_selects}),
+c AS (SELECT facet, value, count(*)::BIGINT AS n_docs
+      FROM fv GROUP BY 1, 2)
+SELECT facet, value, n_docs, rank FROM (
+  SELECT facet, value, n_docs,
+         row_number() OVER (PARTITION BY facet
+                            ORDER BY n_docs DESC, value ASC)::BIGINT AS rank
+  FROM c
+) WHERE rank <= {n}
+"""
+
+
 # ---------------------------------------------------------------------------
 # index-path query (builds/reuses a real on-disk index per sf_dir)
 # ---------------------------------------------------------------------------
@@ -361,13 +460,14 @@ def _index_for(spark: SparkSession, sf_dir: str):
 
 def _bm25_index_topk(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
-    mode: str = "or",
+    mode: str = "or", not_terms: list[str] | None = None,
 ) -> DataFrame:
     from snowball_java_spark.operators.wand import bm25_topk_index
 
     idx = _index_for(spark, sf_dir)
     res = bm25_topk_index(
-        spark, idx, [{"query_id": 0, "terms": terms, "k": k, "mode": mode}],
+        spark, idx, [{"query_id": 0, "terms": terms, "k": k, "mode": mode,
+                      "not_terms": not_terms or []}],
         cfg=_INDEX_CFG,
     )
     return res.select(
@@ -1610,6 +1710,24 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25_topk_filtered": Q(
             _q_bm25_filtered, _bm25_topk_sql(HOT_TERMS, 10, source=_FILTER_SOURCE)
+        ),
+        "bm25_topk_not": Q(
+            _q_bm25_not,
+            _bm25_topk_sql(HOT_TERMS, 10, not_terms=_NOT_TERMS),
+        ),
+        "bm25_index_not": Q(
+            lambda s, d: _bm25_index_topk(
+                s, d, HOT_TERMS, 10, not_terms=_NOT_TERMS),
+            _bm25_topk_sql(HOT_TERMS, 10, not_terms=_NOT_TERMS),
+        ),
+        "query_string_topk": Q(
+            _q_query_string,
+            _bm25_topk_sql(["table", "row"], 10, source=_FILTER_SOURCE,
+                           not_terms=["vector"]),
+        ),
+        "facet_counts": Q(
+            _q_facet_counts,
+            _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),
         ),
         "postings_term_df": Q(
             _q_postings_term_df,

@@ -1,0 +1,124 @@
+"""Query-string mini-language → structured query dicts.
+
+The reference exposes queries only as config-file seed tuples
+(``snowball/src/bin/Snowball.java:45-60``); a search engine's user
+surface is a query STRING.  This parser maps a compact, Lucene-flavored
+syntax onto the engine's existing structured query kinds (the jsonl
+shapes of ``scripts/run_queries_job.py``), so every parse result is
+executable by an operator that already has an oracle-checked gate:
+
+    table row                →  {"terms": [...]}                 (OR)
+    table AND row            →  {"terms": [...], "mode": "and"}
+    +table +row              →  same (``+`` on every term)
+    table row -vector        →  {"terms": [...], "not_terms": ["vector"]}
+    "hello world"            →  {"phrase": ["hello", "world"]}
+    table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
+
+Terms are run through the engine tokenizer (``tokenize_py``) so the
+parsed query matches the index's token space exactly — a user typing
+``Table-Row`` searches ``table``, ``row``.  Multi-token bare words
+(e.g. ``foo-bar``) expand in place.
+
+Unsupported compositions fail loudly (``QueryParseError``) instead of
+silently degrading: mixing a quoted phrase with bare terms, mixing
+required (+) with optional bare terms, ``-`` with nothing else, or
+filters on fields that are not plain identifiers.
+"""
+
+from __future__ import annotations
+
+import re
+
+from snowball_java_spark.functions.tokenize import tokenize_py
+
+__all__ = ["QueryParseError", "parse_query"]
+
+
+class QueryParseError(ValueError):
+    """Raised on syntax the engine cannot execute exactly."""
+
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+# a quoted phrase, or a run of non-space characters
+_LEX_RE = re.compile(r'"([^"]*)"|(\S+)')
+
+
+def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
+    """Parse one query string into a structured query dict.
+
+    Returns one of the engine's executable shapes (all keys always
+    present so callers can dispatch without ``get`` chains)::
+
+        {"query_id", "k", "terms", "not_terms", "filters", "mode"}
+        {"query_id", "k", "phrase", "not_terms", "filters"}
+
+    ``filters`` is a {column: value} dict for candidate scoping
+    (relevance stats stay whole-corpus — the ``bm25_topk_filtered``
+    semantics).  ``not_terms`` excludes any document containing the
+    term.
+    """
+    phrase: list[str] | None = None
+    terms: list[str] = []
+    required: list[str] = []
+    not_terms: list[str] = []
+    filters: dict[str, str] = {}
+    saw_and = False
+    saw_bare_quoteless = False
+
+    matches = list(_LEX_RE.finditer(q or ""))
+    if not matches:
+        raise QueryParseError("empty query")
+    for m in matches:
+        quoted, word = m.group(1), m.group(2)
+        if quoted is not None:
+            if phrase is not None:
+                raise QueryParseError("at most one quoted phrase per query")
+            phrase = tokenize_py(quoted)
+            if len(phrase) < 2:
+                raise QueryParseError(
+                    "a quoted phrase needs >= 2 tokens (use a bare term)")
+            continue
+        if word == "AND":
+            saw_and = True
+            continue
+        fm = _FIELD_RE.match(word)
+        if fm and not word.startswith(("+", "-")) and fm.group(2):
+            field, value = fm.groups()
+            if field in filters and filters[field] != value:
+                raise QueryParseError(
+                    f"conflicting filters on field {field!r}")
+            filters[field] = value
+            continue
+        sign = ""
+        if word[0] in "+-":
+            sign, word = word[0], word[1:]
+        toks = tokenize_py(word)
+        if not toks:
+            raise QueryParseError(f"term {word!r} tokenizes to nothing")
+        if sign == "-":
+            not_terms.extend(toks)
+        elif sign == "+":
+            required.extend(toks)
+        else:
+            saw_bare_quoteless = True
+            terms.extend(toks)
+
+    if phrase is not None:
+        if terms or required or saw_and:
+            raise QueryParseError(
+                "cannot mix a quoted phrase with bare/required terms")
+        return {"query_id": int(query_id), "k": int(k), "phrase": phrase,
+                "not_terms": sorted(set(not_terms)), "filters": filters}
+
+    if required and saw_bare_quoteless:
+        raise QueryParseError(
+            "cannot mix required (+term) with optional bare terms — "
+            "use all-+ (AND) or all-bare (OR)")
+    positive = required or terms
+    if not positive:
+        raise QueryParseError("query needs at least one positive term")
+    mode = "and" if (required or saw_and) else "or"
+    return {"query_id": int(query_id), "k": int(k),
+            "terms": sorted(set(positive)),
+            "not_terms": sorted(set(not_terms)),
+            "filters": filters, "mode": mode}

@@ -244,4 +244,37 @@ def bm25_topk_join(
         .groupBy("query_id", "doc_id")
         .agg(ordered_sum("term", "w").alias("score"))
     )
+    scores = exclude_not_terms(spark, scores, docs_tok, queries)
     return topk(scores, qdf)
+
+
+def exclude_not_terms(
+    spark: SparkSession,
+    scores: DataFrame,
+    docs_tok: DataFrame,
+    queries: list[dict],
+) -> DataFrame:
+    """Drop (query_id, doc_id) rows whose doc contains any of the query's
+    ``not_terms`` (boolean NOT).
+
+    Scale shape: the exclusion relation is built by the same
+    prune-before-explode trick as :func:`pruned_tf` — only postings of
+    the excluded terms are exploded (∝ their df, not the corpus), the
+    per-query NOT set is a broadcast join, and the final ``left_anti``
+    shuffles on the same (query_id, doc_id) key the scores already
+    carry.  No-op when no query has ``not_terms``.
+    """
+    nq = [(int(q["query_id"]), t)
+          for q in queries for t in sorted(set(q.get("not_terms", [])))]
+    if not nq:
+        return scores
+    nterms = sorted({t for _, t in nq})
+    kept = F.array_distinct(F.filter("tokens", lambda x: x.isin(*nterms)))
+    excl_docs = docs_tok.select(
+        "doc_id", F.explode(kept).alias("term"))
+    q_not = F.broadcast(
+        spark.createDataFrame(nq, "query_id int, term string"))
+    excl_pairs = (
+        excl_docs.join(q_not, "term").select("query_id", "doc_id").distinct()
+    )
+    return scores.join(excl_pairs, ["query_id", "doc_id"], "left_anti")

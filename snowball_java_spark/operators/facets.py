@@ -1,0 +1,80 @@
+"""Faceted search: per-query document counts over metadata columns.
+
+The classic search-engine sidebar ("1,204 matches in repo X, 310 in
+lang Y") the reference has no analog for — its only result report is
+the confidence-sorted tuple sink (``snowball/src/bin/Main.java:64-66``).
+
+Scale shape: the match relation is built with the same
+prune-before-explode trick as ``bm25_join.pruned_tf`` — token arrays
+are filtered to the union of all queries' terms BEFORE explode, so the
+rows entering the aggregation are ∝ the query terms' postings, never
+the corpus token stream.  Facet metadata columns ride the same scan
+(no second corpus pass, no doc-metadata join).  The per-(query, facet,
+value) count aggregation map-side combines down to the facet-value
+cardinality, and the final top-n window runs over that tiny aggregated
+relation — partitioned by (query, facet), rows per partition = distinct
+values of one facet, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def facet_counts(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    facet_cols: list[str],
+    n_facets: int = 10,
+    candidate_predicate: F.Column | None = None,
+) -> DataFrame:
+    """(query_id, facet, value, n_docs, rank) — top-``n_facets`` values
+    per facet column per query, over the docs matching ≥ 1 of the
+    query's terms (minus its ``not_terms``, when present).
+
+    Deterministic total order: (n_docs desc, value asc) — rank-stable
+    across partitionings.  ``candidate_predicate`` scopes the matched
+    docs the same way ``bm25_topk_join`` scopes candidates.
+    """
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    terms = sorted({t for q in queries for t in q["terms"]})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, facet string, value string, "
+                "n_docs long, rank int")
+    cand = (docs_tok.filter(candidate_predicate)
+            if candidate_predicate is not None else docs_tok)
+    kept = F.array_distinct(F.filter("tokens", lambda x: x.isin(*terms)))
+    matched = cand.select(
+        "doc_id", *facet_cols, F.explode(kept).alias("term"))
+    q_terms = F.broadcast(
+        spark.createDataFrame(
+            [(int(q["query_id"]), t)
+             for q in queries for t in sorted(set(q["terms"]))],
+            "query_id int, term string"))
+    pairs = (matched.join(q_terms, "term")
+             .select("query_id", "doc_id", *facet_cols)
+             .dropDuplicates(["query_id", "doc_id"]))
+    from snowball_java_spark.operators.bm25_join import exclude_not_terms
+
+    pairs = exclude_not_terms(spark, pairs, docs_tok, queries)
+    # one row per (facet column, value): stack the facet columns —
+    # stays a projection, no extra scan
+    stacked = pairs.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("facet"),
+                     F.col(c).cast("string").alias("value"))
+            for c in facet_cols
+        ])).alias("fv"),
+    ).select("query_id", "fv.facet", "fv.value")
+    counts = stacked.groupBy("query_id", "facet", "value").agg(
+        F.count("*").alias("n_docs"))
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.desc("n_docs"), F.asc("value"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n_facets)
+            .select("query_id", "facet", "value", "n_docs", "rank"))

@@ -253,4 +253,7 @@ def bm25_topk_conjunctive(
         .filter(F.col("n_hit") == F.col("nq"))
         .drop("n_hit", "nq")
     )
+    from snowball_java_spark.operators.bm25_join import exclude_not_terms
+
+    scores = exclude_not_terms(spark, scores, docs_tok, queries)
     return topk(scores, qdf)

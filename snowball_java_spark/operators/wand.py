@@ -419,7 +419,8 @@ def score_shards(
     practice and the fraction is stable."""
     q_spec = [
         (int(q["query_id"]), sorted(set(q["terms"])),
-         int(q.get("k", cfg.default_k)), str(q.get("mode", "or")))
+         int(q.get("k", cfg.default_k)), str(q.get("mode", "or")),
+         sorted(set(q.get("not_terms", []))))
         for q in queries
     ]
     block_size = cfg.block_size
@@ -436,12 +437,35 @@ def score_shards(
         dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
                 if "dead_bytes" in pdf.columns else None)
         by_term: dict[str, _TermList] = {}
+        rows_by_term: dict[str, object] = {}
         for _, row in pdf.iterrows():
             by_term[row["term"]] = _TermList(row, block_size, avgdl, cfg,
                                              dead=dead)
+            rows_by_term[row["term"]] = row
         out_q, out_d, out_s = [], [], []
-        for qid, terms, k, mode in q_spec:
-            lists = [by_term[t] for t in terms if t in by_term]
+        for qid, terms, k, mode, not_terms in q_spec:
+            if not_terms:
+                # Boolean NOT: excluded docs become per-query "dead" docs
+                # — _TermList drops dead docs at decode time, so they can
+                # never enter a candidate set, and removing candidates
+                # keeps every MaxScore bound valid (bounds only ever
+                # overestimate).  Fresh per-query lists (the shared ones
+                # cache decoded blocks under the shard-wide dead set);
+                # the exclusion lists themselves decode via the SHARED
+                # lists, so repeated NOT terms stay cached.  Cost ∝ the
+                # excluded terms' postings in this shard — the price any
+                # exact NOT design pays.
+                parts = [by_term[t].decode_all()[0]
+                         for t in not_terms if t in by_term]
+                excl = (np.unique(np.concatenate(parts)) if parts
+                        else np.empty(0, np.int64))
+                qdead = (np.union1d(dead, excl) if dead is not None
+                         else excl)
+                lists = [_TermList(rows_by_term[t], block_size, avgdl, cfg,
+                                   dead=qdead)
+                         for t in terms if t in by_term]
+            else:
+                lists = [by_term[t] for t in terms if t in by_term]
             if mode == "and":
                 docs, scores = conjunctive_topk_shard(
                     lists, len(terms), k, dls, first_doc, avgdl, cfg)
@@ -472,7 +496,8 @@ def bm25_topk_index(
     (directory partition pruning on bucket, parquet row-group min/max on
     term); doc_meta joins on shard; the shuffle is per-shard top-k rows.
     """
-    terms = sorted({t for q in queries for t in q["terms"]})
+    terms = sorted({t for q in queries
+                    for t in list(q["terms"]) + list(q.get("not_terms", []))})
     buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
     posts = index.postings(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)

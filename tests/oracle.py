@@ -61,6 +61,23 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def not_topk(
+        self, terms: list[str], not_terms: list[str], k: int,
+        mode: str = "or",
+    ) -> list[tuple[int, float]]:
+        """Boolean NOT: docs containing ANY excluded term are removed
+        from the candidate set; scoring over the positive terms only."""
+        terms = sorted(set(terms))
+        nset = set(not_terms)
+        if mode == "and":
+            cands = {d for d in self.tf if all(t in self.tf[d] for t in terms)}
+        else:
+            cands = {d for d in self.tf if any(t in self.tf[d] for t in terms)}
+        cands = {d for d in cands if not any(t in self.tf[d] for t in nset)}
+        scored = [(d, self.score(terms, d)) for d in cands]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def conjunctive_topk(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """AND semantics: only docs containing EVERY term; score = the
         ordinary BM25 sum (same accumulation order as :meth:`score`)."""

@@ -1,0 +1,179 @@
+"""Query-string parser + boolean NOT (both paths) + facet counts."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.functions.queryparse import QueryParseError, parse_query
+from snowball_java_spark.functions.tokenize import tokenize_py
+from snowball_java_spark.operators.bm25_join import bm25_topk_join
+from snowball_java_spark.operators.df_stats import with_tokens
+from snowball_java_spark.operators.facets import facet_counts
+from snowball_java_spark.operators.wand import bm25_topk_index
+from snowball_java_spark.plans.build_index import build_index
+from tests.oracle import OracleIndex
+
+REL_TOL = 1e-9
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+
+
+# ---------------------------------------------------------------- parser
+
+def test_parse_or_terms():
+    p = parse_query("def Return")
+    assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
+                 "not_terms": [], "filters": {}, "mode": "or"}
+
+
+def test_parse_and_via_keyword_and_plus():
+    assert parse_query("def AND return")["mode"] == "and"
+    p = parse_query("+def +return")
+    assert p["mode"] == "and" and p["terms"] == ["def", "return"]
+
+
+def test_parse_not_filters_phrase():
+    p = parse_query('def -test lang:py repo:a/b')
+    assert p["not_terms"] == ["test"]
+    assert p["filters"] == {"lang": "py", "repo": "a/b"}
+    q = parse_query('"def main" -test')
+    assert q["phrase"] == ["def", "main"] and q["not_terms"] == ["test"]
+
+
+def test_parse_multi_token_words_expand():
+    assert parse_query("FooBar-baz")["terms"] == ["baz", "foobar"]
+
+
+@pytest.mark.parametrize("bad", [
+    "", "   ", "-neg", '"one"', 'x "a b"', "+req bare",
+    '"a b" "c d"', "lang:py", "-", "+",
+])
+def test_parse_rejects(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+def test_parse_terms_use_engine_tokenizer():
+    # whatever the tokenizer does to the raw word, the parser must agree
+    raw = "Some.Mixed-Case_id9"
+    assert parse_query(raw)["terms"] == sorted(set(tokenize_py(raw)))
+
+
+# ---------------------------------------------------------- NOT queries
+
+NOT_QS = [
+    # hot OR query excluding a hot term: big live + big excluded sets
+    {"query_id": 0, "terms": ["def", "return"], "k": 10,
+     "not_terms": ["import"]},
+    # exclusion term absent from the corpus: must be a no-op
+    {"query_id": 1, "terms": ["def"], "k": 5,
+     "not_terms": ["zz_no_such_term"]},
+    # exclusion == positive term: empty result
+    {"query_id": 2, "terms": ["def"], "k": 5, "not_terms": ["def"]},
+    # AND mode with exclusion
+    {"query_id": 3, "terms": ["def", "return"], "k": 10, "mode": "and",
+     "not_terms": ["class"]},
+    # rare positive, hot exclusion: likely everything excluded
+    {"query_id": 4, "terms": ["rare_7"], "k": 10, "not_terms": ["def"]},
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+
+
+def _check(rows, oracle):
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for q in NOT_QS:
+        expect = oracle.not_topk(q["terms"], q["not_terms"], q["k"],
+                                 mode=q.get("mode", "or"))
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert len(mine) == len(expect), f"q{q['query_id']}: row count"
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc, f"q{q['query_id']} rank {rank}"
+            assert score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_join_path_not_matches_oracle(spark, synth_docs, oracle):
+    got = bm25_topk_join(
+        spark, with_tokens(synth_docs),
+        [q for q in NOT_QS if q.get("mode", "or") == "or"])
+    by_q = [r for r in got.collect()]
+    # join path has no AND mode; check the OR queries only
+    or_qs = [q for q in NOT_QS if q.get("mode", "or") == "or"]
+    by = {}
+    for r in by_q:
+        by.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for q in or_qs:
+        expect = oracle.not_topk(q["terms"], q["not_terms"], q["k"])
+        mine = sorted(by.get(q["query_id"], []))
+        assert len(mine) == len(expect)
+        for (rank, doc, score), (edoc, escore) in zip(mine, expect):
+            assert doc == edoc and score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_join_path_conjunctive_not_matches_oracle(spark, synth_docs, oracle):
+    from snowball_java_spark.operators.phrase import bm25_topk_conjunctive
+
+    q = NOT_QS[3]
+    got = sorted(
+        (r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk_conjunctive(
+            spark, with_tokens(synth_docs), [q]).collect())
+    expect = oracle.not_topk(q["terms"], q["not_terms"], q["k"], mode="and")
+    assert len(got) == len(expect)
+    for (rank, doc, score), (edoc, escore) in zip(got, expect):
+        assert doc == edoc and score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_index_path_not_matches_oracle(spark, synth_docs, tmp_path_factory,
+                                       oracle):
+    d = str(tmp_path_factory.mktemp("not_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    rdr = build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    got = bm25_topk_index(spark, rdr, NOT_QS, cfg=CFG)
+    _check(got.collect(), oracle)
+
+
+# -------------------------------------------------------------- facets
+
+def test_facet_counts_match_counter(spark, synth_docs, oracle):
+    docs = with_tokens(synth_docs).withColumn(
+        "lang2", synth_docs["lang"])
+    res = facet_counts(
+        spark, docs,
+        [{"query_id": 0, "terms": ["def", "rare_7"]},
+         {"query_id": 1, "terms": ["def"], "not_terms": ["import"]}],
+        facet_cols=["lang2"], n_facets=3,
+    ).collect()
+    langs = {r["doc_id"]: r["lang"]
+             for r in synth_docs.select("doc_id", "lang").collect()}
+    for qid, terms, nots in ((0, ["def", "rare_7"], []),
+                             (1, ["def"], ["import"])):
+        matched = [d for d in oracle.tf
+                   if any(t in oracle.tf[d] for t in terms)
+                   and not any(t in oracle.tf[d] for t in nots)]
+        exp = Counter(langs[d] for d in matched)
+        top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        mine = sorted(
+            [(r["value"], r["n_docs"], r["rank"]) for r in res
+             if r["query_id"] == qid and r["facet"] == "lang2"],
+            key=lambda t: t[2])
+        assert [(v, n) for v, n, _ in mine] == top
+
+
+def test_facet_counts_empty_terms_and_bad_args(spark, synth_docs):
+    docs = with_tokens(synth_docs)
+    assert facet_counts(spark, docs, [], facet_cols=["lang"]).count() == 0
+    with pytest.raises(ValueError):
+        facet_counts(spark, docs, [{"query_id": 0, "terms": ["def"]}],
+                     facet_cols=[])
