@@ -60,6 +60,8 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_score",
     "events_hourly",
+    "substring_search",
+    "regex_search",
 ]
 
 
@@ -84,6 +86,12 @@ def phase_a() -> tuple[dict, float, dict]:
         idx,
     )
     positions_build_sec = time.time() - t0
+
+    from snowball_java_spark.entry_queries import _tri_index_for
+
+    t0 = time.time()
+    _tri_index_for(spark, SF_DIR)
+    trigram_build_sec = time.time() - t0
 
     # one untimed warm-up query: JVM/codegen/Python-worker startup lands
     # here instead of inflating whichever headline query runs first
@@ -163,6 +171,7 @@ def phase_a() -> tuple[dict, float, dict]:
     meta = {
         "index_build_sec": round(index_build_sec, 2),
         "positions_build_sec": round(positions_build_sec, 2),
+        "trigram_build_sec": round(trigram_build_sec, 2),
         "warmup_sec": round(warmup_sec, 2),
         "wand": wand,
     }

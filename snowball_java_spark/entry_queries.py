@@ -357,6 +357,47 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_NEEDLE = "table row"
+_TRI_REGEX = "slow [a-z]+ table"
+_TRI_FMT_V = 1
+
+
+def _tri_index_for(spark: SparkSession, sf_dir: str):
+    """Build/reuse the trigram index for an sf_dir (fingerprint-keyed
+    cache, same scheme as the BM25 index cache)."""
+    from snowball_java_spark.operators.trigram import build_trigram_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    d = f"/tmp/sjs_index_cache/tri_v{_TRI_FMT_V}_{tag}_{fp}"
+    _gc_index_caches(tag, f"tri_v{_TRI_FMT_V}_{tag}_{fp}", family="tri_v")
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return spark.read.parquet(d)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    return build_trigram_index(spark, docs, d)
+
+
+def _q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-pruned exact substring search (code-search style)."""
+    from snowball_java_spark.operators.trigram import substring_search
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    return substring_search(
+        spark, docs, _tri_index_for(spark, sf_dir), _TRI_NEEDLE)
+
+
+def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex search with mandatory-literal trigram prefilter."""
+    from snowball_java_spark.operators.trigram import regex_search
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    return regex_search(
+        spark, docs, _tri_index_for(spark, sf_dir), _TRI_REGEX)
+
+
 _FACET_COLS = ["source", "lang"]
 
 
@@ -426,14 +467,15 @@ def _data_fingerprint(path: str) -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
-def _gc_index_caches(tag: str, keep_prefix: str) -> None:
-    """Drop superseded cache dirs for an sf tag (older format versions or
-    regenerated data); siblings sharing the current version+fingerprint
-    prefix (the upsert-lifecycle variants) are kept."""
+def _gc_index_caches(tag: str, keep_prefix: str, family: str = "v") -> None:
+    """Drop superseded cache dirs of one FAMILY for an sf tag (older
+    format versions or regenerated data); siblings sharing the current
+    version+fingerprint prefix (the upsert-lifecycle variants) are kept.
+    Families (bm25 ``v*``, trigram ``tri_v*``) never GC each other."""
     import glob as _glob
     import shutil as _sh
 
-    for stale in _glob.glob(f"/tmp/sjs_index_cache/*_{tag}_*"):
+    for stale in _glob.glob(f"/tmp/sjs_index_cache/{family}*_{tag}_*"):
         if not os.path.basename(stale).startswith(keep_prefix):
             _sh.rmtree(stale, ignore_errors=True)
 
@@ -1728,6 +1770,17 @@ def build_registry() -> dict[str, Q]:
         "facet_counts": Q(
             _q_facet_counts,
             _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),
+        ),
+        "substring_search": Q(
+            _q_substring_search,
+            f"SELECT doc_id FROM documents "
+            f"WHERE contains(lower(text), '{_TRI_NEEDLE}') ORDER BY doc_id",
+        ),
+        "regex_search": Q(
+            _q_regex_search,
+            f"SELECT doc_id FROM documents "
+            f"WHERE regexp_matches(lower(text), '{_TRI_REGEX}') "
+            f"ORDER BY doc_id",
         ),
         "postings_term_df": Q(
             _q_postings_term_df,

@@ -1,0 +1,237 @@
+"""Trigram-indexed substring and regex search (code-search style).
+
+The reference's only substring surface is Java ``String.contains`` over
+sentence text inside a full corpus pass
+(``snowball/src/bin/Snowball.java:103-121``); at 10^12 files a corpus
+scan per lookup is not a query engine.  This module is the classic
+trigram-index design from Google Code Search (R. Cox, "Regular
+Expression Matching with a Trigram Index", public article, 2012; the
+same scheme powers Zoekt): index every distinct character 3-gram per
+document; a substring query ANDs the posting lists of the needle's
+trigrams to a tiny candidate set, and only candidates pay the exact
+``contains`` verification against their content.
+
+Spark-first shape:
+
+- The index is a plain ``(tri, doc_id)`` parquet relation, partitioned
+  by ``bucket = hash(tri) % n_buckets`` and sorted by ``tri`` within
+  files — a query prunes to its trigrams' buckets (directory pruning)
+  and row groups (parquet min/max on ``tri``), exactly like the BM25
+  postings layout.
+- Candidate generation is one groupBy counting distinct matched
+  trigrams == required trigrams: shuffle ∝ the needle's trigram
+  postings, never the corpus.
+- Verification joins candidates back to the corpus on doc_id (the
+  content column is read only for candidate rows reaching the join)
+  and applies the exact predicate — so false positives from trigram
+  coincidence are impossible, the index is purely a pruning structure.
+
+Everything is case-folded (``lower``) at build and query time: the
+oracle semantics are ``contains(lower(text), lower(needle))``.
+
+Regex search extracts a MANDATORY literal substring from the pattern
+(consecutive top-level literal nodes of the parsed regex — a
+conservative subset of Cox's prefilter algebra) and prunes through the
+same index; patterns with no ≥3-char mandatory literal fall back to
+the documented full scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.exprs import bind
+
+__all__ = [
+    "trigrams_expr",
+    "build_trigram_index",
+    "read_trigram_index",
+    "substring_search",
+    "regex_search",
+    "mandatory_literals",
+]
+
+TRIGRAM_N_BUCKETS = 64
+
+
+def trigrams_expr(text_col: Column | str) -> Column:
+    """Distinct lowercase character 3-grams of a string column.
+
+    Pure Catalyst; the lowered text is bound to a single evaluation
+    (``functions/exprs.bind``) before the per-position ``substr``
+    references.  A doc shorter than 3 chars has no trigrams.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def body(low: Column) -> Column:
+        # NB: sequence(1, 0) counts DOWN in Spark — short strings need
+        # the explicit guard, not a clamped upper bound
+        n = F.length(low)
+        return F.when(
+            n >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: low.substr(i, F.lit(3)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(F.lower(col), body)
+
+
+def py_trigrams(s: str) -> list[str]:
+    """Pinned query-side trigram semantics (matches :func:`trigrams_expr`)."""
+    s = s.lower()
+    return sorted({s[i:i + 3] for i in range(len(s) - 2)})
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    n_buckets: int = TRIGRAM_N_BUCKETS,
+) -> DataFrame:
+    """Write the (tri, doc_id) relation bucketed by trigram hash.
+
+    One corpus scan; ``array_distinct`` before explode keeps the
+    exploded row count at (docs × distinct trigrams per doc), and the
+    write repartitions by bucket with an in-partition sort on
+    ``(tri, doc_id)`` so parquet row-group min/max statistics carve
+    each bucket by trigram range.
+    """
+    rel = (
+        docs.select("doc_id", F.explode(trigrams_expr(text_col)).alias("tri"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .sortWithinPartitions("tri", "doc_id")
+    )
+    rel.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def read_trigram_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def _pruned_postings(index: DataFrame, tris: list[str],
+                     n_buckets: int) -> DataFrame:
+    """Index rows for ``tris`` with directory-level partition pruning.
+
+    The literal bucket list is derived from the tri literals via the
+    SAME Catalyst expression used at build time (a one-row local
+    evaluation, no corpus touch), so pruning never depends on a Python
+    reimplementation of xxhash64.
+    """
+    row = index.sparkSession.range(1).select(
+        F.array(*[F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets))
+                  for t in tris]).alias("b")
+    ).head()
+    buckets = sorted(set(row["b"]))
+    return index.filter(
+        F.col("bucket").isin(buckets) & F.col("tri").isin(tris))
+
+
+def _candidates(index: DataFrame, tris: list[str],
+                n_buckets: int) -> DataFrame:
+    """doc_ids containing ALL of ``tris`` (per the index)."""
+    posts = _pruned_postings(index, tris, n_buckets)
+    return (
+        posts.groupBy("doc_id")
+        .agg(F.countDistinct("tri").alias("_nt"))
+        .filter(F.col("_nt") == len(tris))
+        .select("doc_id")
+    )
+
+
+def substring_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    index: DataFrame | None,
+    needle: str,
+    text_col: str = "content",
+    n_buckets: int = TRIGRAM_N_BUCKETS,
+) -> DataFrame:
+    """doc_ids whose ``text_col`` contains ``needle`` (case-insensitive),
+    ascending.  Exact: the index only prunes; every candidate is
+    verified with ``contains`` on its actual content.
+
+    ``index=None`` or a needle under 3 chars runs the documented full
+    scan (there is no trigram to prune with).
+    """
+    pred = F.contains(F.lower(F.col(text_col)), F.lit(needle.lower()))
+    if index is None or len(needle) < 3:
+        return docs.filter(pred).select("doc_id").orderBy("doc_id")
+    cand = _candidates(index, py_trigrams(needle), n_buckets)
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .filter(pred)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def mandatory_literals(pattern: str) -> list[str]:
+    """Literal strings every match of ``pattern`` must contain.
+
+    Conservative top-level walk of Python's parsed regex (public
+    ``re``-module parse tree): consecutive LITERAL nodes concatenate
+    into runs; any other node type ends the current run but keeps the
+    literals found so far (they are still mandatory, being top-level
+    concatenation elements).  Anything inside groups, alternations, or
+    repeats is ignored — never claimed mandatory.  Returns runs of
+    length ≥ 3 (shorter ones have no trigram).
+    """
+    try:
+        import re._parser as sre_parse  # py3.11+
+    except ImportError:  # pragma: no cover
+        import sre_parse
+    try:
+        parsed = sre_parse.parse(pattern)
+    except re.error:
+        return []
+    runs, cur = [], []
+    for op, arg in parsed:
+        if str(op) == "LITERAL":
+            cur.append(chr(arg))
+        else:
+            if len(cur) >= 3:
+                runs.append("".join(cur))
+            cur = []
+    if len(cur) >= 3:
+        runs.append("".join(cur))
+    return runs
+
+
+def regex_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    index: DataFrame | None,
+    pattern: str,
+    text_col: str = "content",
+    n_buckets: int = TRIGRAM_N_BUCKETS,
+) -> DataFrame:
+    """doc_ids whose lowercased ``text_col`` matches ``pattern``
+    (unanchored, case-sensitive against the lowered text), ascending.
+
+    When the pattern yields mandatory literals, their trigrams prune
+    through the index before the exact ``rlike`` verification; else
+    this is the documented full scan.  Use regex features common to
+    Java/RE2/Python if the result must be oracle-portable.
+    """
+    pred = F.lower(F.col(text_col)).rlike(pattern)
+    lits = mandatory_literals(pattern.lower())
+    if index is None or not lits:
+        return docs.filter(pred).select("doc_id").orderBy("doc_id")
+    tris = sorted({t for lit in lits for t in py_trigrams(lit)})
+    cand = _candidates(index, tris, n_buckets)
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .filter(pred)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,115 @@
+"""Trigram index: substring/regex search exactness, pruning, literals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.trigram import (
+    build_trigram_index,
+    mandatory_literals,
+    py_trigrams,
+    regex_search,
+    substring_search,
+    trigrams_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def tri_index(spark, synth_docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tri")) + "/idx"
+    return build_trigram_index(spark, synth_docs, d), d
+
+
+def test_trigrams_expr_matches_py(spark, synth_docs):
+    rows = (
+        synth_docs.limit(20)
+        .select("content", trigrams_expr("content").alias("tris"))
+        .collect()
+    )
+    for r in rows:
+        assert sorted(r["tris"]) == py_trigrams(r["content"])
+
+
+def test_trigrams_short_strings(spark):
+    df = spark.createDataFrame(
+        [("",), ("ab",), ("abc",), ("AbCd",)], "content string")
+    got = {r["content"]: sorted(r["t"]) for r in df.select(
+        "content", trigrams_expr("content").alias("t")).collect()}
+    assert got[""] == [] and got["ab"] == []
+    assert got["abc"] == ["abc"]
+    assert got["AbCd"] == ["abc", "bcd"]  # case-folded
+
+
+@pytest.mark.parametrize("needle", ["def ", "rare_7", "zz_never_there", "a"])
+def test_substring_matches_full_scan(spark, synth_docs, tri_index, needle):
+    idx, _ = tri_index
+    got = [r["doc_id"]
+           for r in substring_search(spark, synth_docs, idx, needle).collect()]
+    exp = [r["doc_id"] for r in synth_docs.filter(
+        F.contains(F.lower("content"), F.lit(needle.lower())))
+        .select("doc_id").orderBy("doc_id").collect()]
+    assert got == exp
+    if needle == "zz_never_there":
+        assert got == []
+
+
+def test_trigram_false_positive_verified_away(spark):
+    # doc B holds every trigram of the needle but not the needle itself
+    needle = "table row"
+    b_text = " ".join(py_trigrams(needle))
+    assert all(t in b_text for t in py_trigrams(needle))
+    assert needle not in b_text
+    docs = spark.createDataFrame(
+        [(0, f"xx {needle} yy"), (1, b_text)], "doc_id long, content string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_trigram_index(spark, docs, d + "/idx")
+        got = [r["doc_id"]
+               for r in substring_search(spark, docs, idx, needle).collect()]
+    assert got == [0]
+
+
+def test_substring_partition_pruning(spark, synth_docs, tri_index):
+    from snowball_java_spark.operators.trigram import (
+        TRIGRAM_N_BUCKETS, _pruned_postings)
+
+    idx, _ = tri_index
+    plan = _pruned_postings(
+        idx, py_trigrams("def return"), TRIGRAM_N_BUCKETS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+
+
+def test_mandatory_literals():
+    assert mandatory_literals("slow [a-z]+ table") == ["slow ", " table"]
+    assert mandatory_literals("foo|bar") == []          # alternation
+    assert mandatory_literals("def (main|init)") == ["def "]
+    assert mandatory_literals("abcd*") == ["abc"]       # d optional
+    assert mandatory_literals("ab") == []               # too short
+    assert mandatory_literals("(unclosed") == []        # invalid regex
+    assert mandatory_literals(r"import\s+numpy") == ["import", "numpy"]
+
+
+@pytest.mark.parametrize("pattern", [
+    "def [a-z_]+_7",          # literal-prefiltered
+    "(def|class) rare_7",     # no top-level literal → full scan
+])
+def test_regex_matches_full_scan(spark, synth_docs, tri_index, pattern):
+    idx, _ = tri_index
+    got = [r["doc_id"]
+           for r in regex_search(spark, synth_docs, idx, pattern).collect()]
+    exp = [r["doc_id"] for r in synth_docs.filter(
+        F.lower("content").rlike(pattern))
+        .select("doc_id").orderBy("doc_id").collect()]
+    assert got == exp
+
+
+def test_search_without_index_full_scan(spark, synth_docs):
+    got = [r["doc_id"]
+           for r in substring_search(spark, synth_docs, None, "def ").collect()]
+    exp = [r["doc_id"] for r in synth_docs.filter(
+        F.contains(F.lower("content"), F.lit("def ")))
+        .select("doc_id").orderBy("doc_id").collect()]
+    assert got == exp
