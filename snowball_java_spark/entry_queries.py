@@ -357,6 +357,106 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 contribution rows for every top-k hit."""
+    from snowball_java_spark.operators.bm25_join import explain_scores
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = explain_scores(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term",
+        "tf", "df", F.round("weight", 6).alias("weight"),
+    )
+
+
+def _score_explain_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+),
+topk AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+    FROM scores
+  ) WHERE rank <= {k}
+)
+SELECT tfx.doc_id, rank, term, tfx.tf, dfx.df,
+       round({W_SQL}, 6) AS weight
+FROM tfx JOIN q USING (term)
+         JOIN dfx USING (term)
+         JOIN dl ON tfx.doc_id = dl.doc_id
+         JOIN topk ON topk.doc_id = tfx.doc_id
+         CROSS JOIN st
+"""
+
+
+_MLT_SOURCES = [7, 42]
+_MLT_M, _MLT_K = 5, 10
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: tf·idf characteristic terms → batched BM25."""
+    from snowball_java_spark.operators.mlt import more_like_this
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = more_like_this(
+        spark, _docs_tok(spark, sf_dir), _MLT_SOURCES,
+        m_terms=_MLT_M, k=_MLT_K, n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+    )
+
+
+def _mlt_sql(sources: list[int], m: int, k: int) -> str:
+    vals = ", ".join(f"({i}, {int(d)})" for i, d in enumerate(sources))
+    idf = "ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))"
+    return f"""
+WITH {BASE_CTES},
+src(query_id, doc_id) AS (VALUES {vals}),
+ct AS (
+  SELECT s.query_id, tfx.term,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY tfx.tf * {idf} DESC, tfx.term ASC) AS pos
+  FROM tfx JOIN src s ON tfx.doc_id = s.doc_id
+           JOIN dfx USING (term) CROSS JOIN st
+),
+q AS (SELECT query_id, term FROM ct WHERE pos <= {m}),
+scores AS (
+  SELECT q.query_id, tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, rank, doc_id,
+       round(score, 6) AS score FROM (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id ASC)::BIGINT
+           AS rank
+  FROM scores sc JOIN src s USING (query_id)
+  WHERE sc.doc_id <> s.doc_id
+) WHERE rank <= {k}
+"""
+
+
 _TRI_NEEDLE = "table row"
 _TRI_REGEX = "slow [a-z]+ table"
 _TRI_FMT_V = 1
@@ -1770,6 +1870,12 @@ def build_registry() -> dict[str, Q]:
         "facet_counts": Q(
             _q_facet_counts,
             _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),
+        ),
+        "score_explain": Q(
+            _q_score_explain, _score_explain_sql(HOT_TERMS, 10),
+        ),
+        "more_like_this": Q(
+            _q_more_like_this, _mlt_sql(_MLT_SOURCES, _MLT_M, _MLT_K),
         ),
         "substring_search": Q(
             _q_substring_search,

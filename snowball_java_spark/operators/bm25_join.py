@@ -248,6 +248,59 @@ def bm25_topk_join(
     return topk(scores, qdf)
 
 
+def explain_scores(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Score EXPLANATION: per-term BM25 contribution for every top-k hit.
+
+    (query_id, rank, doc_id, term, tf, df, weight) — ``weight`` sums to
+    the hit's score over its matched terms.  The debugging surface the
+    reference exposes by printing pattern/tuple vectors
+    (``snowball/src/bin/Main.java:58-66``), as a relation.
+
+    Same pruned passes as :func:`bm25_topk_join` plus one broadcast
+    semi-join of the per-term weight rows against the ≤ |q|·k top-k
+    pairs — the explanation never materializes weights for docs outside
+    the top-k.
+    """
+    from snowball_java_spark.operators.df_stats import corpus_stats
+
+    terms = sorted({t for q in queries for t in q["terms"]})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, term string, "
+                "tf long, df long, weight double")
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    top = bm25_topk_join(spark, docs_tok, queries,
+                         cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    qdf = queries_df(spark, queries)
+    tfq = pruned_tf(docs_tok, terms)
+    q_stats = (
+        qdf.select("query_id", "term").distinct()
+        .join(df_for_terms(docs_tok, terms), "term", "left")
+        .fillna(0, subset=["df"])
+    )
+    w = weight_expr(
+        F.col("tf"), idf_expr(F.col("df"), n_docs),
+        F.col("dl"), F.lit(float(avgdl)), cfg.k1, cfg.b,
+    )
+    weights = (
+        tfq.join(F.broadcast(q_stats), "term").withColumn("weight", w)
+    )
+    return (
+        weights.join(F.broadcast(top.select("query_id", "rank", "doc_id")),
+                     ["query_id", "doc_id"])
+        .select("query_id", "rank", "doc_id", "term", "tf", "df", "weight")
+    )
+
+
 def exclude_not_terms(
     spark: SparkSession,
     scores: DataFrame,

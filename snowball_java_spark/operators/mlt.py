@@ -1,0 +1,112 @@
+"""More-like-this: find documents similar to given documents.
+
+Generalizes the reference's pattern-similarity promotion (a new tuple
+joins the pattern whose centroid it is most similar to,
+``snowball/src/bin/Snowball.java:122-149``) into the standard MLT
+query: a source document's most characteristic terms become a BM25
+disjunction, and the corpus is ranked against it (Lucene's
+MoreLikeThis shape, public API).
+
+Two stages, both bounded by the SOURCE docs (a user-supplied handful),
+never the corpus:
+
+1. Characteristic-term selection: tf·idf over the source docs' own
+   tokens, df from the WHOLE corpus via the pruned
+   ``df_for_terms`` pass; top ``m_terms`` per source with the
+   deterministic total order (tf·idf desc, term asc).  The selected
+   terms are collected to the driver — ≤ |sources|·m rows, the same
+   boundedness as the query list every BM25 entry point already takes.
+2. One batched :func:`bm25_topk_join` over all sources (query_id =
+   position in ``doc_ids``), k+1 deep, with the source doc itself
+   dropped and ranks recomputed — a per-query ≤ k+1-row window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr
+from snowball_java_spark.operators.bm25_join import bm25_topk_join, df_for_terms
+
+__all__ = ["characteristic_terms", "more_like_this"]
+
+
+def characteristic_terms(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    doc_ids: list[int],
+    m_terms: int,
+    n_docs: int,
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, pos) — top ``m_terms`` characteristic
+    terms per source doc under (tf·idf desc, term asc)."""
+    src = docs_tok.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    tf = (
+        src.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # the source docs' distinct terms are a driver-bounded set (a few
+    # docs × their vocab) — collect them to prune the corpus df pass
+    terms = sorted({r["term"] for r in tf.select("term").distinct().collect()})
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, tf long, df long, "
+                "tfidf double, pos int")
+    dfs = df_for_terms(docs_tok, terms)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .withColumn("tfidf", F.col("tf") * idf_expr(F.col("df"), n_docs))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= m_terms)
+        .select("doc_id", "term", "tf", "df", "tfidf", "pos")
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    doc_ids: list[int],
+    m_terms: int = 5,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): top-``k`` docs most similar to
+    each source doc (``query_id`` = its position in ``doc_ids``); the
+    source doc itself is excluded."""
+    from snowball_java_spark.operators.df_stats import corpus_stats
+
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    ct = characteristic_terms(spark, docs_tok, doc_ids, m_terms, n_docs)
+    terms_by_doc: dict[int, list[str]] = {}
+    for r in ct.select("doc_id", "term").collect():
+        terms_by_doc.setdefault(r["doc_id"], []).append(r["term"])
+    queries = [
+        {"query_id": i, "terms": sorted(terms_by_doc.get(int(d), [])),
+         "k": k + 1}
+        for i, d in enumerate(doc_ids)
+        if terms_by_doc.get(int(d))
+    ]
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double")
+    top = bm25_topk_join(spark, docs_tok, queries,
+                         cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    src_pairs = F.broadcast(spark.createDataFrame(
+        [(i, int(d)) for i, d in enumerate(doc_ids)],
+        "query_id int, doc_id long"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("doc_id"))
+    return (
+        top.join(src_pairs, ["query_id", "doc_id"], "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,56 @@
+"""Score explanation + more-like-this."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.bm25_join import bm25_topk_join, explain_scores
+from snowball_java_spark.operators.df_stats import with_tokens
+from snowball_java_spark.operators.mlt import more_like_this
+
+REL_TOL = 1e-9
+
+QS = [{"query_id": 0, "terms": ["def", "return"], "k": 10},
+      {"query_id": 1, "terms": ["rare_7"], "k": 5}]
+
+
+def test_explain_weights_sum_to_scores(spark, synth_docs):
+    docs = with_tokens(synth_docs)
+    top = {(r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+           for r in bm25_topk_join(spark, docs, QS).collect()}
+    ex = explain_scores(spark, docs, QS).collect()
+    sums: dict[tuple, float] = {}
+    for r in ex:
+        key = (r["query_id"], r["doc_id"])
+        assert r["term"] in QS[r["query_id"]]["terms"]
+        assert r["tf"] > 0 and r["df"] > 0
+        assert (r["rank"], key) and top[key][0] == r["rank"]
+        sums[key] = sums.get(key, 0.0) + r["weight"]
+    assert set(sums) == set(top)
+    for key, s in sums.items():
+        assert s == pytest.approx(top[key][1], rel=1e-12)
+
+
+def test_explain_empty_terms(spark, synth_docs):
+    assert explain_scores(spark, with_tokens(synth_docs), []).count() == 0
+
+
+def test_mlt_excludes_source_and_ranks_clone_first(spark, synth_docs):
+    rows = synth_docs.select("doc_id", "content").limit(1).collect()
+    src_id, src_text = rows[0]["doc_id"], rows[0]["content"]
+    clone_id = 10_000
+    docs = with_tokens(
+        synth_docs.select("doc_id", "content").unionByName(
+            spark.createDataFrame([(clone_id, src_text)],
+                                  "doc_id long, content string")))
+    res = more_like_this(spark, docs, [src_id], m_terms=5, k=5)
+    got = sorted((r["rank"], r["doc_id"]) for r in res.collect())
+    assert all(d != src_id for _, d in got)
+    # the verbatim clone shares every characteristic term at equal tf/dl
+    assert got[0] == (1, clone_id)
+
+
+def test_mlt_unknown_source_is_empty(spark, synth_docs):
+    docs = with_tokens(synth_docs)
+    assert more_like_this(spark, docs, [999_999], k=3).count() == 0
