@@ -40,12 +40,22 @@ def main(argv: list[str]) -> int:
         "--positions", action="store_true",
         help="also build the positional sidecar (enables phrase queries)",
     )
+    p.add_argument(
+        "--trigram", action="store_true",
+        help="also build the trigram sidecar (enables substring/regex "
+             "queries — pass --corpus to run_queries_job for the exact "
+             "verification step)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
     from snowball_java_spark.config import EngineConfig
-    from snowball_java_spark.plans.build_index import add_positions, build_index
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        add_trigrams,
+        build_index,
+    )
     from snowball_java_spark.sources.corpus import read_corpus
 
     spark = SparkSession.builder.appName("sjs-build-index").getOrCreate()
@@ -63,6 +73,8 @@ def main(argv: list[str]) -> int:
         # assign_doc_ids is a pure function of the corpus key, so the
         # sidecar's ids reproduce the index's ids exactly (tested)
         add_positions(spark, corpus, idx)
+    if args.trigram:
+        add_trigrams(spark, corpus, idx)
     print(json.dumps({
         "index_dir": args.index_dir,
         "n_docs": idx.n_docs,

@@ -11,7 +11,11 @@ Query jsonl, one object per line:
      "right_terms": ["return"], "window": 16, "k": 10}              # context
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
-                                 # (phrase + context need positions/ sidecar)
+    {"query_id": 6, "substr": "def main("}                          # substring
+    {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
+         # (phrase + context need the positions/ sidecar; substr + regex
+         #  need the trigram/ sidecar AND --corpus for the exact-verify
+         #  pass — their hits carry rank by doc_id and a NULL score)
 
 Query strings (``q``) use the mini-language of
 ``functions/queryparse.py``: bare terms = OR, ``AND`` / all-``+`` =
@@ -35,6 +39,10 @@ def main(argv: list[str]) -> int:
         help="jsonl: {query_id, terms|phrase, k, mode?}",
     )
     p.add_argument("--out", default=None, help="parquet output dir (default: stdout)")
+    p.add_argument(
+        "--corpus", default=None,
+        help="corpus path/table — required for substr/regex queries "
+             "(the exact-verification pass reads candidate content)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,6 +72,8 @@ def main(argv: list[str]) -> int:
             "NOT terms are only supported on terms queries (OR/AND)")
 
     def kind(q):
+        if "substr" in q or "regex" in q:
+            return "grep"
         if "phrase" in q:
             return "phrase"
         if any(f"{z}_terms" in q for z in ("left", "middle", "right")):
@@ -73,6 +83,11 @@ def main(argv: list[str]) -> int:
     term_qs = [q for q in qs if kind(q) == "terms"]
     phrase_qs = [q for q in qs if kind(q) == "phrase"]
     context_qs = [q for q in qs if kind(q) == "context"]
+    grep_qs = [q for q in qs if kind(q) == "grep"]
+    if grep_qs and not args.corpus:
+        raise SystemExit(
+            "substr/regex queries need --corpus: the trigram index only "
+            "prunes candidates; the exact match runs against content")
     if (phrase_qs or context_qs) and not idx.has_positions:
         raise SystemExit(
             "phrase/context queries need the positional sidecar — run "
@@ -87,6 +102,33 @@ def main(argv: list[str]) -> int:
         from snowball_java_spark.operators.context import context_topk_index
 
         parts.append(context_topk_index(spark, idx, context_qs, cfg=idx.cfg))
+    if grep_qs:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from snowball_java_spark.operators.trigram import (
+            regex_search, substring_search)
+        from snowball_java_spark.plans.build_index import _corpus_with_index_ids
+        from snowball_java_spark.sources.corpus import read_corpus
+
+        docs = _corpus_with_index_ids(
+            read_corpus(spark, args.corpus), idx, "run_queries"
+        ).select("doc_id", "content")
+        tri = idx.trigrams(spark) if idx.has_trigrams else None
+        for q in grep_qs:
+            # the sidecar reuses the INDEX's bucket count, not the
+            # standalone-layout default
+            hits = (substring_search(spark, docs, tri, q["substr"],
+                                     n_buckets=idx.n_buckets)
+                    if "substr" in q
+                    else regex_search(spark, docs, tri, q["regex"],
+                                      n_buckets=idx.n_buckets))
+            parts.append(hits.select(
+                F.lit(int(q["query_id"])).alias("query_id"),
+                F.row_number().over(Window.orderBy("doc_id")).alias("rank"),
+                "doc_id",
+                F.lit(None).cast("double").alias("score"),
+            ))
     res = parts[0]
     for p_ in parts[1:]:
         res = res.unionByName(p_)

@@ -89,6 +89,27 @@ def py_trigrams(s: str) -> list[str]:
     return sorted({s[i:i + 3] for i in range(len(s) - 2)})
 
 
+def trigram_relation(
+    docs: DataFrame,
+    text_col: str = "content",
+    n_buckets: int = TRIGRAM_N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, tri, bucket) rows, bucket-clustered and tri-sorted.
+
+    One corpus scan; ``array_distinct`` before explode keeps the
+    exploded row count at (docs × distinct trigrams per doc), and the
+    repartition-by-bucket with an in-partition sort on ``(tri, doc_id)``
+    lets parquet row-group min/max statistics carve each bucket by
+    trigram range on write.
+    """
+    return (
+        docs.select("doc_id", F.explode(trigrams_expr(text_col)).alias("tri"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .sortWithinPartitions("tri", "doc_id")
+    )
+
+
 def build_trigram_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -96,20 +117,9 @@ def build_trigram_index(
     text_col: str = "content",
     n_buckets: int = TRIGRAM_N_BUCKETS,
 ) -> DataFrame:
-    """Write the (tri, doc_id) relation bucketed by trigram hash.
-
-    One corpus scan; ``array_distinct`` before explode keeps the
-    exploded row count at (docs × distinct trigrams per doc), and the
-    write repartitions by bucket with an in-partition sort on
-    ``(tri, doc_id)`` so parquet row-group min/max statistics carve
-    each bucket by trigram range.
-    """
-    rel = (
-        docs.select("doc_id", F.explode(trigrams_expr(text_col)).alias("tri"))
-        .withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(n_buckets)))
-        .repartition("bucket")
-        .sortWithinPartitions("tri", "doc_id")
-    )
+    """Write the standalone (tri, doc_id) relation partitioned by bucket
+    (for the index-sidecar layout see ``plans.build_index.add_trigrams``)."""
+    rel = trigram_relation(docs, text_col, n_buckets)
     rel.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
     return spark.read.parquet(out_dir)
 

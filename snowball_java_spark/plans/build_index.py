@@ -182,6 +182,7 @@ class IndexReader:
             "shard_size": self.cfg.shard_size,
             "block_size": self.cfg.block_size,
             "has_positions": self.has_positions,
+            "has_trigrams": self.has_trigrams,
         }
 
     @property
@@ -193,6 +194,18 @@ class IndexReader:
 
         return self._read_or_empty(
             spark, "positions", POSITIONS_SCHEMA + ", gen int")
+
+    @property
+    def has_trigrams(self) -> bool:
+        return _done(self.index_dir, "trigram")
+
+    def trigrams(self, spark: SparkSession) -> DataFrame:
+        """The substring-search sidecar (operators/trigram): (doc_id,
+        tri) partitioned by (gen, bucket).  May hold rows for tombstoned
+        docs until compaction — harmless, the verification join against
+        live docs drops them."""
+        return self._read_or_empty(
+            spark, "trigram", "doc_id long, tri string, gen int, bucket int")
 
     @property
     def has_tombstones(self) -> bool:
@@ -831,13 +844,13 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                          stage_id=stage_offset + i, local_stage=i,
                          step_prefix=prefix)
 
-        # -- positions sidecar follows along when present --
-        if idx.has_positions and not _done(index_dir, prefix + "positions"):
-            from snowball_java_spark.functions.tokenize import positions_map_udf
-            from snowball_java_spark.operators.positions import (
-                build_position_postings,
-            )
-
+        # -- sidecars follow along when present --
+        want_pos = idx.has_positions and not _done(index_dir,
+                                                   prefix + "positions")
+        want_tri = idx.has_trigrams and not _done(index_dir,
+                                                  prefix + "trigram")
+        delta = None
+        if want_pos or want_tri:
             # EXACTLY the docs-table id assignment (_write_docs_table):
             # carried ids shift by base_id; otherwise sort-rank over the
             # SAME key subset, then shift.  Any divergence here keys the
@@ -852,6 +865,12 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                 ids = assign_doc_ids(delta.select(*key), key=key)
                 delta = delta.join(ids, key).withColumn(
                     "doc_id", F.col("doc_id") + F.lit(base_id))
+        if want_pos:
+            from snowball_java_spark.functions.tokenize import positions_map_udf
+            from snowball_java_spark.operators.positions import (
+                build_position_postings,
+            )
+
             docs_pos = delta.select(
                 "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
             )
@@ -866,6 +885,25 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             _write_manifest(index_dir, prefix + "positions", {"gen": gen})
+
+        if want_tri:
+            from snowball_java_spark.operators.trigram import trigram_relation
+
+            rel = trigram_relation(
+                delta.select("doc_id", "content"), n_buckets=n_buckets
+            ).withColumn("gen", F.lit(gen))
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                rel.write.mode("overwrite").partitionBy("gen", "bucket").parquet(
+                    os.path.join(index_dir, "trigram")
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+            _write_manifest(index_dir, prefix + "trigram", {"gen": gen})
 
         # -- finalize: global conf, then the generation's commit manifest --
         conf.update({
@@ -1037,6 +1075,16 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
                 prefix=f"g{g}_")
         _write_manifest(tmp, "positions", {"carried_by": "compact"})
 
+    # trigram sidecar: same gen collapse (rows are doc-keyed, gen is
+    # only a partition-accretion label)
+    if idx.has_trigrams:
+        for gdir in _glob.glob(os.path.join(index_dir, "trigram", "gen=*")):
+            g = os.path.basename(gdir).split("=", 1)[1]
+            n_linked += _link_tree(
+                gdir, os.path.join(tmp, "trigram", "gen=0"),
+                prefix=f"g{g}_")
+        _write_manifest(tmp, "trigram", {"carried_by": "compact"})
+
     _write_manifest(tmp, "prepare", {
         "n_docs": conf["n_docs"], "avgdl": conf["avgdl"],
         "total_dl": conf.get("total_dl", 0),
@@ -1171,6 +1219,17 @@ def _compact_rebuild(spark, index_dir: str, idx: IndexReader,
     if idx.has_positions:
         _write_filtered_positions(spark, index_dir, tmp, idx)
         _write_manifest(tmp, "positions", {"carried_by": "compact_rebuild"})
+    if idx.has_trigrams:
+        # this path already rewrites the postings (tombstones exist), so
+        # the sidecar is filtered too — dead docs' trigram rows drop now
+        # instead of lingering until the verification join
+        (idx.trigrams(spark).drop("gen")
+         .join(idx.tombstones(spark), "doc_id", "left_anti")
+         .withColumn("gen", F.lit(0))
+         .repartition("bucket").sortWithinPartitions("tri", "doc_id")
+         .write.mode("overwrite").partitionBy("gen", "bucket")
+         .parquet(os.path.join(tmp, "trigram")))
+        _write_manifest(tmp, "trigram", {"carried_by": "compact_rebuild"})
     new_conf = dict(conf)
     new_conf["generations"] = 1
     with open(os.path.join(tmp, "_conf.json"), "w") as f:
@@ -1183,6 +1242,58 @@ def _compact_rebuild(spark, index_dir: str, idx: IndexReader,
     os.rename(tmp, index_dir)
     shutil.rmtree(old)
     return IndexReader(index_dir)
+
+
+def _corpus_with_index_ids(corpus: DataFrame, index: IndexReader,
+                           what: str) -> DataFrame:
+    """Join a content corpus to the INDEX's doc ids by natural key (not a
+    fresh assignment: correct for any generation layout, including
+    post-refresh gap ids a re-ranking could never reproduce), with a
+    coverage check against silent missing documents."""
+    spark_s = corpus.sparkSession
+    docs_tbl = index.docs(spark_s)
+    key = [k for k in CORPUS_KEY
+           if k in corpus.columns and k in docs_tbl.columns]
+    out = corpus.join(docs_tbl.select("doc_id", *key), key)
+    n_cov = out.count()
+    if n_cov != index.n_docs:
+        raise ValueError(
+            f"{what} corpus covers {n_cov} of {index.n_docs} indexed "
+            "documents — pass the FULL corpus (all generations), or "
+            "queries would silently miss the uncovered documents"
+        )
+    return out
+
+
+def add_trigrams(spark: SparkSession, corpus: DataFrame,
+                 index: IndexReader) -> IndexReader:
+    """Build the substring-search trigram sidecar (``trigram/``) for an
+    existing index (operators/trigram — the Cox/Zoekt scheme).
+
+    Opt-in like positions (the sidecar stores every distinct character
+    3-gram per doc); manifest-gated, reruns are no-ops; refresh
+    generations append sibling ``gen=`` partitions.
+    """
+    from snowball_java_spark.operators.trigram import trigram_relation
+
+    index_dir = index.index_dir
+    if _done(index_dir, "trigram"):
+        return index
+    t0 = time.time()
+    if "doc_id" not in corpus.columns:
+        corpus = _corpus_with_index_ids(corpus, index, "add_trigrams")
+    rel = trigram_relation(
+        corpus.select("doc_id", "content"), n_buckets=index.n_buckets
+    ).withColumn("gen", F.lit(0))
+    out = os.path.join(index_dir, "trigram")
+    rel.write.mode("overwrite").partitionBy("gen", "bucket").parquet(out)
+    n_rows = spark.read.parquet(out).count()
+    elapsed = time.time() - t0
+    _metric(index_dir, step="trigram", elapsed_sec=elapsed, n_rows=n_rows)
+    _write_manifest(index_dir, "trigram", {
+        "n_rows": n_rows, "elapsed_sec": elapsed,
+    })
+    return index
 
 
 def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) -> IndexReader:
@@ -1202,24 +1313,9 @@ def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) ->
         return index
     t0 = time.time()
     if "doc_id" not in corpus.columns:
-        # ids come from the INDEX's own docs table (natural-key join),
-        # not a fresh assignment: correct for any generation layout,
-        # including post-refresh gap ids a re-ranking could never
-        # reproduce.  (For a single-generation index this equals
-        # assign_doc_ids — tested.)
-        spark_s = corpus.sparkSession
-        docs_tbl = index.docs(spark_s)
-        key = [k for k in CORPUS_KEY
-               if k in corpus.columns and k in docs_tbl.columns]
-        corpus = corpus.join(docs_tbl.select("doc_id", *key), key)
-        n_cov = corpus.count()
-        if n_cov != index.n_docs:
-            raise ValueError(
-                f"add_positions corpus covers {n_cov} of {index.n_docs} "
-                "indexed documents — pass the FULL corpus (all "
-                "generations), or phrase/context queries would silently "
-                "miss the uncovered documents"
-            )
+        # (for a single-generation index this equals assign_doc_ids —
+        # tested)
+        corpus = _corpus_with_index_ids(corpus, index, "add_positions")
     docs_pos = corpus.select(
         "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
     )

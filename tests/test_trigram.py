@@ -106,6 +106,47 @@ def test_regex_matches_full_scan(spark, synth_docs, tri_index, pattern):
     assert got == exp
 
 
+def test_trigram_sidecar_lifecycle(spark, synth_docs, tmp_path_factory):
+    """add_trigrams → refresh appends a generation → compaction carries
+    the sidecar; substring search stays exact at every step."""
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import (
+        add_trigrams, build_index, compact_index, refresh_index)
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    d = str(tmp_path_factory.mktemp("tri_side")) + "/idx"
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    idx = build_index(spark, corpus, d, cfg=cfg, n_buckets=8)
+    idx = add_trigrams(spark, corpus, idx)  # ids via natural-key join
+    assert idx.has_trigrams
+    docs = synth_docs.select("doc_id", "content")
+    got = [r["doc_id"] for r in substring_search(
+        spark, docs, idx.trigrams(spark), "def ", n_buckets=8).collect()]
+    exp = [r["doc_id"] for r in docs.filter(
+        F.contains(F.lower("content"), F.lit("def ")))
+        .select("doc_id").orderBy("doc_id").collect()]
+    assert got == exp
+
+    needle = "zzneedlexyz"
+    delta = spark.createDataFrame(
+        [("rnew", "pnew", "c1", "py", f"qq {needle} qq")],
+        "repo string, path string, commit string, lang string, content string")
+    idx2 = refresh_index(spark, delta, d)
+    assert idx2.has_trigrams
+    new_id = idx2.docs(spark).filter(F.col("path") == "pnew") \
+        .select("doc_id").head()["doc_id"]
+    docs_all = docs.unionByName(spark.createDataFrame(
+        [(new_id, f"qq {needle} qq")], "doc_id long, content string"))
+    for reader in (idx2, compact_index(spark, d)):
+        assert reader.has_trigrams
+        hits = [r["doc_id"] for r in substring_search(
+            spark, docs_all, reader.trigrams(spark), needle, n_buckets=8).collect()]
+        assert hits == [new_id]
+        base_hits = [r["doc_id"] for r in substring_search(
+            spark, docs_all, reader.trigrams(spark), "def ", n_buckets=8).collect()]
+        assert base_hits == exp
+
+
 def test_search_without_index_full_scan(spark, synth_docs):
     got = [r["doc_id"]
            for r in substring_search(spark, synth_docs, None, "def ").collect()]
