@@ -43,6 +43,11 @@ def main(argv: list[str]) -> int:
         "--corpus", default=None,
         help="corpus path/table — required for substr/regex queries "
              "(the exact-verification pass reads candidate content)")
+    p.add_argument(
+        "--lines", action="store_true",
+        help="grep -n output for substr/regex queries: one row per "
+             "matching LINE (query_id, doc_id, line_no, line) printed "
+             "separately from ranked results")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -106,8 +111,7 @@ def main(argv: list[str]) -> int:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from snowball_java_spark.operators.trigram import (
-            regex_search, substring_search)
+        from snowball_java_spark.operators.trigram import grep_search
         from snowball_java_spark.plans.build_index import _corpus_with_index_ids
         from snowball_java_spark.sources.corpus import read_corpus
 
@@ -115,20 +119,29 @@ def main(argv: list[str]) -> int:
             read_corpus(spark, args.corpus), idx, "run_queries"
         ).select("doc_id", "content")
         tri = idx.trigrams(spark) if idx.has_trigrams else None
-        for q in grep_qs:
-            # the sidecar reuses the INDEX's bucket count, not the
-            # standalone-layout default
-            hits = (substring_search(spark, docs, tri, q["substr"],
-                                     n_buckets=idx.n_buckets)
-                    if "substr" in q
-                    else regex_search(spark, docs, tri, q["regex"],
-                                      n_buckets=idx.n_buckets))
-            parts.append(hits.select(
-                F.lit(int(q["query_id"])).alias("query_id"),
-                F.row_number().over(Window.orderBy("doc_id")).alias("rank"),
-                "doc_id",
-                F.lit(None).cast("double").alias("score"),
-            ))
+        # ONE batched pass for every grep query (index scan + verify
+        # scan are shared); the sidecar uses the INDEX's bucket count
+        if args.lines:
+            # grep -n shape, printed/written on its own (different schema)
+            lines = grep_search(spark, docs, tri, grep_qs,
+                                n_buckets=idx.n_buckets, with_lines=True)
+            if args.out:
+                (lines.write.mode("overwrite")
+                 .parquet(args.out.rstrip("/") + "_lines"))
+            else:
+                for r in lines.collect():
+                    print(json.dumps({
+                        "query_id": r["query_id"], "doc_id": r["doc_id"],
+                        "line_no": r["line_no"], "line": r["line"]}))
+        hits = grep_search(spark, docs, tri, grep_qs,
+                           n_buckets=idx.n_buckets)
+        w = Window.partitionBy("query_id").orderBy("doc_id")
+        parts.append(hits.select(
+            "query_id",
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            F.lit(None).cast("double").alias("score"),
+        ))
     res = parts[0]
     for p_ in parts[1:]:
         res = res.unionByName(p_)

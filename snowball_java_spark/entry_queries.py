@@ -498,6 +498,22 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, _tri_index_for(spark, sf_dir), _TRI_REGEX)
 
 
+def _q_grep_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched grep: substring + regex queries share one index read and
+    one verification scan."""
+    from snowball_java_spark.operators.trigram import grep_search
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"))
+    res = grep_search(
+        spark, docs, _tri_index_for(spark, sf_dir),
+        [{"query_id": 0, "substr": _TRI_NEEDLE},
+         {"query_id": 1, "regex": _TRI_REGEX}],
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id")
+
+
 _FACET_COLS = ["source", "lang"]
 
 
@@ -1887,6 +1903,15 @@ def build_registry() -> dict[str, Q]:
             f"SELECT doc_id FROM documents "
             f"WHERE regexp_matches(lower(text), '{_TRI_REGEX}') "
             f"ORDER BY doc_id",
+        ),
+        "grep_batch": Q(
+            _q_grep_batch,
+            f"SELECT 0::BIGINT AS query_id, doc_id FROM documents "
+            f"WHERE contains(lower(text), '{_TRI_NEEDLE}') "
+            f"UNION ALL "
+            f"SELECT 1::BIGINT, doc_id FROM documents "
+            f"WHERE regexp_matches(lower(text), '{_TRI_REGEX}') "
+            f"ORDER BY query_id, doc_id",
         ),
         "postings_term_df": Q(
             _q_postings_term_df,

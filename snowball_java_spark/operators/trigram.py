@@ -51,6 +51,7 @@ __all__ = [
     "read_trigram_index",
     "substring_search",
     "regex_search",
+    "grep_search",
     "mandatory_literals",
 ]
 
@@ -215,6 +216,102 @@ def mandatory_literals(pattern: str) -> list[str]:
     if len(cur) >= 3:
         runs.append("".join(cur))
     return runs
+
+
+def grep_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    index: DataFrame | None,
+    queries: list[dict],
+    text_col: str = "content",
+    n_buckets: int = TRIGRAM_N_BUCKETS,
+    with_lines: bool = False,
+) -> DataFrame:
+    """Batched substring/regex search: N queries, ONE index read, ONE
+    verification scan (the per-query loop pays N corpus-join jobs; this
+    is the batch form ``run_queries_job`` uses).
+
+    ``queries``: ``[{"query_id": 0, "substr": "..."} | {"query_id": 1,
+    "regex": "..."}]``.  Returns (query_id, doc_id) matches ascending —
+    or (query_id, doc_id, line_no, line) with ``with_lines=True`` (the
+    grep -n shape; line_no is 1-based, lines split on ``\\n``, and the
+    per-line predicate re-applies so multi-line-spanning substrings
+    report no line rather than a wrong one).
+
+    Pruning: each query's trigrams (needle trigrams for substr,
+    mandatory-literal trigrams for regex) AND-intersect per query over a
+    single union-pruned index scan.  Queries with no usable trigrams
+    (short needles, literal-free regexes, or ``index=None``) join the
+    verification scan unpruned — the documented full-scan fallback,
+    batched into the same pass.
+    """
+    specs = []  # (query_id, pred_builder, tris | None)
+    for q in queries:
+        qid = int(q["query_id"])
+        if "substr" in q:
+            needle = q["substr"].lower()
+            pred = F.contains(F.lower(F.col(text_col)), F.lit(needle))
+            line_pred = lambda c, n=needle: F.contains(F.lower(c), F.lit(n))
+            tris = py_trigrams(needle) if len(needle) >= 3 else None
+        else:
+            pat = q["regex"]
+            pred = F.lower(F.col(text_col)).rlike(pat)
+            line_pred = lambda c, p=pat: F.lower(c).rlike(p)
+            lits = mandatory_literals(pat.lower())
+            tris = (sorted({t for lit in lits for t in py_trigrams(lit)})
+                    if lits else None)
+        specs.append((qid, pred, line_pred, tris))
+
+    pruned = [(qid, tris) for qid, _, _, tris in specs
+              if tris is not None and index is not None]
+    cand_parts = []
+    if pruned:
+        all_tris = sorted({t for _, tris in pruned for t in tris})
+        posts = _pruned_postings(index, all_tris, n_buckets)
+        q_tris = F.broadcast(spark.createDataFrame(
+            [(qid, t, len(tris)) for qid, tris in pruned for t in tris],
+            "query_id int, tri string, n_tris int"))
+        cand_parts.append(
+            posts.join(q_tris, "tri")
+            .groupBy("query_id", "doc_id", "n_tris")
+            .agg(F.countDistinct("tri").alias("_nt"))
+            .filter(F.col("_nt") == F.col("n_tris"))
+            .select("query_id", "doc_id"))
+    full_scan_qids = [qid for qid, _, _, tris in specs
+                      if tris is None or index is None]
+    if full_scan_qids:
+        cand_parts.append(
+            docs.select("doc_id").crossJoin(F.broadcast(
+                spark.createDataFrame([(q,) for q in full_scan_qids],
+                                      "query_id int"))))
+    cand = cand_parts[0]
+    for p in cand_parts[1:]:
+        cand = cand.unionByName(p)
+
+    # ONE content pass: candidates join the corpus by doc_id, and each
+    # row checks ITS query's exact predicate via a query_id dispatch
+    verify = None
+    for qid, pred, _, _ in specs:
+        cond = (F.col("query_id") == qid) & pred
+        verify = cond if verify is None else (verify | cond)
+    matched = (
+        docs.join(cand, "doc_id")
+        .filter(verify)
+        .select("query_id", "doc_id", *( [text_col] if with_lines else [] ))
+    )
+    if not with_lines:
+        return matched.orderBy("query_id", "doc_id")
+    lines = matched.select(
+        "query_id", "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_p", "line"),
+    ).withColumn("line_no", (F.col("_p") + 1).cast("long")).drop("_p")
+    line_verify = None
+    for qid, _, line_pred, _ in specs:
+        cond = (F.col("query_id") == qid) & line_pred(F.col("line"))
+        line_verify = cond if line_verify is None else (line_verify | cond)
+    return (lines.filter(line_verify)
+            .select("query_id", "doc_id", "line_no", "line")
+            .orderBy("query_id", "doc_id", "line_no"))
 
 
 def regex_search(

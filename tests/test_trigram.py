@@ -147,6 +147,52 @@ def test_trigram_sidecar_lifecycle(spark, synth_docs, tmp_path_factory):
         assert base_hits == exp
 
 
+def test_grep_search_batch_matches_singles(spark, synth_docs, tri_index):
+    from snowball_java_spark.operators.trigram import grep_search
+
+    idx, _ = tri_index
+    qs = [
+        {"query_id": 0, "substr": "def "},
+        {"query_id": 1, "regex": "def [a-z_]+_7"},
+        {"query_id": 2, "substr": "a"},                 # full-scan fallback
+        {"query_id": 3, "regex": "(def|class) rare_7"},  # no literal
+        {"query_id": 4, "substr": "zz_never_there"},
+    ]
+    got = grep_search(spark, synth_docs, idx, qs).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    for q in qs:
+        single = (substring_search(spark, synth_docs, idx, q["substr"])
+                  if "substr" in q
+                  else regex_search(spark, synth_docs, idx, q["regex"]))
+        exp = [r["doc_id"] for r in single.collect()]
+        assert sorted(by_q.get(q["query_id"], [])) == exp, q
+
+
+def test_grep_search_lines(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta\ngamma NEEDLE x\nNEEDLE y\nplain"),
+         (1, "no match here\nat all"),
+         (2, "needle lower last line")],
+        "doc_id long, content string")
+    import tempfile
+
+    from snowball_java_spark.operators.trigram import grep_search
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_trigram_index(spark, docs, d + "/idx")
+        rows = grep_search(
+            spark, docs, idx, [{"query_id": 0, "substr": "needle"}],
+            with_lines=True).collect()
+    got = [(r["doc_id"], r["line_no"], r["line"]) for r in rows]
+    assert got == [
+        (0, 2, "gamma NEEDLE x"),
+        (0, 3, "NEEDLE y"),
+        (2, 1, "needle lower last line"),
+    ]
+
+
 def test_search_without_index_full_scan(spark, synth_docs):
     got = [r["doc_id"]
            for r in substring_search(spark, synth_docs, None, "def ").collect()]
