@@ -38,6 +38,7 @@ the documented full scan.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -122,10 +123,18 @@ def build_trigram_index(
     (for the index-sidecar layout see ``plans.build_index.add_trigrams``)."""
     rel = trigram_relation(docs, text_col, n_buckets)
     rel.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
-    return spark.read.parquet(out_dir)
+    return read_trigram_index(spark, out_dir)
 
 
 def read_trigram_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read a standalone trigram index; an index built over an EMPTY
+    corpus has no parquet files (schema-less dir), which is legal —
+    searches over it return zero candidates."""
+    import glob
+
+    if not glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame(
+            [], "doc_id long, tri string, bucket int")
     return spark.read.parquet(path)
 
 

@@ -80,3 +80,52 @@ def test_wand_query_shuffles_only_topk(spark, idx):
     assert plan.index("Window") < plan.index("FlatMapGroupsInPandas"), (
         "window (global top-k) should consume the scorer output"
     )
+
+
+def test_not_terms_use_anti_join_not_cartesian(spark):
+    """Boolean NOT on the join path: the exclusion must be a (broadcast)
+    anti-join on (query_id, doc_id) — never a cartesian, and never a
+    corpus-sized shuffle of the excluded side (the exclusion relation is
+    bounded by the excluded terms' postings)."""
+    from snowball_java_spark.entry_queries import _docs_tok
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    df = bm25_topk_join(
+        spark, _docs_tok(spark, SF),
+        [{"query_id": 0, "terms": ["table"], "k": 5, "not_terms": ["row"]}],
+    )
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_facet_counts_broadcasts_query_terms(spark):
+    from snowball_java_spark.entry_queries import _docs
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.facets import facet_counts
+
+    docs = _docs(spark, SF).select(
+        "doc_id", "source", "lang", tokens_expr("text").alias("tokens"))
+    df = facet_counts(
+        spark, docs, [{"query_id": 0, "terms": ["table", "row"]}],
+        facet_cols=["source", "lang"], n_facets=5)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grep_verify_scans_corpus_once(spark):
+    """The batched grep plan must contain exactly ONE scan of the
+    documents table on the verification side (plus the trigram index
+    scan) — the single-pass contract that replaced the per-query loop."""
+    from snowball_java_spark.entry_queries import _docs, _tri_index_for
+    from snowball_java_spark.operators.trigram import grep_search
+
+    docs = _docs(spark, SF).select("doc_id", F.col("text").alias("content"))
+    df = grep_search(
+        spark, docs, _tri_index_for(spark, SF),
+        [{"query_id": 0, "substr": "table row"},
+         {"query_id": 1, "substr": "slow fast"},
+         {"query_id": 2, "regex": "slow [a-z]+ table"}])
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1, plan

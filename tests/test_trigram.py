@@ -193,6 +193,18 @@ def test_grep_search_lines(spark):
     ]
 
 
+def test_empty_corpus_trigram_index(spark, tmp_path_factory):
+    from snowball_java_spark.operators.trigram import grep_search
+
+    empty = spark.createDataFrame([], "doc_id long, content string")
+    d = str(tmp_path_factory.mktemp("tri_empty")) + "/idx"
+    idx = build_trigram_index(spark, empty, d)
+    assert substring_search(spark, empty, idx, "needle").count() == 0
+    assert regex_search(spark, empty, idx, "abc+").count() == 0
+    assert grep_search(spark, empty, idx,
+                       [{"query_id": 0, "substr": "abc"}]).count() == 0
+
+
 def test_search_without_index_full_scan(spark, synth_docs):
     got = [r["doc_id"]
            for r in substring_search(spark, synth_docs, None, "def ").collect()]
