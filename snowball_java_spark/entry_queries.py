@@ -498,6 +498,52 @@ def _q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs, _tri_index_for(spark, sf_dir), _TRI_REGEX)
 
 
+_SUGGEST_TERMS = ["tabel", "vektor"]
+
+
+def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Did you mean": padded-trigram Jaccard against the vocabulary."""
+    from snowball_java_spark.operators.df_stats import df_stats, tf_long
+    from snowball_java_spark.operators.suggest import suggest_terms
+
+    vocab = df_stats(tf_long(_docs_tok(spark, sf_dir)))
+    res = suggest_terms(spark, vocab, _SUGGEST_TERMS, n=3)
+    return res.select(
+        "query_term", "term", "df", "sim",
+        F.col("rank").cast("long").alias("rank"))
+
+
+def _term_suggest_sql(query_terms: list[str], n: int,
+                      min_sim: float = 0.2) -> str:
+    def grams(e: str) -> str:
+        s = f"'$' || {e} || '$'"
+        return (f"list_distinct(list_transform("
+                f"range(1, length({s}) - 1), i -> ({s})[i : i + 2]))")
+
+    vals = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH {BASE_CTES},
+qt(query_term) AS (VALUES {vals}),
+vg AS (SELECT term, df, {grams('term')} AS grams FROM dfx),
+qg AS (SELECT query_term, {grams('query_term')} AS grams FROM qt),
+sim AS (
+  SELECT q.query_term, v.term, v.df,
+         len(list_intersect(v.grams, q.grams))::DOUBLE
+           / (len(v.grams) + len(q.grams)
+              - len(list_intersect(v.grams, q.grams)))::DOUBLE AS sim
+  FROM vg v CROSS JOIN qg q
+  WHERE len(list_intersect(v.grams, q.grams)) > 0
+)
+SELECT query_term, term, df, round(sim, 6) AS sim, rank FROM (
+  SELECT query_term, term, df, sim,
+         row_number() OVER (PARTITION BY query_term
+                            ORDER BY sim DESC, df DESC, term ASC)::BIGINT
+           AS rank
+  FROM sim WHERE sim >= {min_sim}
+) WHERE rank <= {n}
+"""
+
+
 def _q_grep_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched grep: substring + regex queries share one index read and
     one verification scan."""
@@ -1903,6 +1949,9 @@ def build_registry() -> dict[str, Q]:
             f"SELECT doc_id FROM documents "
             f"WHERE regexp_matches(lower(text), '{_TRI_REGEX}') "
             f"ORDER BY doc_id",
+        ),
+        "term_suggest": Q(
+            _q_term_suggest, _term_suggest_sql(_SUGGEST_TERMS, 3),
         ),
         "grep_batch": Q(
             _q_grep_batch,

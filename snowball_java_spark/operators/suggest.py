@@ -1,0 +1,92 @@
+"""Query-term suggestions ("did you mean") over the index vocabulary.
+
+A user's misspelled or near-miss term (``retrun``) returns zero
+postings; the standard recovery is character-n-gram similarity against
+the term dictionary (the scheme behind Lucene's NGram spell checker —
+public design).  The vocabulary IS the engine's term_stats relation, so
+suggestions need no extra on-disk structure.
+
+Similarity: Jaccard over PADDED character trigrams — ``$term$`` edge
+markers weight prefixes/suffixes like the literature's padded n-grams
+and give every non-empty term at least one gram (``def`` →
+``$de, def, ef$``).
+
+Scale shape: the query terms' gram sets are a broadcast relation; the
+vocabulary explodes to (gram, term) rows — O(vocab × avg grams per
+term), vocabulary-sized, NOT corpus-sized — and the join keeps only
+vocab terms sharing ≥ 1 gram with some query term.  The final ranking
+window partitions per query term over candidate counts only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms"]
+
+
+def padded_grams_py(term: str) -> list[str]:
+    s = f"${term.lower()}$"
+    return sorted({s[i:i + 3] for i in range(len(s) - 2)})
+
+
+def padded_grams_expr(col: Column | str) -> Column:
+    """Distinct padded trigrams of a (non-empty) term column."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.concat(F.lit("$"), F.lower(c), F.lit("$"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2),
+            lambda i: s.substr(i, F.lit(3)),
+        )
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    vocab: DataFrame,
+    query_terms: list[str],
+    n: int = 5,
+    min_sim: float = 0.2,
+) -> DataFrame:
+    """(query_term, term, df, sim, rank): the top-``n`` vocabulary terms
+    most gram-similar to each query term.
+
+    ``vocab`` is a (term, df) relation — ``IndexReader.term_stats`` or
+    ``bm25_join.df_for_terms`` output.  Deterministic total order per
+    query term: (sim desc, df desc, term asc); exact matches rank first
+    (sim = 1).  ``min_sim`` drops noise candidates sharing only a gram
+    or two.
+    """
+    if not query_terms:
+        return spark.createDataFrame(
+            [], "query_term string, term string, df long, "
+                "sim double, rank int")
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(t, g, len(padded_grams_py(t)))
+             for t in sorted(set(query_terms)) for g in padded_grams_py(t)],
+            "query_term string, gram string, q_n int"))
+    v = vocab.select(
+        "term", F.col("df").cast("long").alias("df"),
+        F.size(padded_grams_expr("term")).alias("v_n"),
+        F.explode(padded_grams_expr("term")).alias("gram"))
+    sim = (
+        v.join(q, "gram")
+        .groupBy("query_term", "term", "df", "v_n", "q_n")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "sim",
+            F.col("inter").cast("double")
+            / (F.col("v_n") + F.col("q_n") - F.col("inter")).cast("double"))
+        .filter(F.col("sim") >= min_sim)
+    )
+    w = Window.partitionBy("query_term").orderBy(
+        F.desc("sim"), F.desc("df"), F.asc("term"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_term", "term", "df", F.round("sim", 6).alias("sim"),
+                "rank")
+    )

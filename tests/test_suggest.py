@@ -1,0 +1,48 @@
+"""Term suggestions ("did you mean")."""
+
+from __future__ import annotations
+
+from snowball_java_spark.operators.suggest import (
+    padded_grams_py,
+    suggest_terms,
+)
+
+
+def _vocab(spark, rows):
+    return spark.createDataFrame(rows, "term string, df long")
+
+
+def test_padded_grams():
+    assert padded_grams_py("def") == ["$de", "def", "ef$"]
+    assert padded_grams_py("ab") == ["$ab", "ab$"]
+    assert padded_grams_py("A") == ["$a$"]
+
+
+def test_exact_match_ranks_first(spark):
+    v = _vocab(spark, [("return", 100), ("retain", 50), ("rerun", 10)])
+    got = suggest_terms(spark, v, ["return"], n=3).collect()
+    top = [r for r in got if r["rank"] == 1][0]
+    assert top["term"] == "return" and top["sim"] == 1.0
+
+
+def test_misspelling_recovers_intended_term(spark):
+    v = _vocab(spark, [("return", 100), ("table", 90), ("vector", 80),
+                       ("import", 70)])
+    got = suggest_terms(spark, v, ["retrun", "tabel"], n=1).collect()
+    by_q = {r["query_term"]: r["term"] for r in got}
+    assert by_q == {"retrun": "return", "tabel": "table"}
+
+
+def test_df_breaks_sim_ties_then_term(spark):
+    # two vocab terms equidistant from the query: higher df wins
+    v = _vocab(spark, [("aax", 5), ("aay", 50)])
+    got = suggest_terms(spark, v, ["aaz"], n=2).collect()
+    assert [r["term"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        "aay", "aax"]
+
+
+def test_empty_and_min_sim(spark):
+    v = _vocab(spark, [("return", 100)])
+    assert suggest_terms(spark, v, [], n=3).count() == 0
+    # shares no gram at all → no row
+    assert suggest_terms(spark, v, ["zzz"], n=3).count() == 0
