@@ -43,6 +43,16 @@ def main(argv: list[str]) -> int:
                         "column) — enables k-gram decontamination")
     p.add_argument("--bench-text-col", default="text")
     p.add_argument("--decontam-min-hits", type=int, default=2)
+    p.add_argument(
+        "--stream", action="store_true",
+        help="treat --in as a growing directory: Structured Streaming "
+             "foreachBatch cleaning with CROSS-BATCH exact dedup "
+             "(streaming/clean_stream); output accretes epoch= "
+             "partitions under --out")
+    p.add_argument(
+        "--state-dir", default=None,
+        help="seen-content state location for --stream "
+             "(default: <out>/_state)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,6 +72,22 @@ def main(argv: list[str]) -> int:
         scrub_secrets=args.scrub_secrets,
     )
     t0 = time.time()
+    if args.stream:
+        from snowball_java_spark.streaming.clean_stream import (
+            start_incremental_clean,
+        )
+        from snowball_java_spark.streaming.incremental import stream_corpus
+
+        q = start_incremental_clean(
+            stream_corpus(spark, args.inp),
+            args.state_dir or args.out.rstrip("/") + "/_state",
+            args.out, cfg=cfg)
+        q.processAllAvailable()  # drain what exists, then exit (cron shape)
+        q.stop()
+        print(json.dumps({"out": args.out, "mode": "stream",
+                          "elapsed_sec": round(time.time() - t0, 1)}))
+        spark.stop()
+        return 0
     docs = read_corpus(spark, args.inp)
     text_col = args.text_col
     if text_col not in docs.columns:

@@ -1,0 +1,120 @@
+"""Streaming training-data cleaning with cross-batch deduplication.
+
+The batch ``plans.clean_corpus`` pipeline assumes it sees the whole
+corpus at once; a living ingest stream does not — yesterday's documents
+are already cleaned and shipped, and today's batch must not re-admit
+their duplicates.  This module runs the batch cleaner per micro-batch
+and adds the one thing batches cannot see: a persistent SEEN-CONTENT
+state relation keyed by content md5, anti-joined before each batch's
+clean pass.
+
+Scale shape: state is a plain parquet relation of (content_md5) keyed
+by epoch partition — O(corpus) rows but hash-width, never content; the
+per-batch anti-join shuffles batch-side hashes against it (broadcast
+when the batch is small, SMJ otherwise — Catalyst picks).  Near-dup
+(LSH) dedup runs WITHIN each batch only; cross-batch near-dup is the
+compaction-style periodic job (re-run ``clean_corpus`` over the
+accumulated output), mirroring the LSM split between streaming appends
+and periodic compaction.  The reference has no streaming at all
+(SURVEY §2.9) — this is north_star scale scope.
+
+Exactly-once across restarts: every epoch writes its output docs, its
+new-hash delta, and its report under ``epoch=N`` partition directories
+— a replayed epoch overwrites ITS OWN partitions and nothing else, so
+reprocessing is idempotent; the seen-state read unions all committed
+epochs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from snowball_java_spark.plans.clean_corpus import CleanConfig, clean_corpus
+
+__all__ = ["seen_hashes", "clean_batch", "start_incremental_clean"]
+
+
+def seen_hashes(spark: SparkSession, state_dir: str,
+                exclude_epoch: int | None = None) -> DataFrame:
+    """(content_md5) across committed epochs (typed-empty when new).
+
+    ``exclude_epoch`` drops that epoch's own hash delta — a REPLAYED
+    epoch must not see the hashes its crashed first attempt committed,
+    or replay would dedup the batch against itself and emit nothing
+    (breaking idempotence)."""
+    import glob
+
+    p = os.path.join(state_dir, "seen")
+    if not glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame([], "content_md5 string")
+    out = spark.read.option("basePath", p).parquet(p)
+    if exclude_epoch is not None:
+        out = out.filter(F.col("epoch") != int(exclude_epoch))
+    return out.select("content_md5")
+
+
+def clean_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    out_dir: str,
+    cfg: CleanConfig = CleanConfig(),
+) -> dict:
+    """One micro-batch: cross-batch exact dedup → batch clean → append.
+
+    Returns the per-epoch report row (also persisted under
+    ``<out_dir>/_reports/epoch=N/``).  Idempotent per epoch.
+    """
+    spark = batch.sparkSession
+    hashed = batch.withColumn("content_md5", F.md5(F.col("content")))
+    fresh = hashed.join(
+        seen_hashes(spark, state_dir, exclude_epoch=epoch_id),
+        "content_md5", "left_anti")
+
+    from snowball_java_spark.sources.corpus import assign_doc_ids
+
+    ided = assign_doc_ids(fresh)
+    kept, report = clean_corpus(
+        ided.select("doc_id", F.col("content").alias("text")), cfg=cfg)
+    kept_docs = ided.join(kept.select("doc_id"), "doc_id", "left_semi")
+
+    epoch = f"epoch={int(epoch_id)}"
+    (kept_docs.drop("doc_id")
+     .write.mode("overwrite").parquet(os.path.join(out_dir, epoch)))
+    # the seen-state delta records every FRESH hash (kept or filtered —
+    # a document rejected for quality must not be re-litigated when its
+    # duplicate arrives later); already-seen hashes are in prior epochs'
+    # deltas, so state rows stay globally distinct
+    (fresh.select("content_md5").distinct()
+     .write.mode("overwrite")
+     .parquet(os.path.join(state_dir, "seen", epoch)))
+    n_batch = hashed.count()
+    rep = {"epoch": int(epoch_id),
+           "n_batch": n_batch,
+           "n_cross_batch_dups": n_batch - ided.count(),
+           **{k: v for k, v in report.collect()[0].asDict().items()
+              if k.startswith("n_") or k == "total_tokens"}}
+    (spark.createDataFrame([rep])
+     .write.mode("overwrite")
+     .parquet(os.path.join(out_dir, "_reports", epoch)))
+    return rep
+
+
+def start_incremental_clean(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    cfg: CleanConfig = CleanConfig(),
+) -> StreamingQuery:
+    """foreachBatch → :func:`clean_batch`; empty batches skip."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        clean_batch(batch, epoch_id, state_dir, out_dir, cfg=cfg)
+
+    return stream.writeStream.foreachBatch(sink).start()

@@ -1,0 +1,82 @@
+"""Streaming clean pipeline: cross-batch dedup, idempotent epochs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+from snowball_java_spark.streaming.clean_stream import (
+    clean_batch,
+    seen_hashes,
+    start_incremental_clean,
+)
+from snowball_java_spark.streaming.incremental import stream_corpus
+
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _batch(spark, lo, hi, n):
+    return spark.createDataFrame(synth_corpus_pdf(lo, hi, n))[COLS]
+
+
+def test_cross_batch_dedup_and_idempotence(spark, tmp_path):
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    b1 = _batch(spark, 0, 40, 120)
+    rep1 = clean_batch(b1, 0, state, out)
+    assert rep1["n_batch"] == 40 and rep1["n_cross_batch_dups"] == 0
+    assert seen_hashes(spark, state).count() == \
+        b1.select(F.md5("content")).distinct().count()
+
+    # batch 2 = 20 new docs + 10 replays of batch-1 content (new paths,
+    # same bytes) — the replays must be dropped as cross-batch dups
+    replay = (_batch(spark, 0, 10, 120)
+              .withColumn("path", F.concat(F.col("path"), F.lit(".copy"))))
+    b2 = _batch(spark, 40, 60, 120).unionByName(replay)
+    rep2 = clean_batch(b2, 1, state, out)
+    assert rep2["n_batch"] == 30
+    assert rep2["n_cross_batch_dups"] == 10
+    assert rep2["n_input"] == 20
+
+    out1 = spark.read.parquet(out + "/epoch=1")
+    assert out1.filter(F.col("path").endswith(".copy")).count() == 0
+
+    # replaying epoch 1 (crash recovery) overwrites its own partitions
+    # and changes nothing
+    before = sorted(r["path"] for r in out1.select("path").collect())
+    seen_before = seen_hashes(spark, state).count()
+    rep2b = clean_batch(b2, 1, state, out)
+    assert rep2b == rep2
+    after = sorted(r["path"] for r in
+                   spark.read.parquet(out + "/epoch=1").select("path").collect())
+    assert after == before
+    assert seen_hashes(spark, state).count() == seen_before
+
+    # per-epoch reports are queryable
+    reps = spark.read.parquet(out + "/_reports")
+    assert reps.count() == 2
+
+
+def test_streaming_clean_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(synth_corpus_pdf(0, 30, 60)).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = start_incremental_clean(stream_corpus(spark, str(src)), state, out)
+    try:
+        q.processAllAvailable()
+        # second file: 10 new + full replay of the first 30
+        pdf = synth_corpus_pdf(0, 40, 60)
+        spark.createDataFrame(pdf).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    # every kept path unique; replays admitted exactly once
+    paths = [r["path"] for r in got.select("path").collect()]
+    assert len(paths) == len(set(paths))
+    assert seen_hashes(spark, state).count() == 40
