@@ -1055,6 +1055,31 @@ def _q_emb_ivf(spark, sf_dir):
     )
 
 
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build/reuse the PERSISTED IVF index for an sf_dir (fingerprint-
+    keyed cache, same scheme as the text-index caches)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    d = f"/tmp/sjs_index_cache/ivf_v1_{tag}_{fp}"
+    _gc_index_caches(tag, f"ivf_v1_{tag}_{fp}", family="ivf_v")
+    if not os.path.exists(os.path.join(d, "_centroids.json")):
+        similarity.build_ivf_index(spark, _emb(spark, sf_dir), d)
+    return d
+
+
+def _q_emb_ivf_index(spark, sf_dir):
+    """IVF over the PERSISTED cell-partitioned index, full probe (exact
+    — same oracle); probed cells read via directory partition pruning."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.ivf_topk_index(
+        spark, _ivf_index_for(spark, sf_dir), qvec, 10, n_probe=8)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
 _EMB_ND_CAP = 40
 _EMB_ND_PLANES = 4
 
@@ -2046,6 +2071,7 @@ FROM g
         "embedding_cosine_topk": Q(_q_emb_topk, _emb_sql(lsh=False)),
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
         "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
+        "embedding_ivf_index_topk": Q(_q_emb_ivf_index, _emb_sql(lsh=False)),
         "embedding_near_dup": Q(_q_emb_near_dup, _emb_near_dup_sql()),
         "lang_id": Q(_q_lang_id, _lang_sql()),
         "quality_score": Q(_q_quality, _quality_sql()),

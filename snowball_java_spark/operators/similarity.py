@@ -162,6 +162,72 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 8,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+):
+    """Persist the IVF structure: rows partitioned by coarse cell +
+    centroids JSON.
+
+    :func:`ivf_topk` assigns every row to a cell AT QUERY TIME — one
+    full corpus pass per query, which defeats IVF's point at scale.
+    The persisted form pays assignment once at build; queries touch
+    only their probed cells' DIRECTORIES (partition pruning on the
+    ``cell`` column), so a 2-of-64-cells probe reads ~3% of the data.
+    Returns the centroid matrix.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    cent = train_ivf_centroids(emb, n_cells, sample_rows, iters, id_col)
+    assigned = emb.withColumn(
+        "cell", cell_assign_expr(F.col("embedding"), cent))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+    with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
+        json.dump(np.asarray(cent).tolist(), f)
+    return cent
+
+
+def read_ivf_index(spark, path: str):
+    """(rows DataFrame, centroid ndarray) for a persisted IVF index."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cent = np.asarray(json.load(f), dtype=np.float64)
+    return spark.read.parquet(path), cent
+
+
+def ivf_topk_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN over the PERSISTED index: only the n_probe nearest cells'
+    partition directories are read (assert via PartitionFilters —
+    tests/test_plans.py).  n_probe == n_cells is exact."""
+    import numpy as np
+
+    rows, centroids = read_ivf_index(spark, index_dir)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    return brute_force_topk(
+        rows.filter(F.col("cell").isin(probe)), query_vec, k, id_col)
+
+
 def embedding_hot_buckets(
     emb: DataFrame,
     max_bucket_size: int,

@@ -114,6 +114,22 @@ def test_facet_counts_broadcasts_query_terms(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_index_prunes_cell_directories(spark):
+    """The persisted IVF index must serve a probe from the probed cells'
+    partition directories only — the property ivf_topk (query-time
+    assignment) cannot have."""
+    from snowball_java_spark.entry_queries import _emb, _ivf_index_for
+    from snowball_java_spark.operators.similarity import ivf_topk_index
+
+    e = _emb(spark, SF)
+    qvec = [float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    df = ivf_topk_index(spark, _ivf_index_for(spark, SF), qvec, 5, n_probe=2)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_grep_verify_scans_corpus_once(spark):
     """The batched grep plan must contain exactly ONE scan of the
     documents table on the verification side (plus the trigram index

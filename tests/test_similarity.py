@@ -45,6 +45,27 @@ def test_ivf_deterministic_centroids(spark, emb):
     assert (a == b).all()
 
 
+def test_ivf_persisted_index_matches_query_time_form(
+        spark, emb, qvec, tmp_path_factory):
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_index, read_ivf_index)
+
+    d = str(tmp_path_factory.mktemp("ivf")) + "/idx"
+    cents = build_ivf_index(spark, emb, d, n_cells=8)
+    _, loaded = read_ivf_index(spark, d)
+    assert (loaded == cents).all()
+    exact = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(emb, qvec, 10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert got == exact
+    probe2_query_time = {r["vec_id"] for r in ivf_topk(
+        emb, qvec, 10, centroids=cents, n_probe=2).collect()}
+    probe2_index = {r["vec_id"] for r in ivf_topk_index(
+        spark, d, qvec, 10, n_probe=2).collect()}
+    assert probe2_index == probe2_query_time
+
+
 def test_lsh_results_subset_of_corpus_and_sorted(spark, emb, qvec):
     rows = lsh_topk(emb, qvec, 10, n_planes=4).collect()
     assert rows, "query's own bucket must at least contain itself"
