@@ -111,7 +111,8 @@ def main(argv: list[str]) -> int:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from snowball_java_spark.operators.trigram import grep_search
+        from snowball_java_spark.operators.trigram import (
+            grep_lines_from_matched, grep_matched)
         from snowball_java_spark.plans.build_index import _corpus_with_index_ids
         from snowball_java_spark.sources.corpus import read_corpus
 
@@ -119,12 +120,16 @@ def main(argv: list[str]) -> int:
             read_corpus(spark, args.corpus), idx, "run_queries"
         ).select("doc_id", "content")
         tri = idx.trigrams(spark) if idx.has_trigrams else None
-        # ONE batched pass for every grep query (index scan + verify
-        # scan are shared); the sidecar uses the INDEX's bucket count
+        # ONE index scan + ONE verification pass serve BOTH output
+        # shapes: ranked hits and line rows derive from the same
+        # persisted matched relation (the sidecar uses the INDEX's
+        # bucket count)
+        matched = grep_matched(spark, docs, tri, grep_qs,
+                               n_buckets=idx.n_buckets)
         if args.lines:
+            matched = matched.persist()
             # grep -n shape, printed/written on its own (different schema)
-            lines = grep_search(spark, docs, tri, grep_qs,
-                                n_buckets=idx.n_buckets, with_lines=True)
+            lines = grep_lines_from_matched(matched, grep_qs)
             if args.out:
                 (lines.write.mode("overwrite")
                  .parquet(args.out.rstrip("/") + "_lines"))
@@ -133,8 +138,7 @@ def main(argv: list[str]) -> int:
                     print(json.dumps({
                         "query_id": r["query_id"], "doc_id": r["doc_id"],
                         "line_no": r["line_no"], "line": r["line"]}))
-        hits = grep_search(spark, docs, tri, grep_qs,
-                           n_buckets=idx.n_buckets)
+        hits = matched.select("query_id", "doc_id")
         w = Window.partitionBy("query_id").orderBy("doc_id")
         parts.append(hits.select(
             "query_id",

@@ -68,10 +68,14 @@ def suggest_terms(
             [(t, g, len(padded_grams_py(t)))
              for t in sorted(set(query_terms)) for g in padded_grams_py(t)],
             "query_term string, gram string, q_n int"))
-    v = vocab.select(
-        "term", F.col("df").cast("long").alias("df"),
-        F.size(padded_grams_expr("term")).alias("v_n"),
-        F.explode(padded_grams_expr("term")).alias("gram"))
+    # gram array aliased in its own projection before the size/explode
+    # references: CollapseProject keeps a non-cheap alias referenced
+    # more than once un-inlined, so the grams compute once per row
+    v = (vocab
+         .select("term", F.col("df").cast("long").alias("df"),
+                 padded_grams_expr("term").alias("_g"))
+         .select("term", "df", F.size("_g").alias("v_n"),
+                 F.explode("_g").alias("gram")))
     sim = (
         v.join(q, "gram")
         .groupBy("query_term", "term", "df", "v_n", "q_n")

@@ -53,6 +53,8 @@ __all__ = [
     "substring_search",
     "regex_search",
     "grep_search",
+    "grep_matched",
+    "grep_lines_from_matched",
     "mandatory_literals",
 ]
 
@@ -253,8 +255,24 @@ def grep_search(
     (short needles, literal-free regexes, or ``index=None``) join the
     verification scan unpruned — the documented full-scan fallback,
     batched into the same pass.
+
+    Callers needing BOTH the doc-level matches and the line output
+    should compute ``with_lines=True`` once and derive the doc list
+    via ``grep_doc_matches`` — do not run the pipeline twice.
     """
-    specs = []  # (query_id, pred_builder, tris | None)
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, line_no long, line string"
+            if with_lines else "query_id int, doc_id long")
+    matched = grep_matched(spark, docs, index, queries, text_col, n_buckets)
+    if not with_lines:
+        return (matched.select("query_id", "doc_id")
+                .orderBy("query_id", "doc_id"))
+    return grep_lines_from_matched(matched, queries, text_col)
+
+
+def _grep_specs(queries: list[dict], text_col: str) -> list[tuple]:
+    specs = []  # (query_id, doc_pred, line_pred_builder, tris | None)
     for q in queries:
         qid = int(q["query_id"])
         if "substr" in q:
@@ -266,11 +284,27 @@ def grep_search(
             pat = q["regex"]
             pred = F.lower(F.col(text_col)).rlike(pat)
             line_pred = lambda c, p=pat: F.lower(c).rlike(p)
-            lits = mandatory_literals(pat.lower())
+            # original pattern, NOT lowered — see regex_search
+            lits = mandatory_literals(pat)
             tris = (sorted({t for lit in lits for t in py_trigrams(lit)})
                     if lits else None)
         specs.append((qid, pred, line_pred, tris))
+    return specs
 
+
+def grep_matched(
+    spark: SparkSession,
+    docs: DataFrame,
+    index: DataFrame | None,
+    queries: list[dict],
+    text_col: str = "content",
+    n_buckets: int = TRIGRAM_N_BUCKETS,
+) -> DataFrame:
+    """(query_id, doc_id, <text_col>) verified matches — the shared
+    relation both grep output shapes derive from.  Callers needing doc
+    list AND lines persist THIS once instead of running the pipeline
+    twice."""
+    specs = _grep_specs(queries, text_col)
     pruned = [(qid, tris) for qid, _, _, tris in specs
               if tris is not None and index is not None]
     cand_parts = []
@@ -303,13 +337,21 @@ def grep_search(
     for qid, pred, _, _ in specs:
         cond = (F.col("query_id") == qid) & pred
         verify = cond if verify is None else (verify | cond)
-    matched = (
-        docs.join(cand, "doc_id")
-        .filter(verify)
-        .select("query_id", "doc_id", *( [text_col] if with_lines else [] ))
-    )
-    if not with_lines:
-        return matched.orderBy("query_id", "doc_id")
+    return (docs.join(cand, "doc_id")
+            .filter(verify)
+            .select("query_id", "doc_id", text_col))
+
+
+def grep_lines_from_matched(
+    matched: DataFrame,
+    queries: list[dict],
+    text_col: str = "content",
+) -> DataFrame:
+    """(query_id, doc_id, line_no, line) from a :func:`grep_matched`
+    relation: 1-based line split on ``\\n``; the per-line predicate
+    re-applies so a match spanning lines reports no line rather than a
+    wrong one."""
+    specs = _grep_specs(queries, text_col)
     lines = matched.select(
         "query_id", "doc_id",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_p", "line"),
@@ -340,7 +382,12 @@ def regex_search(
     Java/RE2/Python if the result must be oracle-portable.
     """
     pred = F.lower(F.col(text_col)).rlike(pattern)
-    lits = mandatory_literals(pattern.lower())
+    # parse the ORIGINAL pattern — lowering its source text corrupts
+    # escape sequences (r'\Adef'.lower() = BEL + 'def').  py_trigrams
+    # case-folds the extracted literals afterwards, which is safe for
+    # pruning: candidates are a superset (an upper-case literal means
+    # the lowered text can never match; verification returns nothing).
+    lits = mandatory_literals(pattern)
     if index is None or not lits:
         return docs.filter(pred).select("doc_id").orderBy("doc_id")
     tris = sorted({t for lit in lits for t in py_trigrams(lit)})

@@ -70,14 +70,18 @@ def clean_batch(
     ``<out_dir>/_reports/epoch=N/``).  Idempotent per epoch.
     """
     spark = batch.sparkSession
-    hashed = batch.withColumn("content_md5", F.md5(F.col("content")))
+    # one materialization of the hash + anti-join work: five downstream
+    # actions (two writes, two counts, the report) would otherwise each
+    # re-read the source and re-run the seen-state anti-join
+    hashed = batch.withColumn(
+        "content_md5", F.md5(F.col("content"))).persist()
     fresh = hashed.join(
         seen_hashes(spark, state_dir, exclude_epoch=epoch_id),
         "content_md5", "left_anti")
 
     from snowball_java_spark.sources.corpus import assign_doc_ids
 
-    ided = assign_doc_ids(fresh)
+    ided = assign_doc_ids(fresh).persist()
     kept, report = clean_corpus(
         ided.select("doc_id", F.col("content").alias("text")), cfg=cfg)
     kept_docs = ided.join(kept.select("doc_id"), "doc_id", "left_semi")
@@ -89,7 +93,7 @@ def clean_batch(
     # a document rejected for quality must not be re-litigated when its
     # duplicate arrives later); already-seen hashes are in prior epochs'
     # deltas, so state rows stay globally distinct
-    (fresh.select("content_md5").distinct()
+    (ided.select("content_md5").distinct()
      .write.mode("overwrite")
      .parquet(os.path.join(state_dir, "seen", epoch)))
     n_batch = hashed.count()
@@ -101,6 +105,8 @@ def clean_batch(
     (spark.createDataFrame([rep])
      .write.mode("overwrite")
      .parquet(os.path.join(out_dir, "_reports", epoch)))
+    hashed.unpersist()
+    ided.unpersist()
     return rep
 
 
@@ -110,11 +116,21 @@ def start_incremental_clean(
     out_dir: str,
     cfg: CleanConfig = CleanConfig(),
 ) -> StreamingQuery:
-    """foreachBatch → :func:`clean_batch`; empty batches skip."""
+    """foreachBatch → :func:`clean_batch`; empty batches skip.
+
+    The checkpoint lives UNDER ``state_dir`` and is NOT optional: epoch
+    ids must be stable across restarts for the epoch-keyed idempotence
+    contract to hold (a checkpoint-less restart would renumber from 0,
+    re-reading every source file and colliding with committed epochs),
+    and the file-source log is what makes each cron-style invocation
+    process only files it has never seen.
+    """
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         clean_batch(batch, epoch_id, state_dir, out_dir, cfg=cfg)
 
-    return stream.writeStream.foreachBatch(sink).start()
+    return (stream.writeStream
+            .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+            .foreachBatch(sink).start())

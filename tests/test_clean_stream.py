@@ -58,6 +58,39 @@ def test_cross_batch_dedup_and_idempotence(spark, tmp_path):
     assert reps.count() == 2
 
 
+def test_restart_resumes_epochs_via_checkpoint(spark, tmp_path):
+    """A NEW query over the same state dir must continue the epoch
+    numbering and skip already-processed source files — the property
+    the checkpointLocation provides (a checkpoint-less restart would
+    renumber from 0 and re-clean the whole input)."""
+    import glob
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(synth_corpus_pdf(0, 30, 60)).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q1 = start_incremental_clean(stream_corpus(spark, str(src)), state, out)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert glob.glob(out + "/epoch=0")
+
+    spark.createDataFrame(synth_corpus_pdf(30, 40, 60)).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q2 = start_incremental_clean(stream_corpus(spark, str(src)), state, out)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    reps = {r["epoch"]: r["n_batch"]
+            for r in spark.read.parquet(out + "/_reports").collect()}
+    # restart processed ONLY the new file, as a NEW epoch
+    assert reps[0] == 30 and set(reps) == {0, 1} and reps[1] == 10
+
+
 def test_streaming_clean_end_to_end(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

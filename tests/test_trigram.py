@@ -193,6 +193,32 @@ def test_grep_search_lines(spark):
     ]
 
 
+def test_regex_escape_literals_not_corrupted(spark):
+    # lowering the PATTERN source would turn \A into \a (BEL) and make
+    # the mandatory literal unmatchable — parse the original instead
+    assert mandatory_literals(r"\Adef main") == ["def main"]
+    assert mandatory_literals(r"\Aimport\s+os") == ["import"]
+    docs = spark.createDataFrame(
+        [(0, "def alpha beta gamma"), (1, "x def alpha")],
+        "doc_id long, content string")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = build_trigram_index(spark, docs, d + "/idx")
+        got = [r["doc_id"] for r in
+               regex_search(spark, docs, idx, r"\Adef alpha").collect()]
+    assert got == [0]
+
+
+def test_grep_search_empty_queries(spark, synth_docs, tri_index):
+    from snowball_java_spark.operators.trigram import grep_search
+
+    idx, _ = tri_index
+    assert grep_search(spark, synth_docs, idx, []).count() == 0
+    assert grep_search(spark, synth_docs, idx, [],
+                       with_lines=True).count() == 0
+
+
 def test_empty_corpus_trigram_index(spark, tmp_path_factory):
     from snowball_java_spark.operators.trigram import grep_search
 
