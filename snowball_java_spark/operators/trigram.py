@@ -25,6 +25,12 @@ Spark-first shape:
   content column is read only for candidate rows reaching the join)
   and applies the exact predicate — so false positives from trigram
   coincidence are impossible, the index is purely a pruning structure.
+- Storage: the sorted (tri, doc_id) layout compresses to ~3.9 bytes
+  per posting under parquet's dictionary + delta encodings (measured,
+  sf0.1) — within ~2× of a hand-packed varint stream, without custom
+  codecs; at larger corpora the per-row share falls further as runs
+  lengthen.  A packed-block layout (reusing functions/codecs) is the
+  upgrade path if trigram storage ever dominates.
 
 Everything is case-folded (``lower``) at build and query time: the
 oracle semantics are ``contains(lower(text), lower(needle))``.
