@@ -701,8 +701,19 @@ _MDOCS_CTE = (
 def _upsertify(sql: str) -> str:
     """Rewrite an oracle over ``documents`` to run over the mutated live
     corpus (the CTE above).  Source swapped BEFORE the CTE is prepended so
-    the CTE's own ``FROM documents`` stays intact."""
+    the CTE's own ``FROM documents`` stays intact.
+
+    Tie-break: the engine ranks on INTERNAL doc ids, where every
+    re-ingested (updated) doc sits above every surviving base doc, and
+    updated docs order among themselves by original id (the delta's
+    zero-padded-path key).  The oracle ranks the ORIGINAL ids, so its
+    tie clause must reproduce that total order explicitly — without it
+    a score tie at the k boundary between a base doc and an updated doc
+    resolves differently in the two engines."""
     out = sql.replace("FROM documents", "FROM mdocs")
+    out = out.replace(
+        "ORDER BY score DESC, doc_id ASC",
+        "ORDER BY score DESC, (doc_id % 7 = 3) ASC, doc_id ASC")
     return out.replace("WITH ", f"WITH {_MDOCS_CTE},\n", 1)
 
 
@@ -1250,14 +1261,16 @@ def _secret_scrub_sql() -> str:
     for n, p in SECRET_PATTERNS.items():
         scrub = f"regexp_replace({scrub}, '{q(p)}', '<REDACTED:{n}>', 'g')"
     has = " OR ".join(f"n_{n} > 0" for n in SECRET_PATTERNS)
-    total = " + ".join(f"n_{n}" for n in SECRET_PATTERNS)
+    marker = "<REDACTED:(" + "|".join(SECRET_PATTERNS) + ")>"
     return f"""
 WITH sdocs AS (SELECT doc_id, text || {inj} AS content FROM documents),
-c AS (SELECT doc_id, content, {counts} FROM sdocs)
+c AS (SELECT doc_id, content, {counts} FROM sdocs),
+s AS (SELECT *, {scrub} AS scrubbed FROM c)
 SELECT doc_id, n_aws_key, n_private_key, n_cred_assign, n_email,
-       ({has}) AS has_secret, ({total})::BIGINT AS n_redactions,
-       md5({scrub}) AS scrub_md5
-FROM c ORDER BY doc_id
+       ({has}) AS has_secret,
+       len(regexp_extract_all(scrubbed, '{marker}'))::BIGINT AS n_redactions,
+       md5(scrubbed) AS scrub_md5
+FROM s ORDER BY doc_id
 """
 
 

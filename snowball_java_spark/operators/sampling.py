@@ -46,6 +46,14 @@ def hash_split_expr(
     corpus growth (a doc's split never changes when more data arrives,
     unlike any sort/row_number scheme).  Weights must sum to ≤ 1; any
     remainder is labeled ``holdout``."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"negative split weight in {weights}")
+    if sum(weights.values()) > 1 + 1e-9:
+        # silently clamping would hand later-alphabetical splits only
+        # the leftover sliver ({'train': .9, 'val': .9} → 90/10) —
+        # a misallocation discovered only after training
+        raise ValueError(
+            f"split weights sum to {sum(weights.values())} > 1: {weights}")
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     bucket = F.pmod(h60_expr(F.concat(c.cast("string"), F.lit(salt))),
                     F.lit(SAMPLE_SCALE))

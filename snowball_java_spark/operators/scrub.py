@@ -61,17 +61,25 @@ def scrub_secrets(
     out_col: str = "scrubbed",
 ) -> DataFrame:
     """Adds ``out_col`` = content with every detector match replaced by
-    ``<REDACTED:name>`` and ``n_redactions`` = total replacements.
+    ``<REDACTED:name>`` and ``n_redactions`` = ACTUAL replacements.
     Replacement is a chained ``regexp_replace`` (global, leftmost-first
-    in one pass per pattern — identical semantics on Spark and RE2)."""
+    in one pass per pattern — identical semantics on Spark and RE2).
+
+    ``n_redactions`` counts the redaction markers in the REWRITTEN text
+    rather than summing the per-pattern detector counts: the chained
+    replace means an earlier pattern can consume text a later detector
+    also matched (``password = "bob@example.com1"`` is ONE rewrite, not
+    two), so the detector sum over-counts nested secrets.  (A document
+    whose original text already contains a literal marker string counts
+    it — acceptable for a metric column.)"""
     flagged = with_secret_flags(docs, content_col)
     scrubbed = F.col(content_col)
     for name, pat in SECRET_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, pat, f"<REDACTED:{name}>")
-    n_total = None
-    for name in SECRET_PATTERNS:
-        c = F.col(f"n_{name}")
-        n_total = c if n_total is None else (n_total + c)
-    return flagged.withColumn(out_col, scrubbed).withColumn(
-        "n_redactions", n_total
+    marker = "<REDACTED:(" + "|".join(SECRET_PATTERNS) + ")>"
+    out = flagged.withColumn(out_col, scrubbed)
+    return out.withColumn(
+        "n_redactions",
+        F.size(F.regexp_extract_all(F.col(out_col), F.lit(marker), 0))
+        .cast("long"),
     )

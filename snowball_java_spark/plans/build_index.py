@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict
 
@@ -222,8 +223,16 @@ class IndexReader:
             spark, "tombstones", "doc_id long, gen int").select("doc_id")
 
     def dead_meta(self, spark: SparkSession) -> DataFrame:
-        from snowball_java_spark.operators.postings import build_dead_meta
+        from snowball_java_spark.operators.postings import (
+            DEAD_META_SCHEMA,
+            build_dead_meta,
+        )
 
+        p = os.path.join(self.index_dir, "dead_meta")
+        if os.path.isdir(p):
+            # materialized by the mutation that wrote the tombstones —
+            # the query hot path reads, never re-encodes
+            return self._read_or_empty(spark, "dead_meta", DEAD_META_SCHEMA)
         return build_dead_meta(self.tombstones(spark), self.cfg)
 
     def scoring_doc_meta(self, spark: SparkSession) -> DataFrame:
@@ -656,7 +665,14 @@ def _tombstone_docs(spark, index_dir: str, gen: int, cfg: EngineConfig,
     import glob as _glob
 
     if _glob.glob(os.path.join(ts_dir, "**", "*.parquet"), recursive=True):
-        already = spark.read.option("basePath", ts_dir).parquet(ts_dir)
+        # PRIOR generations' tombstones only: a crashed attempt at THIS
+        # generation may have written tombstones/gen=g already — counting
+        # those as "already dead" would make the retry compute dead as
+        # empty, rmtree the tombstone dir, and silently drop the
+        # requested deletes (while any stale gen=-g negative partials
+        # kept subtracting stats for still-live docs)
+        already = (spark.read.option("basePath", ts_dir).parquet(ts_dir)
+                   .filter(F.col("gen") < gen))
         prior = prior.join(already.select("doc_id"), "doc_id", "left_anti")
 
     dead = None
@@ -689,14 +705,23 @@ def _tombstone_docs(spark, index_dir: str, gen: int, cfg: EngineConfig,
     n_dead, dead_dl = int(got["n_dead"]), int(got["dead_dl"] or 0)
     if n_dead == 0:
         # nothing matched: drop the empty dir so the index stays on the
-        # tombstone-free fast paths (metadata-only compaction, no joins)
+        # tombstone-free fast paths (metadata-only compaction, no joins);
+        # also clear any stale negative partials a crashed attempt left
         import shutil as _sh
 
         _sh.rmtree(os.path.join(ts_dir, f"gen={gen}"), ignore_errors=True)
+        _sh.rmtree(os.path.join(index_dir, "term_partials", f"gen=-{gen}"),
+                   ignore_errors=True)
 
     if n_dead:
+        # read the JUST-WRITTEN tombstones instead of re-evaluating the
+        # `dead` plan — the prior-docs key scan is the dominant cost of
+        # a mutation generation and would otherwise run twice
+        dead_ids = spark.read.parquet(os.path.join(ts_dir, f"gen={gen}"))
+        dead_docs = _read_docs(spark, prior_paths).join(
+            dead_ids, "doc_id", "left_semi")
         neg_lvl1 = (
-            _tf_long(dead)
+            _tf_long(dead_docs)
             .withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(cfg.n_salts_hot)))
             .groupBy("term", "_salt")
             .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
@@ -705,7 +730,27 @@ def _tombstone_docs(spark, index_dir: str, gen: int, cfg: EngineConfig,
             (-F.sum("pdf")).alias("df"), (-F.sum("pcf")).alias("cf"))
         neg.write.mode("overwrite").parquet(
             os.path.join(index_dir, "term_partials", f"gen=-{gen}"))
+        _write_dead_meta(spark, index_dir, cfg)
     return n_dead, dead_dl
+
+
+def _write_dead_meta(spark: SparkSession, index_dir: str,
+                     cfg: EngineConfig) -> None:
+    """Materialize the per-shard dead varint sidecar (``dead_meta/``)
+    from ALL committed tombstone generations, once per mutation — so
+    scoring reads a stored relation instead of paying the tombstone
+    groupBy + Arrow encode job on EVERY query.  Compaction drops
+    tombstones and simply does not carry this dir (it is derived)."""
+    from snowball_java_spark.operators.postings import build_dead_meta
+
+    ts_dir = os.path.join(index_dir, "tombstones")
+    tomb = (spark.read.option("basePath", ts_dir).parquet(ts_dir)
+            .select("doc_id"))
+    tmp = os.path.join(index_dir, "dead_meta._tmp")
+    build_dead_meta(tomb, cfg).write.mode("overwrite").parquet(tmp)
+    final = os.path.join(index_dir, "dead_meta")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
 
 
 def refresh_index(spark: SparkSession, new_corpus: DataFrame,

@@ -175,6 +175,15 @@ def clean_corpus(
         )
 
         kept = scrub_secrets(kept, content_col=text_col, out_col="_scrubbed")
+        # token accounting must describe the SHIPPED corpus: redaction
+        # rewrites the text, so n_tokens (and the report's total_tokens)
+        # recompute over the scrubbed column — a credentials dump that
+        # collapses to a few markers must not ship claiming its original
+        # token count against a training budget
+        from snowball_java_spark.functions.tokenize import tokens_expr as _te
+
+        kept = kept.withColumn(
+            "n_tokens", F.size(_te("_scrubbed")).cast("long"))
         agg = kept.agg(
             F.count("*").alias("n_kept"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),

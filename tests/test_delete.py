@@ -219,3 +219,59 @@ def test_compaction_physically_drops_dead(spark, mutated_idx):
         [{"query_id": 0, "phrase": ["magic", "phrase"], "k": 200}], cfg=CFG)
     assert {r["doc_id"] for r in res.collect()} == live_base
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_retry_after_crash_still_applies(spark, tmp_path_factory):
+    """A crashed delete attempt leaves tombstones/gen=g (and possibly
+    term_partials/gen=-g) without a commit manifest.  The retry must
+    recompute the SAME dead set — not read its own half-written
+    tombstones as 'already dead', conclude n_dead=0, and silently drop
+    the deletes while stale negative partials corrupt term_stats."""
+    import glob
+    import os
+    import shutil
+
+    from snowball_java_spark.plans.build_index import (
+        IndexReader,
+        build_index,
+        delete_docs,
+    )
+
+    d = str(tmp_path_factory.mktemp("crash_del"))
+    base = spark.createDataFrame(_base_pdf())
+    build_index(spark, base, d, cfg=CFG, n_buckets=N_BUCKETS)
+    keys = spark.createDataFrame([("rbase", p) for p in DEL],
+                                 "repo string, path string")
+
+    # attempt 1 (will be "crashed"): run the real delete, then erase its
+    # commit artifacts but KEEP the tombstones + negative partials — the
+    # exact on-disk state of a driver death between sub-steps
+    delete_docs(spark, d, keys)
+    ref = IndexReader(d)
+    want_stats = {r["term"]: (r["df"], r["cf"])
+                  for r in ref.term_stats(spark).collect()}
+    n_live = ref.n_docs
+    for m in glob.glob(os.path.join(d, "manifest", "refresh_1*")):
+        os.remove(m)
+    for m in glob.glob(os.path.join(d, "manifest", "r1_*")):
+        os.remove(m)
+    shutil.rmtree(os.path.join(d, "docs_gen1"), ignore_errors=True)
+    shutil.rmtree(os.path.join(d, "term_stats"), ignore_errors=True)
+    import json
+
+    conf_p = os.path.join(d, "_conf.json")
+    with open(conf_p) as f:
+        conf = json.load(f)
+    conf["generations"] = 1
+    conf["n_docs"] = N_BASE
+    with open(conf_p, "w") as f:
+        json.dump(conf, f)
+
+    # attempt 2: the retry
+    idx = delete_docs(spark, d, keys)
+    assert idx.has_tombstones
+    assert idx.tombstones(spark).count() == len(DEL)
+    assert idx.n_docs == n_live
+    got_stats = {r["term"]: (r["df"], r["cf"])
+                 for r in idx.term_stats(spark).collect()}
+    assert got_stats == want_stats  # no double-subtraction, no stale rows

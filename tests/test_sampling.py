@@ -141,3 +141,14 @@ def test_repetition_expr(spark):
     assert abs(out[0]["f"] - 4 / 7) < 1e-12
     assert out[1]["f"] == 0.0 and out[1]["nd"] == 4
     assert out[2]["n"] == 0 and out[2]["f"] == 0.0
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pt
+
+    from snowball_java_spark.operators.sampling import hash_split_expr
+
+    with _pt.raises(ValueError):
+        hash_split_expr("doc_id", {"train": 0.9, "val": 0.9})
+    with _pt.raises(ValueError):
+        hash_split_expr("doc_id", {"train": -0.1, "val": 0.5})
