@@ -20,8 +20,13 @@ Query jsonl, one object per line:
 Query strings (``q``) use the mini-language of
 ``functions/queryparse.py``: bare terms = OR, ``AND`` / all-``+`` =
 conjunctive, ``-term`` = NOT, ``"quoted words"`` = exact phrase.
-``field:value`` filters are a corpus-scan feature (the index stores no
-doc metadata) — rejected here with a pointer at the join path.
+``field:value`` filters (also accepted as a ``"filters": {col: value}``
+key on terms queries) run as INDEX-path scoped search: the predicate
+evaluates over the index's stored docs metadata (repo, path, commit,
+lang, ...), non-matching docs are excluded at posting-block decode and
+empty shards are pruned — no corpus scan
+(``wand.bm25_topk_index(doc_filter=...)``).  Filters on phrase/context/
+grep queries are not supported (terms queries only).
 """
 
 from __future__ import annotations
@@ -64,14 +69,8 @@ def main(argv: list[str]) -> int:
 
     for i, q in enumerate(qs):
         if "q" in q:
-            parsed = parse_query(q["q"], query_id=q.get("query_id", i),
-                                 k=q.get("k", 10))
-            if parsed["filters"]:
-                raise SystemExit(
-                    "field:value filters need the document metadata the "
-                    "index does not store — run them on the corpus-scan "
-                    "path (bm25_topk_join(candidate_predicate=…))")
-            qs[i] = parsed
+            qs[i] = parse_query(q["q"], query_id=q.get("query_id", i),
+                                k=q.get("k", 10))
     if any(q.get("not_terms") and "terms" not in q for q in qs):
         raise SystemExit(
             "NOT terms are only supported on terms queries (OR/AND)")
@@ -98,9 +97,33 @@ def main(argv: list[str]) -> int:
             "phrase/context queries need the positional sidecar — run "
             "scripts/build_index_job.py with --positions first"
         )
+    if any(q.get("filters") for q in qs if kind(q) != "terms"):
+        raise SystemExit(
+            "field:value filters are supported on terms queries only")
     parts = []
     if term_qs:
-        parts.append(bm25_topk_index(spark, idx, term_qs, cfg=idx.cfg))
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        doc_cols = set(idx.docs(spark).columns)
+        bad = {c for q in term_qs for c in (q.get("filters") or {})} - doc_cols
+        if bad:
+            raise SystemExit(
+                f"unknown filter field(s) {sorted(bad)}; the index stores "
+                f"doc metadata columns {sorted(doc_cols)}")
+        # one bm25_topk_index call per distinct filter (doc_filter is
+        # call-scoped); the common no-filter batch stays one call
+        by_filter: dict[tuple, list[dict]] = {}
+        for q in term_qs:
+            key = tuple(sorted((q.get("filters") or {}).items()))
+            by_filter.setdefault(key, []).append(q)
+        for key, grp in by_filter.items():
+            flt = (reduce(lambda a, b: a & b,
+                          [F.col(c) == F.lit(v) for c, v in key])
+                   if key else None)
+            parts.append(
+                bm25_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if phrase_qs:
         parts.append(phrase_topk_index(spark, idx, phrase_qs, cfg=idx.cfg))
     if context_qs:

@@ -357,6 +357,36 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_query_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query STRING executed entirely on the INDEX path: terms +
+    NOT via MaxScore, the field filter via doc_filter (per-shard exclusion
+    sidecar + shard pruning) — zero corpus scan.  The gate corpus calls
+    the metadata column ``source``; the index stores it as ``repo``."""
+    from functools import reduce
+
+    from snowball_java_spark.functions.queryparse import parse_query
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    parsed = parse_query(_QUERY_STRING, k=10)
+    field_map = {"source": "repo"}
+    pred = reduce(
+        lambda a, b: a & b,
+        [F.col(field_map.get(c, c)) == F.lit(v)
+         for c, v in sorted(parsed["filters"].items())],
+    )
+    idx = _index_for(spark, sf_dir)
+    res = bm25_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
+          "not_terms": parsed["not_terms"]}],
+        cfg=_INDEX_CFG, doc_filter=pred,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term BM25 contribution rows for every top-k hit."""
     from snowball_java_spark.operators.bm25_join import explain_scores
@@ -665,6 +695,7 @@ def _index_for(spark: SparkSession, sf_dir: str):
 def _bm25_index_topk(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
     mode: str = "or", not_terms: list[str] | None = None,
+    doc_filter: str | None = None,
 ) -> DataFrame:
     from snowball_java_spark.operators.wand import bm25_topk_index
 
@@ -672,7 +703,7 @@ def _bm25_index_topk(
     res = bm25_topk_index(
         spark, idx, [{"query_id": 0, "terms": terms, "k": k, "mode": mode,
                       "not_terms": not_terms or []}],
-        cfg=_INDEX_CFG,
+        cfg=_INDEX_CFG, doc_filter=doc_filter,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -1962,8 +1993,22 @@ def build_registry() -> dict[str, Q]:
                 s, d, HOT_TERMS, 10, not_terms=_NOT_TERMS),
             _bm25_topk_sql(HOT_TERMS, 10, not_terms=_NOT_TERMS),
         ),
+        # scoped search on the INDEX path (zero corpus scan): candidates
+        # restricted by a docs-metadata predicate, stats global — same
+        # semantics (and oracle) as the join path's bm25_topk_filtered
+        "bm25_index_filtered": Q(
+            lambda s, d: _bm25_index_topk(
+                s, d, HOT_TERMS, 10,
+                doc_filter=f"repo = '{_FILTER_SOURCE}'"),
+            _bm25_topk_sql(HOT_TERMS, 10, source=_FILTER_SOURCE),
+        ),
         "query_string_topk": Q(
             _q_query_string,
+            _bm25_topk_sql(["table", "row"], 10, source=_FILTER_SOURCE,
+                           not_terms=["vector"]),
+        ),
+        "query_string_index_topk": Q(
+            _q_query_string_index,
             _bm25_topk_sql(["table", "row"], 10, source=_FILTER_SOURCE,
                            not_terms=["vector"]),
         ),

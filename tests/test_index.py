@@ -184,3 +184,93 @@ def test_resume_rebuilds_only_missing_stage(spark, index, synth_docs):
     assert len(posts_before) == len(posts_after)
     for a, b in zip(posts_before, posts_after):
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# scoped search over the index path (doc_filter)
+
+
+def _filtered_oracle_topk(oracle, allowed: set, terms, k):
+    """Scoped-search semantics: GLOBAL stats, candidates ∩ allowed."""
+    full = oracle.topk(terms, len(oracle.tf))
+    return [(d, s) for d, s in full if d in allowed][:k]
+
+
+def test_index_doc_filter_rank_identical_global_stats(spark, index, oracle,
+                                                      synth_docs):
+    rdr, _ = index
+    allowed = {
+        r["doc_id"]
+        for r in synth_docs.filter("lang = 'java'").select("doc_id").collect()
+    }
+    qs = [{"query_id": i, "terms": q["terms"], "k": q["k"]}
+          for i, q in enumerate(reference_queries())]
+    got = bm25_topk_index(spark, rdr, qs, cfg=CFG, doc_filter="lang = 'java'")
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for q in qs:
+        expect = _filtered_oracle_topk(oracle, allowed, q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], \
+            f"q{q['query_id']} docs"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_index_doc_filter_prunes_whole_shards(spark, index, oracle):
+    """A filter whose matches live in one shard must skip the others'
+    posting blocks entirely (semi-join shard pruning)."""
+    rdr, _ = index
+    sc = spark.sparkContext
+    q = [{"query_id": 0, "terms": ["def", "return"], "k": 10}]
+
+    full = {"decoded": sc.accumulator(0), "total": sc.accumulator(0)}
+    bm25_topk_index(spark, rdr, q, cfg=CFG, block_metrics=full).collect()
+
+    pruned = {"decoded": sc.accumulator(0), "total": sc.accumulator(0)}
+    got = bm25_topk_index(
+        spark, rdr, q, cfg=CFG, block_metrics=pruned,
+        doc_filter=f"doc_id < {CFG.shard_size}",
+    ).collect()
+    assert got, "filter matching shard 0 returned no rows"
+    assert all(r["doc_id"] < CFG.shard_size for r in got)
+    assert 0 < pruned["total"].value < full["total"].value, (
+        "shards without matching docs must not reach the kernel: "
+        f"{pruned['total'].value} vs {full['total'].value}")
+    expect = _filtered_oracle_topk(
+        oracle, set(range(CFG.shard_size)), ["def", "return"], 10)
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == \
+        [d for d, _ in expect]
+
+
+def test_index_doc_filter_composes_with_not_terms(spark, index, oracle,
+                                                  synth_docs):
+    rdr, _ = index
+    allowed = {
+        r["doc_id"]
+        for r in synth_docs.filter("lang = 'python'")
+        .select("doc_id").collect()
+    }
+    not_t = ["vector"]
+    qs = [{"query_id": 0, "terms": ["table", "row"], "k": 10,
+           "not_terms": not_t}]
+    got = bm25_topk_index(spark, rdr, qs, cfg=CFG,
+                          doc_filter="lang = 'python'").collect()
+    has_not = {d for d, toks in oracle.toks.items()
+               if any(t in toks for t in not_t)}
+    expect = _filtered_oracle_topk(
+        oracle, allowed - has_not, ["table", "row"], 10)
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == \
+        [d for d, _ in expect]
+
+
+def test_index_doc_filter_no_match_and_null_pred(spark, index):
+    rdr, _ = index
+    q = [{"query_id": 0, "terms": ["def"], "k": 5}]
+    assert bm25_topk_index(spark, rdr, q, cfg=CFG,
+                           doc_filter="lang = 'cobol'").count() == 0
+    # a predicate evaluating to NULL everywhere = no matches (not a crash)
+    assert bm25_topk_index(spark, rdr, q, cfg=CFG,
+                           doc_filter="nullif(lang, lang) = 'x'").count() == 0
