@@ -11,6 +11,7 @@ Query jsonl, one object per line:
      "right_terms": ["return"], "window": 16, "k": 10}              # context
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
+    {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
          # (phrase + context need the positions/ sidecar; substr + regex
@@ -118,12 +119,16 @@ def main(argv: list[str]) -> int:
         for q in term_qs:
             key = tuple(sorted((q.get("filters") or {}).items()))
             by_filter.setdefault(key, []).append(q)
+        from snowball_java_spark.operators.wand import bm25_prefix_topk
+
         for key, grp in by_filter.items():
             flt = (reduce(lambda a, b: a & b,
                           [F.col(c) == F.lit(v) for c, v in key])
                    if key else None)
+            # bm25_prefix_topk expands tok* wildcards against the
+            # vocabulary and passes wildcard-free batches straight through
             parts.append(
-                bm25_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+                bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if phrase_qs:
         parts.append(phrase_topk_index(spark, idx, phrase_qs, cfg=idx.cfg))
     if context_qs:

@@ -129,8 +129,24 @@ def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) ->
 def _bm25_topk_sql(
     terms: list[str], k: int, conjunctive: bool = False,
     source: str | None = None, not_terms: list[str] | None = None,
+    prefix_expand: tuple[str, int] | None = None,
 ) -> str:
-    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    """``prefix_expand=(stem, max_expansions)``: the query-term CTE comes
+    from expanding the stem against the corpus vocabulary (df desc, term
+    asc, capped) instead of a literal list — the wildcard semantics."""
+    if prefix_expand is not None:
+        stem, max_exp = prefix_expand
+        extra = ""
+        if terms:
+            extra = " UNION " + " UNION ".join(
+                f"SELECT '{t}'" for t in sorted(set(terms)))
+        q_cte = (
+            f"(SELECT term FROM (SELECT term FROM dfx WHERE term LIKE "
+            f"'{stem}%' ORDER BY df DESC, term ASC LIMIT {max_exp}){extra})"
+        )
+    else:
+        tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+        q_cte = f"(VALUES {tlist})"
     having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
     cand_join = (
         f"JOIN documents doc ON tfx.doc_id = doc.doc_id AND doc.source = '{source}'"
@@ -146,7 +162,7 @@ def _bm25_topk_sql(
         )
     return f"""
 WITH {BASE_CTES},
-q(term) AS (VALUES {tlist}),
+q(term) AS {q_cte},
 scores AS (
   SELECT tfx.doc_id, sum({W_SQL}) AS score
   FROM tfx JOIN q USING (term)
@@ -350,6 +366,28 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
           "not_terms": parsed["not_terms"]}],
         candidate_predicate=pred, n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+_PREFIX_STEM = "s"
+_PREFIX_MAX = 4
+
+
+def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query (``s*``): the stem expands against the index
+    vocabulary to its max_expansions most frequent terms (df desc, term
+    asc) and scores as a plain BM25 disjunction on the index path."""
+    from snowball_java_spark.operators.wand import bm25_prefix_topk
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_prefix_topk(
+        spark, idx,
+        [{"query_id": 0, "terms": [], "prefixes": [_PREFIX_STEM], "k": 10}],
+        cfg=_INDEX_CFG, max_expansions=_PREFIX_MAX,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -2011,6 +2049,11 @@ def build_registry() -> dict[str, Q]:
             _q_query_string_index,
             _bm25_topk_sql(["table", "row"], 10, source=_FILTER_SOURCE,
                            not_terms=["vector"]),
+        ),
+        "bm25_prefix_topk": Q(
+            _q_bm25_prefix,
+            _bm25_topk_sql([], 10,
+                           prefix_expand=(_PREFIX_STEM, _PREFIX_MAX)),
         ),
         "facet_counts": Q(
             _q_facet_counts,

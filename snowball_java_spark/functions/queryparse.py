@@ -13,6 +13,7 @@ executable by an operator that already has an oracle-checked gate:
     table row -vector        →  {"terms": [...], "not_terms": ["vector"]}
     "hello world"            →  {"phrase": ["hello", "world"]}
     table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
+    tok* row                 →  {"terms": ["row"], "prefixes": ["tok"]}
 
 Terms are run through the engine tokenizer (``tokenize_py``) so the
 parsed query matches the index's token space exactly — a user typing
@@ -49,8 +50,13 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     Returns one of the engine's executable shapes (all keys always
     present so callers can dispatch without ``get`` chains)::
 
-        {"query_id", "k", "terms", "not_terms", "filters", "mode"}
+        {"query_id", "k", "terms", "prefixes", "not_terms", "filters", "mode"}
         {"query_id", "k", "phrase", "not_terms", "filters"}
+
+    ``prefixes`` are trailing-wildcard stems (``tok*``) — expanded
+    against the index vocabulary at execution (OR rewrite, capped at
+    max_expansions by df); wildcards are OR-only: not with ``+``/``-``,
+    not in AND queries, not with a phrase.
 
     ``filters`` is a {column: value} dict for candidate scoping
     (relevance stats stay whole-corpus — the ``bm25_topk_filtered``
@@ -59,6 +65,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     """
     phrase: list[str] | None = None
     terms: list[str] = []
+    prefixes: list[str] = []
     required: list[str] = []
     not_terms: list[str] = []
     filters: dict[str, str] = {}
@@ -92,6 +99,17 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         sign = ""
         if word[0] in "+-":
             sign, word = word[0], word[1:]
+        if word.endswith("*"):
+            if sign:
+                raise QueryParseError(
+                    "wildcards are OR-expansions — no +tok* / -tok*")
+            stem_toks = tokenize_py(word[:-1])
+            if len(stem_toks) != 1:
+                raise QueryParseError(
+                    f"wildcard stem {word[:-1]!r} must be one token")
+            saw_bare_quoteless = True
+            prefixes.append(stem_toks[0])
+            continue
         toks = tokenize_py(word)
         if not toks:
             raise QueryParseError(f"term {word!r} tokenizes to nothing")
@@ -104,9 +122,10 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             terms.extend(toks)
 
     if phrase is not None:
-        if terms or required or saw_and:
+        if terms or required or saw_and or prefixes:
             raise QueryParseError(
-                "cannot mix a quoted phrase with bare/required terms")
+                "cannot mix a quoted phrase with bare/required/wildcard "
+                "terms")
         return {"query_id": int(query_id), "k": int(k), "phrase": phrase,
                 "not_terms": sorted(set(not_terms)), "filters": filters}
 
@@ -115,10 +134,14 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "cannot mix required (+term) with optional bare terms — "
             "use all-+ (AND) or all-bare (OR)")
     positive = required or terms
-    if not positive:
+    if not positive and not prefixes:
         raise QueryParseError("query needs at least one positive term")
     mode = "and" if (required or saw_and) else "or"
+    if prefixes and mode == "and":
+        raise QueryParseError(
+            "wildcards are OR-expansions — not supported in AND queries")
     return {"query_id": int(query_id), "k": int(k),
             "terms": sorted(set(positive)),
+            "prefixes": sorted(set(prefixes)),
             "not_terms": sorted(set(not_terms)),
             "filters": filters, "mode": mode}

@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms"]
+__all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms",
+           "expand_prefixes"]
 
 
 def padded_grams_py(term: str) -> list[str]:
@@ -94,3 +95,53 @@ def suggest_terms(
         .select("query_term", "term", "df", F.round("sim", 6).alias("sim"),
                 "rank")
     )
+
+
+def expand_prefixes(
+    spark: SparkSession,
+    index,
+    prefixes: list[str],
+    max_expansions: int = 50,
+) -> dict[str, list[str]]:
+    """Trailing-wildcard (``tok*``) expansion against the index
+    vocabulary: each prefix expands to its ``max_expansions`` most
+    frequent matching terms, ordered (df desc, term asc) — the
+    deterministic top-terms-by-docfreq rewrite (Lucene's public
+    ``TopTermsScoringBooleanQueryRewrite`` policy).  The expanded terms
+    then score as a plain BM25 disjunction, each with its own idf.
+
+    Scale shape: ONE pass over term_stats for ALL prefixes — the
+    vocabulary relation, never the corpus.  The OR-of-startswith
+    pre-filter pushes into the parquet scan (term min/max pruning on the
+    sorted vocabulary); only matching terms explode into (prefix, term)
+    rows; a per-prefix rank window caps each expansion.  The result is
+    ≤ len(prefixes)·max_expansions rows — a bounded driver collect (the
+    term list must reach query construction regardless).
+    """
+    pl = sorted({p for p in prefixes if p})
+    if not pl:
+        return {}
+    vocab = index.term_stats(spark).select("term", "df")
+    pre = None
+    for p in pl:
+        c = F.col("term").startswith(p)
+        pre = c if pre is None else (pre | c)
+    matched = (
+        vocab.filter(pre)
+        .withColumn(
+            "prefix",
+            F.explode(F.filter(
+                F.array(*[F.lit(p) for p in pl]),
+                lambda p: F.col("term").startswith(p))))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("prefix", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in pl}
+    for r in rows:
+        out[r["prefix"]].append(r["term"])
+    return out

@@ -554,3 +554,41 @@ def bm25_topk_index(
 
     qdf = queries_df(spark, queries)
     return topk(scores, qdf)
+
+
+def bm25_prefix_topk(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    max_expansions: int = 50,
+    block_metrics: dict | None = None,
+    doc_filter: "F.Column | str | None" = None,
+) -> DataFrame:
+    """Wildcard queries over the index: each query may carry a
+    ``prefixes`` list (``tok*`` stems) alongside ``terms``; prefixes
+    expand against the vocabulary (:func:`operators.suggest.
+    expand_prefixes` — one term_stats pass for ALL prefixes, capped at
+    ``max_expansions`` per prefix by df desc) and the merged term set
+    runs through the standard index path.  A query whose expansion is
+    empty simply returns no rows.  Queries without prefixes pass through
+    untouched, so mixed batches pay the vocabulary pass only when a
+    wildcard is present."""
+    all_p = sorted({p for q in queries for p in q.get("prefixes", [])})
+    if all_p:
+        from snowball_java_spark.operators.suggest import expand_prefixes
+
+        exp = expand_prefixes(spark, index, all_p, max_expansions)
+    else:
+        exp = {}
+    merged = []
+    for q in queries:
+        terms = set(q.get("terms", []))
+        for p in q.get("prefixes", []):
+            terms.update(exp.get(p, []))
+        q2 = {k: v for k, v in q.items() if k != "prefixes"}
+        q2["terms"] = sorted(terms)
+        merged.append(q2)
+    return bm25_topk_index(spark, index, merged, cfg=cfg,
+                           block_metrics=block_metrics,
+                           doc_filter=doc_filter)

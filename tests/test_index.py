@@ -274,3 +274,48 @@ def test_index_doc_filter_no_match_and_null_pred(spark, index):
     # a predicate evaluating to NULL everywhere = no matches (not a crash)
     assert bm25_topk_index(spark, rdr, q, cfg=CFG,
                            doc_filter="nullif(lang, lang) = 'x'").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# wildcard (prefix) expansion
+
+
+def test_expand_prefixes_order_cap_and_single_pass(spark, index, oracle):
+    from snowball_java_spark.operators.suggest import expand_prefixes
+
+    rdr, _ = index
+    got = expand_prefixes(spark, rdr, ["s", "re", "zzz"], max_expansions=3)
+    for p in ("s", "re", "zzz"):
+        expect = [t for t, _ in sorted(
+            ((t, d) for t, d in oracle.df.items() if t.startswith(p)),
+            key=lambda x: (-x[1], x[0]))][:3]
+        assert got[p] == expect, p
+    assert got["zzz"] == []
+
+
+def test_prefix_topk_identical_to_expanded_terms(spark, index, oracle):
+    from snowball_java_spark.operators.suggest import expand_prefixes
+    from snowball_java_spark.operators.wand import bm25_prefix_topk
+
+    rdr, _ = index
+    exp = expand_prefixes(spark, rdr, ["re"], max_expansions=4)["re"]
+    assert exp, "stem 're' should match vocabulary terms"
+    got = bm25_prefix_topk(
+        spark, rdr,
+        [{"query_id": 0, "terms": ["def"], "prefixes": ["re"], "k": 10}],
+        cfg=CFG, max_expansions=4).collect()
+    expect = oracle.topk(sorted(set(exp) | {"def"}), 10)
+    mine = sorted((r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert [d for _, d, _ in mine] == [d for d, _ in expect]
+    for (_, _, s), (_, es) in zip(mine, expect):
+        assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_prefix_no_match_returns_empty(spark, index):
+    from snowball_java_spark.operators.wand import bm25_prefix_topk
+
+    rdr, _ = index
+    assert bm25_prefix_topk(
+        spark, rdr,
+        [{"query_id": 0, "terms": [], "prefixes": ["qqqq"], "k": 5}],
+        cfg=CFG).count() == 0

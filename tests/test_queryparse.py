@@ -26,7 +26,8 @@ CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
 def test_parse_or_terms():
     p = parse_query("def Return")
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
-                 "not_terms": [], "filters": {}, "mode": "or"}
+                 "prefixes": [], "not_terms": [], "filters": {},
+                 "mode": "or"}
 
 
 def test_parse_and_via_keyword_and_plus():
@@ -177,3 +178,13 @@ def test_facet_counts_empty_terms_and_bad_args(spark, synth_docs):
     with pytest.raises(ValueError):
         facet_counts(spark, docs, [{"query_id": 0, "terms": ["def"]}],
                      facet_cols=[])
+
+
+def test_parse_wildcards():
+    p = parse_query("tok* row")
+    assert p["prefixes"] == ["tok"] and p["terms"] == ["row"]
+    assert parse_query("Ret*")["prefixes"] == ["ret"]
+    for bad in ["-tok*", "+tok*", "tok* AND row", '"a b" tok*', "*",
+                "foo-bar*"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
