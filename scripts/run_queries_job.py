@@ -12,6 +12,10 @@ Query jsonl, one object per line:
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
     {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
+    {"query_id": 9, "terms": ["def"], "k": 10,                      # deep paging:
+     "search_after": [0.02241, 1126]}                               # page after a
+         # [score, doc_id] cursor (verbatim from the previous page —
+         # per-shard work stays top-k-sized at ANY page depth)
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
          # (phrase + context need the positions/ sidecar; substr + regex

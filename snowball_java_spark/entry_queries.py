@@ -130,6 +130,7 @@ def _bm25_topk_sql(
     terms: list[str], k: int, conjunctive: bool = False,
     source: str | None = None, not_terms: list[str] | None = None,
     prefix_expand: tuple[str, int] | None = None,
+    after: int = 0,
 ) -> str:
     """``prefix_expand=(stem, max_expansions)``: the query-term CTE comes
     from expanding the stem against the corpus vocabulary (df desc, term
@@ -174,11 +175,11 @@ scores AS (
   GROUP BY 1
   {having}
 )
-SELECT doc_id, rank, round(score, 6) AS score FROM (
+SELECT doc_id, (rank - {after})::BIGINT AS rank, round(score, 6) AS score FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
   FROM scores
-) WHERE rank <= {k}
+) WHERE rank > {after} AND rank <= {after} + {k}
 """
 
 
@@ -366,6 +367,30 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
           "not_terms": parsed["not_terms"]}],
         candidate_predicate=pred, n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging: page 2 of the hot-terms query via a search_after
+    cursor (the last hit of page 1, verbatim).  Per-shard work stays
+    top-k-sized at any page depth — the from+size alternative pays
+    k·page per shard per page."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    page1 = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        cfg=_INDEX_CFG,
+    ).orderBy("rank").collect()
+    cursor = [page1[-1]["score"], page1[-1]["doc_id"]]
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": HOT_TERMS, "k": 10,
+                      "search_after": cursor}],
+        cfg=_INDEX_CFG,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -2054,6 +2079,10 @@ def build_registry() -> dict[str, Q]:
             _q_bm25_prefix,
             _bm25_topk_sql([], 10,
                            prefix_expand=(_PREFIX_STEM, _PREFIX_MAX)),
+        ),
+        "bm25_search_after": Q(
+            _q_bm25_search_after,
+            _bm25_topk_sql(HOT_TERMS, 10, after=10),
         ),
         "facet_counts": Q(
             _q_facet_counts,

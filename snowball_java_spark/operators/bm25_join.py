@@ -205,6 +205,12 @@ def bm25_topk_join(
     Pass precomputed ``(n_docs, avgdl)`` — from an index _conf or a
     caller-level catalog — to skip the stats scan (two passes instead of
     three).
+
+    A per-query ``"search_after": [score, doc_id]`` cursor (verbatim
+    from the previous page — float64 scoring is deterministic, so score
+    equality is exact) keeps only docs strictly after it in (score desc,
+    doc_id asc) order; the page's ranks restart at 1.  Deep paging stays
+    top-k-sized per shuffle instead of k·page.
     """
     from snowball_java_spark.operators.df_stats import corpus_stats
 
@@ -245,7 +251,33 @@ def bm25_topk_join(
         .agg(ordered_sum("term", "w").alias("score"))
     )
     scores = exclude_not_terms(spark, scores, docs_tok, queries)
+    scores = apply_search_after(spark, scores, queries)
     return topk(scores, qdf)
+
+
+def apply_search_after(
+    spark: SparkSession, scores: DataFrame, queries: list[dict]
+) -> DataFrame:
+    """Filter a (query_id, doc_id, score) relation to rows strictly
+    after each query's ``search_after`` cursor in (score desc, doc_id
+    asc) order.  The cursor relation is tiny (≤ one row per query) and
+    broadcast; queries without a cursor pass through via the null arm."""
+    cur = [(int(q["query_id"]), float(q["search_after"][0]),
+            int(q["search_after"][1]))
+           for q in queries if q.get("search_after")]
+    if not cur:
+        return scores
+    cdf = spark.createDataFrame(cur, "query_id int, _cs double, _cd long")
+    return (
+        scores.join(F.broadcast(cdf), "query_id", "left")
+        .filter(
+            F.col("_cs").isNull()
+            | (F.col("score") < F.col("_cs"))
+            | ((F.col("score") == F.col("_cs"))
+               & (F.col("doc_id") > F.col("_cd")))
+        )
+        .drop("_cs", "_cd")
+    )
 
 
 def explain_scores(

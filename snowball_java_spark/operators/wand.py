@@ -189,6 +189,7 @@ def maxscore_topk_shard(
     first_doc: int,
     avgdl: float,
     cfg: EngineConfig,
+    cursor: "tuple[float, int] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k (docs, scores) for one query within one shard.
 
@@ -215,6 +216,17 @@ def maxscore_topk_shard(
          underfull candidate set) the shard falls back to exhaustive
          scoring — EXACT rank identity is guaranteed, pruning is only an
          optimization.
+
+    ``cursor`` (search_after pagination): ``(score, doc_id)`` of the
+    LAST hit of the previous page, verbatim from this engine (float64
+    scoring is deterministic, so score equality is exact).  Only docs
+    STRICTLY after the cursor in (score desc, doc_id asc) order QUALIFY;
+    the top-k heap, θ seeding, and every θ tightening count qualifying
+    docs only, so pruning stays exact for the page: a skipped block's
+    bound is below the k-th best QUALIFYING score, hence cannot contain
+    a qualifying doc that belongs on this page.  Per-shard work stays
+    top-k-sized at any page depth (the from+size alternative pays
+    k·page per shard).
     """
     if not lists:
         return np.empty(0, np.int64), np.empty(0, np.float64)
@@ -223,7 +235,24 @@ def maxscore_topk_shard(
     cum = np.cumsum(maxw)
     total_docs = sum(t.n for t in lists)
 
+    def qual_mask(docs: np.ndarray, scores: np.ndarray):
+        if cursor is None:
+            return None
+        cs, cd = cursor
+        return (scores < cs) | ((scores == cs) & (docs > cd))
+
+    def kth_qual(docs: np.ndarray, scores: np.ndarray) -> "float | None":
+        """k-th best QUALIFYING score, or None when < k docs qualify."""
+        m = qual_mask(docs, scores)
+        s = scores if m is None else scores[m]
+        if s.size < k:
+            return None
+        return float(np.partition(s, -k)[-k])
+
     def finalize(cand: np.ndarray, scores: np.ndarray):
+        m = qual_mask(cand, scores)
+        if m is not None:
+            cand, scores = cand[m], scores[m]
         if cand.size > k:
             kth = np.partition(scores, -k)[-k]
             keep = np.nonzero(scores >= kth)[0]
@@ -257,7 +286,7 @@ def maxscore_topk_shard(
     theta = 0.0
     if seed.size >= k:
         s_scores = _score_docs(lists, seed, dls, first_doc, avgdl, cfg)
-        theta = float(np.partition(s_scores, -k)[-k])
+        theta = kth_qual(seed, s_scores) or 0.0
     if theta <= 0.0:
         return exhaustive()
 
@@ -287,8 +316,9 @@ def maxscore_topk_shard(
             all_scores = np.concatenate([all_scores, new_scores])
             o = np.argsort(all_docs)
             all_docs, all_scores = all_docs[o], all_scores[o]
-        if all_docs.size >= k:
-            theta = max(theta, float(np.partition(all_scores, -k)[-k]))
+        t2 = kth_qual(all_docs, all_scores)
+        if t2 is not None:
+            theta = max(theta, t2)
 
     # --- 3. adaptive best-bound-first block processing ---
     # One pool of (bound, list, block) over the essential lists, bound =
@@ -333,16 +363,17 @@ def maxscore_topk_shard(
             all_scores = np.concatenate([all_scores, new_scores])
             o = np.argsort(all_docs)
             all_docs, all_scores = all_docs[o], all_scores[o]
-        if all_docs.size >= k:
-            # θ ≤ running kth always (seed ⊆ scored set), so when the
-            # loop exits every unprocessed block is STRICTLY below the
-            # final kth — exactness holds without a re-check
-            theta = max(theta, float(np.partition(all_scores, -k)[-k]))
+        t3 = kth_qual(all_docs, all_scores)
+        if t3 is not None:
+            # θ ≤ running (qualifying) kth always (seed ⊆ scored set), so
+            # when the loop exits every unprocessed block is STRICTLY
+            # below the final kth — exactness holds without a re-check
+            theta = max(theta, t3)
 
-    if all_docs.size < k:
+    kth_q = kth_qual(all_docs, all_scores)
+    if kth_q is None:
         return exhaustive()  # top-k must reach into non-essential docs
-    kth = float(np.partition(all_scores, -k)[-k])
-    if n_non and not sum_non < kth:
+    if n_non and not sum_non < kth_q:
         return exhaustive()  # non-essential exclusion tie: be exact
     return finalize(all_docs, all_scores)
 
@@ -355,6 +386,7 @@ def conjunctive_topk_shard(
     first_doc: int,
     avgdl: float,
     cfg: EngineConfig,
+    cursor: "tuple[float, int] | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """AND semantics within one shard: docs present in EVERY term list.
 
@@ -386,6 +418,10 @@ def conjunctive_topk_shard(
     scores = np.zeros(cand.size, dtype=np.float64)
     for i, t in enumerate(lists):  # caller passes sorted-term order
         scores += _weights(t, tf_by_list[i], cand, dls, first_doc, avgdl, cfg)
+    if cursor is not None:
+        cs, cd = cursor
+        m = (scores < cs) | ((scores == cs) & (cand > cd))
+        cand, scores = cand[m], scores[m]
     if cand.size > k:
         kth = np.partition(scores, -k)[-k]
         keep = np.nonzero(scores >= kth)[0]
@@ -407,7 +443,9 @@ def score_shards(
     per-shard (query_id, doc_id, score) top-k candidates.
 
     Per-query ``mode``: "or" (default, MaxScore pruned) or "and"
-    (conjunctive posting-list intersection).
+    (conjunctive posting-list intersection).  Per-query
+    ``search_after``: a ``[score, doc_id]`` cursor for exact deep
+    paging (see :func:`maxscore_topk_shard`).
 
     ``block_metrics``: optional {"decoded": Accumulator, "total":
     Accumulator} — each shard adds how many posting blocks it actually
@@ -420,7 +458,9 @@ def score_shards(
     q_spec = [
         (int(q["query_id"]), sorted(set(q["terms"])),
          int(q.get("k", cfg.default_k)), str(q.get("mode", "or")),
-         sorted(set(q.get("not_terms", []))))
+         sorted(set(q.get("not_terms", []))),
+         (float(q["search_after"][0]), int(q["search_after"][1]))
+         if q.get("search_after") else None)
         for q in queries
     ]
     block_size = cfg.block_size
@@ -450,7 +490,7 @@ def score_shards(
                                              dead=dead)
             rows_by_term[row["term"]] = row
         out_q, out_d, out_s = [], [], []
-        for qid, terms, k, mode, not_terms in q_spec:
+        for qid, terms, k, mode, not_terms, cursor in q_spec:
             if not_terms:
                 # Boolean NOT: excluded docs become per-query "dead" docs
                 # — _TermList drops dead docs at decode time, so they can
@@ -475,10 +515,11 @@ def score_shards(
                 lists = [by_term[t] for t in terms if t in by_term]
             if mode == "and":
                 docs, scores = conjunctive_topk_shard(
-                    lists, len(terms), k, dls, first_doc, avgdl, cfg)
+                    lists, len(terms), k, dls, first_doc, avgdl, cfg,
+                    cursor=cursor)
             else:
                 docs, scores = maxscore_topk_shard(
-                    lists, k, dls, first_doc, avgdl, cfg)
+                    lists, k, dls, first_doc, avgdl, cfg, cursor=cursor)
             out_q.extend([qid] * docs.size)
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())

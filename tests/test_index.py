@@ -319,3 +319,69 @@ def test_prefix_no_match_returns_empty(spark, index):
         spark, rdr,
         [{"query_id": 0, "terms": [], "prefixes": ["qqqq"], "k": 5}],
         cfg=CFG).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# search_after pagination
+
+
+def test_search_after_pages_match_full_ranking(spark, index, oracle):
+    """Page k=7 through the first pages of the hot-terms result set and
+    jump straight to a DEEP cursor; every page must slice the oracle's
+    full ranking exactly (cursor logic across θ regimes: pruning-active,
+    underfull, tail)."""
+    rdr, _ = index
+    terms = ["def", "return"]
+    full = oracle.topk(terms, oracle.n)
+    pages, cursor = [], None
+    for _ in range(6):
+        q = {"query_id": 0, "terms": terms, "k": 7}
+        if cursor is not None:
+            q["search_after"] = cursor
+        rows = sorted(
+            bm25_topk_index(spark, rdr, [q], cfg=CFG).collect(),
+            key=lambda r: r["rank"])
+        if not rows:
+            break
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = [rows[-1]["score"], rows[-1]["doc_id"]]
+    assert [d for d, _ in pages] == [d for d, _ in full[:len(pages)]]
+    for (_, s), (_, es) in zip(pages, full):
+        assert s == pytest.approx(es, rel=REL_TOL)
+    # deep jump: cursor = the engine's own (n-10)-th hit (the contract:
+    # cursors are verbatim engine output), page covers the tail exactly
+    deep_at = len(full) - 10
+    head = sorted(
+        bm25_topk_index(
+            spark, rdr, [{"query_id": 0, "terms": terms, "k": deep_at}],
+            cfg=CFG).collect(),
+        key=lambda r: r["rank"])
+    rows = sorted(
+        bm25_topk_index(
+            spark, rdr,
+            [{"query_id": 0, "terms": terms, "k": 20,
+              "search_after": [head[-1]["score"], head[-1]["doc_id"]]}],
+            cfg=CFG).collect(),
+        key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [d for d, _ in full[deep_at:]]
+
+
+def test_search_after_conjunctive_and_beyond_end(spark, index, oracle):
+    rdr, _ = index
+    terms = ["def", "return"]
+    both = sorted(
+        (d for d in oracle.tf
+         if all(t in oracle.tf[d] for t in terms)),
+        key=lambda d: (-oracle.score(terms, d), d))
+    q1 = {"query_id": 0, "terms": terms, "k": 5, "mode": "and"}
+    p1 = sorted(bm25_topk_index(spark, rdr, [q1], cfg=CFG).collect(),
+                key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in p1] == both[:5]
+    q2 = dict(q1, search_after=[p1[-1]["score"], p1[-1]["doc_id"]])
+    p2 = sorted(bm25_topk_index(spark, rdr, [q2], cfg=CFG).collect(),
+                key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in p2] == both[5:10]
+    # a cursor below every score → empty page, no crash
+    q3 = dict(q1, search_after=[0.0, 0])
+    assert bm25_topk_index(spark, rdr, [q3], cfg=CFG).count() == 0
