@@ -374,6 +374,71 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEAD_N = 8
+_W_LEAD, _W_BODY = 3.0, 1.0
+
+
+def _q_bm25f_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fielded BM25 (BM25F): the first _LEAD_N tokens form a 3×-weighted
+    ``lead`` field (title/headline boost), the rest the ``body`` —
+    weighted tf and dl combine BEFORE one shared saturation."""
+    from snowball_java_spark.operators.fields import bm25f_topk_join
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens_expr("text").alias("_t"))
+        .select(
+            "doc_id",
+            F.slice("_t", 1, _LEAD_N).alias("lead"),
+            F.expr(
+                f"slice(_t, {_LEAD_N + 1}, "
+                f"greatest(size(_t) - {_LEAD_N}, 0))").alias("body"),
+        )
+    )
+    res = bm25f_topk_join(
+        spark, docs, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        weights={"lead": _W_LEAD, "body": _W_BODY},
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bm25f_lead_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    w = (
+        f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * mm.wtf "
+        f"* {_K1 + 1.0} / (mm.wtf + {_K1} * (1 - {_B} + {_B} * fl.wdl "
+        f"/ st.avgwdl))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+f AS (SELECT doc_id, toks[1:{_LEAD_N}] AS lead,
+             toks[{_LEAD_N + 1}:] AS body FROM toks),
+fl AS (SELECT doc_id, {_W_BODY}*len(body) + {_W_LEAD}*len(lead) AS wdl FROM f),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(wdl) AS avgwdl FROM fl),
+q(term) AS (VALUES {tlist}),
+mm AS (SELECT doc_id, term, wtf FROM (
+  SELECT f.doc_id, q.term,
+         {_W_BODY}*len(list_filter(body, x -> x = q.term))
+       + {_W_LEAD}*len(list_filter(lead, x -> x = q.term)) AS wtf
+  FROM f CROSS JOIN q) WHERE wtf > 0),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM mm GROUP BY 1),
+scores AS (
+  SELECT mm.doc_id, sum({w}) AS score
+  FROM mm JOIN dfx USING (term)
+          JOIN fl ON mm.doc_id = fl.doc_id
+          CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep paging: page 2 of the hot-terms query via a search_after
     cursor (the last hit of page 1, verbatim).  Per-shard work stays
@@ -2083,6 +2148,9 @@ def build_registry() -> dict[str, Q]:
         "bm25_search_after": Q(
             _q_bm25_search_after,
             _bm25_topk_sql(HOT_TERMS, 10, after=10),
+        ),
+        "bm25f_lead_topk": Q(
+            _q_bm25f_lead, _bm25f_lead_sql(HOT_TERMS, 10),
         ),
         "facet_counts": Q(
             _q_facet_counts,

@@ -1,0 +1,52 @@
+"""Code-symbol definition extraction (ctags-lite, pure Catalyst).
+
+Code search ranks *definition sites* above usages (the public design of
+Zoekt's and ctags' symbol rankings).  Real parsers need per-language
+grammars; this is the honest regex subset: an identifier introduced by a
+definition keyword common across the corpus languages.  The extracted
+symbols form a FIELD for :func:`operators.fields.bm25f_topk_join` — a
+query term that names a symbol scores the defining document higher.
+
+Keyword set (language-agnostic union, applied regardless of ``lang`` —
+a ``def`` in a Go file is noise the weighting tolerates): def, class,
+function, func, fn, struct, interface, impl, trait, type, enum.
+
+Extraction is one JVM-side ``regexp_extract_all`` — no UDF, no second
+corpus materialization; symbols are lowercased into the engine's token
+space so they join the same vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["SYMBOL_DEF_PATTERN", "symbols_expr", "symbols_py"]
+
+_KEYWORDS = (
+    "def", "class", "function", "func", "fn", "struct", "interface",
+    "impl", "trait", "type", "enum",
+)
+#: group 1 = the defined identifier; the keyword must stand alone
+#: (word boundary), the identifier is the token-space charset
+SYMBOL_DEF_PATTERN = (
+    r"\b(?:" + "|".join(_KEYWORDS) + r")\s+([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def symbols_expr(col: Column | str) -> Column:
+    """ARRAY<STRING> of defined symbols (lowercased, order preserved,
+    duplicates kept — a symbol defined twice is twice the evidence)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(SYMBOL_DEF_PATTERN), F.lit(1)),
+        lambda s: F.lower(s),
+    )
+
+
+def symbols_py(text: str) -> list[str]:
+    """Oracle twin of :func:`symbols_expr`."""
+    import re
+
+    return [m.group(1).lower()
+            for m in re.finditer(SYMBOL_DEF_PATTERN, text)]

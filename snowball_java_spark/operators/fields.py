@@ -1,0 +1,146 @@
+"""Fielded BM25 (BM25F) — weighted multi-field relevance on the join path.
+
+The reference scores a single flat text blob per document
+(``snowball/src/utils/TermsVector.java`` builds one vector per sentence);
+real search over code wants matches in some fields to count more than
+others — a hit in a *symbol definition* or the *lead* of a document
+outranks the same hit buried in the body.  This is the simple BM25F of
+Robertson & Zaragoza ("The Probabilistic Relevance Framework: BM25 and
+Beyond", 2009 — public): per-field term frequencies and lengths are
+combined with field weights BEFORE one shared saturation,
+
+    wtf(t,d)  = Σ_f w_f · tf_f(t,d)
+    wdl(d)    = Σ_f w_f · len_f(d)          (avg over all docs = avgwdl)
+    score     = Σ_t idf(t) · wtf·(k1+1) / (wtf + k1·(1−b+b·wdl/avgwdl))
+
+with doc-level idf (a doc counts toward df(t) when ANY field contains
+t).  Summing weighted tf before saturation is what distinguishes BM25F
+from naive per-field score blending, which over-rewards a term repeated
+across many fields.
+
+Scale shape (mirrors ``bm25_join.bm25_topk_join``): one stats pass
+computing (n_docs, avgwdl) — a single agg over per-field array sizes, no
+explode — and one pruned pass where each field's token array is filtered
+to the query terms BEFORE exploding, so shuffle volume is ∝ query-term
+postings × fields, never corpus tokens.  Field weights fold in sorted
+field-name order (deterministic float64, oracle-matchable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.operators.bm25_join import (
+    apply_search_after,
+    ordered_sum,
+    queries_df,
+    topk,
+)
+
+__all__ = ["bm25f_topk_join"]
+
+
+def bm25f_topk_join(
+    spark: SparkSession,
+    docs_fields: DataFrame,
+    queries: list[dict],
+    weights: dict[str, float],
+    cfg: EngineConfig = DEFAULT,
+    candidate_predicate: F.Column | None = None,
+) -> DataFrame:
+    """Top-k BM25F over ``docs_fields`` (doc_id + one ARRAY<STRING>
+    tokens column per field named in ``weights``).
+
+    Same query dict shape as :func:`bm25_join.bm25_topk_join` (terms, k,
+    optional ``search_after``); ``candidate_predicate`` scopes candidate
+    docs with stats kept corpus-wide.
+    """
+    fields = sorted(weights)
+    terms = sorted({t for q in queries for t in q["terms"]})
+    qdf = queries_df(spark, queries)
+    if not terms:
+        return topk(
+            spark.createDataFrame([], "query_id int, doc_id long, score double"),
+            qdf,
+        )
+
+    # weighted doc length, folded in sorted-field order
+    wdl = None
+    for f in fields:
+        part = F.lit(float(weights[f])) * F.size(F.col(f)).cast("double")
+        wdl = part if wdl is None else wdl + part
+    with_wdl = docs_fields.withColumn("wdl", wdl)
+    st = with_wdl.agg(
+        F.count("*").alias("n_docs"), F.avg("wdl").alias("avgwdl")
+    ).collect()[0]
+    n_docs, avgwdl = int(st["n_docs"]), float(st["avgwdl"])
+
+    cand = (
+        with_wdl.filter(candidate_predicate)
+        if candidate_predicate is not None
+        else with_wdl
+    )
+    # pruned per-field explode: arrays filtered to query terms first
+    t_lit = F.array(*[F.lit(t) for t in terms])
+    parts = [
+        cand.select(
+            "doc_id", "wdl", F.lit(f).alias("field"),
+            F.explode(
+                F.filter(F.col(f), lambda x: F.array_contains(t_lit, x))
+            ).alias("term"),
+        )
+        for f in fields
+    ]
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    w_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(float(weights[f])))]
+    )
+    wtf = (
+        long.groupBy("doc_id", "wdl", "term", "field")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("_wtf_part", w_map[F.col("field")] * F.col("tf").cast("double"))
+        .groupBy("doc_id", "wdl", "term")
+        .agg(ordered_sum("field", "_wtf_part").alias("wtf"))
+    )
+    # doc-level df for the query terms: any field counts (candidate
+    # scoping deliberately does NOT apply — stats stay corpus-wide, so
+    # df comes from an unpruned-candidates pass over the same fields)
+    df_parts = [
+        with_wdl.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.col(f), lambda x: F.array_contains(t_lit, x))
+                )
+            ).alias("term"),
+        )
+        for f in fields
+    ]
+    df_long = df_parts[0]
+    for p in df_parts[1:]:
+        df_long = df_long.unionByName(p)
+    dfx = (
+        df_long.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    q_stats = F.broadcast(
+        qdf.select("query_id", "term").distinct()
+        .join(dfx, "term", "left")
+        .fillna(0, subset=["df"])
+    )
+    w = weight_expr(
+        F.col("wtf"), idf_expr(F.col("df"), n_docs),
+        F.col("wdl"), F.lit(avgwdl), cfg.k1, cfg.b,
+    )
+    scores = (
+        wtf.join(q_stats, "term")
+        .withColumn("w", w)
+        .groupBy("query_id", "doc_id")
+        .agg(ordered_sum("term", "w").alias("score"))
+    )
+    scores = apply_search_after(spark, scores, queries)
+    return topk(scores, qdf)

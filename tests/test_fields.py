@@ -1,0 +1,142 @@
+"""BM25F fielded scoring + code-symbol extraction."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+from snowball_java_spark.functions.symbols import symbols_py
+from snowball_java_spark.functions.tokenize import tokenize_py
+from snowball_java_spark.operators.fields import bm25f_topk_join
+
+REL_TOL = 1e-9
+
+
+def _bm25f_oracle(docs: dict[int, dict[str, list[str]]],
+                  weights: dict[str, float],
+                  terms: list[str], k: int):
+    """Pure-python BM25F (fields folded in sorted-field order)."""
+    fields = sorted(weights)
+    wdl = {d: sum(weights[f] * len(fl[f]) for f in fields)
+           for d, fl in docs.items()}
+    avgwdl = sum(wdl.values()) / len(docs)
+    n = len(docs)
+    out = {}
+    for d, fl in docs.items():
+        s = 0.0
+        for t in sorted(set(terms)):
+            wtf = sum(weights[f] * fl[f].count(t) for f in fields)
+            if wtf == 0:
+                continue
+            df = sum(
+                1 for fl2 in docs.values()
+                if any(t in fl2[f] for f in fields))
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * wtf * (BM25_K1 + 1.0) / (
+                wtf + BM25_K1 * (1 - BM25_B + BM25_B * wdl[d] / avgwdl))
+        if s > 0:
+            out[d] = s
+    return sorted(out.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_symbols_py_and_expr_agree(spark):
+    texts = [
+        "def build_store_667 x\nclass Parser impl Reader",
+        "func main() { type Foo }",
+        "no definitions here, just defying deffed words",
+        "",
+    ]
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.symbols import symbols_expr
+
+    got = [r["s"] for r in spark.createDataFrame(
+        [(t,) for t in texts], "content string"
+    ).select(symbols_expr("content").alias("s")).collect()]
+    assert got == [symbols_py(t) for t in texts]
+    assert got[0] == ["build_store_667", "parser", "reader"]
+    assert got[1] == ["main", "foo"]
+    assert got[2] == []  # 'defying' must not match (word boundary)
+
+
+def test_symbol_field_ranks_definition_above_usage(spark):
+    """The defining doc outranks a doc that merely repeats the name."""
+    rows = [
+        (0, "build_store used build_store again padding pad pad padding"),
+        (1, "def build_store alpha beta gamma delta epsilon zeta"),
+        (2, "unrelated content entirely different words only here now"),
+    ]
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.symbols import symbols_expr
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    docs = spark.createDataFrame(rows, "doc_id long, content string").select(
+        "doc_id",
+        tokens_expr("content").alias("content_toks"),
+        symbols_expr("content").alias("symbols"),
+    )
+    weights = {"content_toks": 1.0, "symbols": 4.0}
+    got = sorted(
+        bm25f_topk_join(
+            spark, docs,
+            [{"query_id": 0, "terms": ["build_store"], "k": 3}],
+            weights=weights,
+        ).collect(),
+        key=lambda r: r["rank"])
+    oracle_docs = {
+        d: {"content_toks": tokenize_py(t), "symbols": symbols_py(t)}
+        for d, t in rows
+    }
+    expect = _bm25f_oracle(oracle_docs, weights, ["build_store"], 3)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+    for r, (_, es) in zip(got, expect):
+        assert r["score"] == pytest.approx(es, rel=REL_TOL)
+    assert got[0]["doc_id"] == 1  # the definition wins
+
+
+def test_bm25f_multi_query_and_search_after(spark, synth_docs):
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.symbols import symbols_expr
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    docs = synth_docs.select(
+        "doc_id",
+        tokens_expr("content").alias("body"),
+        symbols_expr("content").alias("symbols"),
+    )
+    weights = {"body": 1.0, "symbols": 3.0}
+    rows = synth_docs.select("doc_id", "content").collect()
+    oracle_docs = {
+        r["doc_id"]: {"body": tokenize_py(r["content"]),
+                      "symbols": symbols_py(r["content"])}
+        for r in rows
+    }
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 5},
+          {"query_id": 1, "terms": ["rare_331"], "k": 5}]
+    got = bm25f_topk_join(spark, docs, qs, weights=weights).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in qs:
+        expect = _bm25f_oracle(oracle_docs, weights, q["terms"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in mine] == [d for d, _ in expect], \
+            f"q{q['query_id']}"
+        for r, (_, es) in zip(mine, expect):
+            assert r["score"] == pytest.approx(es, rel=REL_TOL)
+    # page 2 via the engine's own cursor slices the oracle ranking
+    full = _bm25f_oracle(oracle_docs, weights, ["def", "return"], 10)
+    p1 = sorted(by_q[0], key=lambda r: r["rank"])
+    got2 = sorted(
+        bm25f_topk_join(
+            spark, docs,
+            [{"query_id": 0, "terms": ["def", "return"], "k": 5,
+              "search_after": [p1[-1]["score"], p1[-1]["doc_id"]]}],
+            weights=weights,
+        ).collect(),
+        key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got2] == [d for d, _ in full[5:10]]
