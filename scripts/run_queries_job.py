@@ -18,6 +18,9 @@ Query jsonl, one object per line:
          # per-shard work stays top-k-sized at ANY page depth)
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
+    {"query_id": 10, "terms": ["def", "return"], "window": 4}      # proximity
+         # (all terms within 4 tokens, unordered; query-string form:
+         #  {"q": "\\"def return\\"~4"})
          # (phrase + context need the positions/ sidecar; substr + regex
          #  need the trigram/ sidecar AND --corpus for the exact-verify
          #  pass — their hits carry rank by doc_id and a NULL score)
@@ -85,22 +88,25 @@ def main(argv: list[str]) -> int:
             return "grep"
         if "phrase" in q:
             return "phrase"
+        if "window" in q and "terms" in q:
+            return "proximity"
         if any(f"{z}_terms" in q for z in ("left", "middle", "right")):
             return "context"
         return "terms"
 
     term_qs = [q for q in qs if kind(q) == "terms"]
     phrase_qs = [q for q in qs if kind(q) == "phrase"]
+    prox_qs = [q for q in qs if kind(q) == "proximity"]
     context_qs = [q for q in qs if kind(q) == "context"]
     grep_qs = [q for q in qs if kind(q) == "grep"]
     if grep_qs and not args.corpus:
         raise SystemExit(
             "substr/regex queries need --corpus: the trigram index only "
             "prunes candidates; the exact match runs against content")
-    if (phrase_qs or context_qs) and not idx.has_positions:
+    if (phrase_qs or context_qs or prox_qs) and not idx.has_positions:
         raise SystemExit(
-            "phrase/context queries need the positional sidecar — run "
-            "scripts/build_index_job.py with --positions first"
+            "phrase/context/proximity queries need the positional sidecar "
+            "— run scripts/build_index_job.py with --positions first"
         )
     if any(q.get("filters") for q in qs if kind(q) != "terms"):
         raise SystemExit(
@@ -135,6 +141,12 @@ def main(argv: list[str]) -> int:
                 bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if phrase_qs:
         parts.append(phrase_topk_index(spark, idx, phrase_qs, cfg=idx.cfg))
+    if prox_qs:
+        from snowball_java_spark.operators.positions import (
+            proximity_topk_index,
+        )
+
+        parts.append(proximity_topk_index(spark, idx, prox_qs, cfg=idx.cfg))
     if context_qs:
         from snowball_java_spark.operators.context import context_topk_index
 

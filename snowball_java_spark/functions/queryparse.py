@@ -14,6 +14,8 @@ executable by an operator that already has an oracle-checked gate:
     "hello world"            →  {"phrase": ["hello", "world"]}
     table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
     tok* row                 →  {"terms": ["row"], "prefixes": ["tok"]}
+    "def return"~4           →  {"terms": [...], "window": 4}   (proximity:
+                                 all terms within 4 tokens, unordered)
 
 Terms are run through the engine tokenizer (``tokenize_py``) so the
 parsed query matches the index's token space exactly — a user typing
@@ -69,6 +71,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     required: list[str] = []
     not_terms: list[str] = []
     filters: dict[str, str] = {}
+    window: int | None = None
     saw_and = False
     saw_bare_quoteless = False
 
@@ -77,6 +80,18 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         raise QueryParseError("empty query")
     for m in matches:
         quoted, word = m.group(1), m.group(2)
+        if word is not None and word.startswith("~"):
+            if phrase is None or window is not None:
+                raise QueryParseError(
+                    '~N proximity must follow exactly one quoted group: '
+                    '"a b"~4')
+            try:
+                window = int(word[1:])
+            except ValueError:
+                raise QueryParseError(f"bad proximity window {word!r}")
+            if window < 0:
+                raise QueryParseError("proximity window must be >= 0")
+            continue
         if quoted is not None:
             if phrase is not None:
                 raise QueryParseError("at most one quoted phrase per query")
@@ -126,6 +141,13 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             raise QueryParseError(
                 "cannot mix a quoted phrase with bare/required/wildcard "
                 "terms")
+        if window is not None:
+            if not_terms or filters:
+                raise QueryParseError(
+                    "proximity (~N) does not compose with -term or "
+                    "field filters")
+            return {"query_id": int(query_id), "k": int(k),
+                    "terms": sorted(set(phrase)), "window": window}
         return {"query_id": int(query_id), "k": int(k), "phrase": phrase,
                 "not_terms": sorted(set(not_terms)), "filters": filters}
 

@@ -276,3 +276,129 @@ def phrase_topk_index(
         [(qid, k) for qid, _, k in q_spec], "query_id int, k int"
     )
     return topk(scored, ksdf)
+
+
+def proximity_match_kernel(
+    pdf: pd.DataFrame,
+    q_spec: list[tuple[int, list[str], int, int]],
+    avgdl: float,
+    cfg: EngineConfig,
+) -> pd.DataFrame:
+    """One shard's positional rows (joined with idf + dl sidecar) →
+    (query_id, doc_id, score) for docs where ALL query terms co-occur
+    within a ``window``-token span (max pos − min pos ≤ window).
+
+    Anchored-occurrence check, fully vectorized: every occurrence of any
+    query term is a candidate window START; term t fits iff its next
+    occurrence at-or-after the anchor lies within ``window`` tokens in
+    the same doc.  Keys are local_doc·2^32 + pos (positions fit 32 bits),
+    so "same doc and within w" collapses to ``next_key − anchor ≤ w``.
+    A qualifying window's minimum-position occurrence anchors it, so
+    existence detection is exact.  Matching docs score as a plain BM25
+    disjunction (global idf/avgdl) — proximity is the FILTER, relevance
+    stays corpus-calibrated.
+    """
+    from snowball_java_spark.functions.bm25 import weight_np
+    from snowball_java_spark.operators.postings import decode_dead_bytes
+
+    first_doc = int(pdf["first_doc"].iloc[0])
+    dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+    dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+            if "dead_bytes" in pdf.columns else None)
+    by_term = {row["term"]: row for _, row in pdf.iterrows()}
+    out_q, out_d, out_s = [], [], []
+    for qid, terms, window, _k in q_spec:
+        if any(t not in by_term for t in terms):
+            continue
+        decoded = {t: _decode_row(by_term[t]) for t in terms}
+        keys = {}
+        for t in terms:
+            docs, tfs, pos = decoded[t]
+            doc_rep = np.repeat(docs.astype(np.int64) - np.int64(first_doc),
+                                tfs)
+            keys[t] = doc_rep * _DOC_SHIFT + pos
+        anchors = np.unique(np.concatenate([keys[t] for t in terms]))
+        all_ok = np.ones(anchors.size, dtype=bool)
+        w64 = np.int64(window)
+        for t in terms:
+            kt = keys[t]
+            idx = np.searchsorted(kt, anchors, side="left")
+            ok = idx < kt.size
+            nxt = kt[np.minimum(idx, kt.size - 1)]
+            # same doc is implied: a next-doc key differs by ≥ 2^32 > w
+            all_ok &= ok & (nxt - anchors <= w64)
+            if not all_ok.any():
+                break
+        if not all_ok.any():
+            continue
+        local_docs = np.unique(anchors[all_ok] >> np.int64(32))
+        match_docs = local_docs + np.int64(first_doc)
+        if dead is not None and dead.size:
+            p = np.minimum(np.searchsorted(dead, match_docs), dead.size - 1)
+            live = dead[p] != match_docs
+            match_docs, local_docs = match_docs[live], local_docs[live]
+            if match_docs.size == 0:
+                continue
+        scores = np.zeros(match_docs.size, dtype=np.float64)
+        mdl = dls[local_docs]
+        for t in sorted(set(terms)):  # sorted fold order (oracle parity)
+            docs, tfs, _ = decoded[t]
+            pos_t = np.searchsorted(docs, match_docs)
+            pos_t = np.minimum(pos_t, docs.size - 1)
+            tf_t = np.where(docs[pos_t] == match_docs, tfs[pos_t], 0)
+            idf = np.float64(by_term[t]["idf"])
+            scores += weight_np(tf_t.astype(np.int64), idf, mdl, avgdl,
+                                cfg.k1, cfg.b)
+        out_q.extend([qid] * match_docs.size)
+        out_d.extend(match_docs.tolist())
+        out_s.extend(scores.tolist())
+    return pd.DataFrame({"query_id": out_q, "doc_id": out_d,
+                         "score": out_s})
+
+
+def proximity_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Proximity top-k over the positional sidecar: docs where ALL of a
+    query's ``terms`` co-occur within ``window`` tokens (unordered),
+    BM25-scored with global stats.  Query dicts: {query_id, terms,
+    window, k}.
+
+    Scan shape mirrors the phrase path: bucket + term pruning on the
+    positions scan, broadcast idf join, per-shard kernel, top-k-rows
+    shuffle only."""
+    q_spec = [
+        (int(q["query_id"]), sorted(set(q["terms"])),
+         int(q.get("window", 8)), int(q.get("k", cfg.default_k)))
+        for q in queries
+        if q.get("terms")
+    ]
+    terms = sorted({t for _, ts, _, _ in q_spec for t in ts})
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double")
+    if not terms:
+        return empty
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    pos = index.positions(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    tstats = (index.term_stats(spark)
+              .filter(F.col("term").isin(terms)).select("term", "idf"))
+    with_meta = (pos.join(F.broadcast(tstats), "term")
+                 .join(index.scoring_doc_meta(spark), "shard"))
+    avgdl = float(index.avgdl)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return proximity_match_kernel(pdf, q_spec, avgdl, cfg)
+
+    scored = with_meta.groupBy("shard").applyInPandas(
+        kernel, "query_id int, doc_id long, score double")
+    from snowball_java_spark.operators.bm25_join import topk
+
+    ksdf = spark.createDataFrame(
+        [(qid, k) for qid, _, _, k in q_spec], "query_id int, k int"
+    )
+    return topk(scored, ksdf)

@@ -133,3 +133,76 @@ def test_add_positions_resumes_as_noop(spark, synth_docs, pos_index):
     add_positions(spark, synth_docs, idx)  # must not rebuild
     after = json.load(open(manifest))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# proximity (within-window) queries
+
+
+def _prox_oracle(oracle, terms, window, k):
+    """Docs where all terms co-occur within `window` tokens (span), BM25
+    OR-scored with global stats."""
+    terms = sorted(set(terms))
+    match = []
+    for d, toks in oracle.toks.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        if any(not p for p in pos.values()):
+            continue
+        ok = any(
+            all(any(a <= q <= a + window for q in pos[t]) for t in terms)
+            for t0 in terms for a in pos[t0]
+        )
+        if ok:
+            match.append(d)
+    scored = [(d, oracle.score(terms, d)) for d in match]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_proximity_rank_identical_to_oracle(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    qs = [
+        {"query_id": 0, "terms": ["def", "return"], "window": 2, "k": 10},
+        {"query_id": 1, "terms": ["def", "return"], "window": 8, "k": 10},
+        {"query_id": 2, "terms": ["def", "return", "public"], "window": 12,
+         "k": 10},
+        {"query_id": 3, "terms": ["def"], "window": 0, "k": 5},  # degenerate
+        {"query_id": 4, "terms": ["def", "zzz_absent"], "window": 5, "k": 5},
+        {"query_id": 5, "terms": ["def", "def", "return"], "window": 4,
+         "k": 5},  # duplicate term collapses
+    ]
+    got = proximity_topk_index(spark, idx, qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert by_q.get(0) or by_q.get(1), "nothing matched — fixture broken"
+    for q in qs:
+        expect = _prox_oracle(oracle, q["terms"], q["window"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], \
+            f"q{q['query_id']}"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_proximity_tightens_with_window(spark, pos_index):
+    """Match set must be monotone in the window size, and a window as
+    wide as the longest doc equals plain conjunctive matching."""
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    terms = ["def", "return"]
+    n = oracle.n
+    sets = {}
+    for w in (1, 4, 100000):
+        rows = proximity_topk_index(
+            spark, idx,
+            [{"query_id": 0, "terms": terms, "window": w, "k": n}]).collect()
+        sets[w] = {r["doc_id"] for r in rows}
+    assert sets[1] <= sets[4] <= sets[100000]
+    both = {d for d in oracle.tf
+            if all(t in oracle.tf[d] for t in terms)}
+    assert sets[100000] == both

@@ -188,3 +188,13 @@ def test_parse_wildcards():
                 "foo-bar*"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+def test_parse_proximity():
+    p = parse_query('"def return"~4')
+    assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
+                 "window": 4}
+    for bad in ['~4 "a b"', '"a b"~x', '"a b"~-1', 'def ~4', '"a b"~4 -c',
+                '"a b"~4 lang:py', '"a b"~4 ~5']:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
