@@ -62,6 +62,23 @@ HEADLINE = [
     "events_hourly",
     "substring_search",
     "regex_search",
+    # r3 query-surface additions (NOT in the r1-comparable 14-query
+    # subset — see BENCH/BASELINE.md for the subtraction rule)
+    "bm25_index_filtered",
+    "bm25_prefix_topk",
+    "bm25_search_after",
+    "bm25_proximity_topk",
+    "bm25f_lead_topk",
+]
+
+#: the queries that existed in BENCH_r01 — their sum is the
+#: round-over-round comparable headline (emitted as r1_comparable_total)
+R1_SUBSET = [
+    "bm25_topk_hot", "bm25_topk_mixed", "bm25_topk_and",
+    "bm25_topk_filtered", "bm25_phrase_topk", "bm25_index_topk",
+    "bm25_phrase_index_topk", "context_window_topk", "dedup_minhash_sigs",
+    "dedup_ngram_jaccard", "embedding_cosine_topk", "doc_fingerprint",
+    "quality_score", "events_hourly",
 ]
 
 
@@ -389,6 +406,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
+        "r1_comparable_total": round(
+            sum(queries[q] for q in R1_SUBSET if q in queries), 3),
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         **meta,
     }

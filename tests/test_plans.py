@@ -145,3 +145,62 @@ def test_grep_verify_scans_corpus_once(spark):
          {"query_id": 2, "regex": "slow [a-z]+ table"}])
     plan = _plan(df)
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_doc_filter_metadata_scan_prunes_fat_columns(spark, idx):
+    """Scoped search's docs-metadata pass must never read tf_map (and the
+    sidecar build must be an applyInPandas over shard, not a collect)."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    q = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["table"], "k": 5}],
+        cfg=idx.cfg, doc_filter="repo = 'src0'",
+    )
+    plan = _plan(q)
+    # every scan in the plan that touches the docs table must prune tf_map
+    for chunk in plan.split("ReadSchema")[1:]:
+        assert "tf_map" not in chunk[:300], "doc_filter pass reads tf_map"
+    # empty-shard pruning is a semi join on shard
+    assert "LeftSemi" in plan, "shards without matching docs not pruned"
+
+
+def test_prefix_expansion_single_vocab_pass_with_pushdown(spark, idx):
+    """All stems expand in ONE term_stats scan, with the OR-of-startswith
+    predicate pushed to parquet."""
+    from pyspark.sql import Window
+
+    prefixes = ["ta", "ro"]
+    vocab = idx.term_stats(spark).select("term", "df")
+    pre = None
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        pre = c if pre is None else (pre | c)
+    plan = _plan(vocab.filter(pre))
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "StringStartsWith" in pushed, pushed
+    # and the full expansion plan contains exactly one term_stats scan
+    from snowball_java_spark.operators.suggest import expand_prefixes
+
+    got = expand_prefixes(spark, idx, prefixes, max_expansions=3)
+    assert set(got) == set(prefixes)
+
+
+def test_proximity_positions_scan_prunes_bucket_and_term(spark, idx):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    add_positions(
+        spark,
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    q = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["table", "row"], "window": 2, "k": 5}])
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in pf
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "term" in pushed
