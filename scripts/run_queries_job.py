@@ -33,8 +33,9 @@ key on terms queries) run as INDEX-path scoped search: the predicate
 evaluates over the index's stored docs metadata (repo, path, commit,
 lang, ...), non-matching docs are excluded at posting-block decode and
 empty shards are pruned — no corpus scan
-(``wand.bm25_topk_index(doc_filter=...)``).  Filters on phrase/context/
-grep queries are not supported (terms queries only).
+(``IndexReader.scoring_doc_meta(doc_filter=...)``).  Filters compose
+with terms/phrase/proximity/context queries; substr/regex reject them
+(their exact-verify pass scans content).
 """
 
 from __future__ import annotations
@@ -108,49 +109,63 @@ def main(argv: list[str]) -> int:
             "phrase/context/proximity queries need the positional sidecar "
             "— run scripts/build_index_job.py with --positions first"
         )
-    if any(q.get("filters") for q in qs if kind(q) != "terms"):
+    if any(q.get("filters") for q in grep_qs):
         raise SystemExit(
-            "field:value filters are supported on terms queries only")
-    parts = []
-    if term_qs:
-        from functools import reduce
+            "field:value filters are not supported on substr/regex "
+            "queries (the exact-verify pass scans content; filter the "
+            "corpus instead)")
+    from functools import reduce
 
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        doc_cols = set(idx.docs(spark).columns)
-        bad = {c for q in term_qs for c in (q.get("filters") or {})} - doc_cols
-        if bad:
-            raise SystemExit(
-                f"unknown filter field(s) {sorted(bad)}; the index stores "
-                f"doc metadata columns {sorted(doc_cols)}")
-        # one bm25_topk_index call per distinct filter (doc_filter is
-        # call-scoped); the common no-filter batch stays one call
-        by_filter: dict[tuple, list[dict]] = {}
-        for q in term_qs:
-            key = tuple(sorted((q.get("filters") or {}).items()))
-            by_filter.setdefault(key, []).append(q)
-        from snowball_java_spark.operators.wand import bm25_prefix_topk
+    filtered_kinds = term_qs + phrase_qs + prox_qs + context_qs
+    doc_cols = set(idx.docs(spark).columns)
+    bad = {c for q in filtered_kinds for c in (q.get("filters") or {})} \
+        - doc_cols
+    if bad:
+        raise SystemExit(
+            f"unknown filter field(s) {sorted(bad)}; the index stores "
+            f"doc metadata columns {sorted(doc_cols)}")
 
-        for key, grp in by_filter.items():
+    def by_filter(group: list[dict]):
+        """doc_filter is call-scoped → one operator call per distinct
+        filter; the common no-filter batch stays one call."""
+        out: dict[tuple, list[dict]] = {}
+        for q in group:
+            out.setdefault(
+                tuple(sorted((q.get("filters") or {}).items())), []
+            ).append(q)
+        for key, grp in out.items():
             flt = (reduce(lambda a, b: a & b,
                           [F.col(c) == F.lit(v) for c, v in key])
                    if key else None)
-            # bm25_prefix_topk expands tok* wildcards against the
-            # vocabulary and passes wildcard-free batches straight through
-            parts.append(
-                bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
-    if phrase_qs:
-        parts.append(phrase_topk_index(spark, idx, phrase_qs, cfg=idx.cfg))
+            yield flt, grp
+
+    parts = []
+    from snowball_java_spark.operators.wand import bm25_prefix_topk
+
+    for flt, grp in by_filter(term_qs):
+        # bm25_prefix_topk expands tok* wildcards against the vocabulary
+        # and passes wildcard-free batches straight through
+        parts.append(
+            bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+    for flt, grp in by_filter(phrase_qs):
+        parts.append(
+            phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if prox_qs:
         from snowball_java_spark.operators.positions import (
             proximity_topk_index,
         )
 
-        parts.append(proximity_topk_index(spark, idx, prox_qs, cfg=idx.cfg))
+        for flt, grp in by_filter(prox_qs):
+            parts.append(proximity_topk_index(
+                spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if context_qs:
         from snowball_java_spark.operators.context import context_topk_index
 
-        parts.append(context_topk_index(spark, idx, context_qs, cfg=idx.cfg))
+        for flt, grp in by_filter(context_qs):
+            parts.append(context_topk_index(
+                spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if grep_qs:
         from pyspark.sql import Window
         from pyspark.sql import functions as F

@@ -183,10 +183,14 @@ SELECT doc_id, (rank - {after})::BIGINT AS rank, round(score, 6) AS score FROM (
 """
 
 
-def _phrase_sql(phrase: list[str], k: int) -> str:
+def _phrase_sql(phrase: list[str], k: int, source: str | None = None) -> str:
     L = len(phrase)
     cond = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(phrase))
     tf_expr = f"len(list_filter(range(1, len(toks) - {L} + 2), i -> {cond}))"
+    scope = (
+        f" AND doc_id IN (SELECT doc_id FROM documents "
+        f"WHERE source = '{source}')" if source else ""
+    )
     w = (
         f"ln(1 + (st.n_docs - dfp.df + 0.5) / (dfp.df + 0.5)) * m.tf * {_K1 + 1.0} "
         f"/ (m.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl))"
@@ -195,7 +199,8 @@ def _phrase_sql(phrase: list[str], k: int) -> str:
 WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
 st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
-m AS (SELECT doc_id, {tf_expr}::BIGINT AS tf FROM toks WHERE {tf_expr} > 0),
+m AS (SELECT doc_id, {tf_expr}::BIGINT AS tf FROM toks
+      WHERE {tf_expr} > 0{scope}),
 dfp AS (SELECT count(*)::BIGINT AS df FROM m),
 sc AS (SELECT m.doc_id, {w} AS score
        FROM m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfp)
@@ -299,6 +304,28 @@ def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = phrase_topk_index(
         spark, idx, [{"query_id": 0, "phrase": _PHRASE, "k": 10}], cfg=_INDEX_CFG
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_phrase_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped phrase search: metadata filter folded into the dead
+    sidecar, phrase df computed over the matching scope."""
+    from snowball_java_spark.operators.positions import phrase_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = phrase_topk_index(
+        spark, idx, [{"query_id": 0, "phrase": _PHRASE, "k": 10}],
+        cfg=_INDEX_CFG, doc_filter=f"repo = '{_FILTER_SOURCE}'",
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -2163,6 +2190,10 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25_phrase_topk": Q(_q_bm25_phrase, _phrase_sql(_PHRASE, 10)),
         "bm25_phrase_index_topk": Q(_q_bm25_phrase_index, _phrase_sql(_PHRASE, 10)),
+        "bm25_phrase_index_filtered": Q(
+            _q_bm25_phrase_index_filtered,
+            _phrase_sql(_PHRASE, 10, source=_FILTER_SOURCE),
+        ),
         "bm25_snippets": Q(
             _q_bm25_snippets, _snippets_sql(HOT_TERMS, 10, _SNIPPET_W)
         ),

@@ -142,12 +142,12 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
                 "cannot mix a quoted phrase with bare/required/wildcard "
                 "terms")
         if window is not None:
-            if not_terms or filters:
+            if not_terms:
                 raise QueryParseError(
-                    "proximity (~N) does not compose with -term or "
-                    "field filters")
+                    "proximity (~N) does not compose with -term")
             return {"query_id": int(query_id), "k": int(k),
-                    "terms": sorted(set(phrase)), "window": window}
+                    "terms": sorted(set(phrase)), "window": window,
+                    "filters": filters}
         return {"query_id": int(query_id), "k": int(k), "phrase": phrase,
                 "not_terms": sorted(set(not_terms)), "filters": filters}
 

@@ -167,6 +167,7 @@ def context_topk_index(
     index,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
 ) -> DataFrame:
     """Context-window top-k over the POSITIONAL SIDECAR of an on-disk
     index — no corpus scan at all (north_star's subsumption sentence:
@@ -225,7 +226,8 @@ def context_topk_index(
     pos = index.positions(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    with_meta = pos.join(index.scoring_doc_meta(spark), "shard")
+    with_meta = pos.join(
+        index.scoring_doc_meta(spark, doc_filter=doc_filter), "shard")
     k1, b = cfg.k1, cfg.b
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -228,11 +228,16 @@ def phrase_topk_index(
     index,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
 ) -> DataFrame:
     """Phrase top-k over the positional sidecar of an IndexReader.
 
     Scan pruning mirrors the WAND path: bucket directory pruning + term
-    row-group pruning, so only the phrase terms' rows are read.  Per-shard
+    row-group pruning, so only the phrase terms' rows are read.
+    ``doc_filter`` scopes candidates by docs metadata (folded into the
+    dead sidecar + whole-shard semi-join pruning, see
+    ``IndexReader.scoring_doc_meta``); phrase df — and hence the
+    phrase idf — is computed over the MATCHING scope.  Per-shard
     matching emits (query, doc, tf, dl); global df and BM25 scoring happen
     declaratively on that small relation (df = match count per query,
     since each matching doc contributes exactly one row).
@@ -251,7 +256,8 @@ def phrase_topk_index(
     pos = index.positions(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    with_meta = pos.join(index.scoring_doc_meta(spark), "shard")
+    with_meta = pos.join(
+        index.scoring_doc_meta(spark, doc_filter=doc_filter), "shard")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return phrase_match_kernel(pdf, q_spec)
@@ -361,6 +367,7 @@ def proximity_topk_index(
     index,
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
 ) -> DataFrame:
     """Proximity top-k over the positional sidecar: docs where ALL of a
     query's ``terms`` co-occur within ``window`` tokens (unordered),
@@ -388,7 +395,8 @@ def proximity_topk_index(
     tstats = (index.term_stats(spark)
               .filter(F.col("term").isin(terms)).select("term", "idf"))
     with_meta = (pos.join(F.broadcast(tstats), "term")
-                 .join(index.scoring_doc_meta(spark), "shard"))
+                 .join(index.scoring_doc_meta(spark, doc_filter=doc_filter),
+                       "shard"))
     avgdl = float(index.avgdl)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

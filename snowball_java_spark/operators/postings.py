@@ -258,3 +258,32 @@ def decode_dead_bytes(val) -> "np.ndarray | None":
         return None
     ids = delta_decode(varint_decode(bytes(val)))
     return ids if ids.size else None
+
+
+def merge_dead_cols(df: DataFrame, a_col: str, b_col: str,
+                    out_col: str = "dead_bytes") -> DataFrame:
+    """Union two per-shard sorted delta-varint dead-id sidecars into one
+    (tombstones ∪ metadata-filter exclusions).  Runs on ≤ n_shards rows
+    — an Arrow-batched scalar UDF, never corpus-sized."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from snowball_java_spark.functions.codecs import delta_encode
+
+    @pandas_udf("binary")
+    def _merge(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for av, bv in zip(a, b):
+            da, db = decode_dead_bytes(av), decode_dead_bytes(bv)
+            if da is None and db is None:
+                out.append(None)
+            elif da is None:
+                out.append(bytes(bv))
+            elif db is None:
+                out.append(bytes(av))
+            else:
+                out.append(varint_encode(delta_encode(np.union1d(da, db))))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _merge(F.col(a_col), F.col(b_col))) \
+        .drop(*[c for c in (a_col, b_col) if c != out_col])

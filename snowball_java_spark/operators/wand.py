@@ -476,13 +476,6 @@ def score_shards(
         # has deletes; see IndexReader.scoring_doc_meta)
         dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
                 if "dead_bytes" in pdf.columns else None)
-        # per-shard metadata-filter exclusion sidecar (column only present
-        # for scoped searches; see bm25_topk_index(doc_filter=...)) — docs
-        # failing the filter behave exactly like tombstones for this call
-        if "filter_dead_bytes" in pdf.columns:
-            fdead = decode_dead_bytes(pdf["filter_dead_bytes"].iloc[0])
-            if fdead is not None:
-                dead = fdead if dead is None else np.union1d(dead, fdead)
         by_term: dict[str, _TermList] = {}
         rows_by_term: dict[str, object] = {}
         for _, row in pdf.iterrows():
@@ -550,14 +543,12 @@ def bm25_topk_index(
     commit, lang, ...) restricting CANDIDATE docs; corpus-wide stats
     (idf, avgdl) stay global, the same semantics as the join path's
     ``candidate_predicate``.  Applies to every query in this call.
-    Execution at scale: one metadata-only scan of the docs table (column
-    pruning keeps content/tf_map on disk; the predicate pushes into the
-    parquet scan), non-matching docs become a per-shard delta-varint
-    exclusion sidecar dropped at posting-block decode (the tombstone
-    mechanism — bounds only ever overestimate, so MaxScore pruning stays
-    exact), and shards with ZERO matching docs are semi-joined away
-    before the scoring kernel, so a repo/lang-clustered corpus prunes
-    whole shards.  Sidecar size ∝ non-matching docs in matched shards
+    Execution at scale (see ``IndexReader.scoring_doc_meta``): one
+    metadata-only docs pass folds non-matching docs into the per-shard
+    ``dead_bytes`` exclusion sidecar dropped at posting-block decode
+    (bounds only ever overestimate, so MaxScore pruning stays exact),
+    and shards with ZERO matching docs are semi-joined away before the
+    scoring kernel.  Sidecar size ∝ non-matching docs in matched shards
     (≈1 byte/doc on dense ranges), never ∝ postings."""
     terms = sorted({t for q in queries
                     for t in list(q["terms"]) + list(q.get("not_terms", []))})
@@ -567,28 +558,8 @@ def bm25_topk_index(
     )
     tstats = index.term_stats(spark).filter(F.col("term").isin(terms)).select("term", "idf")
     posts = posts.join(F.broadcast(tstats), "term")
-    meta = index.scoring_doc_meta(spark)
+    meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
     with_meta = posts.join(meta, "shard")
-    if doc_filter is not None:
-        from snowball_java_spark.operators.postings import (
-            build_dead_meta,
-            shard_expr,
-        )
-
-        pred = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
-        # null predicate results = non-match (filter semantics)
-        match = F.coalesce(pred, F.lit(False))
-        docs = index.docs(spark)
-        fmeta = build_dead_meta(
-            docs.filter(~match).select("doc_id"), index.cfg
-        ).withColumnRenamed("dead_bytes", "filter_dead_bytes")
-        allowed_shards = docs.filter(match).select(
-            shard_expr("doc_id", index.cfg.shard_size).alias("shard")
-        ).distinct()
-        with_meta = (
-            with_meta.join(allowed_shards, "shard", "left_semi")
-            .join(fmeta, "shard", "left")
-        )
     scores = score_shards(with_meta, queries, index.avgdl, cfg,
                           block_metrics=block_metrics)
     from snowball_java_spark.operators.bm25_join import queries_df

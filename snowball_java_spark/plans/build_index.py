@@ -235,14 +235,50 @@ class IndexReader:
             return self._read_or_empty(spark, "dead_meta", DEAD_META_SCHEMA)
         return build_dead_meta(self.tombstones(spark), self.cfg)
 
-    def scoring_doc_meta(self, spark: SparkSession) -> DataFrame:
+    def scoring_doc_meta(
+        self, spark: SparkSession, doc_filter=None
+    ) -> DataFrame:
         """doc_meta for the scoring kernels: when tombstones exist, a
         ``dead_bytes`` column rides along (absent otherwise — kernels
-        treat a missing column as 'all live')."""
+        treat a missing column as 'all live').
+
+        ``doc_filter`` (scoped search, any index query path): a predicate
+        over the docs metadata columns.  Non-matching docs fold INTO the
+        ``dead_bytes`` sidecar (one metadata-only docs pass — column
+        pruning keeps content/tf_map on disk — then a per-shard union
+        with the tombstones on ≤ n_shards rows), and shards with zero
+        matching docs drop out entirely (semi join), so every kernel that
+        honors tombstones honors filters for free and whole-shard pruning
+        applies to phrase/context/proximity exactly as to MaxScore.
+        NULL predicate results count as non-matches."""
+        from pyspark.sql import functions as F
+
+        from snowball_java_spark.operators.postings import (
+            build_dead_meta,
+            merge_dead_cols,
+            shard_expr,
+        )
+
         meta = self.doc_meta(spark)
         if self.has_tombstones:
             meta = meta.join(self.dead_meta(spark), "shard", "left")
-        return meta
+        if doc_filter is None:
+            return meta
+        pred = (F.expr(doc_filter) if isinstance(doc_filter, str)
+                else doc_filter)
+        match = F.coalesce(pred, F.lit(False))
+        docs = self.docs(spark)
+        fmeta = build_dead_meta(
+            docs.filter(~match).select("doc_id"), self.cfg
+        ).withColumnRenamed("dead_bytes", "filter_dead_bytes")
+        allowed_shards = docs.filter(match).select(
+            shard_expr("doc_id", self.cfg.shard_size).alias("shard")
+        ).distinct()
+        meta = (meta.join(allowed_shards, "shard", "left_semi")
+                .join(fmeta, "shard", "left"))
+        if self.has_tombstones:
+            return merge_dead_cols(meta, "dead_bytes", "filter_dead_bytes")
+        return meta.withColumnRenamed("filter_dead_bytes", "dead_bytes")
 
 
 def build_index(

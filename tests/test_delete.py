@@ -275,3 +275,51 @@ def test_delete_retry_after_crash_still_applies(spark, tmp_path_factory):
     got_stats = {r["term"]: (r["df"], r["cf"])
                  for r in idx.term_stats(spark).collect()}
     assert got_stats == want_stats  # no double-subtraction, no stale rows
+
+
+def test_doc_filter_composes_with_tombstones(spark, mutated_idx):
+    """Scoped search on a mutated index: metadata-filter exclusions and
+    delete tombstones merge into ONE dead sidecar (merge_dead_cols) —
+    dead docs stay dead inside the filter scope, filter excludes the
+    rest."""
+    from snowball_java_spark.operators.positions import (
+        phrase_topk_index,
+        proximity_topk_index,
+    )
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    assert mutated_idx.has_tombstones
+    oracle = OracleIndex(_live_oracle_docs())
+    live_ids = {d for d, _ in _live_oracle_docs()}
+
+    # commit='c1' = exactly the 10 updated (live) docs
+    res = bm25_topk_index(
+        spark, mutated_idx, [{"query_id": 0, "terms": ["def"], "k": 200}],
+        cfg=mutated_idx.cfg, doc_filter="commit = 'c1'").collect()
+    upd_ids = {BASE_ID0_DELTA + j for j in range(10)}
+    assert {r["doc_id"] for r in res} == upd_ids
+    full = oracle.topk(["def"], 200)
+    expect = [(d, s) for d, s in full if d in upd_ids]
+    mine = sorted((r["rank"], r["doc_id"], r["score"]) for r in res)
+    assert [d for _, d, _ in mine] == [d for d, _ in expect]
+    for (_, _, s), (_, es) in zip(mine, expect):
+        assert s == pytest.approx(es, rel=1e-9)
+
+    # commit='c0' scope: every deleted/superseded doc must stay dead
+    res = bm25_topk_index(
+        spark, mutated_idx, [{"query_id": 0, "terms": ["def"], "k": 200}],
+        cfg=mutated_idx.cfg, doc_filter="commit = 'c0'").collect()
+    got = {r["doc_id"] for r in res}
+    assert got == (live_ids - upd_ids) and got
+    # positional paths honor the same filter (phrase df is scope-level)
+    ph = phrase_topk_index(
+        spark, mutated_idx,
+        [{"query_id": 0, "phrase": ["magic", "phrase"], "k": 200}],
+        cfg=mutated_idx.cfg, doc_filter="commit = 'c1'").collect()
+    assert ph == []  # updates removed the phrase
+    pr = proximity_topk_index(
+        spark, mutated_idx,
+        [{"query_id": 0, "terms": ["def", "updated_marker"], "window": 2,
+          "k": 200}],
+        cfg=mutated_idx.cfg, doc_filter="commit = 'c0'").collect()
+    assert pr == []  # marker exists only in c1 docs

@@ -193,8 +193,9 @@ def test_parse_wildcards():
 def test_parse_proximity():
     p = parse_query('"def return"~4')
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
-                 "window": 4}
+                 "window": 4, "filters": {}}
+    assert parse_query('"a b"~4 lang:py')["filters"] == {"lang": "py"}
     for bad in ['~4 "a b"', '"a b"~x', '"a b"~-1', 'def ~4', '"a b"~4 -c',
-                '"a b"~4 lang:py', '"a b"~4 ~5']:
+                '"a b"~4 ~5']:
         with pytest.raises(QueryParseError):
             parse_query(bad)
