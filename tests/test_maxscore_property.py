@@ -129,3 +129,50 @@ def test_maxscore_equals_exhaustive(data):
     np.testing.assert_allclose(
         got_scores, [s for _, s in expect], rtol=1e-12, atol=0
     )
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_maxscore_cursor_equals_exhaustive_slice(data):
+    """search_after property: for ANY cursor taken from the exhaustive
+    full ranking, the pruned kernel must return exactly the next-k slice
+    — across pruning-active shards, ties, deep and shallow cursors, and
+    cursors past the end."""
+    n_docs = data.draw(st.integers(300, 900))
+    n_terms = data.draw(st.integers(1, 4))
+    k = data.draw(st.integers(1, 10))
+    rng = np.random.RandomState(data.draw(st.integers(0, 10**6)))
+    dls = rng.randint(1, 200, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    lists, truth = [], {}
+    for t in range(n_terms):
+        density = data.draw(st.sampled_from([0.01, 0.1, 0.7]))
+        mask = rng.rand(n_docs) < density
+        docs = np.nonzero(mask)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        tfs = rng.choice([1, 1, 2, 3, 8], size=docs.size).astype(np.int64)
+        idf = float(idf_np(np.array([docs.size]), n_docs)[0])
+        lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
+        w = weight_np(tfs, np.float64(idf), dls[docs], avgdl, CFG.k1, CFG.b)
+        for d, wv in zip(docs, w):
+            truth[d] = truth.get(d, 0.0) + wv
+
+    full = sorted(truth.items(), key=lambda x: (-x[1], x[0]))
+    if not full:
+        return
+    # cursor at a hypothesis-chosen rank — taken VERBATIM from the
+    # kernel's own output (the documented contract: engine float64
+    # scoring is deterministic, an oracle-recomputed score can differ by
+    # an ulp and is NOT a valid cursor)
+    at = data.draw(st.integers(0, len(full) - 1))
+    head_docs, head_scores = maxscore_topk_shard(
+        lists, at + 1, dls, 0, avgdl, CFG)
+    cd, cs = int(head_docs[-1]), float(head_scores[-1])
+    got_docs, got_scores = maxscore_topk_shard(
+        lists, k, dls, 0, avgdl, CFG, cursor=(cs, cd))
+    expect = full[at + 1: at + 1 + k]
+    assert list(got_docs) == [d for d, _ in expect], f"cursor at rank {at}"
+    np.testing.assert_allclose(
+        got_scores, [s for _, s in expect], rtol=1e-12, atol=0)
