@@ -80,6 +80,9 @@ def main(argv: list[str]) -> int:
         if "q" in q:
             qs[i] = parse_query(q["q"], query_id=q.get("query_id", i),
                                 k=q.get("k", 10))
+        else:
+            # bare jsonl lines get their line index as the query id
+            q.setdefault("query_id", i)
     if any(q.get("not_terms") and "terms" not in q for q in qs):
         raise SystemExit(
             "NOT terms are only supported on terms queries (OR/AND)")

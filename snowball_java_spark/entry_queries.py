@@ -1334,6 +1334,36 @@ def _q_emb_ivf_index(spark, sf_dir):
     )
 
 
+def _q_emb_filtered(spark, sf_dir):
+    """Metadata-filtered exact ANN (PRE-filter semantics): top-k cosine
+    among rows whose ``label % 3 == 0`` only — the filter reaches the
+    parquet scan, dot products are never computed for excluded rows."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.brute_force_topk(
+        e, qvec, 10, predicate=(F.col("label") % 3 == 0))
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+def _q_emb_ivf_filtered(spark, sf_dir):
+    """Metadata-filtered ANN over the PERSISTED IVF index, full probe
+    (exact ⇒ same oracle as brute force): cell probe = partition-
+    directory prune, label predicate = row-group pushdown inside the
+    probed cells — both prunings compose."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.ivf_topk_index(
+        spark, _ivf_index_for(spark, sf_dir), qvec, 10, n_probe=8,
+        predicate=(F.col("label") % 3 == 0))
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
 _EMB_ND_CAP = 40
 _EMB_ND_PLANES = 4
 
@@ -2035,7 +2065,7 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
-def _emb_sql(lsh: bool) -> str:
+def _emb_sql(lsh: bool, label_filter: str | None = None) -> str:
     from snowball_java_spark.operators.similarity import hyperplane
 
     cos = (
@@ -2051,19 +2081,28 @@ def _emb_sql(lsh: bool) -> str:
             f"THEN {1 << p} ELSE 0 END)"
             for p, pl in enumerate(planes)
         )
-        bucket_cte = f", bk AS (SELECT vec_id, emb, {bexpr} AS bucket FROM e)"
+        bucket_cte = f", bk AS (SELECT vec_id, emb, label, {bexpr} AS bucket FROM e)"
         bucket_filter = (
             "WHERE e.bucket = (SELECT bucket FROM bk WHERE vec_id = 0)"
         )
     src = "bk" if lsh else "e"
+    cand_filter = bucket_filter
+    if label_filter is not None:
+        # pre-filter semantics: metadata restricts the CANDIDATE set;
+        # the query vector still comes from the unfiltered table.
+        cand_filter = (
+            f"{bucket_filter} AND ({label_filter})"
+            if bucket_filter
+            else f"WHERE ({label_filter})"
+        )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings)
 {bucket_cte},
 q AS (SELECT emb FROM e WHERE vec_id = 0),
 cs AS (
   SELECT e.vec_id, round({cos}, 6) AS cosine
   FROM {src} e CROSS JOIN q
-  {bucket_filter}
+  {cand_filter}
 )
 SELECT rank, vec_id, cosine FROM (
   SELECT vec_id, cosine,
@@ -2363,6 +2402,10 @@ FROM g
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
         "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
         "embedding_ivf_index_topk": Q(_q_emb_ivf_index, _emb_sql(lsh=False)),
+        "embedding_filtered_topk": Q(
+            _q_emb_filtered, _emb_sql(lsh=False, label_filter="e.label % 3 = 0")),
+        "embedding_ivf_filtered_topk": Q(
+            _q_emb_ivf_filtered, _emb_sql(lsh=False, label_filter="e.label % 3 = 0")),
         "embedding_near_dup": Q(_q_emb_near_dup, _emb_near_dup_sql()),
         "lang_id": Q(_q_lang_id, _lang_sql()),
         "quality_score": Q(_q_quality, _quality_sql()),

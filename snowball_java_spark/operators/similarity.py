@@ -60,11 +60,26 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def brute_force_topk(
-    emb: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id"
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """Exact cosine top-k against a constant query vector.
     At scale: one pass, partial top-k per partition via the sort-limit
-    (Spark's TakeOrderedAndProject), no shuffle of full scores."""
+    (Spark's TakeOrderedAndProject), no shuffle of full scores.
+
+    ``predicate`` is metadata-filtered search (PRE-filter semantics, the
+    Qdrant/Vespa convention): the filter restricts the candidate set
+    BEFORE scoring, so the result is the exact top-k OF the matching
+    rows (never fewer than k matches when k exist — unlike post-filter,
+    which scores first and can return an underfull page).  The predicate
+    is a plain Column on metadata columns, so Catalyst pushes it into
+    the parquet scan (dot products are never computed for filtered
+    rows)."""
+    if predicate is not None:
+        emb = emb.filter(predicate)
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         emb.select(
@@ -82,15 +97,19 @@ def lsh_topk(
     k: int,
     n_planes: int = 4,
     id_col: str = "vec_id",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """ANN: restrict to the query's LSH bucket, then exact cosine top-k.
-    Recall < 1 by design; the bucket predicate is what scales."""
+    Recall < 1 by design; the bucket predicate is what scales.
+    ``predicate`` composes (pre-filter): metadata filter ∧ bucket match."""
     dim = len(query_vec)
     planes = [hyperplane(p, dim) for p in range(n_planes)]
     qbucket = 0
     for p, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, plane)) > 0:
             qbucket |= 1 << p
+    if predicate is not None:
+        emb = emb.filter(predicate)
     bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
     return brute_force_topk(
         bucketed.filter(F.col("bucket") == qbucket), query_vec, k, id_col
@@ -145,10 +164,12 @@ def ivf_topk(
     centroids=None,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize rows into cells (broadcast centroids,
     JVM-side assignment), search only the n_probe cells nearest the query.
-    n_probe == n_cells degrades gracefully to exact brute force (tested)."""
+    n_probe == n_cells degrades gracefully to exact brute force (tested).
+    ``predicate`` composes (pre-filter) with the cell probe."""
     import numpy as np
 
     if centroids is None:
@@ -156,6 +177,8 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    if predicate is not None:
+        emb = emb.filter(predicate)
     cells = emb.withColumn("cell", cell_assign_expr(F.col("embedding"), centroids))
     return brute_force_topk(
         cells.filter(F.col("cell").isin(probe)), query_vec, k, id_col
@@ -214,16 +237,25 @@ def ivf_topk_index(
     k: int,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """IVF ANN over the PERSISTED index: only the n_probe nearest cells'
     partition directories are read (assert via PartitionFilters —
-    tests/test_plans.py).  n_probe == n_cells is exact."""
+    tests/test_plans.py).  n_probe == n_cells is exact.
+
+    ``predicate`` (metadata pre-filter) composes with BOTH prunings: the
+    cell probe stays a partition-directory prune and the metadata filter
+    pushes into the parquet row-group scan of the probed cells
+    (PushedFilters — the filtered-search shape every vector store needs:
+    read 3% of directories, then only matching row groups)."""
     import numpy as np
 
     rows, centroids = read_ivf_index(spark, index_dir)
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in np.argsort(d2)[:n_probe]]
+    if predicate is not None:
+        rows = rows.filter(predicate)
     return brute_force_topk(
         rows.filter(F.col("cell").isin(probe)), query_vec, k, id_col)
 

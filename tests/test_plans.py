@@ -204,3 +204,22 @@ def test_proximity_positions_scan_prunes_bucket_and_term(spark, idx):
     assert "bucket" in pf
     pushed = plan.split("PushedFilters", 1)[1][:200]
     assert "term" in pushed
+
+
+def test_ivf_filtered_pushes_label_into_probed_cells(spark):
+    """Filtered vector search over the persisted IVF index: the cell
+    probe stays a PartitionFilter AND the metadata predicate reaches the
+    parquet row-group scan (PushedFilters) — both prunings compose."""
+    from snowball_java_spark.entry_queries import _emb, _ivf_index_for
+    from snowball_java_spark.operators.similarity import ivf_topk_index
+
+    e = _emb(spark, SF)
+    qvec = [float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    df = ivf_topk_index(spark, _ivf_index_for(spark, SF), qvec, 5,
+                        n_probe=2, predicate=(F.col("label") % 3 == 0))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters", 1)[1][:200]

@@ -132,3 +132,44 @@ def test_near_dup_bucketed_is_equi_join_and_matches_unblocked(spark, emb):
               if bk[r["id_a"]] == bk[r["id_b"]]}
     got = {(r["id_a"], r["id_b"], r["cosine"]) for r in pairs.collect()}
     assert got == expect
+
+
+def test_filtered_topk_prefilter_semantics(spark, emb, qvec):
+    """PRE-filter: result = exact top-k OF the matching rows (full page
+    whenever >= k rows match), never post-filter's underfull page."""
+    pred = F.col("label") % 3 == 0
+    got = brute_force_topk(emb, qvec, 10, predicate=pred).collect()
+    assert len(got) == 10
+    labels = {
+        r["label"]
+        for r in emb.filter(F.col("vec_id").isin([x["vec_id"] for x in got]))
+        .select("vec_id", "label").collect()
+    }
+    assert all(l % 3 == 0 for l in labels)
+    # equals brute force over the pre-filtered relation
+    ref = brute_force_topk(emb.filter(pred), qvec, 10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in ref]
+
+
+def test_filtered_topk_composes_with_ivf_and_lsh(spark, emb, qvec):
+    """The predicate composes with both ANN prunings; full-probe IVF
+    stays exact under the filter."""
+    pred = F.col("label") % 3 == 0
+    cents = train_ivf_centroids(emb, n_cells=8)
+    exact = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(emb, qvec, 10, predicate=pred).collect()]
+    ivf = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk(emb, qvec, 10, centroids=cents, n_probe=8,
+                             predicate=pred).collect()]
+    assert ivf == exact
+    ann = lsh_topk(emb, qvec, 10, n_planes=4, predicate=pred).collect()
+    exact_ids = dict(exact)
+    for r in ann:  # ANN under filter: subset of the filtered corpus, exact scores
+        assert r["cosine"] == pytest.approx(
+            exact_ids.get(r["vec_id"],
+                          brute_force_topk(
+                              emb.filter(F.col("vec_id") == r["vec_id"]),
+                              qvec, 1).collect()[0]["cosine"]), rel=1e-9)
+    matched = {r["vec_id"] for r in emb.filter(pred).select("vec_id").collect()}
+    assert {r["vec_id"] for r in ann} <= matched
