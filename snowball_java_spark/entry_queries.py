@@ -1334,6 +1334,76 @@ def _q_emb_ivf_index(spark, sf_dir):
     )
 
 
+_HYBRID_DEPTH = 30
+_RRF_K = 60
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-depth pool (lexical) ⊕ cosine
+    top-depth pool (vector, query = vec 0's embedding) fused with RRF.
+    Pools are depth=30, fused page k=10."""
+    from snowball_java_spark.operators import hybrid
+
+    lex = _bm25_topk_df(spark, sf_dir, HOT_TERMS, _HYBRID_DEPTH).select(
+        "doc_id", "rank")
+    e = _emb(spark, sf_dir)
+    qvec = [float(x)
+            for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    vec = hybrid.with_rank(
+        similarity.brute_force_topk(e, qvec, _HYBRID_DEPTH),
+        [F.desc("cosine"), F.asc("vec_id")], id_col="vec_id",
+    ).withColumnRenamed("vec_id", "doc_id")
+    return hybrid.hybrid_topk(lex, vec, 10, rrf_k=_RRF_K)
+
+
+def _hybrid_rrf_sql(terms: list[str], k: int, depth: int, rrf_k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    cos = (
+        "list_dot_product(e.emb, qv.emb) / "
+        "(sqrt(list_dot_product(e.emb, e.emb)) * "
+        "sqrt(list_dot_product(qv.emb, qv.emb)))"
+    )
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+    FROM scores
+  ) WHERE rank <= {depth}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+qv AS (SELECT emb FROM e WHERE vec_id = 0),
+vec AS (
+  SELECT doc_id, rank FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (
+             ORDER BY {cos} DESC, e.vec_id ASC)::BIGINT AS rank
+    FROM e CROSS JOIN qv
+  ) WHERE rank <= {depth}
+),
+fused AS (
+  SELECT doc_id, sum(1.0 / ({rrf_k} + rank)) AS rrf_score
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+  GROUP BY 1
+)
+SELECT rank, doc_id, round(rrf_score, 6) AS rrf_score FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::BIGINT AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 def _q_emb_filtered(spark, sf_dir):
     """Metadata-filtered exact ANN (PRE-filter semantics): top-k cosine
     among rows whose ``label % 3 == 0`` only — the filter reaches the
@@ -1362,6 +1432,64 @@ def _q_emb_ivf_filtered(spark, sf_dir):
     return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "vec_id", "cosine"
     )
+
+
+_BATCH_QIDS = [0, 1, 2]
+
+
+def _emb_batch_queries(spark, sf_dir) -> list[dict]:
+    e = _emb(spark, sf_dir)
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").isin(_BATCH_QIDS)).collect()
+    }
+    return [{"query_id": i, "vec": rows[i], "k": 10} for i in _BATCH_QIDS]
+
+
+def _q_emb_batch(spark, sf_dir):
+    """Batched exact ANN: three query vectors, ONE corpus pass, per-query
+    two-phase top-k."""
+    res = similarity.brute_force_topk_batch(
+        _emb(spark, sf_dir), _emb_batch_queries(spark, sf_dir))
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "vec_id", "cosine")
+
+
+def _q_emb_ivf_batch(spark, sf_dir):
+    """Batched ANN over the persisted IVF index, full probe (exact ⇒
+    same oracle): one read of the union of probed cells, each row scored
+    only against the queries probing its cell."""
+    res = similarity.ivf_topk_index_batch(
+        spark, _ivf_index_for(spark, sf_dir),
+        _emb_batch_queries(spark, sf_dir), n_probe=8)
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "vec_id", "cosine")
+
+
+def _emb_batch_sql(k: int = 10) -> str:
+    qids = ", ".join(str(i) for i in _BATCH_QIDS)
+    cos = (
+        "list_dot_product(e.emb, q.qemb) / "
+        "(sqrt(list_dot_product(e.emb, e.emb)) * "
+        "sqrt(list_dot_product(q.qemb, q.qemb)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id IN ({qids})),
+cs AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cosine
+  FROM e CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank
+  FROM cs
+) WHERE rank <= {k}
+"""
 
 
 _EMB_ND_CAP = 40
@@ -2402,10 +2530,15 @@ FROM g
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
         "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
         "embedding_ivf_index_topk": Q(_q_emb_ivf_index, _emb_sql(lsh=False)),
+        "hybrid_rrf_topk": Q(
+            _q_hybrid_rrf,
+            _hybrid_rrf_sql(HOT_TERMS, 10, _HYBRID_DEPTH, _RRF_K)),
         "embedding_filtered_topk": Q(
             _q_emb_filtered, _emb_sql(lsh=False, label_filter="e.label % 3 = 0")),
         "embedding_ivf_filtered_topk": Q(
             _q_emb_ivf_filtered, _emb_sql(lsh=False, label_filter="e.label % 3 = 0")),
+        "embedding_batch_topk": Q(_q_emb_batch, _emb_batch_sql()),
+        "embedding_ivf_batch_topk": Q(_q_emb_ivf_batch, _emb_batch_sql()),
         "embedding_near_dup": Q(_q_emb_near_dup, _emb_near_dup_sql()),
         "lang_id": Q(_q_lang_id, _lang_sql()),
         "quality_score": Q(_q_quality, _quality_sql()),

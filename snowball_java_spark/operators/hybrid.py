@@ -1,0 +1,90 @@
+"""Hybrid search: fuse lexical (BM25) and vector (cosine) rankings with
+Reciprocal Rank Fusion (RRF, Cormack-Clarke-Buettcher 2009).
+
+RRF is the standard fusion every hybrid engine ships (Elasticsearch,
+Vespa, OpenSearch): score(d) = Σ_lists 1 / (rrf_k + rank_list(d)), with
+documents absent from a list contributing nothing.  Rank-based fusion
+needs no score normalization across incomparable scales (BM25 vs
+cosine), which is why it beats naive score addition in practice.
+
+Scale shape: each input ranking is already a top-``depth`` relation
+(depth ≪ corpus — the candidate pools), so the fusion itself is a
+union + groupBy over O(lists · depth) rows — driver-trivial at any
+corpus size; the heavy lifting stays inside the existing pruned BM25 /
+ANN operators that produce the pools.
+
+Reference lineage: the reference ranks by a single in-memory TF-IDF
+similarity (snowball/src/vsm/TFIDF.java); fusion of heterogeneous
+rankers has no reference analog — it is north_star scope (the modern
+retrieval stack over the same index).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_rank(df: DataFrame, order, id_col: str = "doc_id") -> DataFrame:
+    """(id, rank) with rank 1-based over ``order`` — for top-``depth``
+    pools ONLY (the window is global; pools are ≤ depth rows by
+    construction, so the single-partition sort is bounded)."""
+    w = Window.orderBy(*order)
+    return df.select(
+        F.col(id_col), F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuse ranked relations (each ``(id_col, rank)``, rank 1-based,
+    ≤ depth rows) into the RRF top-k: (rank, id, rrf_score).
+
+    Deterministic: ties broken id asc; contributions are summed with
+    float64 ``sum`` over ≤ len(ranked) values per id, so the result is
+    order-independent up to float addition of a handful of terms.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked relation")
+    pools = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank").cast("double"))
+             ).alias("contrib"),
+        )
+        for df in ranked
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), pools)
+    fused = u.groupBy(id_col).agg(F.sum("contrib").alias("rrf_score"))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", id_col, F.round("rrf_score", 6).alias("rrf_score"))
+    )
+
+
+def hybrid_topk(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RRF-fuse a lexical pool and a vector pool.
+
+    ``lexical``: (id_col, rank) — e.g. ``bm25_topk_join`` /
+    ``bm25_topk_index`` output for one query (their ``rank`` column is
+    already 1-based).  ``vector``: (id_col, rank) — e.g.
+    ``brute_force_topk``/``ivf_topk_index`` output passed through
+    :func:`with_rank` on (cosine desc, id asc).  Run each pool at
+    ``depth > k`` (conventionally 2-5×k) so a document ranked modestly
+    in both lists can beat one ranked high in only one.
+    """
+    return rrf_fuse([lexical, vector], k, rrf_k=rrf_k, id_col=id_col)

@@ -260,6 +260,125 @@ def ivf_topk_index(
         rows.filter(F.col("cell").isin(probe)), query_vec, k, id_col)
 
 
+def _query_lit(qid: int, vec: list[float]) -> Column:
+    return F.struct(
+        F.lit(int(qid)).alias("query_id"),
+        F.array(*[F.lit(float(v)) for v in vec]).alias("qvec"),
+        F.lit(float(sum(v * v for v in vec)) ** 0.5).alias("qnorm"),
+    )
+
+
+def brute_force_topk_batch(
+    emb: DataFrame,
+    queries: list[dict],
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE corpus
+    pass — the vector twin of the text side's batched queries (every
+    query kernel in this engine takes a query list; N separate scans at
+    10^12 rows is the anti-pattern).
+
+    ``queries``: ``[{"query_id": int, "vec": [...], "k": int}]``.
+    Returns (query_id, rank, id_col, cosine).
+
+    Shape: query vectors ride along as a broadcast literal array
+    (explode AFTER the per-row norm is computed once), so the scan reads
+    the corpus once and scores N× rows map-side; the per-query top-k is
+    the engine's two-phase salted reduction (no single task ever sees a
+    full query's candidates)."""
+    from snowball_java_spark.operators.bm25_join import topk
+
+    if not queries:
+        raise ValueError("empty query batch")
+    if predicate is not None:
+        emb = emb.filter(predicate)
+    qarr = F.array(*[_query_lit(q["query_id"], q["vec"]) for q in queries])
+    scored = (
+        emb.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("embedding"),
+            norm_expr(F.col("embedding")).alias("_enorm"),
+        )
+        .select("doc_id", "embedding", "_enorm", F.explode(qarr).alias("q"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "doc_id",
+            (dot_expr(F.col("embedding"), F.col("q.qvec"))
+             / (F.col("_enorm") * F.col("q.qnorm"))).alias("score"),
+        )
+    )
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", 10))) for q in queries],
+        "query_id int, k int",
+    )
+    return topk(scored, qdf).select(
+        "query_id", "rank",
+        F.col("doc_id").alias(id_col),
+        F.round("score", 6).alias("cosine"),
+    )
+
+
+def ivf_topk_index_batch(
+    spark,
+    index_dir: str,
+    queries: list[dict],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Batched IVF ANN over the persisted index: ONE read of the UNION
+    of all queries' probed cells (still a partition-directory prune);
+    each row is scored only against the queries that probe its cell
+    (literal cell → queries map, exploded per row).  n_probe == n_cells
+    is exact per query."""
+    import numpy as np
+
+    from snowball_java_spark.operators.bm25_join import topk
+
+    if not queries:
+        raise ValueError("empty query batch")
+    rows, centroids = read_ivf_index(spark, index_dir)
+    if predicate is not None:
+        rows = rows.filter(predicate)
+    by_cell: dict[int, list[Column]] = {}
+    for q in queries:
+        qv = np.asarray(q["vec"], dtype=np.float64)
+        d2 = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:n_probe]:
+            by_cell.setdefault(int(c), []).append(
+                _query_lit(q["query_id"], q["vec"]))
+    cell_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in sorted(by_cell)]),
+        F.array(*[F.array(*by_cell[c]) for c in sorted(by_cell)]),
+    )
+    scored = (
+        rows.filter(F.col("cell").isin(list(by_cell)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("embedding"),
+            norm_expr(F.col("embedding")).alias("_enorm"),
+            F.explode(cell_map[F.col("cell")]).alias("q"),
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "doc_id",
+            (dot_expr(F.col("embedding"), F.col("q.qvec"))
+             / (F.col("_enorm") * F.col("q.qnorm"))).alias("score"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", 10))) for q in queries],
+        "query_id int, k int",
+    )
+    return topk(scored, qdf).select(
+        "query_id", "rank",
+        F.col("doc_id").alias(id_col),
+        F.round("score", 6).alias("cosine"),
+    )
+
+
 def embedding_hot_buckets(
     emb: DataFrame,
     max_bucket_size: int,

@@ -1,0 +1,79 @@
+"""RRF hybrid-fusion unit tests (operators/hybrid)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.operators.hybrid import hybrid_topk, rrf_fuse, with_rank
+
+SF = "/root/testdata/sf0.01"
+
+
+def _ranked(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rank long")
+
+
+def test_rrf_matches_hand_computed(spark):
+    a = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _ranked(spark, [(3, 1), (1, 2), (4, 3)])
+    got = {r["doc_id"]: r["rrf_score"]
+           for r in rrf_fuse([a, b], 10, rrf_k=60).collect()}
+    exp = {
+        1: 1 / 61 + 1 / 62,
+        2: 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        4: 1 / 63,
+    }
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert got[d] == pytest.approx(round(s, 6), abs=1e-9)
+
+
+def test_doc_in_both_pools_beats_single_pool_docs(spark):
+    """The RRF property: moderate rank in BOTH lists beats a mid rank in
+    one list only."""
+    a = _ranked(spark, [(10, 1), (7, 2), (8, 3)])
+    b = _ranked(spark, [(11, 1), (7, 2), (9, 3)])
+    rows = rrf_fuse([a, b], 10).collect()
+    order = [r["doc_id"] for r in rows]
+    assert order[0] == 7  # 2×(1/62) > 1/61
+    assert rows[0]["rank"] == 1
+
+
+def test_rank_ties_break_doc_id_asc(spark):
+    a = _ranked(spark, [(5, 1), (2, 2)])
+    b = _ranked(spark, [(2, 1), (5, 2)])
+    order = [r["doc_id"] for r in rrf_fuse([a, b], 10).collect()]
+    assert order == [2, 5]  # identical scores → id asc
+
+
+def test_hybrid_index_path_pools_compose(spark):
+    """End-to-end: block-max index BM25 pool ⊕ persisted-IVF vector pool
+    fuse into a page whose members each come from (at least) one pool."""
+    from snowball_java_spark.entry_queries import (
+        HOT_TERMS,
+        _emb,
+        _index_for,
+        _ivf_index_for,
+    )
+    from snowball_java_spark.operators.similarity import ivf_topk_index
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    idx = _index_for(spark, SF)
+    lex = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": HOT_TERMS, "k": 20}]
+    ).select("doc_id", "rank")
+    e = _emb(spark, SF)
+    qvec = [float(x)
+            for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    vec = with_rank(
+        ivf_topk_index(spark, _ivf_index_for(spark, SF), qvec, 20, n_probe=8),
+        [F.desc("cosine"), F.asc("vec_id")], id_col="vec_id",
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = hybrid_topk(lex, vec, 10).collect()
+    assert len(fused) == 10
+    pool_ids = {r["doc_id"] for r in lex.collect()} | {
+        r["doc_id"] for r in vec.collect()}
+    assert {r["doc_id"] for r in fused} <= pool_ids
+    assert [r["rank"] for r in fused] == list(range(1, 11))

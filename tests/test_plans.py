@@ -223,3 +223,19 @@ def test_ivf_filtered_pushes_label_into_probed_cells(spark):
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
     assert "PushedFilters" in plan
     assert "label" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_batch_ann_scans_embeddings_once(spark):
+    """The batched ANN plan must read the embeddings table exactly once
+    — query vectors ride as literals, not as a join against N scans."""
+    from snowball_java_spark.operators.similarity import brute_force_topk_batch
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    df = brute_force_topk_batch(
+        e, [{"query_id": i, "vec": v, "k": 5} for i, v in vecs.items()])
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan

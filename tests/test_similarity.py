@@ -173,3 +173,70 @@ def test_filtered_topk_composes_with_ivf_and_lsh(spark, emb, qvec):
                               qvec, 1).collect()[0]["cosine"]), rel=1e-9)
     matched = {r["vec_id"] for r in emb.filter(pred).select("vec_id").collect()}
     assert {r["vec_id"] for r in ann} <= matched
+
+
+def test_batch_topk_equals_singles(spark, emb):
+    """One-pass batched brute force ≡ N single-query calls."""
+    from snowball_java_spark.operators.similarity import brute_force_topk_batch
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 5, 9])).collect()
+    }
+    queries = [{"query_id": i, "vec": v, "k": 7} for i, v in vecs.items()]
+    got = brute_force_topk_batch(emb, queries).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, vec in vecs.items():
+        single = [
+            (i + 1, r["vec_id"], r["cosine"])
+            for i, r in enumerate(brute_force_topk(emb, vec, 7).collect())
+        ]
+        assert sorted(by_q[qid]) == single, f"query {qid}"
+
+
+def test_ivf_batch_partial_probe_matches_single_calls(spark, emb):
+    """Batched persisted-IVF with partial probe ≡ per-query ivf_topk_index
+    (same probed cells per query, just one shared read)."""
+    from snowball_java_spark.entry_queries import _ivf_index_for
+    from snowball_java_spark.operators.similarity import (
+        ivf_topk_index,
+        ivf_topk_index_batch,
+    )
+
+    SFD = SF
+    idx = _ivf_index_for(spark, SFD)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 3])).collect()
+    }
+    queries = [{"query_id": i, "vec": v, "k": 5} for i, v in vecs.items()]
+    got = ivf_topk_index_batch(spark, idx, queries, n_probe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid, vec in vecs.items():
+        single = [
+            (i + 1, r["vec_id"], r["cosine"])
+            for i, r in enumerate(
+                ivf_topk_index(spark, idx, vec, 5, n_probe=2).collect())
+        ]
+        assert sorted(by_q[qid]) == single, f"query {qid}"
+
+
+def test_batch_topk_respects_predicate_and_per_query_k(spark, emb, qvec):
+    from snowball_java_spark.operators.similarity import brute_force_topk_batch
+
+    queries = [
+        {"query_id": 0, "vec": qvec, "k": 3},
+        {"query_id": 1, "vec": qvec, "k": 8},
+    ]
+    got = brute_force_topk_batch(
+        emb, queries, predicate=(F.col("label") % 3 == 0)).collect()
+    n_by_q = {}
+    for r in got:
+        n_by_q[r["query_id"]] = n_by_q.get(r["query_id"], 0) + 1
+    assert n_by_q == {0: 3, 1: 8}
+    ok = {r["vec_id"] for r in emb.filter(F.col("label") % 3 == 0).collect()}
+    assert {r["vec_id"] for r in got} <= ok
