@@ -58,6 +58,12 @@ def main(argv: list[str]) -> int:
         help="corpus path/table — required for substr/regex queries "
              "(the exact-verification pass reads candidate content)")
     p.add_argument(
+        "--synonyms", default=None,
+        help="JSON file {canonical: [alternatives...]} applied to every "
+             "terms query: a canonical query term scores as ONE merged "
+             "pseudo-term over its group (tf summed before saturation, "
+             "idf from the exact union df)")
+    p.add_argument(
         "--lines", action="store_true",
         help="grep -n output for substr/regex queries: one row per "
              "matching LINE (query_id, doc_id, line_no, line) printed "
@@ -147,11 +153,16 @@ def main(argv: list[str]) -> int:
     parts = []
     from snowball_java_spark.operators.wand import bm25_prefix_topk
 
+    syn = None
+    if args.synonyms:
+        with open(args.synonyms) as f:
+            syn = json.load(f)
     for flt, grp in by_filter(term_qs):
         # bm25_prefix_topk expands tok* wildcards against the vocabulary
         # and passes wildcard-free batches straight through
         parts.append(
-            bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+            bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
+                             synonyms=syn))
     for flt, grp in by_filter(phrase_qs):
         parts.append(
             phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))

@@ -1334,6 +1334,74 @@ def _q_emb_ivf_index(spark, sf_dir):
     )
 
 
+_SYN_TERMS = ["table", "spark"]
+_SYN_TABLE = {"table": ["row"]}
+
+
+def _q_bm25_synonyms(spark, sf_dir):
+    """Join-path BM25 with a synonym group: 'table' scores as ONE
+    pseudo-term over {table, row} (tf summed before saturation, union
+    df); 'spark' stays a plain term."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": _SYN_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl, synonyms=_SYN_TABLE,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _q_bm25_index_synonyms(spark, sf_dir):
+    """Index-path synonym scoring: member posting lists merged in the
+    shard kernel, group idf from the exact union df (one tiny postings
+    job) — same oracle as the join path."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": _SYN_TERMS, "k": 10}],
+        cfg=_INDEX_CFG, synonyms=_SYN_TABLE)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _bm25_synonym_sql(terms: list[str], synonyms: dict[str, list[str]],
+                      k: int) -> str:
+    pairs = []
+    for t in sorted(set(terms)):
+        for m in sorted({t, *synonyms.get(t, [])}):
+            pairs.append((m, t))
+    vals = ", ".join(f"('{m}', '{g}')" for m, g in pairs)
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+syn(term, grp) AS (VALUES {vals}),
+q(term) AS (VALUES {tlist}),
+tfg AS (SELECT t.doc_id, s.grp AS term, sum(t.tf)::BIGINT AS tf
+        FROM tfx t JOIN syn s USING (term) GROUP BY 1, 2),
+dfg AS (SELECT s.grp AS term, count(DISTINCT t.doc_id)::BIGINT AS df
+        FROM tfx t JOIN syn s USING (term) GROUP BY 1),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfg tfx JOIN q USING (term)
+               JOIN dfg dfx USING (term)
+               JOIN dl ON tfx.doc_id = dl.doc_id
+               CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 _HYBRID_DEPTH = 30
 _RRF_K = 60
 
@@ -2530,6 +2598,11 @@ FROM g
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
         "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
         "embedding_ivf_index_topk": Q(_q_emb_ivf_index, _emb_sql(lsh=False)),
+        "bm25_synonym_topk": Q(
+            _q_bm25_synonyms, _bm25_synonym_sql(_SYN_TERMS, _SYN_TABLE, 10)),
+        "bm25_index_synonym_topk": Q(
+            _q_bm25_index_synonyms,
+            _bm25_synonym_sql(_SYN_TERMS, _SYN_TABLE, 10)),
         "hybrid_rrf_topk": Q(
             _q_hybrid_rrf,
             _hybrid_rrf_sql(HOT_TERMS, 10, _HYBRID_DEPTH, _RRF_K)),

@@ -75,6 +75,71 @@ def pruned_tf(docs_tok: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def synonym_maps(
+    terms: list[str], synonyms: dict[str, list[str]]
+) -> tuple[list[str], dict[str, str]]:
+    """(scan_terms, member→canonical) for a query-term set under a
+    synonym table.  A canonical query term expands to itself plus its
+    alternatives; terms without an entry stay themselves.  Semantics are
+    Lucene's SynonymQuery as ONE pseudo-term: tf = Σ member tfs saturated
+    together, df = |docs containing ANY member| (the true union df — we
+    can afford it exactly; Lucene approximates with max member df)."""
+    group_of: dict[str, str] = {}
+    scan: set[str] = set()
+    for t in terms:
+        members = sorted({t, *synonyms.get(t, [])})
+        scan.update(members)
+        if len(members) > 1:
+            for m in members:
+                prev = group_of.setdefault(m, t)
+                if prev != t:
+                    raise ValueError(
+                        f"synonym member {m!r} appears in two groups "
+                        f"({prev!r}, {t!r})")
+    return sorted(scan), group_of
+
+
+def _to_canonical(col: F.Column, group_of: dict[str, str]) -> F.Column:
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(group_of.items()) for x in kv])
+    return F.coalesce(m[col], col)
+
+
+def grouped_tf(
+    docs_tok: DataFrame, scan_terms: list[str], group_of: dict[str, str]
+) -> DataFrame:
+    """(doc_id, dl, term, tf) where ``term`` is the CANONICAL group name
+    and tf sums the member occurrences — one extra map-side re-aggregation
+    over rows already pruned to the member postings."""
+    tfm = pruned_tf(docs_tok, scan_terms)
+    return (
+        tfm.select(
+            "doc_id", "dl",
+            _to_canonical(F.col("term"), group_of).alias("term"), "tf")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+
+def df_for_term_groups(
+    docs_tok: DataFrame, scan_terms: list[str], group_of: dict[str, str]
+) -> DataFrame:
+    """(term, df) at the GROUP level: a doc containing any member counts
+    once (union df) — ``array_distinct`` AFTER the member→canonical map,
+    same prune-before-explode shape as :func:`df_for_terms`."""
+    kept = F.array_distinct(
+        F.transform(
+            F.filter("tokens", lambda x: x.isin(*scan_terms)),
+            lambda x: _to_canonical(x, group_of),
+        )
+    )
+    return (
+        docs_tok.select(F.explode(kept).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
 def df_for_terms(docs_tok: DataFrame, terms: list[str]) -> DataFrame:
     """(term, df) whole-document document-frequencies for ``terms`` only —
     ``array_distinct`` before explode, so each doc contributes at most one
@@ -187,8 +252,15 @@ def bm25_topk_join(
     candidate_predicate: F.Column | None = None,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """End-to-end M1 path from a tokenized docs DataFrame.
+
+    ``synonyms``: ``{canonical: [alternatives...]}`` — a query term with
+    an entry is scored as ONE pseudo-term over the whole group
+    (tf summed across members BEFORE saturation, df = union of member
+    doc sets; see :func:`synonym_maps`).  Alternatives never change the
+    result columns; queries keep referring to the canonical term.
 
     Three pruned passes over the corpus (stats, df-for-query-terms, tf),
     each cheap: nothing but query-term rows is ever exploded or shuffled.
@@ -229,11 +301,17 @@ def bm25_topk_join(
         if candidate_predicate is not None
         else docs_tok
     )
-    tfq = pruned_tf(cand, terms)
+    if synonyms:
+        scan_terms, group_of = synonym_maps(terms, synonyms)
+        tfq = grouped_tf(cand, scan_terms, group_of)
+        dfs = df_for_term_groups(docs_tok, scan_terms, group_of)
+    else:
+        tfq = pruned_tf(cand, terms)
+        dfs = df_for_terms(docs_tok, terms)
     q_stats = F.broadcast(
         qdf.select("query_id", "term")
         .distinct()
-        .join(df_for_terms(docs_tok, terms), "term", "left")
+        .join(dfs, "term", "left")
         .fillna(0, subset=["df"])
     )
     w = weight_expr(

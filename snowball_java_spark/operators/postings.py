@@ -223,6 +223,31 @@ def decode_doc_meta(row) -> tuple[int, np.ndarray]:
     return int(row["first_doc"]), varint_decode(bytes(row["dl_bytes"])).astype(np.int64)
 
 
+def decode_posting_doc_ids(row, dec, block_size: int) -> np.ndarray:
+    """All doc_ids of one postings row (every block), sorted — the
+    lightweight decode for df-style aggregations that never need tfs.
+    ``dec`` is the codec's decode half (``get_codec(cfg.codec)[1]``);
+    ``block_size`` is the index's cfg.block_size (every block is full
+    except the last)."""
+    n = int(row["n"])
+    first = np.asarray(row["block_first_doc"], dtype=np.int64)
+    doff = np.asarray(row["block_doc_off"], dtype=np.int64)
+    doc_bytes = bytes(row["doc_bytes"])
+    nb = len(first)
+    out = np.empty(n, dtype=np.int64)
+    pos = 0
+    for b in range(nb):
+        c = block_size if b < nb - 1 else n - block_size * (nb - 1)
+        dend = doff[b + 1] if b + 1 < nb else len(doc_bytes)
+        out[pos] = first[b]
+        if c > 1:
+            deltas = dec(doc_bytes[doff[b]:dend], count=c - 1)
+            np.cumsum(deltas.astype(np.int64), out=out[pos + 1:pos + c])
+            out[pos + 1:pos + c] += first[b]
+        pos += c
+    return out
+
+
 DEAD_META_SCHEMA = "shard long, dead_bytes binary"
 
 

@@ -156,6 +156,66 @@ class _TermList:
         return out
 
 
+class _MergedList:
+    """A synonym GROUP's posting list, merged at query time from fully
+    decoded member lists (tf summed per doc — Lucene SynonymQuery
+    semantics: the group saturates as ONE pseudo-term).
+
+    One logical block with an EXACT weight bound: members are already
+    decoded (any exact synonym scoring must read all member postings —
+    a summed tf can promote any doc), so there is nothing left to skip
+    within the group; MaxScore keeps pruning the OTHER lists, and the
+    group's exact max weight keeps their bounds tight.  Implements the
+    same protocol as :class:`_TermList` (n, max_w, bmax, n_blocks,
+    decode_block, decode_all, lookup, idf)."""
+
+    __slots__ = ("n", "idf", "docs", "tfs", "bmax", "max_w", "n_blocks")
+
+    def __init__(self, docs: np.ndarray, tfs: np.ndarray, idf: float,
+                 dls: np.ndarray, first_doc: int, avgdl: float,
+                 cfg: EngineConfig):
+        self.docs, self.tfs = docs, tfs
+        self.n = int(docs.size)
+        self.idf = float(idf)
+        self.n_blocks = 1
+        if docs.size:
+            w = weight_np(tfs, np.float64(self.idf), dls[docs - first_doc],
+                          avgdl, cfg.k1, cfg.b)
+            self.max_w = float(w.max())
+        else:
+            self.max_w = 0.0
+        self.bmax = np.array([self.max_w], dtype=np.float64)
+
+    def decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.docs, self.tfs
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.docs, self.tfs
+
+    def lookup(self, sorted_docs: np.ndarray) -> np.ndarray:
+        out = np.zeros(sorted_docs.size, dtype=np.int64)
+        pos = np.searchsorted(self.docs, sorted_docs)
+        ok = pos < self.docs.size
+        match = np.zeros(sorted_docs.size, dtype=bool)
+        match[ok] = self.docs[pos[ok]] == sorted_docs[ok]
+        out[match] = self.tfs[pos[match]]
+        return out
+
+
+def _merge_members(member_lists: list) -> tuple[np.ndarray, np.ndarray]:
+    """Union member (docs, tfs) with per-doc tf summation."""
+    if not member_lists:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d_parts, t_parts = zip(*[t.decode_all() for t in member_lists])
+    docs = np.concatenate(d_parts)
+    tfs = np.concatenate(t_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs = docs[order], tfs[order]
+    uniq, start = np.unique(docs, return_index=True)
+    summed = np.add.reduceat(tfs, start) if docs.size else tfs
+    return uniq, summed
+
+
 def _weights(tl: _TermList, tfs: np.ndarray, docs: np.ndarray,
              dls: np.ndarray, first_doc: int, avgdl: float,
              cfg: EngineConfig) -> np.ndarray:
@@ -432,12 +492,70 @@ def conjunctive_topk_shard(
     return cand[sel], scores[sel]
 
 
+def synonym_union_df(
+    spark: SparkSession,
+    index,
+    groups: dict[str, list[str]],
+    cfg: EngineConfig = DEFAULT,
+) -> dict[str, int]:
+    """Exact LIVE union document frequency per synonym group, from the
+    postings: decode member doc lists per shard (docs are shard-range
+    disjoint, so Σ over shards of the within-shard union IS the global
+    union), drop tombstoned docs, sum.  Cost ∝ member postings — one
+    tiny distributed job per query batch, the price of an exact group
+    idf (Lucene approximates with max member df; union is the true df
+    of the pseudo-term and we can afford it).
+
+    ``groups``: {canonical: [members incl. canonical]}.  Groups none of
+    whose members occur anywhere are absent from the result (callers
+    default to df=0)."""
+    members = sorted({m for ms in groups.values() for m in ms})
+    canon_of = {m: c for c, ms in groups.items() for m in ms}
+    buckets = sorted({h60_py(t) % index.n_buckets for t in members})
+    posts = index.postings(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(members))
+    if index.has_tombstones:
+        posts = posts.join(index.dead_meta(spark), "shard", "left")
+    dec = get_codec(cfg.codec)[1]
+    block_size = cfg.block_size
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        from snowball_java_spark.operators.postings import (
+            decode_dead_bytes,
+            decode_posting_doc_ids,
+        )
+
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
+        per: dict[str, list[np.ndarray]] = {}
+        for _, row in pdf.iterrows():
+            per.setdefault(canon_of[row["term"]], []).append(
+                decode_posting_doc_ids(row, dec, block_size))
+        terms_o, dfs_o = [], []
+        for c, parts in per.items():
+            u = np.unique(np.concatenate(parts))
+            if dead is not None:
+                p = np.minimum(np.searchsorted(dead, u), dead.size - 1)
+                u = u[dead[p] != u]
+            terms_o.append(c)
+            dfs_o.append(int(u.size))
+        return pd.DataFrame({"term": terms_o, "df": dfs_o})
+
+    out = posts.groupBy("shard").applyInPandas(kern, "term string, df long")
+    return {
+        r["term"]: int(r["df"])
+        for r in out.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+
+
 def score_shards(
     postings_with_meta: DataFrame,
     queries: list[dict],
     avgdl: float,
     cfg: EngineConfig = DEFAULT,
     block_metrics: dict | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    group_idf: dict[str, float] | None = None,
 ) -> DataFrame:
     """postings rows (joined with doc_meta + idf) grouped by shard →
     per-shard (query_id, doc_id, score) top-k candidates.
@@ -454,7 +572,18 @@ def score_shards(
     Accumulators updated inside a transformation are at-LEAST-once under
     task retries/speculation (Spark guarantee gap) — treat the numbers as
     metrics, never as correctness inputs; bench runs are retry-free in
-    practice and the fraction is stable."""
+    practice and the fraction is stable.
+
+    ``synonyms`` + ``group_idf``: query terms with a synonyms entry are
+    scored as ONE merged pseudo-term (:class:`_MergedList` — member tfs
+    summed before saturation) whose idf comes from ``group_idf``
+    (the exact union df, :func:`synonym_union_df`).  The synonym table
+    applies to every query in the call (the deployment shape: one
+    analyzer-level table per search app)."""
+    groups = {
+        c: sorted({c, *alts}) for c, alts in (synonyms or {}).items()
+    }
+    gidf = dict(group_idf or {})
     q_spec = [
         (int(q["query_id"]), sorted(set(q["terms"])),
          int(q.get("k", cfg.default_k)), str(q.get("mode", "or")),
@@ -484,6 +613,7 @@ def score_shards(
             rows_by_term[row["term"]] = row
         out_q, out_d, out_s = [], [], []
         for qid, terms, k, mode, not_terms, cursor in q_spec:
+            lists_by_term = by_term
             if not_terms:
                 # Boolean NOT: excluded docs become per-query "dead" docs
                 # — _TermList drops dead docs at decode time, so they can
@@ -501,11 +631,25 @@ def score_shards(
                         else np.empty(0, np.int64))
                 qdead = (np.union1d(dead, excl) if dead is not None
                          else excl)
-                lists = [_TermList(rows_by_term[t], block_size, avgdl, cfg,
-                                   dead=qdead)
-                         for t in terms if t in by_term]
-            else:
-                lists = [by_term[t] for t in terms if t in by_term]
+                lists_by_term = {
+                    t: _TermList(rows_by_term[t], block_size, avgdl, cfg,
+                                 dead=qdead)
+                    for t in set(terms) | {m for t in terms
+                                           for m in groups.get(t, [])}
+                    if t in by_term
+                }
+            lists = []
+            for t in terms:
+                if t in groups:
+                    mls = [lists_by_term[m] for m in groups[t]
+                           if m in lists_by_term]
+                    mdocs, mtfs = _merge_members(mls)
+                    if mdocs.size:
+                        lists.append(_MergedList(
+                            mdocs, mtfs, gidf.get(t, 0.0), dls, first_doc,
+                            avgdl, cfg))
+                elif t in lists_by_term:
+                    lists.append(lists_by_term[t])
             if mode == "and":
                 docs, scores = conjunctive_topk_shard(
                     lists, len(terms), k, dls, first_doc, avgdl, cfg,
@@ -531,8 +675,16 @@ def bm25_topk_index(
     cfg: EngineConfig = DEFAULT,
     block_metrics: dict | None = None,
     doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Query the on-disk index (plans.build_index.IndexReader).
+
+    ``synonyms``: ``{canonical: [alternatives...]}`` — query terms with
+    an entry score as ONE merged pseudo-term (tf summed across members
+    before saturation; idf from the exact live union df, computed by
+    one :func:`synonym_union_df` job over the member postings).  Same
+    semantics as the join path's ``synonyms=`` (oracle-checked against
+    the same SQL).
 
     Plan at scale: term + bucket predicates prune the postings scan
     (directory partition pruning on bucket, parquet row-group min/max on
@@ -552,6 +704,22 @@ def bm25_topk_index(
     (≈1 byte/doc on dense ranges), never ∝ postings."""
     terms = sorted({t for q in queries
                     for t in list(q["terms"]) + list(q.get("not_terms", []))})
+    group_idf: dict[str, float] = {}
+    if synonyms:
+        from snowball_java_spark.functions.bm25 import idf_np
+
+        queried = {t for q in queries for t in q["terms"]}
+        groups = {c: sorted({c, *alts}) for c, alts in synonyms.items()
+                  if c in queried}
+        if groups:
+            udf = synonym_union_df(spark, index, groups, cfg=index.cfg)
+            group_idf = {
+                c: float(idf_np(np.array([udf.get(c, 0)]), index.n_docs)[0])
+                for c in groups
+            }
+            terms = sorted(set(terms)
+                           | {m for ms in groups.values() for m in ms})
+        synonyms = groups or None
     buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
     posts = index.postings(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
@@ -561,7 +729,8 @@ def bm25_topk_index(
     meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
     with_meta = posts.join(meta, "shard")
     scores = score_shards(with_meta, queries, index.avgdl, cfg,
-                          block_metrics=block_metrics)
+                          block_metrics=block_metrics,
+                          synonyms=synonyms, group_idf=group_idf)
     from snowball_java_spark.operators.bm25_join import queries_df
 
     qdf = queries_df(spark, queries)
@@ -576,6 +745,7 @@ def bm25_prefix_topk(
     max_expansions: int = 50,
     block_metrics: dict | None = None,
     doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Wildcard queries over the index: each query may carry a
     ``prefixes`` list (``tok*`` stems) alongside ``terms``; prefixes
@@ -603,4 +773,4 @@ def bm25_prefix_topk(
         merged.append(q2)
     return bm25_topk_index(spark, index, merged, cfg=cfg,
                            block_metrics=block_metrics,
-                           doc_filter=doc_filter)
+                           doc_filter=doc_filter, synonyms=synonyms)

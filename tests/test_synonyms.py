@@ -1,0 +1,118 @@
+"""Synonym-group scoring (Lucene SynonymQuery semantics): one merged
+pseudo-term per group — tf summed BEFORE saturation, idf from the exact
+union df.  Join path and index path must agree bit-for-bit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.bm25_join import (
+    bm25_topk_join,
+    df_for_term_groups,
+    synonym_maps,
+)
+from snowball_java_spark.operators.wand import bm25_topk_index, synonym_union_df
+from snowball_java_spark.plans.build_index import build_index
+from snowball_java_spark.sources.corpus import read_corpus
+from snowball_java_spark.sources.synthetic import build_synth_corpus
+
+from snowball_java_spark.functions.tokenize import tokens_expr
+
+CFG = EngineConfig(shard_size=256, block_size=32, build_stages=2)
+SYN = {"def": ["return"]}
+TERMS = ["def", "import"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("syncorp") / "c")
+    build_synth_corpus(spark, 1200, d)
+    return read_corpus(spark, d)
+
+
+@pytest.fixture(scope="module")
+def docs_tok(corpus):
+    from snowball_java_spark.sources.corpus import assign_doc_ids
+
+    return assign_doc_ids(corpus).select(
+        "doc_id", tokens_expr("content").alias("tokens")).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs_tok, corpus, tmp_path_factory):
+    from snowball_java_spark.sources.corpus import assign_doc_ids
+
+    d = str(tmp_path_factory.mktemp("synidx") / "idx")
+    return build_index(spark, assign_doc_ids(corpus), d, cfg=CFG, n_buckets=8)
+
+
+def _q(k=10, terms=TERMS):
+    return [{"query_id": 0, "terms": terms, "k": k}]
+
+
+def test_synonym_maps_rejects_overlapping_groups():
+    with pytest.raises(ValueError):
+        synonym_maps(["a", "b"], {"a": ["x"], "b": ["x"]})
+
+
+def test_union_df_is_union_not_sum(spark, docs_tok, index):
+    """Docs containing BOTH members count once (union), not twice."""
+    scan, group_of = synonym_maps(["def"], SYN)
+    join_df = {r["term"]: r["df"]
+               for r in df_for_term_groups(docs_tok, scan, group_of).collect()}
+    idx_df = synonym_union_df(spark, index, {"def": ["def", "return"]},
+                              cfg=CFG)
+    assert join_df["def"] == idx_df["def"]
+    df_def = docs_tok.filter(F.array_contains("tokens", "def")).count()
+    df_ret = docs_tok.filter(F.array_contains("tokens", "return")).count()
+    both = docs_tok.filter(
+        F.array_contains("tokens", "def")
+        & F.array_contains("tokens", "return")).count()
+    assert both > 0, "fixture must have overlapping docs"
+    assert idx_df["def"] == df_def + df_ret - both  # inclusion-exclusion
+
+
+def test_index_path_matches_join_path(spark, docs_tok, index):
+    jr = bm25_topk_join(spark, docs_tok, _q(k=20), synonyms=SYN).collect()
+    ir = bm25_topk_index(spark, index, _q(k=20), cfg=CFG,
+                         synonyms=SYN).collect()
+    assert [(r["rank"], r["doc_id"]) for r in jr] == \
+           [(r["rank"], r["doc_id"]) for r in ir]
+    for a, b in zip(jr, ir):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
+def test_synonyms_differ_from_plain_or(spark, docs_tok):
+    """The group saturates as ONE term — summed tf under one saturation
+    curve plus union idf is NOT the sum of two independent terms."""
+    syn_scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_join(
+            spark, docs_tok, _q(k=50, terms=["def"]), synonyms=SYN).collect()
+    }
+    or_scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_join(
+            spark, docs_tok, _q(k=50, terms=["def", "return"])).collect()
+    }
+    common = set(syn_scores) & set(or_scores)
+    assert common
+    assert any(abs(syn_scores[d] - or_scores[d]) > 1e-9 for d in common)
+
+
+def test_synonyms_compose_with_conjunctive_and_not(spark, docs_tok, index):
+    """A group counts as ONE required term in AND mode; NOT terms drop
+    docs before the merge on both paths."""
+    q = [{"query_id": 0, "terms": TERMS, "k": 15, "mode": "and",
+          "not_terms": ["rare_7"]}]
+    ir = bm25_topk_index(spark, index, q, cfg=CFG, synonyms=SYN).collect()
+    assert ir, "conjunctive synonym query must match something"
+    matched = {r["doc_id"] for r in ir}
+    toks = {r["doc_id"]: set(r["tokens"]) for r in docs_tok.filter(
+        F.col("doc_id").isin(list(matched))).collect()}
+    for d in matched:
+        assert toks[d] & {"def", "return"}, "group member required"
+        assert "import" in toks[d], "plain AND term required"
+        assert "rare_7" not in toks[d], "NOT term must exclude"
