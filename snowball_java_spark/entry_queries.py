@@ -1334,6 +1334,67 @@ def _q_emb_ivf_index(spark, sf_dir):
     )
 
 
+def _ivf_lifecycle_index_for(spark: SparkSession, sf_dir: str,
+                             compact: bool) -> str:
+    """Drive the IVF LIVING-index lifecycle once per (sf, fingerprint):
+    build on vec_id %% 5 != 4 → refresh the remaining 20% against the
+    frozen centroids → tombstone every vec_id ≡ 3 (mod 7) → optionally
+    compact.  A done-marker makes the mutation sequence idempotent
+    across gate calls; a half-built dir (crash) is wiped and redone."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    fam = "ivflcc" if compact else "ivflcu"
+    d = f"/tmp/sjs_index_cache/{fam}_v1_{tag}_{fp}"
+    _gc_index_caches(tag, f"{fam}_v1_{tag}_{fp}", family=fam)
+    marker = os.path.join(d, "_lifecycle_done")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    e = _emb(spark, sf_dir)
+    similarity.build_ivf_index(spark, e.filter(F.col("vec_id") % 5 != 4), d)
+    similarity.refresh_ivf_index(spark, d, e.filter(F.col("vec_id") % 5 == 4))
+    dead = [r["vec_id"] for r in
+            e.filter(F.col("vec_id") % 7 == 3).select("vec_id").collect()]
+    similarity.delete_vectors(spark, d, dead)
+    if compact:
+        similarity.compact_ivf_index(spark, d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _q_emb_ivf_upsert(spark, sf_dir):
+    """Living-index gate: 80/20 build+refresh, then tombstone deletes;
+    full-probe query answers EXACTLY over the live rows (the oracle
+    applies the same mod-7 delete rule to the raw table), with the
+    deleted ids excluded by the broadcast anti-join, no rewrite."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.ivf_topk_index(
+        spark, _ivf_lifecycle_index_for(spark, sf_dir, compact=False),
+        qvec, 10, n_probe=8)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
+def _q_emb_ivf_compacted(spark, sf_dir):
+    """Same lifecycle COMPACTED: dead rows physically dropped, sidecar
+    cleared — identical answer (same oracle as the upsert gate)."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = similarity.ivf_topk_index(
+        spark, _ivf_lifecycle_index_for(spark, sf_dir, compact=True),
+        qvec, 10, n_probe=8)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return res.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cosine"
+    )
+
+
 _SYN_TERMS = ["table", "spark"]
 _SYN_TABLE = {"table": ["row"]}
 
@@ -2612,6 +2673,12 @@ FROM g
             _q_emb_ivf_filtered, _emb_sql(lsh=False, label_filter="e.label % 3 = 0")),
         "embedding_batch_topk": Q(_q_emb_batch, _emb_batch_sql()),
         "embedding_ivf_batch_topk": Q(_q_emb_ivf_batch, _emb_batch_sql()),
+        "embedding_ivf_upsert_topk": Q(
+            _q_emb_ivf_upsert,
+            _emb_sql(lsh=False, label_filter="e.vec_id % 7 <> 3")),
+        "embedding_ivf_compacted_topk": Q(
+            _q_emb_ivf_compacted,
+            _emb_sql(lsh=False, label_filter="e.vec_id % 7 <> 3")),
         "embedding_near_dup": Q(_q_emb_near_dup, _emb_near_dup_sql()),
         "lang_id": Q(_q_lang_id, _lang_sql()),
         "quality_score": Q(_q_quality, _quality_sql()),

@@ -230,6 +230,82 @@ def read_ivf_index(spark, path: str):
     return spark.read.parquet(path), cent
 
 
+def refresh_ivf_index(spark, index_dir: str, delta: DataFrame) -> int:
+    """Append new vectors to a persisted IVF index WITHOUT retraining:
+    delta rows are assigned to the EXISTING centroids (frozen coarse
+    quantizer — the standard production IVF policy; retraining moves
+    cell boundaries and would force reassigning the whole corpus, i.e.
+    a rebuild) and appended as new files inside their cells' partition
+    directories.  Queries see the rows immediately: probes read cell
+    DIRECTORIES, and parquet appends are atomic at file granularity.
+
+    Returns the number of rows appended.  Mirrors the text index's
+    ``refresh_index``: O(delta) work, old files untouched."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        cent = np.asarray(json.load(f), dtype=np.float64)
+    assigned = delta.withColumn(
+        "cell", cell_assign_expr(F.col("embedding"), cent))
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+    return int(n)
+
+
+def delete_vectors(spark, index_dir: str, ids: list[int],
+                   id_col: str = "vec_id") -> None:
+    """Tombstone vectors by id: appends to the index's ``_tombstones``
+    sidecar (tiny parquet relation, broadcast anti-joined at query time
+    — stored cell files are never rewritten).  Mirrors the text index's
+    tombstone design; :func:`compact_ivf_index` physically drops them."""
+    import os
+
+    spark.createDataFrame(
+        [(int(i),) for i in ids], f"{id_col} long"
+    ).write.mode("append").parquet(os.path.join(index_dir, "_tombstones"))
+
+
+def _ivf_tombstones(spark, index_dir: str):
+    import glob
+    import os
+
+    p = os.path.join(index_dir, "_tombstones")
+    if not glob.glob(os.path.join(p, "*.parquet")):
+        return None
+    return spark.read.parquet(p)
+
+
+def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
+    """Physically drop tombstoned vectors: rewrite only the cell
+    partitions (centroids unchanged), clear the tombstone sidecar.
+    O(live rows) — the rewrite an LSM pays once, instead of per query."""
+    import os
+    import shutil
+
+    rows, cent = read_ivf_index(spark, index_dir)
+    dead = _ivf_tombstones(spark, index_dir)
+    if dead is None:
+        return
+    live = rows.join(F.broadcast(dead), id_col, "left_anti")
+    tmp = index_dir.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    live.write.partitionBy("cell").parquet(tmp)
+    import json
+
+    import numpy as np
+
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(np.asarray(cent).tolist(), f)
+    old = index_dir.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_topk_index(
     spark,
     index_dir: str,
@@ -256,6 +332,9 @@ def ivf_topk_index(
     probe = [int(c) for c in np.argsort(d2)[:n_probe]]
     if predicate is not None:
         rows = rows.filter(predicate)
+    dead = _ivf_tombstones(spark, index_dir)
+    if dead is not None:
+        rows = rows.join(F.broadcast(dead), id_col, "left_anti")
     return brute_force_topk(
         rows.filter(F.col("cell").isin(probe)), query_vec, k, id_col)
 
@@ -342,6 +421,9 @@ def ivf_topk_index_batch(
     rows, centroids = read_ivf_index(spark, index_dir)
     if predicate is not None:
         rows = rows.filter(predicate)
+    dead = _ivf_tombstones(spark, index_dir)
+    if dead is not None:
+        rows = rows.join(F.broadcast(dead), id_col, "left_anti")
     by_cell: dict[int, list[Column]] = {}
     for q in queries:
         qv = np.asarray(q["vec"], dtype=np.float64)

@@ -225,6 +225,88 @@ def test_ivf_batch_partial_probe_matches_single_calls(spark, emb):
         assert sorted(by_q[qid]) == single, f"query {qid}"
 
 
+def test_ivf_lifecycle_refresh_delete_compact(spark, emb, qvec, tmp_path_factory):
+    """Living vector index: build on 80% → refresh the rest (frozen
+    centroids, O(delta) append) → tombstone deletes (no rewrite) →
+    compact (physical drop).  Full-probe results must equal brute force
+    over the LIVE rows at every step."""
+    import glob
+    import os
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_vectors,
+        ivf_topk_index,
+        read_ivf_index,
+        refresh_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_lc")) + "/idx"
+    initial = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = build_ivf_index(spark, initial, d, n_cells=8)
+
+    n = refresh_ivf_index(spark, d, delta)
+    assert n == delta.count()
+    _, after = read_ivf_index(spark, d)
+    assert (after == cents).all(), "refresh must NOT retrain the quantizer"
+    full = [(r["vec_id"], r["cosine"])
+            for r in brute_force_topk(emb, qvec, 10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert got == full, "refreshed rows must rank immediately"
+
+    dead = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") % 7 == 3).select("vec_id").collect()]
+    assert dead
+    delete_vectors(spark, d, dead)
+    live = emb.filter(F.col("vec_id") % 7 != 3)
+    live_exact = [(r["vec_id"], r["cosine"])
+                  for r in brute_force_topk(live, qvec, 10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert got == live_exact, "tombstoned ids must drop out without rewrite"
+
+    n_before = read_ivf_index(spark, d)[0].count()
+    compact_ivf_index(spark, d)
+    rows_after, cents_after = read_ivf_index(spark, d)
+    assert rows_after.count() == n_before - len(dead)
+    assert (cents_after == cents).all()
+    assert not glob.glob(os.path.join(d, "_tombstones", "*.parquet")), \
+        "compaction must clear the tombstone sidecar"
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert got == live_exact, "results identical pre/post compact"
+
+    # the lifecycle keeps composing: refresh after compact
+    refresh_ivf_index(spark, d, emb.filter(F.col("vec_id") % 7 == 3))
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert got == full
+
+
+def test_ivf_batch_honors_tombstones(spark, emb, tmp_path_factory):
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        delete_vectors,
+        ivf_topk_index_batch,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_ts")) + "/idx"
+    build_ivf_index(spark, emb, d, n_cells=8)
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    before = ivf_topk_index_batch(
+        spark, d, [{"query_id": 0, "vec": qvec, "k": 5}], n_probe=8).collect()
+    assert before[0]["vec_id"] == 0  # self-match ranks first
+    delete_vectors(spark, d, [0])
+    after = ivf_topk_index_batch(
+        spark, d, [{"query_id": 0, "vec": qvec, "k": 5}], n_probe=8).collect()
+    ids = {r["vec_id"] for r in after}
+    assert 0 not in ids and len(after) == 5
+
+
 def test_batch_topk_respects_predicate_and_per_query_k(spark, emb, qvec):
     from snowball_java_spark.operators.similarity import brute_force_topk_batch
 
