@@ -69,6 +69,7 @@ HEADLINE = [
     "bm25_search_after",
     "bm25_proximity_topk",
     "bm25f_lead_topk",
+    "bm25_index_fuzzy_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

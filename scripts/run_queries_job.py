@@ -12,6 +12,9 @@ Query jsonl, one object per line:
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
     {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
+    {"query_id": 11, "fuzzy": {"tabel": 1}, "terms": []}            # fuzzy term~N
+         # (edit-distance expansion vs the vocabulary; matches score as
+         #  ONE merged group — query-string form: {"q": "tabel~1"})
     {"query_id": 9, "terms": ["def"], "k": 10,                      # deep paging:
      "search_after": [0.02241, 1126]}                               # page after a
          # [score, doc_id] cursor (verbatim from the previous page —
@@ -151,18 +154,19 @@ def main(argv: list[str]) -> int:
             yield flt, grp
 
     parts = []
-    from snowball_java_spark.operators.wand import bm25_prefix_topk
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
 
     syn = None
     if args.synonyms:
         with open(args.synonyms) as f:
             syn = json.load(f)
     for flt, grp in by_filter(term_qs):
-        # bm25_prefix_topk expands tok* wildcards against the vocabulary
-        # and passes wildcard-free batches straight through
+        # bm25_fuzzy_topk expands term~N edit-distance terms (one
+        # vocabulary pass per batch), then tok* wildcards; batches
+        # without either pass straight through
         parts.append(
-            bm25_prefix_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
-                             synonyms=syn))
+            bm25_fuzzy_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
+                            synonyms=syn))
     for flt, grp in by_filter(phrase_qs):
         parts.append(
             phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))

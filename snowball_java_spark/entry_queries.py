@@ -1463,6 +1463,108 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_FUZZY_TERMS = ["row"]
+#: misspellings: "sar"~2 → {scan, sort, spark} (a 3-member group),
+#: "tble"~1 → {table}; neither stem exists in the vocabulary
+_FUZZY_SPEC = {"sar": 2, "tble": 1}
+
+
+def _q_bm25_fuzzy_index(spark, sf_dir):
+    """Index-path fuzzy query (term~N): edit-distance expansion against
+    the vocabulary (one term_stats pass), each fuzzy term scoring as a
+    merged synonym group; the oracle derives the SAME expansion with
+    DuckDB's levenshtein."""
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_fuzzy_topk(
+        spark, idx,
+        [{"query_id": 0, "terms": _FUZZY_TERMS, "fuzzy": _FUZZY_SPEC,
+          "k": 10}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _q_bm25_fuzzy_join(spark, sf_dir):
+    """Join-path fuzzy query: same expansion computed from the corpus
+    df_stats vocabulary, scored via bm25_topk_join's synonym groups."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.suggest import fuzzy_synonyms
+
+    d = _docs_tok(spark, sf_dir)
+    vocab = df_stats(tf_long(d)).select("term", "df")
+    syn = fuzzy_synonyms(spark, vocab, _FUZZY_SPEC)
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, d,
+        [{"query_id": 0,
+          "terms": sorted(set(_FUZZY_TERMS) | set(_FUZZY_SPEC)), "k": 10}],
+        n_docs=n_docs, avgdl=avgdl, synonyms=syn,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _bm25_fuzzy_sql(terms: list[str], fuzzy: dict[str, int], k: int,
+                    prefix_len: int = 1, max_expansions: int = 50) -> str:
+    """Oracle that DERIVES the fuzzy expansion itself (DuckDB
+    levenshtein over the vocabulary CTE — independent of the engine's),
+    mirroring both windows: per-query-term (dist asc, df desc, term asc)
+    cap, then per-member closest-query-term arbitration."""
+    fvals = ", ".join(
+        f"('{t}', {int(d)})" for t, d in sorted(fuzzy.items()))
+    all_q = sorted(set(terms) | set(fuzzy))
+    tlist = ", ".join(f"('{t}')" for t in all_q)
+    plain = ", ".join(f"('{t}')" for t in sorted(set(terms))) or "(NULL)"
+    return f"""
+WITH {BASE_CTES},
+fq(qterm, max_edits) AS (VALUES {fvals}),
+exp AS (
+  SELECT fq.qterm, v.term, levenshtein(v.term, fq.qterm)::INT AS dist, v.df
+  FROM dfx v CROSS JOIN fq
+  WHERE levenshtein(v.term, fq.qterm) <= fq.max_edits
+    AND substring(v.term, 1, {prefix_len}) = substring(fq.qterm, 1, {prefix_len})
+),
+capped AS (SELECT qterm, term, dist FROM (
+  SELECT qterm, term, dist,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY dist ASC, df DESC, term ASC) AS rn
+  FROM exp) WHERE rn <= {max_expansions}),
+arb AS (SELECT qterm, term FROM (
+  SELECT qterm, term,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY dist ASC, qterm ASC) AS an
+  FROM capped) WHERE an = 1),
+syn AS (
+  SELECT term, qterm AS grp FROM arb
+  UNION SELECT qterm, qterm FROM fq
+  UNION SELECT p.term, p.term FROM (VALUES {plain}) p(term)
+        WHERE p.term IS NOT NULL
+),
+q(term) AS (VALUES {tlist}),
+tfg AS (SELECT t.doc_id, s.grp AS term, sum(t.tf)::BIGINT AS tf
+        FROM tfx t JOIN syn s USING (term) GROUP BY 1, 2),
+dfg AS (SELECT s.grp AS term, count(DISTINCT t.doc_id)::BIGINT AS df
+        FROM tfx t JOIN syn s USING (term) GROUP BY 1),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfg tfx JOIN q USING (term)
+               JOIN dfg dfx USING (term)
+               JOIN dl ON tfx.doc_id = dl.doc_id
+               CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 _HYBRID_DEPTH = 30
 _RRF_K = 60
 
@@ -2664,6 +2766,10 @@ FROM g
         "bm25_index_synonym_topk": Q(
             _q_bm25_index_synonyms,
             _bm25_synonym_sql(_SYN_TERMS, _SYN_TABLE, 10)),
+        "bm25_fuzzy_topk": Q(
+            _q_bm25_fuzzy_join, _bm25_fuzzy_sql(_FUZZY_TERMS, _FUZZY_SPEC, 10)),
+        "bm25_index_fuzzy_topk": Q(
+            _q_bm25_fuzzy_index, _bm25_fuzzy_sql(_FUZZY_TERMS, _FUZZY_SPEC, 10)),
         "hybrid_rrf_topk": Q(
             _q_hybrid_rrf,
             _hybrid_rrf_sql(HOT_TERMS, 10, _HYBRID_DEPTH, _RRF_K)),

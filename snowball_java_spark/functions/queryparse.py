@@ -14,6 +14,9 @@ executable by an operator that already has an oracle-checked gate:
     "hello world"            →  {"phrase": ["hello", "world"]}
     table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
     tok* row                 →  {"terms": ["row"], "prefixes": ["tok"]}
+    tabel~1 row              →  {"terms": ["row"], "fuzzy": {"tabel": 1}}
+                                 (edit-distance term: ``stem~`` = 2 edits;
+                                 matches score as one merged group)
     "def return"~4           →  {"terms": [...], "window": 4}   (proximity:
                                  all terms within 4 tokens, unordered)
 
@@ -44,6 +47,8 @@ class QueryParseError(ValueError):
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 # a quoted phrase, or a run of non-space characters
 _LEX_RE = re.compile(r'"([^"]*)"|(\S+)')
+# a fuzzy bare term: stem~ (Lucene default, 2 edits) or stem~N
+_FUZZY_RE = re.compile(r"^(.+)~(\d*)$")
 
 
 def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
@@ -68,6 +73,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     phrase: list[str] | None = None
     terms: list[str] = []
     prefixes: list[str] = []
+    fuzzy: dict[str, int] = {}
     required: list[str] = []
     not_terms: list[str] = []
     filters: dict[str, str] = {}
@@ -125,6 +131,25 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             saw_bare_quoteless = True
             prefixes.append(stem_toks[0])
             continue
+        fm2 = _FUZZY_RE.match(word)
+        if fm2:
+            if sign:
+                raise QueryParseError(
+                    "fuzzy terms are OR-expansions — no +term~ / -term~")
+            stem, edits = fm2.groups()
+            stem_toks = tokenize_py(stem)
+            if len(stem_toks) != 1:
+                raise QueryParseError(
+                    f"fuzzy stem {stem!r} must be one token")
+            d = int(edits) if edits else 2
+            if not 0 < d <= 2:
+                raise QueryParseError(
+                    f"fuzzy max_edits must be 1 or 2, got {d}")
+            if fuzzy.setdefault(stem_toks[0], d) != d:
+                raise QueryParseError(
+                    f"fuzzy term {stem_toks[0]!r} given two distances")
+            saw_bare_quoteless = True
+            continue
         toks = tokenize_py(word)
         if not toks:
             raise QueryParseError(f"term {word!r} tokenizes to nothing")
@@ -137,10 +162,10 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             terms.extend(toks)
 
     if phrase is not None:
-        if terms or required or saw_and or prefixes:
+        if terms or required or saw_and or prefixes or fuzzy:
             raise QueryParseError(
-                "cannot mix a quoted phrase with bare/required/wildcard "
-                "terms")
+                "cannot mix a quoted phrase with bare/required/wildcard/"
+                "fuzzy terms")
         if window is not None:
             if not_terms:
                 raise QueryParseError(
@@ -156,14 +181,16 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "cannot mix required (+term) with optional bare terms — "
             "use all-+ (AND) or all-bare (OR)")
     positive = required or terms
-    if not positive and not prefixes:
+    if not positive and not prefixes and not fuzzy:
         raise QueryParseError("query needs at least one positive term")
     mode = "and" if (required or saw_and) else "or"
-    if prefixes and mode == "and":
+    if (prefixes or fuzzy) and mode == "and":
         raise QueryParseError(
-            "wildcards are OR-expansions — not supported in AND queries")
+            "wildcards/fuzzy terms are OR-expansions — not supported in "
+            "AND queries")
     return {"query_id": int(query_id), "k": int(k),
             "terms": sorted(set(positive)),
             "prefixes": sorted(set(prefixes)),
+            "fuzzy": dict(sorted(fuzzy.items())),
             "not_terms": sorted(set(not_terms)),
             "filters": filters, "mode": mode}

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms",
-           "expand_prefixes"]
+           "expand_prefixes", "expand_fuzzy", "fuzzy_synonyms"]
 
 
 def padded_grams_py(term: str) -> list[str]:
@@ -145,3 +145,92 @@ def expand_prefixes(
     for r in rows:
         out[r["prefix"]].append(r["term"])
     return out
+
+
+def expand_fuzzy(
+    spark: SparkSession,
+    vocab: DataFrame,
+    fuzzy: dict[str, int],
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """(query_term, term, dist, df, rank): vocabulary terms within
+    Levenshtein distance ``fuzzy[query_term]`` of each query term —
+    Lucene's FuzzyQuery semantics (public design): candidates must share
+    the first ``prefix_len`` characters with the query term (the prune
+    that keeps fuzzy matching off the full vocabulary: startswith +
+    length-band pre-filters push into the sorted term_stats scan as
+    min/max pruning), ranked (dist asc, df desc, term asc) and capped at
+    ``max_expansions`` per query term.
+
+    Scale shape: one pass over the VOCABULARY relation (never the
+    corpus); the query spec rides as a literal array; the edit distance
+    is Spark's built-in ``levenshtein`` (JVM-side, no UDF).
+    """
+    fl = sorted((t, int(d)) for t, d in fuzzy.items() if t)
+    if not fl:
+        return spark.createDataFrame(
+            [], "query_term string, term string, dist int, df long, rank int")
+    pre = None
+    for t, d in fl:
+        c = F.length("term").between(len(t) - d, len(t) + d)
+        if prefix_len:
+            c = c & F.col("term").startswith(t[:prefix_len])
+        pre = c if pre is None else (pre | c)
+    qarr = F.array(*[
+        F.struct(F.lit(t).alias("query_term"), F.lit(d).alias("max_edits"))
+        for t, d in fl
+    ])
+    cand = (
+        vocab.select("term", F.col("df").cast("long").alias("df"))
+        .filter(pre)
+        .select("term", "df", F.explode(qarr).alias("q"))
+        .select("term", "df", F.col("q.query_term").alias("query_term"),
+                F.col("q.max_edits").alias("max_edits"))
+        .withColumn("dist", F.levenshtein("term", "query_term"))
+        .filter(F.col("dist") <= F.col("max_edits"))
+    )
+    if prefix_len:
+        cand = cand.filter(
+            F.substring("term", 1, prefix_len)
+            == F.substring("query_term", 1, prefix_len))
+    w = Window.partitionBy("query_term").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_expansions)
+        .select("query_term", "term", "dist", "df", "rank")
+    )
+
+
+def fuzzy_synonyms(
+    spark: SparkSession,
+    vocab: DataFrame,
+    fuzzy: dict[str, int],
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+) -> dict[str, list[str]]:
+    """{query_term: [matched vocab terms...]} for the synonym-group
+    scorer: each fuzzy query term scores as ONE merged pseudo-term over
+    its expansion (tf summed before saturation, idf from the union df) —
+    so a misspelled term ranks documents as if the nearest real terms
+    had been typed.
+
+    The synonym scorer requires every member in exactly one group, so a
+    vocab term within range of TWO query terms is arbitrated to its
+    closest (dist asc, query_term asc) — deterministic, applied AFTER
+    the per-term ``max_expansions`` cap (the oracle mirrors both
+    windows).  The collect is bounded by len(fuzzy)·max_expansions.
+    """
+    exp = expand_fuzzy(spark, vocab, fuzzy, prefix_len, max_expansions)
+    w = Window.partitionBy("term").orderBy(F.asc("dist"), F.asc("query_term"))
+    rows = (
+        exp.withColumn("_a", F.row_number().over(w))
+        .filter(F.col("_a") == 1)
+        .select("query_term", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {t: [] for t in fuzzy if t}
+    for r in rows:
+        out[r["query_term"]].append(r["term"])
+    return {t: sorted(ms) for t, ms in out.items()}

@@ -492,6 +492,24 @@ def conjunctive_topk_shard(
     return cand[sel], scores[sel]
 
 
+def _with_index_layout(index, cfg: EngineConfig) -> EngineConfig:
+    """Caller ``cfg`` controls SCORING knobs only (k1/b/default_k/
+    exhaustive_cutoff); the on-disk LAYOUT facts — block size, codec,
+    shard size — are whatever the index was BUILT with (its persisted
+    ``_conf.json``).  Reconciling here makes a caller-supplied cfg that
+    disagrees with the build (e.g. the library default against a
+    latency-tuned index) decode correctly instead of misreading posting
+    blocks."""
+    icfg = index.cfg
+    if (cfg.block_size == icfg.block_size and cfg.codec == icfg.codec
+            and cfg.shard_size == icfg.shard_size):
+        return cfg
+    from dataclasses import replace
+
+    return replace(cfg, block_size=icfg.block_size, codec=icfg.codec,
+                   shard_size=icfg.shard_size)
+
+
 def synonym_union_df(
     spark: SparkSession,
     index,
@@ -509,6 +527,7 @@ def synonym_union_df(
     ``groups``: {canonical: [members incl. canonical]}.  Groups none of
     whose members occur anywhere are absent from the result (callers
     default to df=0)."""
+    cfg = _with_index_layout(index, cfg)
     members = sorted({m for ms in groups.values() for m in ms})
     canon_of = {m: c for c, ms in groups.items() for m in ms}
     buckets = sorted({h60_py(t) % index.n_buckets for t in members})
@@ -702,6 +721,7 @@ def bm25_topk_index(
     and shards with ZERO matching docs are semi-joined away before the
     scoring kernel.  Sidecar size ∝ non-matching docs in matched shards
     (≈1 byte/doc on dense ranges), never ∝ postings."""
+    cfg = _with_index_layout(index, cfg)
     terms = sorted({t for q in queries
                     for t in list(q["terms"]) + list(q.get("not_terms", []))})
     group_idf: dict[str, float] = {}
@@ -774,3 +794,61 @@ def bm25_prefix_topk(
     return bm25_topk_index(spark, index, merged, cfg=cfg,
                            block_metrics=block_metrics,
                            doc_filter=doc_filter, synonyms=synonyms)
+
+
+def bm25_fuzzy_topk(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+    block_metrics: dict | None = None,
+    doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Fuzzy queries over the index: each query may carry a ``fuzzy``
+    dict (``{term: max_edits}``, the ``term~N`` query-string form)
+    alongside ``terms``/``prefixes``.  Fuzzy terms expand against the
+    vocabulary (:func:`operators.suggest.fuzzy_synonyms` — ONE
+    term_stats pass for ALL fuzzy terms in the batch) and each scores
+    as a merged SYNONYM GROUP over its matches (tf summed before
+    saturation, idf from the exact union df), so a misspelling ranks
+    documents as if the nearest real terms had been typed.  A fuzzy
+    term with no vocabulary match within range contributes nothing.
+    Queries without fuzzy terms pass through untouched.
+
+    Loud failures (never silent semantic drift): the same term
+    requested fuzzy with two different max_edits in one batch, or a
+    fuzzy term colliding with a caller-supplied synonym canonical.
+    """
+    all_f: dict[str, int] = {}
+    for q in queries:
+        for t, d in (q.get("fuzzy") or {}).items():
+            if all_f.setdefault(t, int(d)) != int(d):
+                raise ValueError(
+                    f"fuzzy term {t!r} requested with max_edits "
+                    f"{all_f[t]} and {d} in one batch — split the calls")
+    merged_syn = dict(synonyms or {})
+    if all_f:
+        from snowball_java_spark.operators.suggest import fuzzy_synonyms
+
+        exp = fuzzy_synonyms(
+            spark, index.term_stats(spark).select("term", "df"),
+            all_f, prefix_len=prefix_len, max_expansions=max_expansions)
+        clash = set(exp) & set(merged_syn)
+        if clash:
+            raise ValueError(
+                f"fuzzy term(s) {sorted(clash)} collide with synonym "
+                f"canonicals")
+        merged_syn.update(exp)
+    merged = []
+    for q in queries:
+        q2 = {k: v for k, v in q.items() if k != "fuzzy"}
+        q2["terms"] = sorted(set(q.get("terms", [])) | set(q.get("fuzzy") or {}))
+        merged.append(q2)
+    return bm25_prefix_topk(spark, index, merged, cfg=cfg,
+                            max_expansions=max_expansions,
+                            block_metrics=block_metrics,
+                            doc_filter=doc_filter,
+                            synonyms=merged_syn or None)

@@ -88,6 +88,12 @@ def test_pfor_index_identical_results_smaller_bytes(spark, synth_docs, oracle,
     by_q: dict[int, list] = {}
     for r in got.collect():
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    # a caller cfg with the WRONG codec/layout must still decode: the
+    # kernel takes layout facts from the index's persisted conf
+    mismatch = bm25_topk_index(spark, rdr_p, qs[:1])  # DEFAULT: varint/128
+    assert sorted(
+        (r["rank"], r["doc_id"], r["score"]) for r in mismatch.collect()
+    ) == sorted(by_q.get(qs[0]["query_id"], []))
     for q in qs:
         expect = oracle.topk(q["terms"], q["k"])
         mine = sorted(by_q.get(q["query_id"], []))

@@ -26,7 +26,7 @@ CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
 def test_parse_or_terms():
     p = parse_query("def Return")
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
-                 "prefixes": [], "not_terms": [], "filters": {},
+                 "prefixes": [], "fuzzy": {}, "not_terms": [], "filters": {},
                  "mode": "or"}
 
 
@@ -199,3 +199,24 @@ def test_parse_proximity():
                 '"a b"~4 ~5']:
         with pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+def test_parse_fuzzy_terms():
+    p = parse_query("tabel~1 row")
+    assert p["terms"] == ["row"] and p["fuzzy"] == {"tabel": 1}
+    assert parse_query("tabel~ row")["fuzzy"] == {"tabel": 2}  # Lucene default
+    p2 = parse_query("tabel~2")  # fuzzy-only query is positive enough
+    assert p2["terms"] == [] and p2["fuzzy"] == {"tabel": 2}
+
+
+def test_parse_fuzzy_rejections():
+    import pytest
+
+    from snowball_java_spark.functions.queryparse import QueryParseError
+
+    for bad in ("+tabel~1", "-tabel~1", "tabel~1 AND row", "tabel~3",
+                "tabel~0", 'tabel~1 "a b"', "foo-bar~1"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+    # ~ inside a word that is not stem~digits is NOT fuzzy syntax
+    assert parse_query("foo~bar")["terms"] == ["bar", "foo"]

@@ -46,3 +46,71 @@ def test_empty_and_min_sim(spark):
     assert suggest_terms(spark, v, [], n=3).count() == 0
     # shares no gram at all → no row
     assert suggest_terms(spark, v, ["zzz"], n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (term~N) expansion
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_expand_fuzzy_matches_python_reference(spark):
+    from snowball_java_spark.operators.suggest import expand_fuzzy
+
+    vocab = [("scan", 398), ("sort", 388), ("spark", 385), ("slow", 394),
+             ("table", 392), ("the", 382), ("row", 393)]
+    v = _vocab(spark, vocab)
+    fuzzy = {"sar": 2, "tble": 1, "zzz": 2}
+    got = {(r["query_term"], r["term"], r["dist"])
+           for r in expand_fuzzy(spark, v, fuzzy).collect()}
+    expect = {(q, t, _lev(t, q)) for q, d in fuzzy.items()
+              for t, _ in vocab if _lev(t, q) <= d and t[0] == q[0]}
+    assert got == expect
+    assert not any(q == "zzz" for q, _, _ in got)  # no match in range
+
+
+def test_expand_fuzzy_cap_and_order(spark):
+    from snowball_java_spark.operators.suggest import expand_fuzzy
+
+    # all dist 1 from "aab": rank by df desc then term asc; cap at 2
+    v = _vocab(spark, [("aaa", 5), ("aac", 50), ("aad", 50)])
+    got = sorted(expand_fuzzy(spark, v, {"aab": 1}, max_expansions=2)
+                 .collect(), key=lambda r: r["rank"])
+    assert [(r["term"], r["rank"]) for r in got] == [("aac", 1), ("aad", 2)]
+
+
+def test_expand_fuzzy_prefix_constraint(spark):
+    from snowball_java_spark.operators.suggest import expand_fuzzy
+
+    # label is dist 1 from tabel but fails the shared-first-char rule
+    v = _vocab(spark, [("table", 90), ("label", 95)])
+    got = [r["term"] for r in expand_fuzzy(spark, v, {"tabel": 2}).collect()]
+    assert got == ["table"]
+    got0 = {r["term"]
+            for r in expand_fuzzy(spark, v, {"tabel": 2}, prefix_len=0)
+            .collect()}
+    assert got0 == {"table", "label"}
+
+
+def test_fuzzy_synonyms_arbitrates_overlap(spark):
+    from snowball_java_spark.operators.suggest import fuzzy_synonyms
+
+    # "abc" is within 1 of both "abd" and "abb"; closest dist ties at 1
+    # → alphabetically-first query term wins; each member in ONE group
+    v = _vocab(spark, [("abc", 10), ("xbd", 20)])
+    syn = fuzzy_synonyms(spark, v, {"abd": 1, "abb": 1})
+    assert syn == {"abb": ["abc"], "abd": []}
+    # self-match (dist 0) always beats a dist-1 claim from another term
+    v2 = _vocab(spark, [("abd", 10)])
+    syn2 = fuzzy_synonyms(spark, v2, {"abd": 1, "abb": 1})
+    assert syn2 == {"abd": ["abd"], "abb": []}

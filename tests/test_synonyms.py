@@ -116,3 +116,82 @@ def test_synonyms_compose_with_conjunctive_and_not(spark, docs_tok, index):
         assert toks[d] & {"def", "return"}, "group member required"
         assert "import" in toks[d], "plain AND term required"
         assert "rare_7" not in toks[d], "NOT term must exclude"
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (term~N) — expansion + synonym-group scoring end to end
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_topk_equals_manual_synonym_expansion(spark, index):
+    """bm25_fuzzy_topk ≡ bm25_topk_index given the same expansion as an
+    explicit synonym table (the fuzzy path IS that rewrite)."""
+    from snowball_java_spark.operators.suggest import fuzzy_synonyms
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    fuzzy = {"retrun": 2}  # misspelled "return", not in the corpus
+    syn = fuzzy_synonyms(
+        spark, index.term_stats(spark).select("term", "df"), fuzzy)
+    assert "return" in syn["retrun"]
+    got = bm25_fuzzy_topk(
+        spark, index,
+        [{"query_id": 0, "terms": ["import"], "fuzzy": fuzzy, "k": 10}],
+        cfg=CFG).collect()
+    want = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["import", "retrun"], "k": 10}],
+        cfg=CFG, synonyms=syn).collect()
+    assert [(r["doc_id"], r["rank"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["rank"], r["score"]) for r in want]
+
+
+def test_fuzzy_no_match_contributes_nothing(spark, index):
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    got = bm25_fuzzy_topk(
+        spark, index,
+        [{"query_id": 0, "terms": ["import"], "fuzzy": {"zzzqqq": 1},
+          "k": 10}], cfg=CFG).collect()
+    want = bm25_topk_index(
+        spark, index, [{"query_id": 0, "terms": ["import"], "k": 10}],
+        cfg=CFG).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["score"]) for r in want]
+    # fuzzy-only query with no match → empty result, no crash
+    empty = bm25_fuzzy_topk(
+        spark, index,
+        [{"query_id": 1, "terms": [], "fuzzy": {"zzzqqq": 1}, "k": 10}],
+        cfg=CFG)
+    assert empty.count() == 0
+
+
+def test_fuzzy_conflicting_edits_and_synonym_clash_raise(spark, index):
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    with pytest.raises(ValueError, match="max_edits"):
+        bm25_fuzzy_topk(
+            spark, index,
+            [{"query_id": 0, "terms": [], "fuzzy": {"retrun": 1}, "k": 5},
+             {"query_id": 1, "terms": [], "fuzzy": {"retrun": 2}, "k": 5}],
+            cfg=CFG)
+    with pytest.raises(ValueError, match="collide"):
+        bm25_fuzzy_topk(
+            spark, index,
+            [{"query_id": 0, "terms": [], "fuzzy": {"retrun": 1}, "k": 5}],
+            cfg=CFG, synonyms={"retrun": ["return"]})
+
+
+def test_default_cfg_decodes_nondefault_layout(spark, index):
+    """Layout facts (block size, codec, shard size) come from the
+    index's persisted _conf.json, NOT the caller's cfg: querying a
+    latency-tuned index (block_size 32) with the library-default cfg
+    (block_size 128) must decode and rank identically, not misread
+    posting blocks (regression: the hybrid-search test did exactly
+    this and crashed in varint_decode)."""
+    from snowball_java_spark.config import DEFAULT
+
+    assert DEFAULT.block_size != CFG.block_size  # the test's premise
+    got = bm25_topk_index(spark, index, _q()).collect()       # DEFAULT cfg
+    want = bm25_topk_index(spark, index, _q(), cfg=CFG).collect()
+    assert [(r["doc_id"], r["rank"], r["score"]) for r in got] == \
+           [(r["doc_id"], r["rank"], r["score"]) for r in want]
