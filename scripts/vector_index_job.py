@@ -1,0 +1,133 @@
+"""spark-submit entry point: the persisted IVF vector index — build /
+living-lifecycle maintenance / top-k queries from one CLI (the vector
+twin of build_index_job + maintain_index_job + run_queries_job).
+
+    spark-submit --py-files dist.zip scripts/vector_index_job.py \
+        --index-dir /path/ivf --build /path/embeddings.parquet \
+        [--n-cells 64] [--id-col vec_id]
+    ... --refresh /path/delta.parquet        # frozen-centroid append
+    ... --delete-ids 3,17,42                 # tombstone sidecar
+    ... --delete-keys /path/ids.parquet      #   (or a one-column table)
+    ... --compact                            # physically drop dead rows
+    ... --describe                           # one-line JSON summary
+    ... --query /path/queries.jsonl [--n-probe 2] [--filter "label % 3 = 0"]
+
+Query jsonl, one object per line:
+    {"query_id": 0, "vec": [0.1, ...], "k": 10}
+
+The input table needs (id_col long, embedding array<float>); any other
+columns are carried and usable in ``--filter`` (pre-filter semantics —
+the predicate restricts candidates BEFORE scoring, pushed into the
+probed cells' row-group scan).  Steps compose and run in the order
+build → refresh → delete → compact → describe → query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--build", metavar="EMB",
+                   help="parquet of (id_col, embedding) — full build")
+    p.add_argument("--n-cells", type=int, default=8)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--refresh", metavar="EMB",
+                   help="delta rows: assigned to the EXISTING centroids "
+                        "(no retrain), appended O(delta)")
+    p.add_argument("--delete-ids", metavar="IDS",
+                   help="comma-separated ids to tombstone")
+    p.add_argument("--delete-keys", metavar="PATH",
+                   help="parquet with one id_col column to tombstone")
+    p.add_argument("--compact", action="store_true",
+                   help="physically drop tombstoned rows, clear the sidecar")
+    p.add_argument("--describe", action="store_true")
+    p.add_argument("--query", metavar="JSONL",
+                   help="queries: {query_id, vec, k} per line")
+    p.add_argument("--n-probe", type=int, default=2)
+    p.add_argument("--filter", default=None,
+                   help="SQL predicate over metadata columns (pre-filter)")
+    p.add_argument("--out", default=None,
+                   help="parquet output dir for --query (default: stdout)")
+    args = p.parse_args(argv)
+    if not any((args.build, args.refresh, args.delete_ids, args.delete_keys,
+                args.compact, args.describe, args.query)):
+        p.error("nothing to do: pass --build/--refresh/--delete-ids/"
+                "--delete-keys/--compact/--describe/--query")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators import similarity as sim
+
+    spark = SparkSession.builder.appName("sjs-vector-index").getOrCreate()
+    d = args.index_dir
+
+    if args.build:
+        emb = spark.read.parquet(args.build)
+        sim.build_ivf_index(spark, emb, d, n_cells=args.n_cells,
+                            id_col=args.id_col)
+        print(json.dumps({"built": d, "n_cells": args.n_cells,
+                          "rows": spark.read.parquet(d).count()}))
+    if args.refresh:
+        n = sim.refresh_ivf_index(spark, d, spark.read.parquet(args.refresh))
+        print(json.dumps({"refreshed": d, "rows_appended": n}))
+    dead_ids: list[int] = []
+    if args.delete_ids:
+        dead_ids += [int(x) for x in args.delete_ids.split(",") if x.strip()]
+    if args.delete_keys:
+        dead_ids += [
+            int(r[args.id_col]) for r in
+            spark.read.parquet(args.delete_keys).select(args.id_col).collect()
+        ]
+    if dead_ids:
+        sim.delete_vectors(spark, d, dead_ids, id_col=args.id_col)
+        print(json.dumps({"tombstoned": len(dead_ids)}))
+    if args.compact:
+        sim.compact_ivf_index(spark, d, id_col=args.id_col)
+        print(json.dumps({"compacted": d}))
+    if args.describe:
+        rows, cent = sim.read_ivf_index(spark, d)
+        ts = sim._ivf_tombstones(spark, d)
+        per_cell = {int(r["cell"]): int(r["n"]) for r in
+                    rows.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        print(json.dumps({
+            "index_dir": d,
+            "n_cells": len(cent),
+            "dim": len(cent[0]) if len(cent) else 0,
+            "rows": sum(per_cell.values()),
+            "tombstones": int(ts.count()) if ts is not None else 0,
+            "cell_rows_min": min(per_cell.values(), default=0),
+            "cell_rows_max": max(per_cell.values(), default=0),
+            "n_files": len(glob.glob(os.path.join(d, "cell=*", "*.parquet"))),
+        }))
+    if args.query:
+        with open(args.query) as f:
+            qs = [json.loads(line) for line in f if line.strip()]
+        for i, q in enumerate(qs):
+            q.setdefault("query_id", i)
+        pred = F.expr(args.filter) if args.filter else None
+        res = sim.ivf_topk_index_batch(
+            spark, d, qs, n_probe=args.n_probe, id_col=args.id_col,
+            predicate=pred)
+        if args.out:
+            res.orderBy("query_id", "rank").write.mode("overwrite").parquet(
+                args.out)
+            print(json.dumps({"out": args.out, "queries": len(qs)}))
+        else:
+            for r in res.orderBy("query_id", "rank").collect():
+                print(json.dumps({
+                    "query_id": r["query_id"], "rank": r["rank"],
+                    args.id_col: r[args.id_col], "cosine": r["cosine"]}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
