@@ -15,6 +15,10 @@ Query jsonl, one object per line:
     {"query_id": 11, "fuzzy": {"tabel": 1}, "terms": []}            # fuzzy term~N
          # (edit-distance expansion vs the vocabulary; matches score as
          #  ONE merged group — query-string form: {"q": "tabel~1"})
+    {"query_id": 12, "terms": ["def", "main"],                      # term^B boost
+     "boosts": {"main": 2.0}}
+         # (per-term weight multiplier; query-string form: "def main^2";
+         #  composes with AND/+, filters, synonyms, NOT)
     {"query_id": 9, "terms": ["def"], "k": 10,                      # deep paging:
      "search_after": [0.02241, 1126]}                               # page after a
          # [score, doc_id] cursor (verbatim from the previous page —

@@ -1565,6 +1565,68 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_BOOST_TERMS = ["row", "spark", "table"]
+_BOOST_SPEC = {"table": 2.0, "spark": 0.5}
+
+
+def _q_bm25_boost_join(spark, sf_dir):
+    """Join-path boosted query (term^B): per-(query, term) weight
+    multiplier — broadcast (query_id, term, boost) joined onto the
+    weight rows before the ordered fold."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": _BOOST_TERMS, "boosts": _BOOST_SPEC,
+          "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _q_bm25_boost_index(spark, sf_dir):
+    """Index-path boosted query: the boost folds into the effective idf
+    (weight is linear in idf), so every MaxScore block bound scales by
+    the same factor and pruning stays exact (_BoostedList)."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": _BOOST_TERMS, "boosts": _BOOST_SPEC,
+          "k": 10}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _bm25_boost_sql(terms: list[str], boosts: dict[str, float],
+                    k: int) -> str:
+    tlist = ", ".join(
+        f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term, boost) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum(({W_SQL}) * q.boost) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 _HYBRID_DEPTH = 30
 _RRF_K = 60
 
@@ -2768,6 +2830,10 @@ FROM g
             _bm25_synonym_sql(_SYN_TERMS, _SYN_TABLE, 10)),
         "bm25_fuzzy_topk": Q(
             _q_bm25_fuzzy_join, _bm25_fuzzy_sql(_FUZZY_TERMS, _FUZZY_SPEC, 10)),
+        "bm25_boost_topk": Q(
+            _q_bm25_boost_join, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
+        "bm25_index_boost_topk": Q(
+            _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
             _q_bm25_fuzzy_index, _bm25_fuzzy_sql(_FUZZY_TERMS, _FUZZY_SPEC, 10)),
         "hybrid_rrf_topk": Q(

@@ -17,6 +17,8 @@ executable by an operator that already has an oracle-checked gate:
     tabel~1 row              →  {"terms": ["row"], "fuzzy": {"tabel": 1}}
                                  (edit-distance term: ``stem~`` = 2 edits;
                                  matches score as one merged group)
+    table^2 row              →  {"terms": [...], "boosts": {"table": 2.0}}
+                                 (term weight multiplier, works with +/AND)
     "def return"~4           →  {"terms": [...], "window": 4}   (proximity:
                                  all terms within 4 tokens, unordered)
 
@@ -49,6 +51,8 @@ _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
 _LEX_RE = re.compile(r'"([^"]*)"|(\S+)')
 # a fuzzy bare term: stem~ (Lucene default, 2 edits) or stem~N
 _FUZZY_RE = re.compile(r"^(.+)~(\d*)$")
+# a boosted bare term: term^B (B a positive int/float)
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 
 def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
@@ -74,6 +78,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     terms: list[str] = []
     prefixes: list[str] = []
     fuzzy: dict[str, int] = {}
+    boosts: dict[str, float] = {}
     required: list[str] = []
     not_terms: list[str] = []
     filters: dict[str, str] = {}
@@ -130,6 +135,31 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
                     f"wildcard stem {word[:-1]!r} must be one token")
             saw_bare_quoteless = True
             prefixes.append(stem_toks[0])
+            continue
+        bm = _BOOST_RE.match(word)
+        if bm:
+            stem, bval = bm.groups()
+            if stem.endswith(("*", "~")) or _FUZZY_RE.match(stem):
+                raise QueryParseError(
+                    f"cannot boost a wildcard/fuzzy term ({word!r})")
+            stem_toks = tokenize_py(stem)
+            if len(stem_toks) != 1:
+                raise QueryParseError(
+                    f"boosted term {stem!r} must be one token")
+            b = float(bval)
+            if b <= 0:
+                raise QueryParseError("boost must be > 0")
+            t = stem_toks[0]
+            if boosts.setdefault(t, b) != b:
+                raise QueryParseError(
+                    f"term {t!r} given two different boosts")
+            if sign == "-":
+                raise QueryParseError("-term^B is contradictory")
+            if sign == "+":
+                required.append(t)
+            else:
+                saw_bare_quoteless = True
+                terms.append(t)
             continue
         fm2 = _FUZZY_RE.match(word)
         if fm2:
@@ -192,5 +222,6 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "terms": sorted(set(positive)),
             "prefixes": sorted(set(prefixes)),
             "fuzzy": dict(sorted(fuzzy.items())),
+            "boosts": dict(sorted(boosts.items())),
             "not_terms": sorted(set(not_terms)),
             "filters": filters, "mode": mode}

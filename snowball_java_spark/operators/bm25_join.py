@@ -322,10 +322,26 @@ def bm25_topk_join(
         cfg.k1,
         cfg.b,
     )
+    scored = tfq.join(q_stats, "term").withColumn("w", w)
+    # per-(query, term) boosts (term^B): weight is linear in idf, so the
+    # boost is a plain multiplier on w — same math as the index path's
+    # _BoostedList
+    from snowball_java_spark.operators.wand import _boosts_of
+
+    boost_rows = [
+        (int(q["query_id"]), t, b)
+        for q in queries for t, b in _boosts_of(q).items()
+    ]
+    if boost_rows:
+        bdf = F.broadcast(spark.createDataFrame(
+            boost_rows, "query_id int, term string, boost double"))
+        scored = (
+            scored.join(bdf, ["query_id", "term"], "left")
+            .withColumn("w", F.col("w") * F.coalesce("boost", F.lit(1.0)))
+            .drop("boost")
+        )
     scores = (
-        tfq.join(q_stats, "term")
-        .withColumn("w", w)
-        .groupBy("query_id", "doc_id")
+        scored.groupBy("query_id", "doc_id")
         .agg(ordered_sum("term", "w").alias("score"))
     )
     scores = exclude_not_terms(spark, scores, docs_tok, queries)

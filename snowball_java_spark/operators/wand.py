@@ -202,6 +202,54 @@ class _MergedList:
         return out
 
 
+class _BoostedList:
+    """Per-(query, term) boost wrapper (the Lucene ``term^B`` semantics):
+    BM25 weight is LINEAR in idf, so a multiplicative boost folds into
+    the effective idf — and every block bound scales by the same factor,
+    so MaxScore pruning stays exact.  Decode delegates to the SHARED
+    per-shard list (its block cache is reused across queries and
+    boosts)."""
+
+    __slots__ = ("_base", "idf", "bmax", "max_w")
+
+    def __init__(self, base, boost: float):
+        self._base = base
+        self.idf = base.idf * boost
+        self.bmax = base.bmax * boost
+        self.max_w = base.max_w * boost
+
+    @property
+    def n(self) -> int:
+        return self._base.n
+
+    @property
+    def n_blocks(self) -> int:
+        return self._base.n_blocks
+
+    def decode_block(self, b: int):
+        return self._base.decode_block(b)
+
+    def decode_all(self):
+        return self._base.decode_all()
+
+    def lookup(self, sorted_docs: np.ndarray) -> np.ndarray:
+        return self._base.lookup(sorted_docs)
+
+
+def _boosts_of(q: dict) -> dict[str, float]:
+    """Validated per-query {term: boost} (every key a query term,
+    every boost > 0) — shared by both query paths."""
+    boosts = {t: float(b) for t, b in (q.get("boosts") or {}).items()}
+    bad = set(boosts) - set(q["terms"])
+    if bad:
+        raise ValueError(
+            f"boosts on non-query terms {sorted(bad)} "
+            f"(query {q.get('query_id')})")
+    if any(b <= 0 for b in boosts.values()):
+        raise ValueError("boosts must be > 0")
+    return {t: b for t, b in boosts.items() if b != 1.0}
+
+
 def _merge_members(member_lists: list) -> tuple[np.ndarray, np.ndarray]:
     """Union member (docs, tfs) with per-doc tf summation."""
     if not member_lists:
@@ -608,7 +656,8 @@ def score_shards(
          int(q.get("k", cfg.default_k)), str(q.get("mode", "or")),
          sorted(set(q.get("not_terms", []))),
          (float(q["search_after"][0]), int(q["search_after"][1]))
-         if q.get("search_after") else None)
+         if q.get("search_after") else None,
+         _boosts_of(q))
         for q in queries
     ]
     block_size = cfg.block_size
@@ -631,7 +680,7 @@ def score_shards(
                                              dead=dead)
             rows_by_term[row["term"]] = row
         out_q, out_d, out_s = [], [], []
-        for qid, terms, k, mode, not_terms, cursor in q_spec:
+        for qid, terms, k, mode, not_terms, cursor, boosts in q_spec:
             lists_by_term = by_term
             if not_terms:
                 # Boolean NOT: excluded docs become per-query "dead" docs
@@ -659,16 +708,18 @@ def score_shards(
                 }
             lists = []
             for t in terms:
+                bst = boosts.get(t, 1.0)
                 if t in groups:
                     mls = [lists_by_term[m] for m in groups[t]
                            if m in lists_by_term]
                     mdocs, mtfs = _merge_members(mls)
                     if mdocs.size:
                         lists.append(_MergedList(
-                            mdocs, mtfs, gidf.get(t, 0.0), dls, first_doc,
-                            avgdl, cfg))
+                            mdocs, mtfs, gidf.get(t, 0.0) * bst, dls,
+                            first_doc, avgdl, cfg))
                 elif t in lists_by_term:
-                    lists.append(lists_by_term[t])
+                    tl = lists_by_term[t]
+                    lists.append(_BoostedList(tl, bst) if bst != 1.0 else tl)
             if mode == "and":
                 docs, scores = conjunctive_topk_shard(
                     lists, len(terms), k, dls, first_doc, avgdl, cfg,

@@ -220,3 +220,15 @@ def test_parse_fuzzy_rejections():
             parse_query(bad)
     # ~ inside a word that is not stem~digits is NOT fuzzy syntax
     assert parse_query("foo~bar")["terms"] == ["bar", "foo"]
+
+
+def test_parse_boosts():
+    p = parse_query("table^2 row spark^0.5")
+    assert p["boosts"] == {"spark": 0.5, "table": 2.0}
+    assert p["terms"] == ["row", "spark", "table"]
+    p2 = parse_query("+table^2 +row")  # boosts compose with AND
+    assert p2["mode"] == "and" and p2["boosts"] == {"table": 2.0}
+    for bad in ("table^0", "-table^2", "tok*^2", "tabel~1^2",
+                "table^2 table^3"):
+        with pytest.raises(QueryParseError):
+            parse_query(bad)

@@ -195,3 +195,99 @@ def test_default_cfg_decodes_nondefault_layout(spark, index):
     want = bm25_topk_index(spark, index, _q(), cfg=CFG).collect()
     assert [(r["doc_id"], r["rank"], r["score"]) for r in got] == \
            [(r["doc_id"], r["rank"], r["score"]) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# term boosts (term^B)
+# ---------------------------------------------------------------------------
+
+
+def test_boost_paths_agree_and_scale_exactly(spark, docs_tok, index):
+    """Join and index paths agree on boosted scores; a uniformly-boosted
+    query scales every score by exactly the boost (weight linear in
+    idf); boost=1 is bit-identical to no boost."""
+    q = [{"query_id": 0, "terms": ["def", "import"],
+          "boosts": {"def": 2.0}, "k": 10}]
+    got_j = {r["doc_id"]: r["score"]
+             for r in bm25_topk_join(spark, docs_tok, q).collect()}
+    got_i = {r["doc_id"]: r["score"]
+             for r in bm25_topk_index(spark, index, q, cfg=CFG).collect()}
+    assert set(got_j) == set(got_i)
+    for d in got_j:
+        assert got_j[d] == pytest.approx(got_i[d], rel=1e-9)
+
+    base = bm25_topk_index(
+        spark, index, [{"query_id": 0, "terms": ["def", "import"], "k": 10}],
+        cfg=CFG).collect()
+    unif = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "import"],
+          "boosts": {"def": 3.0, "import": 3.0}, "k": 10}],
+        cfg=CFG).collect()
+    assert [r["doc_id"] for r in unif] == [r["doc_id"] for r in base]
+    for u, b in zip(unif, base):
+        assert u["score"] == pytest.approx(3.0 * b["score"], rel=1e-12)
+
+    noop = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "import"],
+          "boosts": {"def": 1.0}, "k": 10}], cfg=CFG).collect()
+    assert [(r["doc_id"], r["score"]) for r in noop] == \
+           [(r["doc_id"], r["score"]) for r in base]
+
+
+def test_boost_changes_ranking_toward_boosted_term(spark, index):
+    """Cranking one term's boost must surface docs that contain it."""
+    from snowball_java_spark.operators.wand import _TermList  # noqa: F401
+
+    plain = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "rare_7"], "k": 5}],
+        cfg=CFG).collect()
+    boosted = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "rare_7"],
+          "boosts": {"rare_7": 50.0}, "k": 5}], cfg=CFG).collect()
+    # rare_7 docs dominate the boosted page
+    rare_docs = {r["doc_id"] for r in bm25_topk_index(
+        spark, index, [{"query_id": 0, "terms": ["rare_7"], "k": 100}],
+        cfg=CFG).collect()}
+    top_b = {r["doc_id"] for r in boosted}
+    assert top_b <= rare_docs or len(rare_docs) < 5
+    assert plain != boosted
+
+
+def test_boost_validation(spark, index):
+    from snowball_java_spark.operators.wand import _boosts_of
+
+    with pytest.raises(ValueError, match="non-query"):
+        _boosts_of({"query_id": 0, "terms": ["a"], "boosts": {"b": 2.0}})
+    with pytest.raises(ValueError, match="> 0"):
+        _boosts_of({"query_id": 0, "terms": ["a"], "boosts": {"a": 0.0}})
+    assert _boosts_of({"terms": ["a"], "boosts": {"a": 1.0}}) == {}
+
+
+def test_boost_composes_with_synonyms_and_mode_and(spark, docs_tok, index):
+    """Boost on a synonym-group canonical scales the merged pseudo-term;
+    boosts work in AND mode (scoring only, membership unchanged)."""
+    q = [{"query_id": 0, "terms": TERMS, "boosts": {"def": 2.0}, "k": 10}]
+    got_j = {r["doc_id"]: r["score"] for r in bm25_topk_join(
+        spark, docs_tok, q, synonyms=SYN).collect()}
+    got_i = {r["doc_id"]: r["score"] for r in bm25_topk_index(
+        spark, index, q, cfg=CFG, synonyms=SYN).collect()}
+    assert set(got_j) == set(got_i)
+    for d in got_j:
+        assert got_j[d] == pytest.approx(got_i[d], rel=1e-9)
+
+    base_and = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "import"], "mode": "and",
+          "k": 10}], cfg=CFG).collect()
+    boost_and = bm25_topk_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "import"], "mode": "and",
+          "boosts": {"def": 2.0, "import": 2.0}, "k": 10}],
+        cfg=CFG).collect()
+    assert [r["doc_id"] for r in boost_and] == [r["doc_id"] for r in base_and]
+    for u, b in zip(boost_and, base_and):
+        assert u["score"] == pytest.approx(2.0 * b["score"], rel=1e-12)
