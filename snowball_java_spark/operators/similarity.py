@@ -299,6 +299,13 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
 
     with open(os.path.join(tmp, "_centroids.json"), "w") as f:
         json.dump(np.asarray(cent).tolist(), f)
+    # streaming sidecars survive compaction (epoch markers keep replays
+    # idempotent, the checkpoint keeps offsets); _tombstones is
+    # intentionally NOT carried — compaction just applied it
+    for side in ("_stream_epochs", "_stream_checkpoint"):
+        src = os.path.join(index_dir, side)
+        if os.path.exists(src):
+            shutil.copytree(src, os.path.join(tmp, side))
     old = index_dir.rstrip("/") + ".compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)

@@ -1,0 +1,112 @@
+"""Streaming ingestion into the persisted IVF vector index.
+
+The vector twin of ``streaming/incremental``: streaming owns NOTHING of
+the index format — each micro-batch is assigned to the EXISTING
+centroids (frozen coarse quantizer, same policy as
+``similarity.refresh_ivf_index``) and published into the cells'
+partition directories, immediately visible to ``ivf_topk_index`` /
+``ivf_topk_index_batch``.
+
+Replay idempotence (the part a bare parquet append gets wrong): a
+foreachBatch sink can re-run an epoch after a crash, and appending the
+same rows twice would duplicate vectors.  Publication is therefore
+two-phase with DETERMINISTIC file names:
+
+1. the batch writes to a per-epoch staging dir (``mode=overwrite`` —
+   a replay simply rewrites it);
+2. staged files move into the cell dirs as ``ep{epoch}-{i}.parquet``
+   via ``os.replace`` after deleting any previous ``ep{epoch}-*``
+   leftovers — so a replayed epoch OVERWRITES its own files instead of
+   appending next to them, and a crash anywhere just means the next
+   replay redoes cleanup + move.
+
+A query racing a replay can transiently miss that epoch's rows (the
+cleanup window); it can never see duplicates.  Use the streaming-query
+``checkpointLocation`` so epoch ids are stable across restarts (same
+rule as the text side's clean_stream)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_embeddings(
+    spark: SparkSession, path: str, schema: str = EMB_SCHEMA
+) -> DataFrame:
+    """File-source stream over an embeddings directory (new parquet
+    files are new vectors; at scale this would be Kafka or an Iceberg
+    CDC feed of an upstream embedding job)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def refresh_ivf_epoch(
+    spark: SparkSession, index_dir: str, delta: DataFrame, epoch_id: int
+) -> int:
+    """Replay-idempotently publish one micro-batch into the index.
+    Returns rows published.  See module docstring for the protocol."""
+    import json
+
+    import numpy as np
+
+    from snowball_java_spark.operators.similarity import cell_assign_expr
+
+    from pyspark.sql import functions as F
+
+    done = os.path.join(index_dir, "_stream_epochs", f"ep{int(epoch_id)}.done")
+    if os.path.exists(done):
+        return 0
+    with open(os.path.join(index_dir, "_centroids.json")) as f:
+        cent = np.asarray(json.load(f), dtype=np.float64)
+    staging = os.path.join(index_dir, "_stream_staging", f"ep{int(epoch_id)}")
+    assigned = delta.withColumn(
+        "cell", cell_assign_expr(F.col("embedding"), cent))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+
+    n = 0
+    prefix = f"ep{int(epoch_id)}-"
+    for celldir in sorted(glob.glob(os.path.join(staging, "cell=*"))):
+        cellname = os.path.basename(celldir)
+        dst_dir = os.path.join(index_dir, cellname)
+        os.makedirs(dst_dir, exist_ok=True)
+        for stale in glob.glob(os.path.join(dst_dir, prefix + "*")):
+            os.remove(stale)
+        for i, f_ in enumerate(
+                sorted(glob.glob(os.path.join(celldir, "*.parquet")))):
+            os.replace(f_, os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"))
+            n += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(os.path.dirname(done), exist_ok=True)
+    with open(done, "w") as f:
+        f.write("ok")
+    return n
+
+
+def start_incremental_vector_refresh(
+    stream: DataFrame, index_dir: str
+) -> StreamingQuery:
+    """foreachBatch → :func:`refresh_ivf_epoch`: every micro-batch of
+    new vectors lands in its cells' directories, queryable on commit.
+    Requires an existing index at ``index_dir`` (``build_ivf_index`` ran
+    at least once); empty micro-batches are skipped.  Pass
+    ``.option("checkpointLocation", ...)`` semantics via the returned
+    query's writeStream caller — this helper pins one under the index
+    dir so epoch ids survive restarts."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        refresh_ivf_epoch(batch.sparkSession, index_dir, batch, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                os.path.join(index_dir, "_stream_checkpoint"))
+        .start()
+    )

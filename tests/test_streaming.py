@@ -190,3 +190,73 @@ def test_watermarked_window_late_data(spark, tmp_path):
     # it), so hour-6 / hour-8 end after it and must still be open
     for h in (6, 8):
         assert (h, "click") not in rows, f"unfinalized hour-{h} must not emit"
+
+
+def test_streamed_vectors_are_queryable_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Vector twin of the living-corpus stream: build an IVF base on half
+    the vectors, stream the rest in two micro-batches, require (a) the
+    full-probe query equals brute force over ALL vectors immediately,
+    (b) a replayed epoch publishes ZERO new rows (deterministic ep-file
+    names overwrite, never append), (c) compaction preserves the epoch
+    markers."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        delete_vectors,
+        compact_ivf_index,
+        ivf_topk_index,
+        read_ivf_index,
+    )
+    from snowball_java_spark.streaming.vectors import (
+        refresh_ivf_epoch,
+        start_incremental_vector_refresh,
+        stream_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    rest1 = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 375))
+    rest2 = emb.filter(F.col("vec_id") >= 375)
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(spark, base, idx, n_cells=8)
+
+    sdir = tmp_path / "emb_stream"
+    sdir.mkdir()
+    rest1.coalesce(1).write.mode("append").parquet(str(sdir))
+    q = start_incremental_vector_refresh(
+        stream_embeddings(spark, str(sdir)), idx)
+    try:
+        q.processAllAvailable()
+        rest2.coalesce(1).write.mode("append").parquet(str(sdir))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(emb, qvec, 10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, idx, qvec, 10, n_probe=8).collect()]
+    assert got == exact, "streamed vectors must rank immediately"
+    n_total = read_ivf_index(spark, idx)[0].count()
+    assert n_total == emb.count()
+
+    # replay epoch 0 (crash-recovery path): done-marker short-circuits
+    assert refresh_ivf_epoch(spark, idx, rest1, 0) == 0
+    assert read_ivf_index(spark, idx)[0].count() == n_total
+    # replay with the marker gone: deterministic names overwrite in place
+    import os
+    os.remove(os.path.join(idx, "_stream_epochs", "ep0.done"))
+    assert refresh_ivf_epoch(spark, idx, rest1, 0) > 0
+    assert read_ivf_index(spark, idx)[0].count() == n_total
+
+    delete_vectors(spark, idx, [0])
+    compact_ivf_index(spark, idx)
+    assert os.path.exists(os.path.join(idx, "_stream_epochs", "ep0.done")), \
+        "compaction must carry the streaming epoch markers"
+    assert read_ivf_index(spark, idx)[0].count() == n_total - 1
