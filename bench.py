@@ -400,6 +400,137 @@ def phase_lifecycle() -> dict:
     return out
 
 
+def phase_vector_lifecycle() -> dict:
+    """IVF vector-index lifecycle economics at two corpus sizes
+    (100k / 400k vectors, dim 32, 64 cells):
+
+    - refresh with a 1% delta must cost O(delta) — the delta is assigned
+      to the FROZEN centroids and appended; no retrain, no re-read;
+    - a 2-of-64-cell probe must beat brute force by reading ~3% of
+      directories (partition pruning) — the IVF point, measured;
+    - compaction (after a 1% delete) rewrites live rows once.
+    """
+    import numpy as np  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_vectors,
+        ivf_topk_index,
+    )
+    from snowball_java_spark.session import get_spark
+
+    DIM = 32
+
+    def synth(spark, lo: int, hi: int, path: str) -> None:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        (spark.range(lo, hi)
+         .select(
+             F.col("id").alias("vec_id"),
+             F.transform(
+                 F.sequence(F.lit(0), F.lit(DIM - 1)),
+                 lambda i: (F.pmod(F.hash(F.col("id") * DIM + i),
+                                   F.lit(2001)) / 1000.0 - 1.0
+                            ).cast("float"),
+             ).alias("embedding"))
+         .write.mode("overwrite").parquet(path))
+
+    out = {}
+    sizes = [100_000, 400_000]
+    for n in sizes:
+        spark = get_spark("bench-vec-lifecycle", cores=CPUS)
+        emb_dir = f"/tmp/sjs_bench/vec_{n}"
+        synth(spark, 0, n, emb_dir)
+        emb = spark.read.parquet(emb_dir)
+        idx_dir = f"/tmp/sjs_bench/vec_idx_{n}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        # untimed warmup: the 64-cell × 32-dim assignment expression is a
+        # large codegen unit — compile it on a 64-row sample so the first
+        # timed leg measures data cost, not janino
+        from snowball_java_spark.operators.similarity import (
+            cell_assign_expr,
+            train_ivf_centroids,
+        )
+
+        wcent = train_ivf_centroids(emb.limit(256), n_cells=64,
+                                    sample_rows=256)
+        emb.limit(64).select(
+            cell_assign_expr(F.col("embedding"), wcent)).collect()
+        t0 = time.time()
+        build_ivf_index(spark, emb, idx_dir, n_cells=64, id_col="vec_id")
+        build_sec = time.time() - t0
+
+        n_delta = n // 100
+        delta_dir = f"/tmp/sjs_bench/vec_delta_{n}"
+        synth(spark, n, n + n_delta, delta_dir)
+        t0 = time.time()
+        from snowball_java_spark.operators.similarity import refresh_ivf_index
+
+        refresh_ivf_index(spark, idx_dir, spark.read.parquet(delta_dir))
+        refresh_sec = time.time() - t0
+
+        qvec = [float(x)
+                for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+        t0 = time.time()
+        ivf_topk_index(spark, idx_dir, qvec, 10, n_probe=2).collect()
+        probe_sec = time.time() - t0
+        # the scale-faithful pruning evidence: fraction of index FILES in
+        # the probed cells' DIRECTORIES (what directory partition pruning
+        # — pinned by tests/test_plans.py — actually reads; latency at
+        # this toy volume is fixed job overhead, the scan fraction is
+        # what survives a 1000× scale-up).  NOTE inputFiles() is pre-
+        # pruning and useless here.
+        import glob as _glob
+
+        import numpy as np
+
+        from snowball_java_spark.operators.similarity import read_ivf_index
+
+        _, cents = read_ivf_index(spark, idx_dir)
+        qd = ((cents - np.asarray(qvec)[None, :]) ** 2).sum(axis=1)
+        probe_cells = [int(c) for c in np.argsort(qd)[:2]]
+        n_probe_files = sum(
+            len(_glob.glob(os.path.join(idx_dir, f"cell={c}", "*.parquet")))
+            for c in probe_cells)
+        n_index_files = len(
+            _glob.glob(os.path.join(idx_dir, "cell=*", "*.parquet")))
+        t0 = time.time()
+        brute_force_topk(emb, qvec, 10).collect()
+        brute_sec = time.time() - t0
+
+        delete_vectors(spark, idx_dir, list(range(0, n, 100)))
+        t0 = time.time()
+        compact_ivf_index(spark, idx_dir)
+        compact_sec = time.time() - t0
+        out[f"vecs_{n}"] = {
+            "base_build_sec": round(build_sec, 2),
+            "refresh_1pct_sec": round(refresh_sec, 2),
+            "refresh_frac_of_build": round(refresh_sec / build_sec, 3),
+            "probe2of64_query_sec": round(probe_sec, 3),
+            "brute_force_query_sec": round(brute_sec, 3),
+            "probe_files_read": n_probe_files,
+            "index_files_total": n_index_files,
+            "probe_scan_frac": round(n_probe_files / max(n_index_files, 1), 3),
+            "compact_after_1pct_delete_sec": round(compact_sec, 2),
+        }
+        spark.stop()
+    lo, hi = (out[f"vecs_{s}"] for s in sizes)
+    out["refresh_growth_vs_corpus_growth"] = round(
+        (hi["refresh_1pct_sec"] / lo["refresh_1pct_sec"])
+        / (sizes[1] / sizes[0]), 3)
+    out["note"] = (
+        "frozen-centroid refresh is O(delta) (near-flat across corpus "
+        "sizes); the 2-of-64 probe reads ~3% of index FILES via "
+        "partition pruning (probe_scan_frac — the number that survives a "
+        "1000× scale-up; latency at this toy volume is fixed job "
+        "overhead); compaction rewrites live rows once")
+    return out
+
+
 def main() -> None:
     queries, total, meta = phase_a()
     result = {
@@ -416,6 +547,7 @@ def main() -> None:
     if not SKIP_SCALING:
         result["scaling"] = phase_b()
         result["lifecycle"] = phase_lifecycle()
+        result["vector_lifecycle"] = phase_vector_lifecycle()
     print(json.dumps(result))
 
 

@@ -212,7 +212,12 @@ def build_ivf_index(
     cent = train_ivf_centroids(emb, n_cells, sample_rows, iters, id_col)
     assigned = emb.withColumn(
         "cell", cell_assign_expr(F.col("embedding"), cent))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+    # co-locate each cell before the partitioned write: without this,
+    # every shuffle partition writes a sliver into every cell dir
+    # (partitions × cells tiny files — a scan-planning tax at scale);
+    # with it, file count ~ n_cells
+    assigned.repartition("cell").write.mode("overwrite") \
+        .partitionBy("cell").parquet(out_dir)
     with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
         json.dump(np.asarray(cent).tolist(), f)
     return cent
@@ -251,7 +256,8 @@ def refresh_ivf_index(spark, index_dir: str, delta: DataFrame) -> int:
     assigned = delta.withColumn(
         "cell", cell_assign_expr(F.col("embedding"), cent))
     n = assigned.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(index_dir)
+    assigned.repartition("cell").write.mode("append") \
+        .partitionBy("cell").parquet(index_dir)
     return int(n)
 
 
@@ -292,7 +298,7 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     live = rows.join(F.broadcast(dead), id_col, "left_anti")
     tmp = index_dir.rstrip("/") + ".compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    live.write.partitionBy("cell").parquet(tmp)
+    live.repartition("cell").write.partitionBy("cell").parquet(tmp)
     import json
 
     import numpy as np

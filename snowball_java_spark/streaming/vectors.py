@@ -67,7 +67,8 @@ def refresh_ivf_epoch(
     staging = os.path.join(index_dir, "_stream_staging", f"ep{int(epoch_id)}")
     assigned = delta.withColumn(
         "cell", cell_assign_expr(F.col("embedding"), cent))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    assigned.repartition("cell").write.mode("overwrite") \
+        .partitionBy("cell").parquet(staging)
 
     n = 0
     prefix = f"ep{int(epoch_id)}-"
