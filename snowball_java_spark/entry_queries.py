@@ -1565,6 +1565,47 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+def _q_facet_stats(spark, sf_dir):
+    """ES stats aggregation bucketed by a facet column: token-count
+    statistics of the docs matching each query, per source — one
+    prune-before-explode pass, map-side combined to (query, bucket)."""
+    from snowball_java_spark.operators.facets import facet_stats
+
+    d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens"))
+    res = facet_stats(
+        spark, d,
+        [{"query_id": 0, "terms": HOT_TERMS},
+         {"query_id": 1, "terms": RARE_TERMS, "not_terms": ["table"]}],
+        stat_col="dl", facet_col="source")
+    return res.select(
+        "query_id", "value", "n_docs",
+        F.round("min", 6).alias("min"), F.round("max", 6).alias("max"),
+        F.round("sum", 6).alias("sum"), F.round("avg", 6).alias("avg"))
+
+
+def _facet_stats_sql() -> str:
+    qvals = ", ".join(
+        [f"(0, '{t}')" for t in sorted(set(HOT_TERMS))]
+        + [f"(1, '{t}')" for t in sorted(set(RARE_TERMS))])
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+q(query_id, term) AS (VALUES {qvals}),
+nq(query_id, term) AS (VALUES (1, 'table')),
+m AS (SELECT DISTINCT q.query_id, t.doc_id
+      FROM toks t JOIN q ON list_contains(t.toks, q.term)),
+mm AS (SELECT * FROM m WHERE NOT EXISTS (
+         SELECT 1 FROM toks t JOIN nq
+           ON list_contains(t.toks, nq.term)
+         WHERE nq.query_id = m.query_id AND t.doc_id = m.doc_id)),
+s AS (SELECT mm.query_id, d.source, len(t.toks) AS dl
+      FROM mm JOIN toks t USING (doc_id) JOIN documents d USING (doc_id))
+SELECT query_id, source AS value, count(*)::BIGINT AS n_docs,
+       round(min(dl)::DOUBLE, 6) AS min, round(max(dl)::DOUBLE, 6) AS max,
+       round(sum(dl)::DOUBLE, 6) AS sum, round(avg(dl), 6) AS avg
+FROM s GROUP BY 1, 2
+"""
+
+
 _BOOST_TERMS = ["row", "spark", "table"]
 _BOOST_SPEC = {"table": 2.0, "spark": 0.5}
 
@@ -2832,6 +2873,7 @@ FROM g
             _q_bm25_fuzzy_join, _bm25_fuzzy_sql(_FUZZY_TERMS, _FUZZY_SPEC, 10)),
         "bm25_boost_topk": Q(
             _q_bm25_boost_join, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
+        "facet_stats_dl": Q(_q_facet_stats, _facet_stats_sql()),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(

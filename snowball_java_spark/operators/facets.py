@@ -22,6 +22,80 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _matched_pairs(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    carry_cols: list[str],
+    candidate_predicate: F.Column | None,
+) -> DataFrame | None:
+    """(query_id, doc_id, *carry_cols) for docs matching ≥ 1 query term
+    (minus the query's ``not_terms``) — the shared match relation behind
+    facet counts and stats.  None when no query has terms.  Same
+    prune-before-explode shape as ``bm25_join.pruned_tf``."""
+    terms = sorted({t for q in queries for t in q["terms"]})
+    if not terms:
+        return None
+    cand = (docs_tok.filter(candidate_predicate)
+            if candidate_predicate is not None else docs_tok)
+    kept = F.array_distinct(F.filter("tokens", lambda x: x.isin(*terms)))
+    matched = cand.select(
+        "doc_id", *carry_cols, F.explode(kept).alias("term"))
+    q_terms = F.broadcast(
+        spark.createDataFrame(
+            [(int(q["query_id"]), t)
+             for q in queries for t in sorted(set(q["terms"]))],
+            "query_id int, term string"))
+    pairs = (matched.join(q_terms, "term")
+             .select("query_id", "doc_id", *carry_cols)
+             .dropDuplicates(["query_id", "doc_id"]))
+    from snowball_java_spark.operators.bm25_join import exclude_not_terms
+
+    return exclude_not_terms(spark, pairs, docs_tok, queries)
+
+
+def facet_stats(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    stat_col: str,
+    facet_col: str | None = None,
+    candidate_predicate: F.Column | None = None,
+) -> DataFrame:
+    """Numeric statistics over the docs matching each query — the ES
+    ``stats`` aggregation (optionally bucketed by one facet column, the
+    ``terms`` + ``stats`` sub-aggregation composition): (query_id,
+    [value,] n_docs, min, max, sum, avg of ``stat_col``).
+
+    ``stat_col`` is any numeric column already on ``docs_tok`` (e.g. a
+    length/quality/size column; derive ``F.size("tokens")`` upstream for
+    token-count stats).  Same scale shape as :func:`facet_counts`: rows
+    entering the aggregation ∝ the query terms' postings, map-side
+    combined to one row per (query, bucket).  Deterministic order:
+    (query_id, value)."""
+    carry = [stat_col] + ([facet_col] if facet_col else [])
+    group = ["query_id"] + ([facet_col] if facet_col else [])
+    pairs = _matched_pairs(
+        spark, docs_tok, queries, carry, candidate_predicate)
+    val = ([F.col(facet_col).cast("string").alias("value")]
+           if facet_col else [])
+    if pairs is None:
+        return spark.createDataFrame(
+            [], "query_id int"
+                + (", value string" if facet_col else "")
+                + ", n_docs long, min double, max double,"
+                  " sum double, avg double")
+    c = F.col(stat_col).cast("double")
+    return (
+        pairs.groupBy(*group)
+        .agg(F.count("*").alias("n_docs"),
+             F.min(c).alias("min"), F.max(c).alias("max"),
+             F.sum(c).alias("sum"), F.avg(c).alias("avg"))
+        .select("query_id", *val, "n_docs", "min", "max", "sum", "avg")
+        .orderBy(*group)
+    )
+
+
 def facet_counts(
     spark: SparkSession,
     docs_tok: DataFrame,
@@ -40,27 +114,12 @@ def facet_counts(
     """
     if not facet_cols:
         raise ValueError("facet_cols must be non-empty")
-    terms = sorted({t for q in queries for t in q["terms"]})
-    if not terms:
+    pairs = _matched_pairs(
+        spark, docs_tok, queries, facet_cols, candidate_predicate)
+    if pairs is None:
         return spark.createDataFrame(
             [], "query_id int, facet string, value string, "
                 "n_docs long, rank int")
-    cand = (docs_tok.filter(candidate_predicate)
-            if candidate_predicate is not None else docs_tok)
-    kept = F.array_distinct(F.filter("tokens", lambda x: x.isin(*terms)))
-    matched = cand.select(
-        "doc_id", *facet_cols, F.explode(kept).alias("term"))
-    q_terms = F.broadcast(
-        spark.createDataFrame(
-            [(int(q["query_id"]), t)
-             for q in queries for t in sorted(set(q["terms"]))],
-            "query_id int, term string"))
-    pairs = (matched.join(q_terms, "term")
-             .select("query_id", "doc_id", *facet_cols)
-             .dropDuplicates(["query_id", "doc_id"]))
-    from snowball_java_spark.operators.bm25_join import exclude_not_terms
-
-    pairs = exclude_not_terms(spark, pairs, docs_tok, queries)
     # one row per (facet column, value): stack the facet columns —
     # stays a projection, no extra scan
     stacked = pairs.select(

@@ -232,3 +232,50 @@ def test_parse_boosts():
                 "table^2 table^3"):
         with pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+def test_facet_stats_matches_python(spark, synth_docs, oracle):
+    """facet_stats ≡ a python recomputation over the oracle's tf maps
+    (bucketed by lang, doc-length stats)."""
+    from snowball_java_spark.operators.facets import facet_stats
+    from pyspark.sql import functions as F
+
+    docs = with_tokens(synth_docs).withColumn("dl", F.size("tokens"))
+    res = facet_stats(
+        spark, docs,
+        [{"query_id": 0, "terms": ["def", "rare_7"]},
+         {"query_id": 1, "terms": ["def"], "not_terms": ["import"]}],
+        stat_col="dl", facet_col="lang").collect()
+    langs = {r["doc_id"]: r["lang"]
+             for r in synth_docs.select("doc_id", "lang").collect()}
+    dls = {d: sum(tf.values()) for d, tf in oracle.tf.items()}
+    for qid, terms, nots in ((0, ["def", "rare_7"], []),
+                             (1, ["def"], ["import"])):
+        matched = [d for d in oracle.tf
+                   if any(t in oracle.tf[d] for t in terms)
+                   and not any(t in oracle.tf[d] for t in nots)]
+        by_lang: dict[str, list[int]] = {}
+        for d in matched:
+            by_lang.setdefault(langs[d], []).append(dls[d])
+        mine = {r["value"]: r for r in res if r["query_id"] == qid}
+        assert set(mine) == set(by_lang)
+        for lang, vals in by_lang.items():
+            r = mine[lang]
+            assert r["n_docs"] == len(vals)
+            assert r["min"] == min(vals) and r["max"] == max(vals)
+            assert r["sum"] == sum(vals)
+            assert r["avg"] == pytest.approx(sum(vals) / len(vals))
+
+
+def test_facet_stats_unbucketed_and_empty(spark, synth_docs):
+    from snowball_java_spark.operators.facets import facet_stats
+    from pyspark.sql import functions as F
+
+    docs = with_tokens(synth_docs).withColumn("dl", F.size("tokens"))
+    res = facet_stats(
+        spark, docs, [{"query_id": 0, "terms": ["def"]}],
+        stat_col="dl").collect()
+    assert len(res) == 1 and res[0]["query_id"] == 0
+    assert "value" not in res[0].asDict()
+    assert facet_stats(spark, docs, [{"query_id": 0, "terms": []}],
+                       stat_col="dl").count() == 0
