@@ -420,10 +420,24 @@ def explain_scores(
     weights = (
         tfq.join(F.broadcast(q_stats), "term").withColumn("weight", w)
     )
+    from snowball_java_spark.operators.wand import _boosts_of
+
+    boost_rows = [
+        (int(q["query_id"]), t, b)
+        for q in queries for t, b in _boosts_of(q).items()
+    ]
+    boost_col = F.lit(1.0)
+    if boost_rows:
+        bdf = F.broadcast(spark.createDataFrame(
+            boost_rows, "query_id int, term string, boost double"))
+        weights = weights.join(bdf, ["query_id", "term"], "left")
+        boost_col = F.coalesce("boost", F.lit(1.0))
     return (
         weights.join(F.broadcast(top.select("query_id", "rank", "doc_id")),
                      ["query_id", "doc_id"])
-        .select("query_id", "rank", "doc_id", "term", "tf", "df", "weight")
+        .select("query_id", "rank", "doc_id", "term", "tf", "df",
+                boost_col.alias("boost"),
+                (F.col("weight") * boost_col).alias("weight"))
     )
 
 

@@ -176,3 +176,46 @@ def test_maxscore_cursor_equals_exhaustive_slice(data):
     assert list(got_docs) == [d for d, _ in expect], f"cursor at rank {at}"
     np.testing.assert_allclose(
         got_scores, [s for _, s in expect], rtol=1e-12, atol=0)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_boosted_maxscore_equals_exhaustive(data):
+    """_BoostedList under the full pruning path: boosting folds into the
+    effective idf and every block bound scales with it, so pruned top-k
+    must equal exhaustive scoring with per-term boosted weights — across
+    random boosts spanning 0.1×–20× on random subsets of the lists."""
+    from snowball_java_spark.operators.wand import _BoostedList
+
+    n_docs = data.draw(st.integers(300, 1000))
+    n_terms = data.draw(st.integers(1, 4))
+    k = data.draw(st.integers(1, 10))
+    rng = np.random.RandomState(data.draw(st.integers(0, 10**6)))
+    dls = rng.randint(1, 200, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    lists, truth = [], {}
+    for t in range(n_terms):
+        density = data.draw(st.sampled_from([0.01, 0.1, 0.7]))
+        mask = rng.rand(n_docs) < density
+        docs = np.nonzero(mask)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        tfs = rng.choice([1, 1, 2, 3, 8], size=docs.size).astype(np.int64)
+        idf = float(idf_np(np.array([docs.size]), n_docs)[0])
+        tl = _mk_termlist(docs, tfs, dls, idf, avgdl)
+        boost = data.draw(st.sampled_from([1.0, 0.1, 0.5, 2.0, 20.0]))
+        if boost != 1.0:
+            tl = _BoostedList(tl, boost)
+        lists.append(tl)
+        w = weight_np(tfs, np.float64(idf * boost), dls[docs], avgdl,
+                      CFG.k1, CFG.b)
+        for d, wv in zip(docs, w):
+            truth[d] = truth.get(d, 0.0) + wv
+
+    got_docs, got_scores = maxscore_topk_shard(lists, k, dls, 0, avgdl, CFG)
+    expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert list(got_docs) == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got_scores, [s for _, s in expect], rtol=1e-12, atol=0
+    )

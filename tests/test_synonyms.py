@@ -291,3 +291,23 @@ def test_boost_composes_with_synonyms_and_mode_and(spark, docs_tok, index):
     assert [r["doc_id"] for r in boost_and] == [r["doc_id"] for r in base_and]
     for u, b in zip(boost_and, base_and):
         assert u["score"] == pytest.approx(2.0 * b["score"], rel=1e-12)
+
+
+def test_explain_scores_carries_boosts(spark, docs_tok):
+    """Explanation rows expose the per-term boost and their weights sum
+    to the boosted hit score."""
+    from snowball_java_spark.operators.bm25_join import explain_scores
+
+    q = [{"query_id": 0, "terms": ["def", "import"],
+          "boosts": {"def": 2.0}, "k": 5}]
+    rows = explain_scores(spark, docs_tok, q).collect()
+    assert {r["boost"] for r in rows if r["term"] == "def"} == {2.0}
+    assert {r["boost"] for r in rows if r["term"] == "import"} == {1.0}
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["weight"]
+    top = {r["doc_id"]: r["score"]
+           for r in bm25_topk_join(spark, docs_tok, q).collect()}
+    assert set(by_doc) == set(top)
+    for d in top:
+        assert by_doc[d] == pytest.approx(top[d], rel=1e-9)
