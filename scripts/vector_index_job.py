@@ -47,6 +47,11 @@ def main(argv: list[str]) -> int:
                    help="parquet with one id_col column to tombstone")
     p.add_argument("--compact", action="store_true",
                    help="physically drop tombstoned rows, clear the sidecar")
+    p.add_argument("--retrain", nargs="?", const=-1, type=int, default=None,
+                   metavar="N_CELLS",
+                   help="retrain centroids from the live rows and reassign "
+                        "(undo frozen-centroid drift); optional new cell "
+                        "count, default keeps the current one")
     p.add_argument("--describe", action="store_true")
     p.add_argument("--query", metavar="JSONL",
                    help="queries: {query_id, vec, k} per line")
@@ -57,9 +62,10 @@ def main(argv: list[str]) -> int:
                    help="parquet output dir for --query (default: stdout)")
     args = p.parse_args(argv)
     if not any((args.build, args.refresh, args.delete_ids, args.delete_keys,
-                args.compact, args.describe, args.query)):
+                args.compact, args.retrain is not None, args.describe,
+                args.query)):
         p.error("nothing to do: pass --build/--refresh/--delete-ids/"
-                "--delete-keys/--compact/--describe/--query")
+                "--delete-keys/--retrain/--compact/--describe/--query")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -89,6 +95,12 @@ def main(argv: list[str]) -> int:
     if dead_ids:
         sim.delete_vectors(spark, d, dead_ids, id_col=args.id_col)
         print(json.dumps({"tombstoned": len(dead_ids)}))
+    if args.retrain is not None:
+        sim.retrain_ivf_index(
+            spark, d,
+            n_cells=None if args.retrain == -1 else args.retrain,
+            id_col=args.id_col)
+        print(json.dumps({"retrained": d}))
     if args.compact:
         sim.compact_ivf_index(spark, d, id_col=args.id_col)
         print(json.dumps({"compacted": d}))

@@ -319,6 +319,47 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def retrain_ivf_index(
+    spark,
+    index_dir: str,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Retrain the coarse quantizer from the CURRENT live rows and
+    reassign everything — the periodic maintenance op that undoes
+    frozen-centroid drift (after many refreshes the data distribution
+    can wander from the original centroids, skewing cell sizes and
+    hurting probe recall).  O(corpus) by necessity — moving cell
+    boundaries invalidates every assignment — which is exactly why
+    queries and refreshes never do it and this runs as an explicit
+    offline job (the FAISS/IVF production split: freeze for serving,
+    retrain on a schedule).
+
+    Applies pending tombstones (like compaction), preserves the
+    streaming sidecars, swaps directories crash-safely."""
+    import os
+    import shutil
+
+    rows, cent = read_ivf_index(spark, index_dir)
+    dead = _ivf_tombstones(spark, index_dir)
+    live = (rows.join(F.broadcast(dead), id_col, "left_anti")
+            if dead is not None else rows).drop("cell")
+    tmp = index_dir.rstrip("/") + ".retrain_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_ivf_index(spark, live, tmp,
+                    n_cells=int(n_cells) if n_cells else len(cent),
+                    id_col=id_col)
+    for side in ("_stream_epochs", "_stream_checkpoint"):
+        src = os.path.join(index_dir, side)
+        if os.path.exists(src):
+            shutil.copytree(src, os.path.join(tmp, side))
+    old = index_dir.rstrip("/") + ".retrain_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_topk_index(
     spark,
     index_dir: str,

@@ -322,3 +322,40 @@ def test_batch_topk_respects_predicate_and_per_query_k(spark, emb, qvec):
     assert n_by_q == {0: 3, 1: 8}
     ok = {r["vec_id"] for r in emb.filter(F.col("label") % 3 == 0).collect()}
     assert {r["vec_id"] for r in got} <= ok
+
+
+def test_ivf_retrain_reassigns_live_rows(spark, emb, qvec, tmp_path_factory):
+    """Retrain: tombstones applied, row set preserved exactly, cell
+    count changeable, full-probe queries stay exact, streaming sidecars
+    carried."""
+    import json
+    import os
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        delete_vectors,
+        ivf_topk_index,
+        read_ivf_index,
+        retrain_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_rt")) + "/idx"
+    build_ivf_index(spark, emb, d, n_cells=4)
+    os.makedirs(os.path.join(d, "_stream_epochs"))
+    with open(os.path.join(d, "_stream_epochs", "ep0.done"), "w") as f:
+        f.write("ok")
+    delete_vectors(spark, d, [3])
+    retrain_ivf_index(spark, d, n_cells=8)
+    rows, cent = read_ivf_index(spark, d)
+    assert len(cent) == 8
+    assert rows.count() == emb.count() - 1
+    assert os.path.exists(os.path.join(d, "_stream_epochs", "ep0.done"))
+    assert not os.path.exists(d + ".retrain_tmp")
+    with open(os.path.join(d, "_centroids.json")) as f:
+        assert len(json.load(f)) == 8
+    live = emb.filter(F.col("vec_id") != 3)
+    exact = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(live, qvec, 10).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert got == exact
