@@ -19,7 +19,9 @@ The input table needs (id_col long, embedding array<float>); any other
 columns are carried and usable in ``--filter`` (pre-filter semantics —
 the predicate restricts candidates BEFORE scoring, pushed into the
 probed cells' row-group scan).  Steps compose and run in the order
-build → refresh → delete → compact → describe → query.
+build → refresh → delete → retrain → compact → describe → query.
+``--refresh`` takes ``--supersede`` to upsert: prior versions of the
+delta's ids are tombstoned so exactly one live version ranks.
 """
 
 from __future__ import annotations
@@ -41,6 +43,10 @@ def main(argv: list[str]) -> int:
     p.add_argument("--refresh", metavar="EMB",
                    help="delta rows: assigned to the EXISTING centroids "
                         "(no retrain), appended O(delta)")
+    p.add_argument("--supersede", action="store_true",
+                   help="with --refresh: upsert — tombstone prior "
+                        "versions of the delta's ids so exactly one "
+                        "live version ranks")
     p.add_argument("--delete-ids", metavar="IDS",
                    help="comma-separated ids to tombstone")
     p.add_argument("--delete-keys", metavar="PATH",
@@ -82,8 +88,11 @@ def main(argv: list[str]) -> int:
         print(json.dumps({"built": d, "n_cells": args.n_cells,
                           "rows": spark.read.parquet(d).count()}))
     if args.refresh:
-        n = sim.refresh_ivf_index(spark, d, spark.read.parquet(args.refresh))
-        print(json.dumps({"refreshed": d, "rows_appended": n}))
+        n = sim.refresh_ivf_index(spark, d, spark.read.parquet(args.refresh),
+                                  supersede=args.supersede,
+                                  id_col=args.id_col)
+        print(json.dumps({"refreshed": d, "rows_appended": n,
+                          "supersede": bool(args.supersede)}))
     dead_ids: list[int] = []
     if args.delete_ids:
         dead_ids += [int(x) for x in args.delete_ids.split(",") if x.strip()]

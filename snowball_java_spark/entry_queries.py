@@ -1314,8 +1314,8 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     keyed cache, same scheme as the text-index caches)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    d = f"/tmp/sjs_index_cache/ivf_v1_{tag}_{fp}"
-    _gc_index_caches(tag, f"ivf_v1_{tag}_{fp}", family="ivf_v")
+    d = f"/tmp/sjs_index_cache/ivf_v2_{tag}_{fp}"
+    _gc_index_caches(tag, f"ivf_v2_{tag}_{fp}", family="ivf_v")
     if not os.path.exists(os.path.join(d, "_centroids.json")):
         similarity.build_ivf_index(spark, _emb(spark, sf_dir), d)
     return d
@@ -1346,8 +1346,8 @@ def _ivf_lifecycle_index_for(spark: SparkSession, sf_dir: str,
     tag = os.path.basename(os.path.normpath(sf_dir))
     fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     fam = "ivflcc" if compact else "ivflcu"
-    d = f"/tmp/sjs_index_cache/{fam}_v1_{tag}_{fp}"
-    _gc_index_caches(tag, f"{fam}_v1_{tag}_{fp}", family=fam)
+    d = f"/tmp/sjs_index_cache/{fam}_v2_{tag}_{fp}"
+    _gc_index_caches(tag, f"{fam}_v2_{tag}_{fp}", family=fam)
     marker = os.path.join(d, "_lifecycle_done")
     if os.path.exists(marker):
         return d

@@ -136,6 +136,11 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             saw_bare_quoteless = True
             prefixes.append(stem_toks[0])
             continue
+        if "^" in word and not _BOOST_RE.match(word):
+            # loud, like every other malformed operator: 'table^2.' must
+            # not silently tokenize into an extra OR term '2'
+            raise QueryParseError(
+                f"malformed boost {word!r} (use term^2 or term^0.5)")
         bm = _BOOST_RE.match(word)
         if bm:
             stem, bval = bm.groups()

@@ -210,7 +210,9 @@ def build_ivf_index(
     import numpy as np
 
     cent = train_ivf_centroids(emb, n_cells, sample_rows, iters, id_col)
-    assigned = emb.withColumn(
+    if "_v" in emb.columns:  # rebuilt from an existing index (retrain)
+        emb = emb.drop("_v")
+    assigned = emb.withColumn("_v", F.lit(0).cast("long")).withColumn(
         "cell", cell_assign_expr(F.col("embedding"), cent))
     # co-locate each cell before the partitioned write: without this,
     # every shuffle partition writes a sliver into every cell dir
@@ -220,29 +222,116 @@ def build_ivf_index(
         .partitionBy("cell").parquet(out_dir)
     with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
         json.dump(np.asarray(cent).tolist(), f)
+    _write_ivf_meta(out_dir, {"next_v": 1})
     return cent
 
 
+def _ivf_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    p = os.path.join(index_dir, "_lsm_meta.json")
+    if not os.path.exists(p):
+        return {"next_v": 1}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_ivf_meta(index_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    p = os.path.join(index_dir, "_lsm_meta.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(p + ".tmp", p)
+
+
+def _reserve_version(index_dir: str) -> int:
+    """Reserve the next row-version number (bumped BEFORE any rows are
+    written: a crash mid-write wastes a version, which is harmless —
+    versions only order rows against tombstone cuts).  Single-writer,
+    like the text index's refresh."""
+    meta = _ivf_meta(index_dir)
+    v = int(meta["next_v"])
+    _write_ivf_meta(index_dir, {**meta, "next_v": v + 1})
+    return v
+
+
+def _live_rows(rows: DataFrame, dead: "DataFrame | None",
+               id_col: str) -> DataFrame:
+    """Drop rows killed by a versioned tombstone: a tombstone ``(id,
+    v_cut)`` kills every stored version ``_v <= v_cut`` of that id —
+    so deleting then re-adding an id WORKS (the re-added row carries a
+    later version), and superseded rows vanish while their replacement
+    survives.  Exclusion is a broadcast join against the per-id MAX cut
+    (sidecar-sized)."""
+    if dead is None:
+        return rows
+    if "_v" not in rows.columns:  # pre-versioning layout: every row v=0
+        rows = rows.withColumn("_v", F.lit(0).cast("long"))
+    cut = dead.groupBy(id_col).agg(F.max("v").alias("_cut"))
+    return (
+        rows.join(F.broadcast(cut), id_col, "left")
+        .filter(F.col("_cut").isNull() | (F.col("_v") > F.col("_cut")))
+        .drop("_cut")
+    )
+
+
+def _recover_swap(index_dir: str) -> None:
+    """Complete a compact/retrain directory swap interrupted between its
+    two renames.  The window: the tmp dir is FULLY written before the
+    first rename ever runs, so ``index_dir`` missing + both ``.{tag}_tmp``
+    and ``.{tag}_old`` present means tmp is the complete new state —
+    promote it.  A dangling ``_old`` next to a live ``index_dir`` is a
+    crash after the second rename — drop it."""
+    import os
+    import shutil
+
+    for tag in ("compact", "retrain"):
+        tmp = index_dir.rstrip("/") + f".{tag}_tmp"
+        old = index_dir.rstrip("/") + f".{tag}_old"
+        if (not os.path.exists(index_dir) and os.path.exists(old)
+                and os.path.exists(os.path.join(tmp, "_centroids.json"))):
+            os.rename(tmp, index_dir)
+        if os.path.exists(index_dir) and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+
 def read_ivf_index(spark, path: str):
-    """(rows DataFrame, centroid ndarray) for a persisted IVF index."""
+    """(rows DataFrame, centroid ndarray) for a persisted IVF index.
+    Completes any interrupted compaction/retrain swap first."""
     import json
     import os
 
     import numpy as np
 
+    _recover_swap(path)
     with open(os.path.join(path, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
     return spark.read.parquet(path), cent
 
 
-def refresh_ivf_index(spark, index_dir: str, delta: DataFrame) -> int:
+def refresh_ivf_index(spark, index_dir: str, delta: DataFrame,
+                      supersede: bool = False,
+                      id_col: str = "vec_id") -> int:
     """Append new vectors to a persisted IVF index WITHOUT retraining:
     delta rows are assigned to the EXISTING centroids (frozen coarse
     quantizer — the standard production IVF policy; retraining moves
     cell boundaries and would force reassigning the whole corpus, i.e.
     a rebuild) and appended as new files inside their cells' partition
-    directories.  Queries see the rows immediately: probes read cell
-    DIRECTORIES, and parquet appends are atomic at file granularity.
+    directories, stamped with a fresh row VERSION.  Queries see the
+    rows immediately: probes read cell DIRECTORIES, and parquet appends
+    are atomic at file granularity.
+
+    ``supersede=True`` makes the refresh an UPSERT: prior versions of
+    the delta's ids are tombstoned (cut = the new version − 1), so
+    exactly one live version of each id ranks and compaction physically
+    drops the old rows.  With ``supersede=False`` a delta id that
+    already exists live in the index would DUPLICATE it — only pass
+    deltas of genuinely new ids, or use supersede.  Re-adding a
+    previously deleted id always works on either path: the new row's
+    version is newer than the tombstone's cut.
 
     Returns the number of rows appended.  Mirrors the text index's
     ``refresh_index``: O(delta) work, old files untouched."""
@@ -253,25 +342,48 @@ def refresh_ivf_index(spark, index_dir: str, delta: DataFrame) -> int:
 
     with open(os.path.join(index_dir, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
-    assigned = delta.withColumn(
-        "cell", cell_assign_expr(F.col("embedding"), cent))
+    v = _reserve_version(index_dir)
+    if "_v" in delta.columns:
+        delta = delta.drop("_v")
+    assigned = delta.withColumn("_v", F.lit(v).cast("long")).withColumn(
+        "cell", cell_assign_expr(F.col("embedding"), cent)).persist()
     n = assigned.count()
+    if supersede:
+        # distributed tombstone write — no driver collect, deltas can be
+        # arbitrarily large
+        import os
+
+        (assigned.select(F.col(id_col),
+                         F.lit(v - 1).cast("long").alias("v"))
+         .distinct().write.mode("append")
+         .parquet(os.path.join(index_dir, "_tombstones")))
     assigned.repartition("cell").write.mode("append") \
         .partitionBy("cell").parquet(index_dir)
+    assigned.unpersist()
     return int(n)
+
+
+def _write_tombstones(spark, index_dir: str, ids: list[int], v_cut: int,
+                      id_col: str) -> None:
+    import os
+
+    spark.createDataFrame(
+        [(int(i), int(v_cut)) for i in ids], f"{id_col} long, v long"
+    ).write.mode("append").parquet(os.path.join(index_dir, "_tombstones"))
 
 
 def delete_vectors(spark, index_dir: str, ids: list[int],
                    id_col: str = "vec_id") -> None:
-    """Tombstone vectors by id: appends to the index's ``_tombstones``
-    sidecar (tiny parquet relation, broadcast anti-joined at query time
-    — stored cell files are never rewritten).  Mirrors the text index's
-    tombstone design; :func:`compact_ivf_index` physically drops them."""
-    import os
-
-    spark.createDataFrame(
-        [(int(i),) for i in ids], f"{id_col} long"
-    ).write.mode("append").parquet(os.path.join(index_dir, "_tombstones"))
+    """Tombstone vectors by id: appends ``(id, v_cut)`` rows to the
+    ``_tombstones`` sidecar (tiny parquet relation, broadcast-joined at
+    query time — stored cell files are never rewritten).  The cut is
+    the CURRENT version frontier, so every version stored so far dies
+    but a later re-add (refresh stamps a newer version) comes back to
+    life — delete is not forever, exactly like the text index's
+    tombstones.  :func:`compact_ivf_index` physically drops dead
+    rows."""
+    _write_tombstones(spark, index_dir, ids,
+                      int(_ivf_meta(index_dir)["next_v"]) - 1, id_col)
 
 
 def _ivf_tombstones(spark, index_dir: str):
@@ -281,7 +393,10 @@ def _ivf_tombstones(spark, index_dir: str):
     p = os.path.join(index_dir, "_tombstones")
     if not glob.glob(os.path.join(p, "*.parquet")):
         return None
-    return spark.read.parquet(p)
+    dead = spark.read.parquet(p)
+    if "v" not in dead.columns:  # pre-versioning sidecar: kill all versions
+        dead = dead.withColumn("v", F.lit(1 << 62).cast("long"))
+    return dead
 
 
 def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
@@ -295,7 +410,7 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     dead = _ivf_tombstones(spark, index_dir)
     if dead is None:
         return
-    live = rows.join(F.broadcast(dead), id_col, "left_anti")
+    live = _live_rows(rows, dead, id_col)
     tmp = index_dir.rstrip("/") + ".compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     live.repartition("cell").write.partitionBy("cell").parquet(tmp)
@@ -306,12 +421,16 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     with open(os.path.join(tmp, "_centroids.json"), "w") as f:
         json.dump(np.asarray(cent).tolist(), f)
     # streaming sidecars survive compaction (epoch markers keep replays
-    # idempotent, the checkpoint keeps offsets); _tombstones is
-    # intentionally NOT carried — compaction just applied it
+    # idempotent, the checkpoint keeps offsets) and the VERSION COUNTER
+    # must too — rows keep their stamped _v through the rewrite, so a
+    # reset counter would make future tombstone cuts too low to kill
+    # them; _tombstones is intentionally NOT carried — compaction just
+    # applied it
     for side in ("_stream_epochs", "_stream_checkpoint"):
         src = os.path.join(index_dir, side)
         if os.path.exists(src):
             shutil.copytree(src, os.path.join(tmp, side))
+    _write_ivf_meta(tmp, _ivf_meta(index_dir))
     old = index_dir.rstrip("/") + ".compact_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)
@@ -341,9 +460,8 @@ def retrain_ivf_index(
     import shutil
 
     rows, cent = read_ivf_index(spark, index_dir)
-    dead = _ivf_tombstones(spark, index_dir)
-    live = (rows.join(F.broadcast(dead), id_col, "left_anti")
-            if dead is not None else rows).drop("cell")
+    live = _live_rows(rows, _ivf_tombstones(spark, index_dir),
+                      id_col).drop("cell")
     tmp = index_dir.rstrip("/") + ".retrain_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     build_ivf_index(spark, live, tmp,
@@ -386,9 +504,7 @@ def ivf_topk_index(
     probe = [int(c) for c in np.argsort(d2)[:n_probe]]
     if predicate is not None:
         rows = rows.filter(predicate)
-    dead = _ivf_tombstones(spark, index_dir)
-    if dead is not None:
-        rows = rows.join(F.broadcast(dead), id_col, "left_anti")
+    rows = _live_rows(rows, _ivf_tombstones(spark, index_dir), id_col)
     return brute_force_topk(
         rows.filter(F.col("cell").isin(probe)), query_vec, k, id_col)
 
@@ -475,9 +591,7 @@ def ivf_topk_index_batch(
     rows, centroids = read_ivf_index(spark, index_dir)
     if predicate is not None:
         rows = rows.filter(predicate)
-    dead = _ivf_tombstones(spark, index_dir)
-    if dead is not None:
-        rows = rows.join(F.broadcast(dead), id_col, "left_anti")
+    rows = _live_rows(rows, _ivf_tombstones(spark, index_dir), id_col)
     by_cell: dict[int, list[Column]] = {}
     for q in queries:
         qv = np.asarray(q["vec"], dtype=np.float64)

@@ -892,6 +892,19 @@ def bm25_fuzzy_topk(
             raise ValueError(
                 f"fuzzy term(s) {sorted(clash)} collide with synonym "
                 f"canonicals")
+        # member-level clash is just as corrupting: a vocab term inside
+        # BOTH a fuzzy expansion and a caller synonym group would be
+        # claimed by one group's union df while its tf feeds both
+        # merged pseudo-terms — silently wrong idf.  Loud instead.
+        exp_members = {m for ms in exp.values() for m in ms}
+        syn_members = {m for c, alts in merged_syn.items()
+                       for m in {c, *alts}}
+        mclash = exp_members & syn_members
+        if mclash:
+            raise ValueError(
+                f"fuzzy expansion member(s) {sorted(mclash)} already "
+                f"belong to a synonym group — narrow the fuzzy distance "
+                f"or drop the overlapping synonym")
         merged_syn.update(exp)
     merged = []
     for q in queries:

@@ -47,25 +47,42 @@ def stream_embeddings(
 
 
 def refresh_ivf_epoch(
-    spark: SparkSession, index_dir: str, delta: DataFrame, epoch_id: int
+    spark: SparkSession, index_dir: str, delta: DataFrame, epoch_id: int,
+    run_ns: str | None = None,
 ) -> int:
     """Replay-idempotently publish one micro-batch into the index.
-    Returns rows published.  See module docstring for the protocol."""
+    Returns the number of FILES published (0 = replayed no-op; row
+    counting would cost an extra job per batch).
+
+    ``run_ns`` scopes the epoch done-markers to one STREAM RUN: epoch
+    ids restart at 0 whenever a stream starts from a fresh checkpoint,
+    so markers from a previous run must not swallow the new run's first
+    batches.  :func:`start_incremental_vector_refresh` rotates the
+    namespace automatically when its checkpoint is new; direct callers
+    without a namespace share the ``ep{N}`` marker space."""
     import json
 
     import numpy as np
 
-    from snowball_java_spark.operators.similarity import cell_assign_expr
+    from snowball_java_spark.operators.similarity import (
+        _reserve_version,
+        cell_assign_expr,
+    )
 
     from pyspark.sql import functions as F
 
-    done = os.path.join(index_dir, "_stream_epochs", f"ep{int(epoch_id)}.done")
+    mark = (f"{run_ns}.ep{int(epoch_id)}.done" if run_ns
+            else f"ep{int(epoch_id)}.done")
+    done = os.path.join(index_dir, "_stream_epochs", mark)
     if os.path.exists(done):
         return 0
     with open(os.path.join(index_dir, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
     staging = os.path.join(index_dir, "_stream_staging", f"ep{int(epoch_id)}")
-    assigned = delta.withColumn(
+    v = _reserve_version(index_dir)
+    if "_v" in delta.columns:
+        delta = delta.drop("_v")
+    assigned = delta.withColumn("_v", F.lit(v).cast("long")).withColumn(
         "cell", cell_assign_expr(F.col("embedding"), cent))
     assigned.repartition("cell").write.mode("overwrite") \
         .partitionBy("cell").parquet(staging)
@@ -100,14 +117,28 @@ def start_incremental_vector_refresh(
     query's writeStream caller — this helper pins one under the index
     dir so epoch ids survive restarts."""
 
+    import uuid
+
+    ckpt = os.path.join(index_dir, "_stream_checkpoint")
+    rid_f = os.path.join(index_dir, "_stream_epochs", "_run_id")
+    # fresh checkpoint = fresh stream identity = epoch ids restart at 0:
+    # rotate the marker namespace so the previous run's ep0..N done-
+    # markers cannot swallow this run's first batches
+    if not os.path.exists(ckpt) or not os.path.exists(rid_f):
+        os.makedirs(os.path.dirname(rid_f), exist_ok=True)
+        with open(rid_f, "w") as f:
+            f.write(uuid.uuid4().hex[:12])
+    with open(rid_f) as f:
+        run_ns = f.read().strip()
+
     def sink(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        refresh_ivf_epoch(batch.sparkSession, index_dir, batch, epoch_id)
+        refresh_ivf_epoch(batch.sparkSession, index_dir, batch, epoch_id,
+                          run_ns=run_ns)
 
     return (
         stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation",
-                os.path.join(index_dir, "_stream_checkpoint"))
+        .option("checkpointLocation", ckpt)
         .start()
     )

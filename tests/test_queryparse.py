@@ -229,7 +229,7 @@ def test_parse_boosts():
     p2 = parse_query("+table^2 +row")  # boosts compose with AND
     assert p2["mode"] == "and" and p2["boosts"] == {"table": 2.0}
     for bad in ("table^0", "-table^2", "tok*^2", "tabel~1^2",
-                "table^2 table^3"):
+                "table^2 table^3", "table^2.", "table^2e3", "table^x"):
         with pytest.raises(QueryParseError):
             parse_query(bad)
 

@@ -359,3 +359,77 @@ def test_ivf_retrain_reassigns_live_rows(spark, emb, qvec, tmp_path_factory):
     got = [(r["vec_id"], r["cosine"])
            for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
     assert got == exact
+
+
+def test_ivf_delete_then_readd_and_supersede(spark, emb, qvec,
+                                             tmp_path_factory):
+    """Versioned tombstones: delete → re-add brings the id BACK (the new
+    row's version postdates the cut); supersede-refresh keeps exactly
+    one live version of an updated id; compaction preserves both
+    outcomes physically."""
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_vectors,
+        ivf_topk_index,
+        read_ivf_index,
+        refresh_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_ver")) + "/idx"
+    build_ivf_index(spark, emb, d, n_cells=8)
+
+    # delete id 0 (the query vector itself), then re-add it
+    delete_vectors(spark, d, [0])
+    got = ivf_topk_index(spark, d, qvec, 3, n_probe=8).collect()
+    assert got[0]["vec_id"] != 0
+    refresh_ivf_index(spark, d, emb.filter(F.col("vec_id") == 0))
+    got = ivf_topk_index(spark, d, qvec, 3, n_probe=8).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0, \
+        "re-added id must come back to life"
+
+    # supersede: replace id 1's embedding with id 0's vector
+    newrow = (emb.filter(F.col("vec_id") == 0)
+              .withColumn("vec_id", F.lit(1).cast("long")))
+    refresh_ivf_index(spark, d, newrow, supersede=True)
+    got = ivf_topk_index(spark, d, qvec, 3, n_probe=8).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[:2] == [0, 1] and got[1]["cosine"] == 1.0, \
+        "exactly the NEW version of the upserted id must rank"
+    assert ids.count(1) == 1
+
+    # compaction applies the version rule physically and preserves results
+    before = [(r["vec_id"], r["cosine"])
+              for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    compact_ivf_index(spark, d)
+    rows = read_ivf_index(spark, d)[0]
+    # N base rows − dead 0@v0 − dead 1@v0 + re-added 0@v1 + upserted 1@v2
+    assert rows.count() == emb.count()
+    after = [(r["vec_id"], r["cosine"])
+             for r in ivf_topk_index(spark, d, qvec, 10, n_probe=8).collect()]
+    assert after == before
+    assert rows.filter(F.col("vec_id") == 1).count() == 1, \
+        "compaction must drop the superseded old version"
+
+
+def test_ivf_swap_recovery(spark, emb, tmp_path_factory):
+    """A crash between the compact/retrain renames leaves index_dir
+    missing with a COMPLETE tmp — the next open must finish the swap."""
+    import os
+    import shutil
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_swap")) + "/idx"
+    build_ivf_index(spark, emb, d, n_cells=4)
+    n = read_ivf_index(spark, d)[0].count()
+    # simulate: tmp fully written, first rename done, second rename lost
+    shutil.copytree(d, d + ".compact_tmp")
+    os.rename(d, d + ".compact_old")
+    rows, _ = read_ivf_index(spark, d)
+    assert rows.count() == n
+    assert os.path.exists(d)
+    assert not os.path.exists(d + ".compact_old")

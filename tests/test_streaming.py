@@ -246,17 +246,23 @@ def test_streamed_vectors_are_queryable_and_replay_idempotent(
     n_total = read_ivf_index(spark, idx)[0].count()
     assert n_total == emb.count()
 
-    # replay epoch 0 (crash-recovery path): done-marker short-circuits
-    assert refresh_ivf_epoch(spark, idx, rest1, 0) == 0
+    # replay epoch 0 (crash-recovery path): done-marker short-circuits.
+    # Markers are scoped to the stream RUN (epoch ids restart with a
+    # fresh checkpoint) — replay under the same namespace no-ops
+    import os
+    with open(os.path.join(idx, "_stream_epochs", "_run_id")) as f:
+        ns = f.read().strip()
+    marker = os.path.join(idx, "_stream_epochs", f"{ns}.ep0.done")
+    assert os.path.exists(marker)
+    assert refresh_ivf_epoch(spark, idx, rest1, 0, run_ns=ns) == 0
     assert read_ivf_index(spark, idx)[0].count() == n_total
     # replay with the marker gone: deterministic names overwrite in place
-    import os
-    os.remove(os.path.join(idx, "_stream_epochs", "ep0.done"))
-    assert refresh_ivf_epoch(spark, idx, rest1, 0) > 0
+    os.remove(marker)
+    assert refresh_ivf_epoch(spark, idx, rest1, 0, run_ns=ns) > 0
     assert read_ivf_index(spark, idx)[0].count() == n_total
 
     delete_vectors(spark, idx, [0])
     compact_ivf_index(spark, idx)
-    assert os.path.exists(os.path.join(idx, "_stream_epochs", "ep0.done")), \
+    assert os.path.exists(marker), \
         "compaction must carry the streaming epoch markers"
     assert read_ivf_index(spark, idx)[0].count() == n_total - 1

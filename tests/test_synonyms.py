@@ -311,3 +311,17 @@ def test_explain_scores_carries_boosts(spark, docs_tok):
     assert set(by_doc) == set(top)
     for d in top:
         assert by_doc[d] == pytest.approx(top[d], rel=1e-9)
+
+
+def test_fuzzy_member_level_synonym_clash_raises(spark, index):
+    """A vocab term inside BOTH a fuzzy expansion and a synonym group
+    would silently corrupt the union df — must raise instead."""
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    # 'retrun'~2 expands to 'return'; the synonym group also claims it
+    with pytest.raises(ValueError, match="member"):
+        bm25_fuzzy_topk(
+            spark, index,
+            [{"query_id": 0, "terms": ["class"], "fuzzy": {"retrun": 2},
+              "k": 5}],
+            cfg=CFG, synonyms={"class": ["return"]})
