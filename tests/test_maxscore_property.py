@@ -33,6 +33,21 @@ def _mk_termlist(docs, tfs, dls_all, idf, avgdl):
     return _TermList(row, CFG.block_size, avgdl, CFG)
 
 
+def _fold_truth(lists, per_list):
+    """Per-doc truth folded in the KERNEL'S pinned summation order
+    (ascending list max_w, stable): float addition is non-associative,
+    so docs with identical weight multisets summed in different orders
+    can differ by 1 ulp and flip an exact-tie rank.  The engine pins
+    ascending-max_w order (maxscore_topk_shard sorts, _score_docs folds
+    in that order); the oracle must fold the same way."""
+    order = sorted(range(len(lists)), key=lambda i: lists[i].max_w)
+    truth = {}
+    for i in order:
+        for d, wv in per_list[i]:
+            truth[d] = truth.get(d, 0.0) + wv
+    return truth
+
+
 @given(st.data())
 @settings(max_examples=60, deadline=None)
 def test_maxscore_equals_exhaustive_large_shards(data):
@@ -45,7 +60,7 @@ def test_maxscore_equals_exhaustive_large_shards(data):
     dls = rng.randint(1, 200, size=n_docs).astype(np.int64)
     avgdl = float(dls.mean())
 
-    lists, truth = [], {}
+    lists, per_list = [], []
     for t in range(n_terms):
         density = data.draw(st.sampled_from([0.005, 0.05, 0.6, 0.95]))
         mask = rng.rand(n_docs) < density
@@ -56,8 +71,8 @@ def test_maxscore_equals_exhaustive_large_shards(data):
         idf = float(idf_np(np.array([docs.size]), n_docs)[0])
         lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
         w = weight_np(tfs, np.float64(idf), dls[docs], avgdl, CFG.k1, CFG.b)
-        for d, wv in zip(docs, w):
-            truth[d] = truth.get(d, 0.0) + wv
+        per_list.append(list(zip(docs.tolist(), w.tolist())))
+    truth = _fold_truth(lists, per_list)
 
     got_docs, got_scores = maxscore_topk_shard(lists, k, dls, 0, avgdl, CFG)
     expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:k]
@@ -106,7 +121,7 @@ def test_maxscore_equals_exhaustive(data):
     dls = rng.randint(1, 50, size=n_docs).astype(np.int64)
     avgdl = float(dls.mean())
 
-    lists, truth = [], {}
+    lists, per_list = [], []
     for t in range(n_terms):
         density = data.draw(st.sampled_from([0.1, 0.5, 1.0]))  # rare → hot
         mask = rng.rand(n_docs) < density
@@ -118,8 +133,8 @@ def test_maxscore_equals_exhaustive(data):
         idf = float(idf_np(np.array([docs.size]), n_docs)[0])
         lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
         w = weight_np(tfs, np.float64(idf), dls[docs], avgdl, CFG.k1, CFG.b)
-        for d, wv in zip(docs, w):
-            truth[d] = truth.get(d, 0.0) + wv
+        per_list.append(list(zip(docs.tolist(), w.tolist())))
+    truth = _fold_truth(lists, per_list)
 
     got_docs, got_scores = maxscore_topk_shard(
         lists, k, dls, 0, avgdl, CFG
@@ -194,7 +209,7 @@ def test_boosted_maxscore_equals_exhaustive(data):
     dls = rng.randint(1, 200, size=n_docs).astype(np.int64)
     avgdl = float(dls.mean())
 
-    lists, truth = [], {}
+    lists, per_list = [], []
     for t in range(n_terms):
         density = data.draw(st.sampled_from([0.01, 0.1, 0.7]))
         mask = rng.rand(n_docs) < density
@@ -210,8 +225,8 @@ def test_boosted_maxscore_equals_exhaustive(data):
         lists.append(tl)
         w = weight_np(tfs, np.float64(idf * boost), dls[docs], avgdl,
                       CFG.k1, CFG.b)
-        for d, wv in zip(docs, w):
-            truth[d] = truth.get(d, 0.0) + wv
+        per_list.append(list(zip(docs.tolist(), w.tolist())))
+    truth = _fold_truth(lists, per_list)
 
     got_docs, got_scores = maxscore_topk_shard(lists, k, dls, 0, avgdl, CFG)
     expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:k]
