@@ -819,6 +819,25 @@ def _q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "facet", "value", "n_docs", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_facet_counts_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path faceted search: matches from postings decode, facet
+    values from stored doc METADATA — zero corpus scan (the corpus
+    column ``source`` is stored as ``repo`` in the index per the
+    input_hint mapping; the facet label maps back for the shared
+    oracle)."""
+    from snowball_java_spark.operators.facets import facet_counts_index
+
+    idx = _index_for(spark, sf_dir)
+    res = facet_counts_index(
+        spark, idx, [{"query_id": 0, "terms": MIXED_TERMS}],
+        facet_cols=["repo", "lang"], n_facets=5, cfg=_INDEX_CFG,
+    )
+    return res.select(
+        F.when(F.col("facet") == "repo", F.lit("source"))
+        .otherwise(F.col("facet")).alias("facet"),
+        "value", "n_docs", F.col("rank").cast("long").alias("rank"))
+
+
 def _facet_counts_sql(terms: list[str], facet_cols: list[str], n: int) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     fv_selects = " UNION ALL ".join(
@@ -2748,6 +2767,10 @@ def build_registry() -> dict[str, Q]:
         ),
         "facet_counts": Q(
             _q_facet_counts,
+            _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),
+        ),
+        "facet_counts_index": Q(
+            _q_facet_counts_index,
             _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),
         ),
         "score_explain": Q(

@@ -120,8 +120,16 @@ def facet_counts(
         return spark.createDataFrame(
             [], "query_id int, facet string, value string, "
                 "n_docs long, rank int")
-    # one row per (facet column, value): stack the facet columns —
-    # stays a projection, no extra scan
+    return _rank_facets(pairs, facet_cols, n_facets)
+
+
+def _rank_facets(pairs: DataFrame, facet_cols: list[str],
+                 n_facets: int) -> DataFrame:
+    """(query_id, doc_id, *facet_cols) match relation → ranked per-facet
+    value counts.  One row per (facet column, value): stacking the facet
+    columns stays a projection (no extra scan); the count map-side
+    combines to facet-value cardinality; the rank window partitions over
+    that tiny aggregated relation."""
     stacked = pairs.select(
         "query_id",
         F.explode(F.array(*[
@@ -137,3 +145,30 @@ def facet_counts(
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n_facets)
             .select("query_id", "facet", "value", "n_docs", "rank"))
+
+
+def facet_counts_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    facet_cols: list[str],
+    n_facets: int = 10,
+    cfg=None,
+    doc_filter=None,
+) -> DataFrame:
+    """Faceted search answered ENTIRELY from the index — zero corpus
+    scan: the match set comes from postings decode
+    (``wand.matching_docs_index`` — bucket/term-pruned, dead-sidecar
+    filtered, NOT via shard-local set difference), and facet values from
+    the stored docs METADATA (column pruning keeps content/tf_map on
+    disk).  ``doc_filter`` scopes matches like every index query path.
+    Same output shape and deterministic order as :func:`facet_counts`."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    pairs = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
+    meta = index.docs(spark).select("doc_id", *facet_cols)
+    return _rank_facets(pairs.join(meta, "doc_id"), facet_cols, n_facets)

@@ -916,3 +916,76 @@ def bm25_fuzzy_topk(
                             block_metrics=block_metrics,
                             doc_filter=doc_filter,
                             synonyms=merged_syn or None)
+
+
+def matching_docs_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter: "F.Column | str | None" = None,
+) -> DataFrame:
+    """(query_id, doc_id) for every doc matching ≥ 1 of the query's
+    terms (minus its ``not_terms``) — computed ENTIRELY from the index:
+    postings decode + the dead sidecar, no corpus scan, no scoring.
+
+    The match-set primitive behind index-path facets and match counts.
+    Scale shape: postings pruned to the queries' terms (bucket dirs +
+    term row groups), per-shard kernel unions each query's term doc
+    lists and subtracts exclusions SHARD-LOCALLY (doc ranges are shard-
+    disjoint), dead/filtered docs drop via the merged sidecar — output
+    rows ∝ matching docs, the minimum any faceting pass needs."""
+    import pandas as pd
+
+    cfg = _with_index_layout(index, cfg)
+    terms = sorted({t for q in queries
+                    for t in list(q["terms"]) + list(q.get("not_terms", []))})
+    if not terms:
+        return spark.createDataFrame([], "query_id int, doc_id long")
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    posts = index.postings(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
+    with_meta = posts.join(meta, "shard")
+    q_spec = [(int(q["query_id"]), sorted(set(q["terms"])),
+               sorted(set(q.get("not_terms", [])))) for q in queries]
+    dec = get_codec(cfg.codec)[1]
+    block_size = cfg.block_size
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        from snowball_java_spark.operators.postings import (
+            decode_dead_bytes,
+            decode_posting_doc_ids,
+        )
+
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
+        by_term = {
+            row["term"]: decode_posting_doc_ids(row, dec, block_size)
+            for _, row in pdf.iterrows()
+        }
+        out_q, out_d = [], []
+        for qid, q_terms, q_nots in q_spec:
+            parts = [by_term[t] for t in q_terms if t in by_term]
+            if not parts:
+                continue
+            docs = np.unique(np.concatenate(parts))
+            negs = [by_term[t] for t in q_nots if t in by_term]
+            if negs:
+                docs = np.setdiff1d(docs, np.concatenate(negs),
+                                    assume_unique=False)
+            if dead is not None and docs.size:
+                p = np.minimum(np.searchsorted(dead, docs), dead.size - 1)
+                docs = docs[dead[p] != docs]
+            out_q.append(np.full(docs.size, qid, dtype=np.int32))
+            out_d.append(docs)
+        if not out_q:
+            return pd.DataFrame({"query_id": [], "doc_id": []}).astype(
+                {"query_id": "int32", "doc_id": "int64"})
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+        })
+
+    return with_meta.groupBy("shard").applyInPandas(
+        kern, "query_id int, doc_id long")

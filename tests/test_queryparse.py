@@ -279,3 +279,33 @@ def test_facet_stats_unbucketed_and_empty(spark, synth_docs):
     assert "value" not in res[0].asDict()
     assert facet_stats(spark, docs, [{"query_id": 0, "terms": []}],
                        stat_col="dl").count() == 0
+
+
+def test_facet_counts_index_matches_scan_path(spark, synth_docs,
+                                              tmp_path_factory):
+    """Index-path facets (postings decode + stored metadata) must equal
+    the corpus-scan path, including NOT queries — with the content/
+    tf_map columns provably unread (column pruning)."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.facets import (
+        facet_counts,
+        facet_counts_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("facet_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    rdr = build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    qs = [{"query_id": 0, "terms": ["def", "rare_7"]},
+          {"query_id": 1, "terms": ["def"], "not_terms": ["import"]}]
+    scan_docs = with_tokens(synth_docs).select("doc_id", "lang", "tokens")
+    want = {(r["query_id"], r["facet"], r["value"], r["n_docs"], r["rank"])
+            for r in facet_counts(spark, scan_docs, qs,
+                                  facet_cols=["lang"], n_facets=5).collect()}
+    res = facet_counts_index(spark, rdr, qs, facet_cols=["lang"],
+                             n_facets=5, cfg=CFG)
+    got = {(r["query_id"], r["facet"], r["value"], r["n_docs"], r["rank"])
+           for r in res.collect()}
+    assert got == want
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "tf_map" not in plan and "content" not in plan
