@@ -838,6 +838,37 @@ def _q_facet_counts_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", "n_docs", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hit counts (ES total_hits / count API) from the postings —
+    OR, AND-like two-term, and NOT queries in one batch."""
+    from snowball_java_spark.operators.facets import match_counts_index
+
+    idx = _index_for(spark, sf_dir)
+    res = match_counts_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        cfg=_INDEX_CFG)
+    return res.select(F.col("query_id").cast("long").alias("query_id"),
+                      "n_docs")
+
+
+def _match_counts_sql() -> str:
+    q0 = ", ".join(f"'{t}'" for t in sorted(set(MIXED_TERMS)))
+    q1 = ", ".join(f"'{t}'" for t in sorted(set(HOT_TERMS)))
+    nq1 = ", ".join(f"'{t}'" for t in sorted(set(RARE_TERMS)))
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+m0 AS (SELECT DISTINCT doc_id FROM t WHERE term IN ({q0})),
+m1 AS (SELECT DISTINCT doc_id FROM t WHERE term IN ({q1})
+       AND doc_id NOT IN (SELECT doc_id FROM t WHERE term IN ({nq1})))
+SELECT 0::BIGINT AS query_id, count(*)::BIGINT AS n_docs FROM m0
+UNION ALL
+SELECT 1::BIGINT, count(*)::BIGINT FROM m1
+"""
+
+
 def _facet_counts_sql(terms: list[str], facet_cols: list[str], n: int) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     fv_selects = " UNION ALL ".join(
@@ -2773,6 +2804,7 @@ def build_registry() -> dict[str, Q]:
             _q_facet_counts_index,
             _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),
         ),
+        "match_counts_index": Q(_q_match_counts, _match_counts_sql()),
         "score_explain": Q(
             _q_score_explain, _score_explain_sql(HOT_TERMS, 10),
         ),

@@ -172,3 +172,26 @@ def facet_counts_index(
         spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
     meta = index.docs(spark).select("doc_id", *facet_cols)
     return _rank_facets(pairs.join(meta, "doc_id"), facet_cols, n_facets)
+
+
+def match_counts_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg=None,
+    doc_filter=None,
+) -> DataFrame:
+    """(query_id, n_docs): each query's TOTAL match count (the ES
+    ``total_hits`` / count API) straight from the postings — no scoring,
+    no corpus scan, no metadata join.  Queries absent from the output
+    matched zero docs."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    return (
+        matching_docs_index(
+            spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("query_id")
+    )
