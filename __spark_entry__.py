@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (85/85 as of late round 3 — including the real BMP
+                  (88/88 as of late round 3 — including the real BMP
                   decode, the composed cleaning pipeline, connected
                   components via a recursive CTE, the living-corpus
                   lifecycle on BOTH indexes: text upsert/supersede/
