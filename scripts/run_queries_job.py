@@ -71,6 +71,11 @@ def main(argv: list[str]) -> int:
              "pseudo-term over its group (tf summed before saturation, "
              "idf from the exact union df)")
     p.add_argument(
+        "--counts", action="store_true",
+        help="also print one {query_id, total_hits} line per terms "
+             "query (the ES total_hits / count API) — computed from the "
+             "postings, no scoring")
+    p.add_argument(
         "--lines", action="store_true",
         help="grep -n output for substr/regex queries: one row per "
              "matching LINE (query_id, doc_id, line_no, line) printed "
@@ -171,6 +176,19 @@ def main(argv: list[str]) -> int:
         parts.append(
             bm25_fuzzy_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
                             synonyms=syn))
+    if args.counts and term_qs:
+        from snowball_java_spark.operators.facets import match_counts_index
+
+        for flt, grp in by_filter(term_qs):
+            plain = [q for q in grp
+                     if not q.get("fuzzy") and not q.get("prefixes")]
+            if not plain:
+                continue
+            for r in match_counts_index(
+                    spark, idx, plain, cfg=idx.cfg,
+                    doc_filter=flt).collect():
+                print(json.dumps({"query_id": r["query_id"],
+                                  "total_hits": r["n_docs"]}))
     for flt, grp in by_filter(phrase_qs):
         parts.append(
             phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
