@@ -309,3 +309,37 @@ def test_facet_counts_index_matches_scan_path(spark, synth_docs,
     assert got == want
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "tf_map" not in plan and "content" not in plan
+
+
+def test_facet_counts_index_scoped_by_doc_filter(spark, synth_docs,
+                                                 tmp_path_factory):
+    """doc_filter scoping reaches index facets through the dead-sidecar
+    unification: counts must equal the scan path restricted to the
+    same predicate."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.facets import (
+        facet_counts,
+        facet_counts_index,
+        match_counts_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("facet_scope"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    rdr = build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    qs = [{"query_id": 0, "terms": ["def", "return"]}]
+    lang0 = synth_docs.select("lang").head()["lang"]
+    scan_docs = (with_tokens(synth_docs)
+                 .filter(F.col("lang") == lang0)
+                 .select("doc_id", "lang", "tokens"))
+    want = {(r["value"], r["n_docs"]) for r in facet_counts(
+        spark, scan_docs, qs, facet_cols=["lang"], n_facets=5).collect()}
+    got = {(r["value"], r["n_docs"]) for r in facet_counts_index(
+        spark, rdr, qs, facet_cols=["lang"], n_facets=5, cfg=CFG,
+        doc_filter=(F.col("lang") == lang0)).collect()}
+    assert got == want
+    n = match_counts_index(
+        spark, rdr, qs, cfg=CFG,
+        doc_filter=(F.col("lang") == lang0)).collect()
+    assert [(r["query_id"], r["n_docs"]) for r in n] == \
+           [(0, sum(c for _, c in want))]
