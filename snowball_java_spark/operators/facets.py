@@ -180,18 +180,28 @@ def match_counts_index(
     queries: list[dict],
     cfg=None,
     doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """(query_id, n_docs): each query's TOTAL match count (the ES
     ``total_hits`` / count API) straight from the postings — no scoring,
-    no corpus scan, no metadata join.  Queries absent from the output
-    matched zero docs."""
+    no corpus scan, no metadata join.  EVERY query gets a row
+    (n_docs = 0 when nothing matched); OR/AND mode, ``not_terms`` and
+    ``synonyms`` follow the ranked paths' semantics."""
     from snowball_java_spark.config import DEFAULT
     from snowball_java_spark.operators.wand import matching_docs_index
 
-    return (
+    counts = (
         matching_docs_index(
-            spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
+            spark, index, queries, cfg=cfg or DEFAULT,
+            doc_filter=doc_filter, synonyms=synonyms)
         .groupBy("query_id")
         .agg(F.count("*").alias("n_docs"))
+    )
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    return (
+        qdf.join(counts, "query_id", "left")
+        .select("query_id",
+                F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"))
         .orderBy("query_id")
     )

@@ -293,9 +293,31 @@ def _recover_swap(index_dir: str) -> None:
         old = index_dir.rstrip("/") + f".{tag}_old"
         if (not os.path.exists(index_dir) and os.path.exists(old)
                 and os.path.exists(os.path.join(tmp, "_centroids.json"))):
-            os.rename(tmp, index_dir)
+            try:
+                os.rename(tmp, index_dir)
+            except (FileNotFoundError, OSError):
+                pass  # a concurrent recover/writer won the rename — fine
         if os.path.exists(index_dir) and os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+
+
+def _swap_into_place(index_dir: str, tmp: str, tag: str) -> None:
+    """The two-rename publish shared by compact and retrain: current →
+    ``.{tag}_old``, tmp → ``index_dir``, drop old.  Tolerates a
+    concurrent :func:`_recover_swap` having completed the second rename
+    (single-WRITER is still assumed; readers may recover)."""
+    import os
+    import shutil
+
+    old = index_dir.rstrip("/") + f".{tag}_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    try:
+        os.rename(tmp, index_dir)
+    except FileNotFoundError:
+        if not os.path.exists(index_dir):  # nobody completed it — real
+            raise
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_ivf_index(spark, path: str):
@@ -340,6 +362,7 @@ def refresh_ivf_index(spark, index_dir: str, delta: DataFrame,
 
     import numpy as np
 
+    _recover_swap(index_dir)
     with open(os.path.join(index_dir, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
     v = _reserve_version(index_dir)
@@ -348,17 +371,31 @@ def refresh_ivf_index(spark, index_dir: str, delta: DataFrame,
     assigned = delta.withColumn("_v", F.lit(v).cast("long")).withColumn(
         "cell", cell_assign_expr(F.col("embedding"), cent)).persist()
     n = assigned.count()
-    if supersede:
-        # distributed tombstone write — no driver collect, deltas can be
-        # arbitrarily large
+    if supersede and n:
+        # an upsert delta must carry each id once — two same-id rows at
+        # the same version would BOTH outlive the cut, silently breaking
+        # "exactly one live version"
+        n_ids = assigned.select(id_col).distinct().count()
+        if n_ids != n:
+            assigned.unpersist()
+            raise ValueError(
+                f"supersede delta has duplicate {id_col}s "
+                f"({n} rows, {n_ids} distinct) — dedupe it first")
+    # rows FIRST, tombstones SECOND: a crash between the jobs leaves the
+    # recoverable duplicate state (old + new both live until re-run),
+    # never the data LOSS of a tombstoned id whose replacement was
+    # not yet written
+    assigned.repartition("cell").write.mode("append") \
+        .partitionBy("cell").parquet(index_dir)
+    if supersede and n:
         import os
 
+        # distributed tombstone write — no driver collect, deltas can be
+        # arbitrarily large
         (assigned.select(F.col(id_col),
                          F.lit(v - 1).cast("long").alias("v"))
          .distinct().write.mode("append")
          .parquet(os.path.join(index_dir, "_tombstones")))
-    assigned.repartition("cell").write.mode("append") \
-        .partitionBy("cell").parquet(index_dir)
     assigned.unpersist()
     return int(n)
 
@@ -382,6 +419,7 @@ def delete_vectors(spark, index_dir: str, ids: list[int],
     life — delete is not forever, exactly like the text index's
     tombstones.  :func:`compact_ivf_index` physically drops dead
     rows."""
+    _recover_swap(index_dir)
     _write_tombstones(spark, index_dir, ids,
                       int(_ivf_meta(index_dir)["next_v"]) - 1, id_col)
 
@@ -393,9 +431,16 @@ def _ivf_tombstones(spark, index_dir: str):
     p = os.path.join(index_dir, "_tombstones")
     if not glob.glob(os.path.join(p, "*.parquet")):
         return None
-    dead = spark.read.parquet(p)
-    if "v" not in dead.columns:  # pre-versioning sidecar: kill all versions
+    # mergeSchema: an upgraded index can hold pre-versioning id-only
+    # files NEXT TO (id, v) files — without the merge one file's schema
+    # wins arbitrarily.  A NULL / absent v means the old semantics:
+    # kill every version.
+    dead = spark.read.option("mergeSchema", "true").parquet(p)
+    if "v" not in dead.columns:
         dead = dead.withColumn("v", F.lit(1 << 62).cast("long"))
+    else:
+        dead = dead.withColumn(
+            "v", F.coalesce(F.col("v"), F.lit(1 << 62).cast("long")))
     return dead
 
 
@@ -431,11 +476,7 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
         if os.path.exists(src):
             shutil.copytree(src, os.path.join(tmp, side))
     _write_ivf_meta(tmp, _ivf_meta(index_dir))
-    old = index_dir.rstrip("/") + ".compact_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_into_place(index_dir, tmp, "compact")
 
 
 def retrain_ivf_index(
@@ -471,11 +512,7 @@ def retrain_ivf_index(
         src = os.path.join(index_dir, side)
         if os.path.exists(src):
             shutil.copytree(src, os.path.join(tmp, side))
-    old = index_dir.rstrip("/") + ".retrain_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(tmp, index_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_into_place(index_dir, tmp, "retrain")
 
 
 def ivf_topk_index(

@@ -924,31 +924,41 @@ def matching_docs_index(
     queries: list[dict],
     cfg: EngineConfig = DEFAULT,
     doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """(query_id, doc_id) for every doc matching ≥ 1 of the query's
-    terms (minus its ``not_terms``) — computed ENTIRELY from the index:
-    postings decode + the dead sidecar, no corpus scan, no scoring.
+    """(query_id, doc_id) for every doc matching each query — computed
+    ENTIRELY from the index: postings decode + the dead sidecar, no
+    corpus scan, no scoring.  Per-query ``mode``: "or" (≥ 1 term,
+    default) or "and" (every term); ``not_terms`` subtract; a term with
+    a ``synonyms`` entry matches when ANY group member is present (the
+    group acts as one pseudo-term for membership, exactly as it does
+    for scoring).
 
     The match-set primitive behind index-path facets and match counts.
     Scale shape: postings pruned to the queries' terms (bucket dirs +
-    term row groups), per-shard kernel unions each query's term doc
-    lists and subtracts exclusions SHARD-LOCALLY (doc ranges are shard-
-    disjoint), dead/filtered docs drop via the merged sidecar — output
-    rows ∝ matching docs, the minimum any faceting pass needs."""
+    term row groups), per-shard kernel unions/intersects doc lists
+    SHARD-LOCALLY (doc ranges are shard-disjoint, so a doc's every term
+    lives in its own shard), dead/filtered docs drop via the merged
+    sidecar — output rows ∝ matching docs, the minimum any faceting
+    pass needs."""
     import pandas as pd
 
     cfg = _with_index_layout(index, cfg)
-    terms = sorted({t for q in queries
-                    for t in list(q["terms"]) + list(q.get("not_terms", []))})
-    if not terms:
+    groups = {c: sorted({c, *alts}) for c, alts in (synonyms or {}).items()}
+    scan_terms = sorted(
+        {m for q in queries for t in q["terms"]
+         for m in groups.get(t, [t])}
+        | {t for q in queries for t in q.get("not_terms", [])})
+    if not scan_terms:
         return spark.createDataFrame([], "query_id int, doc_id long")
-    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    buckets = sorted({h60_py(t) % index.n_buckets for t in scan_terms})
     posts = index.postings(spark).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
     meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
     with_meta = posts.join(meta, "shard")
     q_spec = [(int(q["query_id"]), sorted(set(q["terms"])),
-               sorted(set(q.get("not_terms", [])))) for q in queries]
+               sorted(set(q.get("not_terms", []))),
+               str(q.get("mode", "or"))) for q in queries]
     dec = get_codec(cfg.codec)[1]
     block_size = cfg.block_size
 
@@ -964,12 +974,27 @@ def matching_docs_index(
             row["term"]: decode_posting_doc_ids(row, dec, block_size)
             for _, row in pdf.iterrows()
         }
+
+        def present(t: "str") -> "np.ndarray | None":
+            ms = [by_term[m] for m in groups.get(t, [t]) if m in by_term]
+            if not ms:
+                return None
+            return np.unique(np.concatenate(ms))
+
         out_q, out_d = [], []
-        for qid, q_terms, q_nots in q_spec:
-            parts = [by_term[t] for t in q_terms if t in by_term]
-            if not parts:
-                continue
-            docs = np.unique(np.concatenate(parts))
+        for qid, q_terms, q_nots, mode in q_spec:
+            sets = [present(t) for t in q_terms]
+            if mode == "and":
+                if any(s is None for s in sets) or not sets:
+                    continue  # some term absent in this shard → no doc
+                docs = sets[0]
+                for s in sets[1:]:
+                    docs = np.intersect1d(docs, s, assume_unique=True)
+            else:
+                parts = [s for s in sets if s is not None]
+                if not parts:
+                    continue
+                docs = np.unique(np.concatenate(parts))
             negs = [by_term[t] for t in q_nots if t in by_term]
             if negs:
                 docs = np.setdiff1d(docs, np.concatenate(negs),

@@ -71,6 +71,9 @@ def refresh_ivf_epoch(
 
     from pyspark.sql import functions as F
 
+    from snowball_java_spark.operators.similarity import _recover_swap
+
+    _recover_swap(index_dir)
     mark = (f"{run_ns}.ep{int(epoch_id)}.done" if run_ns
             else f"ep{int(epoch_id)}.done")
     done = os.path.join(index_dir, "_stream_epochs", mark)
@@ -88,7 +91,11 @@ def refresh_ivf_epoch(
         .partitionBy("cell").parquet(staging)
 
     n = 0
-    prefix = f"ep{int(epoch_id)}-"
+    # the PUBLISHED file prefix carries the namespace too: after a
+    # checkpoint reset, run B's epoch 0 must never clean up run A's
+    # committed ep0-* files (they are different data)
+    prefix = (f"{run_ns}.ep{int(epoch_id)}-" if run_ns
+              else f"ep{int(epoch_id)}-")
     for celldir in sorted(glob.glob(os.path.join(staging, "cell=*"))):
         cellname = os.path.basename(celldir)
         dst_dir = os.path.join(index_dir, cellname)

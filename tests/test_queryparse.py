@@ -343,3 +343,41 @@ def test_facet_counts_index_scoped_by_doc_filter(spark, synth_docs,
         doc_filter=(F.col("lang") == lang0)).collect()
     assert [(r["query_id"], r["n_docs"]) for r in n] == \
            [(0, sum(c for _, c in want))]
+
+
+def test_match_counts_index_modes_and_synonyms(spark, synth_docs, oracle,
+                                               tmp_path_factory):
+    """Total-hit counts: OR, AND, NOT, synonym groups, and a guaranteed
+    zero-row per zero-match query."""
+    from snowball_java_spark.operators.facets import match_counts_index
+
+    d = str(tmp_path_factory.mktemp("mc_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    rdr = build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    qs = [
+        {"query_id": 0, "terms": ["def", "rare_7"]},
+        {"query_id": 1, "terms": ["def", "return"], "mode": "and"},
+        {"query_id": 2, "terms": ["def"], "not_terms": ["import"]},
+        {"query_id": 3, "terms": ["zz_no_such_term"]},
+        {"query_id": 4, "terms": ["retrn"]},  # synonym canonical only
+    ]
+    syn = {"retrn": ["return"]}
+    got = {r["query_id"]: r["n_docs"] for r in match_counts_index(
+        spark, rdr, qs, cfg=CFG, synonyms=syn).collect()}
+
+    def n_or(terms, nots=()):
+        return sum(1 for t in oracle.tf.values()
+                   if any(x in t for x in terms)
+                   and not any(x in t for x in nots))
+
+    def n_and(terms):
+        return sum(1 for t in oracle.tf.values()
+                   if all(x in t for x in terms))
+
+    assert got == {
+        0: n_or(["def", "rare_7"]),
+        1: n_and(["def", "return"]),
+        2: n_or(["def"], ["import"]),
+        3: 0,
+        4: n_or(["retrn", "return"]),
+    }

@@ -433,3 +433,47 @@ def test_ivf_swap_recovery(spark, emb, tmp_path_factory):
     assert rows.count() == n
     assert os.path.exists(d)
     assert not os.path.exists(d + ".compact_old")
+
+
+def test_supersede_duplicate_ids_raise(spark, emb, tmp_path_factory):
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        refresh_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_dup")) + "/idx"
+    build_ivf_index(spark, emb.filter(F.col("vec_id") < 50), d, n_cells=4)
+    dup = emb.filter(F.col("vec_id") == 3).unionAll(
+        emb.filter(F.col("vec_id") == 3))
+    with pytest.raises(ValueError, match="duplicate"):
+        refresh_ivf_index(spark, d, dup, supersede=True)
+    # non-supersede append of the same delta is the caller's business
+    assert refresh_ivf_index(spark, d, dup) == 2
+
+
+def test_mixed_schema_tombstones_after_upgrade(spark, emb,
+                                               tmp_path_factory):
+    """Pre-versioning id-only tombstone files next to (id, v) files:
+    old rows kill EVERY version of their id, new rows respect the cut."""
+    import os
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        delete_vectors,
+        ivf_topk_index,
+        refresh_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_mix")) + "/idx"
+    build_ivf_index(spark, emb.filter(F.col("vec_id") < 50), d, n_cells=4)
+    # legacy sidecar file: id-only schema (as written by pre-upgrade code)
+    spark.createDataFrame([(7,)], "vec_id long").write.mode("append") \
+        .parquet(os.path.join(d, "_tombstones"))
+    delete_vectors(spark, d, [9])           # new (id, v) schema
+    refresh_ivf_index(spark, d, emb.filter(F.col("vec_id") == 9))  # re-add
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 9).head()["embedding"]]
+    ids = {r["vec_id"]
+           for r in ivf_topk_index(spark, d, qvec, 50, n_probe=4).collect()}
+    assert 7 not in ids, "legacy tombstone must still kill its id"
+    assert 9 in ids, "versioned re-add must survive next to legacy rows"

@@ -266,3 +266,47 @@ def test_streamed_vectors_are_queryable_and_replay_idempotent(
     assert os.path.exists(marker), \
         "compaction must carry the streaming epoch markers"
     assert read_ivf_index(spark, idx)[0].count() == n_total - 1
+
+
+def test_vector_stream_checkpoint_reset_keeps_prior_runs_data(
+    spark, tmp_path
+):
+    """A NEW stream run (reset checkpoint) restarts epoch ids at 0 —
+    it must neither be swallowed by the old run's markers NOR clean up
+    the old run's committed epoch-0 files (both file prefix and marker
+    are namespaced per run)."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_index,
+    )
+    from snowball_java_spark.streaming.vectors import (
+        start_incremental_vector_refresh,
+        stream_embeddings,
+    )
+    import shutil
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "ivf_reset")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") < 100), idx, n_cells=4)
+
+    def run_stream(src, rows):
+        src.mkdir()
+        rows.coalesce(1).write.mode("append").parquet(str(src))
+        q = start_incremental_vector_refresh(
+            stream_embeddings(spark, str(src)), idx)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream(tmp_path / "srcA",
+               emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)))
+    assert read_ivf_index(spark, idx)[0].count() == 200
+    # reset: wipe the checkpoint → next run's epochs restart at 0
+    shutil.rmtree(f"{idx}/_stream_checkpoint")
+    run_stream(tmp_path / "srcB",
+               emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250)))
+    n = read_ivf_index(spark, idx)[0].count()
+    assert n == 250, f"run A's epoch-0 rows must survive run B (got {n})"
