@@ -532,6 +532,11 @@ def phase_vector_lifecycle() -> dict:
 
 
 def main() -> None:
+    # the VM shares its host: steal waves (load avg 8-16 with zero local
+    # processes) inflate every wall time 1.3-2×.  Record the 1-min load
+    # around phase A so a contended record is identifiable as such
+    # (BENCH/BASELINE.md documents the idle-regime reference samples).
+    load_start = round(os.getloadavg()[0], 2)
     queries, total, meta = phase_a()
     result = {
         "metric": "headline_queries_total",
@@ -541,6 +546,8 @@ def main() -> None:
         "r1_comparable_total": round(
             sum(queries[q] for q in R1_SUBSET if q in queries), 3),
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "loadavg_at_start": load_start,
+        "loadavg_after_phase_a": round(os.getloadavg()[0], 2),
         **meta,
     }
     result["codecs"] = phase_codec()
