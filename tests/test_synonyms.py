@@ -325,3 +325,19 @@ def test_fuzzy_member_level_synonym_clash_raises(spark, index):
             [{"query_id": 0, "terms": ["class"], "fuzzy": {"retrun": 2},
               "k": 5}],
             cfg=CFG, synonyms={"class": ["return"]})
+
+
+def test_boost_composes_with_search_after(spark, index):
+    """Deep paging under boosts: a verbatim cursor from a boosted page 1
+    yields exactly rows 11-20 of the boosted k=20 ranking."""
+    base = {"query_id": 0, "terms": ["def", "import"],
+            "boosts": {"def": 2.0}}
+    full = bm25_topk_index(
+        spark, index, [{**base, "k": 20}], cfg=CFG).collect()
+    p1 = bm25_topk_index(spark, index, [{**base, "k": 10}], cfg=CFG).collect()
+    cursor = [p1[-1]["score"], p1[-1]["doc_id"]]
+    p2 = bm25_topk_index(
+        spark, index, [{**base, "k": 10, "search_after": cursor}],
+        cfg=CFG).collect()
+    assert [(r["doc_id"], r["score"]) for r in p2] == \
+           [(r["doc_id"], r["score"]) for r in full[10:20]]
