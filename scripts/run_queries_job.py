@@ -163,53 +163,29 @@ def main(argv: list[str]) -> int:
             yield flt, grp
 
     parts = []
-    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+    from snowball_java_spark.operators.wand import rewrite_expansions
 
     syn = None
     if args.synonyms:
         with open(args.synonyms) as f:
             syn = json.load(f)
     for flt, grp in by_filter(term_qs):
-        # bm25_fuzzy_topk expands term~N edit-distance terms (one
-        # vocabulary pass per batch), then tok* wildcards; batches
-        # without either pass straight through
+        # ONE rewrite per batch (fuzzy → synonym groups, wildcards →
+        # vocabulary terms, caller synonyms merged) feeds BOTH the
+        # ranked query and the optional counts, so total_hits is by
+        # construction the cardinality of the ranked match set
+        cqs, csyn = rewrite_expansions(spark, idx, grp, synonyms=syn)
         parts.append(
-            bm25_fuzzy_topk(spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
-                            synonyms=syn))
-    if args.counts and term_qs:
-        from snowball_java_spark.operators.facets import match_counts_index
-        from snowball_java_spark.operators.suggest import (
-            expand_prefixes,
-            fuzzy_synonyms,
-        )
+            bm25_topk_index(spark, idx, cqs, cfg=idx.cfg, doc_filter=flt,
+                            synonyms=csyn))
+        if args.counts:
+            from snowball_java_spark.operators.facets import (
+                match_counts_index,
+            )
 
-        # counts follow the SAME rewrites as ranking: fuzzy terms expand
-        # to synonym groups, wildcards to their vocabulary terms, and
-        # the caller synonym table applies — so total_hits is the true
-        # cardinality of the ranked query's match set (OR and AND)
-        all_f: dict = {}
-        for q in term_qs:
-            for t, dd in (q.get("fuzzy") or {}).items():
-                all_f.setdefault(t, int(dd))
-        fsyn = (fuzzy_synonyms(
-            spark, idx.term_stats(spark).select("term", "df"), all_f)
-            if all_f else {})
-        all_p = sorted({p for q in term_qs for p in q.get("prefixes", [])})
-        pexp = expand_prefixes(spark, idx, all_p) if all_p else {}
-        csyn = {**(syn or {}), **fsyn}
-        for flt, grp in by_filter(term_qs):
-            cqs = []
-            for q in grp:
-                terms = set(q.get("terms", [])) | set(q.get("fuzzy") or {})
-                for pfx in q.get("prefixes", []):
-                    terms.update(pexp.get(pfx, []))
-                cqs.append({
-                    **{k: v for k, v in q.items()
-                       if k not in ("fuzzy", "prefixes")},
-                    "terms": sorted(terms)})
             for r in match_counts_index(
                     spark, idx, cqs, cfg=idx.cfg, doc_filter=flt,
-                    synonyms=csyn or None).collect():
+                    synonyms=csyn).collect():
                 print(json.dumps({"query_id": r["query_id"],
                                   "total_hits": r["n_docs"]}))
     for flt, grp in by_filter(phrase_qs):

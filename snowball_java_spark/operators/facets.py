@@ -155,6 +155,7 @@ def facet_counts_index(
     n_facets: int = 10,
     cfg=None,
     doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Faceted search answered ENTIRELY from the index — zero corpus
     scan: the match set comes from postings decode
@@ -169,7 +170,8 @@ def facet_counts_index(
     if not facet_cols:
         raise ValueError("facet_cols must be non-empty")
     pairs = matching_docs_index(
-        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
     meta = index.docs(spark).select("doc_id", *facet_cols)
     return _rank_facets(pairs.join(meta, "doc_id"), facet_cols, n_facets)
 

@@ -285,6 +285,14 @@ def decode_dead_bytes(val) -> "np.ndarray | None":
     return ids if ids.size else None
 
 
+def live_mask(docs: "np.ndarray", dead: "np.ndarray") -> "np.ndarray":
+    """Boolean mask of ``docs`` NOT present in the sorted ``dead`` array
+    — the one membership idiom every kernel that honors the dead
+    sidecar must share (clamped searchsorted + equality compare)."""
+    p = np.minimum(np.searchsorted(dead, docs), dead.size - 1)
+    return dead[p] != docs
+
+
 def merge_dead_cols(df: DataFrame, a_col: str, b_col: str,
                     out_col: str = "dead_bytes") -> DataFrame:
     """Union two per-shard sorted delta-varint dead-id sidecars into one

@@ -295,7 +295,7 @@ def _recover_swap(index_dir: str) -> None:
                 and os.path.exists(os.path.join(tmp, "_centroids.json"))):
             try:
                 os.rename(tmp, index_dir)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 pass  # a concurrent recover/writer won the rename — fine
         if os.path.exists(index_dir) and os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)

@@ -126,8 +126,9 @@ class _TermList:
             docs[1:] += self.first[b]
         tfs = self._dec(self.tf_bytes[self.toff[b]:tend], count=c).astype(np.int64)
         if self.dead is not None:
-            p = np.minimum(np.searchsorted(self.dead, docs), self.dead.size - 1)
-            live = self.dead[p] != docs
+            from snowball_java_spark.operators.postings import live_mask
+
+            live = live_mask(docs, self.dead)
             if not live.all():
                 docs, tfs = docs[live], tfs[live]
         self._cache[b] = (docs, tfs)
@@ -602,8 +603,9 @@ def synonym_union_df(
         for c, parts in per.items():
             u = np.unique(np.concatenate(parts))
             if dead is not None:
-                p = np.minimum(np.searchsorted(dead, u), dead.size - 1)
-                u = u[dead[p] != u]
+                from snowball_java_spark.operators.postings import live_mask
+
+                u = u[live_mask(u, dead)]
             terms_o.append(c)
             dfs_o.append(int(u.size))
         return pd.DataFrame({"term": terms_o, "df": dfs_o})
@@ -873,6 +875,32 @@ def bm25_fuzzy_topk(
     requested fuzzy with two different max_edits in one batch, or a
     fuzzy term colliding with a caller-supplied synonym canonical.
     """
+    merged, merged_syn = rewrite_expansions(
+        spark, index, queries, prefix_len=prefix_len,
+        max_expansions=max_expansions, synonyms=synonyms)
+    return bm25_topk_index(spark, index, merged, cfg=cfg,
+                           block_metrics=block_metrics,
+                           doc_filter=doc_filter,
+                           synonyms=merged_syn)
+
+
+def rewrite_expansions(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    prefix_len: int = 1,
+    max_expansions: int = 50,
+    synonyms: dict[str, list[str]] | None = None,
+) -> tuple[list[dict], dict[str, list[str]] | None]:
+    """The ONE rewrite both ranking and counting share: fuzzy terms →
+    synonym groups (one vocabulary pass per batch, loud clash checks),
+    ``tok*`` prefixes → their vocabulary terms, caller synonyms merged.
+    Returns ``(queries', synonyms')`` — queries with ``fuzzy``/
+    ``prefixes`` folded into ``terms`` and the merged synonym table.
+    Rewrites are PER BATCH by construction: callers that partition
+    queries (e.g. per doc_filter) get each batch's own expansion, so a
+    count computed from the same rewrite matches the ranked match set
+    exactly."""
     all_f: dict[str, int] = {}
     for q in queries:
         for t, d in (q.get("fuzzy") or {}).items():
@@ -906,16 +934,22 @@ def bm25_fuzzy_topk(
                 f"belong to a synonym group — narrow the fuzzy distance "
                 f"or drop the overlapping synonym")
         merged_syn.update(exp)
+    all_p = sorted({p for q in queries for p in q.get("prefixes", [])})
+    if all_p:
+        from snowball_java_spark.operators.suggest import expand_prefixes
+
+        pexp = expand_prefixes(spark, index, all_p, max_expansions)
+    else:
+        pexp = {}
     merged = []
     for q in queries:
-        q2 = {k: v for k, v in q.items() if k != "fuzzy"}
-        q2["terms"] = sorted(set(q.get("terms", [])) | set(q.get("fuzzy") or {}))
+        terms = set(q.get("terms", [])) | set(q.get("fuzzy") or {})
+        for p in q.get("prefixes", []):
+            terms.update(pexp.get(p, []))
+        q2 = {k: v for k, v in q.items() if k not in ("fuzzy", "prefixes")}
+        q2["terms"] = sorted(terms)
         merged.append(q2)
-    return bm25_prefix_topk(spark, index, merged, cfg=cfg,
-                            max_expansions=max_expansions,
-                            block_metrics=block_metrics,
-                            doc_filter=doc_filter,
-                            synonyms=merged_syn or None)
+    return merged, (merged_syn or None)
 
 
 def matching_docs_index(
@@ -1000,8 +1034,9 @@ def matching_docs_index(
                 docs = np.setdiff1d(docs, np.concatenate(negs),
                                     assume_unique=False)
             if dead is not None and docs.size:
-                p = np.minimum(np.searchsorted(dead, docs), dead.size - 1)
-                docs = docs[dead[p] != docs]
+                from snowball_java_spark.operators.postings import live_mask
+
+                docs = docs[live_mask(docs, dead)]
             out_q.append(np.full(docs.size, qid, dtype=np.int32))
             out_d.append(docs)
         if not out_q:

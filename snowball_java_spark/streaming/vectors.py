@@ -77,7 +77,12 @@ def refresh_ivf_epoch(
     mark = (f"{run_ns}.ep{int(epoch_id)}.done" if run_ns
             else f"ep{int(epoch_id)}.done")
     done = os.path.join(index_dir, "_stream_epochs", mark)
-    if os.path.exists(done):
+    legacy_done = os.path.join(
+        index_dir, "_stream_epochs", f"ep{int(epoch_id)}.done")
+    # upgrade path: a checkpoint that predates run namespaces keeps its
+    # epoch ids, so an epoch committed under the old un-namespaced
+    # marker is ALREADY published — replaying it would duplicate rows
+    if os.path.exists(done) or (run_ns and os.path.exists(legacy_done)):
         return 0
     with open(os.path.join(index_dir, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
@@ -102,6 +107,13 @@ def refresh_ivf_epoch(
         os.makedirs(dst_dir, exist_ok=True)
         for stale in glob.glob(os.path.join(dst_dir, prefix + "*")):
             os.remove(stale)
+        if run_ns:
+            # pre-namespace PARTIAL leftovers of this epoch (its legacy
+            # marker is absent, else we returned above) are an
+            # uncommitted crash remnant — clean them too
+            for stale in glob.glob(
+                    os.path.join(dst_dir, f"ep{int(epoch_id)}-*")):
+                os.remove(stale)
         for i, f_ in enumerate(
                 sorted(glob.glob(os.path.join(celldir, "*.parquet")))):
             os.replace(f_, os.path.join(dst_dir, f"{prefix}{i:05d}.parquet"))
