@@ -70,6 +70,9 @@ HEADLINE = [
     "bm25_proximity_topk",
     "bm25f_lead_topk",
     "bm25_index_fuzzy_topk",
+    # r4 additions (also outside the r1-comparable subset)
+    "tokens_lang_dispatch",
+    "term_suggest_index",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
@@ -213,6 +216,7 @@ def phase_b() -> dict:
     cfg = EngineConfig(shard_size=8192, block_size=128, build_stages=1)
     thr: dict[int, float] = {}
     steps: dict[int, dict[str, float]] = {}
+    strag: dict[int, dict[str, float]] = {}
     runs: dict[str, list[float]] = {}
     # best-of-N per leg: the /tmp shared disk swings end-to-end times
     # ±15-20% run to run; min-time is the standard least-noise estimator
@@ -231,9 +235,17 @@ def phase_b() -> dict:
             if best is None or el < best:
                 best = el
                 with open(os.path.join(d, "metrics.jsonl")) as f:
-                    steps[cores] = {
-                        m["step"]: m["elapsed_sec"] for m in map(json.loads, f)
-                    }
+                    ms = list(map(json.loads, f))
+                steps[cores] = {m["step"]: m["elapsed_sec"] for m in ms}
+                # hot-bucket straggler evidence: max/median per-bucket
+                # encode time inside the postings stage (VERDICT r3 #6 —
+                # skew_ratio measures LIST skew; this measures whether it
+                # translates into a straggling encode task, and it must
+                # not: bucket population ~ vocab/n_buckets)
+                strag[cores] = {
+                    m["step"]: m["bucket_encode_max_over_median"]
+                    for m in ms if "bucket_encode_max_over_median" in m
+                }
             spark.stop()
         thr[cores] = BENCH_FILES / best
     lo, hi = min(BENCH_CORES), max(BENCH_CORES)
@@ -268,6 +280,8 @@ def phase_b() -> dict:
         "step_efficiency": step_eff,
         "step_seconds": {f"local{c}": {k: round(v, 1) for k, v in steps[c].items()}
                          for c in BENCH_CORES},
+        "bucket_encode_max_over_median": {
+            f"local{c}": strag.get(c, {}) for c in BENCH_CORES},
         "run_walls_sec": runs,
         "note": f"same job at local[{lo}] and local[{hi}], {BENCH_REPEATS} "
                 f"clean runs per leg; efficiency is per PAIRED run index "
@@ -538,24 +552,76 @@ def main() -> None:
     # (BENCH/BASELINE.md documents the idle-regime reference samples).
     load_start = round(os.getloadavg()[0], 2)
     queries, total, meta = phase_a()
-    result = {
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": queries,
-        "r1_comparable_total": round(
-            sum(queries[q] for q in R1_SUBSET if q in queries), 3),
+    # Round-3 lesson: the driver keeps only the LAST ~2000 chars of the
+    # printed line, and r3's big appended sections pushed the headline
+    # (queries/value/r1_comparable_total) out of the capture.  Round 4:
+    # 1) detail sections go to BENCH/r_detail.json, never the stdout line;
+    # 2) the stdout line carries compact summaries plus the headline, with
+    #    the headline fields LAST so a front-truncated tail still has them.
+    detail = {"wand": meta.pop("wand"), "codecs": phase_codec()}
+    summary: dict = {
         "sf": os.path.basename(os.path.normpath(SF_DIR)),
         "loadavg_at_start": load_start,
         "loadavg_after_phase_a": round(os.getloadavg()[0], 2),
         **meta,
     }
-    result["codecs"] = phase_codec()
     if not SKIP_SCALING:
-        result["scaling"] = phase_b()
-        result["lifecycle"] = phase_lifecycle()
-        result["vector_lifecycle"] = phase_vector_lifecycle()
-    print(json.dumps(result))
+        sc = phase_b()
+        detail["scaling"] = sc
+        detail["lifecycle"] = phase_lifecycle()
+        detail["vector_lifecycle"] = phase_vector_lifecycle()
+        summary["scaling"] = {
+            k: sc[k]
+            for k in ("files", "cores", "scaling_efficiency",
+                      "scaling_efficiency_median", "scaling_efficiency_pairs",
+                      "step_efficiency")
+        }
+        summary["scaling"].update({
+            k: v for k, v in sc.items() if k.startswith("files_per_sec")})
+        summary["lifecycle"] = {
+            "refresh_growth_vs_corpus_growth":
+                detail["lifecycle"].get("refresh_growth_vs_corpus_growth"),
+            "compact_growth_vs_corpus_growth":
+                detail["lifecycle"].get("compact_growth_vs_corpus_growth"),
+        }
+        summary["vector_lifecycle"] = {
+            "refresh_growth_vs_corpus_growth":
+                detail["vector_lifecycle"].get(
+                    "refresh_growth_vs_corpus_growth"),
+            "probe_scan_frac": detail["vector_lifecycle"]
+                .get("vecs_400000", {}).get("probe_scan_frac"),
+        }
+    summary["detail_file"] = "BENCH/r_detail.json"
+    # headline fields LAST (driver keeps the tail of the line)
+    summary["metric"] = "headline_queries_total"
+    summary["unit"] = "sec"
+    summary["queries"] = queries
+    summary["r1_comparable_total"] = round(
+        sum(queries[q] for q in R1_SUBSET if q in queries), 3)
+    summary["value"] = round(total, 3)
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "r_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump({**summary, **detail}, f, indent=1)
+    line = json.dumps(summary)
+    # never let the line outgrow the driver's ~2000-char capture again:
+    # drop the least-critical summaries until the headline fits (all of
+    # them survive verbatim in BENCH/r_detail.json)
+    for drop in (
+        lambda: summary.get("scaling", {}).pop("step_efficiency", None),
+        lambda: summary.get("scaling", {}).pop(
+            "scaling_efficiency_pairs", None),
+        lambda: summary.pop("lifecycle", None),
+        lambda: summary.pop("vector_lifecycle", None),
+        lambda: summary.pop("scaling", None),
+    ):
+        if len(line) <= 1900:
+            break
+        drop()
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

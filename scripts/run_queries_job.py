@@ -80,6 +80,11 @@ def main(argv: list[str]) -> int:
         help="grep -n output for substr/regex queries: one row per "
              "matching LINE (query_id, doc_id, line_no, line) printed "
              "separately from ranked results")
+    p.add_argument(
+        "--allow-full-scan", action="store_true",
+        help="opt-in for substr/regex queries with no usable trigrams "
+             "(short needles, literal-free regexes, no trigram sidecar): "
+             "they scan the ENTIRE corpus — refused loudly by default")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -223,7 +228,8 @@ def main(argv: list[str]) -> int:
         # persisted matched relation (the sidecar uses the INDEX's
         # bucket count)
         matched = grep_matched(spark, docs, tri, grep_qs,
-                               n_buckets=idx.n_buckets)
+                               n_buckets=idx.n_buckets,
+                               allow_full_scan=args.allow_full_scan)
         if args.lines:
             matched = matched.persist()
             # grep -n shape, printed/written on its own (different schema)

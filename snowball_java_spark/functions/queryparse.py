@@ -185,6 +185,13 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
                     f"fuzzy term {stem_toks[0]!r} given two distances")
             saw_bare_quoteless = True
             continue
+        if "~" in word:
+            # loud, mirroring the boost guard above: 'tabel~1.5' fails
+            # _FUZZY_RE (non-integer edits) and would otherwise silently
+            # tokenize into extra OR terms ['tabel', '1', '5']
+            raise QueryParseError(
+                f"malformed fuzzy term {word!r} (use term~, term~1 or "
+                f"term~2; ~N proximity must follow a quoted group)")
         toks = tokenize_py(word)
         if not toks:
             raise QueryParseError(f"term {word!r} tokenizes to nothing")

@@ -95,6 +95,92 @@ def positions_map_udf(texts: pd.Series) -> pd.Series:
     return texts.fillna("").map(one)
 
 
+# --- per-lang dispatch (SURVEY §2.6 F1: "identifiers, keywords,
+# string/comment handling per `lang` column") -------------------------------
+#
+# Dispatch is PURE CATALYST — a CASE over the lang column feeding
+# regexp_replace chains — so it stays inside whole-stage codegen and has an
+# exact DuckDB twin (lang_dispatch_sql below / entry_queries oracle).  Two
+# lang-conditional rewrites run before the pinned tokenizer:
+#
+#   1. comment stripping: '#'-to-EOL for hash-comment langs (python, ruby,
+#      shell, yaml), '//'-to-EOL plus '/*…*/' block comments ((?s) non-
+#      greedy — supported by BOTH Java regex and RE2) for C-family langs.
+#      A heuristic, not a lexer: a '#' inside a python string literal is
+#      stripped too (documented; a lexer per lang is out of scope).
+#      String LITERALS are deliberately retained — code search engines
+#      index string content (users grep for log messages), so stripping
+#      them would be wrong, not conservative.
+#   2. identifier splitting: camelCase boundaries become spaces
+#      (([a-z0-9])([A-Z]) → '$1 $2' — applied repeatedly by the regex
+#      engine's non-overlapping global replace, so fooBarBaz → foo bar
+#      baz; ALLCAPS runs stay fused).  snake_case already splits on '_'?
+#      No — '_' is IN the token alphabet; snake identifiers stay whole by
+#      the pinned semantics, camel sub-tokens are the per-lang addition.
+#
+# Langs outside both families (natural-language tags like en/de/zh, or
+# NULL) pass through UNCHANGED — dispatch ≡ the pinned default there,
+# which is what keeps existing oracles and the rank-identity contract
+# intact (tests/test_tokenize.py pins this equivalence).
+
+HASH_COMMENT_LANGS = ("python", "ruby", "shell", "sh", "bash", "yaml")
+CFAM_COMMENT_LANGS = ("java", "c", "cpp", "cc", "h", "js", "javascript",
+                      "ts", "typescript", "go", "rust", "scala", "kotlin",
+                      "swift", "php")
+
+#: the three rewrite patterns, pinned once for Spark + the SQL twin
+HASH_COMMENT_RE = r"#[^\n]*"
+LINE_COMMENT_RE = r"//[^\n]*"
+BLOCK_COMMENT_RE = r"(?s)/\*.*?\*/"
+CAMEL_SPLIT_RE = r"([a-z0-9])([A-Z])"
+
+
+def tokens_lang_expr(text: Column | str, lang: Column | str) -> Column:
+    """Per-``lang`` dispatched tokenizer: ARRAY<STRING>.
+
+    Code langs get comment stripping + camelCase splitting before the
+    pinned ``[a-z0-9_]+`` tokenizer; any other lang value is EXACTLY
+    :func:`tokens_expr`.  All Catalyst — no UDF in the dispatch path."""
+    t = F.col(text) if isinstance(text, str) else text
+    lg = F.col(lang) if isinstance(lang, str) else lang
+    is_hash = lg.isin(*HASH_COMMENT_LANGS)
+    is_cfam = lg.isin(*CFAM_COMMENT_LANGS)
+    stripped = (
+        F.when(is_hash, F.regexp_replace(t, HASH_COMMENT_RE, " "))
+        .when(is_cfam, F.regexp_replace(
+            F.regexp_replace(t, BLOCK_COMMENT_RE, " "),
+            LINE_COMMENT_RE, " "))
+        .otherwise(t)
+    )
+    split_ = F.when(
+        is_hash | is_cfam,
+        F.regexp_replace(stripped, CAMEL_SPLIT_RE, r"$1 $2"),
+    ).otherwise(stripped)
+    return tokens_expr(split_)
+
+
+def lang_dispatch_sql(text_sql: str, lang_sql: str) -> str:
+    """The DuckDB twin of :func:`tokens_lang_expr` (same pinned regexes;
+    RE2 needs the explicit 'g' flag where Java replaces globally)."""
+    hash_in = ", ".join(f"'{x}'" for x in HASH_COMMENT_LANGS)
+    cfam_in = ", ".join(f"'{x}'" for x in CFAM_COMMENT_LANGS)
+    stripped = (
+        f"CASE WHEN {lang_sql} IN ({hash_in}) "
+        f"THEN regexp_replace({text_sql}, '{HASH_COMMENT_RE}', ' ', 'g') "
+        f"WHEN {lang_sql} IN ({cfam_in}) "
+        f"THEN regexp_replace(regexp_replace({text_sql}, "
+        f"'{BLOCK_COMMENT_RE}', ' ', 'g'), '{LINE_COMMENT_RE}', ' ', 'g') "
+        f"ELSE {text_sql} END"
+    )
+    split_ = (
+        f"CASE WHEN {lang_sql} IN ({hash_in}, {cfam_in}) "
+        f"THEN regexp_replace({stripped}, '{CAMEL_SPLIT_RE}', "
+        f"'\\1 \\2', 'g') ELSE {stripped} END"
+    )
+    return (f"list_filter(regexp_split_to_array(lower({split_}), "
+            f"'[^a-z0-9_]+'), x -> x <> '')")
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_code_udf(texts: pd.Series) -> pd.Series:
     """Code-aware variant: additionally splits camelCase identifiers into

@@ -173,6 +173,7 @@ def build_postings(
     tf_enriched: DataFrame,
     cfg: EngineConfig = DEFAULT,
     n_buckets: int = 64,
+    bucket_timers: "dict[int, object] | None" = None,
 ) -> DataFrame:
     """tf_enriched(doc_id, term, tf, dl) → postings DataFrame (no idf OR
     avgdl needed — bounds are parameter-free integer (max_tf, min_dl),
@@ -181,13 +182,28 @@ def build_postings(
     The groupBy key (shard, bucket) bounds each Arrow group to
     ~shard_size * avgdl / n_buckets postings — sized to executor memory
     independent of corpus size (SURVEY §4.3 spill-awareness).
+
+    ``bucket_timers`` (optional): {bucket → float Accumulator}.  Each
+    kernel group adds its encode wall time to its bucket's accumulator —
+    the straggler evidence that the hot-keyword bucket does NOT dominate
+    the postings stage (task retries can double-count; this is a metric,
+    not a ledger).
     """
     keyed = tf_enriched.withColumn(
         "shard", shard_expr("doc_id", cfg.shard_size)
     ).withColumn("bucket", bucket_expr("term", n_buckets))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return build_postings_groups(pdf, cfg)
+        if bucket_timers is None:
+            return build_postings_groups(pdf, cfg)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = build_postings_groups(pdf, cfg)
+        acc = bucket_timers.get(int(pdf["bucket"].iloc[0]))
+        if acc is not None:
+            acc.add(_time.perf_counter() - t0)
+        return out
 
     return keyed.groupBy("shard", "bucket").applyInPandas(kernel, POSTINGS_SCHEMA)
 

@@ -268,8 +268,14 @@ def _live_rows(rows: DataFrame, dead: "DataFrame | None",
     (sidecar-sized)."""
     if dead is None:
         return rows
-    if "_v" not in rows.columns:  # pre-versioning layout: every row v=0
+    if "_v" not in rows.columns:  # pure pre-versioning layout: all v=0
         rows = rows.withColumn("_v", F.lit(0).cast("long"))
+    else:
+        # mixed layout (mergeSchema read): pre-versioning FILES surface
+        # _v=NULL next to stamped rows — null means v=0, never "drop the
+        # column" (which would zero the stamped versions too)
+        rows = rows.withColumn(
+            "_v", F.coalesce(F.col("_v"), F.lit(0).cast("long")))
     cut = dead.groupBy(id_col).agg(F.max("v").alias("_cut"))
     return (
         rows.join(F.broadcast(cut), id_col, "left")
@@ -331,7 +337,14 @@ def read_ivf_index(spark, path: str):
     _recover_swap(path)
     with open(os.path.join(path, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
-    return spark.read.parquet(path), cent
+    # mergeSchema: a pre-versioning index refreshed by current code holds
+    # _v-less files NEXT TO _v-stamped ones; without the merge, schema
+    # inference can pick an OLD file, drop _v from the whole relation,
+    # and _live_rows would stamp every row (including fresh upserts)
+    # _v=0 — a supersede tombstone then silently kills the replacements.
+    # With the merge, old rows read _v=NULL (coalesced to 0 downstream)
+    # and new rows keep their stamped versions.
+    return spark.read.option("mergeSchema", "true").parquet(path), cent
 
 
 def refresh_ivf_index(spark, index_dir: str, delta: DataFrame,
@@ -444,6 +457,22 @@ def _ivf_tombstones(spark, index_dir: str):
     return dead
 
 
+def _write_cells(live: DataFrame, tmp: str) -> None:
+    """Partitioned cell write that survives ZERO live rows: an empty
+    ``partitionBy`` write emits no data file at all, and a later
+    ``spark.read.parquet(index_dir)`` fails schema inference — bricking
+    the index until rebuilt.  The empty case instead writes one empty
+    TYPED file inside ``cell=0`` (layout-consistent with future
+    partitioned appends, schema preserved, reads succeed)."""
+    if live.isEmpty():
+        import os
+
+        live.drop("cell").limit(0).coalesce(1).write.parquet(
+            os.path.join(tmp, "cell=0"))
+        return
+    live.repartition("cell").write.partitionBy("cell").parquet(tmp)
+
+
 def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     """Physically drop tombstoned vectors: rewrite only the cell
     partitions (centroids unchanged), clear the tombstone sidecar.
@@ -458,7 +487,7 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     live = _live_rows(rows, dead, id_col)
     tmp = index_dir.rstrip("/") + ".compact_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    live.repartition("cell").write.partitionBy("cell").parquet(tmp)
+    _write_cells(live, tmp)
     import json
 
     import numpy as np
@@ -505,9 +534,23 @@ def retrain_ivf_index(
                       id_col).drop("cell")
     tmp = index_dir.rstrip("/") + ".retrain_tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    build_ivf_index(spark, live, tmp,
-                    n_cells=int(n_cells) if n_cells else len(cent),
-                    id_col=id_col)
+    if live.isEmpty():
+        # nothing to train on: keep the existing quantizer, write one
+        # empty TYPED cell file (see _write_cells) so the index stays
+        # readable instead of an inference-failing empty dataset
+        import json
+
+        import numpy as np
+
+        live.limit(0).coalesce(1).write.parquet(
+            os.path.join(tmp, "cell=0"))
+        with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+            json.dump(np.asarray(cent).tolist(), f)
+        _write_ivf_meta(tmp, _ivf_meta(index_dir))
+    else:
+        build_ivf_index(spark, live, tmp,
+                        n_cells=int(n_cells) if n_cells else len(cent),
+                        id_col=id_col)
     for side in ("_stream_epochs", "_stream_checkpoint"):
         src = os.path.join(index_dir, side)
         if os.path.exists(src):

@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms",
+           "add_vocab_grams", "suggest_terms_index",
            "expand_prefixes", "expand_fuzzy", "fuzzy_synonyms"]
+
+#: bucket count of the persisted vocab-gram sidecar (gram-hash dirs,
+#: pruned at query time exactly like the content-trigram index)
+VOCAB_GRAM_BUCKETS = 32
 
 
 def padded_grams_py(term: str) -> list[str]:
@@ -77,6 +82,14 @@ def suggest_terms(
                  padded_grams_expr("term").alias("_g"))
          .select("term", "df", F.size("_g").alias("v_n"),
                  F.explode("_g").alias("gram")))
+    return _rank_suggestions(v, q, n, min_sim)
+
+
+def _rank_suggestions(v: DataFrame, q: DataFrame, n: int,
+                      min_sim: float) -> DataFrame:
+    """The shared sim+rank tail of both suggestion paths: (gram, term,
+    df, v_n) candidates ⋈ broadcast (query_term, gram, q_n) → Jaccard →
+    deterministic (sim desc, df desc, term asc) top-n per query term."""
     sim = (
         v.join(q, "gram")
         .groupBy("query_term", "term", "df", "v_n", "q_n")
@@ -95,6 +108,107 @@ def suggest_terms(
         .select("query_term", "term", "df", F.round("sim", 6).alias("sim"),
                 "rank")
     )
+
+
+def _term_stats_fp(index) -> str:
+    """Cheap staleness fingerprint of an index's term_stats relation
+    (file names + sizes — refresh/compact rewrite these files)."""
+    import glob
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for f in sorted(glob.glob(
+            os.path.join(index.index_dir, "term_stats", "*.parquet"))):
+        h.update(f"{os.path.basename(f)}|{os.stat(f).st_size}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def add_vocab_grams(spark: SparkSession, index,
+                    n_buckets: int = VOCAB_GRAM_BUCKETS) -> None:
+    """Persist the vocabulary's padded-trigram expansion as a sidecar
+    (``vocab_grams/bucket=H/``, H = xxhash64(gram) % n_buckets) so
+    suggestion queries prune to their grams' DIRECTORIES instead of
+    exploding the whole vocabulary per call — the difference between
+    O(query grams) and O(vocab) reads at multi-billion-term
+    vocabularies (VERDICT r3 perf note).  Vocabulary-sized build, run
+    once per term_stats generation; ``_meta.json`` records the
+    term_stats fingerprint for staleness detection."""
+    import json
+    import os
+
+    out = os.path.join(index.index_dir, "vocab_grams")
+    vocab = index.term_stats(spark).select(
+        "term", F.col("df").cast("long").alias("df"))
+    rows = (
+        vocab
+        .select("term", "df", padded_grams_expr("term").alias("_g"))
+        .select("term", "df", F.size("_g").alias("v_n"),
+                F.explode("_g").alias("gram"))
+        .withColumn("bucket", F.pmod(F.xxhash64("gram"), F.lit(n_buckets)))
+    )
+    rows.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(out)
+    with open(os.path.join(out, "_meta.json"), "w") as f:
+        json.dump({"n_buckets": int(n_buckets),
+                   "term_stats_fp": _term_stats_fp(index)}, f)
+
+
+def suggest_terms_index(
+    spark: SparkSession,
+    index,
+    query_terms: list[str],
+    n: int = 5,
+    min_sim: float = 0.2,
+) -> DataFrame:
+    """:func:`suggest_terms` over the PERSISTED vocab-gram sidecar:
+    identical results, but the scan reads only the query grams' bucket
+    directories (partition pruning + gram row-group pushdown) instead of
+    exploding the vocabulary.  Builds/rebuilds the sidecar when missing
+    or stale vs term_stats (a vocabulary-sized job, same policy as the
+    fingerprint-cached indexes)."""
+    import glob
+    import json
+    import os
+
+    if not query_terms:
+        return spark.createDataFrame(
+            [], "query_term string, term string, df long, "
+                "sim double, rank int")
+    out = os.path.join(index.index_dir, "vocab_grams")
+    meta_p = os.path.join(out, "_meta.json")
+    stale = True
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+        stale = meta.get("term_stats_fp") != _term_stats_fp(index)
+    if stale:
+        add_vocab_grams(spark, index)
+        with open(meta_p) as f:
+            meta = json.load(f)
+    nb = int(meta["n_buckets"])
+    grams = sorted({g for t in set(query_terms) for g in padded_grams_py(t)})
+    # bucket ids via the SAME Catalyst expression used at build time —
+    # pruning never depends on a Python xxhash64 reimplementation
+    row = spark.range(1).select(
+        F.array(*[F.pmod(F.xxhash64(F.lit(g)), F.lit(nb)) for g in grams]
+                ).alias("b")).head()
+    buckets = sorted(set(row["b"]))
+    if not glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True):
+        return spark.createDataFrame(
+            [], "query_term string, term string, df long, "
+                "sim double, rank int")
+    v = (
+        spark.read.option("basePath", out).parquet(out)
+        .filter(F.col("bucket").isin(buckets) & F.col("gram").isin(grams))
+        .select("term", "df", "v_n", "gram")
+    )
+    q = F.broadcast(
+        spark.createDataFrame(
+            [(t, g, len(padded_grams_py(t)))
+             for t in sorted(set(query_terms)) for g in padded_grams_py(t)],
+            "query_term string, gram string, q_n int"))
+    return _rank_suggestions(v, q, n, min_sim)
 
 
 def expand_prefixes(

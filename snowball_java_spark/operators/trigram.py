@@ -183,16 +183,24 @@ def substring_search(
     needle: str,
     text_col: str = "content",
     n_buckets: int = TRIGRAM_N_BUCKETS,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """doc_ids whose ``text_col`` contains ``needle`` (case-insensitive),
     ascending.  Exact: the index only prunes; every candidate is
     verified with ``contains`` on its actual content.
 
-    ``index=None`` or a needle under 3 chars runs the documented full
-    scan (there is no trigram to prune with).
+    ``index=None`` or a needle under 3 chars has no trigram to prune
+    with — that is a FULL CORPUS SCAN, a foot-gun at 10^12 files, so it
+    requires the explicit ``allow_full_scan=True`` opt-in (else a loud
+    error naming the reason).
     """
     pred = F.contains(F.lower(F.col(text_col)), F.lit(needle.lower()))
     if index is None or len(needle) < 3:
+        _require_full_scan(
+            allow_full_scan,
+            f"substring needle {needle!r} "
+            + ("has no trigram (under 3 chars)" if len(needle) < 3
+               else "has no trigram index (index=None)"))
         return docs.filter(pred).select("doc_id").orderBy("doc_id")
     cand = _candidates(index, py_trigrams(needle), n_buckets)
     return (
@@ -201,6 +209,16 @@ def substring_search(
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def _require_full_scan(allowed: bool, reason: str) -> None:
+    """The guardrail VERDICT r3 asked for: an unprunable query means a
+    FULL scan of the corpus — silent at toy scale, catastrophic at
+    10^12 files.  Refuse loudly unless the caller opted in."""
+    if not allowed:
+        raise ValueError(
+            f"query requires a full corpus scan ({reason}); pass "
+            f"allow_full_scan=True to run it anyway")
 
 
 def mandatory_literals(pattern: str) -> list[str]:
@@ -243,6 +261,7 @@ def grep_search(
     text_col: str = "content",
     n_buckets: int = TRIGRAM_N_BUCKETS,
     with_lines: bool = False,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Batched substring/regex search: N queries, ONE index read, ONE
     verification scan (the per-query loop pays N corpus-join jobs; this
@@ -270,7 +289,8 @@ def grep_search(
         return spark.createDataFrame(
             [], "query_id int, doc_id long, line_no long, line string"
             if with_lines else "query_id int, doc_id long")
-    matched = grep_matched(spark, docs, index, queries, text_col, n_buckets)
+    matched = grep_matched(spark, docs, index, queries, text_col, n_buckets,
+                           allow_full_scan=allow_full_scan)
     if not with_lines:
         return (matched.select("query_id", "doc_id")
                 .orderBy("query_id", "doc_id"))
@@ -305,11 +325,15 @@ def grep_matched(
     queries: list[dict],
     text_col: str = "content",
     n_buckets: int = TRIGRAM_N_BUCKETS,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, <text_col>) verified matches — the shared
     relation both grep output shapes derive from.  Callers needing doc
     list AND lines persist THIS once instead of running the pipeline
-    twice."""
+    twice.
+
+    Unprunable queries (no usable trigrams, or no index) would scan the
+    whole corpus — refused loudly unless ``allow_full_scan=True``."""
     specs = _grep_specs(queries, text_col)
     pruned = [(qid, tris) for qid, _, _, tris in specs
               if tris is not None and index is not None]
@@ -329,6 +353,10 @@ def grep_matched(
     full_scan_qids = [qid for qid, _, _, tris in specs
                       if tris is None or index is None]
     if full_scan_qids:
+        _require_full_scan(
+            allow_full_scan,
+            f"batch queries {full_scan_qids} have no usable trigrams"
+            + ("" if index is not None else " (index=None)"))
         cand_parts.append(
             docs.select("doc_id").crossJoin(F.broadcast(
                 spark.createDataFrame([(q,) for q in full_scan_qids],
@@ -378,14 +406,18 @@ def regex_search(
     pattern: str,
     text_col: str = "content",
     n_buckets: int = TRIGRAM_N_BUCKETS,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """doc_ids whose lowercased ``text_col`` matches ``pattern``
     (unanchored, case-sensitive against the lowered text), ascending.
 
     When the pattern yields mandatory literals, their trigrams prune
-    through the index before the exact ``rlike`` verification; else
-    this is the documented full scan.  Use regex features common to
-    Java/RE2/Python if the result must be oracle-portable.
+    through the index before the exact ``rlike`` verification; a
+    literal-free pattern (or ``index=None``) is a FULL CORPUS SCAN and
+    requires ``allow_full_scan=True`` (loud error otherwise — Zoekt
+    runs such patterns too, but never silently at fleet scale).  Use
+    regex features common to Java/RE2/Python if the result must be
+    oracle-portable.
     """
     pred = F.lower(F.col(text_col)).rlike(pattern)
     # parse the ORIGINAL pattern — lowering its source text corrupts
@@ -395,6 +427,11 @@ def regex_search(
     # the lowered text can never match; verification returns nothing).
     lits = mandatory_literals(pattern)
     if index is None or not lits:
+        _require_full_scan(
+            allow_full_scan,
+            f"regex {pattern!r} "
+            + ("yields no mandatory literal >= 3 chars" if index is not None
+               else "has no trigram index (index=None)"))
         return docs.filter(pred).select("doc_id").orderBy("doc_id")
     tris = sorted({t for lit in lits for t in py_trigrams(lit)})
     cand = _candidates(index, tris, n_buckets)

@@ -934,6 +934,8 @@ def rewrite_expansions(
                 f"belong to a synonym group — narrow the fuzzy distance "
                 f"or drop the overlapping synonym")
         merged_syn.update(exp)
+    else:
+        exp = {}
     all_p = sorted({p for q in queries for p in q.get("prefixes", [])})
     if all_p:
         from snowball_java_spark.operators.suggest import expand_prefixes
@@ -942,10 +944,30 @@ def rewrite_expansions(
     else:
         pexp = {}
     merged = []
+    exp_all = {m for c, ms in exp.items() for m in {c, *ms}}
     for q in queries:
         terms = set(q.get("terms", [])) | set(q.get("fuzzy") or {})
         for p in q.get("prefixes", []):
             terms.update(pexp.get(p, []))
+        if exp_all:
+            # CROSS-QUERY clash, checked on the POST-rewrite term set
+            # (prefix expansions included — 'ret*' can expand to
+            # 'return' just as silently as a typed term): the merged
+            # synonym table applies to every query in the batch, so
+            # query B's plain/expanded/not use of query A's fuzzy
+            # canonical or member would silently score as A's merged
+            # group (union df, summed tf).  Same loud-failure policy as
+            # the caller-synonym clashes above.
+            plain = (terms | set(q.get("not_terms", []))) \
+                - set(q.get("fuzzy") or {})
+            hit = plain & exp_all
+            if hit:
+                raise ValueError(
+                    f"plain term(s) {sorted(hit)} in query "
+                    f"{q.get('query_id')} collide with a fuzzy expansion "
+                    f"in the same batch (another query's, or via your "
+                    f"own prefix expansion) — split the calls or make "
+                    f"the term fuzzy in both")
         q2 = {k: v for k, v in q.items() if k not in ("fuzzy", "prefixes")}
         q2["terms"] = sorted(terms)
         merged.append(q2)

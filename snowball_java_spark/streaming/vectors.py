@@ -81,8 +81,15 @@ def refresh_ivf_epoch(
         index_dir, "_stream_epochs", f"ep{int(epoch_id)}.done")
     # upgrade path: a checkpoint that predates run namespaces keeps its
     # epoch ids, so an epoch committed under the old un-namespaced
-    # marker is ALREADY published — replaying it would duplicate rows
-    if os.path.exists(done) or (run_ns and os.path.exists(legacy_done)):
+    # marker is ALREADY published — replaying it would duplicate rows.
+    # But ONLY the run that adopted the legacy markers (recorded in
+    # _legacy_ns at namespace-upgrade time) may honor them: a LATER run
+    # born from a checkpoint reset restarts epoch ids at 0, and treating
+    # the old run's ep0..K markers as its own would silently drop its
+    # first K batches.
+    legacy_ok = (run_ns and os.path.exists(legacy_done)
+                 and _legacy_adopter(index_dir) == run_ns)
+    if os.path.exists(done) or legacy_ok:
         return 0
     with open(os.path.join(index_dir, "_centroids.json")) as f:
         cent = np.asarray(json.load(f), dtype=np.float64)
@@ -107,10 +114,12 @@ def refresh_ivf_epoch(
         os.makedirs(dst_dir, exist_ok=True)
         for stale in glob.glob(os.path.join(dst_dir, prefix + "*")):
             os.remove(stale)
-        if run_ns:
+        if run_ns and not os.path.exists(legacy_done):
             # pre-namespace PARTIAL leftovers of this epoch (its legacy
-            # marker is absent, else we returned above) are an
-            # uncommitted crash remnant — clean them too
+            # marker is absent → an uncommitted crash remnant) — clean
+            # them.  A PRESENT legacy marker means those ep{N}-* files
+            # are a PREVIOUS run's committed data: leave them and
+            # publish this run's files under its own namespaced prefix.
             for stale in glob.glob(
                     os.path.join(dst_dir, f"ep{int(epoch_id)}-*")):
                 os.remove(stale)
@@ -123,6 +132,16 @@ def refresh_ivf_epoch(
     with open(done, "w") as f:
         f.write("ok")
     return n
+
+
+def _legacy_adopter(index_dir: str) -> str | None:
+    """The run namespace that adopted the pre-namespace epoch markers at
+    upgrade time (None if no adoption happened)."""
+    p = os.path.join(index_dir, "_stream_epochs", "_legacy_ns")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
 
 
 def start_incremental_vector_refresh(
@@ -145,8 +164,20 @@ def start_incremental_vector_refresh(
     # markers cannot swallow this run's first batches
     if not os.path.exists(ckpt) or not os.path.exists(rid_f):
         os.makedirs(os.path.dirname(rid_f), exist_ok=True)
+        new_ns = uuid.uuid4().hex[:12]
+        legacy_f = os.path.join(index_dir, "_stream_epochs", "_legacy_ns")
+        if (os.path.exists(ckpt) and not os.path.exists(legacy_f)
+                and glob.glob(os.path.join(
+                    index_dir, "_stream_epochs", "ep*.done"))):
+            # namespace-upgrade of an IN-FLIGHT stream identity: the
+            # existing checkpoint keeps its epoch sequence, so the old
+            # un-namespaced ep{N}.done markers belong to THIS run —
+            # record it as their adopter.  Any LATER run (fresh
+            # checkpoint → epoch ids restart at 0) must NOT honor them.
+            with open(legacy_f, "w") as f:
+                f.write(new_ns)
         with open(rid_f, "w") as f:
-            f.write(uuid.uuid4().hex[:12])
+            f.write(new_ns)
     with open(rid_f) as f:
         run_ns = f.read().strip()
 

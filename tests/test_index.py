@@ -154,6 +154,9 @@ def test_metrics_and_manifest_written(index):
     assert prep["skew_ratio"] > 10  # hot keywords really are skewed
     st = [m for m in metrics if m["step"] == "stage_0"][0]
     assert st["n_postings"] > 0 and st["bytes_compressed"] > 0
+    # per-bucket encode timers: the hot-bucket straggler evidence
+    assert st["bucket_encode_sec"] and st["bucket_encode_max_sec"] > 0
+    assert st["bucket_encode_max_over_median"] >= 1.0
     for i in range(CFG.build_stages):
         man = json.load(open(os.path.join(d, "manifest", f"stage_{i}.json")))
         assert man["status"] == "done"
@@ -391,3 +394,39 @@ def test_search_after_conjunctive_and_beyond_end(spark, index, oracle):
     # a cursor below every score → empty page, no crash
     q3 = dict(q1, search_after=[0.0, 0])
     assert bm25_topk_index(spark, rdr, [q3], cfg=CFG).count() == 0
+
+
+def test_read_corpus_iceberg_routing():
+    """Contract test for the Iceberg branch (VERDICT r3 #9): the sandbox
+    has no Iceberg jars, so the routing decision itself is pinned — a
+    catalog-dotted table name goes to format('iceberg').load, anything
+    path-like goes to parquet.  The real-cluster conf is documented in
+    FIXTURES.md (spark.sql.catalog.<name> = iceberg SparkCatalog)."""
+    from snowball_java_spark.sources.corpus import read_corpus
+
+    calls = {}
+
+    class FakeReader:
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def load(self, name):
+            calls["load"] = name
+            return "ICEBERG_DF"
+
+        def parquet(self, path):
+            calls.setdefault("parquet", []).append(path)
+            return "PARQUET_DF"
+
+    class FakeSpark:
+        read = FakeReader()
+
+    fs = FakeSpark()
+    assert read_corpus(fs, "catalog.db.code_files") == "ICEBERG_DF"
+    assert calls["format"] == "iceberg"
+    assert calls["load"] == "catalog.db.code_files"
+    assert read_corpus(fs, "/data/corpus") == "PARQUET_DF"
+    # a path containing dots is still a path when it has a slash
+    assert read_corpus(fs, "rel/dir.v1/corpus") == "PARQUET_DF"
+    assert calls["parquet"] == ["/data/corpus", "rel/dir.v1/corpus"]

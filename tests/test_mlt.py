@@ -54,3 +54,31 @@ def test_mlt_excludes_source_and_ranks_clone_first(spark, synth_docs):
 def test_mlt_unknown_source_is_empty(spark, synth_docs):
     docs = with_tokens(synth_docs)
     assert more_like_this(spark, docs, [999_999], k=3).count() == 0
+
+
+def test_mlt_candidate_pool_bounds_driver_collect(spark, synth_docs):
+    """An adversarially fat source doc (10k distinct terms) must reach
+    the driver as AT MOST the pool-sized candidate set, and
+    characteristic-term selection must still work within the pool."""
+    from snowball_java_spark.operators.mlt import (
+        _candidate_pool,
+        characteristic_terms,
+    )
+
+    fat_id = 77_000
+    fat_text = " ".join(f"uniq{i:05d}" for i in range(10_000))
+    docs = with_tokens(
+        synth_docs.select("doc_id", "content").unionByName(
+            spark.createDataFrame([(fat_id, fat_text)],
+                                  "doc_id long, content string")))
+    tf = (docs.filter(F.col("doc_id") == fat_id)
+          .select("doc_id", F.explode("tokens").alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    # the pre-collect cut is the hard cap (this is what gets collected)
+    assert _candidate_pool(tf, 50).count() == 50
+    ct = characteristic_terms(spark, docs, [fat_id], m_terms=5,
+                              n_docs=docs.count(), candidate_pool=50)
+    assert ct.count() == 5  # selection still yields top-m within the pool
+    # default pool: the whole pipeline still runs against a fat doc
+    # (its terms are unique to it and the source excludes itself → 0 hits)
+    assert more_like_this(spark, docs, [fat_id], m_terms=5, k=3).count() == 0

@@ -215,11 +215,13 @@ def test_parse_fuzzy_rejections():
     from snowball_java_spark.functions.queryparse import QueryParseError
 
     for bad in ("+tabel~1", "-tabel~1", "tabel~1 AND row", "tabel~3",
-                "tabel~0", 'tabel~1 "a b"', "foo-bar~1"):
+                "tabel~0", 'tabel~1 "a b"', "foo-bar~1",
+                # malformed fuzzy must be LOUD, mirroring the boost
+                # guard: 'tabel~1.5' / 'foo~bar' would otherwise
+                # silently tokenize into extra OR terms
+                "tabel~1.5", "foo~bar", "a~b~c"):
         with pytest.raises(QueryParseError):
             parse_query(bad)
-    # ~ inside a word that is not stem~digits is NOT fuzzy syntax
-    assert parse_query("foo~bar")["terms"] == ["bar", "foo"]
 
 
 def test_parse_boosts():

@@ -477,3 +477,87 @@ def test_mixed_schema_tombstones_after_upgrade(spark, emb,
            for r in ivf_topk_index(spark, d, qvec, 50, n_probe=4).collect()}
     assert 7 not in ids, "legacy tombstone must still kill its id"
     assert 9 in ids, "versioned re-add must survive next to legacy rows"
+
+
+def test_mixed_schema_rows_after_upgrade_supersede_safe(
+    spark, emb, tmp_path_factory
+):
+    """A pre-versioning index holds cell files WITHOUT _v; refreshed by
+    current code, _v-stamped files land NEXT to them.  The rows read
+    must mergeSchema (old rows surface _v=NULL→0) — without it, schema
+    inference can drop _v for the whole relation and a supersede
+    tombstone silently kills the UPSERTED rows too (ADVICE r3 #1)."""
+    import os
+    import glob
+    import shutil
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_index,
+        read_ivf_index,
+        refresh_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_prever")) + "/idx"
+    build_ivf_index(spark, emb.filter(F.col("vec_id") < 50), d, n_cells=4)
+    # rewrite the stored rows WITHOUT _v — the exact pre-versioning layout
+    old = spark.read.parquet(d).drop("_v")
+    tmp = d + ".striptmp"
+    old.repartition("cell").write.partitionBy("cell").parquet(tmp)
+    for c in glob.glob(os.path.join(d, "cell=*")):
+        shutil.rmtree(c)
+    for c in glob.glob(os.path.join(tmp, "cell=*")):
+        shutil.move(c, os.path.join(d, os.path.basename(c)))
+    shutil.rmtree(tmp)
+    assert "_v" not in spark.read.parquet(
+        glob.glob(os.path.join(d, "cell=*", "*.parquet"))[0]).columns
+
+    # supersede-upsert vec_ids 10..14 with current code → mixed schemas
+    delta = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    refresh_ivf_index(spark, d, delta, supersede=True)
+    rows, _ = read_ivf_index(spark, d)
+    assert "_v" in rows.columns, "mergeSchema read must surface _v"
+
+    # the upserted ids must be LIVE (exactly one version each) and the
+    # untouched pre-versioning rows must survive
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 10).head()["embedding"]]
+    got = ivf_topk_index(spark, d, qvec, 50, n_probe=4)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert 10 in ids, "upserted row was killed by its own tombstone"
+    assert len(ids) == len(set(ids)), "duplicate live versions rank"
+
+
+def test_compact_empty_index_stays_readable(spark, emb, tmp_path_factory):
+    """Compacting (or retraining) an index whose rows are ALL dead used
+    to write an empty partitioned dataset that bricks schema inference
+    on the next read (ADVICE r3 #4) — now it writes one empty typed
+    file and the index survives: readable, refreshable, queryable."""
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_vectors,
+        ivf_topk_index,
+        read_ivf_index,
+        refresh_ivf_index,
+        retrain_ivf_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ivf_empty")) + "/idx"
+    sub = emb.filter(F.col("vec_id") < 20)
+    build_ivf_index(spark, sub, d, n_cells=4)
+    delete_vectors(spark, d, [int(r["vec_id"]) for r in sub.collect()])
+    compact_ivf_index(spark, d)
+    rows, cent = read_ivf_index(spark, d)          # must not raise
+    assert rows.count() == 0 and len(cent) == 4
+    retrain_ivf_index(spark, d)                    # empty retrain: no-op swap
+    rows, cent = read_ivf_index(spark, d)
+    assert rows.count() == 0 and len(cent) == 4
+
+    # the empty index is still a living index: refresh + query work
+    refresh_ivf_index(spark, d, emb.filter(F.col("vec_id") < 5))
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    ids = {r["vec_id"]
+           for r in ivf_topk_index(spark, d, qvec, 5, n_probe=4).collect()}
+    assert 0 in ids

@@ -310,3 +310,49 @@ def test_vector_stream_checkpoint_reset_keeps_prior_runs_data(
                emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250)))
     n = read_ivf_index(spark, idx)[0].count()
     assert n == 250, f"run A's epoch-0 rows must survive run B (got {n})"
+
+
+def test_vector_stream_legacy_markers_only_honored_by_adopter(
+    spark, tmp_path
+):
+    """Pre-namespace epoch markers (plain ep{N}.done) belong to the ONE
+    run that adopted them at namespace-upgrade time.  A later run born
+    from a checkpoint reset restarts epoch ids at 0 — treating the old
+    markers as its own would silently drop its first batches (ADVICE
+    r3), and cleaning up the old run's committed ep0-* files would lose
+    data.  Both are pinned here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_index,
+    )
+    from snowball_java_spark.streaming.vectors import refresh_ivf_epoch
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "ivf_legacy")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") < 100), idx, n_cells=4)
+
+    legacy_batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    # a pre-namespace run committed epoch 0 (un-namespaced marker + files)
+    assert refresh_ivf_epoch(spark, idx, legacy_batch, 0, run_ns=None) > 0
+    assert os.path.exists(os.path.join(idx, "_stream_epochs", "ep0.done"))
+    assert read_ivf_index(spark, idx)[0].count() == 150
+
+    # the ADOPTING run (recorded in _legacy_ns — what the upgrade path
+    # writes when it finds an existing checkpoint + legacy markers)
+    # continues the old epoch sequence: its replay of epoch 0 must no-op
+    with open(os.path.join(idx, "_stream_epochs", "_legacy_ns"), "w") as f:
+        f.write("nsA")
+    assert refresh_ivf_epoch(spark, idx, legacy_batch, 0, run_ns="nsA") == 0
+    assert read_ivf_index(spark, idx)[0].count() == 150
+
+    # a LATER run (checkpoint reset → fresh namespace) restarts at epoch
+    # 0 with NEW data: it must publish (not be swallowed) and must leave
+    # the legacy run's committed ep0-* files alone
+    new_batch = emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 180))
+    assert refresh_ivf_epoch(spark, idx, new_batch, 0, run_ns="nsB") > 0
+    n = read_ivf_index(spark, idx)[0].count()
+    assert n == 180, f"legacy rows + new run's rows must coexist (got {n})"

@@ -114,3 +114,61 @@ def test_fuzzy_synonyms_arbitrates_overlap(spark):
     v2 = _vocab(spark, [("abd", 10)])
     syn2 = fuzzy_synonyms(spark, v2, {"abd": 1, "abb": 1})
     assert syn2 == {"abd": ["abd"], "abb": []}
+
+
+def test_suggest_index_matches_scan_and_prunes(spark, synth_docs,
+                                               tmp_path_factory):
+    """suggest_terms over the persisted vocab-gram sidecar ≡ the per-call
+    vocabulary explode, and its scan touches only the query grams'
+    bucket directories (PartitionFilters — the O(query grams) shape that
+    replaces the O(vocab) explode at multi-billion-term vocabularies)."""
+    import os
+
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.suggest import suggest_terms_index
+    from snowball_java_spark.plans.build_index import build_index
+
+    d = str(tmp_path_factory.mktemp("sugg")) + "/idx"
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    idx = build_index(spark, corpus, d,
+                      cfg=EngineConfig(shard_size=64, block_size=16,
+                                       build_stages=1), n_buckets=8)
+    vocab = idx.term_stats(spark).select("term", "df")
+    qt = ["retrun", "improt", "def"]
+    want = sorted(
+        tuple(r) for r in suggest_terms(spark, vocab, qt, n=3).collect())
+    got_df = suggest_terms_index(spark, idx, qt, n=3)
+    assert sorted(tuple(r) for r in got_df.collect()) == want
+    assert os.path.exists(os.path.join(d, "vocab_grams", "_meta.json"))
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+
+
+def test_suggest_index_rebuilds_on_stale_vocab(spark, synth_docs,
+                                               tmp_path_factory):
+    """A refresh changes term_stats; the sidecar must detect the stale
+    fingerprint and rebuild, so new-vocabulary terms become suggestable."""
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.suggest import suggest_terms_index
+    from snowball_java_spark.plans.build_index import (
+        build_index,
+        refresh_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("sugg_stale")) + "/idx"
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d,
+                cfg=EngineConfig(shard_size=64, block_size=16,
+                                 build_stages=1), n_buckets=8)
+    from snowball_java_spark.plans.build_index import IndexReader
+
+    idx = IndexReader(d)
+    assert suggest_terms_index(
+        spark, idx, ["zzneedly"], n=3).count() == 0
+    delta = spark.createDataFrame(
+        [("rnew", "pnew", "c1", "py", "zzneedle zzneedle qq")],
+        "repo string, path string, commit string, lang string, content string")
+    idx2 = refresh_index(spark, delta, d)
+    got = suggest_terms_index(spark, idx2, ["zzneedly"], n=3).collect()
+    assert any(r["term"] == "zzneedle" for r in got)

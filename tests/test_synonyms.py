@@ -181,6 +181,36 @@ def test_fuzzy_conflicting_edits_and_synonym_clash_raise(spark, index):
             cfg=CFG, synonyms={"retrun": ["return"]})
 
 
+def test_fuzzy_cross_query_plain_term_clash_raises(spark, index):
+    """The merged synonym table applies batch-globally: query A's fuzzy
+    {'retrun': 2} expands to members incl. 'return', so query B's PLAIN
+    'return' would silently score as A's merged group (union df, summed
+    tf) — cross-query semantic drift (ADVICE r3).  Must be loud, both
+    for a plain positive term and a not_term."""
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    with pytest.raises(ValueError, match="another query's"):
+        bm25_fuzzy_topk(
+            spark, index,
+            [{"query_id": 0, "terms": [], "fuzzy": {"retrun": 2}, "k": 5},
+             {"query_id": 1, "terms": ["return"], "k": 5}],
+            cfg=CFG)
+    with pytest.raises(ValueError, match="another query's"):
+        bm25_fuzzy_topk(
+            spark, index,
+            [{"query_id": 0, "terms": [], "fuzzy": {"retrun": 2}, "k": 5},
+             {"query_id": 1, "terms": ["import"],
+              "not_terms": ["return"], "k": 5}],
+            cfg=CFG)
+    # same-batch queries with DISJOINT vocabularies stay fine
+    res = bm25_fuzzy_topk(
+        spark, index,
+        [{"query_id": 0, "terms": [], "fuzzy": {"retrun": 2}, "k": 5},
+         {"query_id": 1, "terms": ["import"], "k": 5}],
+        cfg=CFG)
+    assert res.filter("query_id = 1").count() > 0
+
+
 def test_default_cfg_decodes_nondefault_layout(spark, index):
     """Layout facts (block size, codec, shard size) come from the
     index's persisted _conf.json, NOT the caller's cfg: querying a

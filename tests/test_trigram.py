@@ -45,7 +45,8 @@ def test_trigrams_short_strings(spark):
 def test_substring_matches_full_scan(spark, synth_docs, tri_index, needle):
     idx, _ = tri_index
     got = [r["doc_id"]
-           for r in substring_search(spark, synth_docs, idx, needle).collect()]
+           for r in substring_search(spark, synth_docs, idx, needle,
+                                     allow_full_scan=True).collect()]
     exp = [r["doc_id"] for r in synth_docs.filter(
         F.contains(F.lower("content"), F.lit(needle.lower())))
         .select("doc_id").orderBy("doc_id").collect()]
@@ -94,16 +95,41 @@ def test_mandatory_literals():
 
 @pytest.mark.parametrize("pattern", [
     "def [a-z_]+_7",          # literal-prefiltered
-    "(def|class) rare_7",     # no top-level literal → full scan
+    "(def|class) rare_7",     # no top-level literal → full scan (opt-in)
 ])
 def test_regex_matches_full_scan(spark, synth_docs, tri_index, pattern):
     idx, _ = tri_index
     got = [r["doc_id"]
-           for r in regex_search(spark, synth_docs, idx, pattern).collect()]
+           for r in regex_search(spark, synth_docs, idx, pattern,
+                                 allow_full_scan=True).collect()]
     exp = [r["doc_id"] for r in synth_docs.filter(
         F.lower("content").rlike(pattern))
         .select("doc_id").orderBy("doc_id").collect()]
     assert got == exp
+
+
+def test_full_scan_requires_opt_in(spark, synth_docs, tri_index):
+    """A literal-free pattern (or missing index) must REFUSE by default —
+    a silent full scan is the one 100 TB foot-gun VERDICT r3 flagged."""
+    from snowball_java_spark.operators.trigram import grep_search
+
+    idx, _ = tri_index
+    with pytest.raises(ValueError, match="full corpus scan"):
+        regex_search(spark, synth_docs, idx, "def|class")  # alternation only
+    with pytest.raises(ValueError, match="full corpus scan"):
+        regex_search(spark, synth_docs, idx, "[a-z]+ [0-9]+")  # no literal
+    with pytest.raises(ValueError, match="full corpus scan"):
+        regex_search(spark, synth_docs, None, "def [a-z_]+_7")
+    with pytest.raises(ValueError, match="full corpus scan"):
+        substring_search(spark, synth_docs, idx, "ab")
+    with pytest.raises(ValueError, match="full corpus scan"):
+        substring_search(spark, synth_docs, None, "def ")
+    with pytest.raises(ValueError, match="full corpus scan"):
+        grep_search(spark, synth_docs, idx,
+                    [{"query_id": 0, "substr": "a"}])
+    # prunable queries are unaffected by the default
+    assert regex_search(
+        spark, synth_docs, idx, "def [a-z_]+_7").count() >= 0
 
 
 def test_trigram_sidecar_lifecycle(spark, synth_docs, tmp_path_factory):
@@ -158,14 +184,17 @@ def test_grep_search_batch_matches_singles(spark, synth_docs, tri_index):
         {"query_id": 3, "regex": "(def|class) rare_7"},  # no literal
         {"query_id": 4, "substr": "zz_never_there"},
     ]
-    got = grep_search(spark, synth_docs, idx, qs).collect()
+    got = grep_search(spark, synth_docs, idx, qs,
+                      allow_full_scan=True).collect()
     by_q: dict[int, list] = {}
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r["doc_id"])
     for q in qs:
-        single = (substring_search(spark, synth_docs, idx, q["substr"])
+        single = (substring_search(spark, synth_docs, idx, q["substr"],
+                                   allow_full_scan=True)
                   if "substr" in q
-                  else regex_search(spark, synth_docs, idx, q["regex"]))
+                  else regex_search(spark, synth_docs, idx, q["regex"],
+                                    allow_full_scan=True))
         exp = [r["doc_id"] for r in single.collect()]
         assert sorted(by_q.get(q["query_id"], [])) == exp, q
 
@@ -226,14 +255,15 @@ def test_empty_corpus_trigram_index(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("tri_empty")) + "/idx"
     idx = build_trigram_index(spark, empty, d)
     assert substring_search(spark, empty, idx, "needle").count() == 0
-    assert regex_search(spark, empty, idx, "abc+").count() == 0
+    assert regex_search(spark, empty, idx, "abcd+").count() == 0
     assert grep_search(spark, empty, idx,
                        [{"query_id": 0, "substr": "abc"}]).count() == 0
 
 
 def test_search_without_index_full_scan(spark, synth_docs):
     got = [r["doc_id"]
-           for r in substring_search(spark, synth_docs, None, "def ").collect()]
+           for r in substring_search(spark, synth_docs, None, "def ",
+                                     allow_full_scan=True).collect()]
     exp = [r["doc_id"] for r in synth_docs.filter(
         F.contains(F.lower("content"), F.lit("def ")))
         .select("doc_id").orderBy("doc_id").collect()]
