@@ -34,6 +34,12 @@ def main(argv: list[str]) -> int:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--codec", default="varint", choices=["varint", "pfor"],
                    help="posting-stream codec (pfor: ~43%% smaller, slower CPU)")
+    p.add_argument("--tokenizer", default="pinned",
+                   choices=["pinned", "lang"],
+                   help="'lang' dispatches on the corpus lang column: "
+                        "comment stripping + camelCase splitting for code "
+                        "langs (persisted; refresh/positions stay "
+                        "consistent)")
     p.add_argument("--queries", default=None, help="jsonl: {query_id, terms, k}")
     p.add_argument("--verify-topk", action="store_true")
     p.add_argument(
@@ -64,6 +70,7 @@ def main(argv: list[str]) -> int:
         block_size=args.block_size,
         build_stages=args.stages,
         codec=args.codec,
+        tokenizer=args.tokenizer,
     )
     t0 = time.time()
     corpus = read_corpus(spark, args.corpus)

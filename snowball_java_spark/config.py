@@ -59,6 +59,14 @@ class EngineConfig:
     #: and positions sidecars stay varint (tiny, not worth a knob).
     codec: str = "varint"
 
+    #: build-time tokenizer: "pinned" (the [a-z0-9_]+ semantics every
+    #: oracle shares) or "lang" (per-`lang`-column dispatch — comment
+    #: stripping + camelCase identifier splitting for code langs, exact
+    #: pass-through otherwise; functions.tokenize.tokens_lang_expr /
+    #: tokenize_lang_py).  Persisted in _conf.json, so refreshes and the
+    #: positions sidecar stay token-consistent with the base build.
+    tokenizer: str = "pinned"
+
     #: documents are range-sharded by doc_id: shard = doc_id // shard_size.
     #: Each shard holds complete postings for its doc range, so query-time
     #: scoring is embarrassingly parallel per shard and the only query

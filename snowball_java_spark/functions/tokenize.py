@@ -181,6 +181,57 @@ def lang_dispatch_sql(text_sql: str, lang_sql: str) -> str:
             f"'[^a-z0-9_]+'), x -> x <> '')")
 
 
+_HASH_RE = re.compile(HASH_COMMENT_RE)
+_LINE_RE = re.compile(LINE_COMMENT_RE)
+_BLOCK_RE = re.compile(BLOCK_COMMENT_RE)
+_CAMEL_SPLIT = re.compile(CAMEL_SPLIT_RE)
+_HASH_SET = frozenset(HASH_COMMENT_LANGS)
+_CFAM_SET = frozenset(CFAM_COMMENT_LANGS)
+
+
+def tokenize_lang_py(text: str, lang: str | None) -> list[str]:
+    """Pure-Python twin of :func:`tokens_lang_expr` — same pinned
+    regexes, same order (block strip before line strip, camel split
+    after comment strip), so the Arrow build path, the Catalyst query
+    path, and test oracles agree token-for-token."""
+    if text is None:
+        return []
+    if lang in _HASH_SET:
+        text = _HASH_RE.sub(" ", text)
+    elif lang in _CFAM_SET:
+        text = _LINE_RE.sub(" ", _BLOCK_RE.sub(" ", text))
+    else:
+        return tokenize_py(text)
+    return _TOKEN_RE.findall(_CAMEL_SPLIT.sub(r"\1 \2", text).lower())
+
+
+@F.pandas_udf(MapType(StringType(), IntegerType()))
+def tf_map_lang_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+    """Arrow-vectorized per-lang tokenize + tf map — the index-build hot
+    path when ``EngineConfig.tokenizer == "lang"`` (same map-side-combine
+    shape as :func:`tf_map_udf`, dispatch semantics of
+    :func:`tokens_lang_expr`)."""
+    return pd.Series([
+        dict(Counter(tokenize_lang_py(t, lg)))
+        for t, lg in zip(texts.fillna(""), langs)
+    ], index=texts.index)
+
+
+@F.pandas_udf(MapType(StringType(), ArrayType(IntegerType())))
+def positions_map_lang_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+    """Per-lang twin of :func:`positions_map_udf` (positions index over a
+    lang-tokenized build must see the SAME token stream)."""
+
+    def one(t: str, lg: str) -> dict[str, list[int]]:
+        out: dict[str, list[int]] = {}
+        for i, tok in enumerate(tokenize_lang_py(t, lg)):
+            out.setdefault(tok, []).append(i)
+        return out
+
+    return pd.Series([one(t, lg) for t, lg in zip(texts.fillna(""), langs)],
+                     index=texts.index)
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def tokenize_code_udf(texts: pd.Series) -> pd.Series:
     """Code-aware variant: additionally splits camelCase identifiers into

@@ -419,6 +419,44 @@ def _build_index_inner(
     return IndexReader(index_dir)
 
 
+def _tf_map_for(cfg: EngineConfig, corpus: DataFrame):
+    """The build-time tokenize→tf-map column for ``cfg.tokenizer``:
+    "pinned" = the oracle-shared [a-z0-9_]+ semantics; "lang" = per-lang
+    dispatch (needs the input_hint ``lang`` column — loud if absent)."""
+    if cfg.tokenizer == "pinned":
+        return tf_map_udf(F.col("content"))
+    if cfg.tokenizer == "lang":
+        if "lang" not in corpus.columns:
+            raise ValueError(
+                "tokenizer='lang' needs a `lang` column on the corpus "
+                "(input_hint schema); got " + str(corpus.columns))
+        from snowball_java_spark.functions.tokenize import tf_map_lang_udf
+
+        return tf_map_lang_udf(F.col("content"), F.col("lang"))
+    raise ValueError(f"unknown tokenizer {cfg.tokenizer!r} "
+                     "(expected 'pinned' or 'lang')")
+
+
+def _positions_map_for(cfg: EngineConfig, corpus: DataFrame):
+    """Positions twin of :func:`_tf_map_for` — the positions sidecar must
+    see the SAME token stream the build stored tf maps for."""
+    from snowball_java_spark.functions.tokenize import positions_map_udf
+
+    if cfg.tokenizer == "pinned":
+        return positions_map_udf(F.col("content"))
+    if cfg.tokenizer == "lang":
+        if "lang" not in corpus.columns:
+            raise ValueError(
+                "tokenizer='lang' positions need a `lang` column on the "
+                "corpus; got " + str(corpus.columns))
+        from snowball_java_spark.functions.tokenize import (
+            positions_map_lang_udf,
+        )
+
+        return positions_map_lang_udf(F.col("content"), F.col("lang"))
+    raise ValueError(f"unknown tokenizer {cfg.tokenizer!r}")
+
+
 def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
                       cfg: EngineConfig, id_offset: int = 0) -> tuple[int, float, int]:
     """corpus → stage-partitioned docs table (ids, sha256, dl, tf_map);
@@ -440,7 +478,7 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
     # not the tokenizer UDF) and joined back on the unique natural key
     tokenized = (
         with_sha256(corpus)
-        .withColumn("tf_map", tf_map_udf(F.col("content")))
+        .withColumn("tf_map", _tf_map_for(cfg, corpus))
         .withColumn(
             "dl",
             F.aggregate(F.map_values("tf_map"), F.lit(0).cast("long"),
@@ -963,13 +1001,12 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                 delta = delta.join(ids, key).withColumn(
                     "doc_id", F.col("doc_id") + F.lit(base_id))
         if want_pos:
-            from snowball_java_spark.functions.tokenize import positions_map_udf
             from snowball_java_spark.operators.positions import (
                 build_position_postings,
             )
 
             docs_pos = delta.select(
-                "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
+                "doc_id", _positions_map_for(cfg, delta).alias("pos_map")
             )
             posts = build_position_postings(docs_pos, cfg=cfg, n_buckets=n_buckets)
             posts = posts.withColumn("gen", F.lit(gen))
@@ -1402,7 +1439,6 @@ def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) ->
     done; a killed build restarts cleanly because the parquet write is
     atomic-by-directory and the manifest commits last.
     """
-    from snowball_java_spark.functions.tokenize import positions_map_udf
     from snowball_java_spark.operators.positions import build_position_postings
 
     index_dir = index.index_dir
@@ -1414,7 +1450,7 @@ def add_positions(spark: SparkSession, corpus: DataFrame, index: IndexReader) ->
         # tested)
         corpus = _corpus_with_index_ids(corpus, index, "add_positions")
     docs_pos = corpus.select(
-        "doc_id", positions_map_udf(F.col("content")).alias("pos_map")
+        "doc_id", _positions_map_for(index.cfg, corpus).alias("pos_map")
     )
     posts = build_position_postings(
         docs_pos, cfg=index.cfg, n_buckets=index.n_buckets

@@ -1,0 +1,148 @@
+"""Per-lang tokenizer: expression/Python twins and the build integration
+(`EngineConfig.tokenizer="lang"`) — comment stripping + camelCase
+splitting must flow identically through the Catalyst query path, the
+Arrow build path, the positions sidecar, and refresh generations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.functions.tokenize import (
+    tokenize_lang_py,
+    tokenize_py,
+    tokens_expr,
+    tokens_lang_expr,
+)
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=1,
+                   tokenizer="lang")
+
+ROWS = [
+    ("python", "def fooBar(x):  # ghostpy trailing\n    return x"),
+    ("java", "int fooBar; // ghostjava\n/* ghostBlock\nstill */ int y;"),
+    ("go", "func FooBar() { // ghostgo\n}"),
+    ("en", "plain fooBar text # not a comment here"),
+    (None, "nullLang camelCase stays fused"),
+    ("python", ""),
+]
+
+
+def test_lang_py_twin_matches_expr(spark):
+    df = spark.createDataFrame(ROWS, "lang string, text string")
+    got = [r["toks"] for r in df.select(
+        tokens_lang_expr("text", "lang").alias("toks")).collect()]
+    want = [tokenize_lang_py(t, lg) for lg, t in ROWS]
+    assert got == want
+    # the dispatched semantics really differ from pinned on code langs...
+    assert "ghostpy" not in want[0] and "foo" in want[0] and "bar" in want[0]
+    assert "ghostjava" not in want[1] and "ghostblock" not in want[1]
+    # ...and are EXACTLY pinned on natural/absent langs
+    for lg, t in ROWS:
+        if lg not in ("python", "java", "go"):
+            assert tokenize_lang_py(t, lg) == tokenize_py(t)
+
+
+def test_lang_expr_equals_pinned_on_natural_corpus(spark, synth_docs):
+    """Dispatch ≡ default on a corpus whose lang values are outside both
+    code families (the oracle-parity guarantee for existing gates)."""
+    df = synth_docs.limit(200).select(
+        F.col("content"),
+        F.lit("en").alias("lang"),
+        tokens_expr("content").alias("pinned"),
+    )
+    mismatch = df.filter(
+        tokens_lang_expr("content", "lang") != F.col("pinned")).count()
+    assert mismatch == 0
+
+
+@pytest.fixture(scope="module")
+def lang_corpus(spark):
+    rows = [
+        ("r0", f"p{i}", "c", "python",
+         f"def fooBar_{i}(x):  # ghostpy secret\n    return tableValue")
+        for i in range(30)
+    ] + [
+        ("r1", f"q{i}", "c", "java",
+         f"int fooBar_{i}; // ghostjava\nreturn tableValue;")
+        for i in range(20)
+    ] + [
+        ("r2", f"n{i}", "c", "en", "plain tablevalue text ghostpy")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+
+
+def test_lang_index_build_and_rank_identity(spark, lang_corpus,
+                                            tmp_path_factory):
+    """An index built with tokenizer='lang' stores the DISPATCHED token
+    stream: comment ghosts absent, camel sub-tokens present, and the
+    block-max index path ranks identically to a join-path recomputation
+    over tokens_lang_expr."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.plans.build_index import build_index
+
+    d = str(tmp_path_factory.mktemp("langidx")) + "/idx"
+    idx = build_index(spark, lang_corpus, d, cfg=CFG, n_buckets=8)
+    assert idx.cfg.tokenizer == "lang"  # round-trips through _conf.json
+
+    ts = {r["term"]: r["df"] for r in idx.term_stats(spark).collect()}
+    assert "ghostjava" not in ts and "ghostblock" not in ts
+    # python '#' comments stripped from code docs; the 'en' docs keep
+    # their literal ghostpy token (no comment semantics there)
+    assert ts.get("ghostpy") == 10
+    assert "table" in ts and "value" in ts       # camel split
+    assert ts["table"] == ts["value"] == 50      # all code docs
+    assert "tablevalue" in ts                    # natural docs keep fused
+
+    qs = [{"query_id": 0, "terms": ["table", "value"], "k": 10},
+          {"query_id": 1, "terms": ["foo", "bar"], "k": 10},
+          {"query_id": 2, "terms": ["ghostpy"], "k": 10}]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_index(spark, idx, qs, cfg=CFG).collect())
+    # join-path recomputation over the SAME dispatched tokens
+    docs_tok = idx.docs(spark).select("doc_id", "path").join(
+        lang_corpus.select("path", "content", "lang"), "path").select(
+        "doc_id", tokens_lang_expr("content", "lang").alias("tokens"))
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_join(spark, docs_tok, qs, cfg=CFG).collect())
+    assert got == want
+    # the ghostpy query hits exactly the 10 natural docs
+    assert sum(1 for q, *_ in got if q == 2) == 10
+
+
+def test_lang_index_refresh_and_positions_consistent(spark, lang_corpus,
+                                                     tmp_path_factory):
+    """Refresh deltas tokenize with the PERSISTED tokenizer (not the
+    caller's), and the positions sidecar sees the same dispatched stream
+    (phrase over camel sub-tokens matches)."""
+    from snowball_java_spark.operators.positions import phrase_topk_index
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+        refresh_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("langref")) + "/idx"
+    idx = build_index(spark, lang_corpus, d, cfg=CFG, n_buckets=8)
+    add_positions(spark, lang_corpus, idx)
+    delta = spark.createDataFrame(
+        [("r9", "new0", "c", "python",
+          "def freshCamel():  # ghostfresh\n    pass")],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    idx2 = refresh_index(spark, delta, d)
+    ts = {r["term"]: r["df"] for r in idx2.term_stats(spark).collect()}
+    assert "ghostfresh" not in ts        # delta used the lang tokenizer
+    assert ts.get("fresh") == 1 and ts.get("camel") == 1
+    # phrase over SPLIT sub-tokens ("table value" ← tableValue)
+    hits = phrase_topk_index(
+        spark, idx2, [{"query_id": 0, "phrase": ["table", "value"],
+                       "k": 60}], cfg=idx2.cfg)
+    assert hits.count() == 50
