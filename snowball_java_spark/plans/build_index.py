@@ -632,7 +632,9 @@ def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
                            bucket_timers=timers)
     out = os.path.join(index_dir, "postings", f"stage={stage_id}")
     posts.write.mode("overwrite").partitionBy("bucket").parquet(out)
-    bucket_sec = {b: round(t.value, 3) for b, t in timers.items()
+    # keep RAW seconds for the max/median computation — rounding first
+    # would collapse sub-0.5ms buckets to 0.0 and zero the median
+    bucket_raw = {b: float(t.value) for b, t in timers.items()
                   if t.value > 0}
 
     if write_meta:
@@ -658,15 +660,16 @@ def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
         # whose shards all map to other stages)
         agg = {"n_postings": 0, "bytes": 0}
     elapsed = time.time() - t0
-    vals = sorted(bucket_sec.values())
+    vals = sorted(bucket_raw.values())
     med = vals[len(vals) // 2] if vals else 0.0
     _metric(index_dir, step=step, elapsed_sec=elapsed,
             n_postings=int(agg["n_postings"] or 0),
             postings_per_sec=(agg["n_postings"] or 0) / elapsed,
             bytes_compressed=int(agg["bytes"] or 0),
-            bucket_encode_sec=bucket_sec,
-            bucket_encode_max_sec=max(vals) if vals else 0.0,
-            bucket_encode_median_sec=med,
+            bucket_encode_sec={b: round(v, 4)
+                               for b, v in bucket_raw.items()},
+            bucket_encode_max_sec=round(max(vals), 6) if vals else 0.0,
+            bucket_encode_median_sec=round(med, 6),
             bucket_encode_max_over_median=(
                 round(max(vals) / med, 3) if med > 0 else 0.0))
     _write_manifest(index_dir, step, {

@@ -162,13 +162,15 @@ def start_incremental_vector_refresh(
     # fresh checkpoint = fresh stream identity = epoch ids restart at 0:
     # rotate the marker namespace so the previous run's ep0..N done-
     # markers cannot swallow this run's first batches
+    legacy_f = os.path.join(index_dir, "_stream_epochs", "_legacy_ns")
+    has_legacy = bool(glob.glob(os.path.join(
+        index_dir, "_stream_epochs", "ep*.done")))  # namespaced markers
+    # ({ns}.epN.done) don't match — glob anchors at the basename start
     if not os.path.exists(ckpt) or not os.path.exists(rid_f):
         os.makedirs(os.path.dirname(rid_f), exist_ok=True)
         new_ns = uuid.uuid4().hex[:12]
-        legacy_f = os.path.join(index_dir, "_stream_epochs", "_legacy_ns")
         if (os.path.exists(ckpt) and not os.path.exists(legacy_f)
-                and glob.glob(os.path.join(
-                    index_dir, "_stream_epochs", "ep*.done"))):
+                and has_legacy):
             # namespace-upgrade of an IN-FLIGHT stream identity: the
             # existing checkpoint keeps its epoch sequence, so the old
             # un-namespaced ep{N}.done markers belong to THIS run —
@@ -178,6 +180,16 @@ def start_incremental_vector_refresh(
                 f.write(new_ns)
         with open(rid_f, "w") as f:
             f.write(new_ns)
+    elif has_legacy and not os.path.exists(legacy_f):
+        # index upgraded under a build that namespaced rid_f but did not
+        # yet record adopters: this run's rid continues the checkpoint's
+        # epoch sequence, so the legacy markers are its own commits —
+        # adopt retroactively, else a checkpoint replay of a
+        # legacy-committed epoch would republish it (duplicate rows).
+        with open(rid_f) as f:
+            prior = f.read().strip()
+        with open(legacy_f, "w") as f:
+            f.write(prior)
     with open(rid_f) as f:
         run_ns = f.read().strip()
 

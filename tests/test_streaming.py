@@ -356,3 +356,53 @@ def test_vector_stream_legacy_markers_only_honored_by_adopter(
     assert refresh_ivf_epoch(spark, idx, new_batch, 0, run_ns="nsB") > 0
     n = read_ivf_index(spark, idx)[0].count()
     assert n == 180, f"legacy rows + new run's rows must coexist (got {n})"
+
+
+def test_vector_stream_retroactive_legacy_adoption(spark, tmp_path):
+    """An index that namespace-upgraded under a build that wrote _run_id
+    but not _legacy_ns (the r3→r4 upgrade window): its existing rid
+    continues the legacy epoch sequence, so starting the stream must
+    retroactively adopt the legacy markers — a checkpoint replay of a
+    legacy-committed epoch then dedupes instead of republishing
+    (duplicate rows)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_index,
+    )
+    from snowball_java_spark.streaming.vectors import (
+        refresh_ivf_epoch,
+        start_incremental_vector_refresh,
+        stream_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "ivf_retro")
+    build_ivf_index(spark, emb.filter(F.col("vec_id") < 100), idx, n_cells=4)
+    batch0 = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    # legacy run committed epoch 0 un-namespaced...
+    assert refresh_ivf_epoch(spark, idx, batch0, 0, run_ns=None) > 0
+    n_after_legacy = read_ivf_index(spark, idx)[0].count()
+    # ...then a pre-adoption build namespaced the run id (no _legacy_ns)
+    ep_dir = os.path.join(idx, "_stream_epochs")
+    with open(os.path.join(ep_dir, "_run_id"), "w") as f:
+        f.write("nsold")
+    os.makedirs(os.path.join(idx, "_stream_checkpoint"), exist_ok=True)
+
+    src = tmp_path / "retro_src"
+    src.mkdir()
+    batch0.coalesce(1).write.mode("append").parquet(str(src))
+    q = start_incremental_vector_refresh(
+        stream_embeddings(spark, str(src)), idx)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(ep_dir, "_legacy_ns")) as f:
+        assert f.read().strip() == "nsold"   # adopted the EXISTING rid
+    n = read_ivf_index(spark, idx)[0].count()
+    assert n == n_after_legacy, \
+        f"legacy-committed epoch 0 must dedupe, not republish (got {n})"
