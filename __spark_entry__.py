@@ -4,14 +4,15 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (88/88 as of late round 3 — including the real BMP
+                  (92/92 as of round 4 — including the real BMP
                   decode, the composed cleaning pipeline, connected
                   components via a recursive CTE, the living-corpus
                   lifecycle on BOTH indexes: text upsert/supersede/
                   delete/compaction and the IVF vector refresh/delete/
                   compact twins, plus the full query surface: filters,
                   wildcards, fuzzy term~N, term^B boosts, synonyms,
-                  hybrid RRF, proximity, BM25F, search_after).
+                  hybrid RRF, proximity, BM25F, search_after, field
+                  collapsing, per-lang tokenization, pinned IVF recall).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.

@@ -130,6 +130,56 @@ def _bm25_topk_df(spark: SparkSession, sf_dir: str, terms: list[str], k: int) ->
     )
 
 
+def _q_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed BM25 (ES ``collapse`` / code search's group-by-repo):
+    the best-scoring doc per ``source``, sources ranked by that doc's score
+    (score desc, source asc), top 10 sources."""
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        collapse_topk,
+    )
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    docs_tok = _docs_tok(spark, sf_dir)
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    res = collapse_topk(
+        scores, docs_tok.select("doc_id", "source"), qdf, "source")
+    return res.select(
+        "source", "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _collapse_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+),
+best AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, rank, round(score, 6) AS score FROM (
+  SELECT source, doc_id, score,
+         row_number() OVER (ORDER BY score DESC, source ASC)::BIGINT AS rank
+  FROM best WHERE rn = 1
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_topk_sql(
     terms: list[str], k: int, conjunctive: bool = False,
     source: str | None = None, not_terms: list[str] | None = None,
@@ -2858,6 +2908,9 @@ def build_registry() -> dict[str, Q]:
         "bm25_topk_and": Q(
             _q_bm25_and, _bm25_topk_sql(MIXED_TERMS, 10, conjunctive=True)
         ),
+        "bm25_collapse_topk": Q(
+            _q_bm25_collapse, _collapse_sql(HOT_TERMS, 10)
+        ),
         "bm25_phrase_topk": Q(_q_bm25_phrase, _phrase_sql(_PHRASE, 10)),
         "bm25_phrase_index_topk": Q(_q_bm25_phrase_index, _phrase_sql(_PHRASE, 10)),
         "bm25_phrase_index_filtered": Q(
@@ -3266,11 +3319,15 @@ _DRIVER_PRIORITY = [
     "events_ewma", "events_hourly",
     # --- new round-4 gates ---
     "tokens_lang_dispatch", "ivf_recall_probe", "term_suggest_index",
+    "bm25_collapse_topk",
     # --- sentinel core (driver-green every prior round; re-proved) ---
-    # exactly 50 names total: 38 + 3 + 9 — a 51st would silently fall
-    # past the driver's cap (asserted below)
+    # exactly 50 names total: 38 + 4 + 8 — a 51st would silently fall
+    # past the driver's cap (asserted below).  corpus_stats rotated out
+    # for bm25_collapse_topk: it is the most trivially stable sentinel
+    # (single-row global stats, green r1–r3) and stays covered by the
+    # local oracle replica in tests/test_entry.py.
     "term_df", "bm25_topk_hot", "bm25_index_topk", "sha256_docs",
-    "corpus_stats", "bm25_phrase_index_topk", "context_window_index_topk",
+    "bm25_phrase_index_topk", "context_window_index_topk",
     "dedup_exact", "embedding_cosine_topk",
 ]
 

@@ -214,6 +214,68 @@ def topk(scores: DataFrame, qdf: DataFrame, n_partial: int = 32) -> DataFrame:
     )
 
 
+def collapse_topk(
+    scores: DataFrame,
+    doc_groups: DataFrame,
+    qdf: DataFrame,
+    group_col: str,
+    n_partial: int = 32,
+) -> DataFrame:
+    """Field collapsing: one representative (best-scoring) doc per group,
+    groups ranked by their representative — Elasticsearch's ``collapse`` /
+    "group results by repository" in code search.  Generalizes the
+    reference's per-group argmax (SURVEY §2.5 O9,
+    ``snowball/src/bin/Snowball.java:169-192,214-216``) from
+    best-pattern-per-tuple to best-doc-per-group over BM25 scores.
+
+    Input: ``scores`` (query_id, doc_id, score) — any scorer output before
+    ranking; ``doc_groups`` (doc_id, <group_col>).  Output one row per
+    (query, group): (query_id, rank, <group_col>, doc_id, score), rank ≤ k
+    under (score desc, group asc).
+
+    Scale shape: the representative is a partial-aggregable ``max_by``
+    over (score desc, doc_id asc) — a map-side-combined groupBy on
+    (query, group), NOT a window sort of the full candidate set, so a
+    hot query matching 10^9 docs never funnels them through one task.
+    The group ranking that follows runs over ≤ |groups| rows (one per
+    group per query) with the same salted two-phase top-k as
+    :func:`topk`.  ``doc_groups`` joins on doc_id — at corpus scale that
+    is the docs-metadata projection (doc_id, repo), co-partitioned with
+    any index-resident score source.
+    """
+    # maximize (score, -doc_id) == (score desc, doc_id asc): deterministic
+    # representative — scores carries one row per (query_id, doc_id), so
+    # the ordering struct is unique within a group
+    ord_struct = F.struct(
+        F.col("score").alias("s"), (-F.col("doc_id")).alias("nd"))
+    per_group = (
+        scores.join(doc_groups, "doc_id")
+        .groupBy("query_id", group_col)
+        .agg(
+            F.max_by("doc_id", ord_struct).alias("doc_id"),
+            F.max("score").alias("score"),
+        )
+    )
+    ks = F.broadcast(qdf.select("query_id", "k").distinct())
+    order = [F.desc("score"), F.asc(group_col)]
+    salted = (
+        per_group.join(ks, "query_id")
+        .withColumn("_salt", F.pmod(F.hash(group_col), F.lit(n_partial)))
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= F.col("k"))
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", group_col, "doc_id", "score")
+    )
+
+
 def global_topn(
     df: DataFrame, order, n: int, salt_cols: list[str], n_partial: int = 32
 ) -> DataFrame:
@@ -284,12 +346,36 @@ def bm25_topk_join(
     doc_id asc) order; the page's ranks restart at 1.  Deep paging stays
     top-k-sized per shuffle instead of k·page.
     """
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg,
+        candidate_predicate=candidate_predicate,
+        n_docs=n_docs, avgdl=avgdl, synonyms=synonyms,
+    )
+    return topk(scores, qdf)
+
+
+def bm25_scores_join(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    candidate_predicate: F.Column | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The scoring half of :func:`bm25_topk_join`: ``(scores, qdf)``
+    where ``scores`` is the full (query_id, doc_id, score) candidate
+    relation (NOT-terms and search_after cursors already applied) and
+    ``qdf`` the query relation for the ranking stage.  Callers that rank
+    differently — per-query :func:`topk`, per-group :func:`collapse_topk`
+    — share one scorer instead of re-deriving the pruned joins."""
     from snowball_java_spark.operators.df_stats import corpus_stats
 
     terms = sorted({t for q in queries for t in q["terms"]})
     qdf = queries_df(spark, queries)
     if not terms:
-        return topk(
+        return (
             spark.createDataFrame([], "query_id int, doc_id long, score double"),
             qdf,
         )
@@ -346,7 +432,7 @@ def bm25_topk_join(
     )
     scores = exclude_not_terms(spark, scores, docs_tok, queries)
     scores = apply_search_after(spark, scores, queries)
-    return topk(scores, qdf)
+    return scores, qdf
 
 
 def apply_search_after(

@@ -60,6 +60,38 @@ def test_bm25_join_rank_identical_to_oracle(spark, corpus):
             assert score == pytest.approx(escore, rel=REL_TOL), f"q{q['query_id']} rank {rank}"
 
 
+def test_collapse_topk_semantics(spark):
+    """Field collapsing: representative = (score desc, doc_id asc) argmax
+    per group; groups ranked (score desc, group asc); k cuts groups, not
+    docs; queries independent."""
+    from snowball_java_spark.operators.bm25_join import collapse_topk
+
+    scores = spark.createDataFrame(
+        [
+            (0, 1, 5.0), (0, 2, 5.0),   # q0 group a: score tie → doc 1
+            (0, 3, 5.0),                # q0 group b: ties a → group asc
+            (0, 4, 1.0),                # q0 group c: cut by k=2
+            (1, 1, 2.0), (1, 4, 9.0),   # q1: c then a
+        ],
+        "query_id int, doc_id long, score double",
+    )
+    groups = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")],
+        "doc_id long, source string",
+    )
+    qdf = spark.createDataFrame([(0, 2), (1, 2)], "query_id int, k int")
+    got = {
+        (r["query_id"], r["rank"]): (r["source"], r["doc_id"], r["score"])
+        for r in collapse_topk(scores, groups, qdf, "source").collect()
+    }
+    assert got == {
+        (0, 1): ("a", 1, 5.0),
+        (0, 2): ("b", 3, 5.0),
+        (1, 1): ("c", 4, 9.0),
+        (1, 2): ("a", 1, 2.0),
+    }
+
+
 def test_bm25_join_plan_shape(spark, corpus):
     """The declarative form must plan as broadcast joins on the small sides
     (no shuffle of tf_long except the final groupBy)."""
