@@ -500,7 +500,8 @@ def phase_vector_lifecycle() -> dict:
         qvec = [float(x)
                 for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
         t0 = time.time()
-        ivf_topk_index(spark, idx_dir, qvec, 10, n_probe=2).collect()
+        probe_rows = ivf_topk_index(
+            spark, idx_dir, qvec, 10, n_probe=2).collect()
         probe_sec = time.time() - t0
         # the scale-faithful pruning evidence: fraction of index FILES in
         # the probed cells' DIRECTORIES (what directory partition pruning
@@ -523,8 +524,12 @@ def phase_vector_lifecycle() -> dict:
         n_index_files = len(
             _glob.glob(os.path.join(idx_dir, "cell=*", "*.parquet")))
         t0 = time.time()
-        brute_force_topk(emb, qvec, 10).collect()
+        brute_rows = brute_force_topk(emb, qvec, 10).collect()
         brute_sec = time.time() - t0
+        # recall@10 of the 2-of-64 probe vs exact — the accuracy side of
+        # the 3%-scan-fraction story (deterministic: k-means + tie-break)
+        recall10 = len({r["vec_id"] for r in probe_rows}
+                       & {r["vec_id"] for r in brute_rows}) / 10.0
 
         delete_vectors(spark, idx_dir, list(range(0, n, 100)))
         t0 = time.time()
@@ -539,6 +544,7 @@ def phase_vector_lifecycle() -> dict:
             "probe_files_read": n_probe_files,
             "index_files_total": n_index_files,
             "probe_scan_frac": round(n_probe_files / max(n_index_files, 1), 3),
+            "probe2of64_recall10": recall10,
             "compact_after_1pct_delete_sec": round(compact_sec, 2),
         }
         spark.stop()
