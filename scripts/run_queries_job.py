@@ -99,13 +99,19 @@ def main(argv: list[str]) -> int:
         qs = [json.loads(line) for line in f if line.strip()]
     from snowball_java_spark.functions.queryparse import parse_query
 
+    # Engine kernels key queries by INTEGER id (the Arrow-batch hot
+    # path); the jsonl contract accepts any scalar id.  Renumber to the
+    # line index here and map back on every output edge.
+    orig_ids: dict[int, object] = {}
     for i, q in enumerate(qs):
+        orig_ids[i] = q.get("query_id", i)
         if "q" in q:
-            qs[i] = parse_query(q["q"], query_id=q.get("query_id", i),
-                                k=q.get("k", 10))
+            qs[i] = parse_query(q["q"], query_id=i, k=q.get("k", 10))
         else:
-            # bare jsonl lines get their line index as the query id
-            q.setdefault("query_id", i)
+            q["query_id"] = i
+    if len({str(v) for v in orig_ids.values()}) < len(orig_ids):
+        raise SystemExit("duplicate query_id in the jsonl — results "
+                         "would be unattributable")
     if any(q.get("not_terms") and "terms" not in q for q in qs):
         raise SystemExit(
             "NOT terms are only supported on terms queries (OR/AND)")
@@ -143,6 +149,23 @@ def main(argv: list[str]) -> int:
     from functools import reduce
 
     from pyspark.sql import functions as F
+
+    def remap_ids(df):
+        """Rewrite the dense internal query_id column back to the
+        caller's ids.  No-op when the caller's ids already ARE the line
+        indexes (the common case); otherwise the column becomes long
+        when every caller id is an int, string otherwise."""
+        if all(orig_ids[i] == i for i in orig_ids):
+            return df
+        if all(isinstance(v, int) and not isinstance(v, bool)
+               for v in orig_ids.values()):
+            typ, items = "long", orig_ids
+        else:
+            typ, items = "string", {k: str(v) for k, v in orig_ids.items()}
+        m = F.create_map(
+            *[F.lit(x) for k, v in items.items() for x in (k, v)])
+        return df.withColumn(
+            "query_id", m[F.col("query_id")].cast(typ))
 
     filtered_kinds = term_qs + phrase_qs + prox_qs + context_qs
     doc_cols = set(idx.docs(spark).columns)
@@ -191,7 +214,7 @@ def main(argv: list[str]) -> int:
             for r in match_counts_index(
                     spark, idx, cqs, cfg=idx.cfg, doc_filter=flt,
                     synonyms=csyn).collect():
-                print(json.dumps({"query_id": r["query_id"],
+                print(json.dumps({"query_id": orig_ids[r["query_id"]],
                                   "total_hits": r["n_docs"]}))
     for flt, grp in by_filter(phrase_qs):
         parts.append(
@@ -235,12 +258,13 @@ def main(argv: list[str]) -> int:
             # grep -n shape, printed/written on its own (different schema)
             lines = grep_lines_from_matched(matched, grep_qs)
             if args.out:
-                (lines.write.mode("overwrite")
+                (remap_ids(lines).write.mode("overwrite")
                  .parquet(args.out.rstrip("/") + "_lines"))
             else:
                 for r in lines.collect():
                     print(json.dumps({
-                        "query_id": r["query_id"], "doc_id": r["doc_id"],
+                        "query_id": orig_ids[r["query_id"]],
+                        "doc_id": r["doc_id"],
                         "line_no": r["line_no"], "line": r["line"]}))
         hits = matched.select("query_id", "doc_id")
         w = Window.partitionBy("query_id").orderBy("doc_id")
@@ -254,11 +278,13 @@ def main(argv: list[str]) -> int:
     for p_ in parts[1:]:
         res = res.unionByName(p_)
     if args.out:
-        res.orderBy("query_id", "rank").write.mode("overwrite").parquet(args.out)
+        remap_ids(res.orderBy("query_id", "rank")) \
+            .write.mode("overwrite").parquet(args.out)
         print(json.dumps({"out": args.out, "queries": len(qs)}))
     else:
         for r in res.orderBy("query_id", "rank").collect():
-            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
+            print(json.dumps({"query_id": orig_ids[r["query_id"]],
+                              "rank": r["rank"],
                               "doc_id": r["doc_id"], "score": r["score"]}))
     spark.stop()
     return 0
