@@ -2170,6 +2170,30 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_png(spark, sf_dir):
+    """Real PNG codec roundtrip: encode every doc as an RFC-2083 PNG
+    (filters rotate through all five types), then decode it back — CRC
+    verify, inflate, unfilter — and aggregate the reconstructed raster.
+    The oracle recomputes the exact integer aggregates from the same
+    (doc_id, byte-length) arithmetic; one wrong byte anywhere breaks it."""
+    from snowball_java_spark.operators.multimodal import (
+        decode_png_features, pack_media_png)
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return decode_png_features(pack_media_png(d))
+
+
+def _q_media_wav(spark, sf_dir):
+    """Real WAV (RIFF/PCM16) roundtrip: pack deterministic waveforms,
+    parse the container back with size cross-checks, compute sample-level
+    features (duration, |s| sum, zero crossings) — all exact integers."""
+    from snowball_java_spark.operators.multimodal import (
+        decode_wav_features, pack_media_wav)
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return decode_wav_features(pack_media_wav(d))
+
+
 _SAMPLE_FRAC = 0.3
 _MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 _MIX_BUDGET = 50_000
@@ -3196,6 +3220,50 @@ SELECT doc_id,
 FROM d
 """,
         ),
+        "media_features_png": Q(
+            _q_media_png,
+            # raster byte j = (doc_id*131 + j*7) % 256 over w*3*h bytes —
+            # same arithmetic as operators.multimodal.png_raster/_png_dims
+            """
+WITH m AS (SELECT doc_id,
+                  (1 + octet_length(encode(text)) % 61)::BIGINT AS w,
+                  (1 + octet_length(encode(text)) % 41)::BIGINT AS h
+           FROM documents),
+d AS (SELECT doc_id, w, h, w * 3 * h AS data_size FROM m),
+j AS (SELECT doc_id, w, h, data_size, unnest(range(data_size)) AS jj FROM d),
+v AS (SELECT doc_id, w, h, data_size, jj,
+             (doc_id * 131 + jj * 7) % 256 AS px
+      FROM j)
+SELECT doc_id, max(w)::INTEGER AS width, max(h)::INTEGER AS height,
+       max(data_size)::BIGINT AS data_size,
+       sum(px)::BIGINT AS sum_px, sum(jj * px)::BIGINT AS wsum_px
+FROM v GROUP BY doc_id
+""",
+        ),
+        "media_features_wav": Q(
+            _q_media_wav,
+            # s[i] = (doc_id*7919 + i*8191) % 65536 - 32768 over
+            # 256 + n_src % 512 samples — same arithmetic as
+            # operators.multimodal.wav_samples/_wav_n_samples
+            """
+WITH m AS (SELECT doc_id,
+                  (256 + octet_length(encode(text)) % 512)::BIGINT AS n
+           FROM documents),
+i AS (SELECT doc_id, n, unnest(range(n)) AS ii FROM m),
+s AS (SELECT doc_id, n, ii,
+             ((doc_id * 7919 + ii * 8191) % 65536 - 32768)::BIGINT AS v
+      FROM i),
+x AS (SELECT doc_id, n, ii, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY ii) AS pv
+      FROM s)
+SELECT doc_id, 8000::INTEGER AS sample_rate, max(n)::BIGINT AS n_samples,
+       (max(n) * 1000 // 8000)::BIGINT AS duration_ms,
+       sum(abs(v))::BIGINT AS sum_abs,
+       sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) != (v < 0))
+                THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+FROM x GROUP BY doc_id
+""",
+        ),
         "clean_corpus_report": Q(_q_clean_corpus, _clean_corpus_sql()),
         "deterministic_sample": Q(
             _q_sample,
@@ -3319,16 +3387,17 @@ _DRIVER_PRIORITY = [
     "events_ewma", "events_hourly",
     # --- new round-4 gates ---
     "tokens_lang_dispatch", "ivf_recall_probe", "term_suggest_index",
-    "bm25_collapse_topk",
+    "bm25_collapse_topk", "media_features_png", "media_features_wav",
     # --- sentinel core (driver-green every prior round; re-proved) ---
-    # exactly 50 names total: 38 + 4 + 8 — a 51st would silently fall
-    # past the driver's cap (asserted below).  corpus_stats rotated out
-    # for bm25_collapse_topk: it is the most trivially stable sentinel
-    # (single-row global stats, green r1–r3) and stays covered by the
-    # local oracle replica in tests/test_entry.py.
+    # exactly 50 names total: 38 + 6 + 6 — a 51st would silently fall
+    # past the driver's cap (asserted below).  Rotated out for round-4
+    # gates (all stay covered by the local oracle replica in
+    # tests/test_entry.py): corpus_stats (for bm25_collapse_topk),
+    # dedup_exact (dedup stack keeps a driver row via dedup_components),
+    # embedding_cosine_topk (the vector stack holds SEVEN other driver
+    # rows this round).
     "term_df", "bm25_topk_hot", "bm25_index_topk", "sha256_docs",
     "bm25_phrase_index_topk", "context_window_index_topk",
-    "dedup_exact", "embedding_cosine_topk",
 ]
 
 

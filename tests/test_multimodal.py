@@ -65,9 +65,9 @@ def test_parse_bmp_rejects_corruption():
 
 
 def test_decode_non_bmp_stubbed(spark, media):
-    other = media.withColumn("media_type", F.lit("image/png"))
+    other = media.withColumn("media_type", F.lit("image/jpeg"))
     # strict → honest NotImplementedError (codec libs absent)
-    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+    with pytest.raises(Exception, match="NotImplementedError|libjpeg"):
         decode_features(other.limit(2), strict=True).collect()
     # non-strict → rows skipped, job survives
     assert decode_features(other.limit(5)).count() == 0
@@ -82,3 +82,88 @@ def test_metadata_projection_never_reads_payload(spark, media, tmp_path):
     )
     schema_part = plan.split("ReadSchema", 1)[1][:300]
     assert "payload" not in schema_part
+
+
+# ---------------------------------------------------------------- PNG / WAV
+
+from snowball_java_spark.operators.multimodal import (  # noqa: E402
+    _png_dims,
+    _wav_n_samples,
+    decode_png_features,
+    decode_wav_features,
+    pack_media_png,
+    pack_media_wav,
+    parse_png,
+    parse_wav,
+    png_bytes,
+    png_raster,
+    wav_bytes,
+    wav_samples,
+)
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    # h = 1 + n_src % 41 >= 5 → the encoder's row%5 rotation emits every
+    # filter type; decode must reconstruct the raster byte-for-byte.
+    for doc_id, n_src in [(0, 4), (1, 45), (7, 12345), (999999, 4096)]:
+        w, h, ds = _png_dims(n_src)
+        got_w, got_h, raster = parse_png(png_bytes(doc_id, n_src))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(raster, png_raster(doc_id, ds))
+    assert _png_dims(12345)[1] >= 5  # at least one case covers all filters
+
+
+def test_png_rejects_corruption():
+    good = png_bytes(7, 12345)
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"XXXX" + good[4:])
+    bad = bytearray(good)
+    bad[60] ^= 0xFF  # a byte inside IDAT → chunk CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad))
+    with pytest.raises(ValueError, match="IEND"):
+        parse_png(good[: len(good) - 12])  # IEND chunk sliced off
+
+
+def test_wav_roundtrip_and_corruption():
+    for doc_id, n_src in [(0, 0), (3, 511), (999999, 10000)]:
+        n = _wav_n_samples(n_src)
+        rate, s = parse_wav(wav_bytes(doc_id, n_src))
+        assert rate == 8000 and len(s) == n
+        assert np.array_equal(s, wav_samples(doc_id, n))
+    bad = bytearray(wav_bytes(3, 100))
+    bad[40] ^= 0x01  # data-chunk size no longer matches the byte count
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_wav(bytes(bad))
+
+
+def test_decode_png_features_spark(spark, synth_docs):
+    media = pack_media_png(synth_docs.select("doc_id", "content"))
+    feats = {r["doc_id"]: r for r in decode_png_features(media).collect()}
+    srcs = {r["doc_id"]: r["content"].encode("utf-8")
+            for r in synth_docs.select("doc_id", "content").collect()}
+    assert len(feats) == len(srcs)
+    for doc_id, src in list(srcs.items())[:20]:
+        w, h, ds = _png_dims(len(src))
+        px = png_raster(doc_id, ds).astype(np.int64)
+        r = feats[doc_id]
+        assert (r["width"], r["height"], r["data_size"]) == (w, h, ds)
+        assert r["sum_px"] == int(px.sum())
+        assert r["wsum_px"] == int((np.arange(ds) * px).sum())
+
+
+def test_decode_wav_features_spark(spark, synth_docs):
+    media = pack_media_wav(synth_docs.select("doc_id", "content"))
+    feats = {r["doc_id"]: r for r in decode_wav_features(media).collect()}
+    srcs = {r["doc_id"]: r["content"].encode("utf-8")
+            for r in synth_docs.select("doc_id", "content").collect()}
+    assert len(feats) == len(srcs)
+    for doc_id, src in list(srcs.items())[:20]:
+        n = _wav_n_samples(len(src))
+        s = wav_samples(doc_id, n).astype(np.int64)
+        neg = s < 0
+        r = feats[doc_id]
+        assert (r["sample_rate"], r["n_samples"]) == (8000, n)
+        assert r["duration_ms"] == n * 1000 // 8000
+        assert r["sum_abs"] == int(np.abs(s).sum())
+        assert r["zero_cross"] == int((neg[1:] != neg[:-1]).sum())
