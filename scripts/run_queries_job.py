@@ -6,6 +6,8 @@
 Query jsonl, one object per line:
     {"query_id": 0, "terms": ["def", "return"], "k": 10}            # OR (default)
     {"query_id": 1, "terms": ["def", "rare_7"], "mode": "and"}      # conjunctive
+    {"query_id": 13, "terms": ["def", "x", "y"],                    # Lucene/ES
+     "min_should_match": 2}                                         # msm (>= m terms)
     {"query_id": 2, "phrase": ["def", "main"], "k": 10}             # exact phrase
     {"query_id": 3, "left_terms": ["def"], "middle_terms": ["x"],   # 3-zone
      "right_terms": ["return"], "window": 16, "k": 10}              # context

@@ -184,7 +184,7 @@ def _bm25_topk_sql(
     terms: list[str], k: int, conjunctive: bool = False,
     source: str | None = None, not_terms: list[str] | None = None,
     prefix_expand: tuple[str, int] | None = None,
-    after: int = 0,
+    after: int = 0, min_match: int | None = None,
 ) -> str:
     """``prefix_expand=(stem, max_expansions)``: the query-term CTE comes
     from expanding the stem against the corpus vocabulary (df desc, term
@@ -202,7 +202,12 @@ def _bm25_topk_sql(
     else:
         tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
         q_cte = f"(VALUES {tlist})"
-    having = f"HAVING count(*) = {len(set(terms))}" if conjunctive else ""
+    if conjunctive:
+        having = f"HAVING count(*) = {len(set(terms))}"
+    elif min_match is not None:
+        having = f"HAVING count(*) >= {min_match}"
+    else:
+        having = ""
     cand_join = (
         f"JOIN documents doc ON tfx.doc_id = doc.doc_id AND doc.source = '{source}'"
         if source
@@ -278,6 +283,24 @@ def _q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_conjunctive(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match BM25 (Lucene/ES msm): docs matching >= 2 of
+    the 3 query terms, scored over their matched terms only."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10,
+          "min_should_match": 2}],
         n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
@@ -1024,15 +1047,17 @@ def _index_for(spark: SparkSession, sf_dir: str):
 def _bm25_index_topk(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
     mode: str = "or", not_terms: list[str] | None = None,
-    doc_filter: str | None = None,
+    doc_filter: str | None = None, min_should_match: int | None = None,
 ) -> DataFrame:
     from snowball_java_spark.operators.wand import bm25_topk_index
 
     idx = _index_for(spark, sf_dir)
+    q = {"query_id": 0, "terms": terms, "k": k, "mode": mode,
+         "not_terms": not_terms or []}
+    if min_should_match is not None:
+        q["min_should_match"] = min_should_match
     res = bm25_topk_index(
-        spark, idx, [{"query_id": 0, "terms": terms, "k": k, "mode": mode,
-                      "not_terms": not_terms or []}],
-        cfg=_INDEX_CFG, doc_filter=doc_filter,
+        spark, idx, [q], cfg=_INDEX_CFG, doc_filter=doc_filter,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -2932,6 +2957,14 @@ def build_registry() -> dict[str, Q]:
         "bm25_topk_and": Q(
             _q_bm25_and, _bm25_topk_sql(MIXED_TERMS, 10, conjunctive=True)
         ),
+        "bm25_msm_topk": Q(
+            _q_bm25_msm, _bm25_topk_sql(MIXED_TERMS, 10, min_match=2)
+        ),
+        "bm25_index_msm_topk": Q(
+            lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10,
+                                          min_should_match=2),
+            _bm25_topk_sql(MIXED_TERMS, 10, min_match=2),
+        ),
         "bm25_collapse_topk": Q(
             _q_bm25_collapse, _collapse_sql(HOT_TERMS, 10)
         ),
@@ -3388,16 +3421,18 @@ _DRIVER_PRIORITY = [
     # --- new round-4 gates ---
     "tokens_lang_dispatch", "ivf_recall_probe", "term_suggest_index",
     "bm25_collapse_topk", "media_features_png", "media_features_wav",
+    "bm25_msm_topk", "bm25_index_msm_topk",
     # --- sentinel core (driver-green every prior round; re-proved) ---
-    # exactly 50 names total: 38 + 6 + 6 — a 51st would silently fall
+    # exactly 50 names total: 38 + 8 + 4 — a 51st would silently fall
     # past the driver's cap (asserted below).  Rotated out for round-4
     # gates (all stay covered by the local oracle replica in
     # tests/test_entry.py): corpus_stats (for bm25_collapse_topk),
     # dedup_exact (dedup stack keeps a driver row via dedup_components),
     # embedding_cosine_topk (the vector stack holds SEVEN other driver
-    # rows this round).
+    # rows this round), bm25_phrase_index_topk and
+    # context_window_index_topk (driver-green in r3; new features beat a
+    # fourth re-proof for the scarce slots).
     "term_df", "bm25_topk_hot", "bm25_index_topk", "sha256_docs",
-    "bm25_phrase_index_topk", "context_window_index_topk",
 ]
 
 

@@ -340,6 +340,10 @@ def bm25_topk_join(
     caller-level catalog — to skip the stats scan (two passes instead of
     three).
 
+    A per-query ``"min_should_match": m`` (the Lucene/ES msm) keeps
+    only docs matching ≥ m of the query's terms — m=1 ≡ OR (default),
+    m=len(terms) ≡ mode "and"; a synonym group counts as ONE term.
+
     A per-query ``"search_after": [score, doc_id]`` cursor (verbatim
     from the previous page — float64 scoring is deterministic, so score
     equality is exact) keeps only docs strictly after it in (score desc,
@@ -426,10 +430,30 @@ def bm25_scores_join(
             .withColumn("w", F.col("w") * F.coalesce("boost", F.lit(1.0)))
             .drop("boost")
         )
-    scores = (
-        scored.groupBy("query_id", "doc_id")
-        .agg(ordered_sum("term", "w").alias("score"))
-    )
+    from snowball_java_spark.operators.wand import _msm_of
+
+    msm_rows = [(int(q["query_id"]), m) for q in queries
+                for m in [_msm_of(q)] if m is not None]
+    if msm_rows:
+        # minimum_should_match: scored carries one row per matched
+        # (query, doc, term) — the canonical pseudo-term for synonym
+        # groups — so count(*) IS the matched-term count.  Queries
+        # without an msm pass through the null arm.
+        mdf = F.broadcast(spark.createDataFrame(
+            msm_rows, "query_id int, _msm int"))
+        scores = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(ordered_sum("term", "w").alias("score"),
+                 F.count(F.lit(1)).alias("_nm"))
+            .join(mdf, "query_id", "left")
+            .filter(F.col("_msm").isNull() | (F.col("_nm") >= F.col("_msm")))
+            .drop("_nm", "_msm")
+        )
+    else:
+        scores = (
+            scored.groupBy("query_id", "doc_id")
+            .agg(ordered_sum("term", "w").alias("score"))
+        )
     scores = exclude_not_terms(spark, scores, docs_tok, queries)
     scores = apply_search_after(spark, scores, queries)
     return scores, qdf

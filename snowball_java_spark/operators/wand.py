@@ -541,6 +541,87 @@ def conjunctive_topk_shard(
     return cand[sel], scores[sel]
 
 
+def msm_topk_shard(
+    lists: list,
+    m: int,
+    k: int,
+    dls: np.ndarray,
+    first_doc: int,
+    avgdl: float,
+    cfg: EngineConfig,
+    cursor: "tuple[float, int] | None" = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """minimum_should_match semantics within one shard: docs matching
+    ≥ ``m`` of the query's term lists (the Lucene/ES ``msm`` generalization
+    of or/and — m=1 ≡ OR, m=n ≡ AND).
+
+    Correct per shard by the same doc-sharding argument as
+    :func:`conjunctive_topk_shard`.  Candidate generation is the pigeonhole
+    bound: a doc matching ≥ m of n lists can miss at most n−m of them, so
+    it MUST appear in at least one of the n−m+1 SMALLEST lists — only
+    those decode fully; the m−1 largest lists are only probed via
+    ``lookup`` (block-skip) for the surviving candidates.  At corpus scale
+    this is what keeps msm off the hot lists: with m=2 and one hot keyword
+    among rarer terms, the hot list is never fully decoded.
+    """
+    if not lists or len(lists) < m:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    by_size = sorted(range(len(lists)), key=lambda i: lists[i].n)
+    parts = [lists[i].decode_all()[0] for i in by_size[: len(lists) - m + 1]]
+    cand = np.unique(np.concatenate(parts))
+    if cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    tf_by_list = []
+    n_matched = np.zeros(cand.size, dtype=np.int64)
+    for t in lists:  # caller passes sorted-term order
+        tfs = t.lookup(cand)
+        tf_by_list.append(tfs)
+        n_matched += tfs > 0
+    keep = n_matched >= m
+    cand = cand[keep]
+    if cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t, tfs in zip(lists, tf_by_list):
+        tfs = tfs[keep]
+        hit = tfs > 0
+        if hit.any():
+            scores[hit] += _weights(t, tfs[hit], cand[hit], dls,
+                                    first_doc, avgdl, cfg)
+    if cursor is not None:
+        cs, cd = cursor
+        q = (scores < cs) | ((scores == cs) & (cand > cd))
+        cand, scores = cand[q], scores[q]
+    if cand.size > k:
+        kth = np.partition(scores, -k)[-k]
+        sel = np.nonzero(scores >= kth)[0]
+    else:
+        sel = np.arange(cand.size)
+    order = np.lexsort((cand[sel], -scores[sel]))[:k]
+    sel = sel[order]
+    return cand[sel], scores[sel]
+
+
+def _msm_of(q: dict) -> "int | None":
+    """Validated per-query ``min_should_match`` (1 ≤ m ≤ n_terms; loud on
+    nonsense instead of silently returning everything/nothing) — shared
+    by both query paths."""
+    m = q.get("min_should_match")
+    if m is None:
+        return None
+    m = int(m)
+    n = len(set(q["terms"]))
+    if not 1 <= m <= n:
+        raise ValueError(
+            f"min_should_match={m} out of range 1..{n} "
+            f"(query {q.get('query_id')})")
+    if str(q.get("mode", "or")) == "and":
+        raise ValueError(
+            "min_should_match does not compose with mode='and' "
+            f"(AND is msm=n_terms) (query {q.get('query_id')})")
+    return m
+
+
 def _with_index_layout(index, cfg: EngineConfig) -> EngineConfig:
     """Caller ``cfg`` controls SCORING knobs only (k1/b/default_k/
     exhaustive_cutoff); the on-disk LAYOUT facts — block size, codec,
@@ -631,8 +712,11 @@ def score_shards(
 
     Per-query ``mode``: "or" (default, MaxScore pruned) or "and"
     (conjunctive posting-list intersection).  Per-query
-    ``search_after``: a ``[score, doc_id]`` cursor for exact deep
-    paging (see :func:`maxscore_topk_shard`).
+    ``min_should_match``: the Lucene/ES msm — docs matching ≥ m of the
+    query's terms (m=1 runs the pruned OR path; see
+    :func:`msm_topk_shard`).  Per-query ``search_after``: a
+    ``[score, doc_id]`` cursor for exact deep paging (see
+    :func:`maxscore_topk_shard`).
 
     ``block_metrics``: optional {"decoded": Accumulator, "total":
     Accumulator} — each shard adds how many posting blocks it actually
@@ -659,7 +743,7 @@ def score_shards(
          sorted(set(q.get("not_terms", []))),
          (float(q["search_after"][0]), int(q["search_after"][1]))
          if q.get("search_after") else None,
-         _boosts_of(q))
+         _boosts_of(q), _msm_of(q))
         for q in queries
     ]
     block_size = cfg.block_size
@@ -682,7 +766,7 @@ def score_shards(
                                              dead=dead)
             rows_by_term[row["term"]] = row
         out_q, out_d, out_s = [], [], []
-        for qid, terms, k, mode, not_terms, cursor, boosts in q_spec:
+        for qid, terms, k, mode, not_terms, cursor, boosts, msm in q_spec:
             lists_by_term = by_term
             if not_terms:
                 # Boolean NOT: excluded docs become per-query "dead" docs
@@ -726,7 +810,11 @@ def score_shards(
                 docs, scores = conjunctive_topk_shard(
                     lists, len(terms), k, dls, first_doc, avgdl, cfg,
                     cursor=cursor)
-            else:
+            elif msm is not None and msm > 1:
+                docs, scores = msm_topk_shard(
+                    lists, msm, k, dls, first_doc, avgdl, cfg,
+                    cursor=cursor)
+            else:  # msm == 1 is plain OR — keep the MaxScore-pruned path
                 docs, scores = maxscore_topk_shard(
                     lists, k, dls, first_doc, avgdl, cfg, cursor=cursor)
             out_q.extend([qid] * docs.size)

@@ -61,6 +61,16 @@ class OracleIndex:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def msm_topk(self, terms: list[str], m: int, k: int) -> list[tuple[int, float]]:
+        """minimum_should_match: docs matching >= m distinct query terms,
+        scored over their matched terms."""
+        tset = sorted(set(terms))
+        cands = {d for d in self.tf
+                 if sum(t in self.tf[d] for t in tset) >= m}
+        scored = [(d, self.score(terms, d)) for d in cands]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def not_topk(
         self, terms: list[str], not_terms: list[str], k: int,
         mode: str = "or",

@@ -99,3 +99,36 @@ def test_bm25_join_plan_shape(spark, corpus):
     got = bm25_topk_join(spark, with_tokens(docs), reference_queries()[:2])
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_should_match_join_path(spark, corpus):
+    """msm semantics vs the pure-python oracle; m=1 ≡ OR, m=n ≡ AND."""
+    docs, oracle, _ = corpus
+    tok = with_tokens(docs)
+    terms = ["def", "return", "import"]
+    for m in (1, 2, 3):
+        got = bm25_topk_join(
+            spark, tok,
+            [{"query_id": 0, "terms": terms, "k": 10, "min_should_match": m}])
+        mine = sorted((r["rank"], r["doc_id"], r["score"]) for r in got.collect())
+        expect = oracle.msm_topk(terms, m, 10)
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], f"m={m}"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_min_should_match_validation(spark, corpus):
+    docs, _, _ = corpus
+    tok = with_tokens(docs)
+    terms = ["def", "return"]
+    for bad in (0, 3):
+        with pytest.raises(ValueError, match="out of range"):
+            bm25_topk_join(
+                spark, tok,
+                [{"query_id": 0, "terms": terms, "k": 5,
+                  "min_should_match": bad}])
+    with pytest.raises(ValueError, match="compose"):
+        bm25_topk_join(
+            spark, tok,
+            [{"query_id": 0, "terms": terms, "k": 5, "mode": "and",
+              "min_should_match": 2}])

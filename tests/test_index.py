@@ -430,3 +430,27 @@ def test_read_corpus_iceberg_routing():
     # a path containing dots is still a path when it has a slash
     assert read_corpus(fs, "rel/dir.v1/corpus") == "PARQUET_DF"
     assert calls["parquet"] == ["/data/corpus", "rel/dir.v1/corpus"]
+
+
+def test_min_should_match_index_path(spark, index, oracle):
+    """Index-path msm (pigeonhole candidate generation over the smallest
+    lists) is rank-identical to the oracle and composes with a batch of
+    plain or/and queries."""
+    rdr, _ = index
+    terms = ["def", "return", "import"]
+    qs = [{"query_id": m, "terms": terms, "k": 10, "min_should_match": m}
+          for m in (1, 2, 3)]
+    qs.append({"query_id": 9, "terms": terms, "k": 10, "mode": "and"})
+    got = bm25_topk_index(spark, rdr, qs, cfg=CFG)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for m in (1, 2, 3):
+        expect = oracle.msm_topk(terms, m, 10)
+        mine = sorted(by_q.get(m, []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], f"m={m}"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+    # msm=n ≡ AND (same batch, same kernel family, different code path)
+    assert by_q[3] == by_q[9]
