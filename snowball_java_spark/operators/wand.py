@@ -1073,7 +1073,9 @@ def matching_docs_index(
     """(query_id, doc_id) for every doc matching each query — computed
     ENTIRELY from the index: postings decode + the dead sidecar, no
     corpus scan, no scoring.  Per-query ``mode``: "or" (≥ 1 term,
-    default) or "and" (every term); ``not_terms`` subtract; a term with
+    default) or "and" (every term); ``min_should_match``: ≥ m terms
+    (facets/match counts stay consistent with msm search results);
+    ``not_terms`` subtract; a term with
     a ``synonyms`` entry matches when ANY group member is present (the
     group acts as one pseudo-term for membership, exactly as it does
     for scoring).
@@ -1102,7 +1104,7 @@ def matching_docs_index(
     with_meta = posts.join(meta, "shard")
     q_spec = [(int(q["query_id"]), sorted(set(q["terms"])),
                sorted(set(q.get("not_terms", []))),
-               str(q.get("mode", "or"))) for q in queries]
+               str(q.get("mode", "or")), _msm_of(q)) for q in queries]
     dec = get_codec(cfg.codec)[1]
     block_size = cfg.block_size
 
@@ -1126,7 +1128,7 @@ def matching_docs_index(
             return np.unique(np.concatenate(ms))
 
         out_q, out_d = [], []
-        for qid, q_terms, q_nots, mode in q_spec:
+        for qid, q_terms, q_nots, mode, msm in q_spec:
             sets = [present(t) for t in q_terms]
             if mode == "and":
                 if any(s is None for s in sets) or not sets:
@@ -1134,6 +1136,15 @@ def matching_docs_index(
                 docs = sets[0]
                 for s in sets[1:]:
                     docs = np.intersect1d(docs, s, assume_unique=True)
+            elif msm is not None and msm > 1:
+                # minimum_should_match membership: count per-doc presence
+                # across the query's (pseudo-)term doc sets, keep ≥ m
+                parts = [s for s in sets if s is not None]
+                if len(parts) < msm:
+                    continue  # < m lists in shard → no doc can reach m
+                allv = np.concatenate(parts)
+                uniq, counts = np.unique(allv, return_counts=True)
+                docs = uniq[counts >= msm]
             else:
                 parts = [s for s in sets if s is not None]
                 if not parts:

@@ -454,3 +454,22 @@ def test_min_should_match_index_path(spark, index, oracle):
             assert s == pytest.approx(es, rel=REL_TOL)
     # msm=n ≡ AND (same batch, same kernel family, different code path)
     assert by_q[3] == by_q[9]
+
+
+def test_match_counts_index_msm(spark, index, oracle):
+    """total_hits under minimum_should_match agrees with a brute-force
+    membership count (facets/counts must not silently ignore msm)."""
+    from snowball_java_spark.operators.facets import match_counts_index
+
+    rdr, _ = index
+    terms = ["def", "return", "import"]
+    qs = [{"query_id": m, "terms": terms, "min_should_match": m}
+          for m in (1, 2, 3)]
+    got = {r["query_id"]: r["n_docs"]
+           for r in match_counts_index(spark, rdr, qs, cfg=CFG).collect()}
+    for m in (1, 2, 3):
+        expect = sum(
+            1 for d in oracle.tf
+            if sum(t in oracle.tf[d] for t in terms) >= m)
+        assert got[m] == expect, f"m={m}"
+    assert got[1] >= got[2] >= got[3]
