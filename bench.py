@@ -73,6 +73,8 @@ HEADLINE = [
     # r4 additions (also outside the r1-comparable subset)
     "tokens_lang_dispatch",
     "term_suggest_index",
+    "bm25_index_msm_topk",
+    "media_features_png",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
