@@ -289,6 +289,13 @@ def parse_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             h = int.from_bytes(data[4:8], "big")
             if data[8] != 8 or data[9] != 2:
                 raise ValueError("unsupported PNG (need 8-bit RGB)")
+            if data[10:13] != b"\x00\x00\x00":
+                # compression / filter method / interlace: an Adam7
+                # stream would otherwise mis-unfilter (or, for size-
+                # coincident dims, silently yield a wrong raster)
+                raise ValueError(
+                    "unsupported PNG (need deflate/filter-0, "
+                    "non-interlaced)")
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -311,15 +318,18 @@ def parse_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             recon = filt
         elif ft == 2:
             recon = (filt + prior) % 256
-        elif ft in (1, 3, 4):
+        elif ft == 1:
+            # Sub is a per-channel prefix sum mod 256 — vectorized like
+            # None/Up (an int64 cumsum is exact; mod at the end)
+            recon = (filt.reshape(-1, 3).astype(np.int64).cumsum(axis=0)
+                     % 256).reshape(-1).astype(np.int32)
+        elif ft in (3, 4):
             recon = np.empty(stride, np.int32)
             for x in range(stride):
                 a = int(recon[x - 3]) if x >= 3 else 0
                 b = int(prior[x])
                 c = int(prior[x - 3]) if x >= 3 else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:
                     p = a + b - c

@@ -527,17 +527,30 @@ def conjunctive_topk_shard(
     scores = np.zeros(cand.size, dtype=np.float64)
     for i, t in enumerate(lists):  # caller passes sorted-term order
         scores += _weights(t, tf_by_list[i], cand, dls, first_doc, avgdl, cfg)
+    return _finalize_topk(cand, scores, k, cursor)
+
+
+def _finalize_topk(
+    cand: np.ndarray,
+    scores: np.ndarray,
+    k: int,
+    cursor: "tuple[float, int] | None",
+) -> tuple[np.ndarray, np.ndarray]:
+    """The shared ranking epilogue of the exhaustive-candidate kernels
+    (AND / msm): cursor filter, k-th-score partition, (score desc,
+    doc_id asc) tie-break truncation.  One copy so the pagination and
+    tie-break contract cannot diverge between query modes."""
     if cursor is not None:
         cs, cd = cursor
-        m = (scores < cs) | ((scores == cs) & (cand > cd))
-        cand, scores = cand[m], scores[m]
+        q = (scores < cs) | ((scores == cs) & (cand > cd))
+        cand, scores = cand[q], scores[q]
     if cand.size > k:
         kth = np.partition(scores, -k)[-k]
-        keep = np.nonzero(scores >= kth)[0]
+        sel = np.nonzero(scores >= kth)[0]
     else:
-        keep = np.arange(cand.size)
-    order = np.lexsort((cand[keep], -scores[keep]))[:k]
-    sel = keep[order]
+        sel = np.arange(cand.size)
+    order = np.lexsort((cand[sel], -scores[sel]))[:k]
+    sel = sel[order]
     return cand[sel], scores[sel]
 
 
@@ -553,28 +566,38 @@ def msm_topk_shard(
 ) -> tuple[np.ndarray, np.ndarray]:
     """minimum_should_match semantics within one shard: docs matching
     ≥ ``m`` of the query's term lists (the Lucene/ES ``msm`` generalization
-    of or/and — m=1 ≡ OR, m=n ≡ AND).
+    of or/and — m=1 ≡ OR, m=n ≡ AND; m > n matches nothing, the ES
+    semantics for data-dependent expansion shortfalls).
 
     Correct per shard by the same doc-sharding argument as
     :func:`conjunctive_topk_shard`.  Candidate generation is the pigeonhole
     bound: a doc matching ≥ m of n lists can miss at most n−m of them, so
     it MUST appear in at least one of the n−m+1 SMALLEST lists — only
     those decode fully; the m−1 largest lists are only probed via
-    ``lookup`` (block-skip) for the surviving candidates.  At corpus scale
+    ``lookup`` (block-skip) for the candidate union.  At corpus scale
     this is what keeps msm off the hot lists: with m=2 and one hot keyword
     among rarer terms, the hot list is never fully decoded.
     """
     if not lists or len(lists) < m:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     by_size = sorted(range(len(lists)), key=lambda i: lists[i].n)
-    parts = [lists[i].decode_all()[0] for i in by_size[: len(lists) - m + 1]]
-    cand = np.unique(np.concatenate(parts))
+    seed = set(by_size[: len(lists) - m + 1])
+    decoded = {i: lists[i].decode_all() for i in sorted(seed)}
+    cand = np.unique(np.concatenate([decoded[i][0] for i in sorted(seed)]))
     if cand.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     tf_by_list = []
     n_matched = np.zeros(cand.size, dtype=np.int64)
-    for t in lists:  # caller passes sorted-term order
-        tfs = t.lookup(cand)
+    for i, t in enumerate(lists):  # caller passes sorted-term order
+        if i in seed:
+            # already fully decoded; its docs are a subset of cand, so a
+            # single searchsorted scatters the tfs — no re-probe
+            docs_i, tfs_i = decoded[i]
+            tfs = np.zeros(cand.size, dtype=np.int64)
+            if docs_i.size:
+                tfs[np.searchsorted(cand, docs_i)] = tfs_i
+        else:
+            tfs = t.lookup(cand)
         tf_by_list.append(tfs)
         n_matched += tfs > 0
     keep = n_matched >= m
@@ -588,37 +611,36 @@ def msm_topk_shard(
         if hit.any():
             scores[hit] += _weights(t, tfs[hit], cand[hit], dls,
                                     first_doc, avgdl, cfg)
-    if cursor is not None:
-        cs, cd = cursor
-        q = (scores < cs) | ((scores == cs) & (cand > cd))
-        cand, scores = cand[q], scores[q]
-    if cand.size > k:
-        kth = np.partition(scores, -k)[-k]
-        sel = np.nonzero(scores >= kth)[0]
-    else:
-        sel = np.arange(cand.size)
-    order = np.lexsort((cand[sel], -scores[sel]))[:k]
-    sel = sel[order]
-    return cand[sel], scores[sel]
+    return _finalize_topk(cand, scores, k, cursor)
 
 
-def _msm_of(q: dict) -> "int | None":
-    """Validated per-query ``min_should_match`` (1 ≤ m ≤ n_terms; loud on
-    nonsense instead of silently returning everything/nothing) — shared
-    by both query paths."""
+def _msm_of(q: dict, post_rewrite: bool = False) -> "int | None":
+    """Validated per-query ``min_should_match`` — shared by both query
+    paths.  m < 1 and mode='and' combinations always raise (caller
+    nonsense).  m > n_terms raises only when validating the query AS
+    TYPED (``post_rewrite=False``): after wildcard/fuzzy rewrite a
+    data-dependent expansion shortfall can shrink the term list below m,
+    and the ES semantics there is "matches nothing", not a batch-killing
+    error — kernels yield zero rows for m > n naturally."""
     m = q.get("min_should_match")
     if m is None:
         return None
     m = int(m)
-    n = len(set(q["terms"]))
-    if not 1 <= m <= n:
+    if m < 1:
         raise ValueError(
-            f"min_should_match={m} out of range 1..{n} "
+            f"min_should_match={m} must be >= 1 "
             f"(query {q.get('query_id')})")
     if str(q.get("mode", "or")) == "and":
         raise ValueError(
             "min_should_match does not compose with mode='and' "
             f"(AND is msm=n_terms) (query {q.get('query_id')})")
+    if not post_rewrite:
+        n = len(set(q.get("terms", [])) | set(q.get("fuzzy") or {})) \
+            + len(q.get("prefixes", []))
+        if m > n:
+            raise ValueError(
+                f"min_should_match={m} exceeds the query's {n} term "
+                f"source(s) (query {q.get('query_id')})")
     return m
 
 
@@ -743,7 +765,7 @@ def score_shards(
          sorted(set(q.get("not_terms", []))),
          (float(q["search_after"][0]), int(q["search_after"][1]))
          if q.get("search_after") else None,
-         _boosts_of(q), _msm_of(q))
+         _boosts_of(q), _msm_of(q, post_rewrite=True))
         for q in queries
     ]
     block_size = cfg.block_size
@@ -988,7 +1010,14 @@ def rewrite_expansions(
     Rewrites are PER BATCH by construction: callers that partition
     queries (e.g. per doc_filter) get each batch's own expansion, so a
     count computed from the same rewrite matches the ranked match set
-    exactly."""
+    exactly.
+
+    min_should_match is validated here AS TYPED (m must not exceed the
+    query's typed term sources: terms + fuzzy + prefixes); downstream a
+    data-dependent expansion shortfall that drops the term count below m
+    simply matches nothing (ES semantics), never errors."""
+    for q in queries:
+        _msm_of(q)  # strict, pre-rewrite
     all_f: dict[str, int] = {}
     for q in queries:
         for t, d in (q.get("fuzzy") or {}).items():
@@ -1104,7 +1133,8 @@ def matching_docs_index(
     with_meta = posts.join(meta, "shard")
     q_spec = [(int(q["query_id"]), sorted(set(q["terms"])),
                sorted(set(q.get("not_terms", []))),
-               str(q.get("mode", "or")), _msm_of(q)) for q in queries]
+               str(q.get("mode", "or")),
+               _msm_of(q, post_rewrite=True)) for q in queries]
     dec = get_codec(cfg.codec)[1]
     block_size = cfg.block_size
 

@@ -121,8 +121,8 @@ def test_min_should_match_validation(spark, corpus):
     docs, _, _ = corpus
     tok = with_tokens(docs)
     terms = ["def", "return"]
-    for bad in (0, 3):
-        with pytest.raises(ValueError, match="out of range"):
+    for bad, msg in ((0, "must be >= 1"), (3, "exceeds")):
+        with pytest.raises(ValueError, match=msg):
             bm25_topk_join(
                 spark, tok,
                 [{"query_id": 0, "terms": terms, "k": 5,

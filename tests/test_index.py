@@ -473,3 +473,25 @@ def test_match_counts_index_msm(spark, index, oracle):
             if sum(t in oracle.tf[d] for t in terms) >= m)
         assert got[m] == expect, f"m={m}"
     assert got[1] >= got[2] >= got[3]
+
+
+def test_min_should_match_expansion_shortfall(spark, index):
+    """A data-dependent wildcard shortfall that drops the post-rewrite
+    term count below m matches NOTHING (ES semantics) without killing
+    the batch; typed m > term sources still raises at the rewrite
+    surface."""
+    from snowball_java_spark.operators.wand import rewrite_expansions
+
+    rdr, _ = index
+    with pytest.raises(ValueError, match="exceeds"):
+        rewrite_expansions(
+            spark, rdr,
+            [{"query_id": 0, "terms": ["def"], "min_should_match": 2}])
+    cqs, syn = rewrite_expansions(
+        spark, rdr,
+        [{"query_id": 0, "terms": ["def"], "prefixes": ["zzzzqx"],
+          "min_should_match": 2, "k": 5},
+         {"query_id": 1, "terms": ["def", "return"], "k": 5}])
+    res = bm25_topk_index(spark, rdr, cqs, cfg=CFG, synonyms=syn).collect()
+    assert not [r for r in res if r["query_id"] == 0]
+    assert len([r for r in res if r["query_id"] == 1]) == 5

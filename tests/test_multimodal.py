@@ -167,3 +167,15 @@ def test_decode_wav_features_spark(spark, synth_docs):
         assert r["duration_ms"] == n * 1000 // 8000
         assert r["sum_abs"] == int(np.abs(s).sum())
         assert r["zero_cross"] == int((neg[1:] != neg[:-1]).sum())
+
+
+def test_png_rejects_interlace_and_nonzero_methods():
+    import zlib  # noqa: F401
+    from snowball_java_spark.operators.multimodal import _png_chunk
+
+    good = png_bytes(3, 500)
+    ihdr = bytearray(good[16:29])
+    ihdr[12] = 1  # Adam7 interlace flag
+    tampered = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[33:]
+    with pytest.raises(ValueError, match="interlaced|filter-0"):
+        parse_png(tampered)
