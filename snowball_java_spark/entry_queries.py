@@ -367,6 +367,53 @@ FROM a
 """
 
 
+def _q_bm25_line_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-number hit reporting (code search's path:line): first content
+    line whose tokens contain a query term, per top-k hit.  The sf
+    documents table is single-line, so the gate derives a deterministic
+    multi-line body (every space becomes a newline) on BOTH engines; the
+    real multi-line behavior is pinned on the synth corpus in
+    tests/test_mlt.py."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.snippets import with_line_matches
+
+    d = _docs_tok(spark, sf_dir)
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, d, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.translate("text", " ", "\n").alias("content"))
+    out = with_line_matches(res, docs, HOT_TERMS)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"), "line_no", "line",
+    )
+
+
+def _line_matches_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    base = _bm25_topk_sql(terms, k).strip()
+    return f"""
+WITH res AS ({base}),
+ls AS (SELECT doc_id,
+              string_split(replace(text, ' ', chr(10)), chr(10)) AS lines
+       FROM documents),
+lx AS (SELECT res.doc_id, res.rank, res.score,
+              unnest(lines) AS line,
+              generate_subscripts(lines, 1)::BIGINT AS line_no
+       FROM res JOIN ls USING (doc_id)),
+m AS (SELECT doc_id, rank, score, line_no, line
+      FROM lx
+      WHERE len(list_intersect(
+        regexp_extract_all(lower(line), '[a-z0-9_]+'), [{tlist}])) > 0)
+SELECT doc_id, rank, score, min(line_no) AS line_no,
+       min_by(line, line_no) AS line
+FROM m GROUP BY 1, 2, 3
+"""
+
+
 def _q_bm25_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase top-k via the positional sidecar of the on-disk index —
     same semantics (and same SQL oracle) as the expression path."""
@@ -2973,6 +3020,9 @@ def build_registry() -> dict[str, Q]:
         "bm25_phrase_index_filtered": Q(
             _q_bm25_phrase_index_filtered,
             _phrase_sql(_PHRASE, 10, source=_FILTER_SOURCE),
+        ),
+        "bm25_line_matches": Q(
+            _q_bm25_line_matches, _line_matches_sql(HOT_TERMS, 10)
         ),
         "bm25_snippets": Q(
             _q_bm25_snippets, _snippets_sql(HOT_TERMS, 10, _SNIPPET_W)

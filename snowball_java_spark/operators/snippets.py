@@ -53,3 +53,39 @@ def with_snippets(
     return anchored.select(
         "query_id", "rank", "doc_id", "score", snippet.alias("snippet")
     )
+
+
+def with_line_matches(
+    topk_res: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    content_col: str = "content",
+) -> DataFrame:
+    """Line-number hit reporting (the ``path:line`` a code-search user
+    expects): for every top-k hit, the FIRST raw content line (1-based)
+    whose pinned-tokenized form contains any query term, plus that line's
+    text.
+
+    Pinned semantics (oracle-checkable in SQL): lines split on '\\n';
+    a line matches when ``tokens(line) ∩ terms ≠ ∅`` under the pinned
+    tokenizer; report ``min(line_no)`` and its line.  A BM25 hit always
+    has a matching line — the doc contains a query term under the same
+    tokenizer, and tokens never span newlines (the token charset excludes
+    whitespace).
+
+    Plan shape at scale: the tiny top-k relation broadcasts to the docs
+    scan, so only the k hit docs per query explode into lines — rows
+    ∝ k·lines-per-doc, never corpus size."""
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    lines = docs.join(F.broadcast(topk_res), "doc_id").select(
+        "query_id", "rank", "doc_id", "score",
+        F.posexplode(F.split(content_col, "\n")).alias("_ln0", "line"),
+    )
+    tset = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    matched = lines.filter(F.arrays_overlap(tokens_expr("line"), tset))
+    return (
+        matched.groupBy("query_id", "rank", "doc_id", "score")
+        .agg((F.min("_ln0") + 1).cast("long").alias("line_no"),
+             F.min_by("line", "_ln0").alias("line"))
+    )

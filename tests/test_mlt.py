@@ -82,3 +82,30 @@ def test_mlt_candidate_pool_bounds_driver_collect(spark, synth_docs):
     # default pool: the whole pipeline still runs against a fat doc
     # (its terms are unique to it and the source excludes itself → 0 hits)
     assert more_like_this(spark, docs, [fat_id], m_terms=5, k=3).count() == 0
+
+
+def test_line_matches_on_multiline_corpus(spark, synth_docs):
+    """with_line_matches on REAL multi-line content: first line (1-based)
+    whose pinned tokens contain any query term, vs a python recompute."""
+    from snowball_java_spark.functions.tokenize import tokenize_py
+    from snowball_java_spark.operators.snippets import with_line_matches
+
+    docs = with_tokens(synth_docs)
+    terms = ["def", "return"]
+    res = bm25_topk_join(
+        spark, docs, [{"query_id": 0, "terms": terms, "k": 10}])
+    got = {r["doc_id"]: (r["line_no"], r["line"])
+           for r in with_line_matches(
+               res, synth_docs.select("doc_id", "content"), terms).collect()}
+    texts = {r["doc_id"]: r["content"]
+             for r in synth_docs.select("doc_id", "content").collect()}
+    assert len(got) == 10
+    multiline = 0
+    for doc_id, (line_no, line) in got.items():
+        lines = texts[doc_id].split("\n")
+        expect = next(
+            (i + 1, ln) for i, ln in enumerate(lines)
+            if set(tokenize_py(ln)) & set(terms))
+        assert (line_no, line) == expect, doc_id
+        multiline += len(lines) > 1
+    assert multiline > 0  # the corpus genuinely exercises line numbering
