@@ -3309,8 +3309,8 @@ FROM d
             # same arithmetic as operators.multimodal.png_raster/_png_dims
             """
 WITH m AS (SELECT doc_id,
-                  (1 + octet_length(encode(text)) % 61)::BIGINT AS w,
-                  (1 + octet_length(encode(text)) % 41)::BIGINT AS h
+                  (1 + octet_length(encode(text)) % 31)::BIGINT AS w,
+                  (1 + octet_length(encode(text)) % 19)::BIGINT AS h
            FROM documents),
 d AS (SELECT doc_id, w, h, w * 3 * h AS data_size FROM m),
 j AS (SELECT doc_id, w, h, data_size, unnest(range(data_size)) AS jj FROM d),

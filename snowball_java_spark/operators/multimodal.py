@@ -211,9 +211,13 @@ PNG_FEATURE_SCHEMA = (
 
 def _png_dims(n_src: int) -> tuple[int, int, int]:
     """(w, h, raster_size) from source byte count — moduli differ from the
-    BMP variant so the two gates don't accidentally share dimensions."""
-    w = 1 + n_src % 61
-    h = 1 + n_src % 41
+    BMP variant so the two gates don't accidentally share dimensions.
+    Kept small (≤ 31×19): the Average/Paeth unfilter rows are inherently
+    sequential per byte, so raster size is the decode cost knob, and the
+    codec's correctness is dimension-independent (all five filters
+    exercised whenever h ≥ 5)."""
+    w = 1 + n_src % 31
+    h = 1 + n_src % 19
     return w, h, w * 3 * h
 
 
