@@ -376,6 +376,23 @@ def bm25_scores_join(
     — share one scorer instead of re-deriving the pruned joins."""
     from snowball_java_spark.operators.df_stats import corpus_stats
 
+    for q in queries:
+        # loud-failure policy: keys this path cannot honor must not be
+        # silently dropped (mode='and' → bm25_topk_conjunctive; fuzzy /
+        # prefixes → the index path's rewrite_expansions)
+        if str(q.get("mode", "or")) != "or":
+            raise ValueError(
+                f"mode={q.get('mode')!r} is not supported by the join "
+                f"path (query {q.get('query_id')}) — use "
+                "phrase.bm25_topk_conjunctive for AND")
+        for key, where in (("fuzzy", "wand.rewrite_expansions + the "
+                            "index path"),
+                           ("prefixes", "wand.rewrite_expansions + the "
+                            "index path")):
+            if q.get(key):
+                raise ValueError(
+                    f"{key!r} queries are not supported by the join path "
+                    f"(query {q.get('query_id')}) — use {where}")
     terms = sorted({t for q in queries for t in q["terms"]})
     qdf = queries_df(spark, queries)
     if not terms:

@@ -127,8 +127,21 @@ def test_min_should_match_validation(spark, corpus):
                 spark, tok,
                 [{"query_id": 0, "terms": terms, "k": 5,
                   "min_should_match": bad}])
-    with pytest.raises(ValueError, match="compose"):
+    # mode='and' is rejected outright on the join path (loud-failure:
+    # this path would otherwise silently score it as OR)
+    with pytest.raises(ValueError, match="not supported by the join"):
         bm25_topk_join(
             spark, tok,
             [{"query_id": 0, "terms": terms, "k": 5, "mode": "and",
               "min_should_match": 2}])
+    for key in ("fuzzy", "prefixes"):
+        with pytest.raises(ValueError, match="not supported by the join"):
+            bm25_topk_join(
+                spark, tok,
+                [{"query_id": 0, "terms": terms, "k": 5,
+                  key: {"tabel": 1} if key == "fuzzy" else ["re"]}])
+    # the msm × mode='and' compose check (index path reaches _msm_of)
+    from snowball_java_spark.operators.wand import _msm_of
+    with pytest.raises(ValueError, match="compose"):
+        _msm_of({"query_id": 0, "terms": terms, "mode": "and",
+                 "min_should_match": 2})
