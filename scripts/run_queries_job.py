@@ -79,9 +79,11 @@ def main(argv: list[str]) -> int:
              "postings, no scoring")
     p.add_argument(
         "--lines", action="store_true",
-        help="grep -n output for substr/regex queries: one row per "
-             "matching LINE (query_id, doc_id, line_no, line) printed "
-             "separately from ranked results")
+        help="grep -n output: for substr/regex queries one row per "
+             "matching LINE; for terms queries (needs --corpus) the "
+             "first matching line per ranked hit (query_id, [rank,] "
+             "doc_id, line_no, line) printed separately from ranked "
+             "results")
     p.add_argument(
         "--allow-full-scan", action="store_true",
         help="opt-in for substr/regex queries with no usable trigrams "
@@ -205,9 +207,36 @@ def main(argv: list[str]) -> int:
         # ranked query and the optional counts, so total_hits is by
         # construction the cardinality of the ranked match set
         cqs, csyn = rewrite_expansions(spark, idx, grp, synonyms=syn)
-        parts.append(
-            bm25_topk_index(spark, idx, cqs, cfg=idx.cfg, doc_filter=flt,
-                            synonyms=csyn))
+        ranked = bm25_topk_index(spark, idx, cqs, cfg=idx.cfg,
+                                 doc_filter=flt, synonyms=csyn)
+        parts.append(ranked)
+        if args.lines:
+            if not args.corpus:
+                raise SystemExit(
+                    "--lines on terms queries needs --corpus: the index "
+                    "does not store raw content")
+            from snowball_java_spark.operators.snippets import (
+                line_matches_for_queries,
+            )
+            from snowball_java_spark.plans.build_index import (
+                _corpus_with_index_ids,
+            )
+            from snowball_java_spark.sources.corpus import read_corpus
+
+            ldocs = _corpus_with_index_ids(
+                read_corpus(spark, args.corpus), idx, "run_queries"
+            ).select("doc_id", "content")
+            lrows = line_matches_for_queries(
+                ranked, ldocs, cqs, synonyms=csyn)
+            if args.out:
+                (remap_ids(lrows).write.mode("append")
+                 .parquet(args.out.rstrip("/") + "_lines"))
+            else:
+                for r in lrows.orderBy("query_id", "rank").collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "rank": r["rank"], "doc_id": r["doc_id"],
+                        "line_no": r["line_no"], "line": r["line"]}))
         if args.counts:
             from snowball_java_spark.operators.facets import (
                 match_counts_index,

@@ -89,3 +89,41 @@ def with_line_matches(
         .agg((F.min("_ln0") + 1).cast("long").alias("line_no"),
              F.min_by("line", "_ln0").alias("line"))
     )
+
+
+def line_matches_for_queries(
+    topk_res: DataFrame,
+    docs: DataFrame,
+    queries: list[dict],
+    content_col: str = "content",
+    synonyms: "dict[str, list[str]] | None" = None,
+) -> DataFrame:
+    """Batch form of :func:`with_line_matches` with PER-QUERY term sets:
+    query A's line must contain one of A's terms, never a term that only
+    another query in the batch asked for.  A term with a ``synonyms``
+    entry matches a line containing ANY group member (a hit whose only
+    evidence is an alternative still gets its line).
+
+    Same plan shape: broadcast top-k onto the docs scan, lines of only
+    the hit docs explode, then a broadcast join against the tiny
+    (query_id, term) relation — rows ∝ k · lines-per-doc · |q| terms."""
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    groups = {c: sorted({c, *alts}) for c, alts in (synonyms or {}).items()}
+    rows = sorted({(int(q["query_id"]), m)
+                   for q in queries for t in set(q["terms"])
+                   for m in groups.get(t, [t])})
+    spark = docs.sparkSession
+    qt = F.broadcast(
+        spark.createDataFrame(rows, "query_id int, term string"))
+    lines = docs.join(F.broadcast(topk_res), "doc_id").select(
+        "query_id", "rank", "doc_id", "score",
+        F.posexplode(F.split(content_col, "\n")).alias("_ln0", "line"),
+    )
+    matched = lines.join(qt, "query_id").filter(
+        F.array_contains(tokens_expr("line"), F.col("term")))
+    return (
+        matched.groupBy("query_id", "rank", "doc_id", "score")
+        .agg((F.min("_ln0") + 1).cast("long").alias("line_no"),
+             F.min_by("line", "_ln0").alias("line"))
+    )

@@ -109,3 +109,30 @@ def test_line_matches_on_multiline_corpus(spark, synth_docs):
         assert (line_no, line) == expect, doc_id
         multiline += len(lines) > 1
     assert multiline > 0  # the corpus genuinely exercises line numbering
+
+
+def test_line_matches_per_query_isolation(spark, synth_docs):
+    """Batched line matches: each query's line contains one of ITS OWN
+    terms (never only a term another query in the batch asked for), and
+    every ranked hit gets exactly one line row."""
+    from snowball_java_spark.functions.tokenize import tokenize_py
+    from snowball_java_spark.operators.snippets import line_matches_for_queries
+
+    docs = with_tokens(synth_docs)
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 8},
+          {"query_id": 1, "terms": ["rare_7"], "k": 3}]
+    ranked = bm25_topk_join(spark, docs, qs)
+    rows = line_matches_for_queries(
+        ranked, synth_docs.select("doc_id", "content"), qs).collect()
+    assert len(rows) == ranked.count()
+    terms_of = {0: {"def", "return"}, 1: {"rare_7"}}
+    texts = {r["doc_id"]: r["content"]
+             for r in synth_docs.select("doc_id", "content").collect()}
+    for r in rows:
+        own = terms_of[r["query_id"]]
+        assert set(tokenize_py(r["line"])) & own, r
+        # and it is the FIRST such line of the doc
+        lines = texts[r["doc_id"]].split("\n")
+        first = next(i + 1 for i, ln in enumerate(lines)
+                     if set(tokenize_py(ln)) & own)
+        assert r["line_no"] == first
