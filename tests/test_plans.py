@@ -239,3 +239,21 @@ def test_batch_ann_scans_embeddings_once(spark):
         e, [{"query_id": i, "vec": v, "k": 5} for i, v in vecs.items()])
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_line_matches_broadcasts_topk_and_terms(spark):
+    """Line-number reporting must broadcast BOTH tiny relations (top-k
+    hits, query terms) onto the docs scan — at corpus scale a shuffled
+    join or cartesian product here would cost a full-corpus line
+    explode."""
+    from snowball_java_spark.entry_queries import _docs, _docs_tok
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.snippets import line_matches_for_queries
+
+    qs = [{"query_id": 0, "terms": ["table", "row"], "k": 5}]
+    ranked = bm25_topk_join(spark, _docs_tok(spark, SF), qs)
+    docs = _docs(spark, SF).select(
+        "doc_id", F.translate("text", " ", "\n").alias("content"))
+    plan = _plan(line_matches_for_queries(ranked, docs, qs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
