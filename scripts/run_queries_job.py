@@ -140,6 +140,10 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             "substr/regex queries need --corpus: the trigram index only "
             "prunes candidates; the exact match runs against content")
+    if args.lines and term_qs and not args.corpus:
+        raise SystemExit(
+            "--lines on terms queries needs --corpus: the index does "
+            "not store raw content")
     if (phrase_qs or context_qs or prox_qs) and not idx.has_positions:
         raise SystemExit(
             "phrase/context/proximity queries need the positional sidecar "
@@ -195,6 +199,21 @@ def main(argv: list[str]) -> int:
             yield flt, grp
 
     parts = []
+    line_parts = []
+    line_docs = None
+    if args.corpus and (grep_qs or (args.lines and term_qs)):
+        # ONE corpus→index id join shared by every consumer (the eager
+        # coverage count inside it scans the corpus — per-group rebuilds
+        # would pay it per filter group and again for grep)
+        from snowball_java_spark.plans.build_index import (
+            _corpus_with_index_ids,
+        )
+        from snowball_java_spark.sources.corpus import read_corpus
+
+        line_docs = _corpus_with_index_ids(
+            read_corpus(spark, args.corpus), idx, "run_queries"
+        ).select("doc_id", "content",
+                 *(["lang"] if idx.cfg.tokenizer == "lang" else []))
     from snowball_java_spark.operators.wand import rewrite_expansions
 
     syn = None
@@ -211,26 +230,16 @@ def main(argv: list[str]) -> int:
                                  doc_filter=flt, synonyms=csyn)
         parts.append(ranked)
         if args.lines:
-            if not args.corpus:
-                raise SystemExit(
-                    "--lines on terms queries needs --corpus: the index "
-                    "does not store raw content")
             from snowball_java_spark.operators.snippets import (
                 line_matches_for_queries,
             )
-            from snowball_java_spark.plans.build_index import (
-                _corpus_with_index_ids,
-            )
-            from snowball_java_spark.sources.corpus import read_corpus
 
-            ldocs = _corpus_with_index_ids(
-                read_corpus(spark, args.corpus), idx, "run_queries"
-            ).select("doc_id", "content")
             lrows = line_matches_for_queries(
-                ranked, ldocs, cqs, synonyms=csyn)
+                ranked, line_docs, cqs, synonyms=csyn,
+                tokenizer=idx.cfg.tokenizer)
             if args.out:
-                (remap_ids(lrows).write.mode("append")
-                 .parquet(args.out.rstrip("/") + "_lines"))
+                line_parts.append(lrows.select(
+                    "query_id", "rank", "doc_id", "line_no", "line"))
             else:
                 for r in lrows.orderBy("query_id", "rank").collect():
                     print(json.dumps({
@@ -270,12 +279,8 @@ def main(argv: list[str]) -> int:
 
         from snowball_java_spark.operators.trigram import (
             grep_lines_from_matched, grep_matched)
-        from snowball_java_spark.plans.build_index import _corpus_with_index_ids
-        from snowball_java_spark.sources.corpus import read_corpus
 
-        docs = _corpus_with_index_ids(
-            read_corpus(spark, args.corpus), idx, "run_queries"
-        ).select("doc_id", "content")
+        docs = line_docs.select("doc_id", "content")
         tri = idx.trigrams(spark) if idx.has_trigrams else None
         # ONE index scan + ONE verification pass serve BOTH output
         # shapes: ranked hits and line rows derive from the same
@@ -286,11 +291,13 @@ def main(argv: list[str]) -> int:
                                allow_full_scan=args.allow_full_scan)
         if args.lines:
             matched = matched.persist()
-            # grep -n shape, printed/written on its own (different schema)
+            # grep -n shape: ALL matching lines, rank is null (terms
+            # line rows carry the hit's rank) — one unified _lines sink
             lines = grep_lines_from_matched(matched, grep_qs)
             if args.out:
-                (remap_ids(lines).write.mode("overwrite")
-                 .parquet(args.out.rstrip("/") + "_lines"))
+                line_parts.append(lines.select(
+                    "query_id", F.lit(None).cast("int").alias("rank"),
+                    "doc_id", "line_no", "line"))
             else:
                 for r in lines.collect():
                     print(json.dumps({
@@ -305,6 +312,12 @@ def main(argv: list[str]) -> int:
             "doc_id",
             F.lit(None).cast("double").alias("score"),
         ))
+    if line_parts and args.out:
+        lall = line_parts[0]
+        for l_ in line_parts[1:]:
+            lall = lall.unionByName(l_)
+        (remap_ids(lall).write.mode("overwrite")
+         .parquet(args.out.rstrip("/") + "_lines"))
     res = parts[0]
     for p_ in parts[1:]:
         res = res.unionByName(p_)

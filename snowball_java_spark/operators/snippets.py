@@ -97,6 +97,7 @@ def line_matches_for_queries(
     queries: list[dict],
     content_col: str = "content",
     synonyms: "dict[str, list[str]] | None" = None,
+    tokenizer: str = "pinned",
 ) -> DataFrame:
     """Batch form of :func:`with_line_matches` with PER-QUERY term sets:
     query A's line must contain one of A's terms, never a term that only
@@ -104,10 +105,18 @@ def line_matches_for_queries(
     entry matches a line containing ANY group member (a hit whose only
     evidence is an alternative still gets its line).
 
+    ``tokenizer`` must match the INDEX that ranked the hits ("pinned" |
+    "lang"; for "lang" ``docs`` must carry a ``lang`` column): a hit
+    whose only evidence is a lang-tokenizer sub-token (camelCase split)
+    would otherwise silently lose its line row.
+
     Same plan shape: broadcast top-k onto the docs scan, lines of only
     the hit docs explode, then a broadcast join against the tiny
     (query_id, term) relation — rows ∝ k · lines-per-doc · |q| terms."""
-    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.functions.tokenize import (
+        tokens_expr,
+        tokens_lang_expr,
+    )
 
     groups = {c: sorted({c, *alts}) for c, alts in (synonyms or {}).items()}
     rows = sorted({(int(q["query_id"]), m)
@@ -116,12 +125,15 @@ def line_matches_for_queries(
     spark = docs.sparkSession
     qt = F.broadcast(
         spark.createDataFrame(rows, "query_id int, term string"))
+    extra = ["lang"] if tokenizer == "lang" else []
     lines = docs.join(F.broadcast(topk_res), "doc_id").select(
-        "query_id", "rank", "doc_id", "score",
+        "query_id", "rank", "doc_id", "score", *extra,
         F.posexplode(F.split(content_col, "\n")).alias("_ln0", "line"),
     )
+    line_toks = (tokens_lang_expr("line", "lang") if tokenizer == "lang"
+                 else tokens_expr("line"))
     matched = lines.join(qt, "query_id").filter(
-        F.array_contains(tokens_expr("line"), F.col("term")))
+        F.array_contains(line_toks, F.col("term")))
     return (
         matched.groupBy("query_id", "rank", "doc_id", "score")
         .agg((F.min("_ln0") + 1).cast("long").alias("line_no"),

@@ -103,7 +103,7 @@ from snowball_java_spark.operators.multimodal import (  # noqa: E402
 
 
 def test_png_roundtrip_exercises_all_five_filters():
-    # h = 1 + n_src % 41 >= 5 → the encoder's row%5 rotation emits every
+    # h = 1 + n_src % 19 >= 5 → the encoder's row%5 rotation emits every
     # filter type; decode must reconstruct the raster byte-for-byte.
     for doc_id, n_src in [(0, 4), (1, 45), (7, 12345), (999999, 4096)]:
         w, h, ds = _png_dims(n_src)

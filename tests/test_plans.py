@@ -245,15 +245,19 @@ def test_line_matches_broadcasts_topk_and_terms(spark):
     """Line-number reporting must broadcast BOTH tiny relations (top-k
     hits, query terms) onto the docs scan — at corpus scale a shuffled
     join or cartesian product here would cost a full-corpus line
-    explode."""
-    from snowball_java_spark.entry_queries import _docs, _docs_tok
-    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    explode.  The ranked input is a literal DataFrame so the assertion
+    counts ONLY the line-matcher's own joins (a ranked subtree would
+    contribute its own broadcasts and mask a regression here)."""
+    from snowball_java_spark.entry_queries import _docs
     from snowball_java_spark.operators.snippets import line_matches_for_queries
 
     qs = [{"query_id": 0, "terms": ["table", "row"], "k": 5}]
-    ranked = bm25_topk_join(spark, _docs_tok(spark, SF), qs)
+    ranked = spark.createDataFrame(
+        [(0, 1, 3, 1.5), (0, 2, 7, 1.1)],
+        "query_id int, rank int, doc_id long, score double")
     docs = _docs(spark, SF).select(
         "doc_id", F.translate("text", " ", "\n").alias("content"))
     plan = _plan(line_matches_for_queries(ranked, docs, qs))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
