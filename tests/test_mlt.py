@@ -136,3 +136,24 @@ def test_line_matches_per_query_isolation(spark, synth_docs):
         first = next(i + 1 for i, ln in enumerate(lines)
                      if set(tokenize_py(ln)) & own)
         assert r["line_no"] == first
+
+
+def test_line_matches_lang_tokenizer_dispatch(spark):
+    """A hit whose only evidence is a camelCase sub-token keeps its line
+    row under tokenizer='lang' (the index that ranked it) and would
+    vanish under the pinned tokenizer — the dispatch must follow the
+    index."""
+    from snowball_java_spark.operators.snippets import line_matches_for_queries
+
+    docs = spark.createDataFrame(
+        [(5, "// header\nreturn getFooBar(x)\n", "java")],
+        "doc_id long, content string, lang string")
+    ranked = spark.createDataFrame(
+        [(0, 1, 5, 1.0)], "query_id int, rank int, doc_id long, score double")
+    qs = [{"query_id": 0, "terms": ["foo"], "k": 1}]
+    lang_rows = line_matches_for_queries(
+        ranked, docs, qs, tokenizer="lang").collect()
+    assert [(r["line_no"], r["line"]) for r in lang_rows] == [
+        (2, "return getFooBar(x)")]
+    assert line_matches_for_queries(
+        ranked, docs, qs, tokenizer="pinned").count() == 0
