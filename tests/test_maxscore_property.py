@@ -234,3 +234,66 @@ def test_boosted_maxscore_equals_exhaustive(data):
     np.testing.assert_allclose(
         got_scores, [s for _, s in expect], rtol=1e-12, atol=0
     )
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_msm_equals_bruteforce(data):
+    """minimum_should_match property: the pigeonhole kernel is exactly
+    rank-identical to brute force (count matched lists per doc, keep
+    ≥ m, score matched terms) for any m in 1..n — across rare/hot list
+    mixes, ties, m > lists-present, and k past the end.  The truth folds
+    per-doc weights in the kernel's GIVEN-list order (msm, like AND,
+    scores in caller order, not ascending max_w)."""
+    n_docs = data.draw(st.integers(8, 300))
+    n_terms = data.draw(st.integers(1, 6))
+    k = data.draw(st.integers(1, 15))
+    rng = np.random.RandomState(data.draw(st.integers(0, 10**6)))
+    dls = rng.randint(1, 80, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    lists, per_list = [], []
+    for _ in range(n_terms):
+        density = data.draw(st.sampled_from([0.1, 0.5, 1.0]))
+        mask = rng.rand(n_docs) < density
+        docs = np.nonzero(mask)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        tfs = rng.choice([1, 1, 2, 3], size=docs.size).astype(np.int64)
+        idf = float(idf_np(np.array([docs.size]), n_docs)[0])
+        lists.append(_mk_termlist(docs, tfs, dls, idf, avgdl))
+        w = weight_np(tfs, np.float64(idf), dls[docs], avgdl, CFG.k1, CFG.b)
+        per_list.append(list(zip(docs.tolist(), w.tolist())))
+    m = data.draw(st.integers(1, max(1, len(lists) + 1)))  # incl. m > n
+
+    from snowball_java_spark.operators.wand import msm_topk_shard
+
+    counts: dict[int, int] = {}
+    truth: dict[int, float] = {}
+    for pl in per_list:  # kernel scores in given-list order
+        for d, wv in pl:
+            counts[d] = counts.get(d, 0) + 1
+            truth[d] = truth.get(d, 0.0) + wv
+    expect = sorted(
+        ((d, s) for d, s in truth.items() if counts[d] >= m),
+        key=lambda x: (-x[1], x[0]))[:k]
+
+    got_docs, got_scores = msm_topk_shard(lists, m, k, dls, 0, avgdl, CFG)
+    assert list(got_docs) == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got_scores, [s for _, s in expect], rtol=1e-12, atol=0)
+
+    # cursor property: any cursor from the full msm ranking yields
+    # exactly the next-k slice
+    if expect:
+        full = sorted(
+            ((d, s) for d, s in truth.items() if counts[d] >= m),
+            key=lambda x: (-x[1], x[0]))
+        ci = data.draw(st.integers(0, len(full) - 1))
+        cd, cs = full[ci]
+        pg_docs, pg_scores = msm_topk_shard(
+            lists, m, k, dls, 0, avgdl, CFG, cursor=(cs, cd))
+        page = full[ci + 1:ci + 1 + k]
+        assert list(pg_docs) == [d for d, _ in page]
+        np.testing.assert_allclose(
+            pg_scores, [s for _, s in page], rtol=1e-12, atol=0)
