@@ -367,6 +367,34 @@ FROM a
 """
 
 
+def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sorted search (ES sort-by-field): docs matching any query
+    term ranked by doc length desc instead of BM25 — match set from the
+    postings, metadata join column-pruned, salted two-phase top-k."""
+    from snowball_java_spark.operators.facets import sorted_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = sorted_matches_index(
+        spark, idx, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        sort_col="dl", cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "dl")
+
+
+def _sort_by_field_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+m AS (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tlist}))
+SELECT doc_id, rank, dl FROM (
+  SELECT m.doc_id,
+         row_number() OVER (ORDER BY dl.dl DESC, m.doc_id ASC)::BIGINT AS rank,
+         dl.dl::DOUBLE AS dl
+  FROM m JOIN dl ON m.doc_id = dl.doc_id
+) WHERE rank <= {k}
+"""
+
+
 def _q_bm25_line_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-number hit reporting (code search's path:line): first content
     line whose tokens contain a query term, per top-k hit.  The sf
@@ -3023,6 +3051,9 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25_line_matches": Q(
             _q_bm25_line_matches, _line_matches_sql(HOT_TERMS, 10)
+        ),
+        "sort_by_field_topk": Q(
+            _q_sort_by_field, _sort_by_field_sql(HOT_TERMS, 10)
         ),
         "bm25_snippets": Q(
             _q_bm25_snippets, _snippets_sql(HOT_TERMS, 10, _SNIPPET_W)

@@ -495,3 +495,25 @@ def test_min_should_match_expansion_shortfall(spark, index):
     res = bm25_topk_index(spark, rdr, cqs, cfg=CFG, synonyms=syn).collect()
     assert not [r for r in res if r["query_id"] == 0]
     assert len([r for r in res if r["query_id"] == 1]) == 5
+
+
+def test_sorted_matches_index_both_directions(spark, index, oracle):
+    """Field-sorted search: (dl desc|asc, doc_id asc) over the match set,
+    exact vs a brute-force recompute from the oracle's term membership."""
+    from snowball_java_spark.operators.facets import sorted_matches_index
+
+    rdr, _ = index
+    terms = ["def", "rare_7"]
+    for ascending in (False, True):
+        got = sorted_matches_index(
+            spark, rdr, [{"query_id": 0, "terms": terms, "k": 7}],
+            sort_col="dl", ascending=ascending, cfg=CFG).collect()
+        match = [d for d in oracle.tf
+                 if any(t in oracle.tf[d] for t in terms)]
+        sign = 1 if ascending else -1
+        expect = sorted(match,
+                        key=lambda d: (sign * oracle.dl[d], d))[:7]
+        assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] \
+            == expect
+        for r in got:
+            assert r["dl"] == float(oracle.dl[r["doc_id"]])
