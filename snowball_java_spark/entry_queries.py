@@ -389,7 +389,7 @@ m AS (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tlist}))
 SELECT doc_id, rank, dl FROM (
   SELECT m.doc_id,
          row_number() OVER (ORDER BY dl.dl DESC, m.doc_id ASC)::BIGINT AS rank,
-         dl.dl::DOUBLE AS dl
+         dl.dl AS dl
   FROM m JOIN dl ON m.doc_id = dl.doc_id
 ) WHERE rank <= {k}
 """

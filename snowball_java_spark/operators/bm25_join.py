@@ -181,9 +181,19 @@ def bm25_scores(
     )
 
 
-def topk(scores: DataFrame, qdf: DataFrame, n_partial: int = 32) -> DataFrame:
+def topk(
+    scores: DataFrame,
+    qdf: DataFrame,
+    n_partial: int = 32,
+    order: "list[F.Column] | None" = None,
+    keep_cols: tuple = ("score",),
+) -> DataFrame:
     """Deterministic per-query top-k: total order (score desc, doc_id asc)
     — rank-identical across any partitioning (SURVEY §4.3).
+
+    ``order``/``keep_cols`` generalize the ranking to non-score surfaces
+    (field sorts): pass an explicit total-order column list (MUST end in
+    a tiebreak unique per doc) and the columns to carry into the output.
 
     Two-phase: a single ``Window.partitionBy(query_id)`` would funnel every
     candidate doc of a query through ONE task (millions of rows for a hot
@@ -195,7 +205,8 @@ def topk(scores: DataFrame, qdf: DataFrame, n_partial: int = 32) -> DataFrame:
     total order, so determinism is preserved.
     """
     ks = F.broadcast(qdf.select("query_id", "k").distinct())
-    order = [F.desc("score"), F.asc("doc_id")]
+    if order is None:
+        order = [F.desc("score"), F.asc("doc_id")]
     salted = (
         scores.join(ks, "query_id")
         .withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_partial)))
@@ -210,7 +221,7 @@ def topk(scores: DataFrame, qdf: DataFrame, n_partial: int = 32) -> DataFrame:
     return (
         pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", "rank", "doc_id", "score")
+        .select("query_id", "rank", "doc_id", *keep_cols)
     )
 
 

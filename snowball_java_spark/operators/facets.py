@@ -224,17 +224,20 @@ def sorted_matches_index(
     BM25 — (query_id, rank, doc_id, <sort_col>), rank ≤ k.
 
     Total order is (sort_col [asc|desc], doc_id asc) — deterministic
-    across partitionings, like every ranked surface here.  NULL sort
-    values order LAST in both directions (a doc without the field never
-    outranks one with it).
+    across partitionings, like every ranked surface here.  The field
+    keeps its ORIGINAL type end-to-end: 64-bit integers rank exactly
+    (no double rounding), strings/dates sort lexicographically, ±inf
+    are real values.  NULL — and NaN, normalized to NULL for float
+    columns — orders LAST in both directions (a doc without the field
+    never outranks one with it).
 
     Scale shape: the match set comes from the postings
     (:func:`matching_docs_index` — pruned to the queries' terms), the
     metadata join reads ONLY (doc_id, sort_col) thanks to parquet column
     pruning, and the ranking reuses the two-phase salted top-k
-    (`bm25_join.topk`), so no single reducer ever sees a hot term's full
-    match set.  Cost ∝ matching docs — the same doc-values pass ES pays
-    for field sorts."""
+    (`bm25_join.topk` with an explicit order) so no single reducer ever
+    sees a hot term's full match set.  Cost ∝ matching docs — the same
+    doc-values pass ES pays for field sorts."""
     from snowball_java_spark.config import DEFAULT
     from snowball_java_spark.operators.bm25_join import topk
     from snowball_java_spark.operators.wand import matching_docs_index
@@ -243,23 +246,17 @@ def sorted_matches_index(
         spark, index, queries, cfg=cfg or DEFAULT,
         doc_filter=doc_filter, synonyms=synonyms)
     meta = index.docs(spark).select("doc_id", sort_col)
-    val = F.col(sort_col).cast("double")
-    # topk ranks (score desc, doc_id asc); map the field onto that
-    # order: desc = the value itself, asc = its negation; NULLs sink to
-    # the bottom in both via -inf
-    neg_inf = float("-inf")
-    score = F.coalesce(val if not ascending else -val, F.lit(neg_inf))
+    val = F.col(sort_col)
+    if dict(meta.dtypes)[sort_col] in ("float", "double"):
+        # NaN would otherwise outrank every real value in BOTH
+        # directions (Spark orders NaN greater than any double)
+        val = F.when(F.isnan(val), F.lit(None)).otherwise(val)
     scored = match.join(meta, "doc_id").select(
-        "query_id", "doc_id", score.alias("score"))
+        "query_id", "doc_id", val.alias(sort_col))
     qdf = spark.createDataFrame(
         [(int(q["query_id"]), int(q.get("k", (cfg or DEFAULT).default_k)))
          for q in queries],
         "query_id int, k int")
-    ranked = topk(scored, qdf)
-    # the sort value is recoverable from the ranking score (identity or
-    # negation; the -inf null sentinel maps back to NULL), so no second
-    # join over the match set
-    val_back = F.when(F.col("score") == F.lit(neg_inf), F.lit(None)).otherwise(
-        F.col("score") if not ascending else -F.col("score"))
-    return ranked.select(
-        "query_id", "rank", "doc_id", val_back.alias(sort_col))
+    order = [F.asc_nulls_last(sort_col) if ascending
+             else F.desc_nulls_last(sort_col), F.asc("doc_id")]
+    return topk(scored, qdf, order=order, keep_cols=(sort_col,))

@@ -516,4 +516,14 @@ def test_sorted_matches_index_both_directions(spark, index, oracle):
         assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] \
             == expect
         for r in got:
-            assert r["dl"] == float(oracle.dl[r["doc_id"]])
+            assert r["dl"] == oracle.dl[r["doc_id"]]  # original int type
+    # string field sort (ES sort-by-keyword): lexicographic, original type
+    got = sorted_matches_index(
+        spark, rdr, [{"query_id": 0, "terms": terms, "k": 5}],
+        sort_col="path", ascending=True, cfg=CFG).collect()
+    match = [d for d in oracle.tf if any(t in oracle.tf[d] for t in terms)]
+    paths = {r["doc_id"]: r["path"] for r in rdr.docs(spark)
+             .select("doc_id", "path").collect()}
+    expect = sorted(match, key=lambda d: (paths[d], d))[:5]
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] \
+        == expect
