@@ -75,6 +75,8 @@ HEADLINE = [
     "term_suggest_index",
     "bm25_index_msm_topk",
     "media_features_png",
+    "sort_by_field_topk",
+    "bm25_line_matches",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
