@@ -4,15 +4,17 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (92/92 as of round 4 — including the real BMP
-                  decode, the composed cleaning pipeline, connected
-                  components via a recursive CTE, the living-corpus
-                  lifecycle on BOTH indexes: text upsert/supersede/
-                  delete/compaction and the IVF vector refresh/delete/
-                  compact twins, plus the full query surface: filters,
-                  wildcards, fuzzy term~N, term^B boosts, synonyms,
-                  hybrid RRF, proximity, BM25F, search_after, field
-                  collapsing, per-lang tokenization, pinned IVF recall).
+                  (98/98 as of round 4 — including real BMP/PNG/WAV
+                  codec decodes, the composed cleaning pipeline,
+                  connected components via a recursive CTE, the
+                  living-corpus lifecycle on BOTH indexes: text
+                  upsert/supersede/delete/compaction and the IVF vector
+                  refresh/delete/compact twins, plus the full query
+                  surface: filters, wildcards, fuzzy term~N, term^B
+                  boosts, synonyms, minimum_should_match, hybrid RRF,
+                  proximity, BM25F, search_after, field collapsing and
+                  field-sorted search, line-number hit reporting,
+                  per-lang tokenization, pinned IVF recall).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.
