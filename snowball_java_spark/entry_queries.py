@@ -1823,6 +1823,172 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _q_significant_terms(spark, sf_dir):
+    """ES significant_terms (JLH): terms over-represented in each
+    query's match set vs the corpus base rate — match set from the
+    postings, foreground counts from the index's per-doc term sets,
+    background df from term_stats.  The engine-native form of the
+    reference's pattern-promotion statistics."""
+    from snowball_java_spark.operators.aggs import significant_terms_index
+
+    idx = _index_for(spark, sf_dir)
+    res = significant_terms_index(
+        spark, idx,
+        [{"query_id": 0, "terms": RARE_TERMS},
+         {"query_id": 1, "terms": MIXED_TERMS}],
+        top_n=10, min_fg=2, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "term", "fg_count", "bg_count",
+        F.round("score", 6).alias("score"))
+
+
+def _significant_terms_sql(
+        query_terms: list[list[str]], top_n: int, min_fg: int) -> str:
+    # identical JLH literal structure to operators/aggs.py: fgp and bgp
+    # are double divisions of exact integers, score = (fgp-bgp)*(fgp/bgp)
+    ctes, unions = [], []
+    for qid, terms in enumerate(query_terms):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        ctes.append(
+            f"m{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl})),\n"
+            f"n{qid} AS (SELECT count(*)::BIGINT AS n_fg FROM m{qid}),\n"
+            f"fg{qid} AS (SELECT term, count(*)::BIGINT AS fg_count\n"
+            f"  FROM (SELECT DISTINCT tfx.doc_id, term FROM tfx "
+            f"JOIN m{qid} USING (doc_id))\n"
+            f"  WHERE term NOT IN ({tl}) GROUP BY 1),\n"
+            f"s{qid} AS (SELECT {qid}::BIGINT AS query_id, term, fg_count,\n"
+            f"  dfx.df AS bg_count,\n"
+            f"  (fg_count / n_fg::DOUBLE - dfx.df / st.n_docs::DOUBLE)\n"
+            f"  * ((fg_count / n_fg::DOUBLE) / (dfx.df / st.n_docs::DOUBLE))"
+            f" AS score\n"
+            f"  FROM fg{qid} JOIN dfx USING (term) CROSS JOIN n{qid} "
+            f"CROSS JOIN st\n"
+            f"  WHERE fg_count >= {min_fg}\n"
+            f"    AND fg_count / n_fg::DOUBLE > dfx.df / st.n_docs::DOUBLE)")
+        unions.append(f"SELECT * FROM s{qid}")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT query_id, rank, term, fg_count, bg_count, round(score, 6) AS score
+FROM (
+  SELECT query_id, term, fg_count, bg_count, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, term ASC)::BIGINT AS rank
+  FROM ({u})
+) WHERE rank <= {top_n}
+"""
+
+
+_HIST_WIDTH = 8
+
+
+def _q_facet_histogram(spark, sf_dir):
+    """ES histogram aggregation over each query's match set: fixed-width
+    buckets of the stored doc length, gap-free per query (empty buckets
+    zero-filled between each query's min and max, ES min_doc_count=0)."""
+    from snowball_java_spark.operators.aggs import histogram_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = histogram_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "bucket", "n_docs")
+
+
+def _facet_histogram_sql(
+        specs: list[tuple[list[str], list[str]]], width: int) -> str:
+    ctes, unions = [], []
+    for qid, (terms, not_terms) in enumerate(specs):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        notw = ""
+        if not_terms:
+            ntl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+            notw = (f" AND doc_id NOT IN (SELECT doc_id FROM tfx "
+                    f"WHERE term IN ({ntl}))")
+        ctes.append(
+            f"m{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl}){notw}),\n"
+            f"b{qid} AS (SELECT (dl.dl // {width}) * {width} AS bucket,\n"
+            f"  count(*)::BIGINT AS n_docs\n"
+            f"  FROM m{qid} JOIN dl USING (doc_id) GROUP BY 1),\n"
+            f"f{qid} AS (SELECT unnest(generate_series(min(bucket), "
+            f"max(bucket), {width})) AS bucket FROM b{qid}),\n"
+            f"o{qid} AS (SELECT {qid}::BIGINT AS query_id, f.bucket,\n"
+            f"  coalesce(b.n_docs, 0)::BIGINT AS n_docs\n"
+            f"  FROM f{qid} f LEFT JOIN b{qid} b USING (bucket))")
+        unions.append(f"SELECT * FROM o{qid}")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT query_id, bucket, n_docs FROM ({u}) ORDER BY query_id, bucket
+"""
+
+
+_TOPHITS_FACETS = 5
+_TOPHITS_HITS = 3
+
+
+def _q_top_hits(spark, sf_dir):
+    """ES terms + top_hits sub-aggregation: the 5 largest source buckets
+    of one query's match set, each with its 3 best docs by BM25 — one
+    shared scorer pass, per-bucket two-phase salted ranking."""
+    from snowball_java_spark.operators.aggs import top_hits_by_facet
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = top_hits_by_facet(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS}],
+        facet_col="source", n_hits=_TOPHITS_HITS, n_facets=_TOPHITS_FACETS,
+        n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "value", "bucket_n_docs",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def _top_hits_sql(terms: list[str], n_facets: int, n_hits: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+),
+sv AS (SELECT sc.doc_id, sc.score, d.source::VARCHAR AS value
+       FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+bk AS (SELECT value, count(*)::BIGINT AS bucket_n_docs FROM sv GROUP BY 1),
+kept AS (SELECT value, bucket_n_docs FROM (
+  SELECT value, bucket_n_docs,
+         row_number() OVER (ORDER BY bucket_n_docs DESC, value ASC) AS r
+  FROM bk) WHERE r <= {n_facets}),
+hits AS (SELECT value, doc_id, score,
+                row_number() OVER (PARTITION BY value
+                                   ORDER BY score DESC, doc_id ASC)::BIGINT
+                  AS rank
+         FROM sv WHERE value IN (SELECT value FROM kept))
+SELECT 0::BIGINT AS query_id, h.value, k.bucket_n_docs, h.rank, h.doc_id,
+       round(h.score, 6) AS score
+FROM hits h JOIN kept k USING (value)
+WHERE h.rank <= {n_hits}
+ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
+"""
+
+
 _BOOST_TERMS = ["row", "spark", "table"]
 _BOOST_SPEC = {"table": 2.0, "spark": 0.5}
 
@@ -3242,6 +3408,20 @@ FROM g
         "bm25_boost_topk": Q(
             _q_bm25_boost_join, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "facet_stats_dl": Q(_q_facet_stats, _facet_stats_sql()),
+        "significant_terms": Q(
+            _q_significant_terms,
+            _significant_terms_sql([RARE_TERMS, MIXED_TERMS],
+                                   top_n=10, min_fg=2),
+        ),
+        "facet_histogram_dl": Q(
+            _q_facet_histogram,
+            _facet_histogram_sql(
+                [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)], _HIST_WIDTH),
+        ),
+        "top_hits_by_source": Q(
+            _q_top_hits,
+            _top_hits_sql(MIXED_TERMS, _TOPHITS_FACETS, _TOPHITS_HITS),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -3503,17 +3683,21 @@ _DRIVER_PRIORITY = [
     "tokens_lang_dispatch", "ivf_recall_probe", "term_suggest_index",
     "bm25_collapse_topk", "media_features_png", "media_features_wav",
     "bm25_msm_topk", "bm25_index_msm_topk",
+    "bm25_line_matches", "sort_by_field_topk",
     # --- sentinel core (driver-green every prior round; re-proved) ---
-    # exactly 50 names total: 38 + 8 + 4 — a 51st would silently fall
+    # exactly 50 names total: 38 + 10 + 2 — a 51st would silently fall
     # past the driver's cap (asserted below).  Rotated out for round-4
     # gates (all stay covered by the local oracle replica in
     # tests/test_entry.py): corpus_stats (for bm25_collapse_topk),
     # dedup_exact (dedup stack keeps a driver row via dedup_components),
     # embedding_cosine_topk (the vector stack holds SEVEN other driver
     # rows this round), bm25_phrase_index_topk and
-    # context_window_index_topk (driver-green in r3; new features beat a
-    # fourth re-proof for the scarce slots).
-    "term_df", "bm25_topk_hot", "bm25_index_topk", "sha256_docs",
+    # context_window_index_topk (driver-green in r3), and — for the two
+    # late-session gates bm25_line_matches / sort_by_field_topk —
+    # term_df (upsert_term_df re-proves the df aggregate) and
+    # bm25_topk_hot (the join path holds SIX other driver rows this
+    # round: synonym/fuzzy/boost/msm/collapse/upsert).
+    "bm25_index_topk", "sha256_docs",
 ]
 
 

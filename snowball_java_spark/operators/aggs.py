@@ -1,0 +1,251 @@
+"""Search-hit aggregations beyond counts/stats: significant terms,
+histograms, and per-bucket top hits.
+
+These complete the analytics side of the query surface (the ES
+aggregation framework shapes): ``significant_terms_index`` is the
+engine-native descendant of the reference's pattern-discovery loop —
+Snowball promotes context patterns whose occurrence statistics in the
+*matched* tuple set beat their corpus-wide base rate
+(``snowball/src/bin/Snowball.java:169-192`` scores patterns by
+confidence against global counts); here the same foreground-vs-
+background contrast runs as one declarative plan over the index's
+per-doc term sets and the global term statistics.
+
+Scale shapes (all three):
+
+* the match set always comes from the postings
+  (``wand.matching_docs_index`` — bucket/term-pruned scan, dead-sidecar
+  filtered), never a corpus scan;
+* per-doc data joins in by ``doc_id`` with parquet column pruning
+  (``doc_terms`` reads only (doc_id, tf_map); histogram reads only
+  (doc_id, value_col));
+* every aggregation is a map-side-combinable ``groupBy``, and every
+  ranking window runs two-phase (salt → merge) so a hot query or hot
+  bucket never funnels its full match set through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _two_phase_rank(df: DataFrame, part_cols: list[str],
+                    order: list, n: int, salt_on: str,
+                    n_partial: int = 32) -> DataFrame:
+    """Deterministic top-``n`` per ``part_cols`` group under ``order``
+    (which MUST end in a per-row-unique tiebreak), without ever sorting
+    a full group in one task: phase 1 ranks within (group, salt), phase
+    2 merges the ≤ n·n_partial survivors.  Same argument as
+    ``bm25_join.topk`` — the global top-n is a subset of the union of
+    per-salt top-ns."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(salt_on), F.lit(n_partial)))
+    w1 = Window.partitionBy(*part_cols, "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= n)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order)
+    return (pruned.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= n))
+
+
+def significant_terms_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    top_n: int = 10,
+    min_fg: int = 1,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+    include_query_terms: bool = False,
+) -> DataFrame:
+    """ES ``significant_terms``: the terms whose frequency in each
+    query's matching docs (foreground) most exceeds their corpus-wide
+    base rate (background), scored with the JLH heuristic —
+    ``(fg% − bg%) · (fg% / bg%)`` (absolute × relative lift; Lucene's
+    ``JLHScore``).  Output: (query_id, rank, term, fg_count, bg_count,
+    score), rank ≤ ``top_n`` under (score desc, term asc); only terms
+    with fg% > bg% and fg_count ≥ ``min_fg`` qualify.
+
+    The query's own (post-synonym) terms are excluded by default —
+    they trivially top the lift ranking; pass
+    ``include_query_terms=True`` for raw ES behavior.
+
+    Scale shape: foreground counts explode ONLY the matched docs' term
+    sets (the join keeps non-matching docs' tf_map unexploded — the
+    same fg-docs-only pass ES pays via doc values); the fg aggregation
+    map-side combines to the matched vocabulary; the vocab-sized
+    background join keys on ``term`` against the already-aggregated fg
+    relation (Catalyst/AQE broadcasts the small side); the final
+    ranking is a two-phase window over the scored vocabulary.  Nothing
+    here is ∝ corpus tokens beyond the column-pruned (doc_id, tf_map)
+    read."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    n_fg = match.groupBy("query_id").agg(F.count("*").alias("n_fg"))
+    fg = (
+        match.join(index.doc_terms(spark), "doc_id")
+        .select("query_id", F.explode("terms").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_count"))
+    )
+    if not include_query_terms:
+        excl = sorted({
+            (int(q["query_id"]), m)
+            for q in queries
+            for t in q["terms"]
+            for m in [t, *(synonyms or {}).get(t, [])]
+        })
+        if excl:
+            edf = F.broadcast(spark.createDataFrame(
+                excl, "query_id int, term string"))
+            fg = fg.join(edf, ["query_id", "term"], "left_anti")
+    bg = index.term_stats(spark).select(
+        "term", F.col("df").alias("bg_count"))
+    n_docs = int(index.n_docs)
+    fgp = F.col("fg_count") / F.col("n_fg")
+    bgp = F.col("bg_count") / F.lit(float(n_docs))
+    scored = (
+        fg.join(bg, "term")
+        .join(F.broadcast(n_fg), "query_id")
+        .withColumn(
+            "score",
+            F.when(fgp > bgp, (fgp - bgp) * (fgp / bgp)).otherwise(F.lit(0.0)))
+        .filter((F.col("fg_count") >= min_fg) & (F.col("score") > 0))
+    )
+    order = [F.desc("score"), F.asc("term")]
+    return (
+        _two_phase_rank(scored, ["query_id"], order, top_n, salt_on="term")
+        .select("query_id", "rank", "term", "fg_count", "bg_count", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def histogram_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    width: int,
+    min_doc_count: int = 0,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``histogram`` aggregation over each query's match set:
+    fixed-``width`` buckets of an integral docs-metadata column —
+    (query_id, bucket, n_docs), bucket = floor(value/width)·width,
+    ordered (query_id, bucket).
+
+    ES semantics preserved: docs missing the field (NULL) are skipped,
+    and with the default ``min_doc_count=0`` EMPTY buckets between each
+    query's min and max bucket are returned with n_docs = 0 (the
+    histogram is gap-free per query, exactly ES's default response);
+    ``min_doc_count=1`` drops them.
+
+    Scale shape: match set from the postings; metadata join reads only
+    (doc_id, ``value_col``); the bucket count map-side combines to
+    (query, bucket) cardinality ≤ value-range/width; the gap-fill
+    sequence explodes over that same tiny aggregated relation."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if width < 1:
+        raise ValueError(f"width must be a positive integer, got {width}")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", value_col)
+    bucket = (F.floor(F.col(value_col) / F.lit(width))
+              * width).cast("long").alias("bucket")
+    counts = (
+        match.join(meta, "doc_id")
+        .filter(F.col(value_col).isNotNull())
+        .select("query_id", bucket)
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if min_doc_count == 0:
+        spans = counts.groupBy("query_id").agg(
+            F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        full = spans.select(
+            "query_id",
+            F.explode(
+                F.sequence("_lo", "_hi", F.lit(width).cast("long"))
+            ).alias("bucket"))
+        counts = (
+            full.join(counts, ["query_id", "bucket"], "left")
+            .select("query_id", "bucket",
+                    F.coalesce("n_docs", F.lit(0)).cast("long")
+                    .alias("n_docs"))
+        )
+    else:
+        counts = counts.filter(F.col("n_docs") >= min_doc_count)
+    return counts.orderBy("query_id", "bucket")
+
+
+def top_hits_by_facet(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    facet_col: str,
+    n_hits: int = 3,
+    n_facets: int = 10,
+    cfg=None,
+    candidate_predicate: F.Column | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``terms`` + ``top_hits`` sub-aggregation: for each query, the
+    ``n_facets`` largest buckets of ``facet_col`` over the matching
+    docs, each carrying its ``n_hits`` best docs by BM25 — the "top 3
+    results per repository" layout of grouped code search.  Output:
+    (query_id, value, bucket_n_docs, rank, doc_id, score); buckets
+    identified by ``value``, docs ranked within a bucket by (score
+    desc, doc_id asc), buckets selected by (bucket_n_docs desc, value
+    asc).
+
+    Scale shape: one shared scorer pass (``bm25_scores_join`` — pruned
+    to the queries' terms, NOT/cursors applied) with the facet column
+    riding the same scan; the bucket-size aggregation map-side combines
+    to facet cardinality; per-bucket doc ranking runs the two-phase
+    salted window partitioned by (query, value) so a hot bucket's
+    candidates spread over ``n_partial`` tasks before the ≤ n_hits·salt
+    merge."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.bm25_join import bm25_scores_join
+
+    scores, _qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg or DEFAULT,
+        candidate_predicate=candidate_predicate, n_docs=n_docs,
+        avgdl=avgdl)
+    vals = docs_tok.select(
+        "doc_id", F.col(facet_col).cast("string").alias("value"))
+    sv = scores.join(vals, "doc_id")
+    buckets = (
+        sv.groupBy("query_id", "value")
+        .agg(F.count("*").alias("bucket_n_docs"))
+    )
+    kept = _two_phase_rank(
+        buckets, ["query_id"],
+        [F.desc("bucket_n_docs"), F.asc("value")], n_facets,
+        salt_on="value").drop("rank")
+    hits = _two_phase_rank(
+        sv.join(kept.select("query_id", "value"), ["query_id", "value"]),
+        ["query_id", "value"],
+        [F.desc("score"), F.asc("doc_id")], n_hits, salt_on="doc_id")
+    return (
+        hits.join(kept, ["query_id", "value"])
+        .select("query_id", "value", "bucket_n_docs", "rank", "doc_id",
+                "score")
+        .orderBy("query_id", F.desc("bucket_n_docs"), F.asc("value"),
+                 "rank")
+    )

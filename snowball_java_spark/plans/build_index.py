@@ -152,6 +152,25 @@ class IndexReader:
             out = out.join(self.tombstones(spark), "doc_id", "left_anti")
         return out
 
+    def doc_terms(self, spark: SparkSession) -> DataFrame:
+        """(doc_id, terms array<string>): each LIVE doc's distinct term
+        set — the ``tf_map`` keys, the doc-values-style per-doc term
+        access that foreground statistics (significant-terms
+        aggregation) need.  Same generation union + tombstone filter as
+        :meth:`docs`; only (doc_id, tf_map) is read (column pruning), and
+        the map is projected to its keys before anything downstream
+        touches it."""
+        import glob as _glob
+
+        paths = [os.path.join(self.index_dir, "docs")] + sorted(
+            _glob.glob(os.path.join(self.index_dir, "docs_gen*"))
+        )
+        out = _read_docs(spark, paths).select(
+            "doc_id", F.map_keys("tf_map").alias("terms"))
+        if self.has_tombstones:
+            out = out.join(self.tombstones(spark), "doc_id", "left_anti")
+        return out
+
     def describe(self, spark: SparkSession) -> dict:
         """Operational summary of the index (the DESCRIBE surface):
         doc/term/posting counts, compressed bytes, segment layout,

@@ -1,0 +1,150 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
+from snowball_java_spark.operators.aggs import (
+    histogram_matches_index,
+    significant_terms_index,
+    top_hits_by_facet,
+)
+from snowball_java_spark.plans.build_index import build_index
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+
+REL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def index(spark, synth_docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aggs_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    return build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def toks(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+
+
+def _jlh_truth(toks: dict[int, list[str]], terms: list[str],
+               min_fg: int, exclude: bool) -> list[tuple[str, int, int, float]]:
+    n_docs = len(toks)
+    match = {d for d, ts in toks.items() if set(ts) & set(terms)}
+    n_fg = len(match)
+    fg: dict[str, int] = {}
+    for d in match:
+        for t in set(toks[d]):
+            fg[t] = fg.get(t, 0) + 1
+    bg: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            bg[t] = bg.get(t, 0) + 1
+    out = []
+    for t, f in fg.items():
+        if exclude and t in terms:
+            continue
+        if f < min_fg:
+            continue
+        fgp, bgp = f / n_fg, bg[t] / n_docs
+        if fgp > bgp:
+            out.append((t, f, bg[t], (fgp - bgp) * (fgp / bgp)))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out
+
+
+def test_significant_terms_matches_truth(spark, index, toks):
+    terms = ["flush_config_19"]
+    got = significant_terms_index(
+        spark, index, [{"query_id": 0, "terms": terms}],
+        top_n=10, min_fg=2, cfg=CFG).collect()
+    want = _jlh_truth(toks, terms, min_fg=2, exclude=True)[:10]
+    assert got, "query term must match docs in the synth corpus"
+    assert [r["term"] for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert (r["fg_count"], r["bg_count"]) == (w[1], w[2])
+        assert math.isclose(r["score"], w[3], rel_tol=REL)
+        assert r["term"] not in terms
+
+
+def test_significant_terms_include_query_terms(spark, index, toks):
+    terms = ["flush_config_19"]
+    got = significant_terms_index(
+        spark, index, [{"query_id": 0, "terms": terms}],
+        top_n=10, min_fg=2, cfg=CFG, include_query_terms=True).collect()
+    want = _jlh_truth(toks, terms, min_fg=2, exclude=False)[:10]
+    assert [r["term"] for r in got] == [w[0] for w in want]
+    # the query term itself has maximal lift (fg% = 1) — it must lead
+    assert got[0]["term"] == "flush_config_19"
+
+
+def test_histogram_gap_free_and_counts(spark, index, toks):
+    width = 16
+    got = histogram_matches_index(
+        spark, index, [{"query_id": 0, "terms": ["flush_config_19"]}],
+        value_col="dl", width=width, cfg=CFG).collect()
+    match = {d for d, ts in toks.items() if "flush_config_19" in ts}
+    truth: dict[int, int] = {}
+    for d in match:
+        b = (len(toks[d]) // width) * width
+        truth[b] = truth.get(b, 0) + 1
+    buckets = [r["bucket"] for r in got]
+    # gap-free ascending lattice between min and max, zero-filled
+    assert buckets == list(range(min(truth), max(truth) + 1, width))
+    for r in got:
+        assert r["n_docs"] == truth.get(r["bucket"], 0)
+    # min_doc_count=1 drops the zero rows, keeps the rest identical
+    got1 = histogram_matches_index(
+        spark, index, [{"query_id": 0, "terms": ["flush_config_19"]}],
+        value_col="dl", width=width, min_doc_count=1, cfg=CFG).collect()
+    assert {(r["bucket"], r["n_docs"]) for r in got1} == set(truth.items())
+
+
+def test_histogram_rejects_bad_width(spark, index):
+    with pytest.raises(ValueError, match="width"):
+        histogram_matches_index(
+            spark, index, [{"query_id": 0, "terms": ["flush_config_19"]}],
+            value_col="dl", width=0, cfg=CFG)
+
+
+def test_top_hits_matches_single_window(spark, synth_docs):
+    docs_tok = synth_docs.select(
+        "doc_id", F.col("repo").alias("source"),
+        tokens_expr("content").alias("tokens"))
+    queries = [{"query_id": 0, "terms": ["flush_config_19", "def"]},
+               {"query_id": 1, "terms": ["read_client_43"]}]
+    got = top_hits_by_facet(
+        spark, docs_tok, queries, facet_col="source",
+        n_hits=2, n_facets=3).collect()
+
+    # reference: same scorer, plain single-window ranking
+    from snowball_java_spark.operators.bm25_join import bm25_scores_join
+
+    scores, _ = bm25_scores_join(spark, docs_tok, queries)
+    sv = scores.join(
+        docs_tok.select("doc_id", F.col("source").cast("string")
+                        .alias("value")), "doc_id")
+    bk = sv.groupBy("query_id", "value").agg(
+        F.count("*").alias("bucket_n_docs"))
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("bucket_n_docs"), F.asc("value"))
+    kept = bk.withColumn("_r", F.row_number().over(wb)).filter("_r <= 3")
+    wh = Window.partitionBy("query_id", "value").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    want = (sv.join(kept.select("query_id", "value", "bucket_n_docs"),
+                    ["query_id", "value"])
+            .withColumn("rank", F.row_number().over(wh))
+            .filter("rank <= 2")).collect()
+    gset = {(r["query_id"], r["value"], r["rank"]): (r["doc_id"],
+                                                     r["bucket_n_docs"])
+            for r in got}
+    wset = {(r["query_id"], r["value"], r["rank"]): (r["doc_id"],
+                                                     r["bucket_n_docs"])
+            for r in want}
+    assert gset == wset and len(got) == len(want)
