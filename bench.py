@@ -77,6 +77,9 @@ HEADLINE = [
     "media_features_png",
     "sort_by_field_topk",
     "bm25_line_matches",
+    "significant_terms",
+    "facet_histogram_dl",
+    "top_hits_by_source",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
