@@ -80,6 +80,7 @@ HEADLINE = [
     "significant_terms",
     "facet_histogram_dl",
     "top_hits_by_source",
+    "percolate_matches",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

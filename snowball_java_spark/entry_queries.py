@@ -1989,6 +1989,65 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+#: stored-query pool for the percolation gate — one of each supported
+#: shape: OR, AND, min_should_match, NOT, phrase, and terms+phrase
+_PERC_QUERIES = [
+    {"query_id": 0, "terms": MIXED_TERMS},
+    {"query_id": 1, "terms": HOT_TERMS, "mode": "and"},
+    {"query_id": 2, "terms": ["table", "row", "spark"],
+     "min_should_match": 2},
+    {"query_id": 3, "terms": ["table"], "not_terms": ["dup"]},
+    {"query_id": 4, "phrase": ["table", "value"]},
+    {"query_id": 5, "terms": ["vector"], "phrase": ["table", "value"]},
+    {"query_id": 6, "phrase": ["table", "value"], "not_terms": ["dup"]},
+]
+
+
+def _q_percolate(spark, sf_dir):
+    """Percolation (ES percolate / reverse search): every sf document
+    matched against a stored pool covering all supported query shapes —
+    the broadcast-queries one-pass plan."""
+    from snowball_java_spark.operators.percolate import percolate
+
+    return percolate(spark, _docs_tok(spark, sf_dir), _PERC_QUERIES)
+
+
+def _percolate_sql(stored: list[dict]) -> str:
+    unions = []
+    for q in stored:
+        qid = int(q["query_id"])
+        legs = []
+        if q.get("terms"):
+            tl = ", ".join(f"'{t}'" for t in sorted(set(q["terms"])))
+            if str(q.get("mode", "or")) == "and":
+                req = len(set(q["terms"]))
+            else:
+                req = int(q.get("min_should_match", 1))
+            legs.append(
+                f"SELECT doc_id FROM (SELECT doc_id FROM tfx "
+                f"WHERE term IN ({tl}) GROUP BY doc_id "
+                f"HAVING count(*) >= {req})")
+        if q.get("phrase"):
+            ph = list(q["phrase"])
+            cond = " AND ".join(
+                f"toks[i+{j}] = '{w}'" for j, w in enumerate(ph))
+            legs.append(
+                f"SELECT doc_id FROM toks WHERE len(list_filter("
+                f"range(1, len(toks) - {len(ph)} + 2), i -> {cond})) > 0")
+        body = " INTERSECT ".join(legs)
+        if q.get("not_terms"):
+            ntl = ", ".join(f"'{t}'" for t in sorted(set(q["not_terms"])))
+            body = (f"({body}) EXCEPT SELECT doc_id FROM tfx "
+                    f"WHERE term IN ({ntl})")
+        unions.append(
+            f"SELECT doc_id, {qid} AS query_id FROM ({body})")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT doc_id, query_id FROM ({u}) ORDER BY doc_id, query_id
+"""
+
+
 _BOOST_TERMS = ["row", "spark", "table"]
 _BOOST_SPEC = {"table": 2.0, "spark": 0.5}
 
@@ -3422,6 +3481,7 @@ FROM g
             _q_top_hits,
             _top_hits_sql(MIXED_TERMS, _TOPHITS_FACETS, _TOPHITS_HITS),
         ),
+        "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(

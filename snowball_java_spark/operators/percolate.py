@@ -1,0 +1,164 @@
+"""Percolation — reverse search: match incoming documents against a
+set of STORED queries (the ES percolator / alerting shape).
+
+Forward search asks "which docs match this query"; percolation asks
+"which of my saved queries match this doc" — the primitive behind
+saved-search alerts over a living corpus ("tell me when a commit
+mentions my API").  The reference's closest analog is its seed-pattern
+matching pass — every sentence is tested against the current pattern
+pool held in memory (``snowball/src/bin/Snowball.java:284-342``); here
+the "pattern pool" is a broadcast relation of structured queries and
+the test is one declarative pass over the document stream.
+
+Supported stored-query shapes (same dict surface as the forward paths):
+``terms`` (OR default), ``mode="and"``, ``min_should_match``,
+``not_terms``, and ``phrase`` (exact token sequence; combinable with
+``terms`` — both must hold, like a bool query with a phrase MUST).
+
+Scale shape — the sides are REVERSED vs forward search, and the plan
+follows: the stored-query term table broadcasts (thousands of alerts ×
+a few terms — the small side by construction; ES's percolator does the
+same candidate pre-filter via query-term extraction), the document
+relation streams through ONE pass, and the matched-term count
+aggregation map-side combines to (doc, query) pairs bounded by
+candidate matches, never |docs| × |queries|.  Phrase queries compile to
+per-row whole-stage-codegen predicates (``phrase.phrase_tf_expr`` — no
+explode, no shuffle); their cost is one vector lane per phrase query,
+so phrase-heavy pools should stay in the hundreds while pure term
+queries scale to arbitrary pool sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["percolate"]
+
+
+def _required_matches(q: dict) -> int:
+    """OR → 1; AND → all; min_should_match → m (validated)."""
+    from snowball_java_spark.operators.wand import _msm_of
+
+    m = _msm_of(q)  # validates msm bounds and the msm+AND clash
+    if str(q.get("mode", "or")) == "and":
+        return len(set(q["terms"]))
+    return m if m is not None else 1
+
+
+def percolate(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    stored_queries: list[dict],
+) -> DataFrame:
+    """(doc_id, query_id) for every (document, stored query) match,
+    ordered (doc_id, query_id).  ``docs_tok`` needs (doc_id, tokens);
+    each stored query needs ``terms`` and/or ``phrase`` plus the
+    optional keys above.  Queries that match nothing simply emit no
+    rows — an empty batch is a legal outcome, never an error."""
+    for q in stored_queries:
+        if not q.get("terms") and not q.get("phrase"):
+            raise ValueError(
+                f"stored query {q.get('query_id')} has neither terms "
+                "nor phrase — nothing to percolate")
+        if q.get("phrase") and str(q.get("mode", "or")) == "and":
+            raise ValueError(
+                f"query {q.get('query_id')}: phrase+mode='and' is "
+                "ambiguous — put required terms in min_should_match="
+                "len(terms) instead")
+    for q in stored_queries:
+        clash = set(q.get("terms", [])) & set(q.get("not_terms", []))
+        if clash:
+            raise ValueError(
+                f"query {q.get('query_id')}: terms {sorted(clash)} are "
+                "both required and excluded")
+    term_qs = [q for q in stored_queries if q.get("terms")]
+    parts: list[DataFrame] = []
+
+    pairs_schema = "doc_id long, query_id int"
+    if term_qs:
+        # ONE pass answers match counts AND exclusions for every term
+        # query: positive and NOT terms ride the same broadcast table
+        # (flagged), the same pruned explode, and the same map-side
+        # combined aggregate — no separate exclusion scan/anti-join
+        rows = sorted({
+            (int(q["query_id"]), t, is_not)
+            for q in term_qs
+            for t, is_not in (
+                [(t, False) for t in q["terms"]]
+                + [(t, True) for t in q.get("not_terms", [])])
+        })
+        all_terms = sorted({t for _, t, _ in rows})
+        qterms = F.broadcast(spark.createDataFrame(
+            rows, "query_id int, term string, is_not boolean"))
+        req = F.broadcast(spark.createDataFrame(
+            [(int(q["query_id"]), _required_matches(q)) for q in term_qs],
+            "query_id int, req int"))
+        kept = F.array_distinct(
+            F.filter("tokens", lambda x: x.isin(*all_terms)))
+        term_pairs = (
+            docs_tok.select("doc_id", F.explode(kept).alias("term"))
+            .join(qterms, "term")
+            .groupBy("doc_id", "query_id")
+            .agg(F.sum(F.when(~F.col("is_not"), 1).otherwise(0))
+                 .alias("n_matched"),
+                 F.sum(F.when(F.col("is_not"), 1).otherwise(0))
+                 .alias("n_excluded"))
+            .join(req, "query_id")
+            .filter((F.col("n_matched") >= F.col("req"))
+                    & (F.col("n_excluded") == 0))
+            .select("doc_id", "query_id")
+        )
+        parts.append(term_pairs)
+
+    phrase_qs = [q for q in stored_queries if q.get("phrase")]
+    if phrase_qs:
+        from snowball_java_spark.operators.phrase import phrase_tf_expr
+
+        flags = docs_tok.select("doc_id", F.explode(F.array(*[
+            F.when(phrase_tf_expr("tokens", list(q["phrase"])) > 0,
+                   F.lit(int(q["query_id"])))
+            for q in phrase_qs
+        ])).alias("query_id")).filter(F.col("query_id").isNotNull())
+        parts.append(flags.select("doc_id", "query_id"))
+
+    if not parts:
+        return spark.createDataFrame([], pairs_schema)
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    # a query holding BOTH terms and phrase contributed one row per
+    # satisfied leg — it matches only when both legs held (count = 2)
+    both = {int(q["query_id"]) for q in stored_queries
+            if q.get("terms") and q.get("phrase")}
+    if both:
+        need = F.when(F.col("query_id").isin(*sorted(both)),
+                      F.lit(2)).otherwise(F.lit(1))
+        pairs = (pairs.groupBy("doc_id", "query_id")
+                 .agg(F.count("*").alias("_legs"))
+                 .filter(F.col("_legs") >= need)
+                 .select("doc_id", "query_id"))
+    # single-leg queries contribute from exactly one part — pairs is
+    # already distinct per (doc, query) on every path
+
+    # term queries applied their NOT terms inside the single-pass
+    # aggregate above (and a terms+phrase query only survives the
+    # two-leg gate if its term leg — NOT included — held); the one
+    # remaining case is a phrase-ONLY query with exclusions
+    not_qs = sorted({(int(q["query_id"]), t) for q in stored_queries
+                     if q.get("phrase") and not q.get("terms")
+                     for t in q.get("not_terms", [])})
+    if not_qs:
+        not_terms = sorted({t for _, t in not_qs})
+        nq = F.broadcast(spark.createDataFrame(
+            not_qs, "query_id int, term string"))
+        kept_n = F.array_distinct(
+            F.filter("tokens", lambda x: x.isin(*not_terms)))
+        dead = (
+            docs_tok.select("doc_id", F.explode(kept_n).alias("term"))
+            .join(nq, "term")
+            .select("doc_id", "query_id")
+            .distinct()
+        )
+        pairs = pairs.join(dead, ["doc_id", "query_id"], "left_anti")
+    return pairs.orderBy("doc_id", "query_id")

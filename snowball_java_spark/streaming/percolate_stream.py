@@ -1,0 +1,72 @@
+"""Streaming percolation — saved-search alerts over a document stream.
+
+Each micro-batch of incoming documents is matched against the stored
+query pool (``operators.percolate``) and the (doc, query) alert pairs
+land under an ``epoch=N`` partition — the push half of a search engine
+("notify me when a doc matching my query arrives"), which the forward
+query paths cannot express because they re-rank a corpus, not a delta.
+
+Exactly-once across restarts, same contract as ``clean_stream``: a
+replayed epoch overwrites ITS OWN partition and nothing else, so
+reprocessing is idempotent; the checkpoint under ``state_dir`` keeps
+epoch ids stable across restarts (a checkpoint-less restart would
+renumber from 0 and collide with committed epochs).
+
+Scale shape: the stored-query pool broadcasts per batch (see
+``operators.percolate`` — the pool is the small side by construction);
+per-batch cost is one pass over the batch, independent of corpus
+history, so the stream keeps up as long as batch arrival ∝ batch
+processing — there is no state relation that grows with the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from snowball_java_spark.operators.percolate import percolate
+
+__all__ = ["percolate_batch", "start_percolate_stream"]
+
+
+def percolate_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    stored_queries: list[dict],
+    out_dir: str,
+    id_col: str = "doc_id",
+) -> int:
+    """One micro-batch → alert pairs under ``<out_dir>/epoch=N/``.
+
+    ``batch`` needs (``id_col``, tokens).  Returns the number of alert
+    rows written.  Idempotent per epoch: the write overwrites only this
+    epoch's partition."""
+    docs_tok = batch.select(F.col(id_col).alias("doc_id"), "tokens")
+    pairs = percolate(batch.sparkSession, docs_tok, stored_queries)
+    out = os.path.join(out_dir, f"epoch={int(epoch_id)}")
+    pairs.write.mode("overwrite").parquet(out)
+    return batch.sparkSession.read.parquet(out).count()
+
+
+def start_percolate_stream(
+    stream: DataFrame,
+    stored_queries: list[dict],
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """foreachBatch → :func:`percolate_batch`; empty batches skip."""
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        percolate_batch(batch, epoch_id, stored_queries, out_dir,
+                        id_col=id_col)
+
+    return (stream.writeStream
+            .option("checkpointLocation",
+                    os.path.join(state_dir, "_checkpoint"))
+            .foreachBatch(sink).start())

@@ -1,0 +1,156 @@
+"""Percolation: stored-query matching semantics + streaming alerts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
+from snowball_java_spark.operators.percolate import percolate
+from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+from snowball_java_spark.streaming.incremental import stream_corpus
+from snowball_java_spark.streaming.percolate_stream import (
+    start_percolate_stream,
+)
+
+
+def _truth(toks: dict[int, list[str]], q: dict) -> set[int]:
+    out = set()
+    for d, ts in toks.items():
+        ok = True
+        if q.get("terms"):
+            n = len(set(q["terms"]) & set(ts))
+            if str(q.get("mode", "or")) == "and":
+                ok = n == len(set(q["terms"]))
+            else:
+                ok = n >= int(q.get("min_should_match", 1))
+        if ok and q.get("phrase"):
+            ph = list(q["phrase"])
+            ok = any(ts[i:i + len(ph)] == ph
+                     for i in range(len(ts) - len(ph) + 1))
+        if ok and set(q.get("not_terms", [])) & set(ts):
+            ok = False
+        if ok:
+            out.add(d)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_tok(spark, synth_docs):
+    d = synth_docs.select(
+        "doc_id", tokens_expr("content").alias("tokens")).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def toks(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+
+
+def test_percolate_all_shapes_match_truth(spark, docs_tok, toks):
+    pool = [
+        {"query_id": 0, "terms": ["flush_config_19", "read_client_43"]},
+        {"query_id": 1, "terms": ["def", "return"], "mode": "and"},
+        {"query_id": 2, "terms": ["def", "class", "import"],
+         "min_should_match": 2},
+        {"query_id": 3, "terms": ["flush_config_19"],
+         "not_terms": ["class"]},
+        {"query_id": 4, "phrase": ["def", "parse_config_0"]},
+        {"query_id": 5, "terms": ["return"],
+         "phrase": ["def", "parse_config_0"]},
+        {"query_id": 6, "phrase": ["def", "parse_config_0"],
+         "not_terms": ["class"]},
+        {"query_id": 7, "terms": ["def", "return"],
+         "min_should_match": 2, "not_terms": ["flush_config_19"],
+         "phrase": ["def", "parse_config_0"]},
+    ]
+    got = percolate(spark, docs_tok, pool).collect()
+    got_by_q: dict[int, set[int]] = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for q in pool:
+        want = _truth(toks, q)
+        assert got_by_q.get(q["query_id"], set()) == want, q
+    # the pool must exercise non-trivial matches AND non-matches
+    assert all(got_by_q.get(q["query_id"]) for q in pool[:3])
+    n_docs = len(toks)
+    assert all(len(got_by_q.get(q["query_id"], ())) < n_docs for q in pool)
+
+
+def test_percolate_validation(spark, docs_tok):
+    with pytest.raises(ValueError, match="neither terms nor phrase"):
+        percolate(spark, docs_tok, [{"query_id": 0}])
+    with pytest.raises(ValueError, match="min_should_match does not"):
+        percolate(spark, docs_tok,
+                  [{"query_id": 0, "terms": ["a", "b"], "mode": "and",
+                    "min_should_match": 1}])
+    with pytest.raises(ValueError, match="phrase"):
+        percolate(spark, docs_tok,
+                  [{"query_id": 0, "terms": ["a"], "phrase": ["b"],
+                    "mode": "and"}])
+    with pytest.raises(ValueError, match="required and excluded"):
+        percolate(spark, docs_tok,
+                  [{"query_id": 0, "terms": ["a", "b"],
+                    "not_terms": ["b"]}])
+
+
+def test_percolate_no_matches_is_empty(spark, docs_tok):
+    got = percolate(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": ["zzz_not_a_term"]},
+         {"query_id": 1, "phrase": ["zzz", "nope"]}])
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["doc_id", "query_id"]
+
+
+def test_percolate_stream_epochs_and_restart(spark, tmp_path, toks):
+    """Alerts land per epoch; a restarted query continues epoch
+    numbering via the checkpoint and processes only new files."""
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    pool = [{"query_id": 0, "terms": ["flush_config_19"]},
+            {"query_id": 1, "terms": ["def", "return"], "mode": "and"}]
+
+    spark.createDataFrame(synth_corpus_pdf(0, 30, 60)).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    def tok_stream():
+        from snowball_java_spark.sources.corpus import assign_doc_ids
+
+        s = stream_corpus(spark, str(src))
+        # streaming sources cannot run assign_doc_ids (zipWithIndex);
+        # derive a per-file-stable id from the unique (repo, path)
+        return s.select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            tokens_expr("content").alias("tokens"))
+
+    q = start_percolate_stream(tok_stream(), pool, state, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    e0 = spark.read.parquet(out + "/epoch=0")
+    assert e0.count() > 0
+
+    spark.createDataFrame(synth_corpus_pdf(30, 40, 60)).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q2 = start_percolate_stream(tok_stream(), pool, state, out)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.option("basePath", out).parquet(out)
+    assert set(r["epoch"] for r in got.select("epoch").distinct().collect()) \
+        == {0, 1}
+    # batch results == union of streamed epochs on the same ids
+    pdf = synth_corpus_pdf(0, 40, 60)
+    batch = spark.createDataFrame(pdf).select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        tokens_expr("content").alias("tokens"))
+    want = percolate(spark, batch, pool).collect()
+    assert {(r["doc_id"], r["query_id"]) for r in got.collect()} \
+        == {(r["doc_id"], r["query_id"]) for r in want}
