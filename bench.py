@@ -81,6 +81,7 @@ HEADLINE = [
     "facet_histogram_dl",
     "top_hits_by_source",
     "percolate_matches",
+    "bm25_rescore_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

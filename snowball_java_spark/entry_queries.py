@@ -1989,6 +1989,84 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_RESCORE_WINDOW = 50
+_RESCORE_W = 2.0
+
+
+def _q_rescore(spark, sf_dir):
+    """Rescoring (ES rescore): primary BM25 window re-ranked by a
+    phrase secondary — query 0 carries a rescore phrase, query 1 has
+    none and must pass through rank-identical to plain BM25."""
+    from snowball_java_spark.operators.rescore import rescore_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = rescore_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10,
+          "rescore": _PHRASE},
+         {"query_id": 1, "terms": HOT_TERMS, "k": 10}],
+        window_size=_RESCORE_WINDOW, query_weight=1.0,
+        rescore_weight=_RESCORE_W, n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def _rescore_sql(terms: list[str], phrase: list[str], plain: list[str],
+                 window: int, k: int, rw: float) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    plist = ", ".join(f"('{t}')" for t in sorted(set(plain)))
+    L = len(phrase)
+    cond = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(phrase))
+    tf_expr = f"len(list_filter(range(1, len(toks) - {L} + 2), i -> {cond}))"
+    w_sec = (
+        f"ln(1 + (st.n_docs - pdf.df + 0.5) / (pdf.df + 0.5)) * ph.tf * "
+        f"{_K1 + 1.0} / (ph.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl))"
+    )
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+win AS (SELECT doc_id, score AS prim FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+  WHERE r <= {window}),
+ph AS (SELECT doc_id, {tf_expr} AS tf FROM toks WHERE {tf_expr} > 0),
+pdf AS (SELECT count(*)::BIGINT AS df FROM ph),
+sec AS (SELECT ph.doc_id, {w_sec} AS secondary
+        FROM ph CROSS JOIN pdf JOIN dl ON ph.doc_id = dl.doc_id
+        CROSS JOIN st),
+r0 AS (SELECT 0::BIGINT AS query_id, doc_id, rank, score FROM (
+  SELECT win.doc_id,
+         1.0 * win.prim + {rw} * coalesce(sec.secondary, 0.0) AS score,
+         row_number() OVER (
+           ORDER BY 1.0 * win.prim + {rw} * coalesce(sec.secondary, 0.0)
+             DESC, win.doc_id ASC)::BIGINT AS rank
+  FROM win LEFT JOIN sec ON win.doc_id = sec.doc_id
+) WHERE rank <= {k}),
+qp(term) AS (VALUES {plist}),
+sp AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN qp q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+r1 AS (SELECT 1::BIGINT AS query_id, doc_id, rank, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM sp) WHERE rank <= {k})
+SELECT query_id, rank, doc_id, round(score, 6) AS score
+FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+ORDER BY query_id, rank
+"""
+
+
 #: stored-query pool for the percolation gate — one of each supported
 #: shape: OR, AND, min_should_match, NOT, phrase, and terms+phrase
 _PERC_QUERIES = [
@@ -3482,6 +3560,11 @@ FROM g
             _top_hits_sql(MIXED_TERMS, _TOPHITS_FACETS, _TOPHITS_HITS),
         ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
+        "bm25_rescore_topk": Q(
+            _q_rescore,
+            _rescore_sql(MIXED_TERMS, _PHRASE, HOT_TERMS,
+                         _RESCORE_WINDOW, 10, _RESCORE_W),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(

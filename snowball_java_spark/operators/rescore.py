@@ -1,0 +1,142 @@
+"""Rescoring — re-rank a cheap query's top window with an expensive
+secondary scorer (the ES ``rescore`` shape).
+
+The two-phase trade every engine makes: a disjunctive BM25 pass is
+cheap and recall-oriented; phrase evidence is precise but costs
+position work.  Rescoring runs the cheap pass over the whole corpus,
+keeps the top ``window_size`` docs per query, and re-scores ONLY that
+window with the expensive query — combined as
+``query_weight·primary + rescore_weight·secondary`` (``score_mode
+"total"``, the ES default) or ``primary·secondary`` (``"multiply"``);
+a window doc the rescore query does not match keeps its primary score
+(identity element per mode).  Only window docs are re-ordered — the
+ES contract — so ``k`` must be ≤ ``window_size``.
+
+Reference lineage: Snowball re-scores its candidate tuples with the
+full three-zone context similarity only AFTER the cheap seed-match
+pass selected them (``snowball/src/bin/Snowball.java:371-404`` then
+``284-342``) — the same cheap-filter → expensive-verify shape.
+
+Scale shape (join path): ONE corpus pass computes the phrase tf (a
+whole-stage-codegen predicate per distinct rescore phrase — no explode,
+no positions shuffle) and its global df in the same scan; the window
+relation (≤ queries × window_size rows) broadcasts into the final
+combine; ranking reuses the two-phase salted top-k.  Nothing beyond
+the primary pass touches more than window-sized relations plus one
+scan lane per phrase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+
+__all__ = ["rescore_topk"]
+
+_MODES = ("total", "multiply")
+
+
+def rescore_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    window_size: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): each query's top-k after phrase
+    rescoring of its primary-BM25 top-``window_size`` window.
+
+    Query dicts: the usual join-path keys (``terms``, ``not_terms``,
+    ``boosts``, ``min_should_match``, ``k``) plus ``rescore``: the
+    phrase (list of tokens) whose BM25 phrase score re-ranks the
+    window.  Queries without ``rescore`` pass through on primary score
+    alone (rank-identical to ``bm25_topk_join``)."""
+    if score_mode not in _MODES:
+        raise ValueError(f"score_mode must be one of {_MODES}, "
+                         f"got {score_mode!r}")
+    for q in queries:
+        k = int(q.get("k", cfg.default_k))
+        if k > window_size:
+            raise ValueError(
+                f"query {q.get('query_id')}: k={k} exceeds "
+                f"window_size={window_size} — ranks below the window "
+                "are not rescored (ES contract)")
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        topk,
+    )
+    from snowball_java_spark.operators.df_stats import corpus_stats
+
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+    scores, _ = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    wdf = spark.createDataFrame(
+        [(int(q["query_id"]), window_size) for q in queries],
+        "query_id int, k int")
+    window = topk(scores, wdf).select(
+        "query_id", "doc_id", F.col("score").alias("primary"))
+
+    rescored = [q for q in queries if q.get("rescore")]
+    if rescored:
+        from snowball_java_spark.operators.phrase import phrase_tf_expr
+
+        # one scan lane per DISTINCT phrase; queries sharing a phrase
+        # share the lane and the df
+        phrases = sorted({tuple(q["rescore"]) for q in rescored})
+        pid_of = {ph: i for i, ph in enumerate(phrases)}
+        stacked = docs_tok.select(
+            "doc_id", F.size("tokens").alias("dl"),
+            F.explode(F.array(*[
+                F.struct(F.lit(i).alias("pid"),
+                         phrase_tf_expr("tokens", list(ph)).alias("tf"))
+                for ph, i in pid_of.items()
+            ])).alias("p"),
+        ).select("doc_id", "dl", "p.pid", "p.tf").filter(F.col("tf") > 0)
+        pdf_stats = stacked.groupBy("pid").agg(F.count("*").alias("df"))
+        sec = stacked.join(F.broadcast(pdf_stats), "pid").select(
+            "pid", "doc_id",
+            weight_expr(
+                F.col("tf"), idf_expr(F.col("df"), n_docs),
+                F.col("dl"), F.lit(float(avgdl)), cfg.k1, cfg.b,
+            ).alias("secondary"))
+        qp = F.broadcast(spark.createDataFrame(
+            [(int(q["query_id"]), pid_of[tuple(q["rescore"])])
+             for q in rescored],
+            "query_id int, pid int"))
+        if score_mode == "total":
+            combined = (F.lit(float(query_weight)) * F.col("primary")
+                        + F.lit(float(rescore_weight))
+                        * F.coalesce("secondary", F.lit(0.0)))
+        else:  # multiply
+            combined = (F.col("primary")
+                        * F.coalesce("secondary", F.lit(1.0)))
+        # a query WITHOUT a rescore clause (pid null after the left
+        # join) keeps its RAW primary score — the weights only apply
+        # where a rescore phrase exists
+        window = (
+            window.join(qp, "query_id", "left")
+            .join(sec, ["pid", "doc_id"], "left")
+            .select(
+                "query_id", "doc_id",
+                F.when(F.col("pid").isNotNull(), combined)
+                .otherwise(F.col("primary")).alias("score"))
+        )
+    else:
+        window = window.select(
+            "query_id", "doc_id", F.col("primary").alias("score"))
+
+    kdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int")
+    return topk(window, kdf)

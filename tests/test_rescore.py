@@ -1,0 +1,105 @@
+"""Rescoring: window semantics, score modes, passthrough, validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
+from snowball_java_spark.operators.bm25_join import bm25_topk_join
+from snowball_java_spark.operators.rescore import rescore_topk
+
+REL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def docs_tok(spark, synth_docs):
+    d = synth_docs.select(
+        "doc_id", tokens_expr("content").alias("tokens")).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def toks(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+
+
+def _truth(toks, terms, phrase, window, k, qw, rw, mode):
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+
+    def w(tf, df, dl):
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    prim = {}
+    for d, ts in toks.items():
+        s = sum(w(ts.count(t), df[t], len(ts)) for t in sorted(terms)
+                if t in ts)
+        if s > 0:
+            prim[d] = s
+    win = sorted(prim, key=lambda d: (-prim[d], d))[:window]
+    ph = {d: sum(1 for i in range(len(ts) - len(phrase) + 1)
+                 if ts[i:i + len(phrase)] == list(phrase))
+          for d, ts in toks.items()}
+    ph = {d: tf for d, tf in ph.items() if tf > 0}
+    pdf = len(ph)
+    out = {}
+    for d in win:
+        sec = w(ph[d], pdf, len(toks[d])) if d in ph else None
+        if mode == "total":
+            out[d] = qw * prim[d] + rw * (sec or 0.0)
+        else:
+            out[d] = prim[d] * (sec if sec is not None else 1.0)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+PHRASE = ["def", "parse_config_0"]
+TERMS = ["def", "flush_config_19", "read_client_43"]
+
+
+@pytest.mark.parametrize("mode", ["total", "multiply"])
+def test_rescore_matches_truth(spark, docs_tok, toks, mode):
+    got = rescore_topk(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": TERMS, "k": 10, "rescore": PHRASE}],
+        window_size=30, query_weight=1.0, rescore_weight=2.0,
+        score_mode=mode).collect()
+    want = _truth(toks, TERMS, PHRASE, 30, 10, 1.0, 2.0, mode)
+    assert [(r["doc_id"]) for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-6)
+    # the rescore must actually change the ordering vs plain BM25
+    plain = bm25_topk_join(
+        spark, docs_tok, [{"query_id": 0, "terms": TERMS, "k": 10}])
+    assert [r["doc_id"] for r in got] != \
+        [r["doc_id"] for r in plain.collect()]
+
+
+def test_no_rescore_query_passes_through(spark, docs_tok):
+    q = [{"query_id": 0, "terms": TERMS, "k": 10}]
+    got = rescore_topk(spark, docs_tok, q, window_size=30,
+                       query_weight=7.0, rescore_weight=3.0).collect()
+    want = bm25_topk_join(spark, docs_tok, q).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+    for g, w in zip(got, want):
+        # RAW primary — the weights must not leak onto plain queries
+        assert math.isclose(g["score"], w["score"], rel_tol=REL)
+
+
+def test_rescore_validation(spark, docs_tok):
+    with pytest.raises(ValueError, match="score_mode"):
+        rescore_topk(spark, docs_tok,
+                     [{"query_id": 0, "terms": ["a"]}], score_mode="max")
+    with pytest.raises(ValueError, match="exceeds"):
+        rescore_topk(spark, docs_tok,
+                     [{"query_id": 0, "terms": ["a"], "k": 200}],
+                     window_size=100)
