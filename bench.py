@@ -82,6 +82,7 @@ HEADLINE = [
     "top_hits_by_source",
     "percolate_matches",
     "bm25_rescore_topk",
+    "bm25_rescore_index_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

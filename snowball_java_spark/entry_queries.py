@@ -2067,6 +2067,32 @@ ORDER BY query_id, rank
 """
 
 
+def _q_rescore_index(spark, sf_dir):
+    """Index-path rescoring: MaxScore kernel window + phrase secondary
+    from the positional sidecar — rank-identical to the join-path form
+    (shared oracle)."""
+    from snowball_java_spark.operators.rescore import rescore_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = rescore_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10,
+          "rescore": _PHRASE},
+         {"query_id": 1, "terms": HOT_TERMS, "k": 10}],
+        window_size=_RESCORE_WINDOW, query_weight=1.0,
+        rescore_weight=_RESCORE_W, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
 #: stored-query pool for the percolation gate — one of each supported
 #: shape: OR, AND, min_should_match, NOT, phrase, and terms+phrase
 _PERC_QUERIES = [
@@ -3562,6 +3588,11 @@ FROM g
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
+            _rescore_sql(MIXED_TERMS, _PHRASE, HOT_TERMS,
+                         _RESCORE_WINDOW, 10, _RESCORE_W),
+        ),
+        "bm25_rescore_index_topk": Q(
+            _q_rescore_index,
             _rescore_sql(MIXED_TERMS, _PHRASE, HOT_TERMS,
                          _RESCORE_WINDOW, 10, _RESCORE_W),
         ),

@@ -223,6 +223,54 @@ def phrase_match_kernel(
     )
 
 
+def phrase_scores_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
+) -> DataFrame:
+    """The scoring half of :func:`phrase_topk_index`: the FULL
+    (query_id, doc_id, score) phrase-match relation before any top-k
+    cut — rescoring needs every window doc's phrase score, not just
+    the phrase query's own top-k.  Row count = phrase-matching docs
+    (each matching doc contributes exactly one row per query)."""
+    q_spec = [
+        (int(q["query_id"]), [str(w) for w in q["phrase"]],
+         int(q.get("k", cfg.default_k)))
+        for q in queries
+        if q.get("phrase")
+    ]
+    terms = sorted({t for _, ph, _ in q_spec for t in ph})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, score double")
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    pos = index.positions(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    with_meta = pos.join(
+        index.scoring_doc_meta(spark, doc_filter=doc_filter), "shard")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return phrase_match_kernel(pdf, q_spec)
+
+    matches = with_meta.groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
+    dfq = matches.groupBy("query_id").agg(F.count("*").alias("df"))
+    return matches.join(F.broadcast(dfq), "query_id").select(
+        "query_id",
+        "doc_id",
+        weight_expr(
+            F.col("tf"),
+            idf_expr(F.col("df"), index.n_docs),
+            F.col("dl"),
+            F.lit(float(index.avgdl)),
+            cfg.k1,
+            cfg.b,
+        ).alias("score"),
+    )
+
+
 def phrase_topk_index(
     spark: SparkSession,
     index,
@@ -242,45 +290,19 @@ def phrase_topk_index(
     declaratively on that small relation (df = match count per query,
     since each matching doc contributes exactly one row).
     """
+    scored = phrase_scores_index(
+        spark, index, queries, cfg=cfg, doc_filter=doc_filter)
     q_spec = [
-        (int(q["query_id"]), [str(w) for w in q["phrase"]],
-         int(q.get("k", cfg.default_k)))
+        (int(q["query_id"]), int(q.get("k", cfg.default_k)))
         for q in queries
         if q.get("phrase")
     ]
-    terms = sorted({t for _, ph, _ in q_spec for t in ph})
-    empty = spark.createDataFrame([], "query_id int, rank int, doc_id long, score double")
-    if not terms:
-        return empty
-    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
-    pos = index.positions(spark).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-    )
-    with_meta = pos.join(
-        index.scoring_doc_meta(spark, doc_filter=doc_filter), "shard")
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return phrase_match_kernel(pdf, q_spec)
-
-    matches = with_meta.groupBy("shard").applyInPandas(kernel, MATCH_SCHEMA)
-    dfq = matches.groupBy("query_id").agg(F.count("*").alias("df"))
-    scored = matches.join(F.broadcast(dfq), "query_id").select(
-        "query_id",
-        "doc_id",
-        weight_expr(
-            F.col("tf"),
-            idf_expr(F.col("df"), index.n_docs),
-            F.col("dl"),
-            F.lit(float(index.avgdl)),
-            cfg.k1,
-            cfg.b,
-        ).alias("score"),
-    )
+    if not q_spec:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double")
     from snowball_java_spark.operators.bm25_join import topk
 
-    ksdf = spark.createDataFrame(
-        [(qid, k) for qid, _, k in q_spec], "query_id int, k int"
-    )
+    ksdf = spark.createDataFrame(q_spec, "query_id int, k int")
     return topk(scored, ksdf)
 
 

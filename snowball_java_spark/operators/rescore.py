@@ -34,9 +34,64 @@ from pyspark.sql import functions as F
 from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
 
-__all__ = ["rescore_topk"]
+__all__ = ["rescore_topk", "rescore_topk_index"]
 
 _MODES = ("total", "multiply")
+
+
+def _validate(queries: list[dict], window_size: int, score_mode: str,
+              cfg: EngineConfig) -> None:
+    if score_mode not in _MODES:
+        raise ValueError(f"score_mode must be one of {_MODES}, "
+                         f"got {score_mode!r}")
+    for q in queries:
+        k = int(q.get("k", cfg.default_k))
+        if k > window_size:
+            raise ValueError(
+                f"query {q.get('query_id')}: k={k} exceeds "
+                f"window_size={window_size} — ranks below the window "
+                "are not rescored (ES contract)")
+
+
+def _combine_and_rank(
+    spark: SparkSession,
+    window: DataFrame,
+    secondary: DataFrame | None,
+    rescored_ids: list[int],
+    queries: list[dict],
+    query_weight: float,
+    rescore_weight: float,
+    score_mode: str,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """window (query_id, doc_id, primary) [+ secondary (query_id,
+    doc_id, secondary)] → combined per-query top-k.  Queries outside
+    ``rescored_ids`` keep their RAW primary score."""
+    from snowball_java_spark.operators.bm25_join import topk
+
+    if secondary is not None and rescored_ids:
+        if score_mode == "total":
+            combined = (F.lit(float(query_weight)) * F.col("primary")
+                        + F.lit(float(rescore_weight))
+                        * F.coalesce("secondary", F.lit(0.0)))
+        else:  # multiply
+            combined = (F.col("primary")
+                        * F.coalesce("secondary", F.lit(1.0)))
+        window = (
+            window.join(secondary, ["query_id", "doc_id"], "left")
+            .select(
+                "query_id", "doc_id",
+                F.when(F.col("query_id").isin(*rescored_ids), combined)
+                .otherwise(F.col("primary")).alias("score"))
+        )
+    else:
+        window = window.select(
+            "query_id", "doc_id", F.col("primary").alias("score"))
+    kdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int")
+    return topk(window, kdf)
 
 
 def rescore_topk(
@@ -59,16 +114,7 @@ def rescore_topk(
     phrase (list of tokens) whose BM25 phrase score re-ranks the
     window.  Queries without ``rescore`` pass through on primary score
     alone (rank-identical to ``bm25_topk_join``)."""
-    if score_mode not in _MODES:
-        raise ValueError(f"score_mode must be one of {_MODES}, "
-                         f"got {score_mode!r}")
-    for q in queries:
-        k = int(q.get("k", cfg.default_k))
-        if k > window_size:
-            raise ValueError(
-                f"query {q.get('query_id')}: k={k} exceeds "
-                f"window_size={window_size} — ranks below the window "
-                "are not rescored (ES contract)")
+    _validate(queries, window_size, score_mode, cfg)
     from snowball_java_spark.operators.bm25_join import (
         bm25_scores_join,
         topk,
@@ -113,30 +159,66 @@ def rescore_topk(
             [(int(q["query_id"]), pid_of[tuple(q["rescore"])])
              for q in rescored],
             "query_id int, pid int"))
-        if score_mode == "total":
-            combined = (F.lit(float(query_weight)) * F.col("primary")
-                        + F.lit(float(rescore_weight))
-                        * F.coalesce("secondary", F.lit(0.0)))
-        else:  # multiply
-            combined = (F.col("primary")
-                        * F.coalesce("secondary", F.lit(1.0)))
-        # a query WITHOUT a rescore clause (pid null after the left
-        # join) keeps its RAW primary score — the weights only apply
-        # where a rescore phrase exists
-        window = (
-            window.join(qp, "query_id", "left")
-            .join(sec, ["pid", "doc_id"], "left")
-            .select(
-                "query_id", "doc_id",
-                F.when(F.col("pid").isNotNull(), combined)
-                .otherwise(F.col("primary")).alias("score"))
-        )
+        per_q_sec = (
+            window.select("query_id", "doc_id")
+            .join(qp, "query_id")
+            .join(sec, ["pid", "doc_id"])
+            .select("query_id", "doc_id", "secondary"))
     else:
-        window = window.select(
-            "query_id", "doc_id", F.col("primary").alias("score"))
+        per_q_sec = None
+    return _combine_and_rank(
+        spark, window, per_q_sec,
+        [int(q["query_id"]) for q in rescored], queries,
+        query_weight, rescore_weight, score_mode, cfg)
 
-    kdf = spark.createDataFrame(
-        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
-         for q in queries],
-        "query_id int, k int")
-    return topk(window, kdf)
+
+def rescore_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    window_size: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
+) -> DataFrame:
+    """The index-path twin of :func:`rescore_topk`: the primary window
+    comes from the MaxScore postings kernel (``wand.bm25_topk_index``
+    at k = window_size — block-max pruning intact) and the phrase
+    secondary from the positional sidecar
+    (``positions.phrase_scores_index`` — bucket/term-pruned positions
+    scan, never a corpus scan).  Same combination semantics, same
+    output shape, rank-identical to the join-path form (both gates
+    share one oracle).
+
+    Scale shape: everything is window-sized or postings-pruned — the
+    expensive leg reads only the rescore phrases' position rows, and
+    the combine joins window-sized relations."""
+    _validate(queries, window_size, score_mode, cfg)
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    wqs = [{**{k: v for k, v in q.items() if k != "rescore"},
+            "k": window_size} for q in queries]
+    window = bm25_topk_index(
+        spark, index, wqs, cfg=cfg, doc_filter=doc_filter).select(
+        "query_id", "doc_id", F.col("score").alias("primary"))
+
+    rescored = [q for q in queries if q.get("rescore")]
+    per_q_sec = None
+    if rescored:
+        from snowball_java_spark.operators.positions import (
+            phrase_scores_index,
+        )
+
+        per_q_sec = phrase_scores_index(
+            spark, index,
+            [{"query_id": int(q["query_id"]),
+              "phrase": [str(w) for w in q["rescore"]]}
+             for q in rescored],
+            cfg=cfg, doc_filter=doc_filter,
+        ).withColumnRenamed("score", "secondary")
+    return _combine_and_rank(
+        spark, window, per_q_sec,
+        [int(q["query_id"]) for q in rescored], queries,
+        query_weight, rescore_weight, score_mode, cfg)

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from snowball_java_spark.config import BM25_B, BM25_K1
 from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
 from snowball_java_spark.operators.bm25_join import bm25_topk_join
-from snowball_java_spark.operators.rescore import rescore_topk
+from snowball_java_spark.operators.rescore import (
+    rescore_topk,
+    rescore_topk_index,
+)
 
 REL = 1e-9
 
@@ -92,6 +95,35 @@ def test_no_rescore_query_passes_through(spark, docs_tok):
         [(r["doc_id"], r["rank"]) for r in want]
     for g, w in zip(got, want):
         # RAW primary — the weights must not leak onto plain queries
+        assert math.isclose(g["score"], w["score"], rel_tol=REL)
+
+
+def test_index_path_agrees_with_join_path(spark, synth_docs, docs_tok,
+                                          tmp_path):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+    )
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    d = str(tmp_path / "idx")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    idx = build_index(spark, corpus, d, cfg=cfg, n_buckets=8)
+    add_positions(
+        spark, synth_docs.select("doc_id", "content"), idx)
+    queries = [{"query_id": 0, "terms": TERMS, "k": 10,
+                "rescore": PHRASE},
+               {"query_id": 1, "terms": ["return", "class"], "k": 10}]
+    got = rescore_topk_index(
+        spark, idx, queries, window_size=30, rescore_weight=2.0,
+        cfg=cfg).collect()
+    want = rescore_topk(
+        spark, docs_tok, queries, window_size=30,
+        rescore_weight=2.0).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in got] == \
+        [(r["query_id"], r["rank"], r["doc_id"]) for r in want]
+    for g, w in zip(got, want):
         assert math.isclose(g["score"], w["score"], rel_tol=REL)
 
 
