@@ -83,6 +83,7 @@ HEADLINE = [
     "percolate_matches",
     "bm25_rescore_topk",
     "bm25_rescore_index_topk",
+    "function_score_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -2067,6 +2067,49 @@ ORDER BY query_id, rank
 """
 
 
+_FVF_FACTOR = 0.1
+
+
+def _q_function_score(spark, sf_dir):
+    """Function scoring (ES field_value_factor): BM25 × log1p(0.1·dl)
+    — document length stands in for the popularity/recency factor the
+    sf corpus lacks; applied to the FULL scores relation before the
+    top-k cut (exact, not window-approximate)."""
+    from snowball_java_spark.operators.funcscore import function_score_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens"))
+    res = function_score_topk(
+        spark, d, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        field="dl", modifier="log1p", factor=_FVF_FACTOR,
+        boost_mode="multiply", n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _function_score_sql(terms: list[str], factor: float, k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+fs AS (SELECT sc.doc_id,
+              sc.score * ln(1 + {factor}::DOUBLE * dl.dl) AS score
+       FROM sc JOIN dl ON sc.doc_id = dl.doc_id)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM fs
+) WHERE rank <= {k}
+"""
+
+
 def _q_rescore_index(spark, sf_dir):
     """Index-path rescoring: MaxScore kernel window + phrase secondary
     from the positional sidecar — rank-identical to the join-path form
@@ -3595,6 +3638,10 @@ FROM g
             _q_rescore_index,
             _rescore_sql(MIXED_TERMS, _PHRASE, HOT_TERMS,
                          _RESCORE_WINDOW, 10, _RESCORE_W),
+        ),
+        "function_score_topk": Q(
+            _q_function_score,
+            _function_score_sql(MIXED_TERMS, _FVF_FACTOR, 10),
         ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),

@@ -1,0 +1,89 @@
+"""Function scoring — combine BM25 relevance with a document-metadata
+factor (the ES ``function_score`` / ``field_value_factor`` shape).
+
+The "boost by popularity/recency/stars" pattern: relevance alone ranks
+a dead repo's perfect keyword match above the canonical implementation;
+a metadata factor folds document importance into the order.  The
+reference's analog is its confidence re-weighting of extracted tuples
+by pattern quality (``snowball/src/bin/Snowball.java:169-192`` — a
+per-item multiplier on the base match score).
+
+Semantics (ES ``field_value_factor``): ``fvf = modifier(factor ·
+field)`` with modifier ∈ {none, log1p, sqrt}; a NULL field takes
+``missing`` BEFORE the factor/modifier (ES contract); ``boost_mode``
+multiply (default) or sum combines fvf with the BM25 score.
+
+Scale shape: the factor applies to the FULL scores relation BEFORE any
+top-k cut (a post-cut modifier would re-rank the wrong window — this
+is exact, not window-approximate), the metadata column rides the same
+corpus scan that tokenized the docs (no second scan, no extra join
+when ``field`` is already on ``docs_tok``), and ranking reuses the
+two-phase salted top-k.  For the index path, compose the same factor
+through the rescore window (``rescore.rescore_topk_index``) — the
+postings kernel's block-max bounds do not know metadata, so an exact
+index-native form would forfeit pruning; the window form is the
+ES-equivalent trade, stated rather than hidden."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+
+__all__ = ["function_score_topk"]
+
+_MODIFIERS = ("none", "log1p", "sqrt")
+_BOOST_MODES = ("multiply", "sum")
+
+
+def function_score_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    field: str,
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    boost_mode: str = "multiply",
+    missing: float = 1.0,
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): BM25 combined with
+    ``modifier(factor · field)`` per ``boost_mode``, ranked under
+    (score desc, doc_id asc).  ``field`` must be a numeric column on
+    ``docs_tok``."""
+    if modifier not in _MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {_MODIFIERS}, got {modifier!r}")
+    if boost_mode not in _BOOST_MODES:
+        raise ValueError(
+            f"boost_mode must be one of {_BOOST_MODES}, got {boost_mode!r}")
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        topk,
+    )
+
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    val = F.lit(float(factor)) * F.coalesce(
+        F.col(field).cast("double"), F.lit(float(missing)))
+    if modifier == "log1p":
+        fvf = F.log1p(val)
+    elif modifier == "sqrt":
+        fvf = F.sqrt(val)
+    else:
+        fvf = val
+    meta = docs_tok.select("doc_id", F.col(field))
+    combined = (F.col("score") * fvf if boost_mode == "multiply"
+                else F.col("score") + fvf)
+    modified = (
+        scores.join(meta, "doc_id")
+        .select("query_id", "doc_id", combined.alias("score"))
+    )
+    kdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int")
+    return topk(modified, kdf)

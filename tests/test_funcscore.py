@@ -1,0 +1,103 @@
+"""Function scoring: modifier math, boost modes, missing, validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
+from snowball_java_spark.operators.funcscore import function_score_topk
+
+REL = 1e-9
+TERMS = ["def", "flush_config_19", "read_client_43"]
+
+
+@pytest.fixture(scope="module")
+def docs_dl(spark, synth_docs):
+    d = synth_docs.select(
+        "doc_id", tokens_expr("content").alias("tokens")
+    ).withColumn("dl", F.size("tokens")).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def toks(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+
+
+def _truth(toks, terms, k, modifier, factor, boost_mode):
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+
+    def w(tf, d, dl):
+        idf = math.log(1 + (n_docs - d + 0.5) / (d + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    out = {}
+    for d, ts in toks.items():
+        s = sum(w(ts.count(t), df[t], len(ts)) for t in sorted(terms)
+                if t in ts)
+        if s <= 0:
+            continue
+        v = factor * len(ts)
+        fvf = {"none": v, "log1p": math.log1p(v),
+               "sqrt": math.sqrt(v)}[modifier]
+        out[d] = s * fvf if boost_mode == "multiply" else s + fvf
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("modifier,boost_mode", [
+    ("log1p", "multiply"), ("sqrt", "sum"), ("none", "multiply")])
+def test_function_score_matches_truth(spark, docs_dl, toks,
+                                      modifier, boost_mode):
+    got = function_score_topk(
+        spark, docs_dl, [{"query_id": 0, "terms": TERMS, "k": 10}],
+        field="dl", modifier=modifier, factor=0.1,
+        boost_mode=boost_mode).collect()
+    want = _truth(toks, TERMS, 10, modifier, 0.1, boost_mode)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-6)
+
+
+def test_missing_field_value_applies(spark, docs_dl, toks):
+    # null the field for even doc_ids — they must score with the
+    # `missing` value (chosen to dominate, so its effect is visible
+    # in the top-k), not drop out
+    d = docs_dl.withColumn(
+        "dl", F.when(F.col("doc_id") % 2 == 0, None)
+        .otherwise(F.col("dl")))
+    got = function_score_topk(
+        spark, d, [{"query_id": 0, "terms": TERMS, "k": 10}],
+        field="dl", modifier="none", factor=1.0, missing=100000.0).collect()
+    assert any(r["doc_id"] % 2 == 0 for r in got)
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in TERMS}
+    for r in got:
+        ts = toks[r["doc_id"]]
+        idf = lambda t: math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        s = sum(idf(t) * ts.count(t) * (BM25_K1 + 1)
+                / (ts.count(t) + BM25_K1
+                   * (1 - BM25_B + BM25_B * len(ts) / avgdl))
+                for t in sorted(TERMS) if t in ts)
+        v = 100000.0 if r["doc_id"] % 2 == 0 else float(len(ts))
+        assert math.isclose(r["score"], s * v, rel_tol=1e-6)
+
+
+def test_function_score_validation(spark, docs_dl):
+    with pytest.raises(ValueError, match="modifier"):
+        function_score_topk(spark, docs_dl,
+                            [{"query_id": 0, "terms": ["a"]}],
+                            field="dl", modifier="ln")
+    with pytest.raises(ValueError, match="boost_mode"):
+        function_score_topk(spark, docs_dl,
+                            [{"query_id": 0, "terms": ["a"]}],
+                            field="dl", boost_mode="max")
