@@ -1,0 +1,104 @@
+"""spark-submit entry point: percolation — match documents against a
+stored-query pool (saved-search alerts).
+
+Batch (one pass over a corpus):
+
+    spark-submit --py-files dist.zip scripts/percolate_job.py \
+        --corpus /path/corpus --stored pool.jsonl --out /path/alerts
+
+Streaming (watch a directory; each new file's docs are percolated as a
+micro-batch and alert pairs land under epoch=N — replay-idempotent):
+
+    spark-submit --py-files dist.zip scripts/percolate_job.py \
+        --corpus /path/incoming --stored pool.jsonl --out /path/alerts \
+        --stream --state-dir /path/state
+
+Stored-query jsonl, one object per line (same keys as the forward
+surface):
+
+    {"query_id": 0, "terms": ["panic", "unwrap"]}                  # OR
+    {"query_id": 1, "terms": ["def", "main"], "mode": "and"}       # AND
+    {"query_id": 2, "terms": ["a", "b", "c"], "min_should_match": 2}
+    {"query_id": 3, "terms": ["api_key"], "not_terms": ["test"]}   # NOT
+    {"query_id": 4, "phrase": ["import", "os"]}                    # phrase
+    {"query_id": 5, "terms": ["eval"], "phrase": ["import", "os"]} # both
+
+Output rows: (doc_id, query_id) — in batch mode doc_id is the engine's
+assigned id and a (doc_id, repo, path, commit) mapping is written next
+to the alerts; in streaming mode doc_id is the stable xxhash64 of
+(repo, path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--stored", required=True,
+                   help="jsonl stored-query pool")
+    p.add_argument("--out", required=True)
+    p.add_argument("--stream", action="store_true",
+                   help="watch --corpus as a file-source stream")
+    p.add_argument("--state-dir", default=None,
+                   help="checkpoint dir (required with --stream)")
+    args = p.parse_args(argv)
+    if args.stream and not args.state_dir:
+        raise SystemExit("--stream requires --state-dir (the checkpoint "
+                         "keeps epoch ids stable across restarts)")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    with open(args.stored) as f:
+        pool = [json.loads(line) for line in f if line.strip()]
+    if len({str(q.get("query_id")) for q in pool}) < len(pool):
+        raise SystemExit("duplicate query_id in the stored pool — "
+                         "alerts would be unattributable")
+
+    spark = SparkSession.builder.appName("sjs-percolate").getOrCreate()
+    if args.stream:
+        from snowball_java_spark.streaming.incremental import stream_corpus
+        from snowball_java_spark.streaming.percolate_stream import (
+            start_percolate_stream,
+        )
+
+        s = stream_corpus(spark, args.corpus).select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            tokens_expr("content").alias("tokens"))
+        q = start_percolate_stream(
+            s, pool, args.state_dir, args.out)
+        q.processAllAvailable()
+        q.stop()
+        print(json.dumps({"out": args.out, "mode": "stream",
+                          "stored": len(pool)}))
+    else:
+        from snowball_java_spark.operators.percolate import percolate
+        from snowball_java_spark.sources.corpus import (
+            assign_doc_ids,
+            read_corpus,
+            with_sha256,
+        )
+
+        docs = assign_doc_ids(with_sha256(read_corpus(spark, args.corpus)))
+        docs_tok = docs.select(
+            "doc_id", tokens_expr("content").alias("tokens"))
+        pairs = percolate(spark, docs_tok, pool)
+        pairs.write.mode("overwrite").parquet(args.out)
+        (docs.select("doc_id", "repo", "path", "commit")
+         .write.mode("overwrite").parquet(args.out.rstrip("/") + "_docs"))
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"out": args.out, "mode": "batch",
+                          "alerts": n, "stored": len(pool)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

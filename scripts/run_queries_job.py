@@ -25,6 +25,11 @@ Query jsonl, one object per line:
      "search_after": [0.02241, 1126]}                               # page after a
          # [score, doc_id] cursor (verbatim from the previous page —
          # per-shard work stays top-k-sized at ANY page depth)
+    {"query_id": 14, "terms": ["def", "main"],                      # rescore:
+     "rescore": ["def", "main"], "k": 10}                           # re-rank the
+         # primary BM25 top window (--rescore-window) by a phrase
+         # secondary from the positional sidecar; combined as
+         # query-weight*primary + rescore-weight*secondary
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
     {"query_id": 10, "terms": ["def", "return"], "window": 4}      # proximity
@@ -85,6 +90,16 @@ def main(argv: list[str]) -> int:
              "doc_id, line_no, line) printed separately from ranked "
              "results")
     p.add_argument(
+        "--rescore-window", type=int, default=100,
+        help="rescore queries: primary-BM25 window size re-ranked by "
+             "the phrase secondary (k must be <= window)")
+    p.add_argument(
+        "--rescore-weight", type=float, default=1.0,
+        help="rescore queries: multiplier on the phrase secondary")
+    p.add_argument(
+        "--query-weight", type=float, default=1.0,
+        help="rescore queries: multiplier on the primary BM25 score")
+    p.add_argument(
         "--allow-full-scan", action="store_true",
         help="opt-in for substr/regex queries with no usable trigrams "
              "(short needles, literal-free regexes, no trigram sidecar): "
@@ -123,6 +138,8 @@ def main(argv: list[str]) -> int:
     def kind(q):
         if "substr" in q or "regex" in q:
             return "grep"
+        if "rescore" in q:
+            return "rescore"
         if "phrase" in q:
             return "phrase"
         if "window" in q and "terms" in q:
@@ -132,6 +149,16 @@ def main(argv: list[str]) -> int:
         return "terms"
 
     term_qs = [q for q in qs if kind(q) == "terms"]
+    rescore_qs = [q for q in qs if kind(q) == "rescore"]
+    for q in rescore_qs:
+        if not q.get("terms") or not isinstance(q["rescore"], list):
+            raise SystemExit(
+                "rescore queries need non-empty `terms` (the primary) "
+                "and a token-list `rescore` (the phrase secondary)")
+        if q.get("fuzzy") or q.get("prefixes"):
+            raise SystemExit(
+                "fuzzy/prefix expansion is not supported on rescore "
+                "queries — expand them as a plain terms query first")
     phrase_qs = [q for q in qs if kind(q) == "phrase"]
     prox_qs = [q for q in qs if kind(q) == "proximity"]
     context_qs = [q for q in qs if kind(q) == "context"]
@@ -144,7 +171,8 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             "--lines on terms queries needs --corpus: the index does "
             "not store raw content")
-    if (phrase_qs or context_qs or prox_qs) and not idx.has_positions:
+    if (phrase_qs or context_qs or prox_qs or rescore_qs) \
+            and not idx.has_positions:
         raise SystemExit(
             "phrase/context/proximity queries need the positional sidecar "
             "— run scripts/build_index_job.py with --positions first"
@@ -175,7 +203,7 @@ def main(argv: list[str]) -> int:
         return df.withColumn(
             "query_id", m[F.col("query_id")].cast(typ))
 
-    filtered_kinds = term_qs + phrase_qs + prox_qs + context_qs
+    filtered_kinds = term_qs + phrase_qs + prox_qs + context_qs + rescore_qs
     doc_cols = set(idx.docs(spark).columns)
     bad = {c for q in filtered_kinds for c in (q.get("filters") or {})} \
         - doc_cols
@@ -259,6 +287,15 @@ def main(argv: list[str]) -> int:
     for flt, grp in by_filter(phrase_qs):
         parts.append(
             phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+    if rescore_qs:
+        from snowball_java_spark.operators.rescore import rescore_topk_index
+
+        for flt, grp in by_filter(rescore_qs):
+            parts.append(rescore_topk_index(
+                spark, idx, grp, window_size=args.rescore_window,
+                query_weight=args.query_weight,
+                rescore_weight=args.rescore_weight,
+                cfg=idx.cfg, doc_filter=flt))
     if prox_qs:
         from snowball_java_spark.operators.positions import (
             proximity_topk_index,
