@@ -1,0 +1,129 @@
+"""spark-submit entry point: index-native aggregations over query
+match sets — the analytics sidebar without a corpus scan.
+
+    spark-submit --py-files dist.zip scripts/aggs_job.py \
+        --index-dir /path/index --queries q.jsonl \
+        [--facets repo,lang] [--counts] [--histogram dl:32] \
+        [--sig-terms 10] [--sort-by dl[:asc]] [--out /path/out]
+
+Query jsonl: terms queries ({query_id, terms, mode?, not_terms?,
+min_should_match?}).  Every requested aggregation runs over each
+query's match set, which comes from postings decode
+(``wand.matching_docs_index``) — facet values, histogram buckets, and
+sort keys read only stored doc METADATA; significant-terms foreground
+counts read only (doc_id, tf_map).  Output: one jsonl line per result
+row tagged with its aggregation kind (or parquet dirs ``<out>_<kind>``
+with --out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--queries", required=True)
+    p.add_argument("--facets", default=None,
+                   help="comma-separated metadata columns for top-value "
+                        "counts per query")
+    p.add_argument("--n-facets", type=int, default=10)
+    p.add_argument("--counts", action="store_true",
+                   help="total match count per query (ES total_hits)")
+    p.add_argument("--histogram", default=None, metavar="COL:WIDTH",
+                   help="fixed-width histogram of an integral metadata "
+                        "column over each match set (gap-free)")
+    p.add_argument("--sig-terms", type=int, default=None, metavar="N",
+                   help="top-N significant terms (JLH) per query")
+    p.add_argument("--min-fg", type=int, default=2,
+                   help="significant terms: minimum foreground count")
+    p.add_argument("--sort-by", default=None, metavar="COL[:asc]",
+                   help="field-sorted top-k of each match set")
+    p.add_argument("--out", default=None,
+                   help="parquet output prefix (default: jsonl stdout)")
+    args = p.parse_args(argv)
+    if not any([args.facets, args.counts, args.histogram,
+                args.sig_terms, args.sort_by]):
+        raise SystemExit("nothing to do — pass at least one of "
+                         "--facets/--counts/--histogram/--sig-terms/"
+                         "--sort-by")
+
+    from pyspark.sql import SparkSession
+
+    from snowball_java_spark.plans.build_index import IndexReader
+
+    with open(args.queries) as f:
+        qs = [json.loads(line) for line in f if line.strip()]
+    orig_ids = {}
+    for i, q in enumerate(qs):
+        orig_ids[i] = q.get("query_id", i)
+        q["query_id"] = i
+        if not q.get("terms"):
+            raise SystemExit("aggregations run over terms queries — "
+                             f"line {i} has no terms")
+    if len({str(v) for v in orig_ids.values()}) < len(orig_ids):
+        raise SystemExit("duplicate query_id in the jsonl")
+
+    spark = SparkSession.builder.appName("sjs-aggs").getOrCreate()
+    idx = IndexReader(args.index_dir)
+
+    def emit(kind, df):
+        if args.out:
+            df.write.mode("overwrite").parquet(
+                args.out.rstrip("/") + "_" + kind)
+            print(json.dumps({"kind": kind,
+                              "out": args.out.rstrip("/") + "_" + kind}))
+        else:
+            for r in df.collect():
+                d = r.asDict()
+                d["query_id"] = orig_ids.get(d.get("query_id"),
+                                             d.get("query_id"))
+                print(json.dumps({"kind": kind, **d}))
+
+    if args.counts:
+        from snowball_java_spark.operators.facets import match_counts_index
+
+        emit("counts", match_counts_index(spark, idx, qs, cfg=idx.cfg))
+    if args.facets:
+        from snowball_java_spark.operators.facets import facet_counts_index
+
+        cols = [c.strip() for c in args.facets.split(",") if c.strip()]
+        emit("facets", facet_counts_index(
+            spark, idx, qs, facet_cols=cols, n_facets=args.n_facets,
+            cfg=idx.cfg))
+    if args.histogram:
+        from snowball_java_spark.operators.aggs import (
+            histogram_matches_index,
+        )
+
+        col, _, width = args.histogram.partition(":")
+        if not width:
+            raise SystemExit("--histogram wants COL:WIDTH, e.g. dl:32")
+        emit("histogram", histogram_matches_index(
+            spark, idx, qs, value_col=col, width=int(width), cfg=idx.cfg))
+    if args.sig_terms is not None:
+        from snowball_java_spark.operators.aggs import (
+            significant_terms_index,
+        )
+
+        emit("sig_terms", significant_terms_index(
+            spark, idx, qs, top_n=args.sig_terms, min_fg=args.min_fg,
+            cfg=idx.cfg))
+    if args.sort_by:
+        from snowball_java_spark.operators.facets import (
+            sorted_matches_index,
+        )
+
+        col, _, direction = args.sort_by.partition(":")
+        emit("sorted", sorted_matches_index(
+            spark, idx, qs, sort_col=col,
+            ascending=direction == "asc", cfg=idx.cfg))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
