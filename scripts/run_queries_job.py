@@ -295,7 +295,7 @@ def main(argv: list[str]) -> int:
                 spark, idx, grp, window_size=args.rescore_window,
                 query_weight=args.query_weight,
                 rescore_weight=args.rescore_weight,
-                cfg=idx.cfg, doc_filter=flt))
+                cfg=idx.cfg, doc_filter=flt, synonyms=syn))
     if prox_qs:
         from snowball_java_spark.operators.positions import (
             proximity_topk_index,

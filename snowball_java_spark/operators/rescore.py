@@ -105,6 +105,7 @@ def rescore_topk(
     cfg: EngineConfig = DEFAULT,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): each query's top-k after phrase
     rescoring of its primary-BM25 top-``window_size`` window.
@@ -125,7 +126,8 @@ def rescore_topk(
         st = corpus_stats(docs_tok).collect()[0]
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
     scores, _ = bm25_scores_join(
-        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl,
+        synonyms=synonyms)
     wdf = spark.createDataFrame(
         [(int(q["query_id"]), window_size) for q in queries],
         "query_id int, k int")
@@ -182,6 +184,7 @@ def rescore_topk_index(
     score_mode: str = "total",
     cfg: EngineConfig = DEFAULT,
     doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """The index-path twin of :func:`rescore_topk`: the primary window
     comes from the MaxScore postings kernel (``wand.bm25_topk_index``
@@ -201,7 +204,8 @@ def rescore_topk_index(
     wqs = [{**{k: v for k, v in q.items() if k != "rescore"},
             "k": window_size} for q in queries]
     window = bm25_topk_index(
-        spark, index, wqs, cfg=cfg, doc_filter=doc_filter).select(
+        spark, index, wqs, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms).select(
         "query_id", "doc_id", F.col("score").alias("primary"))
 
     rescored = [q for q in queries if q.get("rescore")]
