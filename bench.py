@@ -348,20 +348,29 @@ def phase_query_scaling() -> dict:
         F.desc("df"), F.asc("term"))
     vocab = [r["term"] for r in ts.limit(2000).collect()]
     spark.stop()
-    hot, mid, rare = vocab[:8], vocab[200:264], vocab[1800:2000]
+    if len(vocab) < 2000:
+        # tiny smoke corpora have small vocabularies — scale the df
+        # bands proportionally instead of crashing on short slices
+        n = len(vocab)
+        hot = vocab[:max(8, n // 250) or 1]
+        mid = vocab[n // 10:n // 10 + max(64, n // 30)] or hot
+        rare = vocab[-max(200, n // 10):]
+    else:
+        hot, mid, rare = vocab[:8], vocab[200:264], vocab[1800:2000]
     queries: list[dict] = []
     for i in range(256):
+        nh, nm, nr = len(hot), len(mid), len(rare)
         if i % 4 == 0:
-            q = {"terms": [hot[i % 8], mid[i % 64]]}
+            q = {"terms": [hot[i % nh], mid[i % nm]]}
         elif i % 4 == 1:
-            q = {"terms": [mid[i % 64], rare[i % 200]]}
+            q = {"terms": [mid[i % nm], rare[i % nr]]}
         elif i % 4 == 2:
-            q = {"terms": [hot[(i + 3) % 8], mid[(i * 7) % 64],
-                           rare[(i * 3) % 200]], "min_should_match": 2}
+            q = {"terms": [hot[(i + 3) % nh], mid[(i * 7) % nm],
+                           rare[(i * 3) % nr]], "min_should_match": 2}
         else:
-            q = {"terms": [hot[i % 8], mid[(i * 5) % 64]], "mode": "and"}
+            q = {"terms": [hot[i % nh], mid[(i * 5) % nm]], "mode": "and"}
         queries.append({"query_id": i, "k": 10, **q})
-    rare_q = [{"query_id": 0, "k": 10, "terms": [rare[100]]}]
+    rare_q = [{"query_id": 0, "k": 10, "terms": [rare[len(rare) // 2]]}]
     batch_terms = sorted({t for q in queries for t in q["terms"]})
     walls: dict[str, list[float]] = {}
     floors: dict[str, float] = {}

@@ -70,9 +70,25 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("sjs-aggs").getOrCreate()
     idx = IndexReader(args.index_dir)
 
+    from pyspark.sql import functions as F
+
+    def remap_ids(df):
+        # parquet output must carry the CALLER's query ids, not the
+        # dense internal renumbering (same contract as run_queries_job)
+        if all(orig_ids[i] == i for i in orig_ids):
+            return df
+        if all(isinstance(v, int) and not isinstance(v, bool)
+               for v in orig_ids.values()):
+            typ, items = "long", orig_ids
+        else:
+            typ, items = "string", {k: str(v) for k, v in orig_ids.items()}
+        m = F.create_map(
+            *[F.lit(x) for k, v in items.items() for x in (k, v)])
+        return df.withColumn("query_id", m[F.col("query_id")].cast(typ))
+
     def emit(kind, df):
         if args.out:
-            df.write.mode("overwrite").parquet(
+            remap_ids(df).write.mode("overwrite").parquet(
                 args.out.rstrip("/") + "_" + kind)
             print(json.dumps({"kind": kind,
                               "out": args.out.rstrip("/") + "_" + kind}))

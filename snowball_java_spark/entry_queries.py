@@ -3918,6 +3918,12 @@ _DRIVER_PRIORITY = [
     # term_df (upsert_term_df re-proves the df aggregate) and
     # bm25_topk_hot (the join path holds SIX other driver rows this
     # round: synonym/fuzzy/boost/msm/collapse/upsert).
+    #
+    # Queued for the ROUND-5 rotation (registered + local-oracle-green
+    # this round but past the cap — the 38 r3 gates own the scarce
+    # slots per VERDICT r3 item 1): significant_terms,
+    # facet_histogram_dl, top_hits_by_source, percolate_matches,
+    # bm25_rescore_topk, bm25_rescore_index_topk, function_score_topk.
     "bm25_index_topk", "sha256_docs",
 ]
 

@@ -227,8 +227,12 @@ def top_hits_by_facet(
         spark, docs_tok, queries, cfg=cfg or DEFAULT,
         candidate_predicate=candidate_predicate, n_docs=n_docs,
         avgdl=avgdl)
+    # ES terms-agg contract: docs with a NULL facet value are skipped —
+    # a null bucket would win a n_facets slot yet emit no hit rows
+    # (null never equi-joins), silently displacing a real bucket
     vals = docs_tok.select(
-        "doc_id", F.col(facet_col).cast("string").alias("value"))
+        "doc_id", F.col(facet_col).cast("string").alias("value")
+    ).filter(F.col("value").isNotNull())
     sv = scores.join(vals, "doc_id")
     buckets = (
         sv.groupBy("query_id", "value")

@@ -75,6 +75,19 @@ def function_score_topk(
         fvf = F.sqrt(val)
     else:
         fvf = val
+    # ES contract: the factor must produce a valid non-negative value —
+    # sqrt of a negative field yields NaN (which Spark orders ABOVE
+    # every real score, silently topping the ranking) and log1p below
+    # -1 yields NULL; fail the job loudly instead (field_value_factor
+    # raises the same way)
+    bad = fvf.isNull() | F.isnan(fvf) | (fvf < 0)
+    fvf = F.when(
+        bad,
+        F.raise_error(F.concat(
+            F.lit(f"field_value_factor: {modifier}({factor}·{field}) "
+                  "produced a negative/NaN factor for doc_id "),
+            F.col("doc_id").cast("string"))).cast("double"),
+    ).otherwise(fvf)
     meta = docs_tok.select("doc_id", F.col(field))
     combined = (F.col("score") * fvf if boost_mode == "multiply"
                 else F.col("score") + fvf)

@@ -7,9 +7,10 @@ position work.  Rescoring runs the cheap pass over the whole corpus,
 keeps the top ``window_size`` docs per query, and re-scores ONLY that
 window with the expensive query — combined as
 ``query_weight·primary + rescore_weight·secondary`` (``score_mode
-"total"``, the ES default) or ``primary·secondary`` (``"multiply"``);
-a window doc the rescore query does not match keeps its primary score
-(identity element per mode).  Only window docs are re-ordered — the
+"total"``, the ES default) or ``(query_weight·primary) ·
+(rescore_weight·secondary)`` (``"multiply"``); a window doc the
+rescore query does not match keeps ``query_weight·primary`` (identity
+on the secondary leg).  Only window docs are re-ordered — the
 ES contract — so ``k`` must be ≤ ``window_size``.
 
 Reference lineage: Snowball re-scores its candidate tuples with the
@@ -70,13 +71,18 @@ def _combine_and_rank(
     from snowball_java_spark.operators.bm25_join import topk
 
     if secondary is not None and rescored_ids:
+        qw = F.lit(float(query_weight)) * F.col("primary")
         if score_mode == "total":
-            combined = (F.lit(float(query_weight)) * F.col("primary")
-                        + F.lit(float(rescore_weight))
+            combined = (qw + F.lit(float(rescore_weight))
                         * F.coalesce("secondary", F.lit(0.0)))
-        else:  # multiply
-            combined = (F.col("primary")
-                        * F.coalesce("secondary", F.lit(1.0)))
+        else:
+            # multiply applies BOTH weights too (ES semantics:
+            # (qw·primary)·(rw·secondary)); a window doc the rescore
+            # query missed keeps qw·primary (identity on the
+            # secondary leg only)
+            combined = qw * F.coalesce(
+                F.lit(float(rescore_weight)) * F.col("secondary"),
+                F.lit(1.0))
         window = (
             window.join(secondary, ["query_id", "doc_id"], "left")
             .select(

@@ -137,39 +137,37 @@ class IndexReader:
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
 
-    def docs(self, spark: SparkSession, include_dead: bool = False) -> DataFrame:
-        # tf_map stays on disk unless explicitly selected (parquet column
-        # pruning — metadata readers never pay for it); refresh generations
-        # live in sibling docs_gen{g}/ dirs and union in; tombstoned docs
-        # are filtered unless explicitly requested
+    def _live_docs_union(self, spark: SparkSession,
+                         include_dead: bool = False) -> DataFrame:
+        """Base docs + refresh generations (sibling docs_gen{g}/ dirs),
+        tombstoned docs filtered unless requested — the ONE place that
+        knows the generation layout; every docs-table reader projects
+        from this."""
         import glob as _glob
 
         paths = [os.path.join(self.index_dir, "docs")] + sorted(
             _glob.glob(os.path.join(self.index_dir, "docs_gen*"))
         )
-        out = _read_docs(spark, paths).drop("tf_map", "stage")
+        out = _read_docs(spark, paths)
         if not include_dead and self.has_tombstones:
             out = out.join(self.tombstones(spark), "doc_id", "left_anti")
         return out
+
+    def docs(self, spark: SparkSession, include_dead: bool = False) -> DataFrame:
+        # tf_map stays on disk unless explicitly selected (parquet column
+        # pruning — metadata readers never pay for it)
+        return self._live_docs_union(
+            spark, include_dead=include_dead).drop("tf_map", "stage")
 
     def doc_terms(self, spark: SparkSession) -> DataFrame:
         """(doc_id, terms array<string>): each LIVE doc's distinct term
         set — the ``tf_map`` keys, the doc-values-style per-doc term
         access that foreground statistics (significant-terms
-        aggregation) need.  Same generation union + tombstone filter as
-        :meth:`docs`; only (doc_id, tf_map) is read (column pruning), and
-        the map is projected to its keys before anything downstream
-        touches it."""
-        import glob as _glob
-
-        paths = [os.path.join(self.index_dir, "docs")] + sorted(
-            _glob.glob(os.path.join(self.index_dir, "docs_gen*"))
-        )
-        out = _read_docs(spark, paths).select(
+        aggregation) need.  Only (doc_id, tf_map) is read (column
+        pruning); the map is projected to its keys before anything
+        downstream touches it."""
+        return self._live_docs_union(spark).select(
             "doc_id", F.map_keys("tf_map").alias("terms"))
-        if self.has_tombstones:
-            out = out.join(self.tombstones(spark), "doc_id", "left_anti")
-        return out
 
     def describe(self, spark: SparkSession) -> dict:
         """Operational summary of the index (the DESCRIBE surface):

@@ -38,17 +38,19 @@ def percolate_batch(
     stored_queries: list[dict],
     out_dir: str,
     id_col: str = "doc_id",
-) -> int:
+) -> str:
     """One micro-batch → alert pairs under ``<out_dir>/epoch=N/``.
 
-    ``batch`` needs (``id_col``, tokens).  Returns the number of alert
-    rows written.  Idempotent per epoch: the write overwrites only this
+    ``batch`` needs (``id_col``, tokens).  Returns the epoch output
+    path (no read-back: a per-batch count would re-read the whole
+    epoch on the stream's hot path — callers that want counts read the
+    path).  Idempotent per epoch: the write overwrites only this
     epoch's partition."""
     docs_tok = batch.select(F.col(id_col).alias("doc_id"), "tokens")
     pairs = percolate(batch.sparkSession, docs_tok, stored_queries)
     out = os.path.join(out_dir, f"epoch={int(epoch_id)}")
     pairs.write.mode("overwrite").parquet(out)
-    return batch.sparkSession.read.parquet(out).count()
+    return out
 
 
 def start_percolate_stream(

@@ -113,6 +113,32 @@ def test_histogram_rejects_bad_width(spark, index):
             value_col="dl", width=0, cfg=CFG)
 
 
+def test_top_hits_skips_null_facet_values(spark, synth_docs):
+    # ES terms-agg semantics: a NULL facet value is not a bucket — it
+    # must neither win a n_facets slot nor emit rows
+    docs_tok = synth_docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.col("repo")).alias("source"),
+        tokens_expr("content").alias("tokens"))
+    got = top_hits_by_facet(
+        spark, docs_tok, [{"query_id": 0, "terms": ["def"]}],
+        facet_col="source", n_hits=2, n_facets=10).collect()
+    assert got
+    assert all(r["value"] is not None for r in got)
+    # bucket sizes must count only non-null-facet matching docs
+    rows = synth_docs.select("doc_id", "repo").collect()
+    repo_of = {r["doc_id"]: r["repo"] for r in rows}
+    from snowball_java_spark.functions.tokenize import tokenize_py
+
+    texts = synth_docs.select("doc_id", "content").collect()
+    match = {r["doc_id"] for r in texts if "def" in tokenize_py(r["content"])}
+    for r in got:
+        want = sum(1 for d in match
+                   if d % 3 != 0 and repo_of[d] == r["value"])
+        assert r["bucket_n_docs"] == want
+
+
 def test_top_hits_matches_single_window(spark, synth_docs):
     docs_tok = synth_docs.select(
         "doc_id", F.col("repo").alias("source"),

@@ -92,6 +92,17 @@ def test_missing_field_value_applies(spark, docs_dl, toks):
         assert math.isclose(r["score"], s * v, rel_tol=1e-6)
 
 
+def test_negative_factor_fails_loudly(spark, docs_dl):
+    # sqrt of a negative field is NaN, which Spark ranks ABOVE every
+    # real score — the ES contract is to fail the query instead
+    d = docs_dl.withColumn(
+        "dl", F.when(F.col("doc_id") % 2 == 0, -1).otherwise(F.col("dl")))
+    with pytest.raises(Exception, match="field_value_factor|negative"):
+        function_score_topk(
+            spark, d, [{"query_id": 0, "terms": TERMS, "k": 10}],
+            field="dl", modifier="sqrt").collect()
+
+
 def test_function_score_validation(spark, docs_dl):
     with pytest.raises(ValueError, match="modifier"):
         function_score_topk(spark, docs_dl,

@@ -60,7 +60,8 @@ def _truth(toks, terms, phrase, window, k, qw, rw, mode):
         if mode == "total":
             out[d] = qw * prim[d] + rw * (sec or 0.0)
         else:
-            out[d] = prim[d] * (sec if sec is not None else 1.0)
+            out[d] = (qw * prim[d]) * (rw * sec if sec is not None
+                                       else 1.0)
     return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
