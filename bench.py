@@ -84,6 +84,7 @@ HEADLINE = [
     "bm25_rescore_topk",
     "bm25_rescore_index_topk",
     "function_score_topk",
+    "bm25_ordered_span_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -35,6 +35,11 @@ Query jsonl, one object per line:
     {"query_id": 10, "terms": ["def", "return"], "window": 4}      # proximity
          # (all terms within 4 tokens, unordered; query-string form:
          #  {"q": "\\"def return\\"~4"})
+    {"query_id": 15, "terms": ["def", "return"], "window": 6,       # ordered
+     "ordered": true}                                                # span
+         # (terms in THIS order, last - first <= window — Lucene
+         #  SpanNear inOrder; duplicate terms in the sequence are
+         #  meaningful)
          # (phrase + context need the positions/ sidecar; substr + regex
          #  need the trigram/ sidecar AND --corpus for the exact-verify
          #  pass — their hits carry rank by doc_id and a NULL score)

@@ -610,6 +610,61 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_SPAN_WINDOW = 3
+
+
+def _q_ordered_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered span search (Lucene SpanNear inOrder): first term before
+    second, last−first ≤ window — the positional kernel's greedy-chain
+    branch."""
+    from snowball_java_spark.operators.positions import proximity_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": [HOT_TERMS[0], HOT_TERMS[1]],
+          "window": _SPAN_WINDOW, "k": 10, "ordered": True}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _ordered_span_sql(t1: str, t2: str, window: int, k: int) -> str:
+    w = (
+        f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tfx.tf "
+        f"* {_K1 + 1.0} / (tfx.tf + {_K1} * (1 - {_B} + {_B} * dl.dl "
+        f"/ st.avgdl))"
+    )
+    return f"""
+WITH {BASE_CTES},
+occ AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks)+1)) AS p FROM toks),
+m AS (SELECT DISTINCT a.doc_id FROM occ a JOIN occ b USING (doc_id)
+      WHERE a.term = '{t1}' AND b.term = '{t2}'
+        AND b.p > a.p AND b.p - a.p <= {window}),
+scores AS (
+  SELECT tfx.doc_id, sum({w}) AS score
+  FROM tfx JOIN m USING (doc_id)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  WHERE tfx.term IN ('{t1}', '{t2}')
+  GROUP BY 1)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 _LEAD_N = 8
 _W_LEAD, _W_BODY = 3.0, 1.0
 
@@ -3477,6 +3532,11 @@ def build_registry() -> dict[str, Q]:
             _q_bm25_proximity,
             _bm25_proximity_sql(HOT_TERMS[0], HOT_TERMS[1],
                                 _PROX_WINDOW, 10),
+        ),
+        "bm25_ordered_span_topk": Q(
+            _q_ordered_span,
+            _ordered_span_sql(HOT_TERMS[0], HOT_TERMS[1],
+                              _SPAN_WINDOW, 10),
         ),
         "facet_counts": Q(
             _q_facet_counts,

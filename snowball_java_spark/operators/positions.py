@@ -308,13 +308,17 @@ def phrase_topk_index(
 
 def proximity_match_kernel(
     pdf: pd.DataFrame,
-    q_spec: list[tuple[int, list[str], int, int]],
+    q_spec: list[tuple[int, list[str], int, int, bool]],
     avgdl: float,
     cfg: EngineConfig,
 ) -> pd.DataFrame:
     """One shard's positional rows (joined with idf + dl sidecar) →
     (query_id, doc_id, score) for docs where ALL query terms co-occur
-    within a ``window``-token span (max pos − min pos ≤ window).
+    within a ``window``-token span (max pos − min pos ≤ window) —
+    unordered, or IN the query's term order when the spec's ``ordered``
+    flag is set (Lucene SpanNear inOrder: strictly increasing
+    positions, last − first ≤ window; duplicate terms in the sequence
+    are meaningful).
 
     Anchored-occurrence check, fully vectorized: every occurrence of any
     query term is a candidate window START; term t fits iff its next
@@ -322,9 +326,13 @@ def proximity_match_kernel(
     the same doc.  Keys are local_doc·2^32 + pos (positions fit 32 bits),
     so "same doc and within w" collapses to ``next_key − anchor ≤ w``.
     A qualifying window's minimum-position occurrence anchors it, so
-    existence detection is exact.  Matching docs score as a plain BM25
-    disjunction (global idf/avgdl) — proximity is the FILTER, relevance
-    stays corpus-calibrated.
+    existence detection is exact.  The ordered variant anchors on the
+    FIRST term's occurrences and chains greedily (earliest strictly-
+    later occurrence of each next term); the greedy chain ends no later
+    than any valid chain from the same anchor, so existence is exact
+    there too.  Matching docs score as a plain BM25 disjunction (global
+    idf/avgdl) — proximity is the FILTER, relevance stays
+    corpus-calibrated.
     """
     from snowball_java_spark.functions.bm25 import weight_np
     from snowball_java_spark.operators.postings import decode_dead_bytes
@@ -335,28 +343,46 @@ def proximity_match_kernel(
             if "dead_bytes" in pdf.columns else None)
     by_term = {row["term"]: row for _, row in pdf.iterrows()}
     out_q, out_d, out_s = [], [], []
-    for qid, terms, window, _k in q_spec:
+    for qid, terms, window, _k, ordered in q_spec:
         if any(t not in by_term for t in terms):
             continue
-        decoded = {t: _decode_row(by_term[t]) for t in terms}
+        decoded = {t: _decode_row(by_term[t]) for t in set(terms)}
         keys = {}
-        for t in terms:
+        for t in set(terms):
             docs, tfs, pos = decoded[t]
             doc_rep = np.repeat(docs.astype(np.int64) - np.int64(first_doc),
                                 tfs)
             keys[t] = doc_rep * _DOC_SHIFT + pos
-        anchors = np.unique(np.concatenate([keys[t] for t in terms]))
-        all_ok = np.ones(anchors.size, dtype=bool)
         w64 = np.int64(window)
-        for t in terms:
-            kt = keys[t]
-            idx = np.searchsorted(kt, anchors, side="left")
-            ok = idx < kt.size
-            nxt = kt[np.minimum(idx, kt.size - 1)]
-            # same doc is implied: a next-doc key differs by ≥ 2^32 > w
-            all_ok &= ok & (nxt - anchors <= w64)
-            if not all_ok.any():
-                break
+        if ordered:
+            # greedy chain through the query's term SEQUENCE: from each
+            # occurrence of terms[0], take the earliest strictly-later
+            # occurrence of each subsequent term
+            anchors = keys[terms[0]]
+            cur = anchors
+            all_ok = np.ones(anchors.size, dtype=bool)
+            for t in terms[1:]:
+                kt = keys[t]
+                idx = np.searchsorted(kt, cur, side="right")
+                ok = idx < kt.size
+                cur = kt[np.minimum(idx, kt.size - 1)]
+                all_ok &= ok
+                if not all_ok.any():
+                    break
+            all_ok &= (cur - anchors <= w64)
+        else:
+            anchors = np.unique(
+                np.concatenate([keys[t] for t in set(terms)]))
+            all_ok = np.ones(anchors.size, dtype=bool)
+            for t in set(terms):
+                kt = keys[t]
+                idx = np.searchsorted(kt, anchors, side="left")
+                ok = idx < kt.size
+                nxt = kt[np.minimum(idx, kt.size - 1)]
+                # same doc implied: a next-doc key differs by ≥ 2^32 > w
+                all_ok &= ok & (nxt - anchors <= w64)
+                if not all_ok.any():
+                    break
         if not all_ok.any():
             continue
         local_docs = np.unique(anchors[all_ok] >> np.int64(32))
@@ -392,20 +418,25 @@ def proximity_topk_index(
     doc_filter=None,
 ) -> DataFrame:
     """Proximity top-k over the positional sidecar: docs where ALL of a
-    query's ``terms`` co-occur within ``window`` tokens (unordered),
-    BM25-scored with global stats.  Query dicts: {query_id, terms,
-    window, k}.
+    query's ``terms`` co-occur within ``window`` tokens — unordered by
+    default, or in the given term ORDER with ``"ordered": true``
+    (Lucene SpanNear inOrder; duplicate terms in the sequence are
+    meaningful there).  Query dicts: {query_id, terms, window, k
+    [, ordered]}.
 
     Scan shape mirrors the phrase path: bucket + term pruning on the
     positions scan, broadcast idf join, per-shard kernel, top-k-rows
     shuffle only."""
     q_spec = [
-        (int(q["query_id"]), sorted(set(q["terms"])),
-         int(q.get("window", 8)), int(q.get("k", cfg.default_k)))
+        (int(q["query_id"]),
+         ([str(t) for t in q["terms"]] if q.get("ordered")
+          else sorted(set(q["terms"]))),
+         int(q.get("window", 8)), int(q.get("k", cfg.default_k)),
+         bool(q.get("ordered", False)))
         for q in queries
         if q.get("terms")
     ]
-    terms = sorted({t for _, ts, _, _ in q_spec for t in ts})
+    terms = sorted({t for _, ts, _, _, _ in q_spec for t in ts})
     empty = spark.createDataFrame(
         [], "query_id int, rank int, doc_id long, score double")
     if not terms:
@@ -429,6 +460,6 @@ def proximity_topk_index(
     from snowball_java_spark.operators.bm25_join import topk
 
     ksdf = spark.createDataFrame(
-        [(qid, k) for qid, _, _, k in q_spec], "query_id int, k int"
+        [(qid, k) for qid, _, _, k, _ in q_spec], "query_id int, k int"
     )
     return topk(scored, ksdf)

@@ -188,6 +188,91 @@ def test_proximity_rank_identical_to_oracle(spark, pos_index):
             assert s == pytest.approx(es, rel=REL_TOL)
 
 
+def _ordered_oracle(oracle, seq, window, k):
+    """Docs with an occurrence chain of ``seq`` IN ORDER (strictly
+    increasing positions), last − first ≤ window; BM25 OR-scored."""
+    match = []
+    for d, toks in oracle.toks.items():
+        pos = {t: [i for i, x in enumerate(toks) if x == t]
+               for t in set(seq)}
+        if any(not pos[t] for t in set(seq)):
+            continue
+        ok = False
+        for a in pos[seq[0]]:
+            cur = a
+            alive = True
+            for t in seq[1:]:
+                nxt = [p for p in pos[t] if p > cur]
+                if not nxt:
+                    alive = False
+                    break
+                cur = nxt[0]
+            if alive and cur - a <= window:
+                ok = True
+                break
+        if ok:
+            match.append(d)
+    scored = [(d, oracle.score(sorted(set(seq)), d)) for d in match]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_ordered_span_rank_identical_to_oracle(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    qs = [
+        {"query_id": 0, "terms": ["def", "return"], "window": 6, "k": 10,
+         "ordered": True},
+        {"query_id": 1, "terms": ["return", "def"], "window": 6, "k": 10,
+         "ordered": True},  # reversal — different match set
+        {"query_id": 2, "terms": ["def", "public", "return"], "window": 16,
+         "k": 10, "ordered": True},
+        {"query_id": 3, "terms": ["def", "return", "def"], "window": 30,
+         "k": 10, "ordered": True},  # duplicate term is MEANINGFUL
+        {"query_id": 4, "terms": ["def", "zzz_absent"], "window": 5, "k": 5,
+         "ordered": True},
+    ]
+    got = proximity_topk_index(spark, idx, qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    assert by_q.get(0), "nothing matched — fixture broken"
+    for q in qs:
+        expect = _ordered_oracle(oracle, q["terms"], q["window"], q["k"])
+        mine = sorted(by_q.get(q["query_id"], []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], \
+            f"q{q['query_id']}"
+        for (_, _, s), (_, es) in zip(mine, expect):
+            assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_ordered_span_is_subset_of_unordered(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    n = oracle.n
+    terms = ["def", "return"]
+    rows = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": terms, "window": 4, "k": n,
+          "ordered": True},
+         {"query_id": 1, "terms": list(reversed(terms)), "window": 4,
+          "k": n, "ordered": True},
+         {"query_id": 2, "terms": terms, "window": 4, "k": n}]).collect()
+    sets: dict[int, set] = {}
+    for r in rows:
+        sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # each direction ⊆ unordered; their union covers it exactly —
+    # an unordered 2-term window holds in SOME direction
+    assert sets.get(0, set()) <= sets[2]
+    assert sets.get(1, set()) <= sets[2]
+    assert sets.get(0, set()) | sets.get(1, set()) == sets[2]
+    # order must actually discriminate on a code corpus
+    assert sets.get(0) != sets.get(1)
+
+
 def test_proximity_tightens_with_window(spark, pos_index):
     """Match set must be monotone in the window size, and a window as
     wide as the longest doc equals plain conjunctive matching."""
