@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (105/105 as of round 4 — including real BMP/PNG/WAV
+                  (107/107 as of round 4 — including real BMP/PNG/WAV
                   codec decodes, the composed cleaning pipeline,
                   connected components via a recursive CTE, the
                   living-corpus lifecycle on BOTH indexes: text
@@ -17,7 +17,8 @@
                   per-lang tokenization, pinned IVF recall, and the
                   aggregation layer: significant terms (JLH), gap-free
                   histograms, per-bucket top hits, percolation,
-                  rescoring on both paths, function scoring).
+                  rescoring on both paths, function scoring, ordered
+                  span search, per-doc term vectors).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.

@@ -610,6 +610,30 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_TV_DOCS = [3, 17, 41]
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term vectors with corpus df (the ES _termvectors API) —
+    read from the index's stored tf_map + term_stats, doc-scoped scan."""
+    idx = _index_for(spark, sf_dir)
+    return (
+        idx.term_vectors(spark, doc_ids=_TV_DOCS)
+        .orderBy("doc_id", "term")
+    )
+
+
+def _term_vectors_sql(doc_ids: list[int]) -> str:
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+WITH {BASE_CTES}
+SELECT tfx.doc_id, tfx.term, tfx.tf, dfx.df
+FROM tfx JOIN dfx USING (term)
+WHERE tfx.doc_id IN ({ids})
+ORDER BY doc_id, term
+"""
+
+
 _SPAN_WINDOW = 3
 
 
@@ -3538,6 +3562,7 @@ def build_registry() -> dict[str, Q]:
             _ordered_span_sql(HOT_TERMS[0], HOT_TERMS[1],
                               _SPAN_WINDOW, 10),
         ),
+        "term_vectors": Q(_q_term_vectors, _term_vectors_sql(_TV_DOCS)),
         "facet_counts": Q(
             _q_facet_counts,
             _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),

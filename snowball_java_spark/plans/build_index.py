@@ -85,6 +85,18 @@ def _write_manifest(index_dir: str, step: str, payload: dict) -> None:
     os.replace(tmp, _manifest_path(index_dir, step))  # atomic commit
 
 
+def _write_conf(index_dir: str, conf: dict) -> None:
+    """Atomic `_conf.json` publish (tmp + rename).  A truncating
+    in-place rewrite has two failure modes this avoids: a crash
+    mid-write leaves corrupt JSON that bricks every reader, and a
+    hard-link snapshot (plans/snapshot.py) shares the inode, so the
+    snapshot would silently inherit the new stats."""
+    p = os.path.join(index_dir, "_conf.json")
+    with open(p + ".tmp", "w") as f:
+        json.dump(conf, f, indent=1)
+    os.replace(p + ".tmp", p)
+
+
 def _metric(index_dir: str, **kv) -> None:
     with open(os.path.join(index_dir, "metrics.jsonl"), "a") as f:
         f.write(json.dumps(kv) + "\n")
@@ -168,6 +180,24 @@ class IndexReader:
         downstream touches it."""
         return self._live_docs_union(spark).select(
             "doc_id", F.map_keys("tf_map").alias("terms"))
+
+    def term_vectors(self, spark: SparkSession,
+                     doc_ids: list[int] | None = None) -> DataFrame:
+        """(doc_id, term, tf, df): per-doc term statistics with the
+        corpus-wide document frequency — the ES ``_termvectors`` API.
+        ``doc_ids`` scopes the read (the IN-filter pushes into the
+        parquet scan, so only the requested docs' row groups and the
+        vocab-sized term_stats join are paid); None returns the whole
+        live corpus's vectors (corpus-sized — caller's choice)."""
+        docs = self._live_docs_union(spark).select("doc_id", "tf_map")
+        if doc_ids is not None:
+            docs = docs.filter(
+                F.col("doc_id").isin(*[int(d) for d in doc_ids]))
+        tv = docs.select(
+            "doc_id", F.explode("tf_map").alias("term", "tf"))
+        return tv.join(
+            self.term_stats(spark).select("term", "df"), "term"
+        ).select("doc_id", "term", "tf", "df")
 
     def describe(self, spark: SparkSession) -> dict:
         """Operational summary of the index (the DESCRIBE surface):
@@ -431,8 +461,7 @@ def _build_index_inner(
             "next_doc_id": n_docs,
             "generations": 1,
         }
-        with open(conf_path, "w") as f:
-            json.dump(conf, f, indent=1)
+        _write_conf(index_dir, conf)
     return IndexReader(index_dir)
 
 
@@ -1065,8 +1094,7 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
             "next_doc_id": base_id + n_new,
             "generations": gen + 1,
         })
-        with open(os.path.join(index_dir, "_conf.json"), "w") as f:
-            json.dump(conf, f, indent=1)
+        _write_conf(index_dir, conf)
         _write_manifest(index_dir, f"refresh_{gen}", {
             "gen": gen, "input_fp": fp, "n_new": n_new,
             "n_docs": n_docs, "total_dl": total_dl,
@@ -1250,8 +1278,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
             "stage": stage, "compacted": True})
     new_conf = dict(conf)
     new_conf["generations"] = 1
-    with open(os.path.join(tmp, "_conf.json"), "w") as f:
-        json.dump(new_conf, f, indent=1)
+    _write_conf(tmp, new_conf)
     _metric(tmp, step="compact", elapsed_sec=time.time() - t0,
             generations_in=conf.get("generations", 1),
             files_linked=n_linked)
@@ -1386,8 +1413,7 @@ def _compact_rebuild(spark, index_dir: str, idx: IndexReader,
         _write_manifest(tmp, "trigram", {"carried_by": "compact_rebuild"})
     new_conf = dict(conf)
     new_conf["generations"] = 1
-    with open(os.path.join(tmp, "_conf.json"), "w") as f:
-        json.dump(new_conf, f, indent=1)
+    _write_conf(tmp, new_conf)
     _metric(tmp, step="compact_rebuild", elapsed_sec=time.time() - t0,
             generations_in=conf.get("generations", 1))
 

@@ -1,0 +1,92 @@
+"""Point-in-time index snapshots — the backup/restore ops surface
+(ES snapshot/restore), at hard-link cost.
+
+A snapshot hard-links every file of the index tree into a new
+directory: O(file count) time, zero data bytes (parquet files are
+immutable once written — the same property metadata-only compaction
+exploits), and the result is a fully queryable index dir.  Restoring
+is the same link pass in reverse into an empty target.
+
+Consistency under concurrent writers comes from the engine's existing
+crash contract, not from locking: every mutation publishes through a
+manifest/done marker written LAST (generations, sidecars) or through
+a sibling-directory two-rename swap (compaction never mutates inside
+``index_dir``).  A snapshot taken mid-refresh therefore captures at
+worst an unpublished partial generation, which every reader already
+ignores — the snapshot opens and answers queries exactly like a
+post-crash index would.  Transient state is excluded: streaming
+checkpoints (``_stream_checkpoint``: a restored copy is a new serving
+location; resuming a stream against it must re-checkpoint) and
+in-flight ``*._tmp`` sidecar rewrites.
+
+The reference has no durability story at all (in-memory pattern pool,
+``snowball/src/bin/Main.java``); this is north-rule operational scope
+(resumable, lineage-tracked artifacts).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+__all__ = ["snapshot_index", "restore_snapshot"]
+
+_EXCLUDE_DIRS = {"_stream_checkpoint"}
+
+#: Only bulk data files are hard-linked; they are the bytes that matter
+#: and the engine never modifies a published one in place.  Everything
+#: else (conf/manifest/meta JSON, metrics.jsonl, epoch markers) is tiny
+#: and is COPIED: a hard link shares the inode, so any future in-place
+#: rewrite or append on the source (metrics.jsonl is append-mode today)
+#: would leak through the link into the snapshot.
+_LINK_SUFFIXES = (".parquet", ".crc")
+
+
+def _link_all(src_dir: str, dst_dir: str) -> int:
+    n = 0
+    for root, dirs, files in os.walk(src_dir):
+        dirs[:] = [d for d in dirs if d not in _EXCLUDE_DIRS]
+        rel = os.path.relpath(root, src_dir)
+        for fn in files:
+            if (fn.endswith("._tmp") or fn.endswith(".tmp")
+                    or "._tmp" in rel.split(os.sep)):
+                continue
+            d = dst_dir if rel == "." else os.path.join(dst_dir, rel)
+            os.makedirs(d, exist_ok=True)
+            src = os.path.join(root, fn)
+            dst = os.path.join(d, fn)
+            if fn.endswith(_LINK_SUFFIXES):
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+            else:
+                shutil.copy2(src, dst)
+            n += 1
+    return n
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> int:
+    """Hard-link ``index_dir`` into ``snap_dir`` (must not already
+    hold an index).  Returns the number of files captured.  The
+    snapshot is immediately queryable via ``IndexReader(snap_dir)``
+    and is immune to later mutations of the source (writers never
+    modify published files in place — refresh appends new generation
+    files, deletes append tombstones, compaction swaps whole sibling
+    directories)."""
+    if not os.path.exists(os.path.join(index_dir, "_conf.json")):
+        raise ValueError(f"{index_dir} is not a built index "
+                         "(no _conf.json)")
+    if os.path.exists(os.path.join(snap_dir, "_conf.json")):
+        raise ValueError(f"{snap_dir} already holds an index — "
+                         "snapshots never overwrite")
+    os.makedirs(snap_dir, exist_ok=True)
+    return _link_all(index_dir, snap_dir)
+
+
+def restore_snapshot(snap_dir: str, index_dir: str) -> int:
+    """Materialize a snapshot as a serving index at ``index_dir``
+    (must be empty/absent).  Same hard-link pass; returns files
+    restored.  Streams resuming against the restored copy start with
+    a fresh checkpoint by design."""
+    return snapshot_index(snap_dir, index_dir)

@@ -1,0 +1,94 @@
+"""Snapshot/restore: point-in-time isolation, zero-copy, crash shape."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.wand import bm25_topk_index
+from snowball_java_spark.plans.build_index import (
+    IndexReader,
+    build_index,
+    refresh_index,
+)
+from snowball_java_spark.plans.snapshot import (
+    restore_snapshot,
+    snapshot_index,
+)
+from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+Q = [{"query_id": 0, "terms": ["def", "return"], "k": 10}]
+
+
+def _topk(spark, d):
+    return [(r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk_index(
+                spark, IndexReader(d), Q, cfg=CFG).collect()]
+
+
+def test_snapshot_is_isolated_zero_copy_and_restorable(
+        spark, synth_docs, tmp_path):
+    d = str(tmp_path / "idx")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    before = _topk(spark, d)
+    assert before
+
+    snap = str(tmp_path / "snap")
+    n = snapshot_index(d, snap)
+    assert n > 0
+    # zero-copy: the parquet files are hard links, not copies
+    linked = [os.path.join(r, f) for r, _, fs in os.walk(snap)
+              for f in fs if f.endswith(".parquet")]
+    assert linked and all(os.stat(p).st_nlink >= 2 for p in linked)
+    assert _topk(spark, snap) == before
+
+    # mutate the SOURCE: refresh with a delta — source results change,
+    # the snapshot's stay byte-identical (writers never modify
+    # published files in place)
+    delta = spark.createDataFrame(synth_corpus_pdf(1000, 1040, 300))
+    refresh_index(
+        spark, delta.select("repo", "path", "commit", "lang", "content"), d)
+    assert _topk(spark, d) != before
+    assert _topk(spark, snap) == before
+
+    # restore into a fresh dir → identical to the snapshot
+    rest = str(tmp_path / "restored")
+    restore_snapshot(snap, rest)
+    assert _topk(spark, rest) == before
+
+
+def test_snapshot_refuses_bad_targets(spark, synth_docs, tmp_path):
+    d = str(tmp_path / "idx2")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    with pytest.raises(ValueError, match="not a built index"):
+        snapshot_index(str(tmp_path / "nowhere"), str(tmp_path / "s"))
+    snap = str(tmp_path / "s2")
+    snapshot_index(d, snap)
+    with pytest.raises(ValueError, match="already holds"):
+        snapshot_index(d, snap)
+
+
+def test_snapshot_mid_mutation_opens_like_post_crash(
+        spark, synth_docs, tmp_path):
+    """An unpublished partial generation (files present, manifest
+    absent — the crash shape) is excluded from snapshot RESULTS the
+    same way readers exclude it from the live index."""
+    d = str(tmp_path / "idx3")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    before = _topk(spark, d)
+    # fake an in-flight refresh: a docs_gen dir with data but no
+    # published manifest/conf bump
+    gen = os.path.join(d, "docs_gen99")
+    os.makedirs(os.path.join(gen, "stage=0"), exist_ok=True)
+    with open(os.path.join(gen, "stage=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    snap = str(tmp_path / "snap3")
+    snapshot_index(d, snap)
+    assert _topk(spark, snap) == before
