@@ -4,7 +4,9 @@ match sets — the analytics sidebar without a corpus scan.
     spark-submit --py-files dist.zip scripts/aggs_job.py \
         --index-dir /path/index --queries q.jsonl \
         [--facets repo,lang] [--counts] [--histogram dl:32] \
-        [--sig-terms 10] [--sort-by dl[:asc]] [--out /path/out]
+        [--sig-terms 10] [--sort-by dl[:asc]] \
+        [--cardinality repo,lang [--cardinality-rsd 0.05]] \
+        [--out /path/out]
 
 Query jsonl: terms queries ({query_id, terms, mode?, not_terms?,
 min_should_match?}).  Every requested aggregation runs over each
@@ -42,14 +44,24 @@ def main(argv: list[str]) -> int:
                    help="significant terms: minimum foreground count")
     p.add_argument("--sort-by", default=None, metavar="COL[:asc]",
                    help="field-sorted top-k of each match set")
+    p.add_argument("--cardinality", default=None, metavar="COLS",
+                   help="distinct-value count of comma-separated metadata "
+                        "columns over each match set")
+    p.add_argument("--cardinality-rsd", type=float, default=None,
+                   metavar="RSD",
+                   help="use the HyperLogLog++ sketch (ES semantics) at "
+                        "this relative standard deviation instead of the "
+                        "exact two-phase distinct")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
     if not any([args.facets, args.counts, args.histogram,
-                args.sig_terms, args.sort_by]):
+                args.sig_terms, args.sort_by, args.cardinality]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--sig-terms/"
-                         "--sort-by")
+                         "--sort-by/--cardinality")
+    if args.cardinality_rsd is not None and not args.cardinality:
+        raise SystemExit("--cardinality-rsd requires --cardinality")
 
     from pyspark.sql import SparkSession
 
@@ -137,6 +149,16 @@ def main(argv: list[str]) -> int:
         emit("sorted", sorted_matches_index(
             spark, idx, qs, sort_col=col,
             ascending=direction == "asc", cfg=idx.cfg))
+    if args.cardinality:
+        from snowball_java_spark.operators.aggs import (
+            cardinality_matches_index,
+        )
+
+        cols = [c.strip() for c in args.cardinality.split(",") if c.strip()]
+        emit("cardinality", cardinality_matches_index(
+            spark, idx, qs, value_cols=cols,
+            exact=args.cardinality_rsd is None,
+            rsd=args.cardinality_rsd or 0.05, cfg=idx.cfg))
     spark.stop()
     return 0
 

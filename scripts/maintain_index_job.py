@@ -17,8 +17,14 @@ metadata-only hard-link pass when there are no tombstones, or a rebuild
 that physically drops dead docs when there are.  ``--rebuild-stats``
 re-merges term_stats from the on-disk additive partials (the stats-only
 repair path — no corpus scan).  ``--describe`` prints the operational
-summary as one JSON line.  Steps compose and run in the order refresh →
-delete → compact → rebuild-stats → describe.
+summary as one JSON line.  ``--restore-from SNAP`` materializes a
+snapshot as the serving index at ``--index-dir`` (must be empty) and
+``--snapshot DST`` captures the index into ``DST`` — both are hard-link
+passes (O(file count), zero data bytes; ``plans/snapshot.py``), need no
+Spark session, and the result is immediately queryable.  Steps compose
+and run in the order restore-from → refresh → delete → compact →
+rebuild-stats → snapshot → describe (a composed ``--refresh --snapshot``
+therefore captures the post-mutation state).
 """
 
 from __future__ import annotations
@@ -43,13 +49,45 @@ def main(argv: list[str]) -> int:
                    help="parquet of key columns; matching docs are tombstoned")
     p.add_argument("--rebuild-stats", action="store_true",
                    help="re-merge term_stats from the stored partials")
+    p.add_argument("--snapshot", metavar="DST",
+                   help="hard-link the index into DST (point-in-time "
+                        "copy, immune to later mutations of the source)")
+    p.add_argument("--restore-from", metavar="SNAP",
+                   help="materialize snapshot SNAP as the serving index "
+                        "at --index-dir (must be empty/absent)")
     args = p.parse_args(argv)
     if not any((args.describe, args.compact, args.refresh,
-                args.delete_keys, args.rebuild_stats)):
+                args.delete_keys, args.rebuild_stats, args.snapshot,
+                args.restore_from)):
         p.error("nothing to do: pass --describe/--compact/--refresh/"
-                "--delete-keys/--rebuild-stats")
+                "--delete-keys/--rebuild-stats/--snapshot/--restore-from")
     if args.supersede_on and not args.refresh:
         p.error("--supersede-on requires --refresh")
+
+    from snowball_java_spark.plans.snapshot import (
+        restore_snapshot,
+        snapshot_index,
+    )
+
+    if args.restore_from:
+        t0 = time.time()
+        n = restore_snapshot(args.restore_from, args.index_dir)
+        print(json.dumps({
+            "restored_from": args.restore_from, "files": n,
+            "elapsed_sec": round(time.time() - t0, 2),
+        }))
+
+    needs_spark = any((args.describe, args.compact, args.refresh,
+                       args.delete_keys, args.rebuild_stats))
+    if not needs_spark:
+        if args.snapshot:
+            t0 = time.time()
+            n = snapshot_index(args.index_dir, args.snapshot)
+            print(json.dumps({
+                "snapshot": args.snapshot, "files": n,
+                "elapsed_sec": round(time.time() - t0, 2),
+            }))
+        return 0
 
     from pyspark.sql import SparkSession
 
@@ -103,6 +141,13 @@ def main(argv: list[str]) -> int:
         print(json.dumps({
             "stats_rebuilt": True, "n_docs": idx.n_docs,
             "elapsed_sec": round(time.time() - t0, 1),
+        }))
+    if args.snapshot:
+        t0 = time.time()
+        n = snapshot_index(args.index_dir, args.snapshot)
+        print(json.dumps({
+            "snapshot": args.snapshot, "files": n,
+            "elapsed_sec": round(time.time() - t0, 2),
         }))
     if args.describe:
         print(json.dumps(IndexReader(args.index_dir).describe(spark)))

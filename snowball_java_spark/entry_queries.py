@@ -1113,6 +1113,46 @@ SELECT 1::BIGINT, count(*)::BIGINT FROM m1
 """
 
 
+def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg: distinct metadata values over each query's
+    match set, from the postings (exact mode for the oracle; the HLL
+    mode is property-tested against it in tests/test_aggs.py)."""
+    from snowball_java_spark.operators.aggs import cardinality_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = cardinality_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        value_cols=["repo", "lang"], cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.when(F.col("field") == "repo", F.lit("source"))
+        .otherwise(F.col("field")).alias("field"),
+        "cardinality").orderBy("query_id", "field")
+
+
+def _facet_cardinality_sql() -> str:
+    q0 = ", ".join(f"'{t}'" for t in sorted(set(MIXED_TERMS)))
+    q1 = ", ".join(f"'{t}'" for t in sorted(set(HOT_TERMS)))
+    nq1 = ", ".join(f"'{t}'" for t in sorted(set(RARE_TERMS)))
+    per = " UNION ALL ".join(
+        f"SELECT {qid}::BIGINT AS query_id, '{col}' AS field, "
+        f"count(DISTINCT d.{col})::BIGINT AS cardinality "
+        f"FROM documents d JOIN m{qid} USING (doc_id)"
+        for qid in (0, 1) for col in ("source", "lang")
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+m0 AS (SELECT DISTINCT doc_id FROM t WHERE term IN ({q0})),
+m1 AS (SELECT DISTINCT doc_id FROM t WHERE term IN ({q1})
+       AND doc_id NOT IN (SELECT doc_id FROM t WHERE term IN ({nq1})))
+SELECT query_id, field, cardinality FROM ({per})
+ORDER BY query_id, field
+"""
+
+
 def _facet_counts_sql(terms: list[str], facet_cols: list[str], n: int) -> str:
     tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     fv_selects = " UNION ALL ".join(
@@ -3563,6 +3603,8 @@ def build_registry() -> dict[str, Q]:
                               _SPAN_WINDOW, 10),
         ),
         "term_vectors": Q(_q_term_vectors, _term_vectors_sql(_TV_DOCS)),
+        "facet_cardinality": Q(_q_facet_cardinality,
+                               _facet_cardinality_sql()),
         "facet_counts": Q(
             _q_facet_counts,
             _facet_counts_sql(MIXED_TERMS, _FACET_COLS, 5),

@@ -1,5 +1,5 @@
 """Search-hit aggregations beyond counts/stats: significant terms,
-histograms, and per-bucket top hits.
+histograms, distinct-value cardinality, and per-bucket top hits.
 
 These complete the analytics side of the query surface (the ES
 aggregation framework shapes): ``significant_terms_index`` is the
@@ -190,6 +190,71 @@ def histogram_matches_index(
     else:
         counts = counts.filter(F.col("n_docs") >= min_doc_count)
     return counts.orderBy("query_id", "bucket")
+
+
+def cardinality_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_cols: list[str],
+    exact: bool = True,
+    rsd: float = 0.05,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation: per query, the number of
+    distinct values of each metadata field over the matching docs —
+    (query_id, field, cardinality), ordered (query_id, field).  NULLs
+    are skipped (ES skips missing values); a query matching nothing
+    (or only NULL-valued docs) reports cardinality 0 rather than
+    vanishing, mirroring ``match_counts_index``'s zero-fill.
+
+    ``exact=True`` (default) computes the true distinct count —
+    oracle-comparable, and still scale-safe: Spark plans it as two
+    map-side-combinable phases keyed on (query, field, value), so the
+    shuffle carries the distinct-value relation, never the match set.
+    ``exact=False`` is the 100 TB path — ES's own semantics (its
+    cardinality agg IS HyperLogLog++): fixed-size HLL sketches merge
+    map-side regardless of value cardinality, with relative standard
+    deviation ``rsd``.
+
+    Scale shape: match set from the postings
+    (``wand.matching_docs_index``); metadata join reads only (doc_id,
+    ``value_cols``); all fields melt through ONE pass over that join
+    (a map-literal explode), not one join per field."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not value_cols:
+        raise ValueError("value_cols must name at least one metadata column")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", *value_cols)
+    melted = (
+        match.join(meta, "doc_id")
+        .select(
+            "query_id",
+            F.explode(F.create_map(*[
+                x for c in value_cols
+                for x in (F.lit(c), F.col(c).cast("string"))
+            ])).alias("field", "value"))
+        .filter(F.col("value").isNotNull())
+    )
+    agg = (F.count_distinct(F.col("value")) if exact
+           else F.approx_count_distinct("value", rsd)).alias("cardinality")
+    counts = melted.groupBy("query_id", "field").agg(agg)
+    shell = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), c) for q in queries for c in value_cols],
+        "query_id int, field string"))
+    return (
+        shell.join(counts, ["query_id", "field"], "left")
+        .select("query_id", "field",
+                F.coalesce("cardinality", F.lit(0)).cast("long")
+                .alias("cardinality"))
+        .orderBy("query_id", "field")
+    )
 
 
 def top_hits_by_facet(

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from snowball_java_spark.config import EngineConfig
 from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
 from snowball_java_spark.operators.aggs import (
+    cardinality_matches_index,
     histogram_matches_index,
     significant_terms_index,
     top_hits_by_facet,
@@ -111,6 +112,90 @@ def test_histogram_rejects_bad_width(spark, index):
         histogram_matches_index(
             spark, index, [{"query_id": 0, "terms": ["flush_config_19"]}],
             value_col="dl", width=0, cfg=CFG)
+
+
+def _cardinality_truth(toks, meta, terms, not_terms, cols):
+    match = {d for d, ts in toks.items() if set(ts) & set(terms)}
+    if not_terms:
+        match -= {d for d, ts in toks.items() if set(ts) & set(not_terms)}
+    return {c: len({meta[d][c] for d in match
+                    if meta[d][c] is not None}) for c in cols}
+
+
+def test_cardinality_exact_matches_truth(spark, index, toks, synth_docs):
+    meta = {r["doc_id"]: {"repo": r["repo"], "lang": r["lang"]}
+            for r in synth_docs.select("doc_id", "repo", "lang").collect()}
+    queries = [
+        {"query_id": 0, "terms": ["flush_config_19"]},
+        {"query_id": 1, "terms": ["def"], "not_terms": ["flush_config_19"]},
+    ]
+    got = cardinality_matches_index(
+        spark, index, queries, value_cols=["repo", "lang"],
+        cfg=CFG).collect()
+    assert [(r["query_id"], r["field"]) for r in got] == [
+        (0, "lang"), (0, "repo"), (1, "lang"), (1, "repo")]
+    for q in queries:
+        want = _cardinality_truth(
+            toks, meta, q["terms"], q.get("not_terms"), ["repo", "lang"])
+        for r in got:
+            if r["query_id"] == q["query_id"]:
+                assert r["cardinality"] == want[r["field"]]
+
+
+def test_cardinality_zero_fill_and_hll(spark, index, toks):
+    # a query matching nothing still reports one zero row per field
+    got = cardinality_matches_index(
+        spark, index,
+        [{"query_id": 7, "terms": ["zz_no_such_token_zz"]}],
+        value_cols=["repo"], cfg=CFG).collect()
+    assert [(r["query_id"], r["field"], r["cardinality"])
+            for r in got] == [(7, "repo", 0)]
+    # HLL++ mode: exact for small distinct sets (sparse register range)
+    exact = cardinality_matches_index(
+        spark, index, [{"query_id": 0, "terms": ["def"]}],
+        value_cols=["repo", "lang"], cfg=CFG).collect()
+    approx = cardinality_matches_index(
+        spark, index, [{"query_id": 0, "terms": ["def"]}],
+        value_cols=["repo", "lang"], exact=False, rsd=0.01,
+        cfg=CFG).collect()
+    ex = {(r["query_id"], r["field"]): r["cardinality"] for r in exact}
+    for r in approx:
+        want = ex[(r["query_id"], r["field"])]
+        assert abs(r["cardinality"] - want) <= max(1, 0.1 * want)
+
+
+def test_cardinality_skips_null_values(spark, synth_docs, tmp_path):
+    # ES skips missing values: docs with a NULL field must not count
+    # toward (or zero out) that field's distinct tally
+    corpus = synth_docs.filter("doc_id < 60").select(
+        "repo", "path", "commit",
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.col("lang")).alias("lang"),
+        "content")
+    idx = build_index(spark, corpus, str(tmp_path / "null_idx"),
+                      cfg=CFG, n_buckets=4)
+    got = cardinality_matches_index(
+        spark, idx, [{"query_id": 0, "terms": ["def"]}],
+        value_cols=["lang"], cfg=CFG).collect()
+    from snowball_java_spark.functions.tokenize import tokenize_py
+
+    lang_of = {r["path"]: r["lang"]
+               for r in idx.docs(spark).select("path", "lang").collect()}
+    match = {r["path"] for r in corpus.select("path", "content").collect()
+             if "def" in tokenize_py(r["content"])}
+    # the corpus salts lang NULL on every third doc — the test only
+    # proves skipping if at least one matching doc carries the NULL
+    assert any(lang_of[p] is None for p in match)
+    truth = len({lang_of[p] for p in match if lang_of[p] is not None})
+    # counting NULL as a bucket would report truth + 1
+    assert got[0]["cardinality"] == truth
+
+
+def test_cardinality_rejects_empty_cols(spark, index):
+    with pytest.raises(ValueError, match="value_cols"):
+        cardinality_matches_index(
+            spark, index, [{"query_id": 0, "terms": ["def"]}],
+            value_cols=[], cfg=CFG)
 
 
 def test_top_hits_skips_null_facet_values(spark, synth_docs):

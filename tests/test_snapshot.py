@@ -74,6 +74,30 @@ def test_snapshot_refuses_bad_targets(spark, synth_docs, tmp_path):
         snapshot_index(d, snap)
 
 
+def test_maintain_cli_snapshot_restore_without_spark(
+        spark, synth_docs, tmp_path, capsys):
+    """--snapshot / --restore-from alone run hard-link passes with NO
+    Spark session (ops can snapshot a serving index from any box)."""
+    import json
+
+    from scripts.maintain_index_job import main
+
+    d = str(tmp_path / "idx_cli")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    before = _topk(spark, d)
+
+    snap = str(tmp_path / "snap_cli")
+    assert main(["--index-dir", d, "--snapshot", snap]) == 0
+    rest = str(tmp_path / "rest_cli")
+    assert main(["--index-dir", rest, "--restore-from", snap]) == 0
+    out = [json.loads(line) for line in
+           capsys.readouterr().out.strip().splitlines()]
+    assert out[0]["snapshot"] == snap and out[0]["files"] > 0
+    assert out[1]["restored_from"] == snap
+    assert _topk(spark, rest) == before
+
+
 def test_snapshot_mid_mutation_opens_like_post_crash(
         spark, synth_docs, tmp_path):
     """An unpublished partial generation (files present, manifest
