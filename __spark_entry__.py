@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (108/108 as of round 4 — including real BMP/PNG/WAV
+                  (109/109 as of round 4 — including real BMP/PNG/WAV
                   codec decodes, the composed cleaning pipeline,
                   connected components via a recursive CTE, the
                   living-corpus lifecycle on BOTH indexes: text
@@ -16,8 +16,8 @@
                   field-sorted search, line-number hit reporting,
                   per-lang tokenization, pinned IVF recall, and the
                   aggregation layer: significant terms (JLH), gap-free
-                  histograms, distinct-value cardinality, per-bucket top
-                  hits, percolation,
+                  histograms, distinct-value cardinality, percentiles,
+                  per-bucket top hits, percolation,
                   rescoring on both paths, function scoring, ordered
                   span search, per-doc term vectors).
 

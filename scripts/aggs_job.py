@@ -6,6 +6,7 @@ match sets — the analytics sidebar without a corpus scan.
         [--facets repo,lang] [--counts] [--histogram dl:32] \
         [--sig-terms 10] [--sort-by dl[:asc]] \
         [--cardinality repo,lang [--cardinality-rsd 0.05]] \
+        [--percentiles dl:25,50,95 [--percentiles-approx]] \
         [--out /path/out]
 
 Query jsonl: terms queries ({query_id, terms, mode?, not_terms?,
@@ -52,16 +53,27 @@ def main(argv: list[str]) -> int:
                    help="use the HyperLogLog++ sketch (ES semantics) at "
                         "this relative standard deviation instead of the "
                         "exact two-phase distinct")
+    p.add_argument("--percentiles", default=None, metavar="COL[:P1,P2…]",
+                   help="quantiles of a numeric metadata column over "
+                        "each match set (default percents "
+                        "1,5,25,50,75,95,99)")
+    p.add_argument("--percentiles-approx", action="store_true",
+                   help="use the bounded-size rank sketch (ES-style "
+                        "approximate percentiles) instead of the exact "
+                        "interpolated quantile")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
     if not any([args.facets, args.counts, args.histogram,
-                args.sig_terms, args.sort_by, args.cardinality]):
+                args.sig_terms, args.sort_by, args.cardinality,
+                args.percentiles]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--sig-terms/"
-                         "--sort-by/--cardinality")
+                         "--sort-by/--cardinality/--percentiles")
     if args.cardinality_rsd is not None and not args.cardinality:
         raise SystemExit("--cardinality-rsd requires --cardinality")
+    if args.percentiles_approx and not args.percentiles:
+        raise SystemExit("--percentiles-approx requires --percentiles")
 
     from pyspark.sql import SparkSession
 
@@ -159,6 +171,17 @@ def main(argv: list[str]) -> int:
             spark, idx, qs, value_cols=cols,
             exact=args.cardinality_rsd is None,
             rsd=args.cardinality_rsd or 0.05, cfg=idx.cfg))
+    if args.percentiles:
+        from snowball_java_spark.operators.aggs import (
+            percentiles_matches_index,
+        )
+
+        col, _, plist = args.percentiles.partition(":")
+        pcts = ([float(x) for x in plist.split(",") if x.strip()]
+                if plist else [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0])
+        emit("percentiles", percentiles_matches_index(
+            spark, idx, qs, value_col=col, percents=pcts,
+            exact=not args.percentiles_approx, cfg=idx.cfg))
     spark.stop()
     return 0
 

@@ -2052,6 +2052,54 @@ SELECT query_id, bucket, n_docs FROM ({u}) ORDER BY query_id, bucket
 """
 
 
+_PCTS = (25.0, 50.0, 75.0, 95.0)
+
+
+def _q_percentiles_dl(spark, sf_dir):
+    """ES percentiles aggregation over each query's match set: exact
+    interpolated quantiles of the stored doc length (the t-digest
+    approximate twin is property-tested against this in
+    tests/test_aggs.py)."""
+    from snowball_java_spark.operators.aggs import percentiles_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = percentiles_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        value_col="dl", percents=list(_PCTS), cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "pct", F.round("value", 6).alias("value"))
+
+
+def _percentiles_dl_sql(
+        specs: list[tuple[list[str], list[str]]],
+        pcts: tuple[float, ...]) -> str:
+    ctes, unions = [], []
+    for qid, (terms, not_terms) in enumerate(specs):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        notw = ""
+        if not_terms:
+            ntl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+            notw = (f" AND doc_id NOT IN (SELECT doc_id FROM tfx "
+                    f"WHERE term IN ({ntl}))")
+        ctes.append(
+            f"m{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl}){notw})")
+        for p in pcts:
+            unions.append(
+                f"SELECT {qid}::BIGINT AS query_id, {p}::DOUBLE AS pct, "
+                f"round(quantile_cont(dl.dl, {p / 100.0}), 6)::DOUBLE "
+                f"AS value FROM m{qid} JOIN dl USING (doc_id)")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT query_id, pct, value FROM ({u}) ORDER BY query_id, pct
+"""
+
+
 _TOPHITS_FACETS = 5
 _TOPHITS_HITS = 3
 
@@ -3750,6 +3798,11 @@ FROM g
             _q_facet_histogram,
             _facet_histogram_sql(
                 [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)], _HIST_WIDTH),
+        ),
+        "percentiles_dl": Q(
+            _q_percentiles_dl,
+            _percentiles_dl_sql(
+                [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)], _PCTS),
         ),
         "top_hits_by_source": Q(
             _q_top_hits,

@@ -244,16 +244,94 @@ def cardinality_matches_index(
     )
     agg = (F.count_distinct(F.col("value")) if exact
            else F.approx_count_distinct("value", rsd)).alias("cardinality")
-    counts = melted.groupBy("query_id", "field").agg(agg)
-    shell = F.broadcast(spark.createDataFrame(
+    # broadcast the AGGREGATED side (≤ queries·fields rows) — the
+    # preserved side of a left join cannot be the broadcast build side
+    counts = F.broadcast(melted.groupBy("query_id", "field").agg(agg))
+    shell = spark.createDataFrame(
         [(int(q["query_id"]), c) for q in queries for c in value_cols],
-        "query_id int, field string"))
+        "query_id int, field string")
     return (
         shell.join(counts, ["query_id", "field"], "left")
         .select("query_id", "field",
                 F.coalesce("cardinality", F.lit(0)).cast("long")
                 .alias("cardinality"))
         .orderBy("query_id", "field")
+    )
+
+
+def percentiles_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    percents: list[float] = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    exact: bool = True,
+    accuracy: int = 10000,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation: per query, quantiles of a numeric
+    metadata field over the matching docs — (query_id, pct, value),
+    ordered (query_id, pct).  ``percents`` are ES-style percentages in
+    (0, 100] (default = ES's own [1, 5, 25, 50, 75, 95, 99]).  A query
+    matching nothing (or only NULL-valued docs) keeps its rows with
+    value NULL (ES reports null per percentile), mirroring the other
+    aggregations' zero-fill; NULL field values are skipped.
+
+    ``exact=True`` (default) interpolates the true quantile (index
+    p·(n−1), linear between closest ranks — the same scheme DuckDB's
+    ``quantile_cont`` uses, so it is oracle-comparable).  Exact
+    quantiles are a full sort of each query's value multiset on one
+    reducer — fine for match sets, the wrong tool at 100 TB.
+    ``exact=False`` is the scale path and ES's own semantics (its
+    percentiles agg is approximate by construction — t-digest):
+    ``percentile_approx`` runs a bounded-size sketch
+    (Greenwald-Khanna variant) that merges map-side, error bounded by
+    ``1/accuracy`` in rank.
+
+    Scale shape: match set from the postings
+    (``wand.matching_docs_index``); the metadata join reads only
+    (doc_id, ``value_col``); ALL requested percentiles come from ONE
+    aggregation (array form of the percentile functions), not one pass
+    per percentile."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    pcts = [float(p) for p in percents]
+    if not pcts:
+        raise ValueError("percents must name at least one percentile")
+    if any(not 0.0 < p <= 100.0 for p in pcts):
+        raise ValueError(f"percents must lie in (0, 100]: {pcts}")
+    if len(set(pcts)) != len(pcts):
+        raise ValueError(f"duplicate percentile in {pcts}")
+    pcts = sorted(pcts)
+
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    vals = (
+        match.join(index.docs(spark).select("doc_id", value_col), "doc_id")
+        .select("query_id", F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    frac = F.array(*[F.lit(p / 100.0) for p in pcts])
+    agg = (F.percentile("_v", frac) if exact
+           else F.percentile_approx("_v", frac, F.lit(accuracy)))
+    # broadcast the AGGREGATED side (≤ queries·percentiles rows) — the
+    # preserved side of a left join cannot be the broadcast build side
+    per_q = F.broadcast(
+        vals.groupBy("query_id").agg(agg.alias("_qs"))
+        .select("query_id", F.posexplode("_qs").alias("_pos", "value"))
+    )
+    shell = spark.createDataFrame(
+        [(int(q["query_id"]), i, p) for q in queries
+         for i, p in enumerate(pcts)],
+        "query_id int, _pos int, pct double")
+    return (
+        shell.join(per_q, ["query_id", "_pos"], "left")
+        .select("query_id", "pct", "value")
+        .orderBy("query_id", "pct")
     )
 
 

@@ -11,6 +11,7 @@ from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
 from snowball_java_spark.operators.aggs import (
     cardinality_matches_index,
     histogram_matches_index,
+    percentiles_matches_index,
     significant_terms_index,
     top_hits_by_facet,
 )
@@ -189,6 +190,67 @@ def test_cardinality_skips_null_values(spark, synth_docs, tmp_path):
     truth = len({lang_of[p] for p in match if lang_of[p] is not None})
     # counting NULL as a bucket would report truth + 1
     assert got[0]["cardinality"] == truth
+
+
+def test_percentiles_exact_matches_numpy(spark, index, toks):
+    import numpy as np
+
+    pcts = [1.0, 25.0, 50.0, 75.0, 99.0]
+    queries = [
+        {"query_id": 0, "terms": ["flush_config_19"]},
+        {"query_id": 1, "terms": ["def"], "not_terms": ["flush_config_19"]},
+    ]
+    got = percentiles_matches_index(
+        spark, index, queries, value_col="dl", percents=pcts,
+        cfg=CFG).collect()
+    assert [(r["query_id"], r["pct"]) for r in got] == [
+        (q, p) for q in (0, 1) for p in pcts]
+    for q in queries:
+        match = {d for d, ts in toks.items() if set(ts) & set(q["terms"])}
+        if q.get("not_terms"):
+            match -= {d for d, ts in toks.items()
+                      if set(ts) & set(q["not_terms"])}
+        dls = np.array(sorted(len(toks[d]) for d in match), dtype=float)
+        for r in got:
+            if r["query_id"] == q["query_id"]:
+                # numpy 'linear' = index p·(n−1) — the same scheme
+                want = float(np.percentile(dls, r["pct"]))
+                assert math.isclose(r["value"], want, rel_tol=REL)
+
+
+def test_percentiles_null_fill_and_approx(spark, index, toks):
+    got = percentiles_matches_index(
+        spark, index, [{"query_id": 3, "terms": ["zz_no_such_token_zz"]}],
+        value_col="dl", percents=[50.0], cfg=CFG).collect()
+    assert [(r["query_id"], r["pct"], r["value"])
+            for r in got] == [(3, 50.0, None)]
+    approx = percentiles_matches_index(
+        spark, index, [{"query_id": 0, "terms": ["def"]}],
+        value_col="dl", percents=[50.0, 95.0], exact=False,
+        accuracy=10000, cfg=CFG).collect()
+    # the sketch returns an actual element whose RANK is within
+    # n/accuracy (+1 for interpolation-free discretization) of the
+    # target — value distance is the wrong yardstick near a sparse tail
+    dls = sorted(len(ts) for d, ts in toks.items() if "def" in ts)
+    n = len(dls)
+    for r in approx:
+        assert r["value"] in dls
+        target = r["pct"] / 100.0 * (n - 1)
+        ranks = [i for i, v in enumerate(dls) if v == r["value"]]
+        assert min(abs(i - target) for i in ranks) <= n / 10000 + 1
+
+
+def test_percentiles_validation(spark, index):
+    q = [{"query_id": 0, "terms": ["def"]}]
+    with pytest.raises(ValueError, match="percents"):
+        percentiles_matches_index(
+            spark, index, q, value_col="dl", percents=[], cfg=CFG)
+    with pytest.raises(ValueError, match="0, 100"):
+        percentiles_matches_index(
+            spark, index, q, value_col="dl", percents=[0.0], cfg=CFG)
+    with pytest.raises(ValueError, match="duplicate"):
+        percentiles_matches_index(
+            spark, index, q, value_col="dl", percents=[50.0, 50.0], cfg=CFG)
 
 
 def test_cardinality_rejects_empty_cols(spark, index):
