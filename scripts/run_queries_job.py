@@ -109,6 +109,15 @@ def main(argv: list[str]) -> int:
         help="opt-in for substr/regex queries with no usable trigrams "
              "(short needles, literal-free regexes, no trigram sidecar): "
              "they scan the ENTIRE corpus — refused loudly by default")
+    p.add_argument(
+        "--federate-with", default=None, metavar="DIR[,DIR…]",
+        help="search --index-dir TOGETHER with these indexes under "
+             "GLOBAL corpus statistics (ES dfs_query_then_fetch): one "
+             "stats pass sums df/n_docs/total_dl across all indexes, "
+             "each index scores with the global (idf, avgdl), results "
+             "merge rank-identically to a single union index.  Terms "
+             "queries only (or/and/not/min_should_match/filters); "
+             "output rows carry an `index` column (0 = --index-dir)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -168,6 +177,17 @@ def main(argv: list[str]) -> int:
     prox_qs = [q for q in qs if kind(q) == "proximity"]
     context_qs = [q for q in qs if kind(q) == "context"]
     grep_qs = [q for q in qs if kind(q) == "grep"]
+    if args.federate_with:
+        if len(term_qs) != len(qs):
+            raise SystemExit(
+                "--federate-with supports terms queries only "
+                "(or/and/not_terms/min_should_match); phrase/context/"
+                "proximity/rescore/grep run against one index")
+        if args.synonyms or args.lines or args.counts:
+            raise SystemExit(
+                "--federate-with does not compose with --synonyms/"
+                "--lines/--counts (index-local rewrites and content "
+                "reads); run them per index")
     if grep_qs and not args.corpus:
         raise SystemExit(
             "substr/regex queries need --corpus: the trigram index only "
@@ -230,6 +250,37 @@ def main(argv: list[str]) -> int:
                           [F.col(c) == F.lit(v) for c, v in key])
                    if key else None)
             yield flt, grp
+
+    if args.federate_with:
+        from snowball_java_spark.operators.federate import (
+            bm25_topk_federated,
+        )
+        from snowball_java_spark.plans.build_index import (
+            IndexReader as _IR,
+        )
+
+        peers = [_IR(d.strip())
+                 for d in args.federate_with.split(",") if d.strip()]
+        fparts = []
+        for flt, grp in by_filter(term_qs):
+            fparts.append(bm25_topk_federated(
+                spark, [idx] + peers, grp, cfg=idx.cfg, doc_filter=flt))
+        fres = fparts[0]
+        for p_ in fparts[1:]:
+            fres = fres.unionByName(p_)
+        if args.out:
+            remap_ids(fres.orderBy("query_id", "rank")) \
+                .write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "queries": len(qs),
+                              "indexes": 1 + len(peers)}))
+        else:
+            for r in fres.orderBy("query_id", "rank").collect():
+                print(json.dumps({
+                    "query_id": orig_ids[r["query_id"]],
+                    "rank": r["rank"], "index": r["index"],
+                    "doc_id": r["doc_id"], "score": r["score"]}))
+        spark.stop()
+        return 0
 
     parts = []
     line_parts = []

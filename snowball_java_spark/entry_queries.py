@@ -1238,6 +1238,53 @@ def _index_for(spark: SparkSession, sf_dir: str):
     return build_index(spark, corpus, idx_dir, cfg=_INDEX_CFG, n_buckets=8)
 
 
+def _fed_indexes_for(spark: SparkSession, sf_dir: str) -> list:
+    """TWO indexes over disjoint halves of the documents table (doc_id
+    RANGE split — ids must stay consecutive within each shard, so a
+    contiguous cut preserves the original id space) — the
+    federated-search gate fixture.  Cache dirs share the main gate
+    index's version+fingerprint prefix so the GC keeps the whole
+    sibling family together."""
+    from snowball_java_spark.plans.build_index import (
+        INDEX_FORMAT_V,
+        build_index,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    base = f"/tmp/sjs_index_cache/v{INDEX_FORMAT_V}_{tag}_{fp}"
+    _gc_index_caches(tag, f"v{INDEX_FORMAT_V}_{tag}_{fp}")
+    mid = _docs(spark, sf_dir).count() // 2
+    out = []
+    for half, pred in (("fedA", f"doc_id < {mid}"),
+                       ("fedB", f"doc_id >= {mid}")):
+        corpus = _docs(spark, sf_dir).filter(pred).select(
+            "doc_id",
+            F.col("text").alias("content"),
+            F.col("source").alias("repo"),
+            F.lit("x").alias("path"),
+            F.lit("x").alias("commit"),
+            F.col("lang"),
+        )
+        out.append(build_index(spark, corpus, f"{base}_{half}",
+                               cfg=_INDEX_CFG, n_buckets=8))
+    return out
+
+
+def _q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dfs_query_then_fetch over two disjoint half-corpus indexes: with
+    global stats injected, federation is RANK-IDENTICAL to one union
+    index — so the oracle is the plain single-corpus BM25 SQL."""
+    from snowball_java_spark.operators.federate import bm25_topk_federated
+
+    res = bm25_topk_federated(
+        spark, _fed_indexes_for(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}], cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
 def _bm25_index_topk(
     spark: SparkSession, sf_dir: str, terms: list[str], k: int,
     mode: str = "or", not_terms: list[str] | None = None,
@@ -3563,6 +3610,9 @@ def build_registry() -> dict[str, Q]:
         "bm25_index_mixed": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),
             _bm25_topk_sql(MIXED_TERMS, 10),
+        ),
+        "bm25_federated_topk": Q(
+            _q_bm25_federated, _bm25_topk_sql(MIXED_TERMS, 10),
         ),
         "bm25_index_and": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10, mode="and"),

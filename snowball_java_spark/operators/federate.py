@@ -1,0 +1,127 @@
+"""Federated search: one BM25 query over N independent indexes with
+GLOBAL corpus statistics — Elasticsearch's ``dfs_query_then_fetch``.
+
+Searching several indexes as one is how a 10^12-file corpus is actually
+served: per-tenant / per-language / per-time-slice indexes built and
+refreshed independently, queried together.  Naive federation (each
+index scoring with its own idf/avgdl, merge by score) is WRONG — scores
+from different indexes aren't comparable, and a term that is rare in a
+small index but common globally gets a wildly inflated idf (the classic
+sharded-search relevance bug ES documents under dfs_query_then_fetch).
+
+The fix is a two-phase protocol, exactly ES's:
+
+1. **DFS phase** (:func:`federated_stats`): ONE pass collects each
+   index's per-term df for the queried terms plus its (n_docs,
+   total_dl) — df sums, n_docs sums, avgdl = Σtotal_dl / Σn_docs
+   (total_dl is the EXACT integer token sum from ``_conf.json``, so the
+   global avgdl carries no per-index float drift).  Cost: a pushed-down
+   term_stats read per index, rows ∝ |terms| · n_indexes.
+2. **Query phase**: each index runs the standard block-max MaxScore
+   kernel with the global stats injected
+   (``wand.bm25_topk_index(stats_override=…)``) — pruning stays exact
+   because block bounds are recomputed from the stored (tf, dl)
+   frontier under the live (idf, avgdl).  All indexes' plans land in
+   ONE Spark action (the per-index DataFrames union before execution).
+3. **Merge**: per-query top-k over the union under the total order
+   (score desc, doc_id asc, index asc) — deterministic even when a doc
+   is replicated across indexes.
+
+Scored this way, N disjoint indexes return RANK-IDENTICAL results to
+one union index (same tf, dl, idf, avgdl per doc) — which is exactly
+how the ``bm25_federated_topk`` gate is oracle-checked: two half
+corpora, single-corpus SQL.
+
+Reference parity: the reference scores against one in-memory corpus
+(`snowball/src/bin/Snowball.java:284-342`); federation is the
+north_rule's multi-executor generalization of that single pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+
+
+def federated_stats(
+    spark: SparkSession,
+    indexes: list,
+    terms: list[str],
+) -> tuple[dict[str, float], float, int]:
+    """The DFS phase: global ``(idf_by_term, avgdl, n_docs)`` over
+    ``indexes`` for ``terms``.  Every requested term gets an idf (df 0
+    anywhere it is unindexed; the smoothed formula never divides by
+    zero), so the map is complete for ``stats_override``."""
+    from snowball_java_spark.functions.bm25 import idf_np
+
+    if not indexes:
+        raise ValueError("federated search needs at least one index")
+    n_docs = sum(ix.n_docs for ix in indexes)
+    total_dl = sum(ix.total_dl for ix in indexes)
+    avgdl = (total_dl / n_docs) if n_docs else 0.0
+    tset = sorted(set(terms))
+    df: dict[str, int] = dict.fromkeys(tset, 0)
+    if tset:
+        # one action over the union of pushed-down term_stats reads
+        stats = None
+        for ix in indexes:
+            s = (ix.term_stats(spark)
+                 .filter(F.col("term").isin(tset)).select("term", "df"))
+            stats = s if stats is None else stats.unionByName(s)
+        for r in stats.groupBy("term").agg(F.sum("df").alias("df")).collect():
+            df[r["term"]] = int(r["df"])
+    idf = {t: float(idf_np(np.array([df[t]]), n_docs)[0]) for t in tset}
+    return idf, avgdl, n_docs
+
+
+def bm25_topk_federated(
+    spark: SparkSession,
+    indexes: list,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter: "F.Column | str | None" = None,
+) -> DataFrame:
+    """Top-k BM25 over N indexes with global statistics —
+    (query_id, rank, index, doc_id, score), ``index`` = the position of
+    the winning index in ``indexes``.  Supports the terms-query surface
+    (or / ``mode="and"`` / ``not_terms`` / ``min_should_match`` / ``k``
+    / scoped ``doc_filter``); synonym/fuzzy/wildcard rewrites are
+    index-local expansions and are rejected loudly rather than silently
+    mis-scored.
+
+    Correct by construction: the global top-k is a subset of the union
+    of per-index top-ks (each index returns its k best under the same
+    scoring function), so merging per-index results loses nothing.
+    """
+    for q in queries:
+        bad = [k for k in ("fuzzy", "prefixes") if q.get(k)]
+        if bad:
+            raise ValueError(
+                f"query {q.get('query_id')}: {bad} expansions are "
+                "index-local — expand against a designated vocabulary "
+                "index first, then pass plain terms")
+    terms = sorted({t for q in queries
+                    for t in list(q["terms"]) + list(q.get("not_terms", []))})
+    idf, avgdl, _ = federated_stats(spark, indexes, terms)
+
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    per_index = None
+    for i, ix in enumerate(indexes):
+        r = bm25_topk_index(
+            spark, ix, queries, cfg=cfg, doc_filter=doc_filter,
+            stats_override=(idf, avgdl),
+        ).select("query_id", F.lit(i).alias("index"), "doc_id", "score")
+        per_index = r if per_index is None else per_index.unionByName(r)
+
+    from snowball_java_spark.operators.bm25_join import queries_df, topk
+
+    qdf = queries_df(spark, queries)
+    order = [F.desc("score"), F.asc("doc_id"), F.asc("index")]
+    return (
+        topk(per_index, qdf, order=order, keep_cols=("index", "score"))
+        .select("query_id", "rank", "index", "doc_id", "score")
+    )

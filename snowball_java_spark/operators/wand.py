@@ -858,6 +858,7 @@ def bm25_topk_index(
     block_metrics: dict | None = None,
     doc_filter: "F.Column | str | None" = None,
     synonyms: dict[str, list[str]] | None = None,
+    stats_override: "tuple[dict[str, float], float] | None" = None,
 ) -> DataFrame:
     """Query the on-disk index (plans.build_index.IndexReader).
 
@@ -883,7 +884,19 @@ def bm25_topk_index(
     (bounds only ever overestimate, so MaxScore pruning stays exact),
     and shards with ZERO matching docs are semi-joined away before the
     scoring kernel.  Sidecar size ∝ non-matching docs in matched shards
-    (≈1 byte/doc on dense ranges), never ∝ postings."""
+    (≈1 byte/doc on dense ranges), never ∝ postings.
+
+    ``stats_override``: ``(idf_by_term, avgdl)`` — score with EXTERNAL
+    corpus statistics instead of this index's own (the ES
+    dfs_query_then_fetch primitive: ``operators/federate`` computes
+    global stats across N indexes and passes them here, so each index
+    ranks as if it were one shard of the union corpus).  Exactness is
+    preserved end-to-end: the idf rides the same broadcast (term, idf)
+    join the local path uses, and every MaxScore block bound is
+    recomputed from the stored (tf, dl) frontier with the live
+    (idf, avgdl) — external stats prune exactly like local ones.
+    Mutually exclusive with ``synonyms`` (a merged group's union df is
+    index-local; the federated layer rejects the combination)."""
     cfg = _with_index_layout(index, cfg)
     terms = sorted({t for q in queries
                     for t in list(q["terms"]) + list(q.get("not_terms", []))})
@@ -907,11 +920,26 @@ def bm25_topk_index(
     posts = index.postings(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    tstats = index.term_stats(spark).filter(F.col("term").isin(terms)).select("term", "idf")
+    if stats_override is not None:
+        if synonyms:
+            raise ValueError(
+                "stats_override and synonyms cannot combine: a synonym "
+                "group's union df is computed against ONE index")
+        ext_idf, avgdl = stats_override
+        missing = [t for t in terms if t not in ext_idf]
+        if missing:
+            raise ValueError(
+                f"stats_override idf map lacks queried terms {missing} — "
+                "compute it over the same term set (incl. not_terms)")
+        tstats = spark.createDataFrame(
+            [(t, float(ext_idf[t])) for t in terms], "term string, idf double")
+    else:
+        avgdl = index.avgdl
+        tstats = index.term_stats(spark).filter(F.col("term").isin(terms)).select("term", "idf")
     posts = posts.join(F.broadcast(tstats), "term")
     meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
     with_meta = posts.join(meta, "shard")
-    scores = score_shards(with_meta, queries, index.avgdl, cfg,
+    scores = score_shards(with_meta, queries, avgdl, cfg,
                           block_metrics=block_metrics,
                           synonyms=synonyms, group_idf=group_idf)
     from snowball_java_spark.operators.bm25_join import queries_df

@@ -118,6 +118,10 @@ class IndexReader:
             )
         self.n_docs: int = conf["n_docs"]
         self.avgdl: float = conf["avgdl"]
+        # exact integer token sum (additive across refreshes) — lets
+        # cross-index federation recompute a drift-free global avgdl
+        self.total_dl: int = int(conf.get("total_dl",
+                                          round(self.avgdl * self.n_docs)))
         self.n_buckets: int = conf["n_buckets"]
         self.cfg = EngineConfig(**conf["cfg"])
 

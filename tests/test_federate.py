@@ -1,0 +1,149 @@
+"""Federated search (dfs_query_then_fetch): global-stats injection,
+rank identity with a union index, deterministic cross-index merge."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.federate import (
+    bm25_topk_federated,
+    federated_stats,
+)
+from snowball_java_spark.operators.wand import bm25_topk_index
+from snowball_java_spark.plans.build_index import build_index
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+
+REL = 1e-9
+
+COLS = ["repo", "path", "commit", "lang", "content"]
+
+
+MID = 150  # synth_docs has 300 docs
+
+
+@pytest.fixture(scope="module")
+def tri(spark, synth_docs, tmp_path_factory):
+    """(union index, [half A, half B]) over the same corpus — halves
+    keep the union's doc_ids (contiguous range split: ids must stay
+    consecutive within each shard), so federated results are comparable
+    row-for-row with the union index's."""
+    root = tmp_path_factory.mktemp("fed")
+    whole = synth_docs.select("doc_id", *COLS)
+    union = build_index(spark, whole, str(root / "union"),
+                        cfg=CFG, n_buckets=8)
+    halves = [
+        build_index(spark, whole.filter(pred),
+                    str(root / f"half{i}"), cfg=CFG, n_buckets=8)
+        for i, pred in ((0, f"doc_id < {MID}"), (1, f"doc_id >= {MID}"))
+    ]
+    return union, halves
+
+
+QUERIES = [
+    {"query_id": 0, "terms": ["def", "flush_config_19"], "k": 10},
+    {"query_id": 1, "terms": ["def", "return", "class"], "k": 10,
+     "mode": "and"},
+    {"query_id": 2, "terms": ["return"], "not_terms": ["flush_config_19"],
+     "k": 10},
+    {"query_id": 3, "terms": ["def", "return", "read_client_43"], "k": 10,
+     "min_should_match": 2},
+]
+
+
+def test_federated_rank_identical_to_union_index(spark, tri):
+    union, halves = tri
+    want = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in bm25_topk_index(spark, union, QUERIES,
+                                     cfg=CFG).collect()}
+    got = bm25_topk_federated(spark, halves, QUERIES, cfg=CFG).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wd, ws = want[(r["query_id"], r["rank"])]
+        assert r["doc_id"] == wd
+        assert math.isclose(r["score"], ws, rel_tol=REL)
+        # range split → the winning index is recomputable
+        assert r["index"] == (1 if r["doc_id"] >= MID else 0)
+
+
+def test_federated_stats_are_global(spark, tri):
+    union, halves = tri
+    idf_u, avgdl_u, n_u = federated_stats(spark, [union], ["def", "zz_no"])
+    idf_f, avgdl_f, n_f = federated_stats(spark, halves, ["def", "zz_no"])
+    assert n_f == n_u == union.n_docs
+    assert math.isclose(avgdl_f, avgdl_u, rel_tol=REL)
+    assert math.isclose(idf_f["def"], idf_u["def"], rel_tol=REL)
+    # unindexed terms still get the (smoothed, df=0) idf
+    assert idf_f["zz_no"] > idf_f["def"]
+    # local stats genuinely differ — the bug federation must avoid:
+    # a half corpus has half the n_docs, so its local idf ≠ global
+    local = federated_stats(spark, [halves[0]], ["def"])[0]["def"]
+    assert not math.isclose(local, idf_f["def"], rel_tol=1e-3)
+
+
+def test_replicated_doc_merges_deterministically(spark, synth_docs,
+                                                 tmp_path):
+    """A doc present in BOTH indexes scores identically in each and
+    appears twice, adjacent, ordered by index asc."""
+    whole = synth_docs.filter("doc_id < 80").select("doc_id", *COLS)
+    a = build_index(spark, whole.filter("doc_id < 50"),
+                    str(tmp_path / "a"), cfg=CFG, n_buckets=4)
+    b = build_index(spark, whole.filter("doc_id >= 20"),
+                    str(tmp_path / "b"), cfg=CFG, n_buckets=4)
+    got = bm25_topk_federated(
+        spark, [a, b],
+        [{"query_id": 0, "terms": ["def", "return"], "k": 60}],
+        cfg=CFG).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    dups = {d: rs for d, rs in by_doc.items() if len(rs) > 1}
+    assert dups, "overlap region must surface replicated docs"
+    for rs in dups.values():
+        assert len(rs) == 2
+        assert rs[0]["score"] == rs[1]["score"]  # same global stats
+        first, second = sorted(rs, key=lambda r: r["rank"])
+        assert second["rank"] == first["rank"] + 1  # adjacent
+        assert (first["index"], second["index"]) == (0, 1)  # index asc
+
+
+def test_federated_validation(spark, tri):
+    _, halves = tri
+    with pytest.raises(ValueError, match="at least one index"):
+        federated_stats(spark, [], ["def"])
+    with pytest.raises(ValueError, match="index-local"):
+        bm25_topk_federated(
+            spark, halves,
+            [{"query_id": 0, "terms": [], "fuzzy": {"deff": 1}, "k": 5}],
+            cfg=CFG)
+
+
+def test_stats_override_guards(spark, tri):
+    union, _ = tri
+    with pytest.raises(ValueError, match="lacks queried terms"):
+        bm25_topk_index(
+            spark, union, [{"query_id": 0, "terms": ["def"], "k": 5}],
+            cfg=CFG, stats_override=({}, 100.0))
+    with pytest.raises(ValueError, match="cannot combine"):
+        bm25_topk_index(
+            spark, union, [{"query_id": 0, "terms": ["def"], "k": 5}],
+            cfg=CFG, stats_override=({"def": 1.0}, 100.0),
+            synonyms={"def": ["define"]})
+
+
+def test_stats_override_noop_with_own_stats(spark, tri):
+    """Injecting an index's OWN stats must be a bit-level no-op — the
+    override rides the same broadcast join as the local path."""
+    union, _ = tri
+    q = [{"query_id": 0, "terms": ["def", "flush_config_19"], "k": 10}]
+    base = bm25_topk_index(spark, union, q, cfg=CFG).collect()
+    idf, avgdl, _ = federated_stats(spark, [union],
+                                    ["def", "flush_config_19"])
+    over = bm25_topk_index(spark, union, q, cfg=CFG,
+                           stats_override=(idf, avgdl)).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in base] == \
+           [(r["rank"], r["doc_id"], r["score"]) for r in over]
