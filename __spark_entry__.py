@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (110/110 as of round 4 — including real BMP/PNG/WAV
+                  (111/111 as of round 4 — including real BMP/PNG/WAV
                   codec decodes, the composed cleaning pipeline,
                   connected components via a recursive CTE, the
                   living-corpus lifecycle on BOTH indexes: text
@@ -20,7 +20,8 @@
                   per-bucket top hits, percolation,
                   rescoring on both paths, function scoring, ordered
                   span search, per-doc term vectors, and federated
-                  multi-index search with global statistics).
+                  multi-index search with global statistics, text and
+                  vector).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.

@@ -61,6 +61,11 @@ def main(argv: list[str]) -> int:
     p.add_argument("--describe", action="store_true")
     p.add_argument("--query", metavar="JSONL",
                    help="queries: {query_id, vec, k} per line")
+    p.add_argument("--federate-with", default=None, metavar="DIR[,DIR…]",
+                   help="answer --query over --index-dir AND these IVF "
+                        "indexes merged as one (cosine is absolute, so "
+                        "per-index top-k merge is exact); output rows "
+                        "carry an `index` column (0 = --index-dir)")
     p.add_argument("--n-probe", type=int, default=2)
     p.add_argument("--filter", default=None,
                    help="SQL predicate over metadata columns (pre-filter)")
@@ -134,18 +139,31 @@ def main(argv: list[str]) -> int:
         for i, q in enumerate(qs):
             q.setdefault("query_id", i)
         pred = F.expr(args.filter) if args.filter else None
-        res = sim.ivf_topk_index_batch(
-            spark, d, qs, n_probe=args.n_probe, id_col=args.id_col,
-            predicate=pred)
+        if args.federate_with:
+            from snowball_java_spark.operators.federate import (
+                ivf_topk_federated,
+            )
+
+            dirs = [d] + [x.strip()
+                          for x in args.federate_with.split(",") if x.strip()]
+            res = ivf_topk_federated(
+                spark, dirs, qs, n_probe=args.n_probe, id_col=args.id_col,
+                predicate=pred)
+        else:
+            res = sim.ivf_topk_index_batch(
+                spark, d, qs, n_probe=args.n_probe, id_col=args.id_col,
+                predicate=pred)
         if args.out:
             res.orderBy("query_id", "rank").write.mode("overwrite").parquet(
                 args.out)
             print(json.dumps({"out": args.out, "queries": len(qs)}))
         else:
             for r in res.orderBy("query_id", "rank").collect():
-                print(json.dumps({
-                    "query_id": r["query_id"], "rank": r["rank"],
-                    args.id_col: r[args.id_col], "cosine": r["cosine"]}))
+                out = {"query_id": r["query_id"], "rank": r["rank"],
+                       args.id_col: r[args.id_col], "cosine": r["cosine"]}
+                if args.federate_with:
+                    out["index"] = r["index"]
+                print(json.dumps(out))
     spark.stop()
     return 0
 

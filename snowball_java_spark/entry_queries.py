@@ -1717,6 +1717,41 @@ def _q_emb_ivf_index(spark, sf_dir):
     )
 
 
+def _fed_ivf_dirs_for(spark: SparkSession, sf_dir: str) -> list[str]:
+    """TWO persisted IVF indexes over disjoint vec_id halves — the
+    vector-federation gate fixture (each half trains its OWN centroids;
+    cache dirs share the ivf family's version+fingerprint prefix)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    _gc_index_caches(tag, f"ivf_v2_{tag}_{fp}", family="ivf_v")
+    e = _emb(spark, sf_dir)
+    mid = e.count() // 2
+    dirs = []
+    for half, pred in (("A", F.col("vec_id") < mid),
+                       ("B", F.col("vec_id") >= mid)):
+        d = f"/tmp/sjs_index_cache/ivf_v2_{tag}_{fp}_fed{half}"
+        if not os.path.exists(os.path.join(d, "_centroids.json")):
+            similarity.build_ivf_index(spark, e.filter(pred), d)
+        dirs.append(d)
+    return dirs
+
+
+def _q_emb_ivf_federated(spark, sf_dir):
+    """Vector federation: two half-corpus IVF indexes searched as one,
+    full probe per index (exact) — cosine is an absolute score, so the
+    merged top-k equals the single-corpus answer (same oracle)."""
+    from snowball_java_spark.operators.federate import ivf_topk_federated
+
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    res = ivf_topk_federated(
+        spark, _fed_ivf_dirs_for(spark, sf_dir),
+        [{"query_id": 0, "vec": qvec, "k": 10}], n_probe=8)
+    return res.select(F.col("rank").cast("long").alias("rank"),
+                      "vec_id", "cosine")
+
+
 def _ivf_lifecycle_index_for(spark: SparkSession, sf_dir: str,
                              compact: bool) -> str:
     """Drive the IVF LIVING-index lifecycle once per (sf, fingerprint):
@@ -3829,6 +3864,8 @@ FROM g
         "embedding_lsh_topk": Q(_q_emb_lsh, _emb_sql(lsh=True)),
         "embedding_ivf_topk": Q(_q_emb_ivf, _emb_sql(lsh=False)),
         "embedding_ivf_index_topk": Q(_q_emb_ivf_index, _emb_sql(lsh=False)),
+        "embedding_ivf_federated_topk": Q(
+            _q_emb_ivf_federated, _emb_sql(lsh=False)),
         "bm25_synonym_topk": Q(
             _q_bm25_synonyms, _bm25_synonym_sql(_SYN_TERMS, _SYN_TABLE, 10)),
         "bm25_index_synonym_topk": Q(

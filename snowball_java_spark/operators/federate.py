@@ -125,3 +125,52 @@ def bm25_topk_federated(
         topk(per_index, qdf, order=order, keep_cols=("index", "score"))
         .select("query_id", "rank", "index", "doc_id", "score")
     )
+
+
+def ivf_topk_federated(
+    spark: SparkSession,
+    index_dirs: list[str],
+    queries: list[dict],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    predicate: "F.Column | None" = None,
+) -> DataFrame:
+    """ANN over N persisted IVF vector indexes searched as one —
+    (query_id, rank, index, ``id_col``, cosine), the vector twin of
+    :func:`bm25_topk_federated`.  Queries are the batch form
+    (``{"query_id", "vec", "k"}``).
+
+    No DFS phase is needed: cosine is an absolute score (no corpus
+    statistics), so per-index results are directly comparable and the
+    global top-k is exactly the merge of per-index top-ks.  Each index
+    keeps its own centroids — n_probe cells prune per index
+    independently (a probe fraction that would be wrong under one
+    shared centroid set trained on a different distribution).  Merge
+    order (cosine desc, id asc, index asc) is deterministic even for
+    vectors replicated across indexes."""
+    from snowball_java_spark.operators.similarity import ivf_topk_index_batch
+
+    if not index_dirs:
+        raise ValueError("federated search needs at least one index")
+    per_index = None
+    for i, d in enumerate(index_dirs):
+        r = ivf_topk_index_batch(
+            spark, d, queries, n_probe=n_probe, id_col=id_col,
+            predicate=predicate,
+        ).select("query_id", F.lit(i).alias("index"),
+                 F.col(id_col).alias("doc_id"), F.col("cosine"))
+        per_index = r if per_index is None else per_index.unionByName(r)
+
+    from snowball_java_spark.operators.bm25_join import topk
+
+    # NOT queries_df: it explodes (query, term) rows, so an empty terms
+    # list would drop the query from the k-broadcast entirely
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", 10))) for q in queries],
+        "query_id int, k int")
+    order = [F.desc("cosine"), F.asc("doc_id"), F.asc("index")]
+    return (
+        topk(per_index, qdf, order=order, keep_cols=("index", "cosine"))
+        .select("query_id", "rank", "index",
+                F.col("doc_id").alias(id_col), "cosine")
+    )

@@ -135,6 +135,60 @@ def test_stats_override_guards(spark, tri):
             synonyms={"def": ["define"]})
 
 
+@pytest.fixture(scope="module")
+def vec_pair(spark, tmp_path_factory):
+    """(embeddings df, [IVF dir A, IVF dir B]) — halves by vec_id, each
+    with its own trained centroids."""
+    from snowball_java_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet").cache()
+    mid = emb.count() // 2
+    root = tmp_path_factory.mktemp("fedvec")
+    dirs = []
+    for half, pred in (("a", F.col("vec_id") < mid),
+                       ("b", F.col("vec_id") >= mid)):
+        d = str(root / half)
+        build_ivf_index(spark, emb.filter(pred), d, n_cells=4)
+        dirs.append(d)
+    return emb, dirs
+
+
+def test_ivf_federated_full_probe_equals_brute_force(spark, vec_pair):
+    from snowball_java_spark.operators.federate import ivf_topk_federated
+    from snowball_java_spark.operators.similarity import brute_force_topk
+
+    emb, dirs = vec_pair
+    qs = []
+    for qid in (0, 7):
+        qs.append({"query_id": qid, "vec": [
+            float(x) for x in emb.filter(F.col("vec_id") == qid)
+            .collect()[0]["embedding"]], "k": 10})
+    got = ivf_topk_federated(spark, dirs, qs, n_probe=4).collect()
+    for q in qs:
+        want = [(r["vec_id"], r["cosine"]) for r in
+                brute_force_topk(emb, q["vec"], 10).collect()]
+        mine = [(r["vec_id"], r["cosine"]) for r in got
+                if r["query_id"] == q["query_id"]]
+        assert mine == want
+
+
+def test_ivf_federated_partial_probe_and_validation(spark, vec_pair):
+    from snowball_java_spark.operators.federate import ivf_topk_federated
+
+    emb, dirs = vec_pair
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = ivf_topk_federated(
+        spark, dirs, [{"query_id": 0, "vec": qvec, "k": 5}],
+        n_probe=1).collect()
+    assert len(got) == 5
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert {r["index"] for r in got} <= {0, 1}
+    with pytest.raises(ValueError, match="at least one index"):
+        ivf_topk_federated(spark, [], [{"query_id": 0, "vec": qvec}])
+
+
 def test_stats_override_noop_with_own_stats(spark, tri):
     """Injecting an index's OWN stats must be a bit-level no-op — the
     override rides the same broadcast join as the local path."""
