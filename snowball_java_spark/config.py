@@ -87,6 +87,20 @@ class EngineConfig:
     #: query-time
     default_k: int = 10
 
+    #: ranking model: "bm25" (default) or "lmd" (LM Dirichlet, Lucene
+    #: LMDirichletSimilarity semantics — functions/bm25.py).  Both run on
+    #: the SAME index: term_stats carries (df, cf), _conf.json the exact
+    #: integer total_dl, and the postings blocks' parameter-free (tf, dl)
+    #: frontiers yield exact block-max bounds for any weight monotone
+    #: ↑tf/↓dl — so MaxScore pruning stays exact under either model.
+    #: Expansions whose bound algebra is BM25-specific (term^B boost
+    #: folding, synonym/fuzzy union-df groups, federated stats_override)
+    #: are rejected loudly under "lmd".
+    similarity: str = "bm25"
+
+    #: LM Dirichlet smoothing pseudo-count (Lucene's default).
+    mu: float = 2000.0
+
     #: MaxScore shards whose query-term postings total at most this many
     #: docs decode exhaustively: decoding ~1k postings is microseconds of
     #: numpy, while θ-seeding / list-splitting / bound bookkeeping is a

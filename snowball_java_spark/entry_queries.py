@@ -73,6 +73,17 @@ W_SQL = (
     f"/ (tfx.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl))"
 )
 
+# LM Dirichlet weight (functions/bm25.py lmd_weight_*): identical literal
+# structure — p(t|C) = cf/total_tokens, per-term clamp at 0.  Decimal
+# literals cast ::DOUBLE (DuckDB parses them as DECIMAL otherwise).
+_MU = 2000.0
+_MU_SQL = f"{_MU}::DOUBLE"
+LMD_W_SQL = (
+    f"greatest(0.0::DOUBLE, ln(1 + tfx.tf / ({_MU_SQL} * "
+    f"(dfx.cf::DOUBLE / st.total_tokens))) "
+    f"+ ln({_MU_SQL} / (dl.dl + {_MU_SQL})))"
+)
+
 HOT_TERMS = ["table", "row"]
 MIXED_TERMS = ["spark", "vector", "dup"]
 RARE_TERMS = ["dup"]
@@ -1304,6 +1315,69 @@ def _bm25_index_topk(
         "doc_id", F.col("rank").cast("long").alias("rank"),
         F.round("score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# LM Dirichlet gates: the SAME index / SAME corpus ranked under a second
+# similarity model (config.EngineConfig.similarity = "lmd").  Both paths
+# share one oracle; the index gate proves the (tf, dl) frontier bounds
+# stay exact under a non-BM25 weight (functions/bm25.py).
+# ---------------------------------------------------------------------------
+
+
+def _q_lmd_topk(spark: SparkSession, sf_dir: str, terms: list[str],
+                k: int) -> DataFrame:
+    from dataclasses import replace
+
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": terms, "k": k}],
+        cfg=replace(EngineConfig(), similarity="lmd", mu=_MU),
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_lmd_index_topk(spark: SparkSession, sf_dir: str, terms: list[str],
+                      k: int) -> DataFrame:
+    from dataclasses import replace
+
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": terms, "k": k}],
+        cfg=replace(_INDEX_CFG, similarity="lmd", mu=_MU),
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _lmd_topk_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({LMD_W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3641,6 +3715,14 @@ def build_registry() -> dict[str, Q]:
         "bm25_index_topk": Q(
             lambda s, d: _bm25_index_topk(s, d, HOT_TERMS, 10),
             _bm25_topk_sql(HOT_TERMS, 10),
+        ),
+        "lmd_topk": Q(
+            lambda s, d: _q_lmd_topk(s, d, MIXED_TERMS, 10),
+            _lmd_topk_sql(MIXED_TERMS, 10),
+        ),
+        "lmd_index_topk": Q(
+            lambda s, d: _q_lmd_index_topk(s, d, MIXED_TERMS, 10),
+            _lmd_topk_sql(MIXED_TERMS, 10),
         ),
         "bm25_index_mixed": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),

@@ -60,3 +60,60 @@ def weight_np(
     tf = tf.astype(np.float64)
     norm = k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
     return idf * tf * (k1 + 1.0) / (tf + norm)
+
+
+# ---------------------------------------------------------------------------
+# LM Dirichlet (Lucene LMDirichletSimilarity semantics)
+#
+#     p(t|C)       = cf / total_dl        (collection language model)
+#     weight(t, d) = max(0, ln(1 + tf / (mu * p)) + ln(mu / (dl + mu)))
+#
+# Per-term clamp at 0 matches Lucene (scores must be non-negative for
+# pruning to compose).  The weight is monotone increasing in tf and
+# decreasing in dl — the SAME contract the postings blocks' (tf, dl)
+# Pareto frontiers were built for — so every block-max bound recomputed
+# from the stored frontier is exact for this model too, and MaxScore
+# pruning carries over unchanged.
+# ---------------------------------------------------------------------------
+
+
+def lmd_weight_expr(
+    tf_col: Column,
+    p_col: Column,
+    dl_col: Column,
+    mu: float,
+) -> Column:
+    w = (
+        F.log(F.lit(1.0) + tf_col.cast("double") / (F.lit(mu) * p_col))
+        + F.log(F.lit(mu) / (dl_col.cast("double") + F.lit(mu)))
+    )
+    return F.greatest(F.lit(0.0), w)
+
+
+def lmd_weight_np(
+    tf: np.ndarray,
+    p: "np.ndarray | np.float64",
+    dl: np.ndarray,
+    mu: float,
+) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    w = np.log(1.0 + tf / (mu * p)) + np.log(mu / (dl.astype(np.float64) + mu))
+    return np.maximum(w, 0.0)
+
+
+def term_weight_np(
+    tf: np.ndarray,
+    stat: "np.ndarray | np.float64",
+    dl: np.ndarray,
+    avgdl: float,
+    cfg,
+) -> np.ndarray:
+    """Similarity dispatch for the postings kernel.  ``stat`` is the
+    per-term scalar channel: idf for bm25, p(t|C) = cf/total_dl for lmd
+    (joined from term_stats either way — see wand.bm25_topk_index)."""
+    if cfg.similarity == "bm25":
+        return weight_np(tf, stat, dl, avgdl, cfg.k1, cfg.b)
+    if cfg.similarity == "lmd":
+        return lmd_weight_np(tf, stat, dl, cfg.mu)
+    raise ValueError(
+        f"unknown similarity {cfg.similarity!r} (expected 'bm25' or 'lmd')")

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import EngineConfig, DEFAULT
-from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+from snowball_java_spark.functions.bm25 import (
+    idf_expr,
+    lmd_weight_expr,
+    weight_expr,
+)
 
 
 def queries_df(spark: SparkSession, queries: list[dict]) -> DataFrame:
@@ -326,6 +330,7 @@ def bm25_topk_join(
     n_docs: int | None = None,
     avgdl: float | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    total_dl: int | None = None,
 ) -> DataFrame:
     """End-to-end M1 path from a tokenized docs DataFrame.
 
@@ -364,7 +369,7 @@ def bm25_topk_join(
     scores, qdf = bm25_scores_join(
         spark, docs_tok, queries, cfg=cfg,
         candidate_predicate=candidate_predicate,
-        n_docs=n_docs, avgdl=avgdl, synonyms=synonyms,
+        n_docs=n_docs, avgdl=avgdl, synonyms=synonyms, total_dl=total_dl,
     )
     return topk(scores, qdf)
 
@@ -378,15 +383,27 @@ def bm25_scores_join(
     n_docs: int | None = None,
     avgdl: float | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    total_dl: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The scoring half of :func:`bm25_topk_join`: ``(scores, qdf)``
     where ``scores`` is the full (query_id, doc_id, score) candidate
     relation (NOT-terms and search_after cursors already applied) and
     ``qdf`` the query relation for the ranking stage.  Callers that rank
     differently — per-query :func:`topk`, per-group :func:`collapse_topk`
-    — share one scorer instead of re-deriving the pruned joins."""
+    — share one scorer instead of re-deriving the pruned joins.
+
+    ``cfg.similarity`` picks the ranking model: "bm25" (default) or
+    "lmd" (LM Dirichlet — per-term stat is p(t|C) = cf/total_dl instead
+    of idf; pass the exact integer ``total_dl`` alongside (n_docs,
+    avgdl) to skip the stats scan).  Boosts and synonym groups are
+    BM25-only (their algebra folds into idf) and raise under "lmd"."""
     from snowball_java_spark.operators.df_stats import corpus_stats
 
+    if cfg.similarity != "bm25" and (
+            synonyms or any(q.get("boosts") for q in queries)):
+        raise ValueError(
+            f"similarity={cfg.similarity!r}: boosts and synonym groups "
+            "are BM25-only (same rule as the index path)")
     for q in queries:
         # loud-failure policy: keys this path cannot honor must not be
         # silently dropped (mode='and' → bm25_topk_conjunctive; fuzzy /
@@ -411,9 +428,11 @@ def bm25_scores_join(
             spark.createDataFrame([], "query_id int, doc_id long, score double"),
             qdf,
         )
-    if n_docs is None or avgdl is None:
+    need_tdl = cfg.similarity == "lmd" and total_dl is None
+    if n_docs is None or avgdl is None or need_tdl:
         st = corpus_stats(docs_tok).collect()[0]
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+        total_dl = int(st["total_tokens"])
     cand = (
         docs_tok.filter(candidate_predicate)
         if candidate_predicate is not None
@@ -423,6 +442,16 @@ def bm25_scores_join(
         scan_terms, group_of = synonym_maps(terms, synonyms)
         tfq = grouped_tf(cand, scan_terms, group_of)
         dfs = df_for_term_groups(docs_tok, scan_terms, group_of)
+    elif cfg.similarity == "lmd":
+        tfq = pruned_tf(cand, terms)
+        # collection stats (cf = Σ tf across the WHOLE corpus, like df)
+        # from the same prune-before-explode shape; one extra agg level
+        # over rows already restricted to the query terms
+        dfs = (
+            pruned_tf(docs_tok, terms)
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        )
     else:
         tfq = pruned_tf(cand, terms)
         dfs = df_for_terms(docs_tok, terms)
@@ -430,16 +459,24 @@ def bm25_scores_join(
         qdf.select("query_id", "term")
         .distinct()
         .join(dfs, "term", "left")
-        .fillna(0, subset=["df"])
+        .fillna(0, subset=["df"] + (["cf"] if cfg.similarity == "lmd" else []))
     )
-    w = weight_expr(
-        F.col("tf"),
-        idf_expr(F.col("df"), n_docs),
-        F.col("dl"),
-        F.lit(avgdl),
-        cfg.k1,
-        cfg.b,
-    )
+    if cfg.similarity == "lmd":
+        w = lmd_weight_expr(
+            F.col("tf"),
+            F.col("cf").cast("double") / F.lit(float(total_dl)),
+            F.col("dl"),
+            cfg.mu,
+        )
+    else:
+        w = weight_expr(
+            F.col("tf"),
+            idf_expr(F.col("df"), n_docs),
+            F.col("dl"),
+            F.lit(avgdl),
+            cfg.k1,
+            cfg.b,
+        )
     scored = tfq.join(q_stats, "term").withColumn("w", w)
     # per-(query, term) boosts (term^B): weight is linear in idf, so the
     # boost is a plain multiplier on w — same math as the index path's

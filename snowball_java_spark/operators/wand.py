@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
-from snowball_java_spark.functions.bm25 import weight_np
+from snowball_java_spark.functions.bm25 import term_weight_np
 from snowball_java_spark.functions.codecs import get_codec, varint_decode
 from snowball_java_spark.functions.hashes import h60_py
 from snowball_java_spark.operators.bm25_join import topk
@@ -91,8 +91,8 @@ class _TermList:
         lens = np.array([len(f) for f in ub_tf], dtype=np.int64)
         flat_tf = np.concatenate([np.asarray(f, dtype=np.int64) for f in ub_tf])
         flat_dl = np.concatenate([np.asarray(f, dtype=np.int64) for f in ub_dl])
-        w = weight_np(flat_tf, np.float64(self.idf), flat_dl, avgdl,
-                      cfg.k1, cfg.b)
+        w = term_weight_np(flat_tf, np.float64(self.idf), flat_dl, avgdl,
+                           cfg)
         offsets = np.zeros(lens.size, dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
         self.bmax = np.maximum.reduceat(w, offsets) * _BOUND_SLACK
@@ -180,8 +180,8 @@ class _MergedList:
         self.idf = float(idf)
         self.n_blocks = 1
         if docs.size:
-            w = weight_np(tfs, np.float64(self.idf), dls[docs - first_doc],
-                          avgdl, cfg.k1, cfg.b)
+            w = term_weight_np(tfs, np.float64(self.idf),
+                               dls[docs - first_doc], avgdl, cfg)
             self.max_w = float(w.max())
         else:
             self.max_w = 0.0
@@ -269,7 +269,7 @@ def _weights(tl: _TermList, tfs: np.ndarray, docs: np.ndarray,
              dls: np.ndarray, first_doc: int, avgdl: float,
              cfg: EngineConfig) -> np.ndarray:
     dl = dls[docs - first_doc]
-    return weight_np(tfs, np.float64(tl.idf), dl, avgdl, cfg.k1, cfg.b)
+    return term_weight_np(tfs, np.float64(tl.idf), dl, avgdl, cfg)
 
 
 def _score_docs(
@@ -898,6 +898,18 @@ def bm25_topk_index(
     Mutually exclusive with ``synonyms`` (a merged group's union df is
     index-local; the federated layer rejects the combination)."""
     cfg = _with_index_layout(index, cfg)
+    if cfg.similarity != "bm25":
+        # Bound algebra that is BM25-specific: boost folds into idf only
+        # because BM25 weight is LINEAR in idf; synonym groups score on a
+        # union-df idf; federation overrides (idf, avgdl).  None of those
+        # identities hold for other models — reject instead of mis-rank.
+        if synonyms or stats_override is not None or any(
+                q.get("boosts") for q in queries):
+            raise ValueError(
+                f"similarity={cfg.similarity!r} supports plain/AND/NOT/"
+                "msm/filtered/prefix queries only — boosts, synonym "
+                "groups (incl. fuzzy rewrites) and stats_override are "
+                "BM25-only")
     terms = sorted({t for q in queries
                     for t in list(q["terms"]) + list(q.get("not_terms", []))})
     group_idf: dict[str, float] = {}
@@ -935,7 +947,17 @@ def bm25_topk_index(
             [(t, float(ext_idf[t])) for t in terms], "term string, idf double")
     else:
         avgdl = index.avgdl
-        tstats = index.term_stats(spark).filter(F.col("term").isin(terms)).select("term", "idf")
+        stat = (
+            F.col("idf") if cfg.similarity == "bm25"
+            # p(t|C) = cf / total_dl rides the same "idf" stat channel;
+            # term_stats carries the additive cf and _conf the exact
+            # integer total_dl, so NO index change is needed to swap
+            # ranking models (config.EngineConfig.similarity).
+            else (F.col("cf").cast("double")
+                  / F.lit(float(index.total_dl))).alias("idf")
+        )
+        tstats = index.term_stats(spark).filter(
+            F.col("term").isin(terms)).select("term", stat)
     posts = posts.join(F.broadcast(tstats), "term")
     meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
     with_meta = posts.join(meta, "shard")

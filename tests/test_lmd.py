@@ -1,0 +1,205 @@
+"""LM Dirichlet similarity (EngineConfig.similarity = "lmd"): a second
+ranking model over the SAME index.  The postings blocks' parameter-free
+(tf, dl) Pareto frontiers must yield exact block-max bounds for ANY
+weight monotone ↑tf/↓dl — these tests prove the MaxScore kernel stays
+rank-identical to exhaustive scoring under the LMD weight, that join and
+index paths agree, and that BM25-only expansions are rejected loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.functions.bm25 import lmd_weight_np, term_weight_np
+from snowball_java_spark.functions.tokenize import tokens_expr
+from snowball_java_spark.operators.bm25_join import bm25_topk_join
+from snowball_java_spark.operators.postings import encode_term_postings
+from snowball_java_spark.operators.wand import (
+    _TermList,
+    bm25_topk_index,
+    maxscore_topk_shard,
+)
+from snowball_java_spark.plans.build_index import build_index
+from snowball_java_spark.sources.corpus import assign_doc_ids, read_corpus
+from snowball_java_spark.sources.synthetic import build_synth_corpus
+
+TERMS = ["def", "import"]
+
+
+def _cfg(mu: float = 2000.0) -> EngineConfig:
+    # tiny blocks → many skip boundaries; low cutoff → pruning engages
+    return EngineConfig(block_size=4, exhaustive_cutoff=64,
+                        similarity="lmd", mu=mu)
+
+
+def _mk_termlist(docs, tfs, dls_all, p, avgdl, cfg):
+    enc = encode_term_postings(
+        np.asarray(docs, np.int64), np.asarray(tfs, np.int64),
+        dls_all[np.asarray(docs, np.int64)], cfg,
+    )
+    row = pd.Series({**enc, "idf": p})  # stat channel carries p(t|C)
+    return _TermList(row, cfg.block_size, avgdl, cfg)
+
+
+def _fold_truth(lists, per_list):
+    """Kernel-order fold (ascending list max_w) — see engine invariants."""
+    order = sorted(range(len(lists)), key=lambda i: lists[i].max_w)
+    truth = {}
+    for i in order:
+        for d, wv in per_list[i]:
+            truth[d] = truth.get(d, 0.0) + wv
+    return truth
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_lmd_maxscore_equals_exhaustive(data):
+    """Pruning exactness under the LMD weight, including mu values small
+    enough that the per-term clamp at 0 fires on real postings."""
+    n_docs = data.draw(st.integers(300, 1200))
+    n_terms = data.draw(st.integers(1, 5))
+    k = data.draw(st.integers(1, 12))
+    mu = data.draw(st.sampled_from([25.0, 400.0, 2000.0]))
+    cfg = _cfg(mu)
+    rng = np.random.RandomState(data.draw(st.integers(0, 10**6)))
+    dls = rng.randint(1, 200, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    total_dl = float(dls.sum())
+
+    lists, per_list = [], []
+    for _ in range(n_terms):
+        density = data.draw(st.sampled_from([0.005, 0.05, 0.6, 0.95]))
+        mask = rng.rand(n_docs) < density
+        docs = np.nonzero(mask)[0].astype(np.int64)
+        if docs.size == 0:
+            continue
+        tfs = rng.choice([1, 1, 1, 2, 3, 8], size=docs.size).astype(np.int64)
+        p = float(tfs.sum()) / total_dl
+        lists.append(_mk_termlist(docs, tfs, dls, p, avgdl, cfg))
+        w = lmd_weight_np(tfs, np.float64(p), dls[docs], mu)
+        per_list.append(list(zip(docs.tolist(), w.tolist())))
+    truth = _fold_truth(lists, per_list)
+
+    got_docs, got_scores = maxscore_topk_shard(lists, k, dls, 0, avgdl, cfg)
+    expect = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:k]
+    assert list(got_docs) == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got_scores, [s for _, s in expect], rtol=1e-12, atol=0)
+
+
+def test_lmd_weight_clamps_at_zero():
+    """A common term (large p) in a long doc scores negative pre-clamp;
+    Lucene (and we) clamp each term's contribution at 0."""
+    w = lmd_weight_np(np.array([1]), np.float64(0.5),
+                      np.array([10_000]), 2000.0)
+    assert w[0] == 0.0
+    # monotone: more occurrences in a shorter doc beats it
+    w2 = lmd_weight_np(np.array([50]), np.float64(0.01),
+                       np.array([20]), 2000.0)
+    assert w2[0] > 0.0
+
+
+def test_term_weight_np_rejects_unknown_similarity():
+    cfg = EngineConfig(similarity="tfidf-nope")
+    with pytest.raises(ValueError, match="unknown similarity"):
+        term_weight_np(np.array([1]), np.float64(1.0), np.array([10]),
+                       10.0, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Spark paths
+# ---------------------------------------------------------------------------
+
+CFG_IDX = EngineConfig(shard_size=256, block_size=32, build_stages=2)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lmdcorp") / "c")
+    build_synth_corpus(spark, 1200, d)
+    return read_corpus(spark, d)
+
+
+@pytest.fixture(scope="module")
+def docs_tok(corpus):
+    return assign_doc_ids(corpus).select(
+        "doc_id", tokens_expr("content").alias("tokens")).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lmdidx") / "idx")
+    return build_index(spark, assign_doc_ids(corpus), d, cfg=CFG_IDX,
+                       n_buckets=8)
+
+
+def _q(terms=TERMS, k=10, **kw):
+    return [{"query_id": 0, "terms": terms, "k": k, **kw}]
+
+
+def _lmd(cfg: EngineConfig) -> EngineConfig:
+    from dataclasses import replace
+
+    return replace(cfg, similarity="lmd")
+
+
+def test_lmd_paths_agree(spark, docs_tok, index):
+    """Join path and index path rank identically under LMD (scores at
+    rel 1e-9 — fold order differs across paths by design)."""
+    j = bm25_topk_join(spark, docs_tok, _q(), cfg=_lmd(EngineConfig()))
+    i = bm25_topk_index(spark, index, _q(), cfg=_lmd(CFG_IDX))
+    jr = j.orderBy("rank").collect()
+    ir = i.orderBy("rank").collect()
+    assert [r["doc_id"] for r in jr] == [r["doc_id"] for r in ir]
+    for a, b in zip(jr, ir):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+    # and it is a genuinely different ranking model than BM25 (scores
+    # differ; on this corpus the orderings need not coincide)
+    bm = bm25_topk_index(spark, index, _q(), cfg=CFG_IDX).orderBy("rank").collect()
+    assert [r["score"] for r in bm] != [r["score"] for r in ir]
+
+
+def test_lmd_modes_compose_on_index_path(spark, docs_tok, index):
+    """AND / NOT / msm ride the same kernel machinery under LMD — check
+    them against the join/scan truth."""
+    qs = _q(mode="and")
+    i = bm25_topk_index(spark, index, qs, cfg=_lmd(CFG_IDX)).collect()
+    assert len(i) > 0
+    # every returned doc contains ALL query terms
+    both = docs_tok.select("doc_id").filter(
+        pd_contains_all_expr()).collect()
+    ids = {r["doc_id"] for r in both}
+    assert all(r["doc_id"] in ids for r in i)
+
+
+def pd_contains_all_expr():
+    from pyspark.sql import functions as F
+
+    e = None
+    for t in TERMS:
+        c = F.array_contains("tokens", t)
+        e = c if e is None else (e & c)
+    return e
+
+
+def test_lmd_rejects_bm25_only_expansions(spark, docs_tok, index):
+    with pytest.raises(ValueError, match="BM25-only"):
+        bm25_topk_index(spark, index, _q(boosts={"def": 2.0}),
+                        cfg=_lmd(CFG_IDX))
+    with pytest.raises(ValueError, match="BM25-only"):
+        bm25_topk_index(spark, index, _q(), cfg=_lmd(CFG_IDX),
+                        synonyms={"def": ["return"]})
+    with pytest.raises(ValueError, match="BM25-only"):
+        bm25_topk_index(spark, index, _q(), cfg=_lmd(CFG_IDX),
+                        stats_override=({"def": 1.0, "import": 1.0}, 10.0))
+    with pytest.raises(ValueError, match="BM25-only"):
+        bm25_topk_join(spark, docs_tok, _q(boosts={"def": 2.0}),
+                       cfg=_lmd(EngineConfig()))
+    with pytest.raises(ValueError, match="BM25-only"):
+        bm25_topk_join(spark, docs_tok, _q(), cfg=_lmd(EngineConfig()),
+                       synonyms={"def": ["return"]})
