@@ -1381,6 +1381,65 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 
 
 # ---------------------------------------------------------------------------
+# sequence-packing gates (operators/pack): the tokenizer-facing end of a
+# training pipeline — concat-and-chunk layout of the corpus into
+# fixed-budget sequences, shard-parallel (window PARTITION BY shard).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowball_java_spark.operators.pack import pack_plan
+
+    return pack_plan(_docs_tok(spark, sf_dir), budget=_PACK_BUDGET,
+                     n_shards=_PACK_SHARDS)
+
+
+def _q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowball_java_spark.operators.pack import pack_plan, pack_stats
+
+    plan = pack_plan(_docs_tok(spark, sf_dir), budget=_PACK_BUDGET,
+                     n_shards=_PACK_SHARDS)
+    st = pack_stats(plan, _PACK_BUDGET)
+    return st.select(
+        "shard", "n_docs", "n_tokens", "n_seqs",
+        F.round("fill_ratio", 6).alias("fill_ratio"),
+    )
+
+
+_PACK_CTES = f"""
+toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+t AS (SELECT doc_id, (doc_id % {_PACK_SHARDS})::INT AS shard,
+             len(toks)::BIGINT AS n_tokens
+      FROM toks WHERE len(toks) > 0),
+c AS (SELECT doc_id, shard, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+              - n_tokens)::BIGINT AS start_off
+      FROM t),
+plan AS (SELECT doc_id, shard, n_tokens, start_off,
+                start_off // {_PACK_BUDGET} AS seq_first,
+                (start_off + n_tokens - 1) // {_PACK_BUDGET} AS seq_last
+         FROM c)
+""".strip()
+
+_SEQUENCE_PACK_SQL = f"""
+WITH {_PACK_CTES}
+SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last FROM plan
+"""
+
+_PACK_STATS_SQL = f"""
+WITH {_PACK_CTES}
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       (max(seq_last) + 1)::BIGINT AS n_seqs,
+       round(sum(n_tokens)::DOUBLE / ((max(seq_last) + 1) * {_PACK_BUDGET}), 6)
+         AS fill_ratio
+FROM plan GROUP BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # living-corpus (upsert/delete) lifecycle gates
 #
 # docs with doc_id % 7 == 3 are SUPERSEDED by an updated commit (text +
@@ -3724,6 +3783,8 @@ def build_registry() -> dict[str, Q]:
             lambda s, d: _q_lmd_index_topk(s, d, MIXED_TERMS, 10),
             _lmd_topk_sql(MIXED_TERMS, 10),
         ),
+        "sequence_pack": Q(_q_sequence_pack, _SEQUENCE_PACK_SQL),
+        "pack_shard_stats": Q(_q_pack_stats, _PACK_STATS_SQL),
         "bm25_index_mixed": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),
             _bm25_topk_sql(MIXED_TERMS, 10),

@@ -1,0 +1,95 @@
+"""Sequence packing for training pipelines (GPT-style concat-and-chunk).
+
+The tokenizer-facing end of the pipeline: given per-doc token counts, a
+max sequence length ``budget`` and a shard assignment, lay every doc out
+in one contiguous token stream per shard and cut fixed-``budget``
+sequences from it.  Each doc gets its stream offset and the range of
+sequence indexes it lands in — the plan a downstream batch writer needs
+to materialize packed training sequences without re-tokenizing.
+
+Scale shape: the ONLY ordering primitive is a running sum windowed
+PARTITION BY shard — each shard packs independently (exactly how real
+pipelines pack per output file), so parallelism = number of shards and
+no global sort or single-partition window exists anywhere.  Shard
+assignment is a pure function of doc_id (``doc_id % n_shards``), so the
+plan is deterministic across partitioning, retries, and engines — the
+same reproducibility rule as ``operators/sampling``.
+
+Docs with zero tokens are EXCLUDED from the plan (there is nothing to
+pack; keeping them would pin ghost rows to arbitrary sequence indexes).
+
+``pack_stats`` summarizes the plan per shard: sequence count and fill
+ratio (the tail sequence of each shard is the only padding, so fill =
+tokens / (n_seqs * budget) — the number a data engineer checks before a
+run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_plan(
+    docs_tok: DataFrame,
+    budget: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_off, seq_first, seq_last) — the
+    concat-and-chunk layout of every non-empty doc.
+
+    ``start_off`` is the doc's first-token offset in its shard's stream;
+    the doc occupies sequences ``seq_first = start_off div budget``
+    through ``seq_last = (start_off + n_tokens - 1) div budget`` (a doc
+    longer than ``budget`` spans several sequences; a short doc shares
+    its sequence with neighbours).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs_tok.select(
+            id_col,
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+            F.size(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("start_off",
+                    F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            id_col, "shard", "n_tokens", "start_off",
+            F.expr(f"start_off DIV {int(budget)}").alias("seq_first"),
+            F.expr(f"(start_off + n_tokens - 1) DIV {int(budget)}")
+            .alias("seq_last"),
+        )
+    )
+
+
+def pack_stats(plan: DataFrame, budget: int) -> DataFrame:
+    """(shard, n_docs, n_tokens, n_seqs, fill_ratio) per shard.
+
+    ``n_seqs`` counts the tail sequence even when partially filled (it
+    is padded, not dropped); ``fill_ratio`` = tokens / (n_seqs·budget).
+    Plain map-side-combinable aggregation over the plan relation.
+    """
+    return (
+        plan.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            (F.max("seq_last") + 1).alias("n_seqs"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.col("n_tokens").cast("double")
+            / (F.col("n_seqs") * F.lit(int(budget))),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Sequence packing (operators/pack): concat-and-chunk plan truth,
+boundary semantics, determinism under repartitioning, stats recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.tokenize import tokens_expr
+from snowball_java_spark.operators.pack import pack_plan, pack_stats
+from snowball_java_spark.sources.corpus import assign_doc_ids, read_corpus
+from snowball_java_spark.sources.synthetic import build_synth_corpus
+
+BUDGET = 64
+SHARDS = 3
+
+
+@pytest.fixture(scope="module")
+def docs_tok(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("packcorp") / "c")
+    # 1200 files: includes EMPTY docs (doc % 997 == 0) and long docs
+    build_synth_corpus(spark, 1200, d)
+    return assign_doc_ids(read_corpus(spark, d)).select(
+        "doc_id", tokens_expr("content").alias("tokens")).cache()
+
+
+def _truth(rows):
+    """Python recompute: per shard, docs in doc_id order, running offset."""
+    plan = {}
+    by_shard = {}
+    for doc_id, n in sorted(rows):
+        if n == 0:
+            continue
+        sh = doc_id % SHARDS
+        off = by_shard.get(sh, 0)
+        plan[doc_id] = (sh, n, off, off // BUDGET, (off + n - 1) // BUDGET)
+        by_shard[sh] = off + n
+    return plan, by_shard
+
+
+def test_plan_matches_python_truth(spark, docs_tok):
+    rows = [(r["doc_id"], r["n"]) for r in
+            docs_tok.select("doc_id", F.size("tokens").alias("n")).collect()]
+    truth, _ = _truth(rows)
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["start_off"],
+                         r["seq_first"], r["seq_last"])
+           for r in pack_plan(docs_tok, BUDGET, SHARDS).collect()}
+    assert got == truth
+    # empty docs exist in the corpus and are excluded from the plan
+    n_empty = sum(1 for _, n in rows if n == 0)
+    assert n_empty > 0 and len(got) == len(rows) - n_empty
+
+
+def test_long_doc_spans_sequences_short_docs_share(spark):
+    docs = spark.createDataFrame(
+        [(0, ["t"] * 10), (3, ["t"] * 200), (6, ["t"] * 10)],
+        "doc_id long, tokens array<string>")
+    got = {r["doc_id"]: r.asDict() for r in pack_plan(docs, 64, 3).collect()}
+    # all in shard 0, doc_id order: offsets 0, 10, 210
+    assert got[3]["seq_first"] == 0 and got[3]["seq_last"] == 3   # 10..209
+    assert got[0]["seq_first"] == got[0]["seq_last"] == 0         # shares seq 0
+    assert got[6]["start_off"] == 210 and got[6]["seq_first"] == 3
+
+
+def test_plan_is_partitioning_independent(spark, docs_tok):
+    a = sorted(map(tuple, pack_plan(docs_tok, BUDGET, SHARDS).collect()))
+    b = sorted(map(tuple, pack_plan(
+        docs_tok.repartition(17), BUDGET, SHARDS).collect()))
+    assert a == b
+
+
+def test_pack_stats_recompute(spark, docs_tok):
+    plan = pack_plan(docs_tok, BUDGET, SHARDS)
+    rows = [(r["doc_id"], r["n"]) for r in
+            docs_tok.select("doc_id", F.size("tokens").alias("n")).collect()]
+    truth, by_shard = _truth(rows)
+    got = {r["shard"]: r.asDict() for r in pack_stats(plan, BUDGET).collect()}
+    for sh, total in by_shard.items():
+        n_seqs = (total - 1) // BUDGET + 1
+        assert got[sh]["n_seqs"] == n_seqs
+        assert got[sh]["n_tokens"] == total
+        assert got[sh]["fill_ratio"] == pytest.approx(
+            total / (n_seqs * BUDGET))
+        assert 0 < got[sh]["fill_ratio"] <= 1
+
+
+def test_validation(spark, docs_tok):
+    with pytest.raises(ValueError, match="budget"):
+        pack_plan(docs_tok, 0, SHARDS)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_plan(docs_tok, BUDGET, 0)
