@@ -1,0 +1,73 @@
+"""spark-submit entry point: sequence-packing plan for training runs.
+
+    spark-submit --py-files dist.zip scripts/pack_job.py \
+        --corpus /path/or/iceberg.table --out /path/plan \
+        --budget 4096 [--shards 1024] [--text-col content] [--id-col doc_id]
+
+Tokenizes the corpus (the engine's pinned tokenizer), lays every
+non-empty doc out GPT-style (concat-and-chunk; ``operators/pack``) into
+fixed-``--budget`` sequences, writes the per-doc plan (doc_id, shard,
+n_tokens, start_off, seq_first, seq_last) partitioned by shard to
+``--out``, and prints one JSON line per shard with sequence count and
+fill ratio.  Shards pack independently — parallelism = ``--shards`` —
+and the plan is a pure function of (doc_id, token counts), so re-runs
+and retries produce byte-identical layouts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--budget", type=int, required=True,
+                   help="max sequence length in tokens")
+    p.add_argument("--shards", type=int, default=64,
+                   help="independent pack streams (= parallelism; one "
+                        "output file group per shard)")
+    p.add_argument("--text-col", default=None,
+                   help="text column (default: 'content' if present, "
+                        "else 'text')")
+    p.add_argument("--id-col", default="doc_id",
+                   help="unique integer doc id column; assigned "
+                        "deterministically when absent")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.pack import pack_plan, pack_stats
+    from snowball_java_spark.sources.corpus import assign_doc_ids, read_corpus
+
+    spark = SparkSession.builder.appName("sjs-pack").getOrCreate()
+    docs = read_corpus(spark, args.corpus)
+    text_col = args.text_col or (
+        "content" if "content" in docs.columns else "text")
+    if text_col not in docs.columns:
+        raise SystemExit(f"no text column {text_col!r} in {docs.columns}")
+    if args.id_col not in docs.columns:
+        docs = assign_doc_ids(docs)
+    docs_tok = docs.select(
+        F.col(args.id_col).alias("doc_id"),
+        tokens_expr(text_col).alias("tokens"))
+    plan = pack_plan(docs_tok, budget=args.budget, n_shards=args.shards)
+    plan.repartition("shard").write.mode("overwrite") \
+        .partitionBy("shard").parquet(args.out)
+    for r in (pack_stats(spark.read.parquet(args.out), args.budget)
+              .orderBy("shard").collect()):
+        print(json.dumps({
+            "shard": r["shard"], "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"], "n_seqs": r["n_seqs"],
+            "fill_ratio": round(r["fill_ratio"], 6)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

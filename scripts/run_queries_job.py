@@ -110,6 +110,16 @@ def main(argv: list[str]) -> int:
              "(short needles, literal-free regexes, no trigram sidecar): "
              "they scan the ENTIRE corpus — refused loudly by default")
     p.add_argument(
+        "--similarity", choices=["bm25", "lmd"], default="bm25",
+        help="ranking model for terms queries: bm25 (default) or lmd "
+             "(LM Dirichlet, Lucene semantics) — both run on the same "
+             "index; lmd composes with and/not/min_should_match/filters "
+             "but rejects boosts, synonyms and fuzzy (BM25-only bound "
+             "algebra)")
+    p.add_argument(
+        "--mu", type=float, default=2000.0,
+        help="LM Dirichlet smoothing pseudo-count (with --similarity lmd)")
+    p.add_argument(
         "--federate-with", default=None, metavar="DIR[,DIR…]",
         help="search --index-dir TOGETHER with these indexes under "
              "GLOBAL corpus statistics (ES dfs_query_then_fetch): one "
@@ -188,6 +198,17 @@ def main(argv: list[str]) -> int:
                 "--federate-with does not compose with --synonyms/"
                 "--lines/--counts (index-local rewrites and content "
                 "reads); run them per index")
+    if args.similarity != "bm25":
+        others = phrase_qs + prox_qs + context_qs + rescore_qs + grep_qs
+        if others:
+            raise SystemExit(
+                "--similarity lmd applies to terms queries only — "
+                "phrase/proximity/context/rescore/grep scoring is "
+                "BM25-defined; run them in a separate invocation")
+        if args.federate_with:
+            raise SystemExit(
+                "--similarity lmd does not compose with --federate-with "
+                "(federated global stats are BM25 idf/avgdl)")
     if grep_qs and not args.corpus:
         raise SystemExit(
             "substr/regex queries need --corpus: the trigram index only "
@@ -310,7 +331,11 @@ def main(argv: list[str]) -> int:
         # ranked query and the optional counts, so total_hits is by
         # construction the cardinality of the ranked match set
         cqs, csyn = rewrite_expansions(spark, idx, grp, synonyms=syn)
-        ranked = bm25_topk_index(spark, idx, cqs, cfg=idx.cfg,
+        from dataclasses import replace as _replace
+
+        scfg = (_replace(idx.cfg, similarity=args.similarity, mu=args.mu)
+                if args.similarity != "bm25" else idx.cfg)
+        ranked = bm25_topk_index(spark, idx, cqs, cfg=scfg,
                                  doc_filter=flt, synonyms=csyn)
         parts.append(ranked)
         if args.lines:
