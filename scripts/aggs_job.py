@@ -4,6 +4,7 @@ match sets — the analytics sidebar without a corpus scan.
     spark-submit --py-files dist.zip scripts/aggs_job.py \
         --index-dir /path/index --queries q.jsonl \
         [--facets repo,lang] [--counts] [--histogram dl:32] \
+        [--range dl:*-64,32-96,128-*] \
         [--sig-terms 10] [--sort-by dl[:asc]] \
         [--cardinality repo,lang [--cardinality-rsd 0.05]] \
         [--percentiles dl:25,50,95 [--percentiles-approx]] \
@@ -39,6 +40,13 @@ def main(argv: list[str]) -> int:
     p.add_argument("--histogram", default=None, metavar="COL:WIDTH",
                    help="fixed-width histogram of an integral metadata "
                         "column over each match set (gap-free)")
+    p.add_argument("--range", dest="range_agg", default=None,
+                   metavar="COL:LO-HI[,LO-HI…]",
+                   help="ES range agg: explicit [from, to) buckets of a "
+                        "numeric metadata column over each match set "
+                        "('*' = open end, e.g. dl:*-64,32-96,128-*); "
+                        "every requested range returns per query "
+                        "(zero-filled), overlaps each count")
     p.add_argument("--sig-terms", type=int, default=None, metavar="N",
                    help="top-N significant terms (JLH) per query")
     p.add_argument("--min-fg", type=int, default=2,
@@ -64,12 +72,13 @@ def main(argv: list[str]) -> int:
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
-    if not any([args.facets, args.counts, args.histogram,
+    if not any([args.facets, args.counts, args.histogram, args.range_agg,
                 args.sig_terms, args.sort_by, args.cardinality,
                 args.percentiles]):
         raise SystemExit("nothing to do — pass at least one of "
-                         "--facets/--counts/--histogram/--sig-terms/"
-                         "--sort-by/--cardinality/--percentiles")
+                         "--facets/--counts/--histogram/--range/"
+                         "--sig-terms/--sort-by/--cardinality/"
+                         "--percentiles")
     if args.cardinality_rsd is not None and not args.cardinality:
         raise SystemExit("--cardinality-rsd requires --cardinality")
     if args.percentiles_approx and not args.percentiles:
@@ -144,6 +153,23 @@ def main(argv: list[str]) -> int:
             raise SystemExit("--histogram wants COL:WIDTH, e.g. dl:32")
         emit("histogram", histogram_matches_index(
             spark, idx, qs, value_col=col, width=int(width), cfg=idx.cfg))
+    if args.range_agg:
+        from snowball_java_spark.operators.aggs import range_matches_index
+
+        col, _, spec = args.range_agg.partition(":")
+        if not spec:
+            raise SystemExit(
+                "--range wants COL:LO-HI[,LO-HI…], e.g. dl:*-64,64-*")
+        ranges = []
+        for part in spec.split(","):
+            lo_s, sep, hi_s = part.strip().partition("-")
+            if not sep:
+                raise SystemExit(f"bad range {part!r} — want LO-HI "
+                                 "with '*' for an open end")
+            ranges.append((None if lo_s == "*" else float(lo_s),
+                           None if hi_s == "*" else float(hi_s)))
+        emit("range", range_matches_index(
+            spark, idx, qs, value_col=col, ranges=ranges, cfg=idx.cfg))
     if args.sig_terms is not None:
         from snowball_java_spark.operators.aggs import (
             significant_terms_index,

@@ -95,6 +95,12 @@ def main(argv: list[str]) -> int:
              "doc_id, line_no, line) printed separately from ranked "
              "results")
     p.add_argument(
+        "--highlight", action="store_true",
+        help="ES highlight: for terms queries (needs --corpus) print "
+             "each ranked hit's original text with every whole-token "
+             "query-term occurrence wrapped in <em>…</em> "
+             "(case-insensitive; synonym-group members highlight too)")
+    p.add_argument(
         "--rescore-window", type=int, default=100,
         help="rescore queries: primary-BM25 window size re-ranked by "
              "the phrase secondary (k must be <= window)")
@@ -217,6 +223,14 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             "--lines on terms queries needs --corpus: the index does "
             "not store raw content")
+    if args.highlight and not args.corpus:
+        raise SystemExit(
+            "--highlight needs --corpus: the index does not store raw "
+            "content")
+    if args.highlight and args.federate_with:
+        raise SystemExit(
+            "--highlight does not compose with --federate-with (content "
+            "reads are index-local); run it per index")
     if (phrase_qs or context_qs or prox_qs or rescore_qs) \
             and not idx.has_positions:
         raise SystemExit(
@@ -305,8 +319,10 @@ def main(argv: list[str]) -> int:
 
     parts = []
     line_parts = []
+    hl_parts = []
     line_docs = None
-    if args.corpus and (grep_qs or (args.lines and term_qs)):
+    if args.corpus and (grep_qs or ((args.lines or args.highlight)
+                                    and term_qs)):
         # ONE corpus→index id join shared by every consumer (the eager
         # coverage count inside it scans the corpus — per-group rebuilds
         # would pay it per filter group and again for grep)
@@ -355,6 +371,22 @@ def main(argv: list[str]) -> int:
                         "query_id": orig_ids[r["query_id"]],
                         "rank": r["rank"], "doc_id": r["doc_id"],
                         "line_no": r["line_no"], "line": r["line"]}))
+        if args.highlight:
+            from snowball_java_spark.operators.snippets import (
+                highlights_for_queries,
+            )
+
+            hrows = highlights_for_queries(
+                ranked, line_docs, cqs, synonyms=csyn)
+            if args.out:
+                hl_parts.append(hrows.select(
+                    "query_id", "rank", "doc_id", "highlighted"))
+            else:
+                for r in hrows.orderBy("query_id", "rank").collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "rank": r["rank"], "doc_id": r["doc_id"],
+                        "highlighted": r["highlighted"]}))
         if args.counts:
             from snowball_java_spark.operators.facets import (
                 match_counts_index,
@@ -436,6 +468,12 @@ def main(argv: list[str]) -> int:
             lall = lall.unionByName(l_)
         (remap_ids(lall).write.mode("overwrite")
          .parquet(args.out.rstrip("/") + "_lines"))
+    if hl_parts and args.out:
+        hall = hl_parts[0]
+        for h_ in hl_parts[1:]:
+            hall = hall.unionByName(h_)
+        (remap_ids(hall).write.mode("overwrite")
+         .parquet(args.out.rstrip("/") + "_highlights"))
     res = parts[0]
     for p_ in parts[1:]:
         res = res.unionByName(p_)

@@ -1440,6 +1440,111 @@ FROM plan GROUP BY shard
 
 
 # ---------------------------------------------------------------------------
+# range aggregation + highlight gates
+# ---------------------------------------------------------------------------
+
+#: ES range agg: explicit [from, to) buckets, overlapping allowed (the
+#: (32, 96) range overlaps both neighbours — a doc counts in each).
+_RANGES = [(None, 64), (32, 96), (64, 128), (128, None)]
+
+
+def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowball_java_spark.operators.aggs import range_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = range_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        value_col="dl", ranges=_RANGES, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "range", "n_docs")
+
+
+def _facet_range_sql(
+        specs: list[tuple[list[str], list[str]]],
+        ranges: list[tuple[int | None, int | None]]) -> str:
+    vals = ", ".join(
+        "('{}-{}', {}, {})".format(
+            "*" if lo is None else f"{lo:g}",
+            "*" if hi is None else f"{hi:g}",
+            "NULL::BIGINT" if lo is None else int(lo),
+            "NULL::BIGINT" if hi is None else int(hi),
+        ) for lo, hi in ranges)
+    ctes = [f"r(rkey, lo, hi) AS (VALUES {vals})"]
+    unions = []
+    for qid, (terms, not_terms) in enumerate(specs):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        notw = ""
+        if not_terms:
+            ntl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+            notw = (f" AND doc_id NOT IN (SELECT doc_id FROM tfx "
+                    f"WHERE term IN ({ntl}))")
+        ctes.append(
+            f"m{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl}){notw}),\n"
+            f"b{qid} AS (SELECT r.rkey, count(*)::BIGINT AS n_docs\n"
+            f"  FROM m{qid} JOIN dl USING (doc_id)\n"
+            f"  JOIN r ON (r.lo IS NULL OR dl.dl >= r.lo)\n"
+            f"        AND (r.hi IS NULL OR dl.dl < r.hi)\n"
+            f"  GROUP BY 1),\n"
+            f"o{qid} AS (SELECT {qid}::BIGINT AS query_id, r.rkey,\n"
+            f"  coalesce(b.n_docs, 0)::BIGINT AS n_docs\n"
+            f"  FROM r LEFT JOIN b{qid} b ON r.rkey = b.rkey)")
+        unions.append(f"SELECT * FROM o{qid}")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT query_id, rkey AS "range", n_docs FROM ({u})
+ORDER BY query_id, "range"
+"""
+
+
+def _q_bm25_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight: top-k BM25 hits with every whole-token query-term
+    occurrence wrapped in <em>…</em> over the original text."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.snippets import with_highlights
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    top = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl)
+    res = with_highlights(top, _docs(spark, sf_dir), HOT_TERMS)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"), "highlighted")
+
+
+def _bm25_highlight_sql(terms: list[str], k: int) -> str:
+    pat = r"\b(" + "|".join(sorted(set(terms))) + r")\b"
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+)
+SELECT s.doc_id, s.rank, round(s.score, 6) AS score,
+       regexp_replace(d.text, '{pat}', '<em>\\1</em>', 'gi') AS highlighted
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) s JOIN documents d USING (doc_id)
+WHERE s.rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # living-corpus (upsert/delete) lifecycle gates
 #
 # docs with doc_id % 7 == 3 are SUPERSEDED by an updated commit (text +
@@ -3785,6 +3890,13 @@ def build_registry() -> dict[str, Q]:
         ),
         "sequence_pack": Q(_q_sequence_pack, _SEQUENCE_PACK_SQL),
         "pack_shard_stats": Q(_q_pack_stats, _PACK_STATS_SQL),
+        "facet_range_dl": Q(
+            _q_facet_range,
+            _facet_range_sql(
+                [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)], _RANGES),
+        ),
+        "bm25_highlight": Q(
+            _q_bm25_highlight, _bm25_highlight_sql(HOT_TERMS, 10)),
         "bm25_index_mixed": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),
             _bm25_topk_sql(MIXED_TERMS, 10),

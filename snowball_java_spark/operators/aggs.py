@@ -335,6 +335,77 @@ def percentiles_matches_index(
     )
 
 
+def range_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    ranges: "list[tuple[float | None, float | None]]",
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``range`` aggregation over each query's match set: explicit
+    [from, to) buckets of a numeric docs-metadata column —
+    (query_id, range, n_docs), one row per REQUESTED range per query
+    (zero-filled, exactly ES's response shape), ordered by request
+    position within each query.
+
+    ES semantics preserved: ``from`` inclusive / ``to`` exclusive,
+    ``None`` = unbounded end (key rendered ``*``), docs missing the
+    field (NULL) are skipped, and OVERLAPPING ranges each count a doc —
+    a doc is not consumed by the first bucket it lands in.
+
+    Scale shape: match set from the postings; metadata join reads only
+    (doc_id, ``value_col``); the ranges relation is caller-sized and
+    broadcast, so the only aggregation is a map-side-combinable
+    (query, range) count."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    rows = []
+    for i, (lo, hi) in enumerate(ranges):
+        if lo is None and hi is None:
+            raise ValueError(
+                f"range #{i} has neither bound — it would match "
+                "everything; give at least one of (from, to)")
+        if lo is not None and hi is not None and not lo < hi:
+            raise ValueError(f"range #{i}: from {lo} must be < to {hi}")
+        key_lo = "*" if lo is None else f"{lo:g}"
+        key_hi = "*" if hi is None else f"{hi:g}"
+        key = f"{key_lo}-{key_hi}"
+        rows.append((i, key,
+                     None if lo is None else float(lo),
+                     None if hi is None else float(hi)))
+    rdf = spark.createDataFrame(
+        rows, "_pos int, range string, lo double, hi double")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", value_col)
+    v = F.col(value_col).cast("double")
+    hit = (F.col("lo").isNull() | (v >= F.col("lo"))) & \
+          (F.col("hi").isNull() | (v < F.col("hi")))
+    counts = (
+        match.join(meta, "doc_id")
+        .filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(rdf), hit)
+        .groupBy("query_id", "_pos", "range")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    shell = qdf.crossJoin(F.broadcast(rdf.select("_pos", "range")))
+    return (
+        shell.join(counts, ["query_id", "_pos", "range"], "left")
+        .select("query_id", "range",
+                F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"))
+        .orderBy("query_id", "_pos")
+    )
+
+
 def top_hits_by_facet(
     spark: SparkSession,
     docs_tok: DataFrame,

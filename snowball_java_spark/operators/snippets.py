@@ -55,6 +55,43 @@ def with_snippets(
     )
 
 
+def with_highlights(
+    topk_res: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    tag: str = "em",
+) -> DataFrame:
+    """ES ``highlight``: the ORIGINAL text of each hit with every
+    whole-token occurrence of a query term wrapped in ``<tag>…</tag>``,
+    case-insensitive.
+
+    ``\\b`` word boundaries pin the same token class as the engine
+    tokenizer (``[a-z0-9_]`` — ASCII ``\\w`` on both the JVM regex and
+    RE2/DuckDB, so the gate oracle reproduces the exact rewrite); terms
+    are restricted to tokenizer-shaped strings so no escaping ambiguity
+    exists between engines.
+
+    Plan shape at scale: the top-k relation broadcasts to the docs scan
+    (k rows per query); ONE JVM-side regexp_replace per hit row, column
+    pruning keeps the scan at (doc_id, text)."""
+    import re as _re
+
+    bad = [t for t in terms if not _re.fullmatch(r"[a-z0-9_]+", t)]
+    if bad:
+        raise ValueError(
+            f"highlight terms must be tokenizer-shaped ([a-z0-9_]+), "
+            f"got {bad}")
+    pat = r"(?i)\b(" + "|".join(sorted(set(terms))) + r")\b"
+    hl = F.regexp_replace(F.col(text_col), pat, f"<{tag}>$1</{tag}>")
+    return (
+        docs.select("doc_id", text_col)
+        .join(F.broadcast(topk_res), "doc_id")
+        .select("query_id", "rank", "doc_id", "score",
+                hl.alias("highlighted"))
+    )
+
+
 def with_line_matches(
     topk_res: DataFrame,
     docs: DataFrame,
@@ -88,6 +125,48 @@ def with_line_matches(
         matched.groupBy("query_id", "rank", "doc_id", "score")
         .agg((F.min("_ln0") + 1).cast("long").alias("line_no"),
              F.min_by("line", "_ln0").alias("line"))
+    )
+
+
+def highlights_for_queries(
+    topk_res: DataFrame,
+    docs: DataFrame,
+    queries: list[dict],
+    content_col: str = "content",
+    synonyms: "dict[str, list[str]] | None" = None,
+    tag: str = "em",
+) -> DataFrame:
+    """Batch form of :func:`with_highlights` with PER-QUERY term sets:
+    query A's hits wrap only A's terms (plus synonym-group members), so
+    a batch never cross-pollinates markers.  The per-query pattern rides
+    a broadcast (query_id, pattern) relation and ``regexp_replace``
+    takes the pattern as a COLUMN — still one JVM regex pass per hit
+    row, rows ∝ k per query."""
+    import re as _re
+
+    groups = {c: sorted({c, *alts}) for c, alts in (synonyms or {}).items()}
+    rows = []
+    for q in queries:
+        members = sorted({m for t in set(q["terms"])
+                          for m in groups.get(t, [t])})
+        bad = [t for t in members if not _re.fullmatch(r"[a-z0-9_]+", t)]
+        if bad:
+            raise ValueError(
+                f"highlight terms must be tokenizer-shaped ([a-z0-9_]+), "
+                f"got {bad}")
+        rows.append((int(q["query_id"]),
+                     r"(?i)\b(" + "|".join(members) + r")\b"))
+    spark = docs.sparkSession
+    pats = F.broadcast(
+        spark.createDataFrame(rows, "query_id int, _pat string"))
+    hl = F.regexp_replace(
+        F.col(content_col), F.col("_pat"), F.lit(f"<{tag}>$1</{tag}>"))
+    return (
+        docs.select("doc_id", content_col)
+        .join(F.broadcast(topk_res), "doc_id")
+        .join(pats, "query_id")
+        .select("query_id", "rank", "doc_id", "score",
+                hl.alias("highlighted"))
     )
 
 

@@ -108,6 +108,46 @@ def test_histogram_gap_free_and_counts(spark, index, toks):
     assert {(r["bucket"], r["n_docs"]) for r in got1} == set(truth.items())
 
 
+def test_range_agg_matches_truth_with_overlap(spark, index, toks):
+    from snowball_java_spark.operators.aggs import range_matches_index
+
+    ranges = [(None, 60), (40, 120), (60, None)]  # (40,120) overlaps both
+    got = range_matches_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["flush_config_19"]},
+         {"query_id": 1, "terms": ["zzz_no_such_term"]}],
+        value_col="dl", ranges=ranges, cfg=CFG).collect()
+    match = {d for d, ts in toks.items() if "flush_config_19" in ts}
+    truth = {}
+    for lo, hi in ranges:
+        key = f"{'*' if lo is None else f'{lo:g}'}-" \
+              f"{'*' if hi is None else f'{hi:g}'}"
+        truth[key] = sum(
+            1 for d in match
+            if (lo is None or len(toks[d]) >= lo)
+            and (hi is None or len(toks[d]) < hi))
+    q0 = {r["range"]: r["n_docs"] for r in got if r["query_id"] == 0}
+    assert q0 == truth
+    # overlapping ranges each count their docs — totals exceed |match|
+    assert sum(q0.values()) > len(match) > 0
+    # no-match query: every requested range present, zero-filled
+    q1 = [r for r in got if r["query_id"] == 1]
+    assert [r["range"] for r in q1] == list(truth) and \
+        all(r["n_docs"] == 0 for r in q1)
+
+
+def test_range_agg_validation(spark, index):
+    from snowball_java_spark.operators.aggs import range_matches_index
+
+    q = [{"query_id": 0, "terms": ["def"]}]
+    with pytest.raises(ValueError, match="non-empty"):
+        range_matches_index(spark, index, q, "dl", [], cfg=CFG)
+    with pytest.raises(ValueError, match="neither bound"):
+        range_matches_index(spark, index, q, "dl", [(None, None)], cfg=CFG)
+    with pytest.raises(ValueError, match="must be <"):
+        range_matches_index(spark, index, q, "dl", [(9, 9)], cfg=CFG)
+
+
 def test_histogram_rejects_bad_width(spark, index):
     with pytest.raises(ValueError, match="width"):
         histogram_matches_index(

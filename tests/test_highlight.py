@@ -1,0 +1,51 @@
+"""ES-style highlighting (snippets.with_highlights): whole-token wraps
+over the ORIGINAL text, case-insensitive, cross-engine-identical regex."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowball_java_spark.operators.snippets import with_highlights
+
+
+@pytest.fixture()
+def frames(spark):
+    docs = spark.createDataFrame(
+        [(0, "def main(): return Main.def_x and def2"),
+         (1, "DEF at line start; middef not a token; def."),
+         (2, "nothing here")],
+        "doc_id long, text string")
+    top = spark.createDataFrame(
+        [(0, 1, 0, 1.5), (0, 2, 1, 1.0), (0, 3, 2, 0.5)],
+        "query_id int, rank long, doc_id long, score double")
+    return docs, top
+
+
+def test_whole_token_case_insensitive(spark, frames):
+    docs, top = frames
+    got = {r["doc_id"]: r["highlighted"]
+           for r in with_highlights(top, docs, ["def", "main"]).collect()}
+    # whole tokens only: def_x, middef, def2 untouched; DEF (case) and
+    # "def." (punctuation boundary) wrapped; main() call and Main class
+    # name both wrapped
+    assert got[0] == ("<em>def</em> <em>main</em>(): return "
+                      "<em>Main</em>.def_x and def2")
+    assert got[1] == ("<em>DEF</em> at line start; middef not a token; "
+                      "<em>def</em>.")
+    assert got[2] == "nothing here"
+
+
+def test_result_shape_follows_topk(spark, frames):
+    docs, top = frames
+    res = with_highlights(top, docs, ["def"])
+    assert res.columns == ["query_id", "rank", "doc_id", "score",
+                           "highlighted"]
+    assert res.count() == 3
+
+
+def test_rejects_non_token_terms(spark, frames):
+    docs, top = frames
+    with pytest.raises(ValueError, match="tokenizer-shaped"):
+        with_highlights(top, docs, ["a.b"])
+    with pytest.raises(ValueError, match="tokenizer-shaped"):
+        with_highlights(top, docs, ["DEF"])
