@@ -1545,6 +1545,105 @@ WHERE s.rank <= {k}
 
 
 # ---------------------------------------------------------------------------
+# decay scoring + did-you-mean gates
+# ---------------------------------------------------------------------------
+
+_DECAY = dict(origin=100.0, scale=50.0, offset=10.0, decay=0.5)
+
+
+def _q_decay_score(spark, sf_dir):
+    """ES function_score gauss decay: BM25 × exp(ln(.5)·dist²/scale²)
+    on the doc length (the sf corpus's stand-in numeric field), dist
+    clamped by the offset collar."""
+    from snowball_java_spark.operators.funcscore import decay_score_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens"))
+    res = decay_score_topk(
+        spark, d, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        field="dl", shape="gauss", n_docs=n_docs, avgdl=avgdl, **_DECAY)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _decay_score_sql(terms: list[str], k: int) -> str:
+    import math
+
+    coef = math.log(_DECAY["decay"]) / (_DECAY["scale"] * _DECAY["scale"])
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    dist = (f"greatest(0.0::DOUBLE, abs(dl.dl - "
+            f"{_DECAY['origin']}::DOUBLE) - {_DECAY['offset']}::DOUBLE)")
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+ds AS (SELECT sc.doc_id,
+              sc.score * exp(({coef!r})::DOUBLE * {dist} * {dist}) AS score
+       FROM sc JOIN dl ON sc.doc_id = dl.doc_id)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM ds
+) WHERE rank <= {k}
+"""
+
+
+_DYM_TERMS = ["spark", "tabel", "vectr", "zzqq"]
+
+
+def _q_did_you_mean(spark, sf_dir):
+    """ES term suggester: in-vocab terms suggest themselves; absent
+    terms take the best vocabulary candidate (dist asc, df desc, term
+    asc) within 2 edits sharing the first character; no candidate →
+    NULL (the caller sees the miss)."""
+    from snowball_java_spark.operators.suggest import did_you_mean
+
+    idx = _index_for(spark, sf_dir)
+    vocab = idx.term_stats(spark).select("term", "df")
+    res = did_you_mean(spark, vocab, _DYM_TERMS, max_edits=2, prefix_len=1)
+    return res.select(
+        "term", "in_vocab", "suggestion",
+        F.col("dist").cast("int").alias("dist"), "df")
+
+
+def _did_you_mean_sql(terms: list[str], max_edits: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+present AS (
+  SELECT q.term, TRUE AS in_vocab, q.term AS suggestion, 0::INT AS dist,
+         dfx.df
+  FROM q JOIN dfx USING (term)),
+missing AS (SELECT term FROM q WHERE term NOT IN (SELECT term FROM dfx)),
+cand AS (
+  SELECT m.term, d.term AS suggestion,
+         levenshtein(d.term, m.term)::INT AS dist, d.df,
+         row_number() OVER (PARTITION BY m.term
+                            ORDER BY levenshtein(d.term, m.term) ASC,
+                                     d.df DESC, d.term ASC) AS rn
+  FROM missing m JOIN dfx d
+    ON substr(d.term, 1, 1) = substr(m.term, 1, 1)
+   AND length(d.term) BETWEEN length(m.term) - {max_edits}
+                          AND length(m.term) + {max_edits}
+   AND levenshtein(d.term, m.term) <= {max_edits}),
+absent AS (
+  SELECT m.term, FALSE AS in_vocab, c.suggestion, c.dist, c.df
+  FROM missing m LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+       USING (term))
+SELECT term, in_vocab, suggestion, dist, df FROM present
+UNION ALL
+SELECT term, in_vocab, suggestion, dist, df FROM absent
+"""
+
+
+# ---------------------------------------------------------------------------
 # living-corpus (upsert/delete) lifecycle gates
 #
 # docs with doc_id % 7 == 3 are SUPERSEDED by an updated commit (text +
@@ -3897,6 +3996,10 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25_highlight": Q(
             _q_bm25_highlight, _bm25_highlight_sql(HOT_TERMS, 10)),
+        "bm25_decay_topk": Q(
+            _q_decay_score, _decay_score_sql(MIXED_TERMS, 10)),
+        "term_did_you_mean": Q(
+            _q_did_you_mean, _did_you_mean_sql(_DYM_TERMS, 2)),
         "bm25_index_mixed": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),
             _bm25_topk_sql(MIXED_TERMS, 10),

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 
-__all__ = ["function_score_topk"]
+__all__ = ["function_score_topk", "decay_score_topk"]
 
 _MODIFIERS = ("none", "log1p", "sqrt")
 _BOOST_MODES = ("multiply", "sum")
@@ -94,6 +94,84 @@ def function_score_topk(
     modified = (
         scores.join(meta, "doc_id")
         .select("query_id", "doc_id", combined.alias("score"))
+    )
+    kdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int")
+    return topk(modified, kdf)
+
+
+_DECAYS = ("gauss", "exp", "linear")
+
+
+def decay_score_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    field: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    shape: str = "gauss",
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``function_score`` decay functions: BM25 multiplied by a
+    distance decay on a numeric field — the "prefer recent / prefer
+    near the target size" ranking shape.
+
+    Semantics (ES decay contract): ``dist = max(0, |field − origin| −
+    offset)``; the multiplier equals 1 inside ``offset`` of the origin
+    and ``decay`` at distance ``scale``:
+
+        gauss   exp(ln(decay) · dist² / scale²)
+        exp     exp(ln(decay) · dist / scale)
+        linear  max(0, 1 − (1 − decay) · dist / scale)
+
+    A doc missing the field multiplies by 1 (ES: decay functions do not
+    penalize absent fields).  The multiplier lands on the FULL scores
+    relation before the top-k cut (same exactness argument as
+    :func:`function_score_topk`)."""
+    if shape not in _DECAYS:
+        raise ValueError(f"shape must be one of {_DECAYS}, got {shape!r}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    import math
+
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        topk,
+    )
+
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    v = F.col(field).cast("double")
+    dist = F.greatest(
+        F.lit(0.0), F.abs(v - F.lit(float(origin))) - F.lit(float(offset)))
+    if shape == "gauss":
+        # ln(decay)/scale² folded to ONE literal so the SQL oracle can
+        # reproduce the identical float expression tree
+        coef = math.log(decay) / (scale * scale)
+        mult = F.exp(F.lit(coef) * dist * dist)
+    elif shape == "exp":
+        coef = math.log(decay) / scale
+        mult = F.exp(F.lit(coef) * dist)
+    else:
+        coef = (1.0 - decay) / scale
+        mult = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(coef) * dist)
+    mult = F.when(v.isNull(), F.lit(1.0)).otherwise(mult)
+    meta = docs_tok.select("doc_id", F.col(field))
+    modified = (
+        scores.join(meta, "doc_id")
+        .select("query_id", "doc_id",
+                (F.col("score") * mult).alias("score"))
     )
     kdf = spark.createDataFrame(
         [(int(q["query_id"]), int(q.get("k", cfg.default_k)))

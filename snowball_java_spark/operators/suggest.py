@@ -348,3 +348,57 @@ def fuzzy_synonyms(
     for r in rows:
         out[r["query_term"]].append(r["term"])
     return {t: sorted(ms) for t, ms in out.items()}
+
+
+def did_you_mean(
+    spark: SparkSession,
+    vocab: DataFrame,
+    terms: list[str],
+    max_edits: int = 2,
+    prefix_len: int = 1,
+) -> DataFrame:
+    """ES term-suggester ("did you mean"): (term, in_vocab, suggestion,
+    dist, df) per distinct query term — a term already in the vocabulary
+    suggests ITSELF (dist 0, its df, ES suggest_mode="missing"); an
+    absent term suggests the best vocabulary candidate within
+    ``max_edits`` under Lucene's order (dist asc, df desc, term asc),
+    or NULL when nothing is in range (the caller sees the miss rather
+    than a silent drop).
+
+    Scale shape: present/absent split and candidate ranking each touch
+    only the VOCABULARY relation, pre-filtered by the same prefix +
+    length-band pushdowns as :func:`expand_fuzzy`; the query terms ride
+    broadcast."""
+    ts = sorted({t for t in terms if t})
+    if not ts:
+        return spark.createDataFrame(
+            [], "term string, in_vocab boolean, suggestion string, "
+                "dist int, df long")
+    qdf = F.broadcast(spark.createDataFrame([(t,) for t in ts], "term string"))
+    present = (
+        vocab.join(qdf, "term")
+        .select("term", F.lit(True).alias("in_vocab"),
+                F.col("term").alias("suggestion"),
+                F.lit(0).alias("dist"), F.col("df").cast("long").alias("df"))
+    )
+    # absent set via anti-join against the vocabulary; the collect is
+    # bounded by the QUERY term count (a handful), never the vocab
+    missing = qdf.join(vocab.select("term"), "term", "left_anti")
+    missing_terms = sorted(r["term"] for r in missing.collect())
+    if missing_terms:
+        exp = expand_fuzzy(
+            spark, vocab, {t: max_edits for t in missing_terms},
+            prefix_len=prefix_len, max_expansions=1)
+        best = exp.filter(F.col("rank") == 1).select(
+            F.col("query_term").alias("term"), "dist", "df",
+            F.col("term").alias("suggestion"))
+        mdf = spark.createDataFrame(
+            [(t,) for t in missing_terms], "term string")
+        absent_rows = (
+            mdf.join(best, "term", "left")
+            .select("term", F.lit(False).alias("in_vocab"), "suggestion",
+                    F.col("dist").cast("int").alias("dist"),
+                    F.col("df").cast("long").alias("df"))
+        )
+        return present.unionByName(absent_rows)
+    return present

@@ -112,3 +112,76 @@ def test_function_score_validation(spark, docs_dl):
         function_score_topk(spark, docs_dl,
                             [{"query_id": 0, "terms": ["a"]}],
                             field="dl", boost_mode="max")
+
+
+# ---------------------------------------------------------------------------
+# decay scoring
+# ---------------------------------------------------------------------------
+
+def _decay_truth(toks, terms, k, shape, origin, scale, offset, decay):
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+
+    def w(tf, d, dl):
+        idf = math.log(1 + (n_docs - d + 0.5) / (d + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    out = {}
+    for d, ts in toks.items():
+        s = sum(w(ts.count(t), df[t], len(ts)) for t in sorted(terms)
+                if t in ts)
+        if s <= 0:
+            continue
+        dist = max(0.0, abs(len(ts) - origin) - offset)
+        if shape == "gauss":
+            m = math.exp(math.log(decay) / (scale * scale) * dist * dist)
+        elif shape == "exp":
+            m = math.exp(math.log(decay) / scale * dist)
+        else:
+            m = max(0.0, 1.0 - (1.0 - decay) / scale * dist)
+        out[d] = s * m
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("shape", ["gauss", "exp", "linear"])
+def test_decay_matches_truth(spark, docs_dl, toks, shape):
+    from snowball_java_spark.operators.funcscore import decay_score_topk
+
+    kw = dict(origin=100.0, scale=40.0, offset=5.0, decay=0.5)
+    got = decay_score_topk(
+        spark, docs_dl, [{"query_id": 0, "terms": TERMS, "k": 10}],
+        field="dl", shape=shape, **kw).collect()
+    want = _decay_truth(toks, TERMS, 10, shape, **kw)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], s, rel_tol=1e-6)
+
+
+def test_decay_multiplier_is_one_inside_offset_and_for_null(spark):
+    from snowball_java_spark.operators.funcscore import decay_score_topk
+
+    docs = spark.createDataFrame(
+        [(0, ["def"], 100), (1, ["def"], 105), (2, ["def"], None)],
+        "doc_id long, tokens array<string>, stars int")
+    got = {r["doc_id"]: r["score"] for r in decay_score_topk(
+        spark, docs, [{"query_id": 0, "terms": ["def"], "k": 3}],
+        field="stars", origin=100.0, scale=10.0, offset=5.0).collect()}
+    # dl identical for all three → same BM25 base; dist ≤ offset and
+    # NULL field both keep the full score
+    assert got[0] == got[1] == got[2]
+
+
+def test_decay_validation(spark, docs_dl):
+    from snowball_java_spark.operators.funcscore import decay_score_topk
+
+    q = [{"query_id": 0, "terms": ["def"]}]
+    with pytest.raises(ValueError, match="shape"):
+        decay_score_topk(spark, docs_dl, q, "dl", 0.0, 1.0, shape="step")
+    with pytest.raises(ValueError, match="decay"):
+        decay_score_topk(spark, docs_dl, q, "dl", 0.0, 1.0, decay=1.0)
+    with pytest.raises(ValueError, match="scale"):
+        decay_score_topk(spark, docs_dl, q, "dl", 0.0, 0.0)
+    with pytest.raises(ValueError, match="offset"):
+        decay_score_topk(spark, docs_dl, q, "dl", 0.0, 1.0, offset=-1.0)

@@ -172,3 +172,42 @@ def test_suggest_index_rebuilds_on_stale_vocab(spark, synth_docs,
     idx2 = refresh_index(spark, delta, d)
     got = suggest_terms_index(spark, idx2, ["zzneedly"], n=3).collect()
     assert any(r["term"] == "zzneedle" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# did_you_mean (ES term suggester)
+# ---------------------------------------------------------------------------
+
+def test_did_you_mean_splits_present_and_absent(spark):
+    from snowball_java_spark.operators.suggest import did_you_mean
+
+    v = _vocab(spark, [("return", 100), ("table", 90), ("vector", 80)])
+    got = {r["term"]: r.asDict() for r in did_you_mean(
+        spark, v, ["return", "tabel", "vectr", "zzqq"]).collect()}
+    assert got["return"]["in_vocab"] and \
+        got["return"]["suggestion"] == "return" and \
+        got["return"]["dist"] == 0 and got["return"]["df"] == 100
+    assert not got["tabel"]["in_vocab"] and \
+        got["tabel"]["suggestion"] == "table" and got["tabel"]["dist"] == 2
+    assert got["vectr"]["suggestion"] == "vector" and \
+        got["vectr"]["dist"] == 1 and got["vectr"]["df"] == 80
+    # nothing in range: the miss is visible, not dropped
+    assert got["zzqq"]["suggestion"] is None and got["zzqq"]["df"] is None
+
+
+def test_did_you_mean_prefers_distance_then_df(spark):
+    from snowball_java_spark.operators.suggest import did_you_mean
+
+    # "aax": dist-1 candidate beats a higher-df dist-2 one; among
+    # equal-dist candidates higher df wins
+    v = _vocab(spark, [("aaxy", 5), ("aazz", 500), ("aab", 50), ("aac", 9)])
+    got = {r["term"]: r.asDict() for r in did_you_mean(
+        spark, v, ["aax"]).collect()}
+    assert got["aax"]["suggestion"] == "aab" and got["aax"]["dist"] == 1
+
+
+def test_did_you_mean_empty_terms(spark):
+    from snowball_java_spark.operators.suggest import did_you_mean
+
+    v = _vocab(spark, [("return", 100)])
+    assert did_you_mean(spark, v, []).count() == 0
