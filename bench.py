@@ -85,6 +85,11 @@ HEADLINE = [
     "bm25_rescore_index_topk",
     "function_score_topk",
     "bm25_ordered_span_topk",
+    # r4 session-7 additions
+    "lmd_index_topk",
+    "sequence_pack",
+    "facet_range_dl",
+    "bm25_highlight",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
