@@ -47,6 +47,14 @@ def main(argv: list[str]) -> int:
                         "('*' = open end, e.g. dl:*-64,32-96,128-*); "
                         "every requested range returns per query "
                         "(zero-filled), overlaps each count")
+    p.add_argument("--composite", default=None, metavar="COLS[:SIZE]",
+                   help="ES composite agg: one page of metadata bucket "
+                        "TUPLES per match set in ascending key order "
+                        "(e.g. repo,lang:50); page with --after")
+    p.add_argument("--after", default=None, metavar="V1[,V2…]",
+                   help="composite cursor: the last key tuple of the "
+                        "previous page, verbatim; the page starts "
+                        "strictly after it")
     p.add_argument("--sig-terms", type=int, default=None, metavar="N",
                    help="top-N significant terms (JLH) per query")
     p.add_argument("--min-fg", type=int, default=2,
@@ -73,12 +81,14 @@ def main(argv: list[str]) -> int:
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
     if not any([args.facets, args.counts, args.histogram, args.range_agg,
-                args.sig_terms, args.sort_by, args.cardinality,
-                args.percentiles]):
+                args.composite, args.sig_terms, args.sort_by,
+                args.cardinality, args.percentiles]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
-                         "--sig-terms/--sort-by/--cardinality/"
-                         "--percentiles")
+                         "--composite/--sig-terms/--sort-by/"
+                         "--cardinality/--percentiles")
+    if args.after and not args.composite:
+        raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
         raise SystemExit("--cardinality-rsd requires --cardinality")
     if args.percentiles_approx and not args.percentiles:
@@ -153,6 +163,18 @@ def main(argv: list[str]) -> int:
             raise SystemExit("--histogram wants COL:WIDTH, e.g. dl:32")
         emit("histogram", histogram_matches_index(
             spark, idx, qs, value_col=col, width=int(width), cfg=idx.cfg))
+    if args.composite:
+        from snowball_java_spark.operators.aggs import (
+            composite_matches_index,
+        )
+
+        spec, _, size = args.composite.partition(":")
+        cols = [c.strip() for c in spec.split(",") if c.strip()]
+        after = ([v for v in args.after.split(",")]
+                 if args.after else None)
+        emit("composite", composite_matches_index(
+            spark, idx, qs, group_cols=cols,
+            size=int(size) if size else 10, after=after, cfg=idx.cfg))
     if args.range_agg:
         from snowball_java_spark.operators.aggs import range_matches_index
 

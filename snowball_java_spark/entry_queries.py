@@ -1644,6 +1644,66 @@ SELECT term, in_vocab, suggestion, dist, df FROM absent
 
 
 # ---------------------------------------------------------------------------
+# composite aggregation gate (ES composite agg with after-key paging)
+# ---------------------------------------------------------------------------
+
+_COMP_AFTER = ("src12", "es")
+_COMP_SIZE = 7
+
+
+def _q_composite(spark, sf_dir):
+    """ES composite agg: one bounded PAGE of (source, lang) bucket
+    tuples per query's match set, strictly after a fixed cursor in
+    ascending tuple order — how ES iterates unbounded bucket sets."""
+    from snowball_java_spark.operators.aggs import composite_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = composite_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": HOT_TERMS},
+         {"query_id": 1, "terms": MIXED_TERMS, "not_terms": RARE_TERMS}],
+        group_cols=["repo", "lang"], size=_COMP_SIZE, after=_COMP_AFTER,
+        cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("repo").alias("source"), "lang", "n_docs")
+
+
+def _composite_sql(specs: list[tuple[list[str], list[str]]],
+                   after: tuple, size: int) -> str:
+    a0, a1 = after
+    ctes, unions = [], []
+    for qid, (terms, not_terms) in enumerate(specs):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        notw = ""
+        if not_terms:
+            ntl = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
+            notw = (f" AND doc_id NOT IN (SELECT doc_id FROM tfx "
+                    f"WHERE term IN ({ntl}))")
+        ctes.append(
+            f"m{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl}){notw}),\n"
+            f"b{qid} AS (SELECT d.source, d.lang, count(*)::BIGINT AS n_docs\n"
+            f"  FROM m{qid} JOIN documents d USING (doc_id)\n"
+            f"  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL\n"
+            f"    AND (d.source > '{a0}' OR (d.source = '{a0}' "
+            f"AND d.lang > '{a1}'))\n"
+            f"  GROUP BY 1, 2),\n"
+            f"p{qid} AS (SELECT {qid}::BIGINT AS query_id, source, lang, "
+            f"n_docs FROM (\n"
+            f"  SELECT *, row_number() OVER (ORDER BY source, lang) AS rn\n"
+            f"  FROM b{qid}) WHERE rn <= {size})")
+        unions.append(f"SELECT * FROM p{qid}")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT query_id, source, lang, n_docs FROM ({u})
+ORDER BY query_id, source, lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # living-corpus (upsert/delete) lifecycle gates
 #
 # docs with doc_id % 7 == 3 are SUPERSEDED by an updated commit (text +
@@ -4000,6 +4060,12 @@ def build_registry() -> dict[str, Q]:
             _q_decay_score, _decay_score_sql(MIXED_TERMS, 10)),
         "term_did_you_mean": Q(
             _q_did_you_mean, _did_you_mean_sql(_DYM_TERMS, 2)),
+        "composite_buckets": Q(
+            _q_composite,
+            _composite_sql(
+                [(HOT_TERMS, []), (MIXED_TERMS, RARE_TERMS)],
+                _COMP_AFTER, _COMP_SIZE),
+        ),
         "bm25_index_mixed": Q(
             lambda s, d: _bm25_index_topk(s, d, MIXED_TERMS, 10),
             _bm25_topk_sql(MIXED_TERMS, 10),

@@ -406,6 +406,75 @@ def range_matches_index(
     )
 
 
+def composite_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    group_cols: list[str],
+    size: int = 10,
+    after: "tuple | list | None" = None,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``composite`` aggregation: paginate over the (possibly
+    unbounded) set of metadata bucket TUPLES of each query's match set —
+    (query_id, <group_cols…>, n_docs), the first ``size`` buckets in
+    ascending key order strictly AFTER the ``after`` cursor tuple.
+
+    This is how ES iterates millions of buckets without ever holding
+    them: each page is an independent, bounded query; the cursor is the
+    last page's final key tuple, VERBATIM.  ES semantics: bucket order
+    is the lexicographic ascending tuple order of the sources; docs with
+    a NULL in any group column are skipped (missing_bucket=false, the
+    default).
+
+    Scale shape: match set from the postings; metadata join reads only
+    (doc_id, group_cols); the bucket count map-side combines; the
+    after-cursor is a FILTER on the aggregated relation, so a deep page
+    shuffles bucket rows, never match rows, and the final order-limit
+    ranks two-phase."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if after is not None and len(after) != len(group_cols):
+        raise ValueError(
+            f"after cursor has {len(after)} values for "
+            f"{len(group_cols)} group columns")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", *group_cols)
+    nn = None
+    for c in group_cols:
+        p = F.col(c).isNotNull()
+        nn = p if nn is None else (nn & p)
+    counts = (
+        match.join(meta, "doc_id")
+        .filter(nn)
+        .groupBy("query_id", *group_cols)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if after is not None:
+        # strictly-after in lexicographic tuple order:
+        # (c0 > a0) OR (c0 = a0 AND (c1 > a1)) OR …
+        pred = None
+        for i in range(len(group_cols) - 1, -1, -1):
+            gt = F.col(group_cols[i]) > F.lit(after[i])
+            pred = gt if pred is None else (
+                gt | ((F.col(group_cols[i]) == F.lit(after[i])) & pred))
+        counts = counts.filter(pred)
+    ranked = _two_phase_rank(
+        counts, ["query_id"],
+        [F.asc(c) for c in group_cols], size, salt_on=group_cols[0])
+    return ranked.select("query_id", *group_cols, "n_docs") \
+        .orderBy("query_id", *group_cols)
+
+
 def top_hits_by_facet(
     spark: SparkSession,
     docs_tok: DataFrame,

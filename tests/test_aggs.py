@@ -136,6 +136,58 @@ def test_range_agg_matches_truth_with_overlap(spark, index, toks):
         all(r["n_docs"] == 0 for r in q1)
 
 
+def test_composite_pages_stitch_to_full_bucket_list(spark, index, toks,
+                                                    synth_docs):
+    from snowball_java_spark.operators.aggs import composite_matches_index
+
+    meta = {r["doc_id"]: (r["repo"], r["lang"]) for r in
+            synth_docs.select("doc_id", "repo", "lang").collect()}
+    match = {d for d, ts in toks.items() if "def" in ts}
+    truth = {}
+    for d in match:
+        key = meta[d]
+        if None in key:
+            continue
+        truth[key] = truth.get(key, 0) + 1
+    want = sorted(truth.items())
+    q = [{"query_id": 0, "terms": ["def"]}]
+    size = max(1, len(want) // 3)
+    pages, after = [], None
+    for _ in range(10):
+        rows = composite_matches_index(
+            spark, index, q, group_cols=["repo", "lang"], size=size,
+            after=after, cfg=CFG).collect()
+        if not rows:
+            break
+        pages.extend(((r["repo"], r["lang"]), r["n_docs"]) for r in rows)
+        after = (rows[-1]["repo"], rows[-1]["lang"])  # cursor VERBATIM
+    # pages are disjoint, ordered, and their union is the full bucket
+    # relation — the ES composite contract
+    assert pages == want
+    # the after cursor is strictly exclusive
+    first = composite_matches_index(
+        spark, index, q, group_cols=["repo", "lang"], size=1, cfg=CFG
+    ).collect()[0]
+    nxt = composite_matches_index(
+        spark, index, q, group_cols=["repo", "lang"], size=1,
+        after=(first["repo"], first["lang"]), cfg=CFG).collect()[0]
+    assert (nxt["repo"], nxt["lang"]) > (first["repo"], first["lang"])
+
+
+def test_composite_validation(spark, index):
+    from snowball_java_spark.operators.aggs import composite_matches_index
+
+    q = [{"query_id": 0, "terms": ["def"]}]
+    with pytest.raises(ValueError, match="non-empty"):
+        composite_matches_index(spark, index, q, group_cols=[], cfg=CFG)
+    with pytest.raises(ValueError, match="size"):
+        composite_matches_index(
+            spark, index, q, group_cols=["repo"], size=0, cfg=CFG)
+    with pytest.raises(ValueError, match="after cursor"):
+        composite_matches_index(
+            spark, index, q, group_cols=["repo"], after=("a", "b"), cfg=CFG)
+
+
 def test_range_agg_validation(spark, index):
     from snowball_java_spark.operators.aggs import range_matches_index
 
