@@ -21,10 +21,16 @@ summary as one JSON line.  ``--restore-from SNAP`` materializes a
 snapshot as the serving index at ``--index-dir`` (must be empty) and
 ``--snapshot DST`` captures the index into ``DST`` — both are hard-link
 passes (O(file count), zero data bytes; ``plans/snapshot.py``), need no
-Spark session, and the result is immediately queryable.  Steps compose
+Spark session, and the result is immediately queryable.
+``--reindex-to DST`` is the layout-migration path: rebuild this index's
+postings into a NEW index at DST from the stored per-doc tf maps —
+``--codec pfor``, ``--block-size``, ``--stages``, ``--buckets`` change
+the encoding without ever re-reading corpus content (live docs only;
+positions/trigram sidecars carry over, rebucketed if ``--buckets``
+changed; the source index is untouched).  Steps compose
 and run in the order restore-from → refresh → delete → compact →
-rebuild-stats → snapshot → describe (a composed ``--refresh --snapshot``
-therefore captures the post-mutation state).
+reindex-to → rebuild-stats → snapshot → describe (a composed
+``--refresh --snapshot`` therefore captures the post-mutation state).
 """
 
 from __future__ import annotations
@@ -55,14 +61,34 @@ def main(argv: list[str]) -> int:
     p.add_argument("--restore-from", metavar="SNAP",
                    help="materialize snapshot SNAP as the serving index "
                         "at --index-dir (must be empty/absent)")
+    p.add_argument("--reindex-to", metavar="DST",
+                   help="layout migration without re-tokenizing: rebuild "
+                        "this index's postings into a NEW index at DST "
+                        "from the stored per-doc tf maps (live docs only; "
+                        "positions/trigram sidecars carry over); combine "
+                        "with --codec/--block-size/--stages/--buckets")
+    p.add_argument("--codec", choices=["varint", "pfor"], default=None,
+                   help="with --reindex-to: target postings codec")
+    p.add_argument("--block-size", type=int, default=None,
+                   help="with --reindex-to: target postings block size")
+    p.add_argument("--stages", type=int, default=None,
+                   help="with --reindex-to: target build-stage count")
+    p.add_argument("--buckets", type=int, default=None,
+                   help="with --reindex-to: target postings bucket count")
     args = p.parse_args(argv)
     if not any((args.describe, args.compact, args.refresh,
                 args.delete_keys, args.rebuild_stats, args.snapshot,
-                args.restore_from)):
+                args.restore_from, args.reindex_to)):
         p.error("nothing to do: pass --describe/--compact/--refresh/"
-                "--delete-keys/--rebuild-stats/--snapshot/--restore-from")
+                "--delete-keys/--rebuild-stats/--snapshot/--restore-from/"
+                "--reindex-to")
     if args.supersede_on and not args.refresh:
         p.error("--supersede-on requires --refresh")
+    if any(v is not None for v in (args.codec, args.block_size,
+                                   args.stages, args.buckets)) \
+            and not args.reindex_to:
+        p.error("--codec/--block-size/--stages/--buckets require "
+                "--reindex-to")
 
     from snowball_java_spark.plans.snapshot import (
         restore_snapshot,
@@ -78,7 +104,8 @@ def main(argv: list[str]) -> int:
         }))
 
     needs_spark = any((args.describe, args.compact, args.refresh,
-                       args.delete_keys, args.rebuild_stats))
+                       args.delete_keys, args.rebuild_stats,
+                       args.reindex_to))
     if not needs_spark:
         if args.snapshot:
             t0 = time.time()
@@ -132,6 +159,23 @@ def main(argv: list[str]) -> int:
             "generations_in": before["generations"],
             "generations_out": idx.describe(spark)["generations"],
             "tombstones_dropped": before["n_tombstones"],
+            "elapsed_sec": round(time.time() - t0, 1),
+        }))
+    if args.reindex_to:
+        from snowball_java_spark.plans.build_index import reindex_index
+
+        t0 = time.time()
+        src = IndexReader(args.index_dir)
+        idx = reindex_index(
+            spark, args.index_dir, args.reindex_to,
+            codec=args.codec, block_size=args.block_size,
+            build_stages=args.stages, n_buckets=args.buckets)
+        print(json.dumps({
+            "reindexed_to": args.reindex_to,
+            "codec": f"{src.cfg.codec} -> {idx.cfg.codec}",
+            "block_size": f"{src.cfg.block_size} -> {idx.cfg.block_size}",
+            "n_buckets": f"{src.n_buckets} -> {idx.n_buckets}",
+            "n_docs": idx.n_docs,
             "elapsed_sec": round(time.time() - t0, 1),
         }))
     if args.rebuild_stats:

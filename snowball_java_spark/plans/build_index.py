@@ -1428,6 +1428,128 @@ def _compact_rebuild(spark, index_dir: str, idx: IndexReader,
     return IndexReader(index_dir)
 
 
+def reindex_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    codec: str | None = None,
+    block_size: int | None = None,
+    build_stages: int | None = None,
+    n_buckets: int | None = None,
+) -> IndexReader:
+    """Layout migration WITHOUT re-tokenizing (the ES ``_reindex`` ops
+    shape, restricted to what needs no content): build a NEW index at
+    ``dst_dir`` from the source index's stored docs tables — per-doc
+    ``tf_map`` IS the tokenize output, so a codec swap (varint ↔ pfor),
+    block-size retune, stage-count or bucket-count change re-encodes
+    postings only and never touches the corpus.  At 10^12 files that is
+    the difference between a postings-sized job and re-reading 100 TB
+    of content through the tokenizer.
+
+    Live docs only (tombstones drop, like compaction); doc_ids are
+    PRESERVED, so the positions and trigram sidecars carry over
+    (they are layout-independent of codec/block_size).  ``shard_size``
+    is deliberately NOT a parameter — positions and doc_meta are
+    organized by shard, so a re-shard needs the full from-corpus
+    rebuild path.
+
+    The source index is untouched (reindex-to-new, the safe half of the
+    ES flow: verify ``dst``, then swap whatever alias/path points at
+    ``src``)."""
+    import glob as _glob
+    import shutil
+    from dataclasses import replace
+
+    idx = IndexReader(src_dir)
+    if os.path.exists(dst_dir):
+        raise ValueError(
+            f"reindex destination {dst_dir} already exists — refusing to "
+            "overwrite an index in place; point at a fresh path")
+    cfg = replace(
+        idx.cfg,
+        codec=codec if codec is not None else idx.cfg.codec,
+        block_size=(block_size if block_size is not None
+                    else idx.cfg.block_size),
+        build_stages=(build_stages if build_stages is not None
+                      else idx.cfg.build_stages),
+    )
+    nb = n_buckets if n_buckets is not None else idx.n_buckets
+    with open(os.path.join(src_dir, "_conf.json")) as f:
+        conf = json.load(f)
+    tmp = dst_dir.rstrip("/") + ".reindexing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    t0 = time.time()
+    all_paths = [os.path.join(src_dir, "docs")] + sorted(
+        _glob.glob(os.path.join(src_dir, "docs_gen*")))
+    all_docs = _read_docs(spark, all_paths).drop("stage")
+    live = all_docs.join(
+        idx.tombstones(spark), "doc_id", "left_anti"
+    ).withColumn(
+        "stage",
+        F.pmod(shard_expr("doc_id", cfg.shard_size),
+               F.lit(cfg.build_stages)).cast("int"),
+    )
+    docs_path = os.path.join(tmp, "docs")
+    live.write.mode("overwrite").partitionBy("stage").parquet(docs_path)
+    if not _glob.glob(os.path.join(docs_path, "**", "*.parquet"),
+                      recursive=True):
+        live.write.mode("overwrite").parquet(docs_path)
+    meta = build_doc_meta(all_docs.select("doc_id", "dl"), cfg)
+    meta.write.mode("overwrite").parquet(
+        os.path.join(tmp, "doc_meta", "stage=0"))
+    _write_manifest(tmp, "prepare", {
+        "n_docs": conf["n_docs"], "avgdl": conf["avgdl"],
+        "total_dl": conf.get("total_dl", 0),
+        "format_version": INDEX_FORMAT_V,
+        "reindexed_from": src_dir,
+    })
+    for stage in range(cfg.build_stages):
+        _build_stage(spark, tmp, docs_path, cfg, nb,
+                     stage_id=stage, local_stage=stage, write_meta=False)
+    _write_term_partials(spark, tmp, docs_path, 0, cfg)
+    _merge_term_stats(spark, tmp, conf["n_docs"])
+    if idx.has_positions:
+        _write_filtered_positions(spark, src_dir, tmp, idx)
+        if nb != idx.n_buckets:
+            # the sidecars are pruned by bucket = hash % n_buckets at
+            # query time, so a bucket-count change must REBUCKET the
+            # carried rows (the encoded bytes are bucket-independent;
+            # only the directory key moves)
+            from snowball_java_spark.operators.postings import bucket_expr
+
+            pos_dir = os.path.join(tmp, "positions")
+            rebkt = (spark.read.option("basePath", pos_dir)
+                     .parquet(pos_dir)
+                     .withColumn("bucket", bucket_expr("term", nb)))
+            pos_tmp = pos_dir + ".rebucket"
+            (rebkt.repartition("bucket")
+             .sortWithinPartitions("term", "shard")
+             .write.mode("overwrite").partitionBy("gen", "bucket")
+             .parquet(pos_tmp))
+            shutil.rmtree(pos_dir)
+            os.rename(pos_tmp, pos_dir)
+        _write_manifest(tmp, "positions", {"carried_by": "reindex"})
+    if idx.has_trigrams:
+        (idx.trigrams(spark).drop("gen")
+         .join(idx.tombstones(spark), "doc_id", "left_anti")
+         .withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(nb)))
+         .withColumn("gen", F.lit(0))
+         .repartition("bucket").sortWithinPartitions("tri", "doc_id")
+         .write.mode("overwrite").partitionBy("gen", "bucket")
+         .parquet(os.path.join(tmp, "trigram")))
+        _write_manifest(tmp, "trigram", {"carried_by": "reindex"})
+    new_conf = dict(conf)
+    new_conf["cfg"] = asdict(cfg)
+    new_conf["n_buckets"] = nb
+    new_conf["generations"] = 1
+    _write_conf(tmp, new_conf)
+    _metric(tmp, step="reindex", elapsed_sec=time.time() - t0,
+            codec=cfg.codec, block_size=cfg.block_size, n_buckets=nb)
+    os.rename(tmp, dst_dir)
+    return IndexReader(dst_dir)
+
+
 def _corpus_with_index_ids(corpus: DataFrame, index: IndexReader,
                            what: str) -> DataFrame:
     """Join a content corpus to the INDEX's doc ids by natural key (not a

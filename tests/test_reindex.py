@@ -1,0 +1,164 @@
+"""Layout migration without re-tokenizing (plans.build_index.
+reindex_index): codec/block/bucket/stage changes re-encode postings from
+the stored per-doc tf maps — results must be rank- and score-identical
+to the source index, sidecars must carry, and the new index must keep
+living (refresh after reindex)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+N_BUCKETS = 8
+N = 96
+
+
+def _pdf() -> pd.DataFrame:
+    rows = [("r0", f"p{i:04d}", "c0", "py",
+             f"def magic phrase base_{i % 7} filler{i} common " * 2)
+            for i in range(N)]
+    return pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+@pytest.fixture(scope="module")
+def src_idx(spark, tmp_path_factory):
+    """build + positions + supersede-refresh + delete: a lived-in index
+    with generations AND tombstones — the worst case a migration meets."""
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+        delete_docs,
+        refresh_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("reidx_src"))
+    base = spark.createDataFrame(_pdf())
+    idx = build_index(spark, base, d, cfg=CFG, n_buckets=N_BUCKETS)
+    add_positions(spark, base, idx)
+    delta = spark.createDataFrame(
+        [("r0", "p0003", "c1", "py", "def updated_marker words " * 2)],
+        "repo string, path string, commit string, lang string, content string")
+    idx = refresh_index(spark, delta, d, supersede_on=["repo", "path"])
+    keys = spark.createDataFrame(
+        [("r0", "p0005"), ("r0", "p0006")], "repo string, path string")
+    return delete_docs(spark, d, keys)
+
+
+@pytest.fixture(scope="module")
+def dst_idx(spark, src_idx, tmp_path_factory):
+    from snowball_java_spark.plans.build_index import reindex_index
+
+    dst = str(tmp_path_factory.mktemp("reidx_dst")) + "/idx"
+    return reindex_index(
+        spark, src_idx.index_dir, dst,
+        codec="pfor", block_size=8, build_stages=3, n_buckets=4)
+
+
+def _topk(spark, idx, q):
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    res = bm25_topk_index(spark, idx, [q], cfg=idx.cfg)
+    return [(r["rank"], r["doc_id"], r["score"])
+            for r in res.orderBy("rank").collect()]
+
+
+def test_reindex_is_rank_and_score_identical(spark, src_idx, dst_idx):
+    assert dst_idx.cfg.codec == "pfor" and dst_idx.cfg.block_size == 8
+    assert dst_idx.n_buckets == 4 and dst_idx.n_docs == src_idx.n_docs
+    for q in ({"query_id": 0, "terms": ["def", "base_3"], "k": 20},
+              {"query_id": 0, "terms": ["magic", "common"], "k": 20,
+               "mode": "and"},
+              {"query_id": 0, "terms": ["updated_marker"], "k": 5},
+              {"query_id": 0, "terms": ["def"], "k": 10,
+               "not_terms": ["base_3"]}):
+        a, b = _topk(spark, src_idx, q), _topk(spark, dst_idx, q)
+        assert [x[:2] for x in a] == [x[:2] for x in b]
+        for (_, _, sa), (_, _, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-12)
+
+
+def test_reindex_carries_positions_and_drops_tombstones(spark, src_idx,
+                                                        dst_idx):
+    from snowball_java_spark.operators.positions import phrase_topk_index
+
+    q = [{"query_id": 0, "phrase": ["magic", "phrase"], "k": 30}]
+    a = phrase_topk_index(spark, src_idx, q, cfg=src_idx.cfg).collect()
+    b = phrase_topk_index(spark, dst_idx, q, cfg=dst_idx.cfg).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in a) == \
+        sorted((r["doc_id"], r["rank"]) for r in b)
+    # live-only rebuild: no tombstones, one generation; source untouched
+    assert dst_idx.describe(spark)["n_tombstones"] == 0
+    assert dst_idx.describe(spark)["generations"] == 1
+    assert src_idx.describe(spark)["n_tombstones"] == 3
+    ts_a = {r["term"]: (r["df"], r["cf"]) for r in
+            src_idx.term_stats(spark).collect()}
+    ts_b = {r["term"]: (r["df"], r["cf"]) for r in
+            dst_idx.term_stats(spark).collect()}
+    assert ts_a == ts_b
+
+
+def test_reindex_refuses_existing_destination(spark, src_idx, tmp_path):
+    from snowball_java_spark.plans.build_index import reindex_index
+
+    dst = str(tmp_path / "exists")
+    os.makedirs(dst)
+    with pytest.raises(ValueError, match="already exists"):
+        reindex_index(spark, src_idx.index_dir, dst)
+
+
+def test_reindex_rebuckets_trigram_sidecar(spark, tmp_path_factory):
+    """A bucket-count change must rebucket the carried trigram rows —
+    the substring query prunes on hash(tri) % n_buckets, so stale bucket
+    keys would silently return nothing."""
+    from snowball_java_spark.operators.trigram import substring_search
+    from snowball_java_spark.plans.build_index import (
+        add_trigrams,
+        build_index,
+        reindex_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("reidx_tri"))
+    base = spark.createDataFrame(_pdf())
+    idx = build_index(spark, base, d, cfg=CFG, n_buckets=N_BUCKETS)
+    add_trigrams(spark, base, idx)
+    dst = str(tmp_path_factory.mktemp("reidx_tri_dst")) + "/idx"
+    new = reindex_index(spark, d, dst, n_buckets=3)
+    assert new.has_trigrams
+
+    def hits(ix):
+        docs = ix.docs(spark).join(base.select("path", "content"), "path")
+        return sorted(r["doc_id"] for r in substring_search(
+            spark, docs, ix.trigrams(spark), "magic phrase",
+            n_buckets=ix.n_buckets).collect())
+
+    a, b = hits(idx), hits(new)
+    assert a == b and len(b) == N
+
+
+def test_reindexed_index_keeps_living(spark, dst_idx):
+    """next_doc_id carried: a refresh after migration must mint fresh
+    ids (no collision with preserved ones) and rank immediately."""
+    from snowball_java_spark.plans.build_index import refresh_index
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    before = set(r["doc_id"] for r in
+                 dst_idx.docs(spark).select("doc_id").collect())
+    delta = dst_idx.index_dir  # refresh in place
+    idx = refresh_index(
+        spark,
+        dst_idx.docs(spark).sparkSession.createDataFrame(
+            [("r9", "pnew", "c0", "py", "freshdoc magic words")],
+            "repo string, path string, commit string, lang string, "
+            "content string"),
+        delta)
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["freshdoc"], "k": 5}],
+        cfg=idx.cfg).collect()
+    assert len(res) == 1 and res[0]["doc_id"] not in before
