@@ -16,10 +16,15 @@
                   field-sorted search, line-number hit reporting,
                   per-lang tokenization, pinned IVF recall, and the
                   aggregation layer: significant terms (JLH), gap-free
-                  histograms, distinct-value cardinality, percentiles,
+                  histograms, range + composite (after-key paged)
+                  aggregations, distinct-value cardinality, percentiles,
                   per-bucket top hits, percolation,
-                  rescoring on both paths, function scoring, ordered
-                  span search, per-doc term vectors, and federated
+                  rescoring on both paths, function scoring incl. the
+                  gauss/exp/linear decay shapes, ordered
+                  span search, per-doc term vectors, highlighting,
+                  a "did you mean" term suggester, LM Dirichlet as a
+                  second similarity on the SAME index, GPT-style
+                  sequence packing for training runs, and federated
                   multi-index search with global statistics, text and
                   vector).
 

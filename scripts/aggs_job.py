@@ -170,8 +170,7 @@ def main(argv: list[str]) -> int:
 
         spec, _, size = args.composite.partition(":")
         cols = [c.strip() for c in spec.split(",") if c.strip()]
-        after = ([v for v in args.after.split(",")]
-                 if args.after else None)
+        after = args.after.split(",") if args.after else None
         emit("composite", composite_matches_index(
             spark, idx, qs, group_cols=cols,
             size=int(size) if size else 10, after=after, cfg=idx.cfg))
@@ -182,14 +181,28 @@ def main(argv: list[str]) -> int:
         if not spec:
             raise SystemExit(
                 "--range wants COL:LO-HI[,LO-HI…], e.g. dl:*-64,64-*")
+        def _bound(s):
+            return None if s == "*" else float(s)
+
         ranges = []
         for part in spec.split(","):
-            lo_s, sep, hi_s = part.strip().partition("-")
-            if not sep:
-                raise SystemExit(f"bad range {part!r} — want LO-HI "
-                                 "with '*' for an open end")
-            ranges.append((None if lo_s == "*" else float(lo_s),
-                           None if hi_s == "*" else float(hi_s)))
+            part = part.strip()
+            # bounds may be negative or exponent-form, so a '-' is not
+            # a reliable split point: accept the unique '-' position
+            # where BOTH sides parse (or are '*')
+            cands = []
+            for i, ch in enumerate(part):
+                if ch != "-" or i == 0:
+                    continue
+                try:
+                    cands.append((_bound(part[:i]), _bound(part[i + 1:])))
+                except ValueError:
+                    continue
+            if len(cands) != 1:
+                raise SystemExit(
+                    f"bad range {part!r} — want LO-HI with '*' for an "
+                    "open end (ambiguous or unparseable bounds)")
+            ranges.append(cands[0])
         emit("range", range_matches_index(
             spark, idx, qs, value_col=col, ranges=ranges, cfg=idx.cfg))
     if args.sig_terms is not None:

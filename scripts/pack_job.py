@@ -51,10 +51,13 @@ def main(argv: list[str]) -> int:
         "content" if "content" in docs.columns else "text")
     if text_col not in docs.columns:
         raise SystemExit(f"no text column {text_col!r} in {docs.columns}")
-    if args.id_col not in docs.columns:
+    id_col = args.id_col
+    if id_col not in docs.columns:
+        # assign_doc_ids always mints the column as 'doc_id'
         docs = assign_doc_ids(docs)
+        id_col = "doc_id"
     docs_tok = docs.select(
-        F.col(args.id_col).alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         tokens_expr(text_col).alias("tokens"))
     plan = pack_plan(docs_tok, budget=args.budget, n_shards=args.shards)
     plan.repartition("shard").write.mode("overwrite") \

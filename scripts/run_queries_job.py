@@ -204,6 +204,8 @@ def main(argv: list[str]) -> int:
                 "--federate-with does not compose with --synonyms/"
                 "--lines/--counts (index-local rewrites and content "
                 "reads); run them per index")
+    if args.mu != 2000.0 and args.similarity == "bm25":
+        raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
         others = phrase_qs + prox_qs + context_qs + rescore_qs + grep_qs
         if others:
@@ -215,6 +217,16 @@ def main(argv: list[str]) -> int:
             raise SystemExit(
                 "--similarity lmd does not compose with --federate-with "
                 "(federated global stats are BM25 idf/avgdl)")
+        # refuse BEFORE any group's results print, not mid-loop: fuzzy
+        # rewrites to synonym groups and boosts fold into idf — both
+        # BM25-only algebra (prefix expansion stays plain terms and is
+        # allowed)
+        if args.synonyms or any(
+                q.get("fuzzy") or q.get("boosts") for q in term_qs):
+            raise SystemExit(
+                "--similarity lmd rejects --synonyms, fuzzy (term~N) and "
+                "boost (term^B) queries — their scoring algebra is "
+                "BM25-only; run them in a separate invocation")
     if grep_qs and not args.corpus:
         raise SystemExit(
             "substr/regex queries need --corpus: the trigram index only "
