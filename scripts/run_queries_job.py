@@ -9,6 +9,10 @@ Query jsonl, one object per line:
     {"query_id": 13, "terms": ["def", "x", "y"],                    # Lucene/ES
      "min_should_match": 2}                                         # msm (>= m terms)
     {"query_id": 2, "phrase": ["def", "main"], "k": 10}             # exact phrase
+    {"query_id": 16, "phrase": ["def", "ma*"], "k": 10}             # phrase prefix
+         # (ES match_phrase_prefix / search-as-you-type: the trailing
+         #  tok* stem completes against the vocabulary; score = max
+         #  over matching completions' phrase scores)
     {"query_id": 3, "left_terms": ["def"], "middle_terms": ["x"],   # 3-zone
      "right_terms": ["return"], "window": 16, "k": 10}              # context
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
@@ -171,6 +175,9 @@ def main(argv: list[str]) -> int:
         if "rescore" in q:
             return "rescore"
         if "phrase" in q:
+            ph = q.get("phrase") or []
+            if ph and str(ph[-1]).endswith("*"):
+                return "phrase_prefix"
             return "phrase"
         if "window" in q and "terms" in q:
             return "proximity"
@@ -190,6 +197,7 @@ def main(argv: list[str]) -> int:
                 "fuzzy/prefix expansion is not supported on rescore "
                 "queries — expand them as a plain terms query first")
     phrase_qs = [q for q in qs if kind(q) == "phrase"]
+    phrase_prefix_qs = [q for q in qs if kind(q) == "phrase_prefix"]
     prox_qs = [q for q in qs if kind(q) == "proximity"]
     context_qs = [q for q in qs if kind(q) == "context"]
     grep_qs = [q for q in qs if kind(q) == "grep"]
@@ -207,7 +215,8 @@ def main(argv: list[str]) -> int:
     if args.mu != 2000.0 and args.similarity == "bm25":
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
-        others = phrase_qs + prox_qs + context_qs + rescore_qs + grep_qs
+        others = (phrase_qs + phrase_prefix_qs + prox_qs + context_qs
+                  + rescore_qs + grep_qs)
         if others:
             raise SystemExit(
                 "--similarity lmd applies to terms queries only — "
@@ -243,7 +252,8 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             "--highlight does not compose with --federate-with (content "
             "reads are index-local); run it per index")
-    if (phrase_qs or context_qs or prox_qs or rescore_qs) \
+    if (phrase_qs or phrase_prefix_qs or context_qs or prox_qs
+            or rescore_qs) \
             and not idx.has_positions:
         raise SystemExit(
             "phrase/context/proximity queries need the positional sidecar "
@@ -275,7 +285,8 @@ def main(argv: list[str]) -> int:
         return df.withColumn(
             "query_id", m[F.col("query_id")].cast(typ))
 
-    filtered_kinds = term_qs + phrase_qs + prox_qs + context_qs + rescore_qs
+    filtered_kinds = (term_qs + phrase_qs + phrase_prefix_qs + prox_qs
+                      + context_qs + rescore_qs)
     doc_cols = set(idx.docs(spark).columns)
     bad = {c for q in filtered_kinds for c in (q.get("filters") or {})} \
         - doc_cols
@@ -412,6 +423,13 @@ def main(argv: list[str]) -> int:
     for flt, grp in by_filter(phrase_qs):
         parts.append(
             phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+    for flt, grp in by_filter(phrase_prefix_qs):
+        from snowball_java_spark.operators.positions import (
+            phrase_prefix_topk_index,
+        )
+
+        parts.append(phrase_prefix_topk_index(
+            spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
     if rescore_qs:
         from snowball_java_spark.operators.rescore import rescore_topk_index
 

@@ -285,6 +285,64 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 _PHRASE = ["table", "value"]
 _FILTER_SOURCE = "src0"
 
+#: match_phrase_prefix: "table v*" completes to value/vector/… — a
+#: multi-expansion stem, so the per-doc MAX genuinely arbitrates
+_PHRASE_PREFIX = ["table", "v*"]
+
+
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowball_java_spark.operators.positions import (
+        phrase_prefix_topk_index,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    res = phrase_prefix_topk_index(
+        spark, idx,
+        [{"query_id": 0, "phrase": _PHRASE_PREFIX, "k": 10}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _phrase_prefix_sql(phrase: list[str], k: int,
+                       max_expansions: int = 50) -> str:
+    head, stem = phrase[:-1], phrase[-1][:-1]
+    L = len(phrase)
+    cond = " AND ".join(
+        [f"toks[i+{j}] = '{w}'" for j, w in enumerate(head)]
+        + [f"toks[i+{L - 1}] = e.term"])
+    tf_expr = f"len(list_filter(range(1, len(toks) - {L} + 2), i -> {cond}))"
+    w = (
+        f"ln(1 + (st.n_docs - dfp.df + 0.5) / (dfp.df + 0.5)) * mm.tf * "
+        f"{_K1 + 1.0} "
+        f"/ (mm.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / st.avgdl))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+tfx AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        GROUP BY 1, 2),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tfx GROUP BY 1),
+exp AS (SELECT term FROM dfx WHERE term LIKE '{stem}%'
+        ORDER BY df DESC, term ASC LIMIT {max_expansions}),
+mm AS (SELECT t.doc_id, e.term, {tf_expr}::BIGINT AS tf
+       FROM toks t CROSS JOIN exp e
+       WHERE {tf_expr} > 0),
+dfp AS (SELECT term, count(*)::BIGINT AS df FROM mm GROUP BY 1),
+sc AS (SELECT mm.doc_id, max({w}) AS score
+       FROM mm JOIN dfp USING (term) JOIN dl ON mm.doc_id = dl.doc_id
+            CROSS JOIN st
+       GROUP BY mm.doc_id)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
 
 def _q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25: every query term must be present."""
@@ -4092,6 +4150,8 @@ def build_registry() -> dict[str, Q]:
             _q_bm25_collapse, _collapse_sql(HOT_TERMS, 10)
         ),
         "bm25_phrase_topk": Q(_q_bm25_phrase, _phrase_sql(_PHRASE, 10)),
+        "bm25_phrase_prefix_topk": Q(
+            _q_phrase_prefix, _phrase_prefix_sql(_PHRASE_PREFIX, 10)),
         "bm25_phrase_index_topk": Q(_q_bm25_phrase_index, _phrase_sql(_PHRASE, 10)),
         "bm25_phrase_index_filtered": Q(
             _q_bm25_phrase_index_filtered,

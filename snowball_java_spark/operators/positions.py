@@ -271,6 +271,72 @@ def phrase_scores_index(
     )
 
 
+def phrase_prefix_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type): each query's
+    ``phrase`` ends in a ``tok*`` stem; the stem expands against the
+    vocabulary (df-desc capped — the same Lucene top-terms rewrite as
+    ``bm25_prefix_topk``) and a doc matches when ANY completed phrase
+    matches.
+
+    Score = MAX over the doc's matching completions of that completed
+    phrase's score (each completion scores like a plain phrase query:
+    phrase tf saturated under BM25, df = that completion's match
+    count).  Max is order-independent, so the ranking is deterministic;
+    this is our pinned, oracle-checkable alternative to Lucene's
+    MultiPhraseQuery blended-idf scoring, stated rather than imitated.
+
+    Scale shape: one vocabulary pass expands ALL stems in the batch;
+    one positions-sidecar pass scores ALL completions
+    (:func:`phrase_scores_index` — the full match relation, rows ∝
+    matching docs, no per-expansion top-k cut to lose exactness); the
+    max-merge and final top-k run on that small relation.  A stem with
+    zero vocabulary matches simply returns no rows for its query."""
+    from snowball_java_spark.operators.suggest import expand_prefixes
+
+    specs = []
+    for q in queries:
+        ph = [str(w) for w in q.get("phrase", [])]
+        if not ph or not ph[-1].endswith("*") or len(ph[-1]) < 2:
+            raise ValueError(
+                f"phrase-prefix query {q.get('query_id')} needs a "
+                "phrase whose last element is a 'tok*' stem "
+                f"(got {ph!r})")
+        specs.append((int(q["query_id"]), ph[:-1], ph[-1][:-1],
+                      int(q.get("k", cfg.default_k))))
+    exp = expand_prefixes(
+        spark, index, sorted({s for _, _, s, _ in specs}), max_expansions)
+    expanded, back = [], []
+    for qid, head, stem, k in specs:
+        for e in exp.get(stem, []):
+            back.append((len(expanded), qid))
+            expanded.append(
+                {"query_id": len(expanded), "phrase": head + [e]})
+    if not expanded:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double")
+    scored = phrase_scores_index(
+        spark, index, expanded, cfg=cfg, doc_filter=doc_filter)
+    bdf = F.broadcast(spark.createDataFrame(
+        back, "query_id int, _orig int"))
+    merged = (
+        scored.join(bdf, "query_id")
+        .groupBy(F.col("_orig").alias("query_id"), F.col("doc_id"))
+        .agg(F.max("score").alias("score"))
+    )
+    from snowball_java_spark.operators.bm25_join import topk
+
+    kdf = spark.createDataFrame(
+        [(qid, k) for qid, _, _, k in specs], "query_id int, k int")
+    return topk(merged, kdf)
+
+
 def phrase_topk_index(
     spark: SparkSession,
     index,

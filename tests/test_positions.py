@@ -75,6 +75,51 @@ def test_index_phrase_rank_identical_to_oracle(spark, pos_index):
             assert score == pytest.approx(escore, rel=REL_TOL)
 
 
+def test_phrase_prefix_matches_truth(spark, pos_index):
+    """match_phrase_prefix: per-doc MAX over the stem's completions'
+    phrase scores, expansion capped (df desc, term asc) like the
+    wildcard rewrite."""
+    from snowball_java_spark.operators.positions import (
+        phrase_prefix_topk_index,
+    )
+
+    idx, oracle = pos_index
+    got = phrase_prefix_topk_index(
+        spark, idx, [{"query_id": 0, "phrase": ["def", "re*"], "k": 10},
+                     {"query_id": 1, "phrase": ["def", "zzznope*"], "k": 5}])
+    rows = sorted((r["rank"], r["doc_id"], r["score"])
+                  for r in got.collect() if r["query_id"] == 0)
+    assert not [r for r in got.collect() if r["query_id"] == 1]
+    exps = [t for t in sorted(oracle.df, key=lambda t: (-oracle.df[t], t))
+            if t.startswith("re")][:50]
+    assert len(exps) > 1, "fixture needs a multi-completion stem"
+    scores: dict[int, float] = {}
+    for e in exps:
+        for doc, s in oracle.phrase_topk(["def", e], 10**9):
+            scores[doc] = max(scores.get(doc, float("-inf")), s)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert len(rows) == len(expect) > 0
+    for (rank, doc, score), (edoc, escore) in zip(rows, expect):
+        assert doc == edoc
+        assert score == pytest.approx(escore, rel=REL_TOL)
+
+
+def test_phrase_prefix_validation(spark, pos_index):
+    from snowball_java_spark.operators.positions import (
+        phrase_prefix_topk_index,
+    )
+
+    idx, _ = pos_index
+    with pytest.raises(ValueError, match="tok\\*"):
+        phrase_prefix_topk_index(
+            spark, idx, [{"query_id": 0, "phrase": ["def", "return"]}])
+    with pytest.raises(ValueError, match="tok\\*"):
+        phrase_prefix_topk_index(
+            spark, idx, [{"query_id": 0, "phrase": ["def", "*"]}])
+    with pytest.raises(ValueError, match="tok\\*"):
+        phrase_prefix_topk_index(spark, idx, [{"query_id": 0, "phrase": []}])
+
+
 def test_index_phrase_equals_expression_path(spark, synth_docs, pos_index):
     """The positional-index path and the expression (no-index) path must
     return identical rows — same semantics, two physical strategies."""
