@@ -12,6 +12,9 @@ executable by an operator that already has an oracle-checked gate:
     +table +row              →  same (``+`` on every term)
     table row -vector        →  {"terms": [...], "not_terms": ["vector"]}
     "hello world"            →  {"phrase": ["hello", "world"]}
+    "hello wor*"             →  {"phrase": ["hello", "wor*"]}   (phrase
+                                 prefix / search-as-you-type: the stem
+                                 completes against the vocabulary)
     table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
     tok* row                 →  {"terms": ["row"], "prefixes": ["tok"]}
     tabel~1 row              →  {"terms": ["row"], "fuzzy": {"tabel": 1}}
@@ -106,6 +109,29 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         if quoted is not None:
             if phrase is not None:
                 raise QueryParseError("at most one quoted phrase per query")
+            raw_words = quoted.split()
+            # "def ma*" = match_phrase_prefix (the trailing stem
+            # completes against the vocabulary).  The tokenizer strips
+            # '*', so without this branch the star would SILENTLY
+            # degrade to an exact phrase on the bare stem — the exact
+            # silent-extra-term failure this parser's policy forbids.
+            if any("*" in w for w in raw_words[:-1]):
+                raise QueryParseError(
+                    "'*' inside a quoted phrase is only supported on "
+                    "the LAST word (match_phrase_prefix)")
+            if raw_words and raw_words[-1].endswith("*"):
+                stem_toks = tokenize_py(raw_words[-1][:-1])
+                if len(stem_toks) != 1:
+                    raise QueryParseError(
+                        f"phrase-prefix stem {raw_words[-1]!r} must be "
+                        "one token")
+                phrase = tokenize_py(" ".join(raw_words[:-1]))
+                if not phrase:
+                    raise QueryParseError(
+                        'a phrase prefix needs a head token: "tok stem*"'
+                        " (use a bare tok* wildcard for a single stem)")
+                phrase = phrase + [stem_toks[0] + "*"]
+                continue
             phrase = tokenize_py(quoted)
             if len(phrase) < 2:
                 raise QueryParseError(
@@ -208,6 +234,16 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             raise QueryParseError(
                 "cannot mix a quoted phrase with bare/required/wildcard/"
                 "fuzzy terms")
+        if phrase[-1].endswith("*"):
+            if window is not None:
+                raise QueryParseError(
+                    "proximity (~N) does not compose with a phrase "
+                    "prefix")
+            if not_terms:
+                raise QueryParseError(
+                    "a phrase prefix does not compose with -term")
+            return {"query_id": int(query_id), "k": int(k),
+                    "phrase": phrase, "filters": filters}
         if window is not None:
             if not_terms:
                 raise QueryParseError(

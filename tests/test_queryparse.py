@@ -383,3 +383,23 @@ def test_match_counts_index_modes_and_synonyms(spark, synth_docs, oracle,
         3: 0,
         4: n_or(["retrn", "return"]),
     }
+
+
+def test_phrase_prefix_parses_and_guards():
+    """'"def ma*"' is match_phrase_prefix — without the dedicated branch
+    the tokenizer would strip the star and SILENTLY exact-match 'ma'."""
+    from snowball_java_spark.functions.queryparse import (
+        QueryParseError,
+        parse_query,
+    )
+
+    q = parse_query('"def ma*"', query_id=7, k=5)
+    assert q == {"query_id": 7, "k": 5, "phrase": ["def", "ma*"],
+                 "filters": {}}
+    # tokenizer normalization still applies to head and stem
+    q = parse_query('"Def-X mA*"', query_id=0)
+    assert q["phrase"] == ["def", "x", "ma*"]
+    for bad in ('"def ma*" -x', '"def ma*"~3', '"d* ef"', '"ma*"',
+                '"def foo-ba*"'):
+        with pytest.raises(QueryParseError):
+            parse_query(bad, query_id=0)
