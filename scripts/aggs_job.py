@@ -5,6 +5,7 @@ match sets — the analytics sidebar without a corpus scan.
         --index-dir /path/index --queries q.jsonl \
         [--facets repo,lang] [--counts] [--histogram dl:32] \
         [--range dl:*-64,32-96,128-*] \
+        [--composite repo,lang:50 [--after V1,V2]] \
         [--sig-terms 10] [--sort-by dl[:asc]] \
         [--cardinality repo,lang [--cardinality-rsd 0.05]] \
         [--percentiles dl:25,50,95 [--percentiles-approx]] \

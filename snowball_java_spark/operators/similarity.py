@@ -13,6 +13,7 @@ DuckDB oracle can inline the identical constants.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -87,6 +88,80 @@ def brute_force_topk(
             F.round(cosine_expr(F.col("embedding"), qcol), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq8_codes_expr(vec: Column) -> tuple[Column, Column]:
+    """(codes array<long>, scale double): per-vector int8 scalar
+    quantization (SQ8, the FAISS/Lucene storage scheme) of the
+    UNIT-normalized vector — ``codes_i = floor(127·v̂_i/s + 0.5)`` with
+    ``s = max|v̂_i|``, so codes span the full [-127, 127] range and the
+    stored index shrinks 4× vs float32 (8× vs float64) at one extra
+    double per row.  Rounding is the EXPLICIT half-up ``floor(x + 0.5)``
+    — ``round()`` is banker's on numpy — so the SQL oracle reproduces
+    the codes bit-for-bit.
+
+    Every intermediate (unit vector, scale) is pinned through
+    ``exprs.bind`` — referenced naked, Catalyst's project collapse would
+    re-substitute the whole normalize chain into EVERY per-element
+    reference (the tokens_expr blowup; 30× measured here)."""
+    both = sq8_struct_expr(vec)
+    return both.getField("codes"), both.getField("scale")
+
+
+def sq8_struct_expr(vec: Column) -> Column:
+    """ONE-evaluation struct(codes, scale) — consumers must reference it
+    through a single ``exprs.bind`` lambda variable (see
+    :func:`sq8_topk`); naked multi-reference re-runs the chain."""
+    from snowball_java_spark.functions.exprs import bind
+
+    return bind(
+        norm_expr(vec),
+        lambda n: bind(
+            F.transform(vec, lambda x: x.cast("double") / n),
+            lambda u: bind(
+                F.array_max(F.transform(u, lambda x: F.abs(x))),
+                lambda s: F.struct(
+                    F.transform(
+                        u, lambda x: F.floor(
+                            x * F.lit(127.0) / s + F.lit(0.5))
+                    ).alias("codes"),
+                    s.alias("scale")))))
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """ANN with quantized STORAGE (asymmetric SQ8): stored vectors are
+    int8 codes + a per-vector scale; the query stays full-precision
+    float, so ``score = (Σ codes_i·q̂_i)·s/127`` approximates the cosine
+    while reading a quarter of the bytes — the bandwidth knob for a
+    10^12-row vector corpus (IVF prunes WHICH rows are read; SQ8 shrinks
+    every row read).  Same one-pass TakeOrderedAndProject plan and
+    pre-filter semantics as :func:`brute_force_topk`."""
+    from snowball_java_spark.functions.exprs import bind
+
+    if predicate is not None:
+        emb = emb.filter(predicate)
+    qn = math.sqrt(sum(float(v) * float(v) for v in query_vec))
+    uq = F.array(*[F.lit(float(v) / qn) for v in query_vec])
+    score = bind(
+        sq8_struct_expr(F.col("embedding")),
+        lambda cs: F.aggregate(
+            F.zip_with(cs.getField("codes"), uq,
+                       lambda c, q: c.cast("double") * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) * cs.getField("scale") / F.lit(127.0),
+    )
+    return (
+        emb.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
 

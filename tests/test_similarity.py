@@ -561,3 +561,51 @@ def test_compact_empty_index_stays_readable(spark, emb, tmp_path_factory):
     ids = {r["vec_id"]
            for r in ivf_topk_index(spark, d, qvec, 5, n_probe=4).collect()}
     assert 0 in ids
+
+
+def test_sq8_approximates_cosine_within_quantization_bound(spark, emb, qvec):
+    """Asymmetric SQ8: |score − cosine| ≤ dim·(s/254)/·… — in practice
+    bounded by the per-component code error (½ step = s/254, unit
+    vectors) summed over dims; assert the loose analytic bound AND a
+    strong empirical recall."""
+    from snowball_java_spark.operators.similarity import sq8_topk
+
+    exact = {r["vec_id"]: r["cosine"]
+             for r in brute_force_topk(emb, qvec, 50).collect()}
+    sq8 = {r["vec_id"]: r["score"] for r in sq8_topk(emb, qvec, 50).collect()}
+    dim = len(qvec)
+    # per-component error ≤ half a quantization step (s/254 with s ≤ 1);
+    # dot error ≤ Σ|q̂_i|·step/2 ≤ sqrt(dim)·(1/254)
+    bound = (dim ** 0.5) / 254 + 1e-6
+    both = set(exact) & set(sq8)
+    assert both, "no overlap at k=50 — quantization badly broken"
+    for v in both:
+        assert abs(exact[v] - sq8[v]) <= bound
+    # recall@10: deterministic on the fixed sf corpus
+    ex10 = [r["vec_id"] for r in brute_force_topk(emb, qvec, 10).collect()]
+    sq10 = [r["vec_id"] for r in sq8_topk(emb, qvec, 10).collect()]
+    assert len(set(ex10) & set(sq10)) >= 8
+
+
+def test_sq8_codes_are_int8_range(spark, emb):
+    from snowball_java_spark.operators.similarity import sq8_codes_expr
+
+    codes, scale = sq8_codes_expr(F.col("embedding"))
+    row = (emb.select(F.array_max(codes).alias("mx"),
+                      F.array_min(codes).alias("mn"),
+                      scale.alias("s"))
+           .agg(F.max("mx").alias("mx"), F.min("mn").alias("mn"),
+                F.min("s").alias("smin"), F.max("s").alias("smax"))
+           .collect()[0])
+    assert -127 <= row["mn"] and row["mx"] <= 127
+    assert 0 < row["smin"] <= row["smax"] <= 1.0 + 1e-12
+
+
+def test_sq8_prefilter_composes(spark, emb, qvec):
+    from snowball_java_spark.operators.similarity import sq8_topk
+
+    res = sq8_topk(emb, qvec, 10, predicate=F.col("label") % 2 == 0)
+    rows = res.collect()
+    labels = {r["label"] for r in
+              emb.join(res.select("vec_id"), "vec_id").collect()}
+    assert rows and all(l % 2 == 0 for l in labels)
