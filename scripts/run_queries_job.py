@@ -18,6 +18,9 @@ Query jsonl, one object per line:
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
     {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
+    {"query_id": 9, "wildcards": ["*_test", "re?d"], "terms": []}   # general wildcard
+         # (suffix/infix patterns expand against the vocabulary, top
+         #  max_expansions by df — query-string form: {"q": "*_test"})
     {"query_id": 11, "fuzzy": {"tabel": 1}, "terms": []}            # fuzzy term~N
          # (edit-distance expansion vs the vocabulary; matches score as
          #  ONE merged group — query-string form: {"q": "tabel~1"})
@@ -192,10 +195,11 @@ def main(argv: list[str]) -> int:
             raise SystemExit(
                 "rescore queries need non-empty `terms` (the primary) "
                 "and a token-list `rescore` (the phrase secondary)")
-        if q.get("fuzzy") or q.get("prefixes"):
+        if q.get("fuzzy") or q.get("prefixes") or q.get("wildcards"):
             raise SystemExit(
-                "fuzzy/prefix expansion is not supported on rescore "
-                "queries — expand them as a plain terms query first")
+                "fuzzy/prefix/wildcard expansion is not supported on "
+                "rescore queries — expand them as a plain terms query "
+                "first")
     phrase_qs = [q for q in qs if kind(q) == "phrase"]
     phrase_prefix_qs = [q for q in qs if kind(q) == "phrase_prefix"]
     prox_qs = [q for q in qs if kind(q) == "proximity"]

@@ -195,20 +195,31 @@ def _bm25_topk_sql(
     terms: list[str], k: int, conjunctive: bool = False,
     source: str | None = None, not_terms: list[str] | None = None,
     prefix_expand: tuple[str, int] | None = None,
+    wildcard_expand: tuple[str, int] | None = None,
     after: int = 0, min_match: int | None = None,
 ) -> str:
     """``prefix_expand=(stem, max_expansions)``: the query-term CTE comes
     from expanding the stem against the corpus vocabulary (df desc, term
-    asc, capped) instead of a literal list — the wildcard semantics."""
-    if prefix_expand is not None:
-        stem, max_exp = prefix_expand
+    asc, capped) instead of a literal list — the wildcard semantics.
+    ``wildcard_expand=(pattern, max_expansions)`` is the general form —
+    the pattern is a wildcard (``*``/``?``) expression translated to
+    LIKE via ``suggest.wildcard_like``."""
+    if prefix_expand is not None or wildcard_expand is not None:
+        if wildcard_expand is not None:
+            from snowball_java_spark.operators.suggest import wildcard_like
+
+            pat, max_exp = wildcard_expand
+            like = f"'{wildcard_like(pat)}' ESCAPE '\\'"
+        else:
+            stem, max_exp = prefix_expand
+            like = f"'{stem}%'"
         extra = ""
         if terms:
             extra = " UNION " + " UNION ".join(
                 f"SELECT '{t}'" for t in sorted(set(terms)))
         q_cte = (
             f"(SELECT term FROM (SELECT term FROM dfx WHERE term LIKE "
-            f"'{stem}%' ORDER BY df DESC, term ASC LIMIT {max_exp}){extra})"
+            f"{like} ORDER BY df DESC, term ASC LIMIT {max_exp}){extra})"
         )
     else:
         tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
@@ -862,6 +873,37 @@ def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx,
         [{"query_id": 0, "terms": [], "prefixes": [_PREFIX_STEM], "k": 10}],
         cfg=_INDEX_CFG, max_expansions=_PREFIX_MAX,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+#: general wildcard: suffix pattern (the code-search ``*_test`` shape) —
+#: '*ow' completes against the vocabulary (row/slow/window) and merges
+#: with a plain term
+_WILDCARD_PAT = "*ow"
+_WILDCARD_PLAIN = "spark"
+
+
+def _q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General wildcard query (``*ow`` — star NOT trailing-only, the
+    suffix/infix form ``expand_prefixes`` cannot serve): the pattern
+    expands against the index vocabulary (LIKE verify over one
+    term_stats pass, top max_expansions by df desc / term asc) and the
+    expansion scores as a plain BM25 disjunction merged with the
+    query's literal terms — Lucene WildcardQuery under the public
+    top-terms rewrite, on the index path via the shared
+    ``rewrite_expansions``."""
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_fuzzy_topk(
+        spark, idx,
+        [{"query_id": 0, "terms": [_WILDCARD_PLAIN],
+          "wildcards": [_WILDCARD_PAT], "k": 10}],
+        cfg=_INDEX_CFG,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -4240,6 +4282,11 @@ def build_registry() -> dict[str, Q]:
             _q_bm25_prefix,
             _bm25_topk_sql([], 10,
                            prefix_expand=(_PREFIX_STEM, _PREFIX_MAX)),
+        ),
+        "bm25_wildcard_topk": Q(
+            _q_bm25_wildcard,
+            _bm25_topk_sql([_WILDCARD_PLAIN], 10,
+                           wildcard_expand=(_WILDCARD_PAT, 50)),
         ),
         "bm25_search_after": Q(
             _q_bm25_search_after,

@@ -17,6 +17,9 @@ executable by an operator that already has an oracle-checked gate:
                                  completes against the vocabulary)
     table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
     tok* row                 →  {"terms": ["row"], "prefixes": ["tok"]}
+    *_test re?d              →  {"wildcards": ["*_test", "re?d"]}
+                                 (general wildcard: * any run, ? one
+                                 char; expands against the vocabulary)
     tabel~1 row              →  {"terms": ["row"], "fuzzy": {"tabel": 1}}
                                  (edit-distance term: ``stem~`` = 2 edits;
                                  matches score as one merged group)
@@ -56,6 +59,10 @@ _LEX_RE = re.compile(r'"([^"]*)"|(\S+)')
 _FUZZY_RE = re.compile(r"^(.+)~(\d*)$")
 # a boosted bare term: term^B (B a positive int/float)
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+# a general wildcard pattern: token-alphabet literals + * / ? (mirrors
+# operators.suggest._WILDCARD_RE — kept local so the parser layer does
+# not import the operators layer)
+_WILDCARD_RE = re.compile(r"^[a-z0-9_*?]+$")
 
 
 def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
@@ -67,8 +74,9 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         {"query_id", "k", "terms", "prefixes", "not_terms", "filters", "mode"}
         {"query_id", "k", "phrase", "not_terms", "filters"}
 
-    ``prefixes`` are trailing-wildcard stems (``tok*``) — expanded
-    against the index vocabulary at execution (OR rewrite, capped at
+    ``prefixes`` are trailing-wildcard stems (``tok*``); ``wildcards``
+    are general patterns (``*_test``, ``re?d``) — both expanded against
+    the index vocabulary at execution (OR rewrite, capped at
     max_expansions by df); wildcards are OR-only: not with ``+``/``-``,
     not in AND queries, not with a phrase.
 
@@ -80,6 +88,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     phrase: list[str] | None = None
     terms: list[str] = []
     prefixes: list[str] = []
+    wildcards: list[str] = []
     fuzzy: dict[str, int] = {}
     boosts: dict[str, float] = {}
     required: list[str] = []
@@ -151,16 +160,35 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         sign = ""
         if word[0] in "+-":
             sign, word = word[0], word[1:]
-        if word.endswith("*"):
+        if "*" in word or "?" in word:
             if sign:
                 raise QueryParseError(
                     "wildcards are OR-expansions — no +tok* / -tok*")
-            stem_toks = tokenize_py(word[:-1])
-            if len(stem_toks) != 1:
+            if word.endswith("*") and "*" not in word[:-1] \
+                    and "?" not in word:
+                # trailing-only star = prefix (the cheaper expansion:
+                # its vocabulary scan prunes on startswith min/max)
+                stem_toks = tokenize_py(word[:-1])
+                if len(stem_toks) != 1:
+                    raise QueryParseError(
+                        f"wildcard stem {word[:-1]!r} must be one token")
+                saw_bare_quoteless = True
+                prefixes.append(stem_toks[0])
+                continue
+            # general wildcard (*_test, re?d, *pool*) — validated, never
+            # silently re-tokenized ('fo*o' used to degrade to OR terms
+            # ['fo', 'o'])
+            pat = word.lower()
+            if not _WILDCARD_RE.match(pat):
                 raise QueryParseError(
-                    f"wildcard stem {word[:-1]!r} must be one token")
+                    f"wildcard pattern {word!r} may only contain token "
+                    "characters [a-z0-9_] plus * / ?")
+            if set(pat) <= {"*", "?"}:
+                raise QueryParseError(
+                    f"wildcard pattern {word!r} needs at least one "
+                    "literal character")
             saw_bare_quoteless = True
-            prefixes.append(stem_toks[0])
+            wildcards.append(pat)
             continue
         if "^" in word and not _BOOST_RE.match(word):
             # loud, like every other malformed operator: 'table^2.' must
@@ -230,7 +258,8 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             terms.extend(toks)
 
     if phrase is not None:
-        if terms or required or saw_and or prefixes or fuzzy:
+        if terms or required or saw_and or prefixes or fuzzy \
+                or wildcards:
             raise QueryParseError(
                 "cannot mix a quoted phrase with bare/required/wildcard/"
                 "fuzzy terms")
@@ -259,16 +288,17 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "cannot mix required (+term) with optional bare terms — "
             "use all-+ (AND) or all-bare (OR)")
     positive = required or terms
-    if not positive and not prefixes and not fuzzy:
+    if not positive and not prefixes and not fuzzy and not wildcards:
         raise QueryParseError("query needs at least one positive term")
     mode = "and" if (required or saw_and) else "or"
-    if (prefixes or fuzzy) and mode == "and":
+    if (prefixes or fuzzy or wildcards) and mode == "and":
         raise QueryParseError(
             "wildcards/fuzzy terms are OR-expansions — not supported in "
             "AND queries")
     return {"query_id": int(query_id), "k": int(k),
             "terms": sorted(set(positive)),
             "prefixes": sorted(set(prefixes)),
+            "wildcards": sorted(set(wildcards)),
             "fuzzy": dict(sorted(fuzzy.items())),
             "boosts": dict(sorted(boosts.items())),
             "not_terms": sorted(set(not_terms)),

@@ -416,6 +416,8 @@ def bm25_scores_join(
         for key, where in (("fuzzy", "wand.rewrite_expansions + the "
                             "index path"),
                            ("prefixes", "wand.rewrite_expansions + the "
+                            "index path"),
+                           ("wildcards", "wand.rewrite_expansions + the "
                             "index path")):
             if q.get(key):
                 raise ValueError(

@@ -20,12 +20,15 @@ window partitions per query term over candidate counts only.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms",
            "add_vocab_grams", "suggest_terms_index",
-           "expand_prefixes", "expand_fuzzy", "fuzzy_synonyms"]
+           "expand_prefixes", "expand_wildcards", "wildcard_like",
+           "expand_fuzzy", "fuzzy_synonyms"]
 
 #: bucket count of the persisted vocab-gram sidecar (gram-hash dirs,
 #: pruned at query time exactly like the content-trigram index)
@@ -258,6 +261,103 @@ def expand_prefixes(
     out: dict[str, list[str]] = {p: [] for p in pl}
     for r in rows:
         out[r["prefix"]].append(r["term"])
+    return out
+
+
+#: a wildcard pattern = tokenizer-alphabet literals + ``*`` (any run)
+#: and ``?`` (exactly one char) — anything else is a parse error, never
+#: a silent re-tokenization
+_WILDCARD_RE = re.compile(r"^[a-z0-9_*?]+$")
+
+
+def wildcard_like(pattern: str) -> str:
+    """Wildcard pattern → SQL LIKE pattern: ``*`` → ``%``, ``?`` → ``_``.
+    A literal ``_`` (a legal token character but a LIKE metacharacter)
+    is escaped with ``\\`` — the default LIKE escape on both Spark and
+    DuckDB, so one translation serves the engine and its oracle."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch == "_":
+            out.append(r"\_")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def expand_wildcards(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    max_expansions: int = 50,
+) -> dict[str, list[str]]:
+    """General wildcard (``*_test``, ``re?d``, ``*pool*``) expansion
+    against the index vocabulary — Lucene's WildcardQuery under the same
+    public top-terms-by-docfreq rewrite policy as :func:`expand_prefixes`
+    (df desc, term asc, capped per pattern), so the expanded terms score
+    as a plain BM25 disjunction.  Trailing-only stems (``tok*``) are
+    cheaper through :func:`expand_prefixes`; this function accepts them
+    anyway for callers that do not pre-classify.
+
+    Scale shape: ONE pass over the VOCABULARY relation (never the
+    corpus) for ALL patterns.  What can push into the sorted term_stats
+    scan does: the literal prefix before the first metacharacter
+    (min/max pruning) and a minimum-length bound (every non-``*``
+    pattern char consumes one term char); the LIKE verify runs JVM-side
+    on the survivors.  Output ≤ len(patterns)·max_expansions rows — a
+    bounded driver collect (the term list must reach query construction
+    regardless).
+
+    Loud failures: a pattern with characters outside the token alphabet
+    + ``*``/``?``, or with no literal character at all (``*`` is
+    match-all — scan the corpus deliberately, not via a wildcard).
+    """
+    pl = sorted({p for p in patterns if p})
+    if not pl:
+        return {}
+    for p in pl:
+        if not _WILDCARD_RE.match(p):
+            raise ValueError(
+                f"wildcard pattern {p!r} must be lowercase token "
+                "characters [a-z0-9_] plus * / ?")
+        if set(p) <= {"*", "?"}:
+            raise ValueError(
+                f"wildcard pattern {p!r} has no literal character — a "
+                "match-all wildcard is a full vocabulary expansion, not "
+                "a query")
+    vocab = index.term_stats(spark).select("term", "df")
+    pre = None
+    for p in pl:
+        lit_prefix = p[:min(
+            (p.index(ch) for ch in "*?" if ch in p), default=len(p))]
+        n_lit = len(p) - p.count("*")
+        c = F.length("term") >= n_lit
+        if lit_prefix:
+            c = c & F.col("term").startswith(lit_prefix)
+        pre = c if pre is None else (pre | c)
+    # (pattern, like) pairs ride as literal when-guards: each vocab term
+    # explodes into only the patterns whose LIKE it satisfies
+    arr = F.array(*[
+        F.when(F.col("term").like(wildcard_like(p)), F.lit(p)) for p in pl
+    ])
+    matched = (
+        vocab.filter(pre)
+        .withColumn("pattern",
+                    F.explode(F.filter(arr, lambda x: x.isNotNull())))
+    )
+    w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("pattern", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in pl}
+    for r in rows:
+        out[r["pattern"]].append(r["term"])
     return out
 
 

@@ -636,7 +636,7 @@ def _msm_of(q: dict, post_rewrite: bool = False) -> "int | None":
             f"(AND is msm=n_terms) (query {q.get('query_id')})")
     if not post_rewrite:
         n = len(set(q.get("terms", [])) | set(q.get("fuzzy") or {})) \
-            + len(q.get("prefixes", []))
+            + len(q.get("prefixes", [])) + len(q.get("wildcards", []))
         if m > n:
             raise ValueError(
                 f"min_should_match={m} exceeds the query's {n} term "
@@ -1020,9 +1020,13 @@ def bm25_fuzzy_topk(
     doc_filter: "F.Column | str | None" = None,
     synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Fuzzy queries over the index: each query may carry a ``fuzzy``
+    """Fuzzy queries over the index — and the generic entry point for
+    ANY expansion-carrying query batch (it simply runs
+    :func:`rewrite_expansions` first, so ``prefixes`` and general
+    ``wildcards`` fold in too).  Each query may carry a ``fuzzy``
     dict (``{term: max_edits}``, the ``term~N`` query-string form)
-    alongside ``terms``/``prefixes``.  Fuzzy terms expand against the
+    alongside ``terms``/``prefixes``/``wildcards``.  Fuzzy terms expand
+    against the
     vocabulary (:func:`operators.suggest.fuzzy_synonyms` — ONE
     term_stats pass for ALL fuzzy terms in the batch) and each scores
     as a merged SYNONYM GROUP over its matches (tf summed before
@@ -1054,9 +1058,10 @@ def rewrite_expansions(
 ) -> tuple[list[dict], dict[str, list[str]] | None]:
     """The ONE rewrite both ranking and counting share: fuzzy terms →
     synonym groups (one vocabulary pass per batch, loud clash checks),
-    ``tok*`` prefixes → their vocabulary terms, caller synonyms merged.
-    Returns ``(queries', synonyms')`` — queries with ``fuzzy``/
-    ``prefixes`` folded into ``terms`` and the merged synonym table.
+    ``tok*`` prefixes and general ``wildcards`` (``*_test``, ``re?d``)
+    → their vocabulary terms, caller synonyms merged.  Returns
+    ``(queries', synonyms')`` — queries with ``fuzzy``/``prefixes``/
+    ``wildcards`` folded into ``terms`` and the merged synonym table.
     Rewrites are PER BATCH by construction: callers that partition
     queries (e.g. per doc_filter) get each batch's own expansion, so a
     count computed from the same rewrite matches the ranked match set
@@ -1110,12 +1115,21 @@ def rewrite_expansions(
         pexp = expand_prefixes(spark, index, all_p, max_expansions)
     else:
         pexp = {}
+    all_w = sorted({w for q in queries for w in q.get("wildcards", [])})
+    if all_w:
+        from snowball_java_spark.operators.suggest import expand_wildcards
+
+        wexp = expand_wildcards(spark, index, all_w, max_expansions)
+    else:
+        wexp = {}
     merged = []
     exp_all = {m for c, ms in exp.items() for m in {c, *ms}}
     for q in queries:
         terms = set(q.get("terms", [])) | set(q.get("fuzzy") or {})
         for p in q.get("prefixes", []):
             terms.update(pexp.get(p, []))
+        for wp in q.get("wildcards", []):
+            terms.update(wexp.get(wp, []))
         if exp_all:
             # CROSS-QUERY clash, checked on the POST-rewrite term set
             # (prefix expansions included — 'ret*' can expand to
@@ -1135,7 +1149,8 @@ def rewrite_expansions(
                     f"in the same batch (another query's, or via your "
                     f"own prefix expansion) — split the calls or make "
                     f"the term fuzzy in both")
-        q2 = {k: v for k, v in q.items() if k not in ("fuzzy", "prefixes")}
+        q2 = {k: v for k, v in q.items()
+              if k not in ("fuzzy", "prefixes", "wildcards")}
         q2["terms"] = sorted(terms)
         merged.append(q2)
     return merged, (merged_syn or None)

@@ -320,6 +320,86 @@ def test_prefix_topk_identical_to_expanded_terms(spark, index, oracle):
         assert s == pytest.approx(es, rel=REL_TOL)
 
 
+def test_expand_wildcards_matches_fnmatch(spark, index, oracle):
+    """General-wildcard expansion ≡ python fnmatch over the vocabulary,
+    under the same (df desc, term asc, cap) rewrite policy as prefixes."""
+    import fnmatch
+
+    from snowball_java_spark.operators.suggest import expand_wildcards
+
+    rdr, _ = index
+    pats = ["*urn", "re*", "?e*", "*e*", "zz*zz"]
+    got = expand_wildcards(spark, rdr, pats, max_expansions=3)
+    for p in pats:
+        expect = [t for t, _ in sorted(
+            ((t, d) for t, d in oracle.df.items()
+             if fnmatch.fnmatchcase(t, p)),
+            key=lambda x: (-x[1], x[0]))][:3]
+        assert got[p] == expect, p
+    assert got["zz*zz"] == []
+
+
+def test_expand_wildcards_underscore_is_literal(spark, index, oracle):
+    # '_' is a legal token char but a LIKE metachar — an unescaped
+    # translation would let 'd_f' match 'def'
+    from snowball_java_spark.operators.suggest import expand_wildcards
+
+    rdr, _ = index
+    t = next(t for t in sorted(oracle.df) if len(t) == 3 and "_" not in t)
+    pat = t[0] + "_" + t[2] + "*"
+    got = expand_wildcards(spark, rdr, [pat])[pat]
+    assert t not in got
+    assert all(x[1] == "_" for x in got)
+
+
+def test_expand_wildcards_validation(spark, index):
+    from snowball_java_spark.operators.suggest import expand_wildcards
+
+    rdr, _ = index
+    for bad in (["Foo*"], ["a b*"], ["*"], ["*?*"]):
+        with pytest.raises(ValueError):
+            expand_wildcards(spark, rdr, bad)
+
+
+def test_wildcard_topk_identical_to_expanded_terms(spark, index, oracle):
+    """A wildcards-carrying query through the shared rewrite ranks
+    exactly like the manually-expanded plain disjunction."""
+    from snowball_java_spark.operators.suggest import expand_wildcards
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    rdr, _ = index
+    exp = expand_wildcards(spark, rdr, ["*urn"], max_expansions=4)["*urn"]
+    assert exp, "pattern '*urn' should match vocabulary terms"
+    got = bm25_fuzzy_topk(
+        spark, rdr,
+        [{"query_id": 0, "terms": ["def"], "wildcards": ["*urn"],
+          "k": 10}],
+        cfg=CFG, max_expansions=4).collect()
+    expect = oracle.topk(sorted(set(exp) | {"def"}), 10)
+    mine = sorted((r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert [d for _, d, _ in mine] == [d for d, _ in expect]
+    for (_, _, s), (_, es) in zip(mine, expect):
+        assert s == pytest.approx(es, rel=REL_TOL)
+
+
+def test_wildcard_counts_toward_min_should_match(spark, index):
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    rdr, _ = index
+    # typed sources = 1 term + 1 wildcard = 2 → msm=2 valid, msm=3 loud
+    bm25_fuzzy_topk(
+        spark, rdr,
+        [{"query_id": 0, "terms": ["def"], "wildcards": ["*urn"],
+          "k": 5, "min_should_match": 2}],
+        cfg=CFG).collect()
+    with pytest.raises(ValueError, match="min_should_match"):
+        bm25_fuzzy_topk(
+            spark, rdr,
+            [{"query_id": 0, "terms": ["def"], "wildcards": ["*urn"],
+              "k": 5, "min_should_match": 3}],
+            cfg=CFG)
+
+
 def test_prefix_no_match_returns_empty(spark, index):
     from snowball_java_spark.operators.wand import bm25_prefix_topk
 

@@ -26,8 +26,9 @@ CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
 def test_parse_or_terms():
     p = parse_query("def Return")
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
-                 "prefixes": [], "fuzzy": {}, "boosts": {},
-                 "not_terms": [], "filters": {}, "mode": "or"}
+                 "prefixes": [], "wildcards": [], "fuzzy": {},
+                 "boosts": {}, "not_terms": [], "filters": {},
+                 "mode": "or"}
 
 
 def test_parse_and_via_keyword_and_plus():
@@ -183,9 +184,25 @@ def test_facet_counts_empty_terms_and_bad_args(spark, synth_docs):
 def test_parse_wildcards():
     p = parse_query("tok* row")
     assert p["prefixes"] == ["tok"] and p["terms"] == ["row"]
+    assert p["wildcards"] == []
     assert parse_query("Ret*")["prefixes"] == ["ret"]
     for bad in ["-tok*", "+tok*", "tok* AND row", '"a b" tok*', "*",
                 "foo-bar*"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
+def test_parse_general_wildcards():
+    # suffix / infix / single-char patterns become `wildcards`, not
+    # prefixes — and never silently re-tokenize ('fo*o' used to degrade
+    # to OR terms ['fo', 'o'])
+    p = parse_query("*_test Re?d row")
+    assert p["wildcards"] == ["*_test", "re?d"]
+    assert p["terms"] == ["row"] and p["prefixes"] == []
+    assert parse_query("fo*o")["wildcards"] == ["fo*o"]
+    assert parse_query("*Pool*")["wildcards"] == ["*pool*"]
+    for bad in ["+*_test", "-re?d", "*_test AND row", "??", "*?*",
+                "fo*o!", '"a b" *x', '"a b"~2 *x', "foo-bar*baz"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
 
