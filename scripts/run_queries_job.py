@@ -19,6 +19,9 @@ Query jsonl, one object per line:
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
     {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
     {"query_id": 9, "wildcards": ["*_test", "re?d"], "terms": []}   # general wildcard
+    {"query_id": 10, "regexps": ["r[a-z]*n"], "terms": []}          # regexp term
+         # (anchored vocab regex, Lucene RegexpQuery — query-string
+         #  form: {"q": "/r[a-z]*n/"})
          # (suffix/infix patterns expand against the vocabulary, top
          #  max_expansions by df — query-string form: {"q": "*_test"})
     {"query_id": 11, "fuzzy": {"tabel": 1}, "terms": []}            # fuzzy term~N
@@ -195,7 +198,8 @@ def main(argv: list[str]) -> int:
             raise SystemExit(
                 "rescore queries need non-empty `terms` (the primary) "
                 "and a token-list `rescore` (the phrase secondary)")
-        if q.get("fuzzy") or q.get("prefixes") or q.get("wildcards"):
+        if q.get("fuzzy") or q.get("prefixes") or q.get("wildcards") \
+                or q.get("regexps"):
             raise SystemExit(
                 "fuzzy/prefix/wildcard expansion is not supported on "
                 "rescore queries — expand them as a plain terms query "

@@ -196,6 +196,7 @@ def _bm25_topk_sql(
     source: str | None = None, not_terms: list[str] | None = None,
     prefix_expand: tuple[str, int] | None = None,
     wildcard_expand: tuple[str, int] | None = None,
+    regexp_expand: tuple[str, int] | None = None,
     after: int = 0, min_match: int | None = None,
 ) -> str:
     """``prefix_expand=(stem, max_expansions)``: the query-term CTE comes
@@ -203,23 +204,28 @@ def _bm25_topk_sql(
     asc, capped) instead of a literal list — the wildcard semantics.
     ``wildcard_expand=(pattern, max_expansions)`` is the general form —
     the pattern is a wildcard (``*``/``?``) expression translated to
-    LIKE via ``suggest.wildcard_like``."""
-    if prefix_expand is not None or wildcard_expand is not None:
-        if wildcard_expand is not None:
+    LIKE via ``suggest.wildcard_like``; ``regexp_expand`` matches the
+    vocabulary with an anchored regex (``regexp_full_match``)."""
+    if (prefix_expand is not None or wildcard_expand is not None
+            or regexp_expand is not None):
+        if regexp_expand is not None:
+            pat, max_exp = regexp_expand
+            vmatch = f"regexp_full_match(term, '{pat}')"
+        elif wildcard_expand is not None:
             from snowball_java_spark.operators.suggest import wildcard_like
 
             pat, max_exp = wildcard_expand
-            like = f"'{wildcard_like(pat)}' ESCAPE '\\'"
+            vmatch = f"term LIKE '{wildcard_like(pat)}' ESCAPE '\\'"
         else:
             stem, max_exp = prefix_expand
-            like = f"'{stem}%'"
+            vmatch = f"term LIKE '{stem}%'"
         extra = ""
         if terms:
             extra = " UNION " + " UNION ".join(
                 f"SELECT '{t}'" for t in sorted(set(terms)))
         q_cte = (
-            f"(SELECT term FROM (SELECT term FROM dfx WHERE term LIKE "
-            f"{like} ORDER BY df DESC, term ASC LIMIT {max_exp}){extra})"
+            f"(SELECT term FROM (SELECT term FROM dfx WHERE "
+            f"{vmatch} ORDER BY df DESC, term ASC LIMIT {max_exp}){extra})"
         )
     else:
         tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
@@ -873,6 +879,31 @@ def _q_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, idx,
         [{"query_id": 0, "terms": [], "prefixes": [_PREFIX_STEM], "k": 10}],
         cfg=_INDEX_CFG, max_expansions=_PREFIX_MAX,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+#: anchored vocabulary regexp (Lucene RegexpQuery): '[rs].*w' →
+#: row/slow — evaluated rlike on the engine, regexp_full_match on the
+#: oracle (portable subset, pattern verbatim)
+_REGEXP_PAT = "[rs].*w"
+
+
+def _q_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term query (``/[rs].*w/``): the anchored pattern expands
+    against the index vocabulary (one term_stats pass, top
+    max_expansions by df desc / term asc) and scores as a plain BM25
+    disjunction on the index path via the shared rewrite."""
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    idx = _index_for(spark, sf_dir)
+    res = bm25_fuzzy_topk(
+        spark, idx,
+        [{"query_id": 0, "terms": [], "regexps": [_REGEXP_PAT], "k": 10}],
+        cfg=_INDEX_CFG,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -4287,6 +4318,10 @@ def build_registry() -> dict[str, Q]:
             _q_bm25_wildcard,
             _bm25_topk_sql([_WILDCARD_PLAIN], 10,
                            wildcard_expand=(_WILDCARD_PAT, 50)),
+        ),
+        "bm25_regexp_topk": Q(
+            _q_bm25_regexp,
+            _bm25_topk_sql([], 10, regexp_expand=(_REGEXP_PAT, 50)),
         ),
         "bm25_search_after": Q(
             _q_bm25_search_after,

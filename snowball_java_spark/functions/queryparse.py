@@ -20,6 +20,10 @@ executable by an operator that already has an oracle-checked gate:
     *_test re?d              →  {"wildcards": ["*_test", "re?d"]}
                                  (general wildcard: * any run, ? one
                                  char; expands against the vocabulary)
+    /r[a-z]*n/ row           →  {"terms": ["row"], "regexps": ["r[a-z]*n"]}
+                                 (anchored vocabulary regexp — Lucene
+                                 RegexpQuery; pattern kept VERBATIM,
+                                 never case-folded)
     tabel~1 row              →  {"terms": ["row"], "fuzzy": {"tabel": 1}}
                                  (edit-distance term: ``stem~`` = 2 edits;
                                  matches score as one merged group)
@@ -89,6 +93,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     terms: list[str] = []
     prefixes: list[str] = []
     wildcards: list[str] = []
+    regexps: list[str] = []
     fuzzy: dict[str, int] = {}
     boosts: dict[str, float] = {}
     required: list[str] = []
@@ -160,6 +165,25 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         sign = ""
         if word[0] in "+-":
             sign, word = word[0], word[1:]
+        if word.startswith("/"):
+            # /pattern/ = regexp term (Lucene RegexpQuery syntax) —
+            # validated here so a typo fails the parse, not the job
+            if sign:
+                raise QueryParseError(
+                    "regexp terms are OR-expansions — no +/pat/ / -/pat/")
+            if not (len(word) > 2 and word.endswith("/")):
+                raise QueryParseError(
+                    f"regexp term {word!r} must be /pattern/ (non-empty, "
+                    "closed)")
+            pat = word[1:-1]
+            try:
+                re.compile(pat)
+            except re.error as e:
+                raise QueryParseError(
+                    f"regexp term {word!r} does not compile: {e}")
+            saw_bare_quoteless = True
+            regexps.append(pat)
+            continue
         if "*" in word or "?" in word:
             if sign:
                 raise QueryParseError(
@@ -259,7 +283,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
 
     if phrase is not None:
         if terms or required or saw_and or prefixes or fuzzy \
-                or wildcards:
+                or wildcards or regexps:
             raise QueryParseError(
                 "cannot mix a quoted phrase with bare/required/wildcard/"
                 "fuzzy terms")
@@ -288,10 +312,11 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "cannot mix required (+term) with optional bare terms — "
             "use all-+ (AND) or all-bare (OR)")
     positive = required or terms
-    if not positive and not prefixes and not fuzzy and not wildcards:
+    if not positive and not prefixes and not fuzzy and not wildcards \
+            and not regexps:
         raise QueryParseError("query needs at least one positive term")
     mode = "and" if (required or saw_and) else "or"
-    if (prefixes or fuzzy or wildcards) and mode == "and":
+    if (prefixes or fuzzy or wildcards or regexps) and mode == "and":
         raise QueryParseError(
             "wildcards/fuzzy terms are OR-expansions — not supported in "
             "AND queries")
@@ -299,6 +324,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "terms": sorted(set(positive)),
             "prefixes": sorted(set(prefixes)),
             "wildcards": sorted(set(wildcards)),
+            "regexps": sorted(set(regexps)),
             "fuzzy": dict(sorted(fuzzy.items())),
             "boosts": dict(sorted(boosts.items())),
             "not_terms": sorted(set(not_terms)),

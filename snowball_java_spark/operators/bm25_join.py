@@ -418,6 +418,8 @@ def bm25_scores_join(
                            ("prefixes", "wand.rewrite_expansions + the "
                             "index path"),
                            ("wildcards", "wand.rewrite_expansions + the "
+                            "index path"),
+                           ("regexps", "wand.rewrite_expansions + the "
                             "index path")):
             if q.get(key):
                 raise ValueError(

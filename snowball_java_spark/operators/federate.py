@@ -97,7 +97,8 @@ def bm25_topk_federated(
     scoring function), so merging per-index results loses nothing.
     """
     for q in queries:
-        bad = [k for k in ("fuzzy", "prefixes", "wildcards") if q.get(k)]
+        bad = [k for k in ("fuzzy", "prefixes", "wildcards", "regexps")
+               if q.get(k)]
         if bad:
             raise ValueError(
                 f"query {q.get('query_id')}: {bad} expansions are "

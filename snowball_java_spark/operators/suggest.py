@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 __all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms",
            "add_vocab_grams", "suggest_terms_index",
            "expand_prefixes", "expand_wildcards", "wildcard_like",
-           "expand_fuzzy", "fuzzy_synonyms"]
+           "expand_regexps", "expand_fuzzy", "fuzzy_synonyms"]
 
 #: bucket count of the persisted vocab-gram sidecar (gram-hash dirs,
 #: pruned at query time exactly like the content-trigram index)
@@ -347,6 +347,60 @@ def expand_wildcards(
         vocab.filter(pre)
         .withColumn("pattern",
                     F.explode(F.filter(arr, lambda x: x.isNotNull())))
+    )
+    w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("pattern", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in pl}
+    for r in rows:
+        out[r["pattern"]].append(r["term"])
+    return out
+
+
+def expand_regexps(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    max_expansions: int = 50,
+) -> dict[str, list[str]]:
+    """Regexp term expansion against the index vocabulary — Lucene's
+    RegexpQuery (the ``/pattern/`` query-string form) under the same
+    top-terms-by-docfreq rewrite as prefixes/wildcards.  Patterns are
+    IMPLICITLY ANCHORED at both ends (Lucene semantics: the regex must
+    match the whole term), evaluated JVM-side via ``rlike`` — no UDF.
+
+    Scale shape: ONE vocabulary pass for ALL patterns (the vocabulary
+    relation, never the corpus).  Unlike prefixes, a general regex
+    offers no pushable pre-filter, so this is a full vocab scan — the
+    same accepted shape as fuzzy expansion's worst case; the output
+    stays ≤ len(patterns)·max_expansions rows.
+
+    Loud failures: a pattern that does not compile (checked with
+    Python ``re`` before any job runs — the engine targets the
+    portable subset common to Java regex / RE2 / Python, same policy
+    as the scrub detectors), or an empty pattern.
+    """
+    pl = sorted({p for p in patterns if p is not None})
+    if not pl:
+        return {}
+    for p in pl:
+        if not p:
+            raise ValueError("empty regexp pattern")
+        try:
+            re.compile(p)
+        except re.error as e:
+            raise ValueError(f"regexp pattern {p!r} does not compile: {e}")
+    vocab = index.term_stats(spark).select("term", "df")
+    arr = F.array(*[
+        F.when(F.col("term").rlike(f"^(?:{p})$"), F.lit(p)) for p in pl
+    ])
+    matched = (
+        vocab.withColumn("pattern",
+                         F.explode(F.filter(arr, lambda x: x.isNotNull())))
     )
     w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
     rows = (

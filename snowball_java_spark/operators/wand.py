@@ -636,7 +636,8 @@ def _msm_of(q: dict, post_rewrite: bool = False) -> "int | None":
             f"(AND is msm=n_terms) (query {q.get('query_id')})")
     if not post_rewrite:
         n = len(set(q.get("terms", [])) | set(q.get("fuzzy") or {})) \
-            + len(q.get("prefixes", [])) + len(q.get("wildcards", []))
+            + len(q.get("prefixes", [])) + len(q.get("wildcards", [])) \
+            + len(q.get("regexps", []))
         if m > n:
             raise ValueError(
                 f"min_should_match={m} exceeds the query's {n} term "
@@ -1058,10 +1059,12 @@ def rewrite_expansions(
 ) -> tuple[list[dict], dict[str, list[str]] | None]:
     """The ONE rewrite both ranking and counting share: fuzzy terms →
     synonym groups (one vocabulary pass per batch, loud clash checks),
-    ``tok*`` prefixes and general ``wildcards`` (``*_test``, ``re?d``)
-    → their vocabulary terms, caller synonyms merged.  Returns
+    ``tok*`` prefixes, general ``wildcards`` (``*_test``, ``re?d``)
+    and anchored ``regexps`` (the ``/pattern/`` form) → their
+    vocabulary terms, caller synonyms merged.  Returns
     ``(queries', synonyms')`` — queries with ``fuzzy``/``prefixes``/
-    ``wildcards`` folded into ``terms`` and the merged synonym table.
+    ``wildcards``/``regexps`` folded into ``terms`` and the merged
+    synonym table.
     Rewrites are PER BATCH by construction: callers that partition
     queries (e.g. per doc_filter) get each batch's own expansion, so a
     count computed from the same rewrite matches the ranked match set
@@ -1122,6 +1125,13 @@ def rewrite_expansions(
         wexp = expand_wildcards(spark, index, all_w, max_expansions)
     else:
         wexp = {}
+    all_r = sorted({r for q in queries for r in q.get("regexps", [])})
+    if all_r:
+        from snowball_java_spark.operators.suggest import expand_regexps
+
+        rexp = expand_regexps(spark, index, all_r, max_expansions)
+    else:
+        rexp = {}
     merged = []
     exp_all = {m for c, ms in exp.items() for m in {c, *ms}}
     for q in queries:
@@ -1130,6 +1140,8 @@ def rewrite_expansions(
             terms.update(pexp.get(p, []))
         for wp in q.get("wildcards", []):
             terms.update(wexp.get(wp, []))
+        for rp in q.get("regexps", []):
+            terms.update(rexp.get(rp, []))
         if exp_all:
             # CROSS-QUERY clash, checked on the POST-rewrite term set
             # (prefix expansions included — 'ret*' can expand to
@@ -1150,7 +1162,7 @@ def rewrite_expansions(
                     f"own prefix expansion) — split the calls or make "
                     f"the term fuzzy in both")
         q2 = {k: v for k, v in q.items()
-              if k not in ("fuzzy", "prefixes", "wildcards")}
+              if k not in ("fuzzy", "prefixes", "wildcards", "regexps")}
         q2["terms"] = sorted(terms)
         merged.append(q2)
     return merged, (merged_syn or None)

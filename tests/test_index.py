@@ -400,6 +400,45 @@ def test_wildcard_counts_toward_min_should_match(spark, index):
             cfg=CFG)
 
 
+def test_expand_regexps_matches_python_re(spark, index, oracle):
+    """Anchored regexp expansion ≡ python re.fullmatch over the
+    vocabulary, same (df desc, term asc, cap) rewrite policy."""
+    import re as _re
+
+    from snowball_java_spark.operators.suggest import expand_regexps
+
+    rdr, _ = index
+    pats = ["re.*n", "[dt]..", "zzz+"]
+    got = expand_regexps(spark, rdr, pats, max_expansions=3)
+    for p in pats:
+        expect = [t for t, _ in sorted(
+            ((t, d) for t, d in oracle.df.items() if _re.fullmatch(p, t)),
+            key=lambda x: (-x[1], x[0]))][:3]
+        assert got[p] == expect, p
+    assert got["zzz+"] == []
+    with pytest.raises(ValueError, match="compile"):
+        expand_regexps(spark, rdr, ["a("])
+
+
+def test_regexp_topk_identical_to_expanded_terms(spark, index, oracle):
+    from snowball_java_spark.operators.suggest import expand_regexps
+    from snowball_java_spark.operators.wand import bm25_fuzzy_topk
+
+    rdr, _ = index
+    exp = expand_regexps(spark, rdr, ["re.*n"], max_expansions=4)["re.*n"]
+    assert exp, "pattern 're.*n' should match vocabulary terms"
+    got = bm25_fuzzy_topk(
+        spark, rdr,
+        [{"query_id": 0, "terms": ["def"], "regexps": ["re.*n"],
+          "k": 10}],
+        cfg=CFG, max_expansions=4).collect()
+    expect = oracle.topk(sorted(set(exp) | {"def"}), 10)
+    mine = sorted((r["rank"], r["doc_id"], r["score"]) for r in got)
+    assert [d for _, d, _ in mine] == [d for d, _ in expect]
+    for (_, _, s), (_, es) in zip(mine, expect):
+        assert s == pytest.approx(es, rel=REL_TOL)
+
+
 def test_prefix_no_match_returns_empty(spark, index):
     from snowball_java_spark.operators.wand import bm25_prefix_topk
 

@@ -207,6 +207,17 @@ def test_parse_general_wildcards():
             parse_query(bad)
 
 
+def test_parse_regexps():
+    p = parse_query("/r[a-z]*n/ row")
+    assert p["regexps"] == ["r[a-z]*n"] and p["terms"] == ["row"]
+    # pattern is verbatim — never case-folded (\\S would corrupt to \\s)
+    assert parse_query(r"/R\S+/")["regexps"] == [r"R\S+"]
+    for bad in ["+/ab/", "-/ab/", "/ab/ AND row", "/ab", "//",
+                "/a(/", '"a b" /x/']:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
+
+
 def test_parse_proximity():
     p = parse_query('"def return"~4')
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
