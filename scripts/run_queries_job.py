@@ -136,6 +136,13 @@ def main(argv: list[str]) -> int:
         "--mu", type=float, default=2000.0,
         help="LM Dirichlet smoothing pseudo-count (with --similarity lmd)")
     p.add_argument(
+        "--collapse-by", default=None, metavar="COL",
+        help="field collapsing (ES collapse / 'group by repository'): "
+             "terms queries return ONE best-scoring doc per value of "
+             "this index docs-metadata column, groups ranked by their "
+             "representative — rows (query_id, rank, <COL>, doc_id, "
+             "score); computed entirely on the index path")
+    p.add_argument(
         "--federate-with", default=None, metavar="DIR[,DIR…]",
         help="search --index-dir TOGETHER with these indexes under "
              "GLOBAL corpus statistics (ES dfs_query_then_fetch): one "
@@ -220,6 +227,15 @@ def main(argv: list[str]) -> int:
                 "--federate-with does not compose with --synonyms/"
                 "--lines/--counts (index-local rewrites and content "
                 "reads); run them per index")
+    if args.collapse_by:
+        if len(term_qs) != len(qs):
+            raise SystemExit(
+                "--collapse-by supports terms queries only — phrase/"
+                "context/proximity/rescore/grep rank per doc")
+        if args.lines or args.highlight or args.federate_with:
+            raise SystemExit(
+                "--collapse-by does not compose with --lines/--highlight"
+                "/--federate-with (those are per-doc rank surfaces)")
     if args.mu != 2000.0 and args.similarity == "bm25":
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
@@ -382,6 +398,35 @@ def main(argv: list[str]) -> int:
 
         scfg = (_replace(idx.cfg, similarity=args.similarity, mu=args.mu)
                 if args.similarity != "bm25" else idx.cfg)
+        if args.collapse_by:
+            from snowball_java_spark.operators.facets import (
+                collapse_topk_index,
+            )
+
+            crows = collapse_topk_index(
+                spark, idx, cqs, args.collapse_by, cfg=scfg,
+                doc_filter=flt, synonyms=csyn)
+            if args.out:
+                parts.append(crows)
+            else:
+                for r in crows.orderBy("query_id", "rank").collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "rank": r["rank"],
+                        args.collapse_by: r[args.collapse_by],
+                        "doc_id": r["doc_id"], "score": r["score"]}))
+            if args.counts:
+                from snowball_java_spark.operators.facets import (
+                    match_counts_index,
+                )
+
+                for r in match_counts_index(
+                        spark, idx, cqs, cfg=idx.cfg, doc_filter=flt,
+                        synonyms=csyn).collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "total_hits": r["n_docs"]}))
+            continue
         ranked = bm25_topk_index(spark, idx, cqs, cfg=scfg,
                                  doc_filter=flt, synonyms=csyn)
         parts.append(ranked)
@@ -512,18 +557,20 @@ def main(argv: list[str]) -> int:
             hall = hall.unionByName(h_)
         (remap_ids(hall).write.mode("overwrite")
          .parquet(args.out.rstrip("/") + "_highlights"))
-    res = parts[0]
-    for p_ in parts[1:]:
-        res = res.unionByName(p_)
-    if args.out:
-        remap_ids(res.orderBy("query_id", "rank")) \
-            .write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"out": args.out, "queries": len(qs)}))
-    else:
-        for r in res.orderBy("query_id", "rank").collect():
-            print(json.dumps({"query_id": orig_ids[r["query_id"]],
-                              "rank": r["rank"],
-                              "doc_id": r["doc_id"], "score": r["score"]}))
+    if parts:
+        res = parts[0]
+        for p_ in parts[1:]:
+            res = res.unionByName(p_)
+        if args.out:
+            remap_ids(res.orderBy("query_id", "rank")) \
+                .write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "queries": len(qs)}))
+        elif not args.collapse_by:
+            for r in res.orderBy("query_id", "rank").collect():
+                print(json.dumps({"query_id": orig_ids[r["query_id"]],
+                                  "rank": r["rank"],
+                                  "doc_id": r["doc_id"],
+                                  "score": r["score"]}))
     spark.stop()
     return 0
 

@@ -942,6 +942,27 @@ def _q_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_collapse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed BM25 entirely on the INDEX path (zero corpus
+    scan): full match relation from exhaustive postings decode →
+    max_by per group → groups ranked by their representative.  Same
+    oracle as the scan-path twin ``bm25_collapse_topk``; the gate
+    corpus calls the group column ``source``, the index stores it as
+    ``repo``."""
+    from snowball_java_spark.operators.facets import collapse_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = collapse_topk_index(
+        spark, idx, [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        "repo", cfg=_INDEX_CFG,
+    )
+    return res.select(
+        F.col("repo").alias("source"), "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_query_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same query STRING executed entirely on the INDEX path: terms +
     NOT via MaxScore, the field filter via doc_filter (per-shard exclusion
@@ -4260,6 +4281,9 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25_collapse_topk": Q(
             _q_bm25_collapse, _collapse_sql(HOT_TERMS, 10)
+        ),
+        "bm25_collapse_index_topk": Q(
+            _q_bm25_collapse_index, _collapse_sql(HOT_TERMS, 10)
         ),
         "bm25_phrase_topk": Q(_q_bm25_phrase, _phrase_sql(_PHRASE, 10)),
         "bm25_phrase_prefix_topk": Q(

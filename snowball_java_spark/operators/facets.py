@@ -260,3 +260,41 @@ def sorted_matches_index(
     order = [F.asc_nulls_last(sort_col) if ascending
              else F.desc_nulls_last(sort_col), F.asc("doc_id")]
     return topk(scored, qdf, order=order, keep_cols=(sort_col,))
+
+
+def collapse_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    group_col: str,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Field collapsing on the INDEX path — one best-scoring doc per
+    ``group_col`` (repo/lang/...), groups ranked by their representative
+    (score desc, group asc), zero corpus scan: (query_id, rank,
+    <group_col>, doc_id, score), rank ≤ k.  The index twin of
+    ``bm25_join.collapse_topk`` (same semantics, same oracle).
+
+    Scale shape: scores come from the full match relation
+    (:func:`wand.bm25_scores_index` — exhaustive decode of the queried
+    terms' postings, rows ∝ matching docs, exactly what collapsing
+    needs since ANY doc can represent its group); the group column
+    joins from the index's docs metadata with parquet column pruning
+    (doc_id, group_col only); the per-group argmax is a
+    partial-aggregable ``max_by`` and the group ranking runs over
+    ≤ |groups| rows — no window sort of the full candidate set."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.bm25_join import (
+        collapse_topk,
+        queries_df,
+    )
+    from snowball_java_spark.operators.wand import bm25_scores_index
+
+    scores = bm25_scores_index(
+        spark, index, queries, cfg=cfg or DEFAULT,
+        doc_filter=doc_filter, synonyms=synonyms)
+    groups_df = index.docs(spark).select("doc_id", group_col)
+    qdf = queries_df(spark, queries)
+    return collapse_topk(scores, groups_df, qdf, group_col)

@@ -851,7 +851,7 @@ def score_shards(
     return postings_with_meta.groupBy("shard").applyInPandas(kernel, SCORE_SCHEMA)
 
 
-def bm25_topk_index(
+def _scores_and_qdf(
     spark: SparkSession,
     index,
     queries: list[dict],
@@ -860,44 +860,13 @@ def bm25_topk_index(
     doc_filter: "F.Column | str | None" = None,
     synonyms: dict[str, list[str]] | None = None,
     stats_override: "tuple[dict[str, float], float] | None" = None,
-) -> DataFrame:
-    """Query the on-disk index (plans.build_index.IndexReader).
-
-    ``synonyms``: ``{canonical: [alternatives...]}`` — query terms with
-    an entry score as ONE merged pseudo-term (tf summed across members
-    before saturation; idf from the exact live union df, computed by
-    one :func:`synonym_union_df` job over the member postings).  Same
-    semantics as the join path's ``synonyms=`` (oracle-checked against
-    the same SQL).
-
-    Plan at scale: term + bucket predicates prune the postings scan
-    (directory partition pruning on bucket, parquet row-group min/max on
-    term); doc_meta joins on shard; the shuffle is per-shard top-k rows.
-
-    ``doc_filter``: scoped search over the INDEX path (no corpus scan) —
-    a predicate over the index's docs metadata columns (repo, path,
-    commit, lang, ...) restricting CANDIDATE docs; corpus-wide stats
-    (idf, avgdl) stay global, the same semantics as the join path's
-    ``candidate_predicate``.  Applies to every query in this call.
-    Execution at scale (see ``IndexReader.scoring_doc_meta``): one
-    metadata-only docs pass folds non-matching docs into the per-shard
-    ``dead_bytes`` exclusion sidecar dropped at posting-block decode
-    (bounds only ever overestimate, so MaxScore pruning stays exact),
-    and shards with ZERO matching docs are semi-joined away before the
-    scoring kernel.  Sidecar size ∝ non-matching docs in matched shards
-    (≈1 byte/doc on dense ranges), never ∝ postings.
-
-    ``stats_override``: ``(idf_by_term, avgdl)`` — score with EXTERNAL
-    corpus statistics instead of this index's own (the ES
-    dfs_query_then_fetch primitive: ``operators/federate`` computes
-    global stats across N indexes and passes them here, so each index
-    ranks as if it were one shard of the union corpus).  Exactness is
-    preserved end-to-end: the idf rides the same broadcast (term, idf)
-    join the local path uses, and every MaxScore block bound is
-    recomputed from the stored (tf, dl) frontier with the live
-    (idf, avgdl) — external stats prune exactly like local ones.
-    Mutually exclusive with ``synonyms`` (a merged group's union df is
-    index-local; the federated layer rejects the combination)."""
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared scoring body of :func:`bm25_topk_index` (which ranks and
+    cuts to k) and :func:`bm25_scores_index` (which keeps the full
+    relation): ``(scores, qdf)`` where ``scores`` is the per-shard
+    kernel output — each query's per-shard top-``q[k]`` candidates with
+    exact BM25 scores.  See :func:`bm25_topk_index` for the parameter
+    contract."""
     cfg = _with_index_layout(index, cfg)
     if cfg.similarity != "bm25":
         # Bound algebra that is BM25-specific: boost folds into idf only
@@ -968,7 +937,106 @@ def bm25_topk_index(
     from snowball_java_spark.operators.bm25_join import queries_df
 
     qdf = queries_df(spark, queries)
+    return scores, qdf
+
+
+def bm25_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    block_metrics: dict | None = None,
+    doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
+    stats_override: "tuple[dict[str, float], float] | None" = None,
+) -> DataFrame:
+    """Query the on-disk index (plans.build_index.IndexReader).
+
+    ``synonyms``: ``{canonical: [alternatives...]}`` — query terms with
+    an entry score as ONE merged pseudo-term (tf summed across members
+    before saturation; idf from the exact live union df, computed by
+    one :func:`synonym_union_df` job over the member postings).  Same
+    semantics as the join path's ``synonyms=`` (oracle-checked against
+    the same SQL).
+
+    Plan at scale: term + bucket predicates prune the postings scan
+    (directory partition pruning on bucket, parquet row-group min/max on
+    term); doc_meta joins on shard; the shuffle is per-shard top-k rows.
+
+    ``doc_filter``: scoped search over the INDEX path (no corpus scan) —
+    a predicate over the index's docs metadata columns (repo, path,
+    commit, lang, ...) restricting CANDIDATE docs; corpus-wide stats
+    (idf, avgdl) stay global, the same semantics as the join path's
+    ``candidate_predicate``.  Applies to every query in this call.
+    Execution at scale (see ``IndexReader.scoring_doc_meta``): one
+    metadata-only docs pass folds non-matching docs into the per-shard
+    ``dead_bytes`` exclusion sidecar dropped at posting-block decode
+    (bounds only ever overestimate, so MaxScore pruning stays exact),
+    and shards with ZERO matching docs are semi-joined away before the
+    scoring kernel.  Sidecar size ∝ non-matching docs in matched shards
+    (≈1 byte/doc on dense ranges), never ∝ postings.
+
+    ``stats_override``: ``(idf_by_term, avgdl)`` — score with EXTERNAL
+    corpus statistics instead of this index's own (the ES
+    dfs_query_then_fetch primitive: ``operators/federate`` computes
+    global stats across N indexes and passes them here, so each index
+    ranks as if it were one shard of the union corpus).  Exactness is
+    preserved end-to-end: the idf rides the same broadcast (term, idf)
+    join the local path uses, and every MaxScore block bound is
+    recomputed from the stored (tf, dl) frontier with the live
+    (idf, avgdl) — external stats prune exactly like local ones.
+    Mutually exclusive with ``synonyms`` (a merged group's union df is
+    index-local; the federated layer rejects the combination)."""
+    scores, qdf = _scores_and_qdf(
+        spark, index, queries, cfg=cfg, block_metrics=block_metrics,
+        doc_filter=doc_filter, synonyms=synonyms,
+        stats_override=stats_override)
     return topk(scores, qdf)
+
+
+#: "all docs" k for the full-relation form: int32-max so it survives the
+#: queries_df int schema; no kernel allocates k-sized buffers (underfull
+#: heaps fall back to exhaustive scoring, which IS the full relation)
+_ALL_DOCS_K = (1 << 31) - 1
+
+
+def bm25_scores_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
+    stats_override: "tuple[dict[str, float], float] | None" = None,
+) -> DataFrame:
+    """The FULL match relation with exact BM25 scores — (query_id,
+    doc_id, score) for EVERY doc matching each query, computed entirely
+    from the index (postings decode + dead sidecar, no corpus scan, no
+    top-k cut).  The scored twin of :func:`matching_docs_index`, and the
+    index-path score source for consumers that rank by something other
+    than per-query top-k — field collapsing (best doc per repo), group
+    aggregations, exports.
+
+    Same per-query surface as :func:`bm25_topk_index` (or / ``mode=
+    "and"`` / ``min_should_match`` / ``not_terms`` / boosts / synonyms /
+    ``doc_filter`` / ``stats_override``) EXCEPT ``search_after`` — a
+    rank cursor has no meaning on an unranked relation and raises.
+
+    Scale shape: per-shard kernels run with k = ∞, i.e. they decode the
+    queried terms' postings exhaustively — the minimum any full-relation
+    consumer needs; output rows ∝ matching docs, shuffled only by
+    whatever the consumer does next (collapse aggregates map-side)."""
+    for q in queries:
+        if q.get("search_after"):
+            raise ValueError(
+                "search_after does not apply to the full score relation "
+                f"(query {q.get('query_id')}) — page the RANKED surface "
+                "(bm25_topk_index) instead")
+    full = [{**q, "k": _ALL_DOCS_K} for q in queries]
+    scores, _ = _scores_and_qdf(
+        spark, index, full, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms, stats_override=stats_override)
+    return scores
 
 
 def bm25_prefix_topk(

@@ -439,6 +439,73 @@ def test_regexp_topk_identical_to_expanded_terms(spark, index, oracle):
         assert s == pytest.approx(es, rel=REL_TOL)
 
 
+def test_scores_index_is_the_full_match_relation(spark, index, oracle):
+    """bm25_scores_index = matching_docs_index + exact scores: same
+    membership, and its head under (score desc, doc_id asc) is the
+    ranked surface."""
+    from snowball_java_spark.operators.wand import (
+        bm25_scores_index,
+        bm25_topk_index,
+        matching_docs_index,
+    )
+
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 5},
+          {"query_id": 1, "terms": ["def", "return"], "k": 5,
+           "mode": "and"}]
+    full = bm25_scores_index(spark, index[0], qs, cfg=CFG)
+    rows = full.collect()
+    memb = {(r["query_id"], r["doc_id"])
+            for r in matching_docs_index(spark, index[0], qs,
+                                         cfg=CFG).collect()}
+    assert {(r["query_id"], r["doc_id"]) for r in rows} == memb
+    ranked = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+              for r in bm25_topk_index(spark, index[0], qs,
+                                       cfg=CFG).collect()}
+    for qid in (0, 1):
+        mine = sorted(((r["doc_id"], r["score"]) for r in rows
+                       if r["query_id"] == qid),
+                      key=lambda x: (-x[1], x[0]))[:5]
+        for i, (d, s) in enumerate(mine, 1):
+            rd, rs = ranked[(qid, i)]
+            assert d == rd
+            assert s == pytest.approx(rs, rel=REL_TOL)
+    with pytest.raises(ValueError, match="search_after"):
+        bm25_scores_index(
+            spark, index[0],
+            [{"query_id": 0, "terms": ["def"], "k": 5,
+              "search_after": [1.0, 3]}], cfg=CFG)
+
+
+def test_collapse_index_matches_join_path(spark, index, synth_docs,
+                                          oracle):
+    """Index-path collapsing ≡ the scan-path collapse_topk on the same
+    corpus and group column."""
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        collapse_topk,
+    )
+    from snowball_java_spark.operators.facets import collapse_topk_index
+
+    rdr, _ = index
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 5}]
+    got = collapse_topk_index(spark, rdr, qs, "repo", cfg=CFG).collect()
+    from snowball_java_spark.operators.df_stats import with_tokens
+
+    docs_tok = with_tokens(synth_docs)
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, qs, n_docs=rdr.n_docs, avgdl=rdr.avgdl)
+    expect = collapse_topk(
+        scores, synth_docs.select("doc_id", "repo"), qdf, "repo").collect()
+    mine = sorted((r["rank"], r["repo"], r["doc_id"], r["score"])
+                  for r in got)
+    ref = sorted((r["rank"], r["repo"], r["doc_id"], r["score"])
+                 for r in expect)
+    assert [(a, b, c) for a, b, c, _ in mine] \
+        == [(a, b, c) for a, b, c, _ in ref]
+    for (_, _, _, s), (_, _, _, es) in zip(mine, ref):
+        assert s == pytest.approx(es, rel=REL_TOL)
+
+
 def test_prefix_no_match_returns_empty(spark, index):
     from snowball_java_spark.operators.wand import bm25_prefix_topk
 

@@ -26,9 +26,9 @@ CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
 def test_parse_or_terms():
     p = parse_query("def Return")
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
-                 "prefixes": [], "wildcards": [], "fuzzy": {},
-                 "boosts": {}, "not_terms": [], "filters": {},
-                 "mode": "or"}
+                 "prefixes": [], "wildcards": [], "regexps": [],
+                 "fuzzy": {}, "boosts": {}, "not_terms": [],
+                 "filters": {}, "mode": "or"}
 
 
 def test_parse_and_via_keyword_and_plus():
