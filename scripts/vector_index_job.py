@@ -38,6 +38,17 @@ def main(argv: list[str]) -> int:
     p.add_argument("--index-dir", required=True)
     p.add_argument("--build", metavar="EMB",
                    help="parquet of (id_col, embedding) — full build")
+    p.add_argument("--build-pq", metavar="EMB",
+                   help="build an IVF-PQ index instead: same cell "
+                        "partitioning, rows store m product-quantization "
+                        "codes instead of the float vector (~40x fewer "
+                        "bytes per probed row at the defaults); queries "
+                        "score by ADC lookup tables — approximate, "
+                        "rebuild-only (no refresh/delete/compact)")
+    p.add_argument("--pq-m", type=int, default=16,
+                   help="PQ subspaces (dim must divide evenly)")
+    p.add_argument("--pq-ks", type=int, default=64,
+                   help="PQ centroids per subspace")
     p.add_argument("--n-cells", type=int, default=8)
     p.add_argument("--id-col", default="vec_id")
     p.add_argument("--refresh", metavar="EMB",
@@ -74,9 +85,10 @@ def main(argv: list[str]) -> int:
     args = p.parse_args(argv)
     if not any((args.build, args.refresh, args.delete_ids, args.delete_keys,
                 args.compact, args.retrain is not None, args.describe,
-                args.query)):
-        p.error("nothing to do: pass --build/--refresh/--delete-ids/"
-                "--delete-keys/--retrain/--compact/--describe/--query")
+                args.query or args.build_pq)):
+        p.error("nothing to do: pass --build/--build-pq/--refresh/"
+                "--delete-ids/--delete-keys/--retrain/--compact/"
+                "--describe/--query")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -86,11 +98,28 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("sjs-vector-index").getOrCreate()
     d = args.index_dir
 
+    is_pq = os.path.exists(os.path.join(d, "_pq.json")) \
+        or bool(args.build_pq)
+    if is_pq and (args.refresh or args.delete_ids or args.delete_keys
+                  or args.compact or args.retrain is not None
+                  or args.build):
+        raise SystemExit(
+            "an IVF-PQ index is REBUILD-ONLY (codes are frozen against "
+            "its codebooks): maintain the float IVF index and re-run "
+            "--build-pq from the source embeddings")
     if args.build:
         emb = spark.read.parquet(args.build)
         sim.build_ivf_index(spark, emb, d, n_cells=args.n_cells,
                             id_col=args.id_col)
         print(json.dumps({"built": d, "n_cells": args.n_cells,
+                          "rows": spark.read.parquet(d).count()}))
+    if args.build_pq:
+        emb = spark.read.parquet(args.build_pq)
+        sim.build_pq_index(spark, emb, d, n_cells=args.n_cells,
+                           m=args.pq_m, ks=args.pq_ks,
+                           id_col=args.id_col)
+        print(json.dumps({"built_pq": d, "n_cells": args.n_cells,
+                          "m": args.pq_m, "ks": args.pq_ks,
                           "rows": spark.read.parquet(d).count()}))
     if args.refresh:
         n = sim.refresh_ivf_index(spark, d, spark.read.parquet(args.refresh),
@@ -139,7 +168,31 @@ def main(argv: list[str]) -> int:
         for i, q in enumerate(qs):
             q.setdefault("query_id", i)
         pred = F.expr(args.filter) if args.filter else None
-        if args.federate_with:
+        if is_pq and args.federate_with:
+            raise SystemExit(
+                "--federate-with needs float IVF indexes (per-index "
+                "centroid probing + exact cosine merge); PQ scores are "
+                "codebook-relative and do not merge across indexes")
+        if is_pq:
+            from functools import reduce as _reduce
+
+            from pyspark.sql import Window as _W
+
+            parts = []
+            for q in qs:  # driver-bounded: one pruned 2-cell scan each
+                r = sim.pq_topk_index(
+                    spark, d, [float(x) for x in q["vec"]],
+                    int(q.get("k", 10)), n_probe=args.n_probe,
+                    id_col=args.id_col, predicate=pred,
+                ).withColumn("query_id", F.lit(int(q["query_id"])))
+                parts.append(r)
+            res = _reduce(lambda a, b: a.unionByName(b), parts)
+            w = _W.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc(args.id_col))
+            res = res.withColumn("rank", F.row_number().over(w)).select(
+                "query_id", "rank", args.id_col,
+                F.col("score").alias("cosine"))
+        elif args.federate_with:
             from snowball_java_spark.operators.federate import (
                 ivf_topk_federated,
             )

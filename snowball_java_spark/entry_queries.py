@@ -4196,6 +4196,54 @@ def _ivf_recall_sql(sf_tag: str) -> str:
             f"10::INTEGER AS k, {pin}::DOUBLE AS recall10")
 
 
+# --- IVF-PQ recall gate ------------------------------------------------------
+
+#: recall@10 of the quantized 2-of-8-cell probe (PQ codes m=16/ks=64,
+#: ADC scoring) vs exact brute force — same pinned-golden scheme as
+#: _IVF_RECALL_PIN (every input deterministic; measured 0.5 at sf0.001
+#: for reference; the probe-2 number folds BOTH loss sources: cells not
+#: probed AND quantization error, the honest scale-path figure)
+_PQ_RECALL_PIN: dict[str, float] = {"sf0.01": 0.7}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build/reuse the persisted IVF-PQ index for an sf_dir
+    (fingerprint-keyed cache, same scheme as the float IVF cache)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    d = f"/tmp/sjs_index_cache/ivfpq_v1_{tag}_{fp}"
+    _gc_index_caches(tag, f"ivfpq_v1_{tag}_{fp}", family="ivfpq_v")
+    if not os.path.exists(os.path.join(d, "_pq.json")):
+        similarity.build_pq_index(spark, _emb(spark, sf_dir), d,
+                                  n_cells=8, m=16, ks=64)
+    return d
+
+
+def _q_pq_recall(spark, sf_dir):
+    """recall@10 of the IVF-PQ probe (n_probe=2 of 8 cells, ADC over
+    m=16/ks=64 codes — ~40× fewer bytes read than the float index)
+    against exact brute force.  The quantized sibling of
+    ``ivf_recall_probe``: approximate BY DESIGN, so the gate pins the
+    measured recall instead of pretending exactness."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = _pq_index_for(spark, sf_dir)
+    approx = similarity.pq_topk_index(
+        spark, idx, qvec, 10, n_probe=2).select("vec_id")
+    exact = similarity.brute_force_topk(e, qvec, 10).select("vec_id")
+    hits = approx.join(exact, "vec_id").count()
+    return spark.createDataFrame(
+        [(2, 8, 10, round(hits / 10.0, 6))],
+        "n_probe int, n_cells int, k int, recall10 double")
+
+
+def _pq_recall_sql(sf_tag: str) -> str:
+    pin = _PQ_RECALL_PIN.get(sf_tag, _PQ_RECALL_PIN["sf0.01"])
+    return (f"SELECT 2::INTEGER AS n_probe, 8::INTEGER AS n_cells, "
+            f"10::INTEGER AS k, {pin}::DOUBLE AS recall10")
+
+
 def build_registry() -> dict[str, Q]:
     stops = ", ".join(f"'{w}'" for w in EN_STOPS)
     seeds_sql = ", ".join(f"('{a}', '{b}')" for a, b in _SEEDS)
@@ -4761,6 +4809,7 @@ FROM events GROUP BY user_id
         "tokens_lang_dispatch": Q(
             _q_tokens_lang_dispatch, _tokens_lang_dispatch_sql()),
         "ivf_recall_probe": Q(_q_ivf_recall, _ivf_recall_sql("sf0.01")),
+        "pq_recall_probe": Q(_q_pq_recall, _pq_recall_sql("sf0.01")),
         "events_hourly": Q(
             _q_events_window,
             """

@@ -784,6 +784,208 @@ def ivf_topk_index_batch(
     )
 
 
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ) — quantized storage for the probe path
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 16,
+    ks: int = 64,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+):
+    """Deterministic per-subspace k-means codebooks for product
+    quantization (Jégou/Douze/Schmid, TPAMI 2011 — the FAISS IVF-PQ
+    storage scheme): the UNIT-normalized vector splits into ``m``
+    contiguous subvectors, each quantized independently against ``ks``
+    centroids, so a D-dim float vector stores as ``m`` small codes.
+
+    Same determinism recipe as :func:`train_ivf_centroids`: sample =
+    first ``sample_rows`` by id, init = the first ``ks`` sampled
+    subvectors, fixed Lloyd iterations in float64 numpy on the driver
+    (constant-size collect at any corpus scale).  Codes are computed on
+    the UNIT vector (cosine is the engine's similarity), while coarse
+    IVF cells stay on the raw vector — identical to the float IVF
+    index, so probe behavior is comparable across the two layouts.
+
+    Returns ``(m, ks, D/m)`` float64 codebooks.  Loud failures: D not
+    divisible by m, or a sample smaller than ks."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(id_col).limit(sample_rows).select("embedding").collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if x.shape[0] < ks:
+        raise ValueError(
+            f"PQ training sample ({x.shape[0]} rows) is smaller than "
+            f"ks={ks} — lower ks or raise sample_rows")
+    if x.shape[1] % m:
+        raise ValueError(
+            f"dim {x.shape[1]} is not divisible by m={m} subspaces")
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = x / n
+    dsub = x.shape[1] // m
+    cbs = np.empty((m, ks, dsub), dtype=np.float64)
+    for mi in range(m):
+        sub = x[:, mi * dsub:(mi + 1) * dsub]
+        cent = sub[:ks].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = sub[msk].mean(axis=0)
+        cbs[mi] = cent
+    return cbs
+
+
+def pq_encode_udf(codebooks):
+    """Arrow-batched encoder ``embedding → array<int> codes`` (numpy
+    argmin per subspace over the whole batch — no per-row Python).
+    Ties go to the lowest code id (numpy argmin), deterministic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = cbs.shape
+
+    def enc(s):
+        if s.empty:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        u = x / n
+        codes = np.empty((u.shape[0], m), dtype=np.int32)
+        for mi in range(m):
+            sub = u[:, mi * dsub:(mi + 1) * dsub]
+            d2 = ((sub[:, None, :] - cbs[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes])
+
+    # real annotation OBJECTS (this module postpones annotations, so
+    # inline hints would be strings pyspark cannot resolve against a
+    # function-local pandas import)
+    enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "array<int>")
+
+
+def build_pq_index(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 8,
+    m: int = 16,
+    ks: int = 64,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+):
+    """Persist an IVF-PQ index: rows partitioned by coarse cell (the
+    same directory pruning as :func:`build_ivf_index`), but each row
+    stores ``m`` PQ codes INSTEAD of the float vector — at 64-dim
+    float64 embeddings and the default m=16/ks=64 (96 bits of codes)
+    that is a ~40× shrink of the bytes a probe reads, the storage-bandwidth knob for a 10^12-row corpus
+    (IVF prunes WHICH cells are read; PQ shrinks every row read; SQ8 is
+    the milder 4× point on the same axis).  Non-embedding columns
+    (ids, filter metadata) persist alongside the codes.
+
+    Approximation contract: queries score by asymmetric distance
+    computation (:func:`pq_topk_index`) — approximate by design, recall
+    measured by the ``pq_recall_probe`` gate, never silently treated as
+    exact.  Returns ``(centroids, codebooks)``."""
+    import json
+    import os
+
+    import numpy as np
+
+    cent = train_ivf_centroids(emb, n_cells, sample_rows, iters, id_col)
+    cbs = train_pq_codebooks(emb, m, ks, sample_rows, iters, id_col)
+    enc = pq_encode_udf(cbs)
+    assigned = (
+        emb.withColumn("cell", cell_assign_expr(F.col("embedding"), cent))
+        .withColumn("codes", enc(F.col("embedding")))
+        .drop("embedding")
+    )
+    # co-locate cells before the partitioned write (file count ~ n_cells,
+    # not partitions × cells — same geometry fix as the float IVF index)
+    assigned.repartition("cell").write.mode("overwrite")         .partitionBy("cell").parquet(out_dir)
+    with open(os.path.join(out_dir, "_pq.json"), "w") as f:
+        json.dump({"centroids": np.asarray(cent).tolist(),
+                   "codebooks": cbs.tolist(),
+                   "m": int(m), "ks": int(ks)}, f)
+    return cent, cbs
+
+
+def pq_topk_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    predicate: "Column | None" = None,
+):
+    """ADC (asymmetric distance computation) top-k over a persisted
+    IVF-PQ index: the full-precision query builds one m×ks lookup table
+    ``LUT[mi][j] = q̂_sub(mi) · codebook[mi][j]`` on the driver; each
+    stored row's score is ``Σ_mi LUT[mi][codes[mi]]`` ≈ cosine(q, v) —
+    a pure table-lookup sum evaluated JVM-side (literal LUT array +
+    ``transform``/``aggregate`` higher-order functions, no UDF, no
+    decode of any float vector).
+
+    Scale shape: ``cell`` directory pruning limits the scan to n_probe
+    cells; rows read are codes-only (~m ints vs D floats); the ranking
+    is the same one-pass TakeOrderedAndProject as every ANN surface
+    here.  ``predicate`` composes as a pre-filter (metadata columns
+    persist next to the codes)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_dir, "_pq.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    cbs = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, ks = int(meta["m"]), int(meta["ks"])
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+    qn = float(np.linalg.norm(q))
+    qh = q / qn if qn else q
+    dsub = q.size // m
+    lut = np.array([
+        [float(qh[mi * dsub:(mi + 1) * dsub] @ cbs[mi][j])
+         for j in range(ks)]
+        for mi in range(m)
+    ])
+    rows = spark.read.parquet(index_dir).filter(F.col("cell").isin(probe))
+    if predicate is not None:
+        rows = rows.filter(predicate)
+    flat = F.array(*[F.lit(float(v)) for v in lut.ravel()])
+    score = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(
+                flat, (i * F.lit(ks) + c + F.lit(1)).cast("int"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        rows.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_hot_buckets(
     emb: DataFrame,
     max_bucket_size: int,
