@@ -147,7 +147,24 @@ def main(argv: list[str]) -> int:
     if args.compact:
         sim.compact_ivf_index(spark, d, id_col=args.id_col)
         print(json.dumps({"compacted": d}))
-    if args.describe:
+    if args.describe and is_pq:
+        with open(os.path.join(d, "_pq.json")) as f:
+            meta = json.load(f)
+        rows = spark.read.parquet(d)
+        per_cell = {int(r["cell"]): int(r["n"]) for r in
+                    rows.groupBy("cell").agg(F.count("*").alias("n"))
+                    .collect()}
+        print(json.dumps({
+            "index_dir": d, "kind": "ivf_pq",
+            "n_cells": len(meta["centroids"]),
+            "dim": len(meta["centroids"][0]) if meta["centroids"] else 0,
+            "m": meta["m"], "ks": meta["ks"],
+            "rows": sum(per_cell.values()),
+            "cell_rows_min": min(per_cell.values(), default=0),
+            "cell_rows_max": max(per_cell.values(), default=0),
+            "n_files": len(glob.glob(os.path.join(d, "cell=*", "*.parquet"))),
+        }))
+    elif args.describe:
         rows, cent = sim.read_ivf_index(spark, d)
         ts = sim._ivf_tombstones(spark, d)
         per_cell = {int(r["cell"]): int(r["n"]) for r in
