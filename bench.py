@@ -92,6 +92,11 @@ HEADLINE = [
     "bm25_highlight",
     "bm25_phrase_prefix_topk",
     "embedding_sq8_topk",
+    # r4 session-8 additions
+    "bm25_wildcard_topk",
+    "bm25_regexp_topk",
+    "bm25_collapse_index_topk",
+    "pq_recall_probe",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
@@ -156,6 +161,12 @@ def phase_a() -> tuple[dict, float, dict]:
         spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         .limit(2),
         [1.0] * 64, 1).collect()
+    # the IVF-PQ index is a one-time build like the other sidecars: pay
+    # it here so pq_recall_probe measures the pruned ADC read
+    from snowball_java_spark.entry_queries import _ivf_index_for, _pq_index_for
+
+    _ivf_index_for(spark, SF_DIR)
+    _pq_index_for(spark, SF_DIR)
     warmup_sec = time.time() - t0
 
     out: dict[str, float] = {}
