@@ -19,11 +19,11 @@ Query jsonl, one object per line:
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
     {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
     {"query_id": 9, "wildcards": ["*_test", "re?d"], "terms": []}   # general wildcard
+         # (suffix/infix patterns expand against the vocabulary, top
+         #  max_expansions by df — query-string form: {"q": "*_test"})
     {"query_id": 10, "regexps": ["r[a-z]*n"], "terms": []}          # regexp term
          # (anchored vocab regex, Lucene RegexpQuery — query-string
          #  form: {"q": "/r[a-z]*n/"})
-         # (suffix/infix patterns expand against the vocabulary, top
-         #  max_expansions by df — query-string form: {"q": "*_test"})
     {"query_id": 11, "fuzzy": {"tabel": 1}, "terms": []}            # fuzzy term~N
          # (edit-distance expansion vs the vocabulary; matches score as
          #  ONE merged group — query-string form: {"q": "tabel~1"})
@@ -318,6 +318,10 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             f"unknown filter field(s) {sorted(bad)}; the index stores "
             f"doc metadata columns {sorted(doc_cols)}")
+    if args.collapse_by and args.collapse_by not in doc_cols:
+        raise SystemExit(
+            f"unknown --collapse-by column {args.collapse_by!r}; the "
+            f"index stores doc metadata columns {sorted(doc_cols)}")
 
     def by_filter(group: list[dict]):
         """doc_filter is call-scoped → one operator call per distinct
@@ -565,7 +569,7 @@ def main(argv: list[str]) -> int:
             remap_ids(res.orderBy("query_id", "rank")) \
                 .write.mode("overwrite").parquet(args.out)
             print(json.dumps({"out": args.out, "queries": len(qs)}))
-        elif not args.collapse_by:
+        else:
             for r in res.orderBy("query_id", "rank").collect():
                 print(json.dumps({"query_id": orig_ids[r["query_id"]],
                                   "rank": r["rank"],

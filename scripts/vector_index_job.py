@@ -41,8 +41,8 @@ def main(argv: list[str]) -> int:
     p.add_argument("--build-pq", metavar="EMB",
                    help="build an IVF-PQ index instead: same cell "
                         "partitioning, rows store m product-quantization "
-                        "codes instead of the float vector (~40x fewer "
-                        "bytes per probed row at the defaults); queries "
+                        "codes instead of the float vector (~12x fewer "
+                        "parquet bytes per probed row, measured); queries "
                         "score by ADC lookup tables — approximate, "
                         "rebuild-only (no refresh/delete/compact)")
     p.add_argument("--pq-m", type=int, default=16,
@@ -191,24 +191,9 @@ def main(argv: list[str]) -> int:
                 "centroid probing + exact cosine merge); PQ scores are "
                 "codebook-relative and do not merge across indexes")
         if is_pq:
-            from functools import reduce as _reduce
-
-            from pyspark.sql import Window as _W
-
-            parts = []
-            for q in qs:  # driver-bounded: one pruned 2-cell scan each
-                r = sim.pq_topk_index(
-                    spark, d, [float(x) for x in q["vec"]],
-                    int(q.get("k", 10)), n_probe=args.n_probe,
-                    id_col=args.id_col, predicate=pred,
-                ).withColumn("query_id", F.lit(int(q["query_id"])))
-                parts.append(r)
-            res = _reduce(lambda a, b: a.unionByName(b), parts)
-            w = _W.partitionBy("query_id").orderBy(
-                F.desc("score"), F.asc(args.id_col))
-            res = res.withColumn("rank", F.row_number().over(w)).select(
-                "query_id", "rank", args.id_col,
-                F.col("score").alias("cosine"))
+            res = sim.pq_topk_index_batch(
+                spark, d, qs, n_probe=args.n_probe, id_col=args.id_col,
+                predicate=pred)
         elif args.federate_with:
             from snowball_java_spark.operators.federate import (
                 ivf_topk_federated,

@@ -4221,7 +4221,8 @@ def _pq_index_for(spark: SparkSession, sf_dir: str) -> str:
 
 def _q_pq_recall(spark, sf_dir):
     """recall@10 of the IVF-PQ probe (n_probe=2 of 8 cells, ADC over
-    m=16/ks=64 codes — ~40× fewer bytes read than the float index)
+    m=16/ks=64 codes — ~12× fewer parquet bytes read than the float
+    index, measured)
     against exact brute force.  The quantized sibling of
     ``ivf_recall_probe``: approximate BY DESIGN, so the gate pins the
     measured recall instead of pretending exactness."""

@@ -891,8 +891,10 @@ def build_pq_index(
     """Persist an IVF-PQ index: rows partitioned by coarse cell (the
     same directory pruning as :func:`build_ivf_index`), but each row
     stores ``m`` PQ codes INSTEAD of the float vector — at 64-dim
-    float64 embeddings and the default m=16/ks=64 (96 bits of codes)
-    that is a ~40× shrink of the bytes a probe reads, the storage-bandwidth knob for a 10^12-row corpus
+    embeddings and the default m=16/ks=64 a ~12× shrink of the parquet
+    bytes a probe reads (measured, BENCH/BASELINE.md; the ideal packed
+    payload is 96 bits vs 512 B, but codes persist as array<int> and
+    parquet already compresses the float column), the storage-bandwidth knob for a 10^12-row corpus
     (IVF prunes WHICH cells are read; PQ shrinks every row read; SQ8 is
     the milder 4× point on the same axis).  Non-embedding columns
     (ids, filter metadata) persist alongside the codes.
@@ -983,6 +985,90 @@ def pq_topk_index(
         rows.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def pq_topk_index_batch(
+    spark,
+    index_dir: str,
+    queries: list[dict],
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    predicate: "Column | None" = None,
+) -> DataFrame:
+    """Batched ADC over the persisted IVF-PQ index — the PQ twin of
+    :func:`ivf_topk_index_batch`: ONE read of the UNION of all queries'
+    probed cells (partition-directory prune intact); each row's codes
+    are scored only against the queries probing its cell, whose m×ks
+    lookup tables ride a literal cell → (query, LUT) map.  No per-query
+    scan, no UDF."""
+    import json
+    import os
+
+    import numpy as np
+
+    from snowball_java_spark.operators.bm25_join import topk
+
+    if not queries:
+        raise ValueError("empty query batch")
+    with open(os.path.join(index_dir, "_pq.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    cbs = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, ks = int(meta["m"]), int(meta["ks"])
+    rows = spark.read.parquet(index_dir)
+    if predicate is not None:
+        rows = rows.filter(predicate)
+    by_cell: dict[int, list[Column]] = {}
+    for q in queries:
+        qv = np.asarray(q["vec"], dtype=np.float64)
+        d2 = ((cent - qv[None, :]) ** 2).sum(axis=1)
+        qn = float(np.linalg.norm(qv))
+        qh = qv / qn if qn else qv
+        dsub = qv.size // m
+        lut = np.array([
+            [float(qh[mi * dsub:(mi + 1) * dsub] @ cbs[mi][j])
+             for j in range(ks)]
+            for mi in range(m)
+        ]).ravel()
+        qlit = F.struct(
+            F.lit(int(q["query_id"])).alias("query_id"),
+            F.array(*[F.lit(float(v)) for v in lut]).alias("lut"))
+        for c in np.argsort(d2, kind="stable")[:n_probe]:
+            by_cell.setdefault(int(c), []).append(qlit)
+    cell_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in sorted(by_cell)]),
+        F.array(*[F.array(*by_cell[c]) for c in sorted(by_cell)]),
+    )
+    scored = (
+        rows.filter(F.col("cell").isin(list(by_cell)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("codes"),
+            F.explode(cell_map[F.col("cell")]).alias("q"),
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "doc_id",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(
+                        F.col("q.lut"),
+                        (i * F.lit(ks) + c + F.lit(1)).cast("int"))),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("score"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", 10))) for q in queries],
+        "query_id int, k int",
+    )
+    return topk(scored, qdf).select(
+        "query_id", "rank",
+        F.col("doc_id").alias(id_col),
+        F.round("score", 6).alias("cosine"),
     )
 
 

@@ -214,6 +214,43 @@ def suggest_terms_index(
     return _rank_suggestions(v, q, n, min_sim)
 
 
+def _expand_top_terms(
+    spark: SparkSession,
+    index,
+    patterns: list[str],
+    match_col,
+    prefilter: "Column | None",
+    max_expansions: int,
+) -> dict[str, list[str]]:
+    """The ONE rewrite scaffold every vocabulary expansion shares
+    (prefix / wildcard / regexp): one term_stats pass, each term
+    exploding into only the patterns it matches (``match_col(pattern)``
+    → a boolean Column over the ``term`` column), a per-pattern
+    (df desc, term asc) window capped at ``max_expansions`` — Lucene's
+    public TopTermsScoringBooleanQueryRewrite policy — and a bounded
+    driver collect into {pattern: [terms...]} (the term lists must
+    reach query construction regardless).  ``prefilter`` is whatever
+    subset of the match pushes into the sorted vocabulary scan
+    (startswith/length bounds); the per-pattern match re-verifies."""
+    vocab = index.term_stats(spark).select("term", "df")
+    if prefilter is not None:
+        vocab = vocab.filter(prefilter)
+    arr = F.array(*[F.when(match_col(p), F.lit(p)) for p in patterns])
+    matched = vocab.withColumn(
+        "pattern", F.explode(F.filter(arr, lambda x: x.isNotNull())))
+    w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .select("pattern", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in patterns}
+    for r in rows:
+        out[r["pattern"]].append(r["term"])
+    return out
+
+
 def expand_prefixes(
     spark: SparkSession,
     index,
@@ -222,46 +259,25 @@ def expand_prefixes(
 ) -> dict[str, list[str]]:
     """Trailing-wildcard (``tok*``) expansion against the index
     vocabulary: each prefix expands to its ``max_expansions`` most
-    frequent matching terms, ordered (df desc, term asc) — the
-    deterministic top-terms-by-docfreq rewrite (Lucene's public
-    ``TopTermsScoringBooleanQueryRewrite`` policy).  The expanded terms
-    then score as a plain BM25 disjunction, each with its own idf.
+    frequent matching terms, ordered (df desc, term asc) — see
+    :func:`_expand_top_terms`.  The expanded terms then score as a
+    plain BM25 disjunction, each with its own idf.
 
     Scale shape: ONE pass over term_stats for ALL prefixes — the
     vocabulary relation, never the corpus.  The OR-of-startswith
-    pre-filter pushes into the parquet scan (term min/max pruning on the
-    sorted vocabulary); only matching terms explode into (prefix, term)
-    rows; a per-prefix rank window caps each expansion.  The result is
-    ≤ len(prefixes)·max_expansions rows — a bounded driver collect (the
-    term list must reach query construction regardless).
+    pre-filter pushes into the parquet scan (term min/max pruning on
+    the sorted vocabulary).
     """
     pl = sorted({p for p in prefixes if p})
     if not pl:
         return {}
-    vocab = index.term_stats(spark).select("term", "df")
     pre = None
     for p in pl:
         c = F.col("term").startswith(p)
         pre = c if pre is None else (pre | c)
-    matched = (
-        vocab.filter(pre)
-        .withColumn(
-            "prefix",
-            F.explode(F.filter(
-                F.array(*[F.lit(p) for p in pl]),
-                lambda p: F.col("term").startswith(p))))
-    )
-    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
-    rows = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_expansions)
-        .select("prefix", "term")
-        .collect()
-    )
-    out: dict[str, list[str]] = {p: [] for p in pl}
-    for r in rows:
-        out[r["prefix"]].append(r["term"])
-    return out
+    return _expand_top_terms(
+        spark, index, pl, lambda p: F.col("term").startswith(p),
+        pre, max_expansions)
 
 
 #: a wildcard pattern = tokenizer-alphabet literals + ``*`` (any run)
@@ -328,7 +344,6 @@ def expand_wildcards(
                 f"wildcard pattern {p!r} has no literal character — a "
                 "match-all wildcard is a full vocabulary expansion, not "
                 "a query")
-    vocab = index.term_stats(spark).select("term", "df")
     pre = None
     for p in pl:
         lit_prefix = p[:min(
@@ -338,27 +353,10 @@ def expand_wildcards(
         if lit_prefix:
             c = c & F.col("term").startswith(lit_prefix)
         pre = c if pre is None else (pre | c)
-    # (pattern, like) pairs ride as literal when-guards: each vocab term
-    # explodes into only the patterns whose LIKE it satisfies
-    arr = F.array(*[
-        F.when(F.col("term").like(wildcard_like(p)), F.lit(p)) for p in pl
-    ])
-    matched = (
-        vocab.filter(pre)
-        .withColumn("pattern",
-                    F.explode(F.filter(arr, lambda x: x.isNotNull())))
-    )
-    w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
-    rows = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_expansions)
-        .select("pattern", "term")
-        .collect()
-    )
-    out: dict[str, list[str]] = {p: [] for p in pl}
-    for r in rows:
-        out[r["pattern"]].append(r["term"])
-    return out
+    return _expand_top_terms(
+        spark, index, pl,
+        lambda p: F.col("term").like(wildcard_like(p)),
+        pre, max_expansions)
 
 
 def expand_regexps(
@@ -394,25 +392,10 @@ def expand_regexps(
             re.compile(p)
         except re.error as e:
             raise ValueError(f"regexp pattern {p!r} does not compile: {e}")
-    vocab = index.term_stats(spark).select("term", "df")
-    arr = F.array(*[
-        F.when(F.col("term").rlike(f"^(?:{p})$"), F.lit(p)) for p in pl
-    ])
-    matched = (
-        vocab.withColumn("pattern",
-                         F.explode(F.filter(arr, lambda x: x.isNotNull())))
-    )
-    w = Window.partitionBy("pattern").orderBy(F.desc("df"), F.asc("term"))
-    rows = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_expansions)
-        .select("pattern", "term")
-        .collect()
-    )
-    out: dict[str, list[str]] = {p: [] for p in pl}
-    for r in rows:
-        out[r["pattern"]].append(r["term"])
-    return out
+    return _expand_top_terms(
+        spark, index, pl,
+        lambda p: F.col("term").rlike(f"^(?:{p})$"),
+        None, max_expansions)
 
 
 def expand_fuzzy(
