@@ -1149,6 +1149,36 @@ def _q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"))
 
 
+_COMPLETE_STEMS = ["b", "s"]
+
+
+def _q_term_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester (search-as-you-type): each stem's top-3
+    vocabulary completions by df — the DataFrame form of the prefix
+    expansion, over the index's term_stats."""
+    from snowball_java_spark.operators.suggest import complete_terms
+
+    res = complete_terms(spark, _index_for(spark, sf_dir),
+                         _COMPLETE_STEMS, n=3)
+    return res.select(
+        "stem", "term", "df", F.col("rank").cast("long").alias("rank"))
+
+
+def _term_complete_sql(stems: list[str], n: int) -> str:
+    vals = ", ".join(f"('{s}')" for s in sorted(set(stems)))
+    return f"""
+WITH {BASE_CTES},
+stems(stem) AS (VALUES {vals}),
+c AS (
+  SELECT stem, term, df,
+         row_number() OVER (PARTITION BY stem
+                            ORDER BY df DESC, term ASC)::BIGINT AS rank
+  FROM dfx JOIN stems ON term LIKE stem || '%'
+)
+SELECT stem, term, df, rank FROM c WHERE rank <= {n}
+"""
+
+
 def _q_term_suggest_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """"Did you mean" over the PERSISTED vocab-gram sidecar: bucket-dir
     pruning instead of a per-call vocabulary explode (same oracle — the
@@ -4447,6 +4477,9 @@ def build_registry() -> dict[str, Q]:
         ),
         "term_suggest_index": Q(
             _q_term_suggest_index, _term_suggest_sql(_SUGGEST_TERMS, 3),
+        ),
+        "term_complete": Q(
+            _q_term_complete, _term_complete_sql(_COMPLETE_STEMS, 3),
         ),
         "grep_batch": Q(
             _q_grep_batch,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = ["padded_grams_py", "padded_grams_expr", "suggest_terms",
            "add_vocab_grams", "suggest_terms_index",
            "expand_prefixes", "expand_wildcards", "wildcard_like",
+           "complete_terms",
            "expand_regexps", "expand_fuzzy", "fuzzy_synonyms"]
 
 #: bucket count of the persisted vocab-gram sidecar (gram-hash dirs,
@@ -278,6 +279,41 @@ def expand_prefixes(
     return _expand_top_terms(
         spark, index, pl, lambda p: F.col("term").startswith(p),
         pre, max_expansions)
+
+
+def complete_terms(
+    spark: SparkSession,
+    index,
+    stems: list[str],
+    n: int = 10,
+) -> DataFrame:
+    """Completion suggester (ES search-as-you-type over the term
+    dictionary): (stem, term, df, rank ≤ n) — each stem's most frequent
+    vocabulary completions, ranked (df desc, term asc).  The DataFrame
+    form of :func:`expand_prefixes` (same pushed-down OR-of-startswith
+    vocabulary scan, same rewrite policy) keeping df and returning the
+    relation instead of a driver-collected term list — suggesters feed
+    UIs, not query construction."""
+    sl = sorted({s for s in stems if s})
+    if not sl:
+        return spark.createDataFrame(
+            [], "stem string, term string, df long, rank int")
+    vocab = index.term_stats(spark).select(
+        "term", F.col("df").cast("long").alias("df"))
+    pre = None
+    for s in sl:
+        c = F.col("term").startswith(s)
+        pre = c if pre is None else (pre | c)
+    arr = F.array(*[
+        F.when(F.col("term").startswith(s), F.lit(s)) for s in sl])
+    matched = vocab.filter(pre).withColumn(
+        "stem", F.explode(F.filter(arr, lambda x: x.isNotNull())))
+    w = Window.partitionBy("stem").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("stem", "term", "df", "rank")
+    )
 
 
 #: a wildcard pattern = tokenizer-alphabet literals + ``*`` (any run)
