@@ -27,10 +27,15 @@ postings into a NEW index at DST from the stored per-doc tf maps —
 ``--codec pfor``, ``--block-size``, ``--stages``, ``--buckets`` change
 the encoding without ever re-reading corpus content (live docs only;
 positions/trigram sidecars carry over, rebucketed if ``--buckets``
-changed; the source index is untouched).  Steps compose
-and run in the order restore-from → refresh → delete → compact →
-reindex-to → rebuild-stats → snapshot → describe (a composed
-``--refresh --snapshot`` therefore captures the post-mutation state).
+changed; the source index is untouched).  ``--delete-by-query Q.jsonl``
+tombstones every doc matching the term queries (ES ``_delete_by_query``);
+``--update-by-query Q.jsonl --update-corpus SRC --transform EXPR``
+re-ingests matching docs from the source corpus with the SQL expression
+applied to content, superseding prior versions (ES ``_update_by_query``).
+Steps compose and run in the order restore-from → refresh → delete →
+delete-by-query → update-by-query → compact → reindex-to →
+rebuild-stats → snapshot → describe (a composed ``--refresh --snapshot``
+therefore captures the post-mutation state).
 """
 
 from __future__ import annotations
@@ -53,6 +58,25 @@ def main(argv: list[str]) -> int:
                         "a delta doc's key are tombstoned (upsert)")
     p.add_argument("--delete-keys", metavar="PATH",
                    help="parquet of key columns; matching docs are tombstoned")
+    p.add_argument("--delete-by-query", metavar="Q_JSONL",
+                   help="jsonl of term queries (same dict shape as "
+                        "run_queries_job terms queries: terms/mode/"
+                        "min_should_match/not_terms/fuzzy/prefixes/"
+                        "wildcards/regexps); every matching doc is "
+                        "tombstoned (ES _delete_by_query)")
+    p.add_argument("--update-by-query", metavar="Q_JSONL",
+                   help="jsonl of term queries; matching docs are "
+                        "re-ingested from --update-corpus with "
+                        "--transform applied to content, prior versions "
+                        "tombstoned (ES _update_by_query)")
+    p.add_argument("--update-corpus", metavar="CORPUS",
+                   help="with --update-by-query: the source-of-truth "
+                        "corpus (parquet dir / Iceberg table) to re-read "
+                        "matched documents from")
+    p.add_argument("--transform", metavar="EXPR",
+                   help="with --update-by-query: SQL expression over the "
+                        "corpus columns producing the new content, e.g. "
+                        "\"concat(content, ' migrated')\"")
     p.add_argument("--rebuild-stats", action="store_true",
                    help="re-merge term_stats from the stored partials")
     p.add_argument("--snapshot", metavar="DST",
@@ -76,14 +100,19 @@ def main(argv: list[str]) -> int:
     p.add_argument("--buckets", type=int, default=None,
                    help="with --reindex-to: target postings bucket count")
     args = p.parse_args(argv)
-    if not any((args.describe, args.compact, args.refresh,
-                args.delete_keys, args.rebuild_stats, args.snapshot,
-                args.restore_from, args.reindex_to)):
-        p.error("nothing to do: pass --describe/--compact/--refresh/"
-                "--delete-keys/--rebuild-stats/--snapshot/--restore-from/"
-                "--reindex-to")
     if args.supersede_on and not args.refresh:
         p.error("--supersede-on requires --refresh")
+    if args.update_by_query and not (args.update_corpus and args.transform):
+        p.error("--update-by-query requires --update-corpus and --transform")
+    if (args.update_corpus or args.transform) and not args.update_by_query:
+        p.error("--update-corpus/--transform require --update-by-query")
+    if not any((args.describe, args.compact, args.refresh,
+                args.delete_keys, args.delete_by_query,
+                args.update_by_query, args.rebuild_stats, args.snapshot,
+                args.restore_from, args.reindex_to)):
+        p.error("nothing to do: pass --describe/--compact/--refresh/"
+                "--delete-keys/--delete-by-query/--update-by-query/"
+                "--rebuild-stats/--snapshot/--restore-from/--reindex-to")
     if any(v is not None for v in (args.codec, args.block_size,
                                    args.stages, args.buckets)) \
             and not args.reindex_to:
@@ -104,7 +133,8 @@ def main(argv: list[str]) -> int:
         }))
 
     needs_spark = any((args.describe, args.compact, args.refresh,
-                       args.delete_keys, args.rebuild_stats,
+                       args.delete_keys, args.delete_by_query,
+                       args.update_by_query, args.rebuild_stats,
                        args.reindex_to))
     if not needs_spark:
         if args.snapshot:
@@ -150,6 +180,58 @@ def main(argv: list[str]) -> int:
             "n_docs_after": idx.n_docs,
             "elapsed_sec": round(time.time() - t0, 1),
         }))
+    if args.delete_by_query or args.update_by_query:
+        from snowball_java_spark.plans.mutate import (
+            delete_by_query,
+            update_by_query,
+        )
+
+        def _load_queries(path: str) -> list[dict]:
+            qs = []
+            with open(path) as f:
+                for i, line in enumerate(f):
+                    if not line.strip():
+                        continue
+                    q = json.loads(line)
+                    bad = set(q) - {
+                        "query_id", "terms", "mode", "min_should_match",
+                        "not_terms", "fuzzy", "prefixes", "wildcards",
+                        "regexps"}
+                    if bad:
+                        raise SystemExit(
+                            f"query line {i}: unsupported keys {sorted(bad)}"
+                            " — by-query mutations take term-query dicts "
+                            "(no phrase/q/substr/regex forms)")
+                    q.setdefault("terms", [])
+                    qs.append(q)
+            if not qs:
+                raise SystemExit(f"{path}: no queries")
+            return qs
+
+        if args.delete_by_query:
+            t0 = time.time()
+            before = IndexReader(args.index_dir).describe(spark)
+            idx = delete_by_query(
+                spark, args.index_dir, _load_queries(args.delete_by_query))
+            print(json.dumps({
+                "deleted_by_query": before["n_docs"] - idx.n_docs,
+                "n_docs_after": idx.n_docs,
+                "elapsed_sec": round(time.time() - t0, 1),
+            }))
+        if args.update_by_query:
+            from pyspark.sql import functions as F
+
+            t0 = time.time()
+            idx = update_by_query(
+                spark, args.index_dir,
+                read_corpus(spark, args.update_corpus),
+                _load_queries(args.update_by_query),
+                F.expr(args.transform))
+            print(json.dumps({
+                "updated_by_query": True, "transform": args.transform,
+                "n_docs_after": idx.n_docs,
+                "elapsed_sec": round(time.time() - t0, 1),
+            }))
     if args.compact:
         t0 = time.time()
         before = IndexReader(args.index_dir).describe(spark)

@@ -2022,6 +2022,76 @@ def _q_upsert_term_df(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# query-addressed mutations (ES _delete_by_query / _update_by_query)
+#
+# build → delete_by_query({"terms": ["dup"]}) → update_by_query(docs
+# matching key NOT spark, content || ' ubqmark').  Both gates query the
+# FINAL state (gate execution order must not matter), and the oracle
+# recomputes BM25 over the equivalent mutated corpus in SQL.
+# ---------------------------------------------------------------------------
+
+_BYQ_DELETE_Q = [{"terms": ["dup"]}]
+_BYQ_UPDATE_Q = [{"terms": ["key"], "not_terms": ["spark"]}]
+
+_BYQ_CTE = (
+    "bdocs AS (SELECT doc_id, CASE WHEN list_contains(__T__, 'key') "
+    "AND NOT list_contains(__T__, 'spark') THEN text || ' ubqmark' "
+    "ELSE text END AS text FROM documents "
+    "WHERE NOT list_contains(__T__, 'dup'))").replace("__T__", TOKS_SQL)
+
+
+def _byqify(sql: str) -> str:
+    """Rewrite a BM25 oracle over ``documents`` to the post-mutation live
+    corpus.  Updated docs re-ingest above every surviving base doc in the
+    engine's internal-id order (same total order as :func:`_upsertify`),
+    so the oracle's tie clause ranks un-updated docs first — 'ubqmark'
+    marks exactly the updated set."""
+    out = sql.replace("FROM documents", "FROM bdocs")
+    out = out.replace(
+        "ORDER BY score DESC, doc_id ASC",
+        "ORDER BY score DESC, (doc_id IN "
+        "(SELECT doc_id FROM tfx WHERE term = 'ubqmark')) ASC, doc_id ASC")
+    return out.replace("WITH ", f"WITH {_BYQ_CTE},\n", 1)
+
+
+def _byq_index_for(spark, sf_dir):
+    """Cached build → delete_by_query → update_by_query lifecycle
+    (tombstones live — the dead sidecar, negative partials, and the
+    supersede path all exercise under query addressing)."""
+    from snowball_java_spark.plans.build_index import (
+        INDEX_FORMAT_V,
+        build_index,
+    )
+    from snowball_java_spark.plans.mutate import (
+        delete_by_query,
+        update_by_query,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    _gc_index_caches(tag, f"v{INDEX_FORMAT_V}_{tag}_{fp}")
+    idx_dir = f"/tmp/sjs_index_cache/v{INDEX_FORMAT_V}_{tag}_{fp}_byq"
+    base, _, _ = _upsert_corpus_parts(spark, sf_dir)
+    build_index(spark, base, idx_dir, cfg=_INDEX_CFG, n_buckets=8)
+    delete_by_query(spark, idx_dir, _BYQ_DELETE_Q, cfg=_INDEX_CFG)
+    return update_by_query(
+        spark, idx_dir, base, _BYQ_UPDATE_Q,
+        F.concat(F.col("content"), F.lit(" ubqmark")), cfg=_INDEX_CFG)
+
+
+def _q_bm25_delete_by_query(spark, sf_dir):
+    """Docs matching the delete query never rank; idf/avgdl reflect the
+    post-mutation live corpus only."""
+    return _upsert_topk(spark, _byq_index_for(spark, sf_dir), HOT_TERMS)
+
+
+def _q_bm25_update_by_query(spark, sf_dir):
+    """Only re-ingested versions carry the update marker — exactly the
+    matched docs, transformed, with prior versions tombstoned."""
+    return _upsert_topk(spark, _byq_index_for(spark, sf_dir), ["ubqmark"])
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4792,6 +4862,12 @@ FROM s
         "upsert_term_df": Q(
             _q_upsert_term_df,
             _upsertify(f"WITH {BASE_CTES} SELECT term, df, cf FROM dfx"),
+        ),
+        "bm25_delete_by_query_topk": Q(
+            _q_bm25_delete_by_query, _byqify(_bm25_topk_sql(HOT_TERMS, 10))
+        ),
+        "bm25_update_by_query_topk": Q(
+            _q_bm25_update_by_query, _byqify(_bm25_topk_sql(["ubqmark"], 10))
         ),
         "dedup_components": Q(_q_components, _components_sql(_CC_TAU)),
         "token_normalize": Q(

@@ -1243,6 +1243,7 @@ def matching_docs_index(
     cfg: EngineConfig = DEFAULT,
     doc_filter: "F.Column | str | None" = None,
     synonyms: dict[str, list[str]] | None = None,
+    include_dead: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id) for every doc matching each query — computed
     ENTIRELY from the index: postings decode + the dead sidecar, no
@@ -1253,6 +1254,10 @@ def matching_docs_index(
     a ``synonyms`` entry matches when ANY group member is present (the
     group acts as one pseudo-term for membership, exactly as it does
     for scoring).
+
+    ``include_dead=True`` matches over dead (tombstoned/superseded) docs
+    too — for mutation callers whose match set must re-resolve stably
+    (see ``IndexReader.scoring_doc_meta``), never for user-facing counts.
 
     The match-set primitive behind index-path facets and match counts.
     Scale shape: postings pruned to the queries' terms (bucket dirs +
@@ -1274,7 +1279,8 @@ def matching_docs_index(
     buckets = sorted({h60_py(t) % index.n_buckets for t in scan_terms})
     posts = index.postings(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
-    meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
+    meta = index.scoring_doc_meta(
+        spark, doc_filter=doc_filter, include_dead=include_dead)
     with_meta = posts.join(meta, "shard")
     q_spec = [(int(q["query_id"]), sorted(set(q["terms"])),
                sorted(set(q.get("not_terms", []))),

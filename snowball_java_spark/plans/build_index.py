@@ -287,11 +287,20 @@ class IndexReader:
         return build_dead_meta(self.tombstones(spark), self.cfg)
 
     def scoring_doc_meta(
-        self, spark: SparkSession, doc_filter=None
+        self, spark: SparkSession, doc_filter=None,
+        include_dead: bool = False,
     ) -> DataFrame:
         """doc_meta for the scoring kernels: when tombstones exist, a
         ``dead_bytes`` column rides along (absent otherwise — kernels
         treat a missing column as 'all live').
+
+        ``include_dead=True`` skips the tombstone sidecar (``doc_filter``
+        still applies, evaluated over dead rows too): match-set callers
+        whose results feed a MUTATION need it so that re-resolving the
+        same query after (or during a crashed attempt of) the mutation
+        yields the same set — tombstoning an already-dead doc is a no-op,
+        but a dead-aware re-resolution would change the mutation's
+        fingerprint and break replay idempotency.
 
         ``doc_filter`` (scoped search, any index query path): a predicate
         over the docs metadata columns.  Non-matching docs fold INTO the
@@ -311,14 +320,15 @@ class IndexReader:
         )
 
         meta = self.doc_meta(spark)
-        if self.has_tombstones:
+        use_dead = self.has_tombstones and not include_dead
+        if use_dead:
             meta = meta.join(self.dead_meta(spark), "shard", "left")
         if doc_filter is None:
             return meta
         pred = (F.expr(doc_filter) if isinstance(doc_filter, str)
                 else doc_filter)
         match = F.coalesce(pred, F.lit(False))
-        docs = self.docs(spark)
+        docs = self.docs(spark, include_dead=include_dead)
         fmeta = build_dead_meta(
             docs.filter(~match).select("doc_id"), self.cfg
         ).withColumnRenamed("dead_bytes", "filter_dead_bytes")
@@ -327,7 +337,7 @@ class IndexReader:
         ).distinct()
         meta = (meta.join(allowed_shards, "shard", "left_semi")
                 .join(fmeta, "shard", "left"))
-        if self.has_tombstones:
+        if use_dead:
             return merge_dead_cols(meta, "dead_bytes", "filter_dead_bytes")
         return meta.withColumnRenamed("filter_dead_bytes", "dead_bytes")
 
@@ -730,12 +740,17 @@ def _build_stage(spark, index_dir: str, docs_path: str, cfg: EngineConfig,
     })
 
 
-def _delta_fingerprint(corpus: DataFrame) -> str:
+def _delta_fingerprint(corpus: DataFrame, prefer_files: bool = True) -> str:
     """Cheap deterministic identity of a refresh delta (one column-pruned
-    pass): input files when available, else key-set aggregates."""
+    pass): input files when available, else key-set aggregates.
+
+    ``prefer_files=False`` forces the content-based aggregate — required
+    for COMPUTED relations whose lineage reads index files that the
+    mutation itself rewrites (a delete-by-query match set re-resolved
+    after the delete reads different files but is the same delete)."""
     import hashlib
 
-    files = sorted(corpus.inputFiles())
+    files = sorted(corpus.inputFiles()) if prefer_files else []
     if files:
         return hashlib.sha256("\n".join(files).encode()).hexdigest()
     key = [c for c in CORPUS_KEY if c in corpus.columns] or corpus.columns[:1]
@@ -899,7 +914,8 @@ def _write_dead_meta(spark: SparkSession, index_dir: str,
 def refresh_index(spark: SparkSession, new_corpus: DataFrame,
                   index_dir: str,
                   supersede_on: list[str] | None = None,
-                  delete_keys: DataFrame | None = None) -> IndexReader:
+                  delete_keys: DataFrame | None = None,
+                  delta_fingerprint: str | None = None) -> IndexReader:
     """Append a batch of new documents to an existing index (generation g).
 
     The incremental-indexing path (the batch half of
@@ -937,15 +953,25 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     """
     idx = IndexReader(index_dir)
     cfg, n_buckets = idx.cfg, idx.n_buckets
-    fp = _delta_fingerprint(new_corpus)
+    # ``delta_fingerprint`` overrides the computed identity: a caller
+    # whose delta is a COMPUTED relation (its lineage reads index files
+    # this very mutation rewrites, so neither the file list nor a content
+    # re-aggregation is replay-stable) supplies the identity of the
+    # delta's INPUTS instead — update_by_query passes
+    # sha(corpus files | query | transform | filter).
+    fp = delta_fingerprint or _delta_fingerprint(new_corpus)
     if supersede_on or delete_keys is not None:
         # the mutation identity covers the delete/supersede inputs too, so
         # a replayed micro-batch still no-ops but a different delete set
         # opens a new generation.  (Deletes are idempotent BY CONTENT: the
-        # same keys deleted twice with no intervening re-add is a no-op.)
+        # same keys deleted twice with no intervening re-add is a no-op;
+        # the content aggregate — never the lineage file list — is what
+        # fingerprints them, so a computed delete-keys relation stays
+        # replay-stable as long as it RESOLVES to the same ids.)
         import hashlib as _hl
 
-        del_fp = _delta_fingerprint(delete_keys) if delete_keys is not None else ""
+        del_fp = (_delta_fingerprint(delete_keys, prefer_files=False)
+                  if delete_keys is not None else "")
         fp = _hl.sha256(
             f"{fp}|sup={sorted(supersede_on or [])}|del={del_fp}".encode()
         ).hexdigest()

@@ -1,0 +1,174 @@
+"""Query-addressed index mutations: ES ``_delete_by_query`` /
+``_update_by_query`` analogs, composed from the engine's own primitives —
+match set (:func:`~snowball_java_spark.operators.wand.matching_docs_index`,
+postings-pruned, zero corpus scan) feeding a tombstone generation
+(:func:`~snowball_java_spark.plans.build_index.refresh_index`).
+
+Scale shape: the match set decodes ONLY the queried terms' postings
+(bucket-dir + term row-group pruning); the resulting doc_id relation
+never collects to the driver — it flows into the tombstone semi-join as
+a DataFrame, stats correct via negative partials in O(dead), and stored
+segments are never rewritten (``compact_index`` physically drops dead
+rows later).  A delete-by-query of a hot term therefore costs the hot
+term's postings decode plus one key semi-join — not a corpus pass.
+
+Reference parity: the reference engine has no mutable corpus at all
+(its checkpoint reload, ``bin/Snowball.java:45-71``, is batch-only);
+these surfaces extend the engine's living-index lifecycle (supersede /
+delete / compact) with query addressing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+
+__all__ = ["delete_by_query", "update_by_query", "matched_doc_ids"]
+
+
+def matched_doc_ids(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
+    include_dead: bool = False,
+) -> DataFrame:
+    """Distinct ``doc_id`` relation matching ANY of ``queries`` — the
+    shared address-resolution step of both mutations.  Queries take
+    the full search dict shape (``terms``/``mode``/``min_should_match``/
+    ``not_terms``/``fuzzy``/``prefixes``/``wildcards``/``regexps``) and
+    go through the SAME :func:`wand.rewrite_expansions` as ranking and
+    counting, so "delete what this search matches" is exact — never a
+    re-derived approximation of the search semantics.
+
+    ``include_dead=True`` (the delete path) matches dead docs too:
+    tombstoning a dead doc is a no-op, and ignoring the dead sidecar is
+    what keeps the resolved set — and with it the mutation generation's
+    fingerprint — STABLE when the same delete is replayed or a crashed
+    attempt retries after its own partial tombstones landed."""
+    from snowball_java_spark.operators.wand import (
+        matching_docs_index,
+        rewrite_expansions,
+    )
+
+    qs = [dict(q) for q in queries]
+    for i, q in enumerate(qs):
+        q.setdefault("query_id", i)
+    qs, syn = rewrite_expansions(spark, index, qs, synonyms=synonyms)
+    m = matching_docs_index(
+        spark, index, qs, cfg=cfg, doc_filter=doc_filter, synonyms=syn,
+        include_dead=include_dead)
+    return m.select("doc_id").distinct()
+
+
+def delete_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    *,
+    doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
+):
+    """Tombstone every live document matching any of ``queries``
+    (ES ``_delete_by_query``).  Returns the refreshed
+    :class:`IndexReader`; df/cf/avgdl stay live-exact via negative
+    partials, scoring drops the docs through the per-shard dead sidecar,
+    and the deletion is crash-safe/resumable like any generation: the
+    generation fingerprint covers the resolved doc_id set, resolved
+    DEAD-BLIND (``include_dead=True``) so a replay — or a retry after a
+    crash that already landed this generation's tombstones — resolves
+    the identical set and no-ops into the committed (or resumes the
+    in-flight) generation, while a genuinely different match set opens a
+    new one."""
+    from snowball_java_spark.plans.build_index import IndexReader, delete_docs
+
+    idx = IndexReader(index_dir)
+    ids = matched_doc_ids(
+        spark, idx, queries, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms, include_dead=True).persist()
+    try:
+        return delete_docs(spark, index_dir, ids)
+    finally:
+        # the match set is read twice (generation fingerprint, then the
+        # tombstone semi-join) — persist spares the second postings decode
+        ids.unpersist()
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    queries: list[dict],
+    transform: F.Column,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    doc_filter: "F.Column | str | None" = None,
+    synonyms: dict[str, list[str]] | None = None,
+):
+    """Re-ingest every matching document with ``transform`` applied to
+    its content (ES ``_update_by_query``; ``transform`` is a Catalyst
+    Column over the corpus columns — the JVM-side "script").
+
+    Replay contract: the refresh generation's fingerprint is
+    (corpus input files, queries, transform expression, filter,
+    synonyms) — an exact replay no-ops; the same update re-issued after
+    the corpus files changed applies.  A re-issued identical update over
+    UNCHANGED corpus files whose match set drifted only through other
+    index mutations is treated as the same mutation (idempotent batch
+    semantics, like every refresh) — issue a distinguishable query (or
+    touch the corpus) to force re-application.
+
+    ``corpus`` is the source-of-truth table (the ES ``_source`` analog):
+    the index's docs table deliberately drops raw content after
+    tokenization (build-side architecture — content is read once, never
+    shuffled), so an update re-reads the matched rows from the corpus,
+    rewrites them, and supersede-refreshes on the natural key
+    ``(repo, path)`` — prior versions tombstone, exactly one (new)
+    version ranks.  Cost shape: match set from pruned postings, one
+    key-pruned corpus read of the MATCHED rows only (the key semi-join
+    pushes ahead of the fat content column), one O(delta) refresh
+    generation."""
+    import hashlib
+    import json
+
+    from snowball_java_spark.plans.build_index import (
+        IndexReader,
+        _delta_fingerprint,
+        refresh_index,
+    )
+
+    missing = [c for c in ("repo", "path", "commit", "lang", "content")
+               if c not in corpus.columns]
+    if missing:
+        raise ValueError(
+            f"update_by_query corpus is missing columns {missing} — pass "
+            "the source corpus table (the index stores no raw content)")
+    idx = IndexReader(index_dir)
+    ids = matched_doc_ids(
+        spark, idx, queries, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms)
+    keys = (
+        idx.docs(spark).join(ids, "doc_id")
+        .select("repo", "path").distinct())
+    delta = (
+        corpus.join(keys, ["repo", "path"])
+        .withColumn("content", transform)
+        .select("repo", "path", "commit", "lang", "content"))
+    # the delta's LINEAGE reads index files this refresh rewrites, so
+    # neither its file list nor a content re-aggregation is
+    # replay-stable — supply the identity of the delta's true inputs
+    # instead: the corpus files plus the update's own parameters
+    # (queries + transform expression + filter + synonyms)
+    xfp = hashlib.sha256(json.dumps(
+        [_delta_fingerprint(corpus)]
+        + [sorted((k, str(v)) for k, v in q.items()) for q in queries]
+        + [str(transform), str(doc_filter), sorted((synonyms or {}).items())],
+        default=str).encode()).hexdigest()
+    return refresh_index(spark, delta, index_dir,
+                         supersede_on=["repo", "path"],
+                         delta_fingerprint=xfp)

@@ -1,0 +1,196 @@
+"""delete_by_query / update_by_query (plans/mutate.py): query-addressed
+mutations must match the semantics of "tombstone exactly the search's
+match set" / "re-ingest exactly the match set, transformed", stay
+replay-idempotent, and distinguish different mutations over the same
+source files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.wand import bm25_topk_index
+from snowball_java_spark.plans.build_index import (
+    IndexReader,
+    build_index,
+    compact_index,
+)
+from snowball_java_spark.plans.mutate import (
+    delete_by_query,
+    matched_doc_ids,
+    update_by_query,
+)
+from tests.oracle import OracleIndex
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+
+
+@pytest.fixture(scope="module")
+def oracle(synth_docs):
+    rows = synth_docs.select("doc_id", "content").collect()
+    return OracleIndex([(r["doc_id"], r["content"]) for r in rows])
+
+
+@pytest.fixture()
+def fresh_index(spark, synth_docs, tmp_path):
+    d = str(tmp_path / "idx")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    return d, corpus
+
+
+def _pick_term(oracle, lo=5, hi=80):
+    """A deterministic moderately-selective term (stable across runs —
+    the synth corpus is seeded)."""
+    for t in sorted(oracle.df):
+        if lo <= oracle.df[t] <= hi:
+            return t
+    raise AssertionError("no term in the selectivity band")
+
+
+def _gens(index_dir):
+    return sorted(
+        os.path.basename(p) for p in
+        glob.glob(os.path.join(index_dir, "manifest", "refresh_[0-9]*.json"))
+        if "_" not in os.path.basename(p).removeprefix("refresh_")
+        .removesuffix(".json"))
+
+
+def test_delete_by_query_matches_search_semantics(spark, fresh_index, oracle):
+    d, _ = fresh_index
+    term = _pick_term(oracle)
+    dead = {doc for doc, c in oracle.tf.items() if term in c}
+    idx = delete_by_query(spark, d, [{"terms": [term]}], cfg=CFG)
+
+    live = {r["doc_id"] for r in idx.docs(spark).select("doc_id").collect()}
+    assert live == set(oracle.tf) - dead
+
+    # deleted docs never rank, even for OTHER queries they'd match
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["def", "return"], "k": 50}],
+        cfg=CFG)
+    assert not ({r["doc_id"] for r in res.collect()} & dead)
+
+    # stats live-exact: df of a control term recounted over live docs only
+    ctrl = "return"
+    want = sum(1 for doc, c in oracle.tf.items()
+               if doc not in dead and ctrl in c)
+    got = (idx.term_stats(spark).filter(F.col("term") == ctrl)
+           .collect()[0]["df"])
+    assert got == want
+
+
+def test_delete_by_query_respects_query_shape(spark, fresh_index, oracle):
+    """mode=and + not_terms resolve through the SAME match semantics as
+    search — the tombstoned set equals the search's match set exactly."""
+    d, _ = fresh_index
+    t1, t2 = "def", "class"
+    q = [{"terms": [t1, t2], "mode": "and", "not_terms": ["return"]}]
+    want = {doc for doc, c in oracle.tf.items()
+            if t1 in c and t2 in c and "return" not in c}
+    got = {r["doc_id"] for r in
+           matched_doc_ids(spark, IndexReader(d), q, cfg=CFG).collect()}
+    assert got == want
+    idx = delete_by_query(spark, d, q, cfg=CFG)
+    live = {r["doc_id"] for r in idx.docs(spark).select("doc_id").collect()}
+    assert live == set(oracle.tf) - want
+
+
+def test_delete_by_query_replay_noops(spark, fresh_index, oracle):
+    d, _ = fresh_index
+    term = _pick_term(oracle)
+    delete_by_query(spark, d, [{"terms": [term]}], cfg=CFG)
+    gens1 = _gens(d)
+    idx = delete_by_query(spark, d, [{"terms": [term]}], cfg=CFG)
+    assert _gens(d) == gens1  # same mutation replayed → no new generation
+    # a DIFFERENT delete opens a new generation
+    delete_by_query(spark, d, [{"terms": ["class"]}], cfg=CFG)
+    assert len(_gens(d)) == len(gens1) + 1
+    assert idx.docs(spark).count() > 0
+
+
+def test_update_by_query_rewrites_and_supersedes(
+        spark, fresh_index, oracle, synth_docs):
+    d, corpus = fresh_index
+    term = _pick_term(oracle)
+    matched = {doc for doc, c in oracle.tf.items() if term in c}
+    idx = update_by_query(
+        spark, d, corpus, [{"terms": [term]}],
+        F.concat(F.col("content"), F.lit(" zzzupd")), cfg=CFG)
+
+    # doc COUNT unchanged (supersede, not accrete); marker in exactly the
+    # matched docs' live versions
+    assert idx.docs(spark).count() == len(oracle.tf)
+    mark = matched_doc_ids(
+        spark, idx, [{"terms": ["zzzupd"]}], cfg=CFG)
+    # marker doc_ids are re-ingested internal ids — compare by natural key
+    marked_paths = {r["path"] for r in
+                    idx.docs(spark).join(mark, "doc_id")
+                    .select("path").collect()}
+    want_paths = {r["path"] for r in
+                  synth_docs.filter(F.col("doc_id").isin(sorted(matched)))
+                  .select("path").collect()}
+    assert marked_paths == want_paths
+
+    # a SECOND update with a different transform over the SAME corpus
+    # files must APPLY (the caller-supplied delta fingerprint covers the
+    # transform), replacing the first rewrite
+    # (updates re-read the source corpus, not the prior rewrite)
+    idx = update_by_query(
+        spark, d, corpus, [{"terms": [term]}],
+        F.concat(F.col("content"), F.lit(" zzzupd2")), cfg=CFG)
+    n1 = matched_doc_ids(spark, idx, [{"terms": ["zzzupd"]}], cfg=CFG).count()
+    n2 = matched_doc_ids(spark, idx, [{"terms": ["zzzupd2"]}], cfg=CFG).count()
+    assert n1 == 0 and n2 == len(matched)
+    assert idx.docs(spark).count() == len(oracle.tf)
+
+    # replaying the SAME update → no new generation
+    gens = _gens(d)
+    update_by_query(
+        spark, d, corpus, [{"terms": [term]}],
+        F.concat(F.col("content"), F.lit(" zzzupd2")), cfg=CFG)
+    assert _gens(d) == gens
+
+
+def test_update_by_query_validates_corpus_columns(spark, fresh_index):
+    d, corpus = fresh_index
+    with pytest.raises(ValueError, match="missing columns"):
+        update_by_query(
+            spark, d, corpus.drop("content"), [{"terms": ["def"]}],
+            F.lit("x"), cfg=CFG)
+
+
+def test_mutations_with_no_matches_are_safe(spark, fresh_index):
+    d, corpus = fresh_index
+    n0 = IndexReader(d).docs(spark).count()
+    idx = delete_by_query(spark, d, [{"terms": ["zz_absent_term"]}], cfg=CFG)
+    assert idx.docs(spark).count() == n0
+    idx = update_by_query(
+        spark, d, corpus, [{"terms": ["zz_absent_term"]}],
+        F.concat(F.col("content"), F.lit(" nope")), cfg=CFG)
+    assert idx.docs(spark).count() == n0
+    res = bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["def"], "k": 5}], cfg=CFG)
+    assert res.count() == 5
+
+
+def test_compact_preserves_byq_results(spark, fresh_index, oracle):
+    d, corpus = fresh_index
+    term = _pick_term(oracle)
+    update_by_query(
+        spark, d, corpus, [{"terms": [term]}],
+        F.concat(F.col("content"), F.lit(" zzzupd")), cfg=CFG)
+    idx = delete_by_query(spark, d, [{"terms": ["class"]}], cfg=CFG)
+    q = [{"query_id": 0, "terms": ["def", "zzzupd"], "k": 20}]
+    before = [(r["doc_id"], r["rank"], round(r["score"], 9))
+              for r in bm25_topk_index(spark, idx, q, cfg=CFG)
+              .orderBy("rank").collect()]
+    idx2 = compact_index(spark, d)
+    after = [(r["doc_id"], r["rank"], round(r["score"], 9))
+             for r in bm25_topk_index(spark, idx2, q, cfg=CFG)
+             .orderBy("rank").collect()]
+    assert before == after
