@@ -62,9 +62,15 @@ key on terms queries) run as INDEX-path scoped search: the predicate
 evaluates over the index's stored docs metadata (repo, path, commit,
 lang, ...), non-matching docs are excluded at posting-block decode and
 empty shards are pruned — no corpus scan
-(``IndexReader.scoring_doc_meta(doc_filter=...)``).  Filters compose
-with terms/phrase/proximity/context queries; substr/regex reject them
-(their exact-verify pass scans content).
+(``IndexReader.scoring_doc_meta(doc_filter=...)``).  Three filter
+kinds compose: exact ``field:value`` (jsonl ``"filters"``), wildcard
+value ``field:src1*`` / ``path:*_test.py`` (jsonl ``"filters_like"``,
+ES wildcard query — translated to LIKE), and numeric ranges
+``dl:>=40`` / ``dl:[40 TO 89]`` (jsonl ``"ranges": {col: {gte/gt/lte/
+lt: n}}``, ES range query; ``[..]`` inclusive, ``{..}`` exclusive,
+``*`` = open end).  Filters compose with terms/phrase/proximity/
+context queries; substr/regex reject them (their exact-verify pass
+scans content).
 """
 
 from __future__ import annotations
@@ -283,13 +289,12 @@ def main(argv: list[str]) -> int:
             "phrase/context/proximity queries need the positional sidecar "
             "— run scripts/build_index_job.py with --positions first"
         )
-    if any(q.get("filters") for q in grep_qs):
+    if any(q.get("filters") or q.get("filters_like") or q.get("ranges")
+           for q in grep_qs):
         raise SystemExit(
             "field:value filters are not supported on substr/regex "
             "queries (the exact-verify pass scans content; filter the "
             "corpus instead)")
-    from functools import reduce
-
     from pyspark.sql import functions as F
 
     def remap_ids(df):
@@ -311,31 +316,49 @@ def main(argv: list[str]) -> int:
 
     filtered_kinds = (term_qs + phrase_qs + phrase_prefix_qs + prox_qs
                       + context_qs + rescore_qs)
-    doc_cols = set(idx.docs(spark).columns)
-    bad = {c for q in filtered_kinds for c in (q.get("filters") or {})} \
-        - doc_cols
+    docs_df = idx.docs(spark)
+    doc_cols = set(docs_df.columns)
+    bad = {c for q in filtered_kinds
+           for c in (list(q.get("filters") or {})
+                     + list(q.get("filters_like") or {})
+                     + list(q.get("ranges") or {}))} - doc_cols
     if bad:
         raise SystemExit(
             f"unknown filter field(s) {sorted(bad)}; the index stores "
             f"doc metadata columns {sorted(doc_cols)}")
+    numeric = {f.name for f in docs_df.schema.fields
+               if f.dataType.typeName() in
+               ("byte", "short", "integer", "long", "float", "double",
+                "decimal")}
+    bad_rng = {c for q in filtered_kinds
+               for c in (q.get("ranges") or {})} - numeric
+    if bad_rng:
+        raise SystemExit(
+            f"range filter field(s) {sorted(bad_rng)} are not numeric "
+            f"doc metadata columns (numeric: {sorted(numeric)})")
     if args.collapse_by and args.collapse_by not in doc_cols:
         raise SystemExit(
             f"unknown --collapse-by column {args.collapse_by!r}; the "
             f"index stores doc metadata columns {sorted(doc_cols)}")
 
+    from snowball_java_spark.functions.queryparse import filters_column
+
     def by_filter(group: list[dict]):
         """doc_filter is call-scoped → one operator call per distinct
-        filter; the common no-filter batch stays one call."""
+        (equality, wildcard, range) filter set; the common no-filter
+        batch stays one call."""
         out: dict[tuple, list[dict]] = {}
         for q in group:
-            out.setdefault(
-                tuple(sorted((q.get("filters") or {}).items())), []
-            ).append(q)
-        for key, grp in out.items():
-            flt = (reduce(lambda a, b: a & b,
-                          [F.col(c) == F.lit(v) for c, v in key])
-                   if key else None)
-            yield flt, grp
+            key = (
+                tuple(sorted((q.get("filters") or {}).items())),
+                tuple(sorted((q.get("filters_like") or {}).items())),
+                tuple(sorted((c, tuple(sorted(b.items())))
+                             for c, b in (q.get("ranges") or {}).items())),
+            )
+            out.setdefault(key, []).append(q)
+        for (eq, like, rng), grp in out.items():
+            yield filters_column(dict(eq), dict(like),
+                                 {c: dict(b) for c, b in rng}), grp
 
     if args.federate_with:
         from snowball_java_spark.operators.federate import (

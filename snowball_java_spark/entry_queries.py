@@ -198,6 +198,7 @@ def _bm25_topk_sql(
     wildcard_expand: tuple[str, int] | None = None,
     regexp_expand: tuple[str, int] | None = None,
     after: int = 0, min_match: int | None = None,
+    cand_pred: str | None = None,
 ) -> str:
     """``prefix_expand=(stem, max_expansions)``: the query-term CTE comes
     from expanding the stem against the corpus vocabulary (df desc, term
@@ -236,11 +237,21 @@ def _bm25_topk_sql(
         having = f"HAVING count(*) >= {min_match}"
     else:
         having = ""
-    cand_join = (
-        f"JOIN documents doc ON tfx.doc_id = doc.doc_id AND doc.source = '{source}'"
-        if source
-        else ""
-    )
+    if cand_pred is not None:
+        # general scoped-search predicate over doc (documents alias) and
+        # cdl (per-doc token length) — the oracle form of the engine's
+        # filters/filters_like/ranges doc_filter
+        cand_join = (
+            f"JOIN documents doc ON tfx.doc_id = doc.doc_id "
+            f"JOIN dl cdl ON tfx.doc_id = cdl.doc_id AND ({cand_pred})"
+        )
+    elif source:
+        cand_join = (
+            f"JOIN documents doc ON tfx.doc_id = doc.doc_id "
+            f"AND doc.source = '{source}'"
+        )
+    else:
+        cand_join = ""
     not_where = ""
     if not_terms:
         ntlist = ", ".join(f"'{t}'" for t in sorted(set(not_terms)))
@@ -632,6 +643,71 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
           "not_terms": parsed["not_terms"]}],
         candidate_predicate=pred, n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+#: dl range for the range-scoped gates (ES range query analog): docs
+#: with 40–89 tokens — ~58% of the synthetic corpus, so the scoped
+#: top-10 differs from the unscoped one without starving
+_RANGE_LO, _RANGE_HI = 40, 89
+#: wildcard VALUE filter for the scoped gates: sources src1, src10–19
+_LIKE_FILTER = "src1*"
+_SCOPED_QUERY_STRING = (
+    f"table row repo:{_LIKE_FILTER} dl:[{_RANGE_LO} TO {_RANGE_HI}]")
+
+
+def _q_bm25_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range scoping on the JOIN path (ES range query): the
+    candidate predicate is a dl (token-count) band; relevance stats
+    stay whole-corpus — same scoped-search contract as
+    ``bm25_topk_filtered``, predicate kind generalized from equality
+    to a range."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": HOT_TERMS, "k": 10}],
+        candidate_predicate=(
+            (F.size("tokens") >= _RANGE_LO)
+            & (F.size("tokens") <= _RANGE_HI)),
+        n_docs=n_docs, avgdl=avgdl,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_query_string_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scoped-search pipeline on the INDEX path: a query
+    string with a wildcard VALUE filter (``repo:src1*`` → LIKE) and a
+    bracket range (``dl:[40 TO 89]``) parses into filters_like/ranges,
+    ``filters_column`` folds them into ONE doc_filter Column, and the
+    index kernel executes it as scoped search (dead-doc fold + shard
+    semi-join — zero corpus scan).  Exercises parser → shared
+    predicate builder → index executor end-to-end, the exact path
+    ``run_queries_job`` drives."""
+    from snowball_java_spark.functions.queryparse import (
+        filters_column,
+        parse_query,
+    )
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    parsed = parse_query(_SCOPED_QUERY_STRING, k=10)
+    assert parsed["filters_like"] and parsed["ranges"]
+    flt = filters_column(parsed["filters"], parsed["filters_like"],
+                         parsed["ranges"])
+    idx = _index_for(spark, sf_dir)
+    res = bm25_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
+          "mode": parsed["mode"], "not_terms": parsed["not_terms"]}],
+        cfg=_INDEX_CFG, doc_filter=flt,
     )
     return res.select(
         "doc_id", F.col("rank").cast("long").alias("rank"),
@@ -4471,6 +4547,40 @@ def build_registry() -> dict[str, Q]:
                 s, d, HOT_TERMS, 10,
                 doc_filter=f"repo = '{_FILTER_SOURCE}'"),
             _bm25_topk_sql(HOT_TERMS, 10, source=_FILTER_SOURCE),
+        ),
+        # scoped search, predicate kinds beyond equality (ES range /
+        # wildcard-value queries): numeric dl band on both paths, LIKE
+        # on the index path, and the parsed-query-string composition
+        "bm25_range_topk": Q(
+            _q_bm25_range,
+            _bm25_topk_sql(
+                HOT_TERMS, 10,
+                cand_pred=f"cdl.dl BETWEEN {_RANGE_LO} AND {_RANGE_HI}"),
+        ),
+        "bm25_index_range_topk": Q(
+            lambda s, d: _bm25_index_topk(
+                s, d, HOT_TERMS, 10,
+                doc_filter=f"dl >= {_RANGE_LO} AND dl <= {_RANGE_HI}"),
+            _bm25_topk_sql(
+                HOT_TERMS, 10,
+                cand_pred=f"cdl.dl BETWEEN {_RANGE_LO} AND {_RANGE_HI}"),
+        ),
+        "bm25_index_like_topk": Q(
+            lambda s, d: _bm25_index_topk(
+                s, d, HOT_TERMS, 10,
+                doc_filter=f"repo LIKE '{_LIKE_FILTER.replace('*', '%')}'"),
+            _bm25_topk_sql(
+                HOT_TERMS, 10,
+                cand_pred=(
+                    f"doc.source LIKE '{_LIKE_FILTER.replace('*', '%')}'")),
+        ),
+        "query_string_scoped_topk": Q(
+            _q_query_string_scoped,
+            _bm25_topk_sql(
+                HOT_TERMS, 10,
+                cand_pred=(
+                    f"doc.source LIKE '{_LIKE_FILTER.replace('*', '%')}' "
+                    f"AND cdl.dl BETWEEN {_RANGE_LO} AND {_RANGE_HI}")),
         ),
         "query_string_topk": Q(
             _q_query_string,

@@ -16,6 +16,16 @@ executable by an operator that already has an oracle-checked gate:
                                  prefix / search-as-you-type: the stem
                                  completes against the vocabulary)
     table source:src0        →  {"terms": [...], "filters": {"source": "src0"}}
+    table source:src1*       →  {"terms": [...], "filters_like": {"source": "src1*"}}
+                                 (wildcard VALUE filter — ES wildcard
+                                 query on a keyword field; * any run,
+                                 ? one char, translated to LIKE and
+                                 pushed down as a candidate predicate)
+    table dl:>=40            →  {"terms": [...], "ranges": {"dl": {"gte": 40}}}
+    table dl:[40 TO 89]      →  {"terms": [...], "ranges": {"dl": {"gte": 40, "lte": 89}}}
+                                 (ES range query: [..] inclusive,
+                                 {..} exclusive, * = open end; numeric
+                                 candidate scoping, stats stay global)
     tok* row                 →  {"terms": ["row"], "prefixes": ["tok"]}
     *_test re?d              →  {"wildcards": ["*_test", "re?d"]}
                                  (general wildcard: * any run, ? one
@@ -49,7 +59,8 @@ import re
 
 from snowball_java_spark.functions.tokenize import tokenize_py
 
-__all__ = ["QueryParseError", "parse_query"]
+__all__ = ["QueryParseError", "parse_query", "filters_column",
+           "like_pattern"]
 
 
 class QueryParseError(ValueError):
@@ -67,6 +78,45 @@ _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 # operators.suggest._WILDCARD_RE — kept local so the parser layer does
 # not import the operators layer)
 _WILDCARD_RE = re.compile(r"^[a-z0-9_*?]+$")
+# a bracketed range filter: field:[lo TO hi] / field:{lo TO hi} — the
+# Lucene range syntax.  Contains a space, so it is cut out of the raw
+# string BEFORE whitespace lexing.  Mixed brackets ([lo TO hi}) allowed.
+_RANGE_BRACKET_RE = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_]*):([\[\{])\s*(\S+)\s+TO\s+(\S+)\s*([\]\}])")
+# a comparison range filter value: >N >=N <N <=N
+_RANGE_CMP_RE = re.compile(r"^(>=|<=|>|<)(.+)$")
+
+
+def _range_number(field: str, raw: str) -> float | int:
+    """Parse one range endpoint; loud on garbage (``dl:>fast`` must not
+    silently become anything)."""
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        raise QueryParseError(
+            f"range endpoint {raw!r} on field {field!r} is not a number")
+
+
+def _merge_range(ranges: dict, field: str, op: str,
+                 val: "float | int") -> None:
+    b = ranges.setdefault(field, {})
+    if op in b and b[op] != val:
+        raise QueryParseError(
+            f"conflicting {op!r} bounds on field {field!r}")
+    b[op] = val
+    lo = b.get("gte", b.get("gt"))
+    hi = b.get("lte", b.get("lt"))
+    if ("gte" in b and "gt" in b) or ("lte" in b and "lt" in b):
+        raise QueryParseError(
+            f"field {field!r} given both inclusive and exclusive "
+            f"bounds on the same side")
+    if lo is not None and hi is not None and lo > hi:
+        raise QueryParseError(
+            f"empty range on field {field!r}: {lo} > {hi}")
 
 
 def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
@@ -99,11 +149,36 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
     required: list[str] = []
     not_terms: list[str] = []
     filters: dict[str, str] = {}
+    filters_like: dict[str, str] = {}
+    ranges: dict[str, dict] = {}
     window: int | None = None
     saw_and = False
     saw_bare_quoteless = False
 
-    matches = list(_LEX_RE.finditer(q or ""))
+    # bracketed ranges contain a space ("dl:[40 TO 89]"), so they are
+    # extracted from the RAW string and blanked before whitespace lexing
+    def _take_bracket(m: "re.Match[str]") -> str:
+        field, lb, lo, hi, rb = m.groups()
+        if lo != "*":
+            _merge_range(ranges, field, "gte" if lb == "[" else "gt",
+                         _range_number(field, lo))
+        if hi != "*":
+            _merge_range(ranges, field, "lte" if rb == "]" else "lt",
+                         _range_number(field, hi))
+        if lo == "*" and hi == "*":
+            raise QueryParseError(
+                f"range on field {field!r} needs at least one bound")
+        return " "
+
+    q = _RANGE_BRACKET_RE.sub(_take_bracket, q or "")
+    if re.search(r"[\[\{]\S*\s+TO\s+", q):
+        # a malformed bracket range ("dl:[40 TO 89" — missing close)
+        # must not silently lex into bare terms
+        raise QueryParseError(
+            "malformed range (use field:[lo TO hi], {..} exclusive, "
+            "* = open end)")
+
+    matches = list(_LEX_RE.finditer(q))
     if not matches:
         raise QueryParseError("empty query")
     for m in matches:
@@ -157,6 +232,25 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         fm = _FIELD_RE.match(word)
         if fm and not word.startswith(("+", "-")) and fm.group(2):
             field, value = fm.groups()
+            cm = _RANGE_CMP_RE.match(value)
+            if cm:
+                op_map = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}
+                _merge_range(ranges, field, op_map[cm.group(1)],
+                             _range_number(field, cm.group(2)))
+                continue
+            if "*" in value or "?" in value:
+                # wildcard VALUE filter (ES wildcard query on a keyword
+                # field) — kept verbatim; the executor translates to
+                # LIKE.  Distinct from bare-term wildcards, which expand
+                # against the index vocabulary.
+                if set(value) <= {"*", "?"}:
+                    raise QueryParseError(
+                        f"wildcard filter on field {field!r} needs at "
+                        "least one literal character")
+                if filters_like.setdefault(field, value) != value:
+                    raise QueryParseError(
+                        f"conflicting wildcard filters on field {field!r}")
+                continue
             if field in filters and filters[field] != value:
                 raise QueryParseError(
                     f"conflicting filters on field {field!r}")
@@ -281,6 +375,13 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             saw_bare_quoteless = True
             terms.extend(toks)
 
+    overlap = (set(filters) & set(filters_like)) \
+        | (set(filters) & set(ranges)) | (set(filters_like) & set(ranges))
+    if overlap:
+        raise QueryParseError(
+            f"field(s) {sorted(overlap)} given more than one filter kind "
+            "(exact / wildcard / range)")
+
     if phrase is not None:
         if terms or required or saw_and or prefixes or fuzzy \
                 or wildcards or regexps:
@@ -296,16 +397,19 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
                 raise QueryParseError(
                     "a phrase prefix does not compose with -term")
             return {"query_id": int(query_id), "k": int(k),
-                    "phrase": phrase, "filters": filters}
+                    "phrase": phrase, "filters": filters,
+                    "filters_like": filters_like, "ranges": ranges}
         if window is not None:
             if not_terms:
                 raise QueryParseError(
                     "proximity (~N) does not compose with -term")
             return {"query_id": int(query_id), "k": int(k),
                     "terms": sorted(set(phrase)), "window": window,
-                    "filters": filters}
+                    "filters": filters,
+                    "filters_like": filters_like, "ranges": ranges}
         return {"query_id": int(query_id), "k": int(k), "phrase": phrase,
-                "not_terms": sorted(set(not_terms)), "filters": filters}
+                "not_terms": sorted(set(not_terms)), "filters": filters,
+                "filters_like": filters_like, "ranges": ranges}
 
     if required and saw_bare_quoteless:
         raise QueryParseError(
@@ -328,4 +432,61 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "fuzzy": dict(sorted(fuzzy.items())),
             "boosts": dict(sorted(boosts.items())),
             "not_terms": sorted(set(not_terms)),
-            "filters": filters, "mode": mode}
+            "filters": filters, "filters_like": filters_like,
+            "ranges": ranges, "mode": mode}
+
+
+def like_pattern(value: str) -> str:
+    """Wildcard filter VALUE → SQL LIKE pattern (``*`` → ``%``, ``?`` →
+    ``_``).  Filter values are arbitrary strings (paths, repo names) —
+    unlike vocabulary terms — so literal ``%`` and ``_`` are both
+    escaped with ``\\`` (the default LIKE escape on Spark and DuckDB,
+    one translation serving the engine and its oracle)."""
+    out = []
+    for ch in value:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+#: range op → Column builder (ES range-query vocabulary)
+_RANGE_OPS = {
+    "gte": lambda c, v: c >= v,
+    "gt": lambda c, v: c > v,
+    "lte": lambda c, v: c <= v,
+    "lt": lambda c, v: c < v,
+}
+
+
+def filters_column(
+    filters: "dict[str, str] | None" = None,
+    filters_like: "dict[str, str] | None" = None,
+    ranges: "dict[str, dict] | None" = None,
+):
+    """The three filter kinds of one parsed query → ONE conjunctive
+    pyspark ``Column`` (or ``None`` when all empty) — the shared
+    doc_filter builder for ``scripts/run_queries_job.py`` and any
+    caller executing parse_query output.  The column evaluates over
+    docs metadata, so operators push it down as a candidate predicate
+    (scoped search: stats stay global)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    preds = [F.col(c) == F.lit(v) for c, v in sorted((filters or {}).items())]
+    preds += [F.col(c).like(like_pattern(v))
+              for c, v in sorted((filters_like or {}).items())]
+    for c, bounds in sorted((ranges or {}).items()):
+        for op, v in sorted(bounds.items()):
+            if op not in _RANGE_OPS:
+                raise QueryParseError(
+                    f"unknown range op {op!r} on field {c!r} "
+                    f"(use gte/gt/lte/lt)")
+            preds.append(_RANGE_OPS[op](F.col(c), F.lit(v)))
+    return reduce(lambda a, b: a & b, preds) if preds else None

@@ -28,7 +28,8 @@ def test_parse_or_terms():
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
                  "prefixes": [], "wildcards": [], "regexps": [],
                  "fuzzy": {}, "boosts": {}, "not_terms": [],
-                 "filters": {}, "mode": "or"}
+                 "filters": {}, "filters_like": {}, "ranges": {},
+                 "mode": "or"}
 
 
 def test_parse_and_via_keyword_and_plus():
@@ -221,7 +222,8 @@ def test_parse_regexps():
 def test_parse_proximity():
     p = parse_query('"def return"~4')
     assert p == {"query_id": 0, "k": 10, "terms": ["def", "return"],
-                 "window": 4, "filters": {}}
+                 "window": 4, "filters": {}, "filters_like": {},
+                 "ranges": {}}
     assert parse_query('"a b"~4 lang:py')["filters"] == {"lang": "py"}
     for bad in ['~4 "a b"', '"a b"~x', '"a b"~-1', 'def ~4', '"a b"~4 -c',
                 '"a b"~4 ~5']:
@@ -423,7 +425,7 @@ def test_phrase_prefix_parses_and_guards():
 
     q = parse_query('"def ma*"', query_id=7, k=5)
     assert q == {"query_id": 7, "k": 5, "phrase": ["def", "ma*"],
-                 "filters": {}}
+                 "filters": {}, "filters_like": {}, "ranges": {}}
     # tokenizer normalization still applies to head and stem
     q = parse_query('"Def-X mA*"', query_id=0)
     assert q["phrase"] == ["def", "x", "ma*"]
@@ -431,3 +433,129 @@ def test_phrase_prefix_parses_and_guards():
                 '"def foo-ba*"'):
         with pytest.raises(QueryParseError):
             parse_query(bad, query_id=0)
+
+
+# ----------------------------------------- range / wildcard-value filters
+
+def test_parse_range_comparisons():
+    p = parse_query("table dl:>=40")
+    assert p["ranges"] == {"dl": {"gte": 40}}
+    assert p["terms"] == ["table"] and p["filters"] == {}
+    p = parse_query("table dl:>40 dl:<=89 stars:<5")
+    assert p["ranges"] == {"dl": {"gt": 40, "lte": 89},
+                           "stars": {"lt": 5}}
+    # floats parse as floats
+    assert parse_query("x score:>=0.5")["ranges"] == {"score": {"gte": 0.5}}
+
+
+def test_parse_range_brackets():
+    # [..] inclusive, {..} exclusive, mixed allowed, * = open end
+    assert parse_query("t dl:[40 TO 89]")["ranges"] == \
+        {"dl": {"gte": 40, "lte": 89}}
+    assert parse_query("t dl:{40 TO 89}")["ranges"] == \
+        {"dl": {"gt": 40, "lt": 89}}
+    assert parse_query("t dl:[40 TO 89}")["ranges"] == \
+        {"dl": {"gte": 40, "lt": 89}}
+    assert parse_query("t dl:[40 TO *]")["ranges"] == {"dl": {"gte": 40}}
+    assert parse_query("t dl:[* TO 89]")["ranges"] == {"dl": {"lte": 89}}
+    # a bracket range composes with every other surface it should
+    p = parse_query('t repo:src1* dl:[40 TO 89] -bad')
+    assert p["filters_like"] == {"repo": "src1*"}
+    assert p["ranges"] == {"dl": {"gte": 40, "lte": 89}}
+    assert p["not_terms"] == ["bad"]
+
+
+@pytest.mark.parametrize("bad", [
+    "t dl:>fast",               # non-numeric endpoint
+    "t dl:[a TO 9]",            # non-numeric bracket endpoint
+    "t dl:[* TO *]",            # unbounded both sides
+    "t dl:[40 TO 89",           # malformed: missing close bracket
+    "t dl:>=40 dl:>30",         # inclusive+exclusive same side
+    "t dl:>=40 dl:>=50",        # conflicting same-op bounds
+    "t dl:[89 TO 40]",          # empty range
+    "t dl:>=90 dl:<=10",        # empty range via comparisons
+    "t repo:* ",                # wildcard filter with no literal char
+    "t repo:src0 repo:src1*",   # exact + wildcard on same field
+    "t dl:>=40 dl:x",           # range + exact on same field
+])
+def test_parse_range_and_like_rejects(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+def test_parse_wildcard_value_filters():
+    p = parse_query("table path:*_test.py repo:src1*")
+    assert p["filters_like"] == {"path": "*_test.py", "repo": "src1*"}
+    assert p["filters"] == {}
+    # duplicate identical wildcard filter is idempotent
+    assert parse_query("t a:x* a:x*")["filters_like"] == {"a": "x*"}
+    # bare-term wildcards stay vocabulary wildcards, not filters
+    p = parse_query("*_test row")
+    assert p["wildcards"] == ["*_test"] and p["filters_like"] == {}
+
+
+def test_like_pattern_translation():
+    from snowball_java_spark.functions.queryparse import like_pattern
+
+    assert like_pattern("src1*") == "src1%"
+    assert like_pattern("re?d") == "re_d"
+    assert like_pattern("a%b_c*") == "a\\%b\\_c%"
+
+
+def test_filters_column_executes(spark):
+    """filters_column folds the three kinds into one Column whose rows
+    match a python re-evaluation on the same metadata."""
+    from snowball_java_spark.functions.queryparse import filters_column
+
+    rows = [(i, f"src{i % 13}", 30 + i) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "repo", "dl"])
+    flt = filters_column({}, {"repo": "src1*"},
+                         {"dl": {"gte": 40, "lt": 80}})
+    got = sorted(r.doc_id for r in df.filter(flt).collect())
+    want = sorted(i for i, repo, dl in rows
+                  if repo.startswith("src1") and 40 <= dl < 80)
+    assert got == want and got
+    # all-empty → None (caller runs unfiltered)
+    assert filters_column({}, {}, {}) is None
+    # unknown op is loud
+    with pytest.raises(QueryParseError):
+        filters_column(ranges={"dl": {"between": 3}})
+
+
+def test_index_path_range_scoping_matches_join_path(spark, synth_docs,
+                                                    tmp_path_factory):
+    """The doc_filter built by filters_column (LIKE + range) gives the
+    index path the same scoped top-k as a pre-filtered join path —
+    scoped-search contract: candidates are cut, stats stay global."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.queryparse import (
+        filters_column,
+        parse_query,
+    )
+
+    parsed = parse_query("return import repo:org0/repo1* dl:[40 TO 10000]",
+                         k=10)
+    flt = filters_column(parsed["filters"], parsed["filters_like"],
+                         parsed["ranges"])
+    idx_dir = str(tmp_path_factory.mktemp("qp_rng_idx"))
+    idx = build_index(spark, synth_docs, idx_dir, cfg=CFG)
+    got = bm25_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["import", "return"], "k": 10}],
+        cfg=CFG, doc_filter=flt,
+    ).collect()
+    docs_tok = with_tokens(synth_docs)
+    n_docs = docs_tok.count()
+    avgdl = docs_tok.select(F.avg(F.size("tokens"))).first()[0]
+    want = bm25_topk_join(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": ["import", "return"], "k": 10}],
+        candidate_predicate=(
+            F.col("repo").like("org0/repo1%")
+            & (F.size("tokens") >= 40) & (F.size("tokens") <= 10000)),
+        n_docs=n_docs, avgdl=avgdl,
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert got and all(
+        abs(a.score - b.score) < 1e-6 for a, b in zip(got, want))
