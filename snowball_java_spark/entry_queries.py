@@ -2898,6 +2898,60 @@ SELECT query_id, bucket, n_docs FROM ({u}) ORDER BY query_id, bucket
 """
 
 
+_PIPE_WINDOW = 3
+
+
+def _q_facet_histogram_pipeline(spark, sf_dir):
+    """ES parent pipeline aggregations (derivative / cumulative_sum /
+    moving_fn avg) over the gap-free histogram of each query's match
+    set: the rate-of-change, running-total, and smoothed views ES
+    computes from a histogram response, as window functions over the
+    already-aggregated bucket relation."""
+    from snowball_java_spark.operators.aggs import (
+        histogram_matches_index,
+        pipeline_over_buckets,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    buckets = histogram_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
+    res = pipeline_over_buckets(buckets, window=_PIPE_WINDOW)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "bucket", "n_docs",
+        F.col("derivative").cast("long").alias("derivative"),
+        F.col("cumulative_sum").cast("long").alias("cumulative_sum"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def _facet_histogram_pipeline_sql(
+        specs: list[tuple[list[str], list[str]]], width: int,
+        window: int) -> str:
+    """The histogram oracle wrapped in the SAME ANSI window frames the
+    engine states: lag for derivative, unbounded-preceding running sum,
+    trailing-``window``-inclusive mean."""
+    inner = _facet_histogram_sql(specs, width).strip().rstrip()
+    assert inner.endswith("ORDER BY query_id, bucket")
+    inner = inner[: -len("ORDER BY query_id, bucket")]
+    return f"""
+SELECT query_id, bucket, n_docs,
+  (n_docs - lag(n_docs) OVER w)::BIGINT AS derivative,
+  (sum(n_docs) OVER (PARTITION BY query_id ORDER BY bucket
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+     AS cumulative_sum,
+  round(avg(n_docs) OVER (PARTITION BY query_id ORDER BY bucket
+     ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW), 6)::DOUBLE
+     AS moving_avg
+FROM ({inner})
+WINDOW w AS (PARTITION BY query_id ORDER BY bucket)
+ORDER BY query_id, bucket
+"""
+
+
 _PCTS = (25.0, 50.0, 75.0, 95.0)
 
 
@@ -4777,6 +4831,12 @@ FROM g
             _q_facet_histogram,
             _facet_histogram_sql(
                 [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)], _HIST_WIDTH),
+        ),
+        "facet_histogram_pipeline": Q(
+            _q_facet_histogram_pipeline,
+            _facet_histogram_pipeline_sql(
+                [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)], _HIST_WIDTH,
+                _PIPE_WINDOW),
         ),
         "percentiles_dl": Q(
             _q_percentiles_dl,

@@ -536,3 +536,71 @@ def top_hits_by_facet(
         .orderBy("query_id", F.desc("bucket_n_docs"), F.asc("value"),
                  "rank")
     )
+
+
+#: supported pipeline metrics → (output column, window column builder).
+#: Built lazily in pipeline_over_buckets so each shares ONE window spec.
+_PIPELINE_METRICS = ("derivative", "cumulative_sum", "moving_avg")
+
+
+def pipeline_over_buckets(
+    buckets: DataFrame,
+    value_col: str = "n_docs",
+    order_col: str = "bucket",
+    partition_cols: "list[str] | tuple[str, ...]" = ("query_id",),
+    metrics: "list[str] | tuple[str, ...]" = _PIPELINE_METRICS,
+    window: int = 3,
+) -> DataFrame:
+    """ES *pipeline aggregations* (parent family) over an already-
+    bucketed relation such as ``histogram_matches_index`` output:
+    per-partition, in ``order_col`` order,
+
+    * ``derivative``       — value minus the previous bucket's value
+      (NULL on each partition's first bucket, exactly ES ``derivative``);
+    * ``cumulative_sum``   — running total, first bucket included
+      (ES ``cumulative_sum``);
+    * ``moving_avg``       — mean of the trailing ``window`` buckets
+      INCLUDING the current one (ES ``moving_fn``/``MovingFunctions.
+      unweightedAvg`` with ``shift = window``; the inclusive frame is
+      the one SQL window frames state exactly, so the engine and any
+      ANSI-SQL oracle compute it identically).
+
+    ES computes these driver-side over an in-memory bucket list; here
+    they are window functions over the aggregated bucket relation —
+    already ≤ value-range/width rows per query, never match rows — so
+    the pipeline step adds one partition-local sort, no extra shuffle
+    when the bucket relation is already hash-partitioned by the same
+    keys.  Gap-free input (histogram ``min_doc_count=0``) makes the
+    derivative a true per-``width`` rate; on sparse input it is the
+    difference vs the previous EXISTING bucket, exactly like ES.
+    """
+    bad = [m for m in metrics if m not in _PIPELINE_METRICS]
+    if bad:
+        raise ValueError(
+            f"unknown pipeline metric(s) {bad}; "
+            f"supported: {list(_PIPELINE_METRICS)}")
+    if not metrics:
+        raise ValueError("metrics must be non-empty")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    missing = [c for c in (*partition_cols, order_col, value_col)
+               if c not in buckets.columns]
+    if missing:
+        raise ValueError(
+            f"column(s) {missing} not in bucket relation "
+            f"{buckets.columns}")
+    w = Window.partitionBy(*partition_cols).orderBy(order_col)
+    out = buckets
+    if "derivative" in metrics:
+        out = out.withColumn(
+            "derivative", F.col(value_col) - F.lag(value_col).over(w))
+    if "cumulative_sum" in metrics:
+        out = out.withColumn(
+            "cumulative_sum",
+            F.sum(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+    if "moving_avg" in metrics:
+        out = out.withColumn(
+            "moving_avg",
+            F.avg(value_col).over(w.rowsBetween(-(window - 1), 0)))
+    return out.orderBy(*partition_cols, order_col)

@@ -413,3 +413,80 @@ def test_top_hits_matches_single_window(spark, synth_docs):
                                                      r["bucket_n_docs"])
             for r in want}
     assert gset == wset and len(got) == len(want)
+
+
+# ------------------------------------------------- pipeline aggregations
+
+def test_pipeline_over_buckets_semantics(spark):
+    """Hand-built bucket relation: derivative is vs the previous
+    EXISTING bucket (sparse input, ES semantics), cumulative includes
+    the first bucket, moving_avg is trailing-window-inclusive, and
+    partitions never leak into each other."""
+    from snowball_java_spark.operators.aggs import pipeline_over_buckets
+
+    rows = [  # query 0 sparse (gap 20→50), query 1 single bucket
+        (0, 20, 4), (0, 50, 10), (0, 60, 1),
+        (1, 0, 7),
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "bucket", "n_docs"])
+    got = {(r.query_id, r.bucket):
+           (r.derivative, r.cumulative_sum, float(r.moving_avg))
+           for r in pipeline_over_buckets(df, window=2).collect()}
+    assert got == {
+        (0, 20): (None, 4, 4.0),
+        (0, 50): (6, 14, 7.0),       # derivative vs previous EXISTING
+        (0, 60): (-9, 15, 5.5),      # trailing-2 mean incl. current
+        (1, 0): (None, 7, 7.0),      # new partition: lag resets
+    }
+    # window=1 moving_avg degenerates to the value itself
+    one = pipeline_over_buckets(df, window=1,
+                                metrics=["moving_avg"]).collect()
+    assert all(float(r.moving_avg) == float(r.n_docs) for r in one)
+    # metric subset: absent metrics yield no column
+    sub = pipeline_over_buckets(df, metrics=["derivative"])
+    assert "cumulative_sum" not in sub.columns
+    assert "moving_avg" not in sub.columns
+
+
+def test_pipeline_over_buckets_rejects(spark):
+    from snowball_java_spark.operators.aggs import pipeline_over_buckets
+
+    df = spark.createDataFrame([(0, 0, 1)], ["query_id", "bucket", "n_docs"])
+    with pytest.raises(ValueError):
+        pipeline_over_buckets(df, metrics=["nope"])
+    with pytest.raises(ValueError):
+        pipeline_over_buckets(df, metrics=[])
+    with pytest.raises(ValueError):
+        pipeline_over_buckets(df, window=0)
+    with pytest.raises(ValueError):
+        pipeline_over_buckets(df, value_col="absent")
+
+
+def test_pipeline_over_histogram_matches_python(spark, index, toks):
+    """End-to-end over the real histogram: re-derive all three metrics
+    in python from the histogram rows themselves."""
+    from snowball_java_spark.operators.aggs import pipeline_over_buckets
+
+    qs = [{"query_id": 0, "terms": ["def", "return"]},
+          {"query_id": 1, "terms": ["rare_7", "class"]}]
+    hist = histogram_matches_index(
+        spark, index, qs, value_col="dl", width=25, cfg=CFG)
+    got = pipeline_over_buckets(hist, window=3).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.bucket)):
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for rows in by_q.values():
+        run = 0
+        vals: list[int] = []
+        for i, r in enumerate(rows):
+            vals.append(r.n_docs)
+            run += r.n_docs
+            assert r.cumulative_sum == run
+            if i == 0:
+                assert r.derivative is None
+            else:
+                assert r.derivative == r.n_docs - rows[i - 1].n_docs
+            w = vals[max(0, i - 2):i + 1]
+            assert float(r.moving_avg) == pytest.approx(
+                sum(w) / len(w), rel=REL)
