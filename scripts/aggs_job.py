@@ -3,7 +3,8 @@ match sets — the analytics sidebar without a corpus scan.
 
     spark-submit --py-files dist.zip scripts/aggs_job.py \
         --index-dir /path/index --queries q.jsonl \
-        [--facets repo,lang] [--counts] [--histogram dl:32] \
+        [--facets repo,lang] [--counts] [--histogram dl:32 \
+            [--pipeline derivative,cumulative_sum,moving_avg[:W]]] \
         [--range dl:*-64,32-96,128-*] \
         [--composite repo,lang:50 [--after V1,V2]] \
         [--sig-terms 10] [--sort-by dl[:asc]] \
@@ -78,6 +79,14 @@ def main(argv: list[str]) -> int:
                    help="use the bounded-size rank sketch (ES-style "
                         "approximate percentiles) instead of the exact "
                         "interpolated quantile")
+    p.add_argument("--pipeline", default=None,
+                   metavar="METRICS[:WINDOW]",
+                   help="ES parent pipeline aggregations over the "
+                        "--histogram buckets: comma-separated subset of "
+                        "derivative,cumulative_sum,moving_avg, optional "
+                        "moving window (default 3) — e.g. "
+                        "derivative,moving_avg:5; the histogram output "
+                        "gains one column per metric")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
@@ -94,6 +103,9 @@ def main(argv: list[str]) -> int:
         raise SystemExit("--cardinality-rsd requires --cardinality")
     if args.percentiles_approx and not args.percentiles:
         raise SystemExit("--percentiles-approx requires --percentiles")
+    if args.pipeline and not args.histogram:
+        raise SystemExit("--pipeline requires --histogram (it runs over "
+                         "the histogram's bucket series)")
 
     from pyspark.sql import SparkSession
 
@@ -162,8 +174,22 @@ def main(argv: list[str]) -> int:
         col, _, width = args.histogram.partition(":")
         if not width:
             raise SystemExit("--histogram wants COL:WIDTH, e.g. dl:32")
-        emit("histogram", histogram_matches_index(
-            spark, idx, qs, value_col=col, width=int(width), cfg=idx.cfg))
+        hist = histogram_matches_index(
+            spark, idx, qs, value_col=col, width=int(width), cfg=idx.cfg)
+        if args.pipeline:
+            from snowball_java_spark.operators.aggs import (
+                pipeline_over_buckets,
+            )
+
+            spec, _, win = args.pipeline.partition(":")
+            metrics = [m.strip() for m in spec.split(",") if m.strip()]
+            try:
+                hist = pipeline_over_buckets(
+                    hist, metrics=metrics,
+                    window=int(win) if win else 3)
+            except ValueError as e:
+                raise SystemExit(f"--pipeline: {e}")
+        emit("histogram", hist)
     if args.composite:
         from snowball_java_spark.operators.aggs import (
             composite_matches_index,
