@@ -40,6 +40,12 @@ def main(argv: list[str]) -> int:
                         "comment stripping + camelCase splitting for code "
                         "langs (persisted; refresh/positions stay "
                         "consistent)")
+    p.add_argument("--cluster-by", default=None, metavar="COL",
+                   help="cluster doc_ids on a metadata column (ES index "
+                        "sorting / _routing analog): shards group by the "
+                        "column's values, so scoped queries filtering on "
+                        "it prune whole shards; the natural key already "
+                        "clusters by repo")
     p.add_argument("--queries", default=None, help="jsonl: {query_id, terms, k}")
     p.add_argument("--verify-topk", action="store_true")
     p.add_argument(
@@ -75,7 +81,8 @@ def main(argv: list[str]) -> int:
     t0 = time.time()
     corpus = read_corpus(spark, args.corpus)
     idx = build_index(spark, corpus, args.index_dir,
-                      cfg=cfg, n_buckets=args.buckets)
+                      cfg=cfg, n_buckets=args.buckets,
+                      cluster_by=args.cluster_by)
     if args.positions:
         # assign_doc_ids is a pure function of the corpus key, so the
         # sidecar's ids reproduce the index's ids exactly (tested)

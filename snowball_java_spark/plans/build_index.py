@@ -123,6 +123,9 @@ class IndexReader:
         self.total_dl: int = int(conf.get("total_dl",
                                           round(self.avgdl * self.n_docs)))
         self.n_buckets: int = conf["n_buckets"]
+        #: metadata column doc_ids were clustered on at build (ES index
+        #: sorting / _routing analog) — None for natural-key order
+        self.cluster_by: "str | None" = conf.get("cluster_by")
         self.cfg = EngineConfig(**conf["cfg"])
 
     def _read_or_empty(self, spark: SparkSession, subdir: str,
@@ -235,6 +238,7 @@ class IndexReader:
             "block_size": self.cfg.block_size,
             "has_positions": self.has_positions,
             "has_trigrams": self.has_trigrams,
+            "cluster_by": self.cluster_by,
         }
 
     @property
@@ -348,9 +352,35 @@ def build_index(
     index_dir: str,
     cfg: EngineConfig = DEFAULT,
     n_buckets: int = 64,
+    cluster_by: "str | None" = None,
 ) -> IndexReader:
     """Build (or resume building) the index for ``corpus`` (input_hint
-    schema: repo, path, commit, lang, content)."""
+    schema: repo, path, commit, lang, content).
+
+    ``cluster_by``: cluster doc_ids on a metadata column (the ES index-
+    sorting / ``_routing`` analog).  doc_ids are the rank in the total
+    order ``(cluster_by, repo, path, commit)`` instead of the natural
+    key, so each shard holds (almost) a single value of the column and
+    scoped search (``doc_filter`` on that column) prunes WHOLE SHARDS
+    via the existing zero-match semi-join — at 100 TB a ``lang:py``
+    query over a lang-clustered index skips ~(1 − share(py)) of all
+    posting files without reading them.  The natural key already
+    clusters ids by ``repo`` (ids are its sort rank), so repo scoping
+    prunes out of the box; ``cluster_by`` buys the same for any other
+    column.  Scores are id-independent (BM25 reads df/dl only), so
+    clustering never changes ranked results beyond equal-score
+    tie-break order.  Refreshes keep the clustering per generation
+    (recorded in _conf).  Rejected for corpora that already carry
+    ``doc_id`` — given ids fix the clustering."""
+    if cluster_by is not None:
+        if "doc_id" in corpus.columns:
+            raise ValueError(
+                "cluster_by cannot apply to a corpus that already "
+                "carries doc_id — the given ids fix the clustering")
+        if cluster_by not in corpus.columns:
+            raise ValueError(
+                f"cluster_by column {cluster_by!r} not in corpus "
+                f"columns {corpus.columns}")
     os.makedirs(index_dir, exist_ok=True)
 
     # AQE partition coalescing optimizes for shuffle-byte size, but the
@@ -365,7 +395,8 @@ def build_index(
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        return _build_index_inner(spark, corpus, index_dir, cfg, n_buckets)
+        return _build_index_inner(spark, corpus, index_dir, cfg, n_buckets,
+                                  cluster_by)
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
 
@@ -376,6 +407,7 @@ def _build_index_inner(
     index_dir: str,
     cfg: EngineConfig,
     n_buckets: int,
+    cluster_by: "str | None" = None,
 ) -> IndexReader:
 
     # ---- resume safety: a build left behind by an OLDER on-disk format
@@ -406,6 +438,14 @@ def _build_index_inner(
     # parameter-free, scaled at query time), so the stage jobs have zero
     # joins and their one shuffle is the (shard, bucket) grouping.
     docs_path = os.path.join(index_dir, "docs")
+    if _done(index_dir, "prepare"):
+        with open(_manifest_path(index_dir, "prepare")) as f:
+            prev_cluster = json.load(f).get("cluster_by")
+        if prev_cluster != cluster_by:
+            raise ValueError(
+                f"index at {index_dir} was prepared with "
+                f"cluster_by={prev_cluster!r}; rebuild into a fresh "
+                f"directory to change the clustering to {cluster_by!r}")
     if not _done(index_dir, "prepare"):
         t0 = time.time()
         # corpora that already carry a dense deterministic doc_id (e.g. the
@@ -423,7 +463,7 @@ def _build_index_inner(
         )
         try:
             n_docs, avgdl, total_dl = _write_docs_table(
-                spark, corpus, docs_path, cfg)
+                spark, corpus, docs_path, cfg, cluster_by=cluster_by)
         finally:
             spark.conf.set(shuffle_key, prev_shuffle)
 
@@ -442,6 +482,7 @@ def _build_index_inner(
         _write_manifest(index_dir, "prepare", {
             "n_docs": n_docs, "avgdl": avgdl, "total_dl": total_dl,
             "format_version": INDEX_FORMAT_V,
+            "cluster_by": cluster_by,
             "input_files": sorted(corpus.inputFiles())[:1000],
             "elapsed_sec": elapsed,
         })
@@ -472,6 +513,7 @@ def _build_index_inner(
             "total_dl": total_dl,
             "n_buckets": n_buckets,
             "cfg": asdict(cfg),
+            "cluster_by": cluster_by,
             "next_doc_id": n_docs,
             "generations": 1,
         }
@@ -518,7 +560,9 @@ def _positions_map_for(cfg: EngineConfig, corpus: DataFrame):
 
 
 def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
-                      cfg: EngineConfig, id_offset: int = 0) -> tuple[int, float, int]:
+                      cfg: EngineConfig, id_offset: int = 0,
+                      cluster_by: "str | None" = None,
+                      ) -> tuple[int, float, int]:
     """corpus → stage-partitioned docs table (ids, sha256, dl, tf_map);
     returns (n_docs, avgdl, total_dl) observed for free on the write job.
     total_dl is the EXACT integer token sum, so incremental refreshes can
@@ -560,10 +604,15 @@ def _write_docs_table(spark, corpus: DataFrame, out_dir: str,
         # some cores idle and each file becomes one indivisible split
         sess = corpus.sparkSession
         key = [k for k in CORPUS_KEY if k in corpus.columns]
+        # cluster_by prepends the clustering column to the sort order, so
+        # ids (hence shards = id // shard_size) group by its values; the
+        # natural key keeps the order total and the join key unchanged
+        order = ([cluster_by] + [k for k in key if k != cluster_by]
+                 if cluster_by else key)
         ids = assign_doc_ids(
-            corpus.select(*key), key=key,
+            corpus.select(*dict.fromkeys(order + key)), key=order,
             num_partitions=4 * sess.sparkContext.defaultParallelism,
-        )
+        ).select(*key, "doc_id")
         if id_offset:
             ids = ids.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
         docs = tokenized.join(ids, key)
@@ -1009,8 +1058,14 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
         # -- prepare: docs table + additive partials for the DELTA only --
         if not _done(index_dir, prefix + "prepare"):
             t0 = time.time()
+            # a clustered index keeps its clustering per generation: the
+            # delta's ids sort on the same column, so new shards stay
+            # prunable.  Deltas that CARRY doc_id keep their given order
+            # (the caller owns it — documented, ids only shift by offset).
             n_new, _delta_avgdl, delta_dl = _write_docs_table(
-                spark, new_corpus, docs_path, cfg, id_offset=base_id
+                spark, new_corpus, docs_path, cfg, id_offset=base_id,
+                cluster_by=(None if "doc_id" in new_corpus.columns
+                            else conf.get("cluster_by")),
             )
             # O(delta) stats: partials scan ONLY this generation's docs
             # dir (files recorded below — tested); global (n_docs,

@@ -1,0 +1,152 @@
+"""cluster_by index clustering (ES index-sorting / _routing analog):
+doc_ids ranked on (cluster column, natural key) so shards group by the
+column's values and scoped search prunes whole shards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.wand import bm25_scores_index, bm25_topk_index
+from snowball_java_spark.plans.build_index import (
+    IndexReader,
+    build_index,
+    refresh_index,
+)
+
+# small shards so the 300-doc corpus spans ~19 of them
+CFG = EngineConfig(shard_size=16, block_size=8, build_stages=2)
+
+QS = [{"query_id": 0, "terms": ["def", "return"], "k": 10},
+      {"query_id": 1, "terms": ["class", "import"], "k": 10,
+       "mode": "and"}]
+
+
+@pytest.fixture(scope="module")
+def corpus(synth_docs):
+    return synth_docs.select("repo", "path", "commit", "lang", "content")
+
+
+@pytest.fixture(scope="module")
+def plain_idx(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plain_idx"))
+    return build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def lang_idx(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("lang_idx"))
+    return build_index(spark, corpus, d, cfg=CFG, n_buckets=8,
+                       cluster_by="lang")
+
+
+def _scores_by_sha(spark, idx, queries, doc_filter=None):
+    """(query_id, content_sha256, score) — id-free score relation."""
+    sc = bm25_scores_index(spark, idx, queries, cfg=CFG,
+                           doc_filter=doc_filter)
+    meta = idx.docs(spark).select("doc_id", "content_sha256")
+    return {
+        (r["query_id"], r["content_sha256"], round(r["score"], 9))
+        for r in sc.join(meta, "doc_id").collect()
+    }
+
+
+def test_clustering_never_changes_scores(spark, plain_idx, lang_idx):
+    """BM25 reads df/dl only, never ids: the FULL per-doc score relation
+    (id-free, keyed by sha) is identical between orderings — including
+    under a doc_filter, where the clustered index answers from far
+    fewer shards."""
+    assert _scores_by_sha(spark, lang_idx, QS) == \
+        _scores_by_sha(spark, plain_idx, QS)
+    flt = "lang = 'python'"
+    scoped = _scores_by_sha(spark, lang_idx, QS, doc_filter=flt)
+    assert scoped == _scores_by_sha(spark, plain_idx, QS, doc_filter=flt)
+    assert scoped  # the scope is non-trivial
+    # and the ranked surface agrees on (rank, score) sequences
+    a = bm25_topk_index(spark, lang_idx, QS, cfg=CFG, doc_filter=flt)
+    b = bm25_topk_index(spark, plain_idx, QS, cfg=CFG, doc_filter=flt)
+    seq = lambda df: [(r["query_id"], r["rank"], round(r["score"], 9))
+                      for r in df.orderBy("query_id", "rank").collect()]
+    assert seq(a) == seq(b)
+
+
+def test_clustered_shards_group_the_column(spark, corpus, plain_idx,
+                                           lang_idx):
+    """The scale property itself: shards of the clustered index hold a
+    single lang (except the ≤ n_langs−1 boundary shards), so a lang
+    scope's zero-match semi-join keeps ~share(lang) of shards — while
+    the unclustered index keeps nearly all of them."""
+    shard = (F.col("doc_id") / CFG.shard_size).cast("long").alias("shard")
+
+    def lang_spread(idx):
+        return {r["shard"]: r["n"] for r in idx.docs(spark)
+                .select(shard, "lang").groupBy("shard")
+                .agg(F.countDistinct("lang").alias("n")).collect()}
+
+    langs = corpus.select("lang").distinct().count()
+    spread = lang_spread(lang_idx)
+    assert sum(1 for n in spread.values() if n > 1) <= langs - 1
+
+    def live_shards(idx, lang):
+        return (idx.docs(spark).filter(F.col("lang") == lang)
+                .select(shard).distinct().count())
+
+    total = len(spread)
+    lang = corpus.groupBy("lang").count().orderBy(F.desc("count")) \
+        .first()["lang"]
+    share = corpus.filter(F.col("lang") == lang).count() / corpus.count()
+    clustered = live_shards(lang_idx, lang)
+    unclustered = live_shards(plain_idx, lang)
+    # clustered: the lang's docs are contiguous → ceil(share·total)+1
+    assert clustered <= share * total + 2
+    # unclustered: the lang is scattered across (nearly) all shards
+    assert unclustered > clustered * 2
+
+
+def test_cluster_by_validations(spark, corpus, synth_docs, tmp_path):
+    with pytest.raises(ValueError, match="doc_id"):
+        build_index(spark, synth_docs, str(tmp_path / "a"), cfg=CFG,
+                    cluster_by="lang")
+    with pytest.raises(ValueError, match="not in corpus"):
+        build_index(spark, corpus, str(tmp_path / "b"), cfg=CFG,
+                    cluster_by="nosuch")
+
+
+def test_cluster_by_resume_mismatch_raises(spark, corpus, tmp_path):
+    d = str(tmp_path / "idx")
+    build_index(spark, corpus.limit(40), d, cfg=CFG, n_buckets=4,
+                cluster_by="lang")
+    with pytest.raises(ValueError, match="cluster_by"):
+        build_index(spark, corpus.limit(40), d, cfg=CFG, n_buckets=4)
+    # identical clustering is the documented no-op path
+    idx = build_index(spark, corpus.limit(40), d, cfg=CFG, n_buckets=4,
+                      cluster_by="lang")
+    assert idx.cluster_by == "lang"
+    assert idx.describe(spark)["cluster_by"] == "lang"
+
+
+def test_refresh_keeps_clustering(spark, corpus, tmp_path):
+    """A delta refreshed into a clustered index lands clustered too:
+    each NEW generation's shards stay (near-)single-lang, and the
+    merged scoped results equal a from-scratch clustered rebuild."""
+    d = str(tmp_path / "idx")
+    head = corpus.orderBy("repo", "path", "commit").limit(250)
+    tail = corpus.orderBy("repo", "path", "commit").subtract(head)
+    build_index(spark, head, d, cfg=CFG, n_buckets=8, cluster_by="lang")
+    idx = refresh_index(spark, tail, d)
+    assert IndexReader(d).cluster_by == "lang"
+    # every generation's shards group by lang (≤ langs−1 boundary
+    # shards per generation may straddle)
+    shard = (F.col("doc_id") / CFG.shard_size).cast("long").alias("shard")
+    langs = corpus.select("lang").distinct().count()
+    mixed = (idx.docs(spark).select(shard, "lang").groupBy("shard")
+             .agg(F.countDistinct("lang").alias("n"))
+             .filter("n > 1").count())
+    assert mixed <= 2 * (langs - 1)
+    # scoped scores equal a one-shot clustered build over the union
+    full = build_index(spark, corpus, str(tmp_path / "full"), cfg=CFG,
+                       n_buckets=8, cluster_by="lang")
+    flt = "lang = 'python'"
+    assert _scores_by_sha(spark, idx, QS, doc_filter=flt) == \
+        _scores_by_sha(spark, full, QS, doc_filter=flt)
