@@ -587,6 +587,73 @@ def phase_lifecycle() -> dict:
     return out
 
 
+def phase_clustering() -> dict:
+    """doc_id clustering economics (``cluster_by`` — the ES index-sorting
+    / _routing analog): the same lang-scoped query over a lang-clustered
+    index vs the natural-order index.  Reported per variant:
+
+    - live-shard fraction after scoped search's zero-match semi-join —
+      the number that survives a 1000× scale-up (clustered ≈ the lang's
+      corpus share; natural ≈ 1.0 because langs scatter across shards);
+    - scoped-query wall (at this toy volume mostly fixed job overhead —
+      the shard fraction is the scale signal, as with IVF probe_scan_frac).
+    """
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.wand import bm25_topk_index
+    from snowball_java_spark.plans.build_index import build_index
+    from snowball_java_spark.session import get_spark
+    from snowball_java_spark.sources.corpus import read_corpus
+    from snowball_java_spark.sources.synthetic import build_synth_corpus
+
+    files = 50_000
+    cfg = EngineConfig(shard_size=1024, block_size=128, build_stages=1)
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 10}]
+    flt = "lang = 'python'"
+    spark = get_spark("bench-clustering", cores=CPUS)
+    try:
+        corpus_dir = f"/tmp/sjs_bench/corpus_{files}"
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            build_synth_corpus(spark, files, corpus_dir)
+        corpus = read_corpus(spark, corpus_dir)
+        share = corpus.filter(F.expr(flt)).count() / corpus.count()
+        out: dict = {"files": files, "scoped_filter": flt,
+                     "lang_share": round(share, 4)}
+        for name, cluster_by in (("natural", None), ("clustered", "lang")):
+            idx_dir = f"/tmp/sjs_bench/cl_idx_{name}"
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            t0 = time.time()
+            idx = build_index(spark, corpus, idx_dir, cfg=cfg,
+                              n_buckets=32, cluster_by=cluster_by)
+            build_sec = time.time() - t0
+            shard = (F.col("doc_id") / cfg.shard_size).cast("long")
+            total = idx.docs(spark).select(
+                shard.alias("s")).distinct().count()
+            live = idx.docs(spark).filter(F.expr(flt)).select(
+                shard.alias("s")).distinct().count()
+            t0 = time.time()
+            bm25_topk_index(spark, idx, qs, cfg=cfg,
+                            doc_filter=flt).collect()
+            scoped_sec = time.time() - t0
+            out[name] = {
+                "build_sec": round(build_sec, 2),
+                "shards_total": total,
+                "shards_live": live,
+                "live_shard_frac": round(live / total, 4),
+                "scoped_query_sec": round(scoped_sec, 3),
+            }
+        out["note"] = (
+            "live_shard_frac is what scoped search decodes after the "
+            "zero-match semi-join: clustered ≈ lang_share (+1 boundary "
+            "shard), natural ≈ 1.0 — at 100 TB that fraction IS the "
+            "scoped query's scan cost; clustering costs nothing extra "
+            "at build (same one range shuffle, different sort key)")
+        return out
+    finally:
+        spark.stop()
+
+
 def phase_vector_lifecycle() -> dict:
     """IVF vector-index lifecycle economics at two corpus sizes
     (100k / 400k vectors, dim 32, 64 cells):
@@ -758,6 +825,14 @@ def main() -> None:
             if k.startswith("queries_per_sec")})
         detail["lifecycle"] = phase_lifecycle()
         detail["vector_lifecycle"] = phase_vector_lifecycle()
+        detail["clustering"] = phase_clustering()
+        summary["clustering"] = {
+            "live_shard_frac_clustered":
+                detail["clustering"]["clustered"]["live_shard_frac"],
+            "live_shard_frac_natural":
+                detail["clustering"]["natural"]["live_shard_frac"],
+            "lang_share": detail["clustering"]["lang_share"],
+        }
         summary["scaling"] = {
             k: sc[k]
             for k in ("files", "cores", "scaling_efficiency",
@@ -801,6 +876,7 @@ def main() -> None:
         lambda: summary.get("scaling", {}).pop("step_efficiency", None),
         lambda: summary.get("scaling", {}).pop(
             "scaling_efficiency_pairs", None),
+        lambda: summary.pop("clustering", None),
         lambda: summary.pop("lifecycle", None),
         lambda: summary.pop("vector_lifecycle", None),
         lambda: summary.pop("query_scaling", None),
