@@ -99,6 +99,15 @@ def main(argv: list[str]) -> int:
                    help="with --reindex-to: target build-stage count")
     p.add_argument("--buckets", type=int, default=None,
                    help="with --reindex-to: target postings bucket count")
+    p.add_argument("--set-alias", metavar="TARGET",
+                   help="make --index-dir an ALIAS pointing at TARGET "
+                        "(atomic repoint if it already is one) — the "
+                        "blue/green flip after --reindex-to: every job "
+                        "accepts the alias path wherever it accepts an "
+                        "index path")
+    p.add_argument("--drop-alias", action="store_true",
+                   help="remove the alias mapping at --index-dir "
+                        "(target index untouched)")
     args = p.parse_args(argv)
     if args.supersede_on and not args.refresh:
         p.error("--supersede-on requires --refresh")
@@ -109,10 +118,12 @@ def main(argv: list[str]) -> int:
     if not any((args.describe, args.compact, args.refresh,
                 args.delete_keys, args.delete_by_query,
                 args.update_by_query, args.rebuild_stats, args.snapshot,
-                args.restore_from, args.reindex_to)):
+                args.restore_from, args.reindex_to, args.set_alias,
+                args.drop_alias)):
         p.error("nothing to do: pass --describe/--compact/--refresh/"
                 "--delete-keys/--delete-by-query/--update-by-query/"
-                "--rebuild-stats/--snapshot/--restore-from/--reindex-to")
+                "--rebuild-stats/--snapshot/--restore-from/--reindex-to/"
+                "--set-alias/--drop-alias")
     if any(v is not None for v in (args.codec, args.block_size,
                                    args.stages, args.buckets)) \
             and not args.reindex_to:
@@ -143,6 +154,20 @@ def main(argv: list[str]) -> int:
             print(json.dumps({
                 "snapshot": args.snapshot, "files": n,
                 "elapsed_sec": round(time.time() - t0, 2),
+            }))
+        if args.set_alias:
+            from snowball_java_spark.plans.alias import set_alias
+            prev = set_alias(args.index_dir, args.set_alias)
+            print(json.dumps({
+                "alias": args.index_dir, "target": args.set_alias,
+                "previous_target": prev,
+            }))
+        if args.drop_alias:
+            from snowball_java_spark.plans.alias import drop_alias, get_alias
+            tgt = get_alias(args.index_dir)
+            drop_alias(args.index_dir)
+            print(json.dumps({
+                "alias_dropped": args.index_dir, "was_target": tgt,
             }))
         return 0
 

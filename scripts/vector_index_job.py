@@ -82,13 +82,32 @@ def main(argv: list[str]) -> int:
                    help="SQL predicate over metadata columns (pre-filter)")
     p.add_argument("--out", default=None,
                    help="parquet output dir for --query (default: stdout)")
+    p.add_argument("--set-alias", metavar="TARGET",
+                   help="make --index-dir an ALIAS pointing at TARGET "
+                        "(atomic repoint) — the blue/green flip after an "
+                        "offline retrain/rebuild at a sibling path; every "
+                        "vector op accepts the alias path")
     args = p.parse_args(argv)
     if not any((args.build, args.refresh, args.delete_ids, args.delete_keys,
                 args.compact, args.retrain is not None, args.describe,
-                args.query or args.build_pq)):
+                args.query or args.build_pq, args.set_alias)):
         p.error("nothing to do: pass --build/--build-pq/--refresh/"
                 "--delete-ids/--delete-keys/--retrain/--compact/"
-                "--describe/--query")
+                "--describe/--query/--set-alias")
+
+    if args.set_alias:
+        import json as _json
+
+        from snowball_java_spark.plans.alias import set_alias
+        prev = set_alias(args.index_dir, args.set_alias)
+        print(_json.dumps({"alias": args.index_dir,
+                           "target": args.set_alias,
+                           "previous_target": prev}))
+        if not any((args.build, args.refresh, args.delete_ids,
+                    args.delete_keys, args.compact,
+                    args.retrain is not None, args.describe, args.query,
+                    args.build_pq)):
+            return 0
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

@@ -301,6 +301,15 @@ def build_ivf_index(
     return cent
 
 
+def _resolved(index_dir: str) -> str:
+    """Follow an index alias (plans/alias.py) — every public persisted-
+    index entry point accepts an alias path wherever it accepts an
+    index path, so an atomic alias flip (e.g. after retrain-to-new)
+    redirects reads AND lifecycle writes without touching callers."""
+    from snowball_java_spark.plans.alias import resolve_index_dir
+    return resolve_index_dir(index_dir)
+
+
 def _ivf_meta(index_dir: str) -> dict:
     import json
     import os
@@ -404,6 +413,7 @@ def _swap_into_place(index_dir: str, tmp: str, tag: str) -> None:
 def read_ivf_index(spark, path: str):
     """(rows DataFrame, centroid ndarray) for a persisted IVF index.
     Completes any interrupted compaction/retrain swap first."""
+    path = _resolved(path)
     import json
     import os
 
@@ -445,6 +455,7 @@ def refresh_ivf_index(spark, index_dir: str, delta: DataFrame,
 
     Returns the number of rows appended.  Mirrors the text index's
     ``refresh_index``: O(delta) work, old files untouched."""
+    index_dir = _resolved(index_dir)
     import json
     import os
 
@@ -507,6 +518,7 @@ def delete_vectors(spark, index_dir: str, ids: list[int],
     life — delete is not forever, exactly like the text index's
     tombstones.  :func:`compact_ivf_index` physically drops dead
     rows."""
+    index_dir = _resolved(index_dir)
     _recover_swap(index_dir)
     _write_tombstones(spark, index_dir, ids,
                       int(_ivf_meta(index_dir)["next_v"]) - 1, id_col)
@@ -552,6 +564,7 @@ def compact_ivf_index(spark, index_dir: str, id_col: str = "vec_id") -> None:
     """Physically drop tombstoned vectors: rewrite only the cell
     partitions (centroids unchanged), clear the tombstone sidecar.
     O(live rows) — the rewrite an LSM pays once, instead of per query."""
+    index_dir = _resolved(index_dir)
     import os
     import shutil
 
@@ -601,6 +614,7 @@ def retrain_ivf_index(
 
     Applies pending tombstones (like compaction), preserves the
     streaming sidecars, swaps directories crash-safely."""
+    index_dir = _resolved(index_dir)
     import os
     import shutil
 
@@ -651,6 +665,7 @@ def ivf_topk_index(
     pushes into the parquet row-group scan of the probed cells
     (PushedFilters — the filtered-search shape every vector store needs:
     read 3% of directories, then only matching row groups)."""
+    index_dir = _resolved(index_dir)
     import numpy as np
 
     rows, centroids = read_ivf_index(spark, index_dir)
@@ -737,6 +752,7 @@ def ivf_topk_index_batch(
     each row is scored only against the queries that probe its cell
     (literal cell → queries map, exploded per row).  n_probe == n_cells
     is exact per query."""
+    index_dir = _resolved(index_dir)
     import numpy as np
 
     from snowball_java_spark.operators.bm25_join import topk
@@ -948,6 +964,7 @@ def pq_topk_index(
     is the same one-pass TakeOrderedAndProject as every ANN surface
     here.  ``predicate`` composes as a pre-filter (metadata columns
     persist next to the codes)."""
+    index_dir = _resolved(index_dir)
     import json
     import os
 
@@ -1002,6 +1019,7 @@ def pq_topk_index_batch(
     are scored only against the queries probing its cell, whose m×ks
     lookup tables ride a literal cell → (query, LUT) map.  No per-query
     scan, no UDF."""
+    index_dir = _resolved(index_dir)
     import json
     import os
 

@@ -1,0 +1,121 @@
+"""Index aliases — a stable name over a swappable index directory
+(ES index-alias semantics, the blue/green serving pattern).
+
+An alias is a directory containing ONLY ``_alias.json``::
+
+    {"target": "/abs/path/to/real/index", "prev": "/abs/old" | null}
+
+Readers (``IndexReader``, ``read_ivf_index``) and the mutation entry
+points resolve the alias transparently, so every CLI and library call
+accepts an alias path wherever it accepts an index path.  Repointing
+is a single ``os.replace`` of the JSON file — atomic on POSIX — which
+is exactly what the ``--reindex-to`` layout migration and
+``retrain_ivf_index`` need to flip serving without a reader ever
+observing a half-state: build the new index at a sibling path, verify
+it, then ``set_alias(alias, new_path)``.
+
+Deliberate narrowings (loud, not silent):
+
+* no alias→alias chains — the target must be a real index (text:
+  ``_conf.json``; vector: ``_centroids.json``).  Chains add cycle
+  handling for no operational value.
+* a directory holding BOTH ``_alias.json`` and index payload is
+  refused — it is evidence of a write that went to the alias path
+  instead of the target.
+
+The reference keeps everything in one in-memory process and has no
+serving-cutover story (`snowball/src/bin/Main.java`); aliases are
+north-rule operational scope (resumable artifacts a cluster serves
+from while rebuilds happen beside them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+__all__ = ["set_alias", "get_alias", "drop_alias", "resolve_index_dir",
+           "is_alias"]
+
+ALIAS_FILE = "_alias.json"
+
+#: files whose presence marks a REAL index directory (text / vector)
+_INDEX_MARKERS = ("_conf.json", "_centroids.json")
+
+
+def is_alias(path: str) -> bool:
+    return os.path.exists(os.path.join(path, ALIAS_FILE))
+
+
+def _check_not_ambiguous(path: str) -> None:
+    if not is_alias(path):
+        return
+    for m in _INDEX_MARKERS:
+        if os.path.exists(os.path.join(path, m)):
+            raise ValueError(
+                f"{path} holds both {ALIAS_FILE} and {m} — an alias dir "
+                "must contain no index payload (a write likely targeted "
+                "the alias path; repair by removing one of the two)"
+            )
+
+
+def set_alias(alias_path: str, target_dir: str) -> str:
+    """Create or atomically repoint ``alias_path`` at ``target_dir``.
+    Returns the previous target (None-able) encoded in the alias file."""
+    target = os.path.abspath(target_dir)
+    if not any(os.path.exists(os.path.join(target, m))
+               for m in _INDEX_MARKERS):
+        raise ValueError(
+            f"alias target {target} is not a completed index "
+            f"(none of {_INDEX_MARKERS} present); aliases may not point "
+            "at other aliases or at unbuilt directories"
+        )
+    os.makedirs(alias_path, exist_ok=True)
+    _check_not_ambiguous(alias_path)
+    prev = get_alias(alias_path)
+    payload = {"target": target, "prev": prev}
+    tmp = os.path.join(alias_path, ALIAS_FILE + "._tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(alias_path, ALIAS_FILE))  # atomic flip
+    return prev
+
+
+def get_alias(alias_path: str) -> "str | None":
+    """Current target, or None if ``alias_path`` is not an alias."""
+    p = os.path.join(alias_path, ALIAS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["target"]
+
+
+def drop_alias(alias_path: str) -> None:
+    """Remove the alias mapping (the target index is untouched)."""
+    p = os.path.join(alias_path, ALIAS_FILE)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no {ALIAS_FILE} at {alias_path}")
+    os.remove(p)
+
+
+def resolve_index_dir(path: str) -> str:
+    """Follow one alias hop; plain paths pass through unchanged.
+
+    Called by every index open/mutate entry point, so an alias path is
+    accepted anywhere an index path is.  The resolved target must be a
+    real index (chains are refused at ``set_alias`` time, but a target
+    that was itself turned into an alias later is caught here too).
+    """
+    _check_not_ambiguous(path)
+    target = get_alias(path)
+    if target is None:
+        return path
+    if is_alias(target):
+        raise ValueError(
+            f"alias {path} points at another alias ({target}); "
+            "chains are unsupported — repoint at the real index"
+        )
+    if not os.path.isdir(target):
+        raise FileNotFoundError(
+            f"alias {path} points at missing index {target}")
+    return target

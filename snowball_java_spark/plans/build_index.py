@@ -106,6 +106,8 @@ class IndexReader:
     """Handle over a completed on-disk index."""
 
     def __init__(self, index_dir: str):
+        from snowball_java_spark.plans.alias import resolve_index_dir
+        index_dir = resolve_index_dir(index_dir)
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "_conf.json")) as f:
             conf = json.load(f)
@@ -1000,6 +1002,8 @@ def refresh_index(spark: SparkSession, new_corpus: DataFrame,
     negative partials; :func:`compact_index` physically drops dead docs
     and clears the tombstones.
     """
+    from snowball_java_spark.plans.alias import resolve_index_dir
+    index_dir = resolve_index_dir(index_dir)  # writes must hit the target
     idx = IndexReader(index_dir)
     cfg, n_buckets = idx.cfg, idx.n_buckets
     # ``delta_fingerprint`` overrides the computed identity: a caller
@@ -1264,6 +1268,9 @@ def compact_index(spark: SparkSession, index_dir: str) -> IndexReader:
     """
     import glob as _glob
     import shutil
+
+    from snowball_java_spark.plans.alias import resolve_index_dir
+    index_dir = resolve_index_dir(index_dir)  # swap renames hit the target
 
     # finish an interrupted swap first
     old = index_dir.rstrip("/") + ".pre_compact"
@@ -1541,6 +1548,8 @@ def reindex_index(
     import shutil
     from dataclasses import replace
 
+    from snowball_java_spark.plans.alias import resolve_index_dir
+    src_dir = resolve_index_dir(src_dir)
     idx = IndexReader(src_dir)
     if os.path.exists(dst_dir):
         raise ValueError(

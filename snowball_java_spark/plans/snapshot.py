@@ -74,6 +74,8 @@ def snapshot_index(index_dir: str, snap_dir: str) -> int:
     modify published files in place — refresh appends new generation
     files, deletes append tombstones, compaction swaps whole sibling
     directories)."""
+    from snowball_java_spark.plans.alias import resolve_index_dir
+    index_dir = resolve_index_dir(index_dir)
     if not os.path.exists(os.path.join(index_dir, "_conf.json")):
         raise ValueError(f"{index_dir} is not a built index "
                          "(no _conf.json)")

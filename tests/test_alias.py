@@ -1,0 +1,209 @@
+"""Index aliases: atomic blue/green repoint over text + vector indexes.
+
+Covers plans/alias.py plus the resolution hooks in IndexReader,
+refresh_index, snapshot_index and the IVF read/mutate entry points —
+an alias path must be accepted anywhere an index path is, writes must
+land in the TARGET (the alias dir stays payload-free), and the flip
+must be a single atomic file replace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.wand import bm25_topk_index
+from snowball_java_spark.plans.alias import (
+    drop_alias,
+    get_alias,
+    is_alias,
+    resolve_index_dir,
+    set_alias,
+)
+from snowball_java_spark.plans.build_index import (
+    IndexReader,
+    build_index,
+    refresh_index,
+)
+from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+Q = [{"query_id": 0, "terms": ["def", "return"], "k": 10}]
+SF = "/root/testdata/sf0.01"
+
+
+def _topk(spark, d):
+    return [(r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk_index(
+                spark, IndexReader(d), Q, cfg=CFG).collect()]
+
+
+# ---------------------------------------------------------------- file-level
+
+def test_plain_paths_pass_through(tmp_path):
+    d = str(tmp_path / "nothing")
+    assert resolve_index_dir(d) == d          # non-existent: unchanged
+    os.makedirs(d)
+    assert resolve_index_dir(d) == d          # plain dir: unchanged
+    assert get_alias(d) is None
+    assert not is_alias(d)
+
+
+def test_set_alias_refuses_unbuilt_target(tmp_path):
+    tgt = str(tmp_path / "not_an_index")
+    os.makedirs(tgt)
+    with pytest.raises(ValueError, match="not a completed index"):
+        set_alias(str(tmp_path / "a"), tgt)
+
+
+def test_drop_alias_on_plain_path_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        drop_alias(str(tmp_path))
+
+
+def _fake_index(tmp_path, name):
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    with open(os.path.join(d, "_conf.json"), "w") as f:
+        json.dump({}, f)
+    return d
+
+
+def test_repoint_returns_prev_and_chains_refused(tmp_path):
+    t1 = _fake_index(tmp_path, "t1")
+    t2 = _fake_index(tmp_path, "t2")
+    a = str(tmp_path / "alias")
+    assert set_alias(a, t1) is None
+    assert get_alias(a) == os.path.abspath(t1)
+    assert set_alias(a, t2) == os.path.abspath(t1)   # prev reported
+    # alias→alias chain: refused both at set time and at resolve time
+    with pytest.raises(ValueError, match="not a completed index"):
+        set_alias(str(tmp_path / "b"), a)
+    # a target later converted INTO an alias is caught at resolve
+    set_alias(t2 + "_x", t1)                          # fresh alias
+    os.replace(os.path.join(t2, "_conf.json"),
+               os.path.join(t2, "_conf.json.bak"))
+    with open(os.path.join(t2, "_alias.json"), "w") as f:
+        json.dump({"target": t1, "prev": None}, f)
+    with pytest.raises(ValueError, match="chains are unsupported"):
+        resolve_index_dir(a)
+
+
+def test_ambiguous_dir_refused(tmp_path):
+    t1 = _fake_index(tmp_path, "t1")
+    a = str(tmp_path / "alias")
+    set_alias(a, t1)
+    # payload appears inside the alias dir → evidence of a misdirected
+    # write; both resolve and repoint must refuse loudly
+    with open(os.path.join(a, "_conf.json"), "w") as f:
+        json.dump({}, f)
+    with pytest.raises(ValueError, match="alias dir"):
+        resolve_index_dir(a)
+    with pytest.raises(ValueError, match="alias dir"):
+        set_alias(a, t1)
+
+
+def test_missing_target_raises(tmp_path):
+    t1 = _fake_index(tmp_path, "t1")
+    a = str(tmp_path / "alias")
+    set_alias(a, t1)
+    os.rename(t1, t1 + "_gone")
+    with pytest.raises(FileNotFoundError, match="missing index"):
+        resolve_index_dir(a)
+
+
+# ------------------------------------------------------------- text index
+
+def test_text_index_blue_green_flip(spark, synth_docs, tmp_path):
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    blue = str(tmp_path / "blue")
+    build_index(spark, corpus, blue, cfg=CFG, n_buckets=8)
+
+    alias = str(tmp_path / "serving")
+    set_alias(alias, blue)
+    # reads through the alias are identical to direct reads
+    assert _topk(spark, alias) == _topk(spark, blue)
+
+    # build GREEN beside it with more docs, flip, results change to
+    # green's — and blue is untouched
+    extra = spark.createDataFrame(synth_corpus_pdf(1000, 1060, 300))
+    green = str(tmp_path / "green")
+    build_index(
+        spark,
+        corpus.unionByName(
+            extra.select("repo", "path", "commit", "lang", "content")),
+        green, cfg=CFG, n_buckets=8)
+    blue_before = _topk(spark, blue)
+    set_alias(alias, green)
+    assert _topk(spark, alias) == _topk(spark, green)
+    assert _topk(spark, blue) == blue_before
+
+    # the alias dir holds ONLY the mapping file — no index payload
+    assert os.listdir(alias) == ["_alias.json"]
+
+
+def test_refresh_through_alias_writes_to_target(
+        spark, synth_docs, tmp_path):
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    tgt = str(tmp_path / "idx")
+    build_index(spark, corpus, tgt, cfg=CFG, n_buckets=8)
+    alias = str(tmp_path / "serving")
+    set_alias(alias, tgt)
+
+    delta = spark.createDataFrame(synth_corpus_pdf(2000, 2030, 300))
+    refresh_index(
+        spark, delta.select("repo", "path", "commit", "lang", "content"),
+        alias)
+    # mutation landed in the target; alias dir still payload-free
+    assert os.listdir(alias) == ["_alias.json"]
+    assert _topk(spark, alias) == _topk(spark, tgt)
+    # both handles (alias and direct) see the refreshed doc set
+    got = {r["doc_id"] for r in
+           bm25_topk_index(spark, IndexReader(alias),
+                           [{"query_id": 0, "terms": ["def"], "k": 400}],
+                           cfg=CFG).collect()}
+    direct = {r["doc_id"] for r in
+              bm25_topk_index(spark, IndexReader(tgt),
+                              [{"query_id": 0, "terms": ["def"], "k": 400}],
+                              cfg=CFG).collect()}
+    assert got and got == direct
+
+
+# ------------------------------------------------------------ vector index
+
+def test_vector_index_through_alias(spark, tmp_path):
+    from snowball_java_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_index,
+        refresh_ivf_index,
+    )
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    tgt = str(tmp_path / "vidx")
+    build_ivf_index(spark, emb, tgt, n_cells=8)
+    alias = str(tmp_path / "vserving")
+    set_alias(alias, tgt)
+
+    direct = [(r["vec_id"], r["cosine"]) for r in
+              ivf_topk_index(spark, tgt, qvec, 10, n_probe=8).collect()]
+    via = [(r["vec_id"], r["cosine"]) for r in
+           ivf_topk_index(spark, alias, qvec, 10, n_probe=8).collect()]
+    assert via == direct
+
+    # lifecycle write through the alias lands in the target
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    delta = emb.limit(5).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(int(mx) + 1)).cast("long"))
+    n = refresh_ivf_index(spark, alias, delta)
+    assert n == 5
+    assert os.listdir(alias) == ["_alias.json"]
+    after = [(r["vec_id"], r["cosine"]) for r in
+             ivf_topk_index(spark, alias, qvec, 10, n_probe=8).collect()]
+    assert after == [(r["vec_id"], r["cosine"]) for r in
+                     ivf_topk_index(spark, tgt, qvec, 10,
+                                    n_probe=8).collect()]
