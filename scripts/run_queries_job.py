@@ -16,6 +16,14 @@ Query jsonl, one object per line:
     {"query_id": 3, "left_terms": ["def"], "middle_terms": ["x"],   # 3-zone
      "right_terms": ["return"], "window": 16, "k": 10}              # context
     {"query_id": 4, "terms": ["def"], "not_terms": ["test"]}        # boolean NOT
+    {"query_id": 17, "bool": {"op": "and", "children": [            # nested bool
+        {"op": "or", "children": [{"term": "def"}, {"term": "class"}]},
+        {"term": "return"},
+        {"op": "not", "child": {"term": "test"}}]}, "k": 10}
+         # (Lucene BooleanQuery tree — or/and/not nest arbitrarily;
+         #  'not' only under an 'and'; scored as BM25 over the distinct
+         #  positive leaf terms present — query-string form:
+         #  {"q": "(def OR class) AND return -test"})
     {"query_id": 5, "q": "def return -test", "k": 10}               # query STRING
     {"query_id": 8, "prefixes": ["tok"], "terms": []}               # wildcard tok*
     {"query_id": 9, "wildcards": ["*_test", "re?d"], "terms": []}   # general wildcard
@@ -189,6 +197,8 @@ def main(argv: list[str]) -> int:
             "NOT terms are only supported on terms queries (OR/AND)")
 
     def kind(q):
+        if "bool" in q:
+            return "bool"
         if "substr" in q or "regex" in q:
             return "grep"
         if "rescore" in q:
@@ -205,6 +215,12 @@ def main(argv: list[str]) -> int:
         return "terms"
 
     term_qs = [q for q in qs if kind(q) == "terms"]
+    bool_qs = [q for q in qs if kind(q) == "bool"]
+    if bool_qs and (args.synonyms or args.lines or args.highlight):
+        raise SystemExit(
+            "bool-tree queries do not compose with --synonyms/--lines/"
+            "--highlight — express membership in the tree and run "
+            "content surfaces as terms queries")
     rescore_qs = [q for q in qs if kind(q) == "rescore"]
     for q in rescore_qs:
         if not q.get("terms") or not isinstance(q["rescore"], list):
@@ -246,7 +262,7 @@ def main(argv: list[str]) -> int:
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
         others = (phrase_qs + phrase_prefix_qs + prox_qs + context_qs
-                  + rescore_qs + grep_qs)
+                  + rescore_qs + grep_qs + bool_qs)
         if others:
             raise SystemExit(
                 "--similarity lmd applies to terms queries only — "
@@ -315,7 +331,7 @@ def main(argv: list[str]) -> int:
             "query_id", m[F.col("query_id")].cast(typ))
 
     filtered_kinds = (term_qs + phrase_qs + phrase_prefix_qs + prox_qs
-                      + context_qs + rescore_qs)
+                      + context_qs + rescore_qs + bool_qs)
     docs_df = idx.docs(spark)
     doc_cols = set(docs_df.columns)
     bad = {c for q in filtered_kinds
@@ -500,6 +516,25 @@ def main(argv: list[str]) -> int:
                     synonyms=csyn).collect():
                 print(json.dumps({"query_id": orig_ids[r["query_id"]],
                                   "total_hits": r["n_docs"]}))
+    if bool_qs:
+        from snowball_java_spark.operators.boolquery import (
+            bool_matching_docs_index,
+            bool_topk_index,
+        )
+
+        for flt, grp in by_filter(bool_qs):
+            parts.append(bool_topk_index(
+                spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+            if args.counts:
+                got = {r["query_id"]: r["n"] for r in
+                       bool_matching_docs_index(
+                           spark, idx, grp, cfg=idx.cfg, doc_filter=flt)
+                       .groupBy("query_id")
+                       .agg(F.count("*").alias("n")).collect()}
+                for q in grp:  # every query gets a row, zeros included
+                    print(json.dumps({
+                        "query_id": orig_ids[q["query_id"]],
+                        "total_hits": int(got.get(q["query_id"], 0))}))
     for flt, grp in by_filter(phrase_qs):
         parts.append(
             phrase_topk_index(spark, idx, grp, cfg=idx.cfg, doc_filter=flt))

@@ -388,6 +388,76 @@ def _q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nested boolean gate tree: (spark OR vector) AND (table OR row) AND
+#: NOT dup — two OR groups under an AND plus an exclusion, the smallest
+#: shape exercising every node type of operators/boolquery.py
+_BOOL_TREE = {"op": "and", "children": [
+    {"op": "or", "children": [{"term": "spark"}, {"term": "vector"}]},
+    {"op": "or", "children": [{"term": "table"}, {"term": "row"}]},
+    {"op": "not", "child": {"term": "dup"}},
+]}
+
+
+def _q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested boolean query tree over the index (Lucene BooleanQuery /
+    ES nested bool): membership from tree set algebra, BM25 score over
+    the distinct positive leaf terms present in each matching doc."""
+    from snowball_java_spark.operators.boolquery import bool_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = bool_topk_index(
+        spark, idx, [{"query_id": 0, "k": 10, "bool": _BOOL_TREE}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _bool_topk_sql(tree: dict, k: int) -> str:
+    """Oracle for the bool-tree gate: per-doc presence flags feed the
+    tree rendered as a SQL boolean expression; scoring is the engine's
+    pinned rule — BM25 sum over DISTINCT positive leaf terms present."""
+    from snowball_java_spark.operators.boolquery import tree_leaf_terms
+
+    pos, neg = tree_leaf_terms(tree)
+    leaves = sorted(pos | neg)
+    fid = {t: f"f_{i}" for i, t in enumerate(leaves)}
+    flags = ", ".join(
+        f"bool_or(term = '{t}') AS {fid[t]}" for t in leaves)
+
+    def render(n: dict) -> str:
+        if "term" in n:
+            return fid[n["term"]]
+        if n["op"] == "not":
+            return f"(NOT {render(n['child'])})"
+        joiner = " AND " if n["op"] == "and" else " OR "
+        return "(" + joiner.join(render(c) for c in n["children"]) + ")"
+
+    tin = ", ".join(f"'{t}'" for t in leaves)
+    qv = ", ".join(f"('{t}')" for t in sorted(pos))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {qv}),
+fl AS (SELECT doc_id, {flags} FROM tfx WHERE term IN ({tin}) GROUP BY 1),
+m AS (SELECT doc_id FROM fl WHERE {render(tree)}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           JOIN m ON tfx.doc_id = m.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 def _q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minimum_should_match BM25 (Lucene/ES msm): docs matching >= 2 of
     the 3 query terms, scored over their matched terms only."""
@@ -4550,6 +4620,9 @@ def build_registry() -> dict[str, Q]:
         "bm25_topk_and": Q(
             _q_bm25_and, _bm25_topk_sql(MIXED_TERMS, 10, conjunctive=True)
         ),
+        "bm25_bool_topk": Q(
+            _q_bool_topk, _bool_topk_sql(_BOOL_TREE, 10)
+        ),
         "bm25_msm_topk": Q(
             _q_bm25_msm, _bm25_topk_sql(MIXED_TERMS, 10, min_match=2)
         ),
@@ -5149,7 +5222,8 @@ _DRIVER_PRIORITY = [
     # this round but past the cap — the 38 r3 gates own the scarce
     # slots per VERDICT r3 item 1): significant_terms,
     # facet_histogram_dl, top_hits_by_source, percolate_matches,
-    # bm25_rescore_topk, bm25_rescore_index_topk, function_score_topk.
+    # bm25_rescore_topk, bm25_rescore_index_topk, function_score_topk,
+    # bm25_bool_topk.
     "bm25_index_topk", "sha256_docs",
 ]
 

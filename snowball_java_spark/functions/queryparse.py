@@ -41,6 +41,14 @@ executable by an operator that already has an oracle-checked gate:
                                  (term weight multiplier, works with +/AND)
     "def return"~4           →  {"terms": [...], "window": 4}   (proximity:
                                  all terms within 4 tokens, unordered)
+    (def OR class) AND return -test
+                             →  {"bool": {nested tree}}  (parentheses
+                                 switch to the boolean grammar of
+                                 ``_parse_bool_string``: one connective
+                                 per level — mixing AND/OR unparenthesized
+                                 raises — adjacency = OR, ``-`` = AND NOT
+                                 at its level; executed by
+                                 ``operators/boolquery.py``)
 
 Terms are run through the engine tokenizer (``tokenize_py``) so the
 parsed query matches the index's token space exactly — a user typing
@@ -177,6 +185,11 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         raise QueryParseError(
             "malformed range (use field:[lo TO hi], {..} exclusive, "
             "* = open end)")
+
+    if "(" in q or ")" in q:
+        # parentheses switch to the nested-boolean grammar (executed by
+        # operators/boolquery.py); bracket ranges were already extracted
+        return _parse_bool_string(q, query_id, k, ranges)
 
     matches = list(_LEX_RE.finditer(q))
     if not matches:
@@ -434,6 +447,190 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "not_terms": sorted(set(not_terms)),
             "filters": filters, "filters_like": filters_like,
             "ranges": ranges, "mode": mode}
+
+
+#: bool-grammar lexer: parens are their own tokens, quotes lex as one
+#: token (so the phrase refusal can name them), words exclude parens
+_BOOL_LEX_RE = re.compile(r'[()]|"[^"]*"|[^\s()]+')
+
+
+def _parse_bool_string(q: str, query_id: int, k: int,
+                       ranges: dict) -> dict:
+    """Parenthesized boolean grammar → ``{"bool": TREE}`` (executed by
+    ``operators/boolquery.py``).
+
+    Pinned semantics (loud where Lucene is famously ambiguous):
+
+    * one parenthesis level uses ONE connective — ``AND``, ``OR``, or
+      adjacency (= OR, matching the flat surface's default); mixing
+      ``AND`` and ``OR`` at the same level raises — parenthesize
+      instead of guessing precedence.
+    * ``-clause`` (a term or a group) folds as ``AND NOT`` at its
+      level: ``(a b -c)`` = (a OR b) AND NOT c — exactly the flat
+      surface's ``not_terms`` semantics; a level of only negatives
+      raises (no bounded match set).
+    * terms only — phrases, wildcards, fuzzy, boosts and ``+`` raise
+      (their expansion/scoring algebra is defined on the flat
+      surface); ``field:value`` / ``field:>=N`` filters are allowed at
+      the TOP level only (candidate scoping is query-global).
+    """
+    toks = _BOOL_LEX_RE.findall(q)
+    filters: dict[str, str] = {}
+    filters_like: dict[str, str] = {}
+
+    def leaf(word: str) -> dict:
+        for ch, what in (("*", "wildcards"), ("?", "wildcards"),
+                         ("~", "fuzzy terms"), ("^", "boosts"),
+                         ("/", "regexp terms")):
+            if ch in word:
+                raise QueryParseError(
+                    f"{what} are not supported inside a parenthesized "
+                    f"boolean query ({word!r}) — run them as a flat "
+                    "query")
+        ts = tokenize_py(word)
+        if len(ts) != 1:
+            raise QueryParseError(
+                f"term {word!r} must be exactly one token inside a "
+                f"boolean group (tokenizes to {ts})")
+        return {"term": ts[0]}
+
+    def take_filter(word: str) -> bool:
+        """Top-level field:value / field:>=N / field:val* — mutates the
+        filter dicts; returns False when the word is not a filter."""
+        fm = _FIELD_RE.match(word)
+        if not fm or not fm.group(2):
+            return False
+        field, value = fm.groups()
+        cm = _RANGE_CMP_RE.match(value)
+        if cm:
+            op_map = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}
+            _merge_range(ranges, field, op_map[cm.group(1)],
+                         _range_number(field, cm.group(2)))
+            return True
+        if "*" in value or "?" in value:
+            if set(value) <= {"*", "?"}:
+                raise QueryParseError(
+                    f"wildcard filter on field {field!r} needs at "
+                    "least one literal character")
+            if filters_like.setdefault(field, value) != value:
+                raise QueryParseError(
+                    f"conflicting wildcard filters on field {field!r}")
+            return True
+        if filters.setdefault(field, value) != value:
+            raise QueryParseError(
+                f"conflicting filters on field {field!r}")
+        return True
+
+    pos = 0
+
+    def level(depth: int) -> dict:
+        nonlocal pos
+        clauses: list[tuple[bool, dict]] = []  # (negated, node)
+        conn: "str | None" = None
+        after_clause = False  # an operator must sit between clauses
+        neg_next = False
+
+        def note_conn(c: str) -> None:
+            nonlocal conn
+            if conn is not None and conn != c:
+                raise QueryParseError(
+                    "mixed AND/OR at one level — parenthesize instead "
+                    "of relying on precedence")
+            conn = c
+
+        while pos < len(toks):
+            t = toks[pos]
+            if t == ")":
+                if depth == 0:
+                    raise QueryParseError("unbalanced ')'")
+                break
+            pos += 1
+            if t == "(":
+                if after_clause and not neg_next:
+                    note_conn("or")  # adjacency = OR (negated clauses
+                    # sit outside the positive connective chain)
+                node = level(depth + 1)
+                if pos >= len(toks) or toks[pos] != ")":
+                    raise QueryParseError("unbalanced '('")
+                pos += 1
+                clauses.append((neg_next, node))
+                neg_next, after_clause = False, True
+                continue
+            if t in ("AND", "OR"):
+                if neg_next or not after_clause:
+                    raise QueryParseError(
+                        f"{t} needs a clause on both sides")
+                note_conn(t.lower())
+                after_clause = False
+                continue
+            if t.startswith('"'):
+                raise QueryParseError(
+                    "quoted phrases are not supported inside a "
+                    "parenthesized boolean query — run the phrase as a "
+                    "flat query")
+            if t == "-":
+                if neg_next:
+                    raise QueryParseError("'- -' double negation")
+                neg_next = True  # "-(...)" lexes as '-', '('
+                continue
+            if t.startswith("+"):
+                raise QueryParseError(
+                    "'+' is not supported in a parenthesized boolean "
+                    "query — spell the conjunction with AND")
+            if t.startswith("-") and len(t) > 1:
+                if neg_next:
+                    raise QueryParseError("'- -' double negation")
+                neg_next, t = True, t[1:]
+            fm = _FIELD_RE.match(t)
+            if fm and fm.group(2):
+                if neg_next:
+                    raise QueryParseError(
+                        f"cannot negate a field filter ({t!r})")
+                if depth > 0:
+                    raise QueryParseError(
+                        f"field filter {t!r} must sit at the top level "
+                        "of a boolean query (filters scope the whole "
+                        "query)")
+                take_filter(t)  # filters are not clauses
+                continue
+            if after_clause and not neg_next:
+                note_conn("or")  # adjacency = OR (negated clauses sit
+                # outside the positive connective chain)
+            clauses.append((neg_next, leaf(t)))
+            neg_next, after_clause = False, True
+        if neg_next:
+            raise QueryParseError("dangling '-' with nothing to negate")
+        if clauses and not after_clause:
+            raise QueryParseError("dangling AND/OR with no right side")
+        positives = [n for neg, n in clauses if not neg]
+        negatives = [n for neg, n in clauses if neg]
+        if not positives:
+            raise QueryParseError(
+                "a boolean level needs at least one positive clause "
+                "(a pure exclusion has no bounded match set)")
+        # negatives fold as AND NOT around the level's positive node —
+        # "(a OR b -c)" (ambiguous in Lucene) is pinned to
+        # (a OR b) AND NOT c, the flat surface's not_terms rule
+        pos_node = positives[0] if len(positives) == 1 else {
+            "op": conn or "or", "children": positives}
+        if not negatives:
+            return pos_node
+        if conn == "and" and len(positives) > 1:
+            # keep one flat AND level instead of and(and(...), not ...)
+            return {"op": "and", "children": positives + [
+                {"op": "not", "child": n} for n in negatives]}
+        return {"op": "and", "children": [pos_node] + [
+            {"op": "not", "child": n} for n in negatives]}
+
+    tree = level(0)
+    if pos < len(toks):  # a stray ')' stopped the top level early
+        raise QueryParseError("unbalanced ')'")
+    from snowball_java_spark.operators.boolquery import validate_tree
+
+    validate_tree(tree)
+    return {"query_id": int(query_id), "k": int(k), "bool": tree,
+            "filters": filters, "filters_like": filters_like,
+            "ranges": ranges}
 
 
 def like_pattern(value: str) -> str:

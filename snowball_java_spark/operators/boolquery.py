@@ -1,0 +1,287 @@
+"""Nested boolean query trees over the inverted index.
+
+The flat query surface (``terms`` + ``mode`` + ``not_terms`` +
+``min_should_match``) covers one boolean level; real search engines
+accept arbitrarily nested trees — ``(a OR b) AND (c OR d) AND NOT e``
+(Lucene ``BooleanQuery``, ES ``bool`` with nested ``should``/``must``/
+``must_not``).  This module adds that surface to the index path.
+
+Query shape::
+
+    {"query_id": 0, "k": 10, "bool": TREE}
+
+    TREE  := {"term": "tok"}
+           | {"op": "and", "children": [TREE...]}
+           | {"op": "or",  "children": [TREE...]}
+           | {"op": "not", "child": TREE}        # only under an "and"
+
+Pinned semantics (oracle-checked):
+
+* **membership** — a doc matches a leaf iff it contains the term; OR is
+  union, AND is intersection; ``not`` subtracts its child's match set
+  from the enclosing AND.  ``not`` outside an AND (or an AND with no
+  positive child) has no bounded evaluation without complementing the
+  corpus — refused loudly at validation, the same restriction Lucene
+  places on pure-``MUST_NOT`` boolean queries.
+* **scoring** — BM25 sum over the DISTINCT positive leaf terms present
+  in the doc (a term contributes once even when it appears in several
+  branches; ``not`` subtrees never contribute).  Every matching doc
+  contains ≥ 1 positive leaf by construction, so no match scores 0.
+  Ties break (score desc, doc_id asc) — the engine-wide total order.
+
+Scale shape (same as ``wand.bm25_topk_index``): the postings scan is
+pruned to the tree's leaf terms (bucket partition dirs + term row-group
+predicates), each shard evaluates the tree over its own doc range with
+numpy set algebra (doc ranges are shard-disjoint, so per-shard
+evaluation is exact), scores ride :func:`wand._score_docs` (lazy
+block decode — only blocks containing a candidate), and the shuffle is
+per-shard top-k rows into :func:`bm25_join.topk`.
+
+The reference has no boolean surface at all (its matching is seed-tuple
+equality, `snowball/src/bin/Main.java`); this is north-rule query-engine
+scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.codecs import varint_decode
+from snowball_java_spark.functions.hashes import h60_py
+from snowball_java_spark.operators.wand import (
+    SCORE_SCHEMA,
+    _finalize_topk,
+    _score_docs,
+    _TermList,
+    _with_index_layout,
+)
+
+__all__ = ["validate_tree", "tree_leaf_terms", "bool_topk_index",
+           "bool_matching_docs_index"]
+
+_EMPTY = np.empty(0, np.int64)
+
+
+def validate_tree(tree, _under_and: bool = False) -> None:
+    """Loud structural validation (config.py failure policy): malformed
+    trees raise ``ValueError`` before any job is launched."""
+    if not isinstance(tree, dict):
+        raise ValueError(f"bool tree node must be a dict, got {tree!r}")
+    if "term" in tree:
+        t = tree["term"]
+        if set(tree) != {"term"}:
+            raise ValueError(f"leaf node carries extra keys: {tree!r}")
+        if not isinstance(t, str) or not t:
+            raise ValueError(f"leaf term must be a non-empty string: {t!r}")
+        return
+    op = tree.get("op")
+    if op in ("and", "or"):
+        kids = tree.get("children")
+        if set(tree) != {"op", "children"} or not isinstance(kids, list) \
+                or not kids:
+            raise ValueError(
+                f"{op!r} node needs a non-empty 'children' list: {tree!r}")
+        n_pos = 0
+        for c in kids:
+            if isinstance(c, dict) and c.get("op") == "not":
+                if op != "and":
+                    raise ValueError(
+                        "'not' is only valid as a direct child of 'and' "
+                        "(evaluating it anywhere else needs the corpus "
+                        f"complement): {tree!r}")
+            else:
+                n_pos += 1
+            validate_tree(c, _under_and=(op == "and"))
+        if op == "and" and n_pos == 0:
+            raise ValueError(
+                "'and' needs >= 1 positive (non-'not') child — a pure "
+                f"exclusion has no bounded match set: {tree!r}")
+        return
+    if op == "not":
+        if not _under_and:
+            raise ValueError(
+                "'not' is only valid as a direct child of 'and': "
+                f"{tree!r}")
+        if set(tree) != {"op", "child"}:
+            raise ValueError(f"'not' node takes exactly 'child': {tree!r}")
+        kid = tree["child"]
+        if isinstance(kid, dict) and kid.get("op") == "not":
+            raise ValueError(f"'not' directly under 'not': {tree!r}")
+        validate_tree(kid)
+        return
+    raise ValueError(f"unknown bool tree node: {tree!r}")
+
+
+def tree_leaf_terms(tree) -> "tuple[set[str], set[str]]":
+    """(positive_terms, negated_subtree_terms) — the scan set and the
+    scoring set derive from these."""
+    pos: set[str] = set()
+    neg: set[str] = set()
+
+    def walk(node, negated: bool) -> None:
+        if "term" in node:
+            (neg if negated else pos).add(node["term"])
+        elif node["op"] == "not":
+            walk(node["child"], not negated)
+        else:
+            for c in node["children"]:
+                walk(c, negated)
+
+    walk(tree, False)
+    return pos, neg
+
+
+def _eval_tree(node, by_term: dict) -> np.ndarray:
+    """Sorted unique doc ids matching ``node`` within one shard.
+    Posting decode yields ascending unique doc ids (delta-coded lists),
+    so union/intersect/diff run in the assume_unique fast path."""
+    if "term" in node:
+        tl = by_term.get(node["term"])
+        return tl.decode_all()[0] if tl is not None else _EMPTY
+    op = node["op"]
+    if op == "or":
+        parts = [d for c in node["children"]
+                 if (d := _eval_tree(c, by_term)).size]
+        if not parts:
+            return _EMPTY
+        return parts[0] if len(parts) == 1 else np.unique(
+            np.concatenate(parts))
+    # and: intersect positives (smallest-first), then subtract nots
+    pos_kids = [c for c in node["children"] if c.get("op") != "not"]
+    neg_kids = [c["child"] for c in node["children"] if c.get("op") == "not"]
+    sets = sorted((_eval_tree(c, by_term) for c in pos_kids),
+                  key=lambda a: a.size)
+    docs = sets[0]
+    for s in sets[1:]:
+        if not docs.size:
+            return _EMPTY
+        docs = np.intersect1d(docs, s, assume_unique=True)
+    for c in neg_kids:
+        if not docs.size:
+            return _EMPTY
+        ex = _eval_tree(c, by_term)
+        if ex.size:
+            docs = docs[~np.isin(docs, ex, assume_unique=True)]
+    return docs
+
+
+def _prep(spark: SparkSession, index, queries: list[dict],
+          cfg: EngineConfig, doc_filter):
+    """Shared scan plumbing: validate, prune postings to the trees' leaf
+    terms, join idf + shard meta.  Returns (with_meta, q_spec, cfg)."""
+    cfg = _with_index_layout(index, cfg)
+    if cfg.similarity != "bm25":
+        raise ValueError(
+            f"similarity={cfg.similarity!r}: bool trees score BM25 only")
+    q_spec = []
+    scan: set[str] = set()
+    for q in queries:
+        if "bool" not in q or q.get("terms"):
+            raise ValueError(
+                f"bool query {q.get('query_id')} must carry 'bool' "
+                "(and no flat 'terms' — the tree IS the query)")
+        for bad in ("mode", "not_terms", "min_should_match", "boosts",
+                    "fuzzy", "search_after"):
+            if q.get(bad):
+                raise ValueError(
+                    f"{bad!r} does not compose with a bool tree "
+                    f"(query {q.get('query_id')}) — express it in the tree")
+        validate_tree(q["bool"])
+        pos, neg = tree_leaf_terms(q["bool"])
+        scan |= pos | neg
+        q_spec.append((int(q["query_id"]), q["bool"], sorted(pos),
+                       int(q.get("k", cfg.default_k))))
+    buckets = sorted({h60_py(t) % index.n_buckets for t in scan})
+    posts = index.postings(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(sorted(scan)))
+    tstats = index.term_stats(spark).filter(
+        F.col("term").isin(sorted(scan))).select("term", "idf")
+    posts = posts.join(F.broadcast(tstats), "term")
+    meta = index.scoring_doc_meta(spark, doc_filter=doc_filter)
+    return posts.join(meta, "shard"), q_spec, cfg
+
+
+def bool_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter: "F.Column | str | None" = None,
+) -> DataFrame:
+    """Top-k BM25 over nested boolean trees, computed entirely from the
+    index.  (query_id, rank, doc_id, score); ``doc_filter`` scopes
+    candidates exactly as in ``wand.bm25_topk_index``."""
+    from snowball_java_spark.operators.bm25_join import queries_df, topk
+
+    with_meta, q_spec, cfg = _prep(spark, index, queries, cfg, doc_filter)
+    block_size = cfg.block_size
+    avgdl = index.avgdl
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from snowball_java_spark.operators.postings import decode_dead_bytes
+
+        first_doc = int(pdf["first_doc"].iloc[0])
+        dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
+        by_term = {
+            row["term"]: _TermList(row, block_size, avgdl, cfg, dead=dead)
+            for _, row in pdf.iterrows()
+        }
+        out_q, out_d, out_s = [], [], []
+        for qid, tree, pos_terms, k in q_spec:
+            cand = _eval_tree(tree, by_term)
+            if not cand.size:
+                continue
+            lists = [by_term[t] for t in pos_terms if t in by_term]
+            scores = _score_docs(lists, cand, dls, first_doc, avgdl, cfg)
+            docs, scores = _finalize_topk(cand, scores, k, None)
+            out_q.extend([qid] * docs.size)
+            out_d.extend(docs.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    scores = with_meta.groupBy("shard").applyInPandas(kernel, SCORE_SCHEMA)
+    qdf = queries_df(spark, [
+        {"query_id": qid, "terms": pos, "k": k}
+        for qid, _, pos, k in q_spec])
+    return topk(scores, qdf)
+
+
+def bool_matching_docs_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    doc_filter: "F.Column | str | None" = None,
+) -> DataFrame:
+    """(query_id, doc_id) for every doc matching each tree — the
+    unscored membership twin (feeds counts/facets/mutations exactly like
+    ``wand.matching_docs_index``)."""
+    with_meta, q_spec, cfg = _prep(spark, index, queries, cfg, doc_filter)
+    block_size = cfg.block_size
+    avgdl = index.avgdl
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from snowball_java_spark.operators.postings import decode_dead_bytes
+
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
+        by_term = {
+            row["term"]: _TermList(row, block_size, avgdl, cfg, dead=dead)
+            for _, row in pdf.iterrows()
+        }
+        out_q, out_d = [], []
+        for qid, tree, _pos, _k in q_spec:
+            docs = _eval_tree(tree, by_term)
+            out_q.extend([qid] * docs.size)
+            out_d.extend(docs.tolist())
+        return pd.DataFrame({"query_id": out_q, "doc_id": out_d})
+
+    return with_meta.groupBy("shard").applyInPandas(
+        kernel, "query_id int, doc_id long")

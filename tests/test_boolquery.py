@@ -1,0 +1,230 @@
+"""Nested boolean query trees (operators/boolquery.py).
+
+Ground truth comes from two directions: flat trees must be
+rank-identical to the driver-oracle-checked flat surfaces
+(bm25_topk_index or/and/not), and nested trees are cross-checked
+against a composition of matching_docs_index set algebra +
+bm25_scores_index scoring — both themselves oracle-checked.  The
+sf0.01 DuckDB oracle for the full nested shape lives in
+tests/test_entry.py (gate ``bm25_bool_topk``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.operators.boolquery import (
+    bool_matching_docs_index,
+    bool_topk_index,
+    tree_leaf_terms,
+    validate_tree,
+)
+from snowball_java_spark.operators.wand import (
+    bm25_scores_index,
+    bm25_topk_index,
+    matching_docs_index,
+)
+from snowball_java_spark.plans.build_index import build_index
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+
+
+def _leaf(t):
+    return {"term": t}
+
+
+def _or(*k):
+    return {"op": "or", "children": list(k)}
+
+
+def _and(*k):
+    return {"op": "and", "children": list(k)}
+
+
+def _not(c):
+    return {"op": "not", "child": c}
+
+
+@pytest.fixture(scope="module")
+def idx(spark, synth_docs, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("boolidx") / "idx")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    return build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+
+
+def _rows(df):
+    return [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()]
+
+
+# ------------------------------------------------------------- validation
+
+@pytest.mark.parametrize("tree,msg", [
+    ({"term": ""}, "non-empty string"),
+    ({"term": "a", "op": "or"}, "extra keys"),
+    ({"op": "or", "children": []}, "non-empty"),
+    ({"op": "xor", "children": [{"term": "a"}]}, "unknown"),
+    ({"op": "not", "child": {"term": "a"}}, "direct child of 'and'"),
+    ({"op": "or", "children": [{"term": "a"},
+                               {"op": "not", "child": {"term": "b"}}]},
+     "direct child of 'and'"),
+    ({"op": "and", "children": [{"op": "not", "child": {"term": "a"}}]},
+     "positive"),
+    ({"op": "and", "children": [
+        {"term": "a"},
+        {"op": "not", "child": {"op": "not", "child": {"term": "b"}}}]},
+     "'not' directly under 'not'"),
+    ("def", "must be a dict"),
+])
+def test_malformed_trees_raise(tree, msg):
+    with pytest.raises(ValueError, match=msg):
+        validate_tree(tree)
+
+
+def test_leaf_terms_split_positive_negative():
+    t = _and(_or(_leaf("a"), _leaf("b")), _not(_or(_leaf("c"), _leaf("a"))))
+    pos, neg = tree_leaf_terms(t)
+    assert pos == {"a", "b"} and neg == {"c", "a"}
+
+
+def test_query_shape_guards(spark, idx):
+    with pytest.raises(ValueError, match="must carry 'bool'"):
+        bool_topk_index(spark, idx, [{"query_id": 0, "terms": ["a"],
+                                      "bool": _leaf("a")}])
+    with pytest.raises(ValueError, match="does not compose"):
+        bool_topk_index(spark, idx, [{"query_id": 0, "bool": _leaf("a"),
+                                      "min_should_match": 2}])
+
+
+# -------------------------------------------------- flat-tree equivalence
+
+def test_flat_or_tree_matches_flat_surface(spark, idx):
+    terms = ["def", "lambda", "yield"]
+    flat = _rows(bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": terms, "k": 10}], cfg=CFG))
+    tree = _rows(bool_topk_index(
+        spark, idx,
+        [{"query_id": 0, "k": 10, "bool": _or(*map(_leaf, terms))}],
+        cfg=CFG))
+    assert tree == flat
+
+
+def test_flat_and_tree_matches_flat_surface(spark, idx):
+    terms = ["def", "return", "import"]
+    flat = _rows(bm25_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": terms, "k": 10, "mode": "and"}], cfg=CFG))
+    tree = _rows(bool_topk_index(
+        spark, idx,
+        [{"query_id": 0, "k": 10, "bool": _and(*map(_leaf, terms))}],
+        cfg=CFG))
+    assert tree == flat
+
+
+def test_not_child_matches_not_terms(spark, idx):
+    flat = _rows(bm25_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["def", "return"], "k": 10,
+          "mode": "and", "not_terms": ["lambda"]}], cfg=CFG))
+    tree = _rows(bool_topk_index(
+        spark, idx,
+        [{"query_id": 0, "k": 10,
+          "bool": _and(_leaf("def"), _leaf("return"),
+                       _not(_leaf("lambda")))}], cfg=CFG))
+    assert tree == flat
+
+
+# ------------------------------------------------------ nested cross-check
+
+def _expected_nested(spark, idx, k):
+    """(a OR b) AND (c OR d) AND NOT e via oracle-checked primitives:
+    membership from matching_docs_index per OR group, scores from
+    bm25_scores_index over the distinct positive terms."""
+    g1 = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["def", "class"]}],
+        cfg=CFG).collect()}
+    g2 = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["return", "yield"]}],
+        cfg=CFG).collect()}
+    ex = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["lambda"]}],
+        cfg=CFG).collect()}
+    match = (g1 & g2) - ex
+    scores = {r["doc_id"]: r["score"] for r in bm25_scores_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["def", "class", "return", "yield"]}],
+        cfg=CFG).collect()}
+    ranked = sorted(((scores[d], d) for d in match),
+                    key=lambda t: (-t[0], t[1]))[:k]
+    return [(0, i + 1, d, round(s, 9)) for i, (s, d) in enumerate(ranked)]
+
+
+def test_nested_tree_matches_primitive_composition(spark, idx):
+    tree = _and(_or(_leaf("def"), _leaf("class")),
+                _or(_leaf("return"), _leaf("yield")),
+                _not(_leaf("lambda")))
+    got = _rows(bool_topk_index(
+        spark, idx, [{"query_id": 0, "k": 15, "bool": tree}], cfg=CFG))
+    assert got == _expected_nested(spark, idx, 15)
+    n = bool_matching_docs_index(
+        spark, idx, [{"query_id": 0, "bool": tree}], cfg=CFG).count()
+    # membership twin agrees with the composition's match-set size
+    g1 = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["def", "class"]}],
+        cfg=CFG).collect()}
+    g2 = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["return", "yield"]}],
+        cfg=CFG).collect()}
+    ex = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["lambda"]}],
+        cfg=CFG).collect()}
+    assert n == len((g1 & g2) - ex) and n >= 15
+
+
+def test_duplicate_term_across_branches_scores_once(spark, idx):
+    # 'def' sits in BOTH branches; scoring must count it once (distinct
+    # positive leaves), i.e. identical to the flat OR of {def, return}
+    tree = _and(_or(_leaf("def"), _leaf("return")), _leaf("def"))
+    got = _rows(bool_topk_index(
+        spark, idx, [{"query_id": 0, "k": 10, "bool": tree}], cfg=CFG))
+    # membership: docs with def (the OR is implied by def's presence)
+    flat = _rows(bm25_topk_index(
+        spark, idx, [{"query_id": 9, "terms": ["def", "return"], "k": 10}],
+        cfg=CFG))
+    have_def = {r["doc_id"] for r in matching_docs_index(
+        spark, idx, [{"query_id": 0, "terms": ["def"]}], cfg=CFG).collect()}
+    exp = [r for r in flat if r[2] in have_def][:10]
+    assert [(r[2], r[3]) for r in got] == [(r[2], r[3]) for r in exp]
+
+
+def test_absent_term_or_and_batch(spark, idx):
+    # absent leaf: OR degrades to the present terms, AND matches nothing;
+    # two queries batch in one call without interference
+    res = bool_topk_index(spark, idx, [
+        {"query_id": 0, "k": 5,
+         "bool": _or(_leaf("def"), _leaf("zzzznotaterm"))},
+        {"query_id": 1, "k": 5,
+         "bool": _and(_leaf("def"), _leaf("zzzznotaterm"))},
+    ], cfg=CFG)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q.get(0, [])) == 5 and 1 not in by_q
+    flat = _rows(bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["def"], "k": 5}], cfg=CFG))
+    assert [(r["doc_id"], round(r["score"], 9)) for r in by_q[0]] \
+        == [(r[2], r[3]) for r in flat]
+
+
+def test_doc_filter_composes(spark, idx):
+    from pyspark.sql import functions as F
+
+    tree = _or(_leaf("def"), _leaf("class"))
+    got = bool_topk_index(
+        spark, idx, [{"query_id": 0, "k": 200, "bool": tree}],
+        cfg=CFG, doc_filter=F.col("lang") == "python")
+    langs = {r["lang"] for r in
+             idx.docs(spark).join(got.select("doc_id"), "doc_id")
+             .select("lang").distinct().collect()}
+    assert langs <= {"python"} and got.count() > 0

@@ -65,6 +65,86 @@ def test_parse_terms_use_engine_tokenizer():
     assert parse_query(raw)["terms"] == sorted(set(tokenize_py(raw)))
 
 
+# ------------------------------------------------ parenthesized boolean
+
+def test_parse_bool_nested_tree():
+    p = parse_query("(def OR class) AND return -test")
+    assert p["bool"] == {"op": "and", "children": [
+        {"op": "or", "children": [{"term": "def"}, {"term": "class"}]},
+        {"term": "return"},
+        {"op": "not", "child": {"term": "test"}},
+    ]}
+    assert "terms" not in p and "mode" not in p
+
+
+def test_parse_bool_adjacency_is_or_and_group_negation():
+    p = parse_query("(a b) AND -(c d)")
+    assert p["bool"] == {"op": "and", "children": [
+        {"op": "or", "children": [{"term": "a"}, {"term": "b"}]},
+        {"op": "not",
+         "child": {"op": "or", "children": [{"term": "c"}, {"term": "d"}]}},
+    ]}
+
+
+def test_parse_bool_top_level_filters_compose():
+    p = parse_query("lang:python (def OR class) AND return dl:>=40")
+    assert p["filters"] == {"lang": "python"}
+    assert p["ranges"] == {"dl": {"gte": 40}}
+    assert p["bool"]["op"] == "and"
+
+
+def test_parse_bool_terms_run_engine_tokenizer():
+    p = parse_query("(DEF OR Class)")
+    assert p["bool"] == {"op": "or", "children": [
+        {"term": "def"}, {"term": "class"}]}
+
+
+@pytest.mark.parametrize("bad", [
+    "(a AND b OR c)",      # mixed connectives at one level
+    "-(a)",                # pure exclusion
+    "(-a)",
+    "()",
+    "(a",                  # unbalanced
+    "a)",
+    "(+a b)",              # '+' refused in bool grammar
+    '("x y" OR z)',        # phrase inside bool
+    "(a*)",                # wildcard inside bool
+    "(a~1 b)",             # fuzzy inside bool
+    "(a^2 b)",             # boost inside bool
+    "(lang:python a)",     # filter below top level
+    "(a -lang:python)",    # negated filter
+    "(a AND)",             # dangling operator
+    "(foo-bar)",           # multi-token word inside bool group
+])
+def test_parse_bool_rejects(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+def test_parse_bool_executes_and_matches_flat_surfaces(spark, synth_docs):
+    """String → tree → bool_topk_index must equal the flat surfaces on
+    flat-expressible shapes (both already oracle-checked)."""
+    import tempfile
+
+    from snowball_java_spark.operators.boolquery import bool_topk_index
+
+    idx = build_index(
+        spark, synth_docs.select("repo", "path", "commit", "lang",
+                                 "content"),
+        tempfile.mkdtemp(prefix="qp_bool_idx"), cfg=CFG, n_buckets=8)
+
+    def rows(df):
+        return [(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in df.collect()]
+
+    got = rows(bool_topk_index(
+        spark, idx, [parse_query("(def AND return) -lambda")], cfg=CFG))
+    want = rows(bm25_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["def", "return"], "k": 10,
+                      "mode": "and", "not_terms": ["lambda"]}], cfg=CFG))
+    assert got and got == want
+
+
 # ---------------------------------------------------------- NOT queries
 
 NOT_QS = [
