@@ -986,6 +986,75 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_DISMAX_TIE = 0.3
+
+
+def _q_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max / multi_match best_fields over the same lead/body split as
+    the BM25F gate, but each field an INDEPENDENT BM25 (own df/dl/avgdl)
+    and the combine is max + tie·rest — a term matching both fields is
+    not double-counted."""
+    from snowball_java_spark.operators.fields import dismax_topk_join
+
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens_expr("text").alias("_t"))
+        .select(
+            "doc_id",
+            F.slice("_t", 1, _LEAD_N).alias("lead"),
+            F.expr(
+                f"slice(_t, {_LEAD_N + 1}, "
+                f"greatest(size(_t) - {_LEAD_N}, 0))").alias("body"),
+        )
+    )
+    res = dismax_topk_join(
+        spark, docs, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        fields=["lead", "body"], tie_breaker=_DISMAX_TIE,
+    )
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _dismax_sql(terms: list[str], k: int, tie: float) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    w = (
+        f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tfm.tf "
+        f"* {_K1 + 1.0} / (tfm.tf + {_K1} * (1 - {_B} + {_B} * tfm.dl / "
+        f"(CASE tfm.field WHEN 'lead' THEN st.avgdl_lead "
+        f"ELSE st.avgdl_body END)))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+f AS (SELECT doc_id, toks[1:{_LEAD_N}] AS lead,
+             toks[{_LEAD_N + 1}:] AS body FROM toks),
+st AS (SELECT count(*)::BIGINT AS n_docs,
+              avg(len(lead)) AS avgdl_lead,
+              avg(len(body)) AS avgdl_body FROM f),
+q(term) AS (VALUES {tlist}),
+tfm AS (SELECT * FROM (
+  SELECT doc_id, 'lead' AS field, len(lead)::DOUBLE AS dl, q.term,
+         len(list_filter(lead, x -> x = q.term))::BIGINT AS tf
+  FROM f CROSS JOIN q
+  UNION ALL
+  SELECT doc_id, 'body', len(body)::DOUBLE, q.term,
+         len(list_filter(body, x -> x = q.term))
+  FROM f CROSS JOIN q) WHERE tf > 0),
+dfx AS (SELECT field, term, count(*)::BIGINT AS df FROM tfm GROUP BY 1, 2),
+pf AS (SELECT tfm.doc_id, tfm.field, sum({w}) AS s_f
+       FROM tfm JOIN dfx USING (field, term) CROSS JOIN st GROUP BY 1, 2),
+scores AS (SELECT doc_id,
+                  max(s_f) + {tie} * (sum(s_f) - max(s_f)) AS score
+           FROM pf GROUP BY 1)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM scores
+) WHERE rank <= {k}
+"""
+
+
 def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep paging: page 2 of the hot-terms query via a search_after
     cursor (the last hit of page 1, verbatim).  Per-shard work stays
@@ -4739,6 +4808,9 @@ def build_registry() -> dict[str, Q]:
         ),
         "bm25f_lead_topk": Q(
             _q_bm25f_lead, _bm25f_lead_sql(HOT_TERMS, 10),
+        ),
+        "dismax_topk": Q(
+            _q_dismax, _dismax_sql(MIXED_TERMS, 10, _DISMAX_TIE),
         ),
         "bm25_proximity_topk": Q(
             _q_bm25_proximity,

@@ -40,7 +40,7 @@ from snowball_java_spark.operators.bm25_join import (
     topk,
 )
 
-__all__ = ["bm25f_topk_join"]
+__all__ = ["bm25f_topk_join", "dismax_topk_join"]
 
 
 def bm25f_topk_join(
@@ -141,6 +141,111 @@ def bm25f_topk_join(
         .withColumn("w", w)
         .groupBy("query_id", "doc_id")
         .agg(ordered_sum("term", "w").alias("score"))
+    )
+    scores = apply_search_after(spark, scores, queries)
+    return topk(scores, qdf)
+
+
+def dismax_topk_join(
+    spark: SparkSession,
+    docs_fields: DataFrame,
+    queries: list[dict],
+    fields: list[str],
+    tie_breaker: float = 0.0,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Top-k dis_max / multi_match "best_fields" over per-field token
+    arrays — the OTHER multi-field combiner next to BM25F.
+
+    BM25F (:func:`bm25f_topk_join`) merges weighted tf into one shared
+    saturation: right when fields are the same prose split by position.
+    When fields carry *different text* (a file's ``path`` vs its
+    ``content``), a term matching both should not be double-counted —
+    the document is about the best field, not the sum.  That is
+    Lucene's DisjunctionMaxQuery (public: Lucene
+    ``DisjunctionMaxQuery.java``; the reference engine scores one flat
+    blob per sentence, ``snowball/src/utils/TermsVector.java``):
+
+        score(q, d) = max_f s_f(q, d) + tie · Σ_{f ≠ argmax} s_f(q, d)
+
+    where each ``s_f`` is an INDEPENDENT full BM25 over field f (its own
+    df, dl, avgdl — a term rare in paths but hot in bodies gets a high
+    path idf).  ``tie_breaker`` ∈ [0, 1]: 0 = pure dis_max, 1 = per-field
+    score sum ("most_fields").
+
+    Scale shape: one stats agg (n_docs + every field's avgdl in a single
+    pass, no explode), then per field a token-array filter to the query
+    terms BEFORE exploding — shuffle volume ∝ query-term postings ×
+    fields.  Deterministic float64: per-field sums fold in sorted-term
+    order, the cross-field combine folds in sorted-field order
+    (``ordered_sum``), so ranks are byte-stable and oracle-matchable.
+    """
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    fields = sorted(fields)
+    terms = sorted({t for q in queries for t in q["terms"]})
+    qdf = queries_df(spark, queries)
+    if not terms:
+        return topk(
+            spark.createDataFrame([], "query_id int, doc_id long, score double"),
+            qdf,
+        )
+
+    st = docs_fields.agg(
+        F.count("*").alias("n_docs"),
+        *[F.avg(F.size(F.col(f)).cast("double")).alias(f"avgdl_{f}")
+          for f in fields],
+    ).collect()[0]
+    n_docs = int(st["n_docs"])
+    avgdl = {f: float(st[f"avgdl_{f}"]) for f in fields}
+
+    t_lit = F.array(*[F.lit(t) for t in terms])
+    # one long pass per field, arrays pruned to query terms pre-explode
+    parts = [
+        docs_fields.select(
+            "doc_id",
+            F.lit(f).alias("field"),
+            F.size(F.col(f)).cast("double").alias("dl"),
+            F.explode(
+                F.filter(F.col(f), lambda x: F.array_contains(t_lit, x))
+            ).alias("term"),
+        )
+        for f in fields
+    ]
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    tf = long.groupBy("field", "doc_id", "dl", "term").agg(
+        F.count("*").alias("tf"))
+    # PER-FIELD df — the statistical independence that defines dis_max
+    dfx = tf.groupBy("field", "term").agg(F.count("*").alias("df"))
+    q_terms = F.broadcast(qdf.select("query_id", "term").distinct())
+    avgdl_map = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(avgdl[f]))])
+    w = weight_expr(
+        F.col("tf").cast("double"), idf_expr(F.col("df"), n_docs),
+        F.col("dl"), avgdl_map[F.col("field")], cfg.k1, cfg.b,
+    )
+    per_field = (
+        tf.join(dfx, ["field", "term"])
+        .join(q_terms, "term")
+        .withColumn("w", w)
+        .groupBy("query_id", "doc_id", "field")
+        .agg(ordered_sum("term", "w").alias("s_f"))
+    )
+    # max is order-free; the tie-sum folds in sorted-field order
+    scores = (
+        per_field.groupBy("query_id", "doc_id")
+        .agg(
+            F.max("s_f").alias("_best"),
+            ordered_sum("field", "s_f").alias("_sum"),
+        )
+        .withColumn(
+            "score",
+            F.col("_best")
+            + F.lit(float(tie_breaker)) * (F.col("_sum") - F.col("_best")),
+        )
+        .drop("_best", "_sum")
     )
     scores = apply_search_after(spark, scores, queries)
     return topk(scores, qdf)

@@ -140,3 +140,100 @@ def test_bm25f_multi_query_and_search_after(spark, synth_docs):
         ).collect(),
         key=lambda r: r["rank"])
     assert [r["doc_id"] for r in got2] == [d for d, _ in full[5:10]]
+
+
+def _dismax_oracle(docs: dict[int, dict[str, list[str]]],
+                   fields: list[str], terms: list[str], k: int,
+                   tie: float):
+    """Pure-python dis_max: independent BM25 per field, max + tie·rest."""
+    fields = sorted(fields)
+    n = len(docs)
+    avgdl = {f: sum(len(fl[f]) for fl in docs.values()) / n for f in fields}
+    df = {(f, t): sum(1 for fl in docs.values() if t in fl[f])
+          for f in fields for t in set(terms)}
+    out = {}
+    for d, fl in docs.items():
+        per_field = []
+        for f in fields:
+            s = 0.0
+            for t in sorted(set(terms)):
+                tf = fl[f].count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[f, t] + 0.5) / (df[f, t] + 0.5))
+                s += idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1 - BM25_B
+                                    + BM25_B * len(fl[f]) / avgdl[f]))
+            if s > 0:
+                per_field.append(s)
+        if per_field:
+            out[d] = max(per_field) + tie * (sum(per_field)
+                                             - max(per_field))
+    return sorted(out.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def _fielded(spark, synth_docs):
+    from snowball_java_spark.functions.symbols import symbols_expr, symbols_py
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    docs = synth_docs.select(
+        "doc_id",
+        tokens_expr("content").alias("body"),
+        symbols_expr("content").alias("symbols"),
+    )
+    oracle_docs = {
+        r["doc_id"]: {"body": tokenize_py(r["content"]),
+                      "symbols": symbols_py(r["content"])}
+        for r in synth_docs.select("doc_id", "content").collect()
+    }
+    return docs, oracle_docs
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_matches_oracle_across_tie_breakers(spark, synth_docs, tie):
+    from snowball_java_spark.operators.fields import dismax_topk_join
+
+    docs, oracle_docs = _fielded(spark, synth_docs)
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 5},
+          {"query_id": 1, "terms": ["rare_331"], "k": 5}]
+    got = dismax_topk_join(
+        spark, docs, qs, fields=["body", "symbols"], tie_breaker=tie
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in qs:
+        expect = _dismax_oracle(
+            oracle_docs, ["body", "symbols"], q["terms"], q["k"], tie)
+        mine = sorted(by_q.get(q["query_id"], []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in mine] == [d for d, _ in expect], \
+            f"tie={tie} q{q['query_id']}"
+        for r, (_, es) in zip(mine, expect):
+            assert r["score"] == pytest.approx(es, rel=REL_TOL)
+
+
+def test_dismax_tie_zero_is_pure_best_field(spark, synth_docs):
+    """tie=0 ranks by the single best field — a doc matching weakly in
+    BOTH fields must not beat a doc matching strongly in one."""
+    from snowball_java_spark.operators.fields import dismax_topk_join
+
+    docs, oracle_docs = _fielded(spark, synth_docs)
+    got = dismax_topk_join(
+        spark, docs, [{"query_id": 0, "terms": ["def", "return"], "k": 20}],
+        fields=["body", "symbols"], tie_breaker=0.0).collect()
+    expect = _dismax_oracle(
+        oracle_docs, ["body", "symbols"], ["def", "return"], 20, 0.0)
+    for r, (d, es) in zip(sorted(got, key=lambda r: r["rank"]), expect):
+        assert r["doc_id"] == d
+        # tie=0 ⇒ score IS one field's independent BM25 score
+        assert r["score"] == pytest.approx(es, rel=REL_TOL)
+
+
+def test_dismax_rejects_bad_tie_breaker(spark, synth_docs):
+    from snowball_java_spark.operators.fields import dismax_topk_join
+
+    docs, _ = _fielded(spark, synth_docs)
+    with pytest.raises(ValueError, match="tie_breaker"):
+        dismax_topk_join(spark, docs, [{"query_id": 0, "terms": ["x"],
+                                        "k": 1}],
+                         fields=["body", "symbols"], tie_breaker=1.5)
