@@ -2460,6 +2460,35 @@ def _q_dedup_exact(spark, sf_dir):
     )
 
 
+_CHUNK_W = 4
+
+
+def _q_chunk_dedup(spark, sf_dir):
+    """Sub-document (paragraph-level) dedup, CCNet-style: fixed 4-token
+    chunks stand in for paragraphs; a chunk seen in ≥2 distinct docs is
+    dropped everywhere but the lowest doc_id (keep-first)."""
+    return dedup.chunk_dedup_report(
+        _docs_tok(spark, sf_dir), chunk_tokens=_CHUNK_W, min_dup_docs=2)
+
+
+def _chunk_dedup_sql(w: int) -> str:
+    sl = f"toks[(i*{w}+1):(i*{w}+{w})]"
+    keep = "dup.h IS NULL OR ch.doc_id = dup.first_doc"
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+ch AS (SELECT doc_id, md5(array_to_string({sl}, ' ')) AS h,
+              len({sl})::BIGINT AS tok_n
+       FROM toks, UNNEST(range(0, CAST(ceil(len(toks)/{w}.0) AS BIGINT))) AS t(i)
+       WHERE len({sl}) > 0),
+dup AS (SELECT h, min(doc_id) AS first_doc FROM ch GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2)
+SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN {keep} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN {keep} THEN ch.tok_n ELSE 0 END)::BIGINT AS tokens_kept
+FROM ch LEFT JOIN dup USING (h) GROUP BY 1
+"""
+
+
 def _q_minhash(spark, sf_dir):
     d = _docs_tok(spark, sf_dir).filter(F.col("doc_id") < 20)
     mh = dedup.with_minhash(d)
@@ -3634,6 +3663,38 @@ def _q_emb_near_dup(spark, sf_dir):
         e, min_cosine=0.6, n_planes=_EMB_ND_PLANES, dim=64,
         max_bucket_size=_EMB_ND_CAP)
     return pairs.orderBy("id_a", "id_b")
+
+
+_LM_ALPHA = 1.0
+
+
+def _q_lm_doclogprob(spark, sf_dir):
+    """Unigram-LM doc quality: mean ln p(token) under the corpus-trained
+    add-1-smoothed unigram model (the UDF-free KenLM-quality-filter
+    analog)."""
+    from snowball_java_spark.operators.textstats import lm_doclogprob
+
+    r = lm_doclogprob(_docs_tok(spark, sf_dir), alpha=_LM_ALPHA)
+    return r.select(
+        "doc_id", "dl", F.round("mean_logp", 6).alias("mean_logp"))
+
+
+def _lm_doclogprob_sql(alpha: float) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+       FROM toks, UNNEST(toks) AS u(t) GROUP BY 1, 2),
+terms AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+st AS (SELECT sum(cf)::BIGINT AS c, count(*)::BIGINT AS v FROM terms),
+d AS (SELECT tf.doc_id, sum(tf.tf)::BIGINT AS dl,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list((tf.tf * ln((terms.cf + {alpha})
+                                / (st.c + {alpha} * st.v)))::DOUBLE
+                    ORDER BY tf.term)),
+               (a, b) -> a + b) AS slp
+      FROM tf JOIN terms USING (term) CROSS JOIN st GROUP BY 1)
+SELECT doc_id, dl, round(slp / dl, 6) AS mean_logp FROM d
+"""
 
 
 def _q_lang_id(spark, sf_dir):
@@ -4946,6 +5007,7 @@ SELECT sum(n_docs)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
 FROM g
 """,
         ),
+        "chunk_dedup": Q(_q_chunk_dedup, _chunk_dedup_sql(_CHUNK_W)),
         "dedup_minhash_sigs": Q(_q_minhash, _minhash_sql()),
         "dedup_simhash": Q(_q_simhash, _simhash_sql()),
         "dedup_ngram_jaccard": Q(_q_jaccard, _jaccard_sql()),
@@ -5029,6 +5091,8 @@ FROM g
         "embedding_near_dup": Q(_q_emb_near_dup, _emb_near_dup_sql()),
         "lang_id": Q(_q_lang_id, _lang_sql()),
         "quality_score": Q(_q_quality, _quality_sql()),
+        "lm_doclogprob": Q(
+            _q_lm_doclogprob, _lm_doclogprob_sql(_LM_ALPHA)),
         "token_count": Q(
             _q_token_count,
             f"""

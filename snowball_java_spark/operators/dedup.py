@@ -403,3 +403,91 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def chunk_dedup_report(
+    docs_tok: DataFrame,
+    chunk_tokens: int = 16,
+    min_dup_docs: int = 2,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Paragraph-level (chunk-level) dedup report — the CCNet move
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", 2020 — public): web/boilerplate text repeats
+    at SUB-document granularity (headers, license banners, nav bars), so
+    doc-level dedup misses it.  Documents are split into consecutive
+    non-overlapping ``chunk_tokens``-token chunks (the deterministic
+    stand-in for '\\n\\n' paragraphs — the test corpus is single-line);
+    a chunk occurring in ≥ ``min_dup_docs`` DISTINCT docs is boilerplate
+    and is dropped everywhere except the lowest doc_id containing it
+    (keep-first, so one copy of every passage survives the corpus-wide
+    sweep).
+
+    Returns (doc_id, n_chunks, n_kept, tokens_kept) — the removal plan;
+    callers rebuild content from kept chunk positions.
+
+    Scale shape: chunk explode is ∝ corpus_tokens / chunk_tokens rows
+    (the price of sub-document dedup; CCNet pays the same shuffle over
+    paragraph hashes).  The hash-stats aggregate is map-side combinable
+    (count + min over md5-grouped rows); the stats table is then
+    FILTERED to duplicated hashes only before joining back, so the join
+    side carries just the boilerplate set, not the whole corpus
+    vocabulary of chunks.  No driver-side collect anywhere.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if min_dup_docs < 2:
+        raise ValueError(
+            f"min_dup_docs must be >= 2 (1 would drop everything), "
+            f"got {min_dup_docs}")
+    from snowball_java_spark.functions.exprs import bind
+
+    w = chunk_tokens
+
+    def body(arr: Column) -> Column:
+        n_chunks = F.ceil(F.size(arr) / F.lit(w)).cast("int")
+        # greatest(…, 0) + tok_n>0 filter: sequence(0, -1) DESCENDS in
+        # Spark, so an empty doc would otherwise fabricate two chunks
+        return F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(arr, i * w + 1, w))
+                    .alias("chunk"),
+                    F.size(F.slice(arr, i * w + 1, w)).alias("tok_n"),
+                ),
+            ),
+            lambda s: s["tok_n"] > 0,
+        )
+
+    chunks = docs_tok.select(
+        "doc_id",
+        F.posexplode(bind(F.col(tokens_col), body)).alias("pos", "c"),
+    ).select(
+        "doc_id", "pos", F.md5("c.chunk").alias("h"),
+        F.col("c.tok_n").cast("long").alias("tok_n"),
+    )
+    # map-side combinable stats; keep ONLY duplicated hashes for the join
+    dup = (
+        chunks.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("h", "first_doc")
+    )
+    kept = F.when(
+        F.col("first_doc").isNull()
+        | (F.col("doc_id") == F.col("first_doc")), 1).otherwise(0)
+    return (
+        chunks.join(dup, "h", "left")
+        .withColumn("_kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("_kept").cast("long").alias("n_kept"),
+            F.sum(F.col("_kept") * F.col("tok_n")).cast("long")
+            .alias("tokens_kept"),
+        )
+    )

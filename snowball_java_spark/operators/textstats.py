@@ -144,3 +144,62 @@ def fingerprint_expr(tokens_col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * FP_MULT + h60_expr(t) % FP_MOD) % FP_MOD,
     )
+
+
+def lm_doclogprob(docs_tok, tokens_col: str = "tokens",
+                  alpha: float = 1.0):
+    """Per-doc mean token log-probability under a corpus-trained unigram
+    language model — the classic cheap quality / outlier filter (CCNet
+    scores docs with a KenLM 5-gram; the unigram form is its
+    degenerate-but-UDF-free analog, and the reference has no LM at all):
+
+        p(t)   = (cf(t) + α) / (C + α·V)      (add-α smoothing)
+        score  = Σ_t∈doc ln p(t) / dl          (mean over TOKEN positions)
+
+    Low scores flag keyword-stuffed / rare-token junk; high scores flag
+    stop-wordy boilerplate — both tails are what a training-data
+    pipeline trims.  Smoothing keeps the score defined for every token
+    the model saw at fit time; the vocabulary IS the corpus vocabulary,
+    so no OOV case arises in the single-corpus form.
+
+    Returns (doc_id, dl, mean_logp) for docs with ≥1 token.
+
+    Scale shape: one tf pass (explode pruned to nothing — the LM needs
+    every token) feeding two map-side-combinable aggs (term → cf, and
+    the scalar C/V), then a term-keyed join of per-doc tf against the
+    term table and a per-doc ordered fold (sorted-term order, bounded by
+    doc distinct-term count — the same bound as the doc itself).  The
+    term table is corpus-vocabulary-sized and NEVER collected; at 10^12
+    files both sides of the term join are hash-partitioned on term, the
+    standard shape.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (signature clarity)
+    from snowball_java_spark.operators.bm25_join import ordered_sum
+
+    tf = (
+        docs_tok.select(
+            "doc_id", F.explode(F.col(tokens_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    terms = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    st = terms.agg(
+        F.sum("cf").alias("c_total"), F.count("*").alias("v")).collect()[0]
+    c_total, v = int(st["c_total"]), int(st["v"])
+    logp = F.log(
+        (F.col("cf").cast("double") + F.lit(float(alpha)))
+        / F.lit(float(c_total) + float(alpha) * v))
+    return (
+        tf.join(terms, "term")
+        .withColumn("_lp", F.col("tf").cast("double") * logp)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            ordered_sum("term", "_lp").alias("_sum_lp"),
+        )
+        .select(
+            "doc_id", "dl",
+            (F.col("_sum_lp") / F.col("dl").cast("double"))
+            .alias("mean_logp"),
+        )
+    )

@@ -127,3 +127,74 @@ def test_minhash_from_hashes_matches_with_minhash(spark, synth_docs):
         "doc_id", *[f"mh_{i}" for i in range(NUM_MINHASH)]
     )
     assert ref.exceptAll(alt).count() == 0 and alt.exceptAll(ref).count() == 0
+
+
+def _chunk_oracle(docs: dict[int, list[str]], w: int, min_dup: int):
+    """Pure-python chunk dedup (keep-first)."""
+    chunks: dict[int, list[tuple[str, int]]] = {}
+    for d, toks in docs.items():
+        chunks[d] = [
+            (" ".join(toks[i:i + w]), len(toks[i:i + w]))
+            for i in range(0, len(toks), w)
+        ]
+    first: dict[str, int] = {}
+    docs_of: dict[str, set[int]] = {}
+    for d in sorted(docs):
+        for c, _ in chunks[d]:
+            docs_of.setdefault(c, set()).add(d)
+            first.setdefault(c, d)
+    dup = {c for c, ds in docs_of.items() if len(ds) >= min_dup}
+    out = {}
+    for d, cl in chunks.items():
+        if not cl:
+            continue
+        kept = [(c, n) for c, n in cl if c not in dup or first[c] == d]
+        out[d] = (len(cl), len(kept), sum(n for _, n in kept))
+    return out
+
+
+def test_chunk_dedup_keep_first_and_empty_docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),            # shares chunk1 with doc 1, 2
+        (1, "a b c d x y z w"),            # dup chunk 'a b c d'
+        (2, "q r s t a b c d"),            # dup chunk at a different pos
+        (3, "totally different words here"),
+        (4, ""),                            # empty: must not fabricate rows
+        (5, "a b c"),                       # single short chunk, unique
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).select("doc_id", tokens_expr("text").alias("tokens"))
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["tokens_kept"])
+        for r in dedup.chunk_dedup_report(docs, chunk_tokens=4).collect()
+    }
+    toks = {d: t.split() for d, t in rows}
+    expect = _chunk_oracle(toks, 4, 2)
+    assert got == expect
+    assert 4 not in got                      # empty doc absent
+    assert got[0] == (2, 2, 8)               # first occurrence keeps all
+    assert got[1] == (2, 1, 4)               # lost its 'a b c d'
+    assert got[2] == (2, 1, 4)               # positions don't matter
+
+
+def test_chunk_dedup_matches_oracle_on_synth(spark, synth_docs):
+    docs = synth_docs.select(
+        "doc_id", tokens_expr("content").alias("tokens"))
+    rows = synth_docs.select("doc_id", "content").collect()
+    from snowball_java_spark.functions.tokenize import tokenize_py
+
+    toks = {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+    expect = _chunk_oracle(toks, 8, 2)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["tokens_kept"])
+        for r in dedup.chunk_dedup_report(docs, chunk_tokens=8).collect()
+    }
+    assert got == expect
+
+
+def test_chunk_dedup_rejects_bad_params(spark, boiler_docs):
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        dedup.chunk_dedup_report(boiler_docs, chunk_tokens=0)
+    with pytest.raises(ValueError, match="min_dup_docs"):
+        dedup.chunk_dedup_report(boiler_docs, min_dup_docs=1)

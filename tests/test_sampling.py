@@ -152,3 +152,48 @@ def test_hash_split_rejects_bad_weights(spark):
         hash_split_expr("doc_id", {"train": 0.9, "val": 0.9})
     with _pt.raises(ValueError):
         hash_split_expr("doc_id", {"train": -0.1, "val": 0.5})
+
+
+def test_lm_doclogprob_matches_pure_python(spark):
+    import math
+
+    from snowball_java_spark.functions.tokenize import tokenize_py
+    from snowball_java_spark.operators.textstats import lm_doclogprob
+
+    rows = [
+        (0, "the the the the common words"),
+        (1, "rareword anotherrare singleton"),
+        (2, "the common the common"),
+        (3, ""),                              # excluded (no tokens)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]))
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    got = {
+        r["doc_id"]: (r["dl"], r["mean_logp"])
+        for r in lm_doclogprob(
+            docs.select("doc_id", tokens_expr("text").alias("tokens")),
+            alpha=1.0).collect()
+    }
+    toks = {d: tokenize_py(t) for d, t in rows}
+    cf: dict[str, int] = {}
+    for tl in toks.values():
+        for t in tl:
+            cf[t] = cf.get(t, 0) + 1
+    c, v = sum(cf.values()), len(cf)
+    assert 3 not in got
+    for d, tl in toks.items():
+        if not tl:
+            continue
+        # fold in sorted-term order, tf-weighted — mirrors ordered_sum
+        s = 0.0
+        per_term: dict[str, int] = {}
+        for t in tl:
+            per_term[t] = per_term.get(t, 0) + 1
+        for t in sorted(per_term):
+            s += per_term[t] * math.log((cf[t] + 1.0) / (c + 1.0 * v))
+        assert got[d][0] == len(tl)
+        assert got[d][1] == pytest.approx(s / len(tl), rel=1e-12)
+    # the junk doc (all-rare tokens) scores strictly below the stopwordy one
+    assert got[1][1] < got[0][1]
