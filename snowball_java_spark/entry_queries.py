@@ -1079,6 +1079,79 @@ def _q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pit_indexes_for(spark: SparkSession, sf_dir: str):
+    """(snapshot, serving) — the point-in-time search fixture: a
+    hard-link snapshot taken BEFORE a spam-doc refresh lands on the
+    serving copy.  Idempotent across gate runs: the snapshot is gated on
+    its _conf.json, the mutation on a marker file; a crash between
+    refresh and marker can only double the spam docs on the SERVING
+    side, which the gate never returns rows from."""
+    import shutil as _sh
+
+    from snowball_java_spark.plans.build_index import (
+        IndexReader,
+        refresh_index,
+    )
+    from snowball_java_spark.plans.snapshot import (
+        restore_snapshot,
+        snapshot_index,
+    )
+
+    base = _index_for(spark, sf_dir)
+    root = base.index_dir + "_pit"
+    serving = os.path.join(root, "serving")
+    snap = os.path.join(root, "snap")
+    if not os.path.exists(os.path.join(snap, "_conf.json")):
+        _sh.rmtree(root, ignore_errors=True)
+        restore_snapshot(base.index_dir, serving)
+        snapshot_index(serving, snap)
+    done = os.path.join(root, "_mutated")
+    if not os.path.exists(done):
+        spam = " ".join(MIXED_TERMS * 40)
+        delta = spark.createDataFrame(
+            [(spam, "pitrepo", f"pit_{i:04d}", "c0", "en")
+             for i in range(8)],
+            "content string, repo string, path string, commit string, "
+            "lang string")
+        refresh_index(spark, delta, serving)
+        with open(done, "w") as f:
+            f.write("1")
+    return IndexReader(snap), IndexReader(serving)
+
+
+def _q_pit_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time paging (ES PIT + search_after): page 2 of the
+    mixed-terms query against a snapshot taken before a spam-doc refresh
+    hit the serving index.  The cursor stays valid and the pages stay
+    consistent — no mutation can shift a PIT reader's ranking — so the
+    oracle is plain BM25 over the ORIGINAL corpus.  A paging cursor on
+    the LIVE index would silently re-rank between pages; the gate
+    asserts the serving copy really does rank differently (the spam docs
+    crack its top-1), proving the snapshot isolation is load-bearing."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    snap, serving = _pit_indexes_for(spark, sf_dir)
+    q = {"query_id": 0, "terms": MIXED_TERMS, "k": 10}
+    page1 = bm25_topk_index(spark, snap, [q], cfg=_INDEX_CFG
+                            ).orderBy("rank").collect()
+    live1 = bm25_topk_index(spark, serving, [q], cfg=_INDEX_CFG
+                            ).orderBy("rank").collect()
+    if [r["doc_id"] for r in live1[:1]] == [r["doc_id"] for r in page1[:1]]:
+        raise AssertionError(
+            "PIT fixture lost its teeth: spam refresh did not change the "
+            "serving index's top hit")
+    cursor = [page1[-1]["score"], page1[-1]["doc_id"]]
+    res = bm25_topk_index(
+        spark, snap,
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10,
+          "search_after": cursor}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 _PREFIX_STEM = "s"
 _PREFIX_MAX = 4
 
@@ -4866,6 +4939,10 @@ def build_registry() -> dict[str, Q]:
         "bm25_search_after": Q(
             _q_bm25_search_after,
             _bm25_topk_sql(HOT_TERMS, 10, after=10),
+        ),
+        "pit_search_after": Q(
+            _q_pit_search_after,
+            _bm25_topk_sql(MIXED_TERMS, 10, after=10),
         ),
         "bm25f_lead_topk": Q(
             _q_bm25f_lead, _bm25f_lead_sql(HOT_TERMS, 10),

@@ -116,3 +116,42 @@ def test_snapshot_mid_mutation_opens_like_post_crash(
     snap = str(tmp_path / "snap3")
     snapshot_index(d, snap)
     assert _topk(spark, snap) == before
+
+def test_pit_cursor_pages_stay_consistent_across_source_mutation(
+        spark, synth_docs, tmp_path):
+    """ES PIT + search_after: page 1 is fetched from a snapshot, the
+    SOURCE mutates, then page 2 is fetched with page 1's cursor — the
+    two pages must tile the pre-mutation top-20 exactly (no shifted or
+    repeated hits), which a live-index cursor cannot promise."""
+    d = str(tmp_path / "idx")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=CFG, n_buckets=8)
+    full20 = [(r["doc_id"], r["score"]) for r in bm25_topk_index(
+        spark, IndexReader(d),
+        [{"query_id": 0, "terms": ["def", "return"], "k": 20}],
+        cfg=CFG).orderBy("rank").collect()]
+
+    snap = str(tmp_path / "pitsnap")
+    snapshot_index(d, snap)
+    p1 = [(r["doc_id"], r["score"]) for r in bm25_topk_index(
+        spark, IndexReader(snap), Q, cfg=CFG).orderBy("rank").collect()]
+
+    # mutation lands between the page fetches: spam docs stuffed with
+    # the query terms, guaranteed to crack the live top-10
+    spam = spark.createDataFrame(
+        [("def return " * 30, "spam", f"s{i:03d}", "c0", "py")
+         for i in range(5)],
+        "content string, repo string, path string, commit string, "
+        "lang string")
+    refresh_index(spark, spam, d)
+    live1 = [(r["doc_id"], r["score"]) for r in bm25_topk_index(
+        spark, IndexReader(d), Q, cfg=CFG).orderBy("rank").collect()]
+    assert live1 != p1  # the live index really did re-rank
+
+    cursor = [p1[-1][1], p1[-1][0]]
+    p2 = [(r["doc_id"], r["score"]) for r in bm25_topk_index(
+        spark, IndexReader(snap),
+        [{"query_id": 0, "terms": ["def", "return"], "k": 10,
+          "search_after": cursor}],
+        cfg=CFG).orderBy("rank").collect()]
+    assert p1 + p2 == full20
