@@ -3738,6 +3738,58 @@ def _q_emb_near_dup(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+_BPE_N = 6
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: the first _BPE_N merges
+    learned from the corpus word frequencies (argmax adjacent pair per
+    round, count desc / pair asc).  The oracle replays the SAME rounds
+    unrolled in SQL on the shared symbol-string representation, so every
+    merge and its count must agree exactly."""
+    from snowball_java_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(spark, _docs_tok(spark, sf_dir), _BPE_N)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank long, lhs string, rhs string, pair_count long")
+
+
+def _bpe_merges_sql(n: int) -> str:
+    ctes = [
+        "toks AS (SELECT doc_id, "
+        + TOKS_SQL
+        + " AS toks FROM documents)",
+        "w0 AS (SELECT regexp_replace(t, '(.)', '·\\1·', 'g') AS sym, "
+        "count(*)::BIGINT AS freq FROM "
+        "(SELECT unnest(toks) AS t FROM toks) GROUP BY 1)",
+    ]
+    for i in range(1, n + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"s{i} AS (SELECT string_split("
+            f"regexp_replace(sym, '^·|·$', '', 'g'), '··') AS syms, freq "
+            f"FROM {prev})")
+        ctes.append(
+            f"p{i} AS (SELECT syms[j] AS lhs, syms[j+1] AS rhs, "
+            f"sum(freq)::BIGINT AS c "
+            f"FROM s{i}, UNNEST(range(1, len(syms))) AS t(j) "
+            f"GROUP BY 1, 2)")
+        ctes.append(
+            f"b{i} AS (SELECT {i}::BIGINT AS merge_rank, lhs, rhs, "
+            f"c AS pair_count FROM p{i} "
+            f"ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)")
+        ctes.append(
+            f"w{i} AS (SELECT replace(sym, "
+            f"'·' || (SELECT lhs FROM b{i}) || '··' || "
+            f"(SELECT rhs FROM b{i}) || '·', "
+            f"'·' || (SELECT lhs || rhs FROM b{i}) || '·') AS sym, freq "
+            f"FROM {prev})")
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM b{i}" for i in range(1, n + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 _LM_ALPHA = 1.0
 
 
@@ -5170,6 +5222,7 @@ FROM g
         "quality_score": Q(_q_quality, _quality_sql()),
         "lm_doclogprob": Q(
             _q_lm_doclogprob, _lm_doclogprob_sql(_LM_ALPHA)),
+        "bpe_merges": Q(_q_bpe_merges, _bpe_merges_sql(_BPE_N)),
         "token_count": Q(
             _q_token_count,
             f"""

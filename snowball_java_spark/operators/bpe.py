@@ -1,0 +1,137 @@
+"""Distributed BPE tokenizer training — the "train the tokenizer on the
+corpus" job of an LLM data pipeline (Sennrich, Haddow & Birch, "Neural
+Machine Translation of Rare Words with Subword Units", 2016 — public;
+GPT-2 / sentencepiece train the same way from word frequencies).  The
+reference engine has no subword layer at all (whitespace+PoS tokens,
+``snowball/src/nlp/PortugueseTokenizer.java``); this is beyond-reference
+pipeline scope.
+
+Two phases, matching how sentencepiece actually trains:
+
+1. **Word counting** — the only corpus-sized pass: one map-side-combinable
+   ``groupBy(token).count()`` over the already-tokenized docs.  At 10^12
+   files this is the 100 TB scan; everything after runs on the
+   VOCABULARY-sized word table (millions of rows, not trillions).
+2. **Merge iterations** — ``n_merges`` rounds of: count adjacent symbol
+   pairs (freq-weighted, every adjacent position), pick the argmax
+   (count desc, pair asc — deterministic), rewrite every word.  Each
+   round is a vocab-sized Spark job; the driver collects exactly ONE row
+   per round (the winning pair), so the loop is bounded by ``n_merges``,
+   never by data.
+
+Exact cross-engine parity comes from the SYMBOL-STRING representation:
+a word's symbol sequence is encoded ``·a··b··le·`` (every symbol wrapped
+in middle dots; adjacent symbols share a ``··`` separator).  Merging the
+pair (a, b) is then the literal string rewrite ``·a··b·`` → ``·ab·``,
+which every engine implements with identical left-to-right
+non-overlapping semantics (Java ``String.replace``, DuckDB ``replace``):
+``aaa`` merges to ``[aa, a]``, ``xyxy`` merges both pairs — byte-equal
+in Spark and the SQL oracle, no UDF anywhere.  Tokens are ``[a-z0-9_]``
+so ``·`` can never occur inside a symbol, and any dot-bounded dotless
+run is exactly one whole symbol — the rewrite cannot match across
+symbol boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["sym_str_expr", "word_counts", "pair_counts", "bpe_train",
+           "apply_merges_expr"]
+
+SEP = "·"  # '·' — outside the [a-z0-9_] token alphabet
+
+
+def sym_str_expr(word_col: Column) -> Column:
+    """Canonical symbol-string of a 1-symbol-per-char word:
+    ``able`` → ``·a··b··l··e·`` (each char wrapped ·c·, shared ··)."""
+    return F.regexp_replace(word_col, "(.)", f"{SEP}$1{SEP}")
+
+
+def word_counts(docs_tok: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """(word, freq) over the corpus — the single corpus-sized pass."""
+    return (
+        docs_tok.select(F.explode(F.col(tokens_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def pair_counts(words: DataFrame, sym_col: str = "sym") -> DataFrame:
+    """Freq-weighted adjacent-pair counts (every adjacent position
+    counts, the classic BPE statistic): (lhs, rhs, c)."""
+    syms = F.split(
+        F.regexp_replace(F.col(sym_col), f"^{SEP}|{SEP}$", ""), SEP + SEP)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda j: F.struct(
+            F.element_at(syms, j).alias("lhs"),
+            F.element_at(syms, j + 1).alias("rhs"),
+        ),
+    )
+    return (
+        words.filter(F.size(syms) >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    n_merges: int,
+    tokens_col: str = "tokens",
+) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges; returns [(lhs, rhs, pair_count)]
+    in merge order.  Stops early when no pair remains.  One collect of
+    ONE row per merge (the argmax pair) — driver work is O(n_merges)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        word_counts(docs_tok, tokens_col)
+        .select(sym_str_expr(F.col("word")).alias("sym"), "freq")
+    ).cache()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            best = (
+                pair_counts(words)
+                .orderBy(F.desc("c"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            lhs, rhs, c = best[0]["lhs"], best[0]["rhs"], int(best[0]["c"])
+            merges.append((lhs, rhs, c))
+            nxt = words.select(
+                F.replace(
+                    F.col("sym"),
+                    F.lit(f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"),
+                    F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+                ).alias("sym"),
+                "freq",
+            ).cache()
+            nxt.count()  # materialize before dropping the parent
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def apply_merges_expr(word_col: Column,
+                      merges: list[tuple[str, str, int]]) -> Column:
+    """Segment a word with trained merges: ARRAY<STRING> of subword
+    units.  A chain of literal replaces in merge order — Catalyst-only,
+    usable in any projection (the tokenizer-apply side of BPE)."""
+    s = sym_str_expr(word_col)
+    for lhs, rhs, _ in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{SEP}{lhs}{SEP}{SEP}{rhs}{SEP}"),
+            F.lit(f"{SEP}{lhs}{rhs}{SEP}"),
+        )
+    return F.split(F.regexp_replace(s, f"^{SEP}|{SEP}$", ""), SEP + SEP)

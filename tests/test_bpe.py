@@ -1,0 +1,114 @@
+"""Distributed BPE trainer vs a pure-python reference implementation."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.functions.tokenize import tokenize_py
+from snowball_java_spark.operators.bpe import (
+    apply_merges_expr,
+    bpe_train,
+    word_counts,
+)
+
+
+def _py_bpe(word_freqs: dict[str, int], n: int):
+    """Reference BPE (Sennrich 2016): count every adjacent symbol pair
+    freq-weighted, merge the argmax (count desc, pair asc) greedily
+    left-to-right, repeat."""
+    words = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n):
+        pc: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = words[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((a, b, m))
+        for w in words:
+            s, out, i = words[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def _py_segment(word: str, merges) -> list[str]:
+    s, out = list(word), []
+    for a, b, _ in merges:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return s
+
+
+def test_bpe_train_matches_python_reference_on_synth(spark, synth_docs):
+    docs = synth_docs.select(
+        "doc_id",
+        F.split(F.lower("content"), "[^a-z0-9_]+").alias("_t"),
+    ).select(
+        "doc_id", F.filter("_t", lambda x: x != "").alias("tokens"))
+    wf: Counter = Counter()
+    for r in synth_docs.select("content").collect():
+        wf.update(tokenize_py(r["content"]))
+    expect, _ = _py_bpe(dict(wf), 10)
+    got = bpe_train(spark, docs, 10)
+    assert got == expect
+
+
+def test_bpe_overlap_and_adjacency_semantics(spark):
+    # 'aaaa' counts (a,a) three times; greedy L2R merge gives [aa, aa];
+    # 'xyxy' merges BOTH (x,y) pairs in one round
+    docs = spark.createDataFrame(
+        [(0, ["aaaa", "aaaa", "xyxy"])], "doc_id long, tokens array<string>")
+    merges = bpe_train(spark, docs, 2)
+    wf = {"aaaa": 2, "xyxy": 1}
+    expect, words = _py_bpe(wf, 2)
+    assert merges == expect
+    seg = spark.createDataFrame([("aaaa",), ("xyxy",), ("axya",)],
+                                "w string").select(
+        "w", apply_merges_expr(F.col("w"), merges).alias("seg")).collect()
+    got = {r["w"]: r["seg"] for r in seg}
+    assert got["aaaa"] == _py_segment("aaaa", merges)
+    assert got["xyxy"] == _py_segment("xyxy", merges)
+    assert got["axya"] == _py_segment("axya", merges)
+
+
+def test_bpe_exhausts_and_validates(spark):
+    docs = spark.createDataFrame(
+        [(0, ["ab", "ab"])], "doc_id long, tokens array<string>")
+    # only one pair exists; asking for 5 merges stops after it's spent
+    merges = bpe_train(spark, docs, 5)
+    assert merges == [("a", "b", 2)]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(spark, docs, 0)
+    # single-char words have no pairs at all
+    docs1 = spark.createDataFrame(
+        [(0, ["a", "b"])], "doc_id long, tokens array<string>")
+    assert bpe_train(spark, docs1, 3) == []
+
+
+def test_word_counts_is_corpus_weighted(spark):
+    docs = spark.createDataFrame(
+        [(0, ["x", "x", "y"]), (1, ["x"])],
+        "doc_id long, tokens array<string>")
+    got = {r["word"]: r["freq"] for r in word_counts(docs).collect()}
+    assert got == {"x": 3, "y": 1}
