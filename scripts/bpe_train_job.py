@@ -1,0 +1,83 @@
+"""spark-submit entry point: BPE tokenizer training on the corpus.
+
+    spark-submit --py-files dist.zip scripts/bpe_train_job.py \
+        --corpus /path/or/iceberg.table --merges 64 \
+        [--out /path/merges.json] [--text-col content] \
+        [--segment-sample 5]
+
+Counts corpus word frequencies in one distributed pass (the only
+corpus-sized job), trains ``--merges`` BPE merge rules on the
+vocabulary-sized word table (``operators/bpe.bpe_train`` — one Spark
+round per merge, one collected row each), prints every merge as a JSON
+line ``{"rank", "lhs", "rhs", "pair_count"}``, optionally writes the
+full merge list to ``--out`` (the artifact a training run's tokenizer
+loads), and — with ``--segment-sample N`` — echoes the N most frequent
+words segmented by the learned merges as a sanity readout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--merges", type=int, required=True,
+                   help="number of BPE merge rules to learn")
+    p.add_argument("--out", default=None,
+                   help="write the merge list as one JSON file")
+    p.add_argument("--text-col", default=None,
+                   help="text column (default: 'content' if present, "
+                        "else 'text')")
+    p.add_argument("--segment-sample", type=int, default=0,
+                   help="print the N most frequent words segmented by "
+                        "the learned merges")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.bpe import (
+        apply_merges_expr,
+        bpe_train,
+        word_counts,
+    )
+    from snowball_java_spark.sources.corpus import read_corpus
+
+    spark = SparkSession.builder.appName("sjs-bpe-train").getOrCreate()
+    docs = read_corpus(spark, args.corpus)
+    text_col = args.text_col or (
+        "content" if "content" in docs.columns else "text")
+    if text_col not in docs.columns:
+        raise SystemExit(f"no text column {text_col!r} in {docs.columns}")
+    docs_tok = docs.select(tokens_expr(text_col).alias("tokens"))
+    merges = bpe_train(spark, docs_tok, args.merges)
+    for i, (lhs, rhs, c) in enumerate(merges):
+        print(json.dumps({"rank": i + 1, "lhs": lhs, "rhs": rhs,
+                          "pair_count": c}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump([{"lhs": a, "rhs": b, "pair_count": c}
+                       for a, b, c in merges], f, indent=1)
+    if args.segment_sample > 0 and merges:
+        top = (
+            word_counts(docs_tok)
+            .orderBy(F.desc("freq"), F.asc("word"))
+            .limit(args.segment_sample)
+            .select("word", "freq",
+                    apply_merges_expr(F.col("word"), merges).alias("seg"))
+            .collect()
+        )
+        for r in top:
+            print(json.dumps({"word": r["word"], "freq": r["freq"],
+                              "segments": list(r["seg"])}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
