@@ -3029,6 +3029,57 @@ FROM s GROUP BY 1, 2
 """
 
 
+_RARE_MAX_DF = 380
+
+
+def _q_rare_terms(spark, sf_dir):
+    """ES rare_terms: the long-tail (corpus df ≤ _RARE_MAX_DF) terms of
+    each query's match set, ascending df — the identifiers almost
+    unique to the matched docs.  The synthetic sf vocabulary is 31
+    Zipf-hot keywords (rarest df=25 at sf0.01), so the gate threshold
+    sits at 380 to carve out its genuine tail; real corpora use small
+    max_doc_count values."""
+    from snowball_java_spark.operators.aggs import rare_terms_index
+
+    idx = _index_for(spark, sf_dir)
+    res = rare_terms_index(
+        spark, idx,
+        [{"query_id": 0, "terms": HOT_TERMS},
+         {"query_id": 1, "terms": MIXED_TERMS}],
+        max_doc_count=_RARE_MAX_DF, top_n=10, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "term", "df", "fg_count")
+
+
+def _rare_terms_sql(query_terms: list[list[str]], max_df: int,
+                    top_n: int) -> str:
+    ctes, unions = [], []
+    for qid, terms in enumerate(query_terms):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        ctes.append(
+            f"rm{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl})),\n"
+            f"rf{qid} AS (SELECT {qid}::BIGINT AS query_id, term, "
+            f"count(*)::BIGINT AS fg_count\n"
+            f"  FROM (SELECT DISTINCT tfx.doc_id, term FROM tfx "
+            f"JOIN rm{qid} USING (doc_id)) GROUP BY 2)")
+        unions.append(f"SELECT * FROM rf{qid}")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT query_id, rank, term, df, fg_count FROM (
+  SELECT query_id, f.term, dfx.df, fg_count,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dfx.df ASC, f.term ASC)::BIGINT AS rank
+  FROM ({u}) f JOIN dfx ON f.term = dfx.term
+  WHERE dfx.df <= {max_df}
+) WHERE rank <= {top_n}
+"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES significant_terms (JLH): terms over-represented in each
     query's match set vs the corpus base rate — match set from the
@@ -5158,6 +5209,9 @@ FROM g
         "bm25_boost_topk": Q(
             _q_bm25_boost_join, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "facet_stats_dl": Q(_q_facet_stats, _facet_stats_sql()),
+        "rare_terms": Q(
+            _q_rare_terms,
+            _rare_terms_sql([HOT_TERMS, MIXED_TERMS], _RARE_MAX_DF, 10)),
         "significant_terms": Q(
             _q_significant_terms,
             _significant_terms_sql([RARE_TERMS, MIXED_TERMS],

@@ -604,3 +604,56 @@ def pipeline_over_buckets(
             "moving_avg",
             F.avg(value_col).over(w.rowsBetween(-(window - 1), 0)))
     return out.orderBy(*partition_cols, order_col)
+
+
+def rare_terms_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    max_doc_count: int = 5,
+    top_n: int = 10,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``rare_terms``: the long-tail terms of each query's match set
+    — terms whose CORPUS document frequency is ≤ ``max_doc_count``,
+    ranked ascending (df asc, term asc, rank ≤ ``top_n``).  The
+    complement of ``terms``-agg head-hunting: surfaces the identifiers
+    almost unique to the matched docs (ES implements it with a CuckooFilter
+    sketch because a global ascending-df sort is expensive on a segment
+    store; here the exact form is one vocab-sized join).
+
+    Output: (query_id, rank, term, df, fg_count) — df the corpus-wide
+    document frequency, fg_count occurrences-in-matched-docs.
+
+    Scale shape: identical to ``significant_terms_index`` — fg explode
+    over matched docs' stored term sets only, map-side-combined, then a
+    term-keyed join against the vocab-sized ``term_stats`` FILTERED to
+    df ≤ max_doc_count BEFORE the join (the rare slice of the
+    vocabulary is the small side; Catalyst/AQE broadcasts it), and a
+    two-phase ranking window."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if max_doc_count < 1:
+        raise ValueError(
+            f"max_doc_count must be >= 1, got {max_doc_count}")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    fg = (
+        match.join(index.doc_terms(spark), "doc_id")
+        .select("query_id", F.explode("terms").alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg_count"))
+    )
+    rare = index.term_stats(spark).select("term", "df").filter(
+        F.col("df") <= max_doc_count)
+    scored = fg.join(rare, "term")
+    order = [F.asc("df"), F.asc("term")]
+    return (
+        _two_phase_rank(scored, ["query_id"], order, top_n, salt_on="term")
+        .select("query_id", "rank", "term", "df", "fg_count")
+        .orderBy("query_id", "rank")
+    )

@@ -490,3 +490,40 @@ def test_pipeline_over_histogram_matches_python(spark, index, toks):
             w = vals[max(0, i - 2):i + 1]
             assert float(r.moving_avg) == pytest.approx(
                 sum(w) / len(w), rel=REL)
+
+
+def test_rare_terms_matches_truth(spark, index, toks):
+    from snowball_java_spark.operators.aggs import rare_terms_index
+
+    terms = ["def", "return"]
+    max_df = 40
+    got = rare_terms_index(
+        spark, index, [{"query_id": 0, "terms": terms}],
+        max_doc_count=max_df, top_n=10, cfg=CFG).collect()
+    match = {d for d, ts in toks.items() if set(ts) & set(terms)}
+    bg: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            bg[t] = bg.get(t, 0) + 1
+    fg: dict[str, int] = {}
+    for d in match:
+        for t in set(toks[d]):
+            fg[t] = fg.get(t, 0) + 1
+    want = sorted(
+        ((t, bg[t], f) for t, f in fg.items() if bg[t] <= max_df),
+        key=lambda r: (r[1], r[0]))[:10]
+    assert want, "synth corpus must have a rare tail under the cap"
+    assert [(r["term"], r["df"], r["fg_count"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+
+
+def test_rare_terms_validates_and_empty_match(spark, index):
+    from snowball_java_spark.operators.aggs import rare_terms_index
+
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms_index(spark, index, [{"query_id": 0, "terms": ["x"]}],
+                         max_doc_count=0, cfg=CFG)
+    got = rare_terms_index(
+        spark, index, [{"query_id": 0, "terms": ["zzqqnosuchterm"]}],
+        max_doc_count=5, cfg=CFG).collect()
+    assert got == []
