@@ -83,20 +83,27 @@ def bm25f_topk_join(
         if candidate_predicate is not None
         else with_wdl
     )
-    # pruned per-field explode: arrays filtered to query terms first
+    # ONE pruned scan for every field: each field's token array is
+    # filtered to the query terms, tagged with its field name, and the
+    # per-field struct arrays concatenate BEFORE a single explode — a
+    # per-field union would scan (and re-tokenize) the corpus once per
+    # field (measured ~2.5× on the bm25f headline gate)
     t_lit = F.array(*[F.lit(t) for t in terms])
-    parts = [
-        cand.select(
-            "doc_id", "wdl", F.lit(f).alias("field"),
-            F.explode(
-                F.filter(F.col(f), lambda x: F.array_contains(t_lit, x))
-            ).alias("term"),
+
+    def _tagged(f: str) -> F.Column:
+        return F.transform(
+            F.filter(F.col(f), lambda x: F.array_contains(t_lit, x)),
+            lambda x: F.struct(F.lit(f).alias("field"), x.alias("term")),
         )
-        for f in fields
-    ]
-    long = parts[0]
-    for p in parts[1:]:
-        long = long.unionByName(p)
+
+    def _long_of(src: DataFrame) -> DataFrame:
+        tagged = [_tagged(f) for f in fields]
+        allf = tagged[0] if len(tagged) == 1 else F.concat(*tagged)
+        return src.select(
+            "doc_id", "wdl", F.explode(allf).alias("p")
+        ).select("doc_id", "wdl", "p.field", "p.term")
+
+    long = _long_of(cand)
     w_map = F.create_map(
         *[x for f in fields for x in (F.lit(f), F.lit(float(weights[f])))]
     )
@@ -107,25 +114,15 @@ def bm25f_topk_join(
         .groupBy("doc_id", "wdl", "term")
         .agg(ordered_sum("field", "_wtf_part").alias("wtf"))
     )
-    # doc-level df for the query terms: any field counts (candidate
-    # scoping deliberately does NOT apply — stats stay corpus-wide, so
-    # df comes from an unpruned-candidates pass over the same fields)
-    df_parts = [
-        with_wdl.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.filter(F.col(f), lambda x: F.array_contains(t_lit, x))
-                )
-            ).alias("term"),
-        )
-        for f in fields
-    ]
-    df_long = df_parts[0]
-    for p in df_parts[1:]:
-        df_long = df_long.unionByName(p)
+    # doc-level df for the query terms: any field counts.  Candidate
+    # scoping deliberately does NOT apply — stats stay corpus-wide — so
+    # with a predicate set df needs its own (single-scan) pass; without
+    # one it reuses the SAME long relation (no extra scan at all)
+    df_long = (long if candidate_predicate is None
+               else _long_of(with_wdl))
     dfx = (
-        df_long.distinct().groupBy("term").agg(F.count("*").alias("df"))
+        df_long.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
     )
     q_stats = F.broadcast(
         qdf.select("query_id", "term").distinct()
@@ -200,21 +197,23 @@ def dismax_topk_join(
     avgdl = {f: float(st[f"avgdl_{f}"]) for f in fields}
 
     t_lit = F.array(*[F.lit(t) for t in terms])
-    # one long pass per field, arrays pruned to query terms pre-explode
-    parts = [
-        docs_fields.select(
-            "doc_id",
-            F.lit(f).alias("field"),
-            F.size(F.col(f)).cast("double").alias("dl"),
-            F.explode(
-                F.filter(F.col(f), lambda x: F.array_contains(t_lit, x))
-            ).alias("term"),
+    # ONE pruned scan for every field (see bm25f_topk_join): per-field
+    # filtered arrays tagged (field, dl, term) and concatenated before
+    # a single explode — never one corpus scan per field
+    def _tag(f: str) -> F.Column:
+        return F.transform(
+            F.filter(F.col(f), lambda x: F.array_contains(t_lit, x)),
+            lambda x: F.struct(
+                F.lit(f).alias("field"),
+                F.size(F.col(f)).cast("double").alias("dl"),
+                x.alias("term"),
+            ),
         )
-        for f in fields
-    ]
-    long = parts[0]
-    for p in parts[1:]:
-        long = long.unionByName(p)
+
+    tagged = [_tag(f) for f in fields]
+    allf = tagged[0] if len(tagged) == 1 else F.concat(*tagged)
+    long = docs_fields.select(F.explode(allf).alias("p"), "doc_id").select(
+        "doc_id", "p.field", "p.dl", "p.term")
     tf = long.groupBy("field", "doc_id", "dl", "term").agg(
         F.count("*").alias("tf"))
     # PER-FIELD df — the statistical independence that defines dis_max
