@@ -2064,6 +2064,74 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_PS_QUERIES = [["tble", "sow"], ["spark", "vectr"]]
+_PS_EDITS, _PS_CANDS, _PS_TOPN, _PS_ALPHA = 2, 4, 3, 1.0
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: whole-query corrections ranked by a
+    Laplace-smoothed corpus bigram LM — corrections judged in context,
+    not per term ("spark vectr" → "spark vector" because the bigram
+    dominates, not because of unigram frequency alone)."""
+    from snowball_java_spark.operators.suggest import phrase_suggest
+
+    idx = _index_for(spark, sf_dir)
+    vocab = idx.term_stats(spark).select("term", "df", "cf")
+    res = phrase_suggest(
+        spark, _docs_tok(spark, sf_dir), vocab,
+        [{"query_id": i, "terms": ts} for i, ts in enumerate(_PS_QUERIES)],
+        max_edits=_PS_EDITS, prefix_len=1, max_candidates=_PS_CANDS,
+        top_n=_PS_TOPN, alpha=_PS_ALPHA)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"), "rank",
+        "suggestion", F.round("score", 6).alias("score"))
+
+
+def _phrase_suggest_sql(queries: list[list[str]], max_edits: int,
+                        max_cands: int, top_n: int, alpha: float) -> str:
+    base = f"""
+big AS (SELECT toks[j] AS v, toks[j+1] AS w, count(*)::BIGINT AS c
+        FROM toks, UNNEST(range(1, len(toks))) AS t(j) GROUP BY 1, 2),
+uni AS (SELECT term, sum(tf)::BIGINT AS cf FROM tfx GROUP BY 1),
+stv AS (SELECT sum(cf)::BIGINT AS c_total, count(*)::BIGINT AS v FROM uni)"""
+    ctes, unions = [], []
+    for qid, (w0, w1) in enumerate(queries):
+        for p, word in enumerate((w0, w1)):
+            ctes.append(
+                f"c{qid}_{p} AS (SELECT term, cf FROM (\n"
+                f"  SELECT u.term, u.cf,\n"
+                f"         row_number() OVER (ORDER BY\n"
+                f"           levenshtein(u.term, '{word}') ASC,\n"
+                f"           d.df DESC, u.term ASC) AS rn\n"
+                f"  FROM uni u JOIN dfx d USING (term)\n"
+                f"  WHERE substr(u.term, 1, 1) = '{word[0]}'\n"
+                f"    AND length(u.term) BETWEEN {len(word) - max_edits} "
+                f"AND {len(word) + max_edits}\n"
+                f"    AND levenshtein(u.term, '{word}') <= {max_edits})\n"
+                f"  WHERE rn <= {max_cands})")
+        ctes.append(
+            f"s{qid} AS (SELECT {qid}::BIGINT AS query_id,\n"
+            f"  c0.term || ' ' || c1.term AS suggestion,\n"
+            f"  ln((c0.cf + {alpha}) / (stv.c_total + {alpha} * stv.v))\n"
+            f"  + ln((coalesce(b.c, 0) + {alpha}) "
+            f"/ (c0.cf + {alpha} * stv.v)) AS score\n"
+            f"  FROM c{qid}_0 c0 CROSS JOIN c{qid}_1 c1 CROSS JOIN stv\n"
+            f"  LEFT JOIN big b ON b.v = c0.term AND b.w = c1.term)")
+        unions.append(f"SELECT * FROM s{qid}")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},{base},
+{",".join(ctes)}
+SELECT query_id, rank, suggestion, round(score, 6) AS score FROM (
+  SELECT query_id, suggestion, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, suggestion ASC)::BIGINT
+           AS rank
+  FROM ({u})
+) WHERE rank <= {top_n}
+"""
+
+
 _DYM_TERMS = ["spark", "tabel", "vectr", "zzqq"]
 
 
@@ -4906,6 +4974,10 @@ def build_registry() -> dict[str, Q]:
             _q_decay_score, _decay_score_sql(MIXED_TERMS, 10)),
         "term_did_you_mean": Q(
             _q_did_you_mean, _did_you_mean_sql(_DYM_TERMS, 2)),
+        "phrase_suggest": Q(
+            _q_phrase_suggest,
+            _phrase_suggest_sql(
+                _PS_QUERIES, _PS_EDITS, _PS_CANDS, _PS_TOPN, _PS_ALPHA)),
         "composite_buckets": Q(
             _q_composite,
             _composite_sql(

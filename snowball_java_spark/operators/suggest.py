@@ -575,3 +575,154 @@ def did_you_mean(
         )
         return present.unionByName(absent_rows)
     return present
+
+
+def bigram_counts(docs_tok: DataFrame,
+                  tokens_col: str = "tokens") -> DataFrame:
+    """(v, w, c): corpus counts of adjacent token pairs — the bigram LM
+    statistics the phrase suggester scores with.  One corpus pass;
+    map-side combinable."""
+    toks = F.col(tokens_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda j: F.struct(
+            F.element_at(toks, j).alias("v"),
+            F.element_at(toks, j + 1).alias("w"),
+        ),
+    )
+    return (
+        docs_tok.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.v", "p.w")
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def phrase_suggest(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    vocab: DataFrame,
+    queries: list[dict],
+    max_edits: int = 1,
+    prefix_len: int = 1,
+    max_candidates: int = 5,
+    top_n: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """ES phrase suggester: whole-query corrections ranked by a
+    Laplace-smoothed word-BIGRAM language model trained on the corpus
+    (ES trains the same shape per shard; the reference has no suggest
+    surface).  Unlike the term suggester, corrections are judged in
+    CONTEXT: "spark vectr" → "spark vector" outranks "spark vectors"
+    when the bigram (spark, vector) dominates, even if the unigram
+    frequencies tie.
+
+        score(w1..wL) = ln p_uni(w1) + Σ_i ln p(w_i | w_{i-1})
+        p_uni(w)  = (cf(w) + α) / (C + α·V)
+        p(w | v)  = (c(v, w) + α) / (cf(v) + α·V)
+
+    Per position, candidates are the vocabulary terms within
+    ``max_edits`` (Lucene FuzzyQuery order: dist asc, df desc, term
+    asc, shared ``prefix_len``, capped at ``max_candidates``) — a typed
+    in-vocab word is its own dist-0 candidate.  A position with NO
+    candidate yields no suggestion for that query (visible miss).
+    Output: (query_id, rank, suggestion, score), rank ≤ ``top_n`` under
+    (score desc, suggestion asc).
+
+    Queries: ``{"query_id": int, "terms": [w1, ...]}`` — ``terms`` is
+    the TYPED phrase in order (duplicates meaningful).
+
+    Scale shape: one corpus pass for the bigram table (map-side
+    combined), one vocabulary pass for candidates (same pushdowns as
+    fuzzy search), then L-1 joins over combination relations bounded by
+    ``max_candidates^L`` rows per query — the enumeration never touches
+    the corpus.  Candidate/LM joins key on single terms against the
+    vocab- and bigram-sized relations; the small combination side
+    broadcasts."""
+    if max_candidates < 1 or top_n < 1:
+        raise ValueError("max_candidates and top_n must be >= 1")
+    for q in queries:
+        if not q.get("terms"):
+            raise ValueError(
+                f"query {q.get('query_id')}: phrase_suggest needs a "
+                f"non-empty terms list")
+    st = vocab.agg(
+        F.sum("cf").alias("c_total"), F.count("*").alias("v")).collect()[0]
+    c_total, v_size = int(st["c_total"]), int(st["v"])
+    denom_u = float(c_total) + alpha * v_size
+
+    words = sorted({w for q in queries for w in q["terms"]})
+    cand = expand_fuzzy(
+        spark, vocab, {w: max_edits for w in words},
+        prefix_len=prefix_len, max_expansions=max_candidates,
+    ).select("query_term", "term", "df").cache()
+    bi = bigram_counts(docs_tok)
+    uni = vocab.select("term", F.col("cf").cast("long").alias("cf"))
+
+    max_len = max(len(q["terms"]) for q in queries)
+    # positions table: (query_id, pos, word)
+    pos_rows = [(int(q["query_id"]), i, w)
+                for q in queries for i, w in enumerate(q["terms"])]
+    pos_df = spark.createDataFrame(
+        pos_rows, "query_id int, pos int, word string")
+    cands_at = (
+        F.broadcast(pos_df)
+        .join(cand, pos_df.word == cand.query_term)
+        .select("query_id", "pos", F.col("term").alias("cand"))
+    )
+    combos = (
+        cands_at.filter(F.col("pos") == 0)
+        .join(F.broadcast(uni), F.col("cand") == F.col("term"))
+        .select(
+            "query_id",
+            F.col("cand").alias("suggestion"),
+            F.col("cand").alias("last"),
+            F.log((F.col("cf").cast("double") + F.lit(alpha))
+                  / F.lit(denom_u)).alias("score"),
+        )
+    )
+    for i in range(1, max_len):
+        # only queries LONGER than i advance; shorter ones are complete
+        # and must not be dropped by the inner join against this
+        # position's candidates
+        qs_with = sorted({int(q["query_id"]) for q in queries
+                          if len(q["terms"]) > i})
+        done = combos.filter(~F.col("query_id").isin(qs_with))
+        combos = combos.filter(F.col("query_id").isin(qs_with))
+        step = cands_at.filter(F.col("pos") == i).select(
+            "query_id", F.col("cand").alias("_next"))
+        combos = (
+            combos.join(step, "query_id")
+            .join(F.broadcast(uni), F.col("last") == F.col("term"), "left")
+            .drop("term")
+            .join(
+                F.broadcast(bi),
+                (F.col("last") == F.col("v"))
+                & (F.col("_next") == F.col("w")),
+                "left",
+            )
+            .select(
+                "query_id",
+                F.concat_ws(" ", "suggestion", "_next").alias("suggestion"),
+                F.col("_next").alias("last"),
+                (
+                    F.col("score")
+                    + F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                         + F.lit(alpha))
+                        / (F.coalesce(F.col("cf"), F.lit(0)).cast("double")
+                           + F.lit(alpha) * v_size))
+                ).alias("score"),
+            )
+        )
+        combos = combos.unionByName(done)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("suggestion"))
+    return (
+        combos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "suggestion", "score")
+        .orderBy("query_id", "rank")
+    )

@@ -211,3 +211,76 @@ def test_did_you_mean_empty_terms(spark):
 
     v = _vocab(spark, [("return", 100)])
     assert did_you_mean(spark, v, []).count() == 0
+
+
+def _ps_fixture(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, ["spark", "vector", "scan"]),
+         (1, ["spark", "vector", "spark", "vector"]),
+         (2, ["spark", "vectors", "table"]),
+         (3, ["slow", "vectors"])],
+        "doc_id long, tokens array<string>")
+    vocab = (docs.select("doc_id", F.explode("tokens").alias("term"))
+             .groupBy("term").agg(F.count("*").alias("cf"),
+                                  F.count_distinct("doc_id").alias("df")))
+    return docs, vocab
+
+
+def test_phrase_suggest_bigram_context_beats_unigram(spark):
+    import math
+
+    from snowball_java_spark.operators.suggest import phrase_suggest
+
+    docs, vocab = _ps_fixture(spark)
+    # cf: spark=4, vector=4, vectors=2 — but the BIGRAM (spark, vector)
+    # occurs 3x vs (spark, vectors) 1x, so context must pick 'vector'
+    res = phrase_suggest(
+        spark, docs, vocab,
+        [{"query_id": 0, "terms": ["spark", "vectr"]}],
+        max_edits=2, max_candidates=4, top_n=4).collect()
+    assert res[0]["suggestion"] == "spark vector"
+    sugg = [r["suggestion"] for r in res]
+    assert "spark vectors" in sugg
+    # exact laplace-bigram truth for the winner
+    cf = {"spark": 4, "vector": 3, "vectors": 2, "scan": 1,
+          "table": 1, "slow": 1}
+    c_total, v = sum(cf.values()), len(cf)
+    want = (math.log((cf["spark"] + 1.0) / (c_total + v))
+            + math.log((3 + 1.0) / (cf["spark"] + v)))
+    assert abs(res[0]["score"] - want) < 1e-12
+
+
+def test_phrase_suggest_mixed_lengths_and_missing_candidates(spark):
+    from snowball_java_spark.operators.suggest import phrase_suggest
+
+    docs, vocab = _ps_fixture(spark)
+    res = phrase_suggest(
+        spark, docs, vocab,
+        [{"query_id": 0, "terms": ["sprk"]},                  # 1 word
+         {"query_id": 1, "terms": ["spark", "vectr", "tble"]},  # 3 words
+         {"query_id": 2, "terms": ["zzz", "vector"]}],        # no cand @0
+        max_edits=2, max_candidates=3, top_n=2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q[0][0]["suggestion"] == "spark"
+    assert all(len(r["suggestion"].split()) == 3 for r in by_q[1])
+    assert by_q[1][0]["suggestion"].startswith("spark vector")
+    assert 2 not in by_q  # visible miss, not a silent partial phrase
+
+
+def test_phrase_suggest_validates(spark):
+    import pytest as _pt
+
+    from snowball_java_spark.operators.suggest import phrase_suggest
+
+    docs, vocab = _ps_fixture(spark)
+    with _pt.raises(ValueError, match="non-empty terms"):
+        phrase_suggest(spark, docs, vocab,
+                       [{"query_id": 0, "terms": []}])
+    with _pt.raises(ValueError, match="max_candidates"):
+        phrase_suggest(spark, docs, vocab,
+                       [{"query_id": 0, "terms": ["spark"]}],
+                       max_candidates=0)
