@@ -97,6 +97,14 @@ HEADLINE = [
     "bm25_regexp_topk",
     "bm25_collapse_index_topk",
     "pq_recall_probe",
+    # r4 session-9 additions
+    "dismax_topk",
+    "chunk_dedup",
+    "lm_doclogprob",
+    "rare_terms",
+    "phrase_suggest",
+    "bpe_merges",
+    "pit_search_after",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
@@ -167,6 +175,12 @@ def phase_a() -> tuple[dict, float, dict]:
 
     _ivf_index_for(spark, SF_DIR)
     _pq_index_for(spark, SF_DIR)
+    # the PIT fixture (restore + snapshot + spam refresh) is a one-time
+    # build like the other sidecars: pay it here so pit_search_after
+    # measures the snapshot QUERY, not the fixture construction
+    from snowball_java_spark.entry_queries import _pit_indexes_for
+
+    _pit_indexes_for(spark, SF_DIR)
     warmup_sec = time.time() - t0
 
     out: dict[str, float] = {}

@@ -3909,6 +3909,66 @@ def _bpe_merges_sql(n: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _q_stemmed_term_df(spark, sf_dir):
+    """Analyzer layer: the corpus vocabulary mapped through the
+    S-stemmer (Harman 1991 plural stemmer — the conservative analyzer
+    for mixed code+prose), with df re-aggregated on the stemmed form.
+    The synthetic vocabulary is plural-free (the stemmer is a no-op on
+    it — exactly the conservative-analyzer claim), so the gate also
+    stems each term's PLURALIZED probe (term || 's', and 'y'→'ies'
+    forms), forcing every rule to fire against real data."""
+    from snowball_java_spark.functions.normalize import s_stem_expr
+
+    vocab = (
+        _docs_tok(spark, sf_dir)
+        .select(F.explode("tokens").alias("term"), "doc_id")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    plural = F.when(
+        F.col("term").endswith("y"),
+        F.concat(F.substring(F.col("term"), F.lit(1),
+                             F.length("term") - 1), F.lit("ies")),
+    ).otherwise(F.concat(F.col("term"), F.lit("s")))
+    return vocab.select(
+        "term", "df",
+        s_stem_expr("term").alias("stem"),
+        plural.alias("plural"),
+        s_stem_expr(plural).alias("plural_stem"),
+    )
+
+
+def _stem_sql_case(v: str) -> str:
+    return (
+        f"CASE "
+        f"WHEN {v} LIKE '%ies' AND {v} NOT LIKE '%eies' "
+        f"AND {v} NOT LIKE '%aies' "
+        f"THEN substr({v}, 1, length({v})-3) || 'y' "
+        f"WHEN {v} LIKE '%es' AND {v} NOT LIKE '%aes' "
+        f"AND {v} NOT LIKE '%ees' AND {v} NOT LIKE '%oes' "
+        f"THEN substr({v}, 1, length({v})-1) "
+        f"WHEN {v} LIKE '%s' AND {v} NOT LIKE '%us' "
+        f"AND {v} NOT LIKE '%ss' "
+        f"THEN substr({v}, 1, length({v})-1) "
+        f"ELSE {v} END"
+    )
+
+
+def _stemmed_term_df_sql() -> str:
+    plural = ("CASE WHEN term LIKE '%y' "
+              "THEN substr(term, 1, length(term)-1) || 'ies' "
+              "ELSE term || 's' END")
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+vocab AS (SELECT t AS term, count(DISTINCT doc_id)::BIGINT AS df
+          FROM toks, UNNEST(toks) AS u(t) GROUP BY 1),
+p AS (SELECT term, df, {plural} AS plural FROM vocab)
+SELECT term, df, {_stem_sql_case('term')} AS stem, plural,
+       {_stem_sql_case('plural')} AS plural_stem
+FROM p
+"""
+
+
 _LM_ALPHA = 1.0
 
 
@@ -5349,6 +5409,7 @@ FROM g
         "lm_doclogprob": Q(
             _q_lm_doclogprob, _lm_doclogprob_sql(_LM_ALPHA)),
         "bpe_merges": Q(_q_bpe_merges, _bpe_merges_sql(_BPE_N)),
+        "stemmed_term_df": Q(_q_stemmed_term_df, _stemmed_term_df_sql()),
         "token_count": Q(
             _q_token_count,
             f"""
@@ -5622,7 +5683,11 @@ _DRIVER_PRIORITY = [
     # facet_cardinality, term_complete, embedding_sq8_topk,
     # embedding_ivf_federated_topk, facet_histogram_dl,
     # facet_histogram_pipeline, bm25_rescore_index_topk,
-    # bm25_delete_by_query_topk, bm25_update_by_query_topk.
+    # bm25_delete_by_query_topk, bm25_update_by_query_topk, plus the
+    # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
+    # pit_search_after, bpe_merges, rare_terms, phrase_suggest
+    # (19 + 7 = 26 — fits round 5's 50-slot budget with room for
+    # final-code sentinel re-proofs).
 ]
 
 

@@ -109,3 +109,52 @@ def alias_normalize_join(
         "doc_id",
         F.coalesce(tokens_col, F.array().cast("array<string>")).alias(tokens_col),
     )
+
+
+def s_stem_py(word: str) -> str:
+    """Python twin of :func:`s_stem_expr` (kept in lockstep by test)."""
+    if word.endswith("ies") and not word.endswith(("eies", "aies")):
+        return word[:-3] + "y"
+    if word.endswith("es") and not word.endswith(("aes", "ees", "oes")):
+        return word[:-1]
+    if word.endswith("s") and not word.endswith(("us", "ss")):
+        return word[:-1]
+    return word
+
+
+def s_stem_expr(word_col: Column | str) -> Column:
+    """Harman's S-stemmer ("How Effective Is Suffixing?", JASIS 1991 —
+    public): the three-rule English plural stemmer.  The conservative
+    analyzer for a MIXED code+prose corpus: it conflates plural/singular
+    prose forms (``tables``→``table``) without the aggressive ed/ing
+    stripping a Porter pipeline inflicts on identifiers (Porter maps
+    ``caching``→``cach``, ``ponies``→``poni`` — poison for code search,
+    which is why ES code analyzers ship light stemmers).  Rules, ONE
+    guarded elif chain (a word failing a rule's exception falls through
+    to the next rule — ``goes`` → rule 2 blocked by ``oes`` → rule 3
+    drops the s):
+
+        ies → y    unless ending eies / aies
+        es  → e    unless ending aes / ees / oes
+        s   → ∅    unless ending us / ss
+
+    Pure Catalyst CASE over endswith — composes into any projection
+    (``F.transform(tokens, lambda t: s_stem_expr(t))``) and replays
+    verbatim in SQL."""
+    w = F.col(word_col) if isinstance(word_col, str) else word_col
+    stem_ies = F.concat(F.substring(w, F.lit(1), F.length(w) - 3),
+                        F.lit("y"))
+    drop_last = F.substring(w, F.lit(1), F.length(w) - 1)
+    return (
+        F.when(
+            w.endswith("ies") & ~w.endswith("eies") & ~w.endswith("aies"),
+            stem_ies)
+        .when(
+            w.endswith("es") & ~w.endswith("aes") & ~w.endswith("ees")
+            & ~w.endswith("oes"),
+            drop_last)
+        .when(
+            w.endswith("s") & ~w.endswith("us") & ~w.endswith("ss"),
+            drop_last)
+        .otherwise(w)
+    )

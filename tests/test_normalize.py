@@ -98,3 +98,24 @@ def test_join_path_partitioning_independent(spark, docs):
         for r in alias_normalize_join(docs.repartition(7), dictionary).collect()
     }
     assert one == many
+
+
+def test_s_stem_expr_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.normalize import s_stem_expr, s_stem_py
+
+    words = ["tables", "queries", "caches", "classes", "rows", "bus",
+             "class", "boss", "goes", "trees", "aies", "eies", "keies",
+             "s", "ss", "us", "pos", "caching", "x", "ponies", "dup"]
+    got = [r["s"] for r in spark.createDataFrame(
+        [(w,) for w in words], "w string"
+    ).select(s_stem_expr("w").alias("s")).collect()]
+    assert got == [s_stem_py(w) for w in words]
+    # the three rules and the elif fall-through, pinned
+    assert s_stem_py("queries") == "query"      # rule 1
+    assert s_stem_py("caches") == "cache"       # rule 2
+    assert s_stem_py("rows") == "row"           # rule 3
+    assert s_stem_py("goes") == "goe"           # rule 2 blocked -> rule 3
+    assert s_stem_py("boss") == "boss"          # ss exception
+    assert s_stem_py("caching") == "caching"    # no ed/ing stripping
