@@ -50,6 +50,10 @@ Query jsonl, one object per line:
          # query-weight*primary + rescore-weight*secondary
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
+    {"query_id": 17, "suggest": ["tble", "sow"]}                    # phrase
+         # suggester (needs --corpus): whole-query corrections ranked
+         # by a corpus bigram LM — rows are (query_id, rank,
+         # suggestion, score), tune with --suggest-edits/--suggest-top
     {"query_id": 10, "terms": ["def", "return"], "window": 4}      # proximity
          # (all terms within 4 tokens, unordered; query-string form:
          #  {"q": "\\"def return\\"~4"})
@@ -125,6 +129,13 @@ def main(argv: list[str]) -> int:
              "query-term occurrence wrapped in <em>…</em> "
              "(case-insensitive; synonym-group members highlight too)")
     p.add_argument(
+        "--suggest-edits", type=int, default=2,
+        help="suggest queries: max edit distance for per-position "
+             "vocabulary candidates")
+    p.add_argument(
+        "--suggest-top", type=int, default=3,
+        help="suggest queries: corrections returned per query")
+    p.add_argument(
         "--rescore-window", type=int, default=100,
         help="rescore queries: primary-BM25 window size re-ranked by "
              "the phrase secondary (k must be <= window)")
@@ -197,6 +208,8 @@ def main(argv: list[str]) -> int:
             "NOT terms are only supported on terms queries (OR/AND)")
 
     def kind(q):
+        if "suggest" in q:
+            return "suggest"
         if "bool" in q:
             return "bool"
         if "substr" in q or "regex" in q:
@@ -215,6 +228,23 @@ def main(argv: list[str]) -> int:
         return "terms"
 
     term_qs = [q for q in qs if kind(q) == "terms"]
+    suggest_qs = [q for q in qs if kind(q) == "suggest"]
+    for q in suggest_qs:
+        if not isinstance(q["suggest"], list) or not q["suggest"] \
+                or not all(isinstance(w, str) and w for w in q["suggest"]):
+            raise SystemExit(
+                "suggest queries need a non-empty list of words")
+        extra = {k for k in ("terms", "phrase", "filters", "filters_like",
+                             "ranges", "not_terms", "fuzzy", "boosts")
+                 if q.get(k)}
+        if extra:
+            raise SystemExit(
+                f"suggest queries do not compose with {sorted(extra)} — "
+                f"a suggestion is a query REWRITE, not a match")
+    if suggest_qs and not args.corpus:
+        raise SystemExit(
+            "suggest queries need --corpus: the bigram LM trains on the "
+            "token stream (the index stores per-doc tf, not adjacency)")
     bool_qs = [q for q in qs if kind(q) == "bool"]
     if bool_qs and (args.synonyms or args.lines or args.highlight):
         raise SystemExit(
@@ -607,6 +637,27 @@ def main(argv: list[str]) -> int:
             "doc_id",
             F.lit(None).cast("double").alias("score"),
         ))
+    if suggest_qs:
+        from snowball_java_spark.functions.tokenize import tokens_expr
+        from snowball_java_spark.operators.suggest import phrase_suggest
+        from snowball_java_spark.sources.corpus import read_corpus
+
+        sdocs = read_corpus(spark, args.corpus).select(
+            tokens_expr("content").alias("tokens"))
+        srows = phrase_suggest(
+            spark, sdocs, idx.term_stats(spark).select("term", "df", "cf"),
+            [{"query_id": q["query_id"], "terms": list(q["suggest"])}
+             for q in suggest_qs],
+            max_edits=args.suggest_edits, top_n=args.suggest_top)
+        if args.out:
+            (remap_ids(srows).write.mode("overwrite")
+             .parquet(args.out.rstrip("/") + "_suggestions"))
+        else:
+            for r in srows.collect():
+                print(json.dumps({
+                    "query_id": orig_ids[r["query_id"]],
+                    "rank": r["rank"], "suggestion": r["suggestion"],
+                    "score": round(r["score"], 6)}))
     if line_parts and args.out:
         lall = line_parts[0]
         for l_ in line_parts[1:]:
