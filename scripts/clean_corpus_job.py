@@ -36,6 +36,10 @@ def main(argv: list[str]) -> int:
     p.add_argument("--max-dup-ngram-frac", type=float, default=None,
                    help="drop docs whose duplicate-3-gram fraction exceeds "
                         "this (Gopher-style repetition filter)")
+    p.add_argument("--lm-logp-band", default=None,
+                   help="CCNet-style LM quality band 'LO,HI': drop docs "
+                        "whose mean token ln p under the corpus unigram "
+                        "model falls outside [LO, HI]")
     p.add_argument("--scrub-secrets", action="store_true",
                    help="redact secrets/PII in the kept output")
     p.add_argument("--bench", default=None,
@@ -70,6 +74,8 @@ def main(argv: list[str]) -> int:
         langs=tuple(args.langs.split(",")) if args.langs else None,
         max_dup_ngram_frac=args.max_dup_ngram_frac,
         scrub_secrets=args.scrub_secrets,
+        lm_logp_band=(tuple(float(x) for x in args.lm_logp_band.split(","))
+                      if args.lm_logp_band else None),
     )
     t0 = time.time()
     if args.stream:

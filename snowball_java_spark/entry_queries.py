@@ -4407,6 +4407,7 @@ c AS (SELECT
 SELECT n_input, (n_input - n_d1)::BIGINT AS n_exact_dups,
        (n_d1 - n_d2)::BIGINT AS n_near_dups, n_hot_buckets,
        0::BIGINT AS n_contaminated,
+       0::BIGINT AS n_lm_filtered,
        (n_d2 - n_kept)::BIGINT AS n_filtered, n_kept, total_tokens,
        0::BIGINT AS n_redactions
 FROM c

@@ -60,6 +60,13 @@ class CleanConfig:
     #: redact secrets/PII in the kept output (operators.scrub) — a pure
     #: projection on pass C, zero extra passes
     scrub_secrets: bool = False
+    #: CCNet-style LM quality band (opt-in): drop docs whose mean token
+    #: ln p under the corpus-trained add-1 unigram model falls OUTSIDE
+    #: [lo, hi] — the low tail is rare-token junk, the high tail
+    #: stop-wordy boilerplate.  Costs one extra vocabulary-sized
+    #: aggregation pass + a term-keyed join over the survivors
+    #: (operators.textstats.lm_doclogprob); None = off.
+    lm_logp_band: tuple[float, float] | None = None
 
 
 def clean_corpus(
@@ -152,6 +159,28 @@ def clean_corpus(
         if n_contaminated:
             d1 = d1.join(hits, "doc_id", "left_anti")
 
+    # -- optional pass: LM quality band over the survivors (the model
+    # trains on the SURVIVING corpus — dedup first, so boilerplate mass
+    # does not drag the distribution; ids-only drop relation)
+    n_lm_filtered = 0
+    if cfg.lm_logp_band is not None:
+        from snowball_java_spark.operators.textstats import lm_doclogprob
+
+        lo, hi = cfg.lm_logp_band
+        if not lo <= hi:
+            raise ValueError(
+                f"lm_logp_band must be (lo, hi) with lo <= hi, got "
+                f"{cfg.lm_logp_band}")
+        surv = d1.select("doc_id", F.col("_toks").alias("tokens"))
+        lm_drop = (
+            lm_doclogprob(surv)
+            .filter((F.col("mean_logp") < lo) | (F.col("mean_logp") > hi))
+            .select("doc_id").localCheckpoint(eager=False)
+        )
+        n_lm_filtered = lm_drop.count()
+        if n_lm_filtered:
+            d1 = d1.join(lm_drop, "doc_id", "left_anti")
+
     # -- pass C: quality/length/lang/repetition filters + token
     # accounting in the same scan; remaining counts derive arithmetically
     q = textstats.quality_score_expr(F.col("_toks"), F.col(text_col))
@@ -201,15 +230,17 @@ def clean_corpus(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
         ).collect()[0]
     n_kept = int(agg["n_kept"])
-    n_filtered = (n_input - n_exact_dups - n_near_dups - n_contaminated) - n_kept
+    n_filtered = (n_input - n_exact_dups - n_near_dups - n_contaminated
+                  - n_lm_filtered) - n_kept
 
     spark = docs.sparkSession
     report = spark.createDataFrame(
         [(n_input, n_exact_dups, n_near_dups, int(quarantined),
-          int(n_contaminated), n_filtered, n_kept,
+          int(n_contaminated), int(n_lm_filtered), n_filtered, n_kept,
           int(agg["total_tokens"]), int(n_redactions))],
         "n_input long, n_exact_dups long, n_near_dups long, "
-        "n_hot_buckets long, n_contaminated long, n_filtered long, "
-        "n_kept long, total_tokens long, n_redactions long",
+        "n_hot_buckets long, n_contaminated long, n_lm_filtered long, "
+        "n_filtered long, n_kept long, total_tokens long, "
+        "n_redactions long",
     )
     return kept, report

@@ -96,3 +96,43 @@ def test_clean_corpus_decontam_scrub_repetition(spark, planted):
     assert r["n_input"] == (r["n_exact_dups"] + r["n_near_dups"]
                             + r["n_contaminated"] + r["n_filtered"]
                             + r["n_kept"])
+
+
+def test_clean_corpus_lm_band_drops_both_tails(spark, planted):
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.textstats import lm_doclogprob
+
+    # the band applies to the post-dedup / pre-filter survivors (d1 =
+    # everything except the exact-dup docs 100/101 and near-dup 102),
+    # with the LM trained on exactly that set
+    kept, base = clean_corpus(planted, CleanConfig(min_tokens=10))
+    assert base.collect()[0]["n_lm_filtered"] == 0  # default: stage off
+    d1 = planted.filter(~F.col("doc_id").isin(100, 101, 102))
+    scores = {r["doc_id"]: r["mean_logp"] for r in lm_doclogprob(
+        d1.select("doc_id", tokens_expr("text").alias("tokens"))
+    ).collect()}
+    vals = sorted(set(scores.values()))
+    assert len(vals) >= 3, "fixture must spread the LM scores"
+    lo, hi = vals[1], vals[-2]  # band excludes the extreme score(s)
+    out_of_band = {d for d, s in scores.items() if s < lo or s > hi}
+    assert out_of_band, "band must bite"
+    kept_default = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept2, rep = clean_corpus(
+        planted, CleanConfig(min_tokens=10, lm_logp_band=(lo, hi)))
+    r = rep.collect()[0]
+    assert r["n_lm_filtered"] == len(out_of_band)
+    ids = {row["doc_id"] for row in kept2.select("doc_id").collect()}
+    assert ids == kept_default - out_of_band
+    # the report still balances exactly
+    assert r["n_input"] == (r["n_exact_dups"] + r["n_near_dups"]
+                            + r["n_contaminated"] + r["n_lm_filtered"]
+                            + r["n_filtered"] + r["n_kept"])
+
+
+def test_clean_corpus_lm_band_validates(spark, planted):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lm_logp_band"):
+        clean_corpus(planted, CleanConfig(lm_logp_band=(1.0, -1.0)))
