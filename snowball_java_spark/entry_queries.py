@@ -3056,6 +3056,77 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_MS_FIELDS = ["dl", "n_chars"]
+
+
+def _q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats: pairwise covariance/correlation of (dl, n_chars)
+    over each query's match set, derived from EXACT integer sufficient
+    statistics (n, Σx, Σy, Σxy) so both engines compute bit-identical
+    floats."""
+    from snowball_java_spark.operators.aggs import matrix_stats
+
+    d = _docs_tok(spark, sf_dir)
+    t_lit0 = F.array(*[F.lit(t) for t in sorted(set(HOT_TERMS))])
+    t_lit1 = F.array(*[F.lit(t) for t in sorted(set(MIXED_TERMS))])
+    m0 = d.filter(F.size(F.array_intersect("tokens", t_lit0)) > 0) \
+        .select(F.lit(0).alias("query_id"), "doc_id")
+    m1 = d.filter(F.size(F.array_intersect("tokens", t_lit1)) > 0) \
+        .select(F.lit(1).alias("query_id"), "doc_id")
+    vals = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "n_chars",
+                F.size(tokens_expr("text")).alias("dl"))
+    )
+    res = matrix_stats(m0.unionByName(m1), vals, _MS_FIELDS)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "field_x", "field_y", "n",
+        F.round("mean_x", 6).alias("mean_x"),
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("covar", 6).alias("covar"),
+        F.round("corr", 6).alias("corr"))
+
+
+def _matrix_stats_sql(query_terms: list[list[str]]) -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in enumerate(query_terms)
+        for t in sorted(set(terms)))
+    pair_rows = []
+    fields = _MS_FIELDS
+    pairs = [(x, y) for i, x in enumerate(fields) for y in fields[i:]]
+    for x, y in pairs:
+        covar = f"(s_{x}_{y} - s_{x}::DOUBLE * s_{y} / n) / (n - 1)"
+        varx = f"(s_{x}_{x} - s_{x}::DOUBLE * s_{x} / n) / (n - 1)"
+        vary = f"(s_{y}_{y} - s_{y}::DOUBLE * s_{y} / n) / (n - 1)"
+        pair_rows.append(
+            f"SELECT query_id, '{x}' AS field_x, '{y}' AS field_y,"
+            f" n::BIGINT AS n,"
+            f" round(s_{x}::DOUBLE / n, 6) AS mean_x,"
+            f" round(s_{y}::DOUBLE / n, 6) AS mean_y,"
+            f" round(CASE WHEN n >= 2 THEN {covar} END, 6) AS covar,"
+            f" round(CASE WHEN n >= 2 AND {varx} > 0 AND {vary} > 0"
+            f" THEN {covar} / sqrt(({varx}) * ({vary})) END, 6) AS corr"
+            f" FROM g")
+    u = " UNION ALL ".join(pair_rows)
+    return f"""
+WITH toks AS (SELECT doc_id, n_chars::BIGINT AS n_chars,
+                     {TOKS_SQL} AS toks FROM documents),
+v AS (SELECT doc_id, n_chars, len(toks)::BIGINT AS dl FROM toks),
+q(query_id, term) AS (VALUES {qvals}),
+m AS (SELECT DISTINCT q.query_id, toks.doc_id
+      FROM toks JOIN q ON list_contains(toks.toks, q.term)),
+g AS (SELECT m.query_id, count(*)::BIGINT AS n,
+             sum(dl)::BIGINT AS s_dl, sum(n_chars)::BIGINT AS s_n_chars,
+             sum(dl * dl)::BIGINT AS s_dl_dl,
+             sum(dl * n_chars)::BIGINT AS s_dl_n_chars,
+             sum(n_chars * n_chars)::BIGINT AS s_n_chars_n_chars
+      FROM m JOIN v USING (doc_id) GROUP BY 1)
+{u}
+"""
+
+
 def _q_facet_stats(spark, sf_dir):
     """ES stats aggregation bucketed by a facet column: token-count
     statistics of the docs matching each query, per source — one
@@ -5341,6 +5412,9 @@ FROM g
             _q_bm25_fuzzy_join, _bm25_fuzzy_sql(_FUZZY_TERMS, _FUZZY_SPEC, 10)),
         "bm25_boost_topk": Q(
             _q_bm25_boost_join, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
+        "matrix_stats_dl": Q(
+            _q_matrix_stats,
+            _matrix_stats_sql([HOT_TERMS, MIXED_TERMS])),
         "facet_stats_dl": Q(_q_facet_stats, _facet_stats_sql()),
         "rare_terms": Q(
             _q_rare_terms,

@@ -657,3 +657,69 @@ def rare_terms_index(
         .select("query_id", "rank", "term", "df", "fg_count")
         .orderBy("query_id", "rank")
     )
+
+
+def matrix_stats(
+    matches: DataFrame,
+    values: DataFrame,
+    fields: list[str],
+) -> DataFrame:
+    """ES ``matrix_stats``: pairwise covariance/correlation of numeric
+    doc fields over each query's match set — "do longer matching files
+    also carry more chars/stars/imports?" answered per query.
+
+    ``matches``: (query_id, doc_id); ``values``: (doc_id, <fields...>)
+    with INTEGER fields.  Output: one row per (query_id, ordered field
+    pair (x ≤ y)): n, mean_x, mean_y, covar (sample, n−1), corr
+    (Pearson; NULL when either variance is 0 or n < 2) — the diagonal
+    rows carry the per-field variance in ``covar``.
+
+    Determinism: every moment derives from EXACT integer sufficient
+    statistics (n, Σx, Σy, Σxy as 64-bit integer sums — order-free,
+    partitioning-free), so the float derivation is bit-identical in any
+    engine; sums must stay under 2^63 (|Σ x·y| < 9.2e18 — holds for
+    ~1e13 docs of token×char scale; switch the casts to decimal(38,0)
+    beyond that).  One values join + ONE map-side-combinable agg per
+    query — no per-pair passes, no window, no collect."""
+    if len(fields) < 1:
+        raise ValueError("matrix_stats needs at least one field")
+    j = matches.join(values.select("doc_id", *fields), "doc_id")
+    aggs = [F.count("*").alias("n")]
+    for f in fields:
+        aggs.append(F.sum(F.col(f).cast("long")).alias(f"s_{f}"))
+    pairs = [(x, y) for i, x in enumerate(fields) for y in fields[i:]]
+    for x, y in pairs:
+        aggs.append(
+            F.sum((F.col(x).cast("long") * F.col(y).cast("long")))
+            .alias(f"s_{x}_{y}"))
+    g = j.groupBy("query_id").agg(*aggs)
+
+    # ONE aggregated row per query feeds every pair via a literal-array
+    # explode — a union of per-pair projections would re-run the whole
+    # join+agg once per pair
+    def pair_struct(x: str, y: str) -> F.Column:
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{x}").cast("double")
+        sy = F.col(f"s_{y}").cast("double")
+        sxy = F.col(f"s_{x}_{y}").cast("double")
+        sxx = F.col(f"s_{x}_{x}").cast("double")
+        syy = F.col(f"s_{y}_{y}").cast("double")
+        covar = (sxy - sx * sy / n) / (n - 1)
+        varx = (sxx - sx * sx / n) / (n - 1)
+        vary = (syy - sy * sy / n) / (n - 1)
+        corr = F.when(
+            (F.col("n") >= 2) & (varx > 0) & (vary > 0),
+            covar / F.sqrt(varx * vary))
+        return F.struct(
+            F.lit(x).alias("field_x"), F.lit(y).alias("field_y"),
+            (sx / n).alias("mean_x"), (sy / n).alias("mean_y"),
+            F.when(F.col("n") >= 2, covar).alias("covar"),
+            corr.alias("corr"),
+        )
+
+    return g.select(
+        "query_id", F.col("n").cast("long").alias("n"),
+        F.explode(F.array(*[pair_struct(x, y) for x, y in pairs]))
+        .alias("p"),
+    ).select("query_id", "p.field_x", "p.field_y", "n",
+             "p.mean_x", "p.mean_y", "p.covar", "p.corr")

@@ -527,3 +527,50 @@ def test_rare_terms_validates_and_empty_match(spark, index):
         spark, index, [{"query_id": 0, "terms": ["zzqqnosuchterm"]}],
         max_doc_count=5, cfg=CFG).collect()
     assert got == []
+
+
+def test_matrix_stats_matches_numpy(spark):
+    import numpy as np
+
+    from snowball_java_spark.operators.aggs import matrix_stats
+
+    rows = [(0, d) for d in (1, 2, 3, 5)] + [(1, d) for d in (2, 5)] \
+        + [(2, 7)]  # q2: n=1 -> covar/corr NULL
+    matches = spark.createDataFrame(rows, "query_id int, doc_id long")
+    vals = spark.createDataFrame(
+        [(d, d * 3 + 1, (d * d) % 7 + 2) for d in range(1, 8)],
+        "doc_id long, a long, b long")
+    got = {(r["query_id"], r["field_x"], r["field_y"]):
+           (r["n"], r["mean_x"], r["mean_y"], r["covar"], r["corr"])
+           for r in matrix_stats(matches, vals, ["a", "b"]).collect()}
+    v = {d: (d * 3 + 1, (d * d) % 7 + 2) for d in range(1, 8)}
+    for q, docs in ((0, [1, 2, 3, 5]), (1, [2, 5])):
+        a = np.array([v[d][0] for d in docs], dtype=float)
+        b = np.array([v[d][1] for d in docs], dtype=float)
+        for fx, fy, x, y in (("a", "a", a, a), ("a", "b", a, b),
+                             ("b", "b", b, b)):
+            n, mx, my, cov, corr = got[(q, fx, fy)]
+            assert n == len(docs)
+            assert mx == pytest.approx(x.mean(), rel=1e-12)
+            assert my == pytest.approx(y.mean(), rel=1e-12)
+            assert cov == pytest.approx(
+                np.cov(x, y, ddof=1)[0, 1], rel=1e-12)
+            denom = np.std(x, ddof=1) * np.std(y, ddof=1)
+            if denom > 0:
+                assert corr == pytest.approx(
+                    np.cov(x, y, ddof=1)[0, 1] / denom, rel=1e-12)
+            else:
+                assert corr is None
+    # n=1 group: covar and corr are NULL, means defined
+    n, mx, my, cov, corr = got[(2, "a", "b")]
+    assert n == 1 and cov is None and corr is None
+    assert (mx, my) == v[7] == (22, 2)
+
+
+def test_matrix_stats_validates(spark):
+    from snowball_java_spark.operators.aggs import matrix_stats
+
+    m = spark.createDataFrame([(0, 1)], "query_id int, doc_id long")
+    v = spark.createDataFrame([(1, 2)], "doc_id long, a long")
+    with pytest.raises(ValueError, match="field"):
+        matrix_stats(m, v, [])
