@@ -87,16 +87,22 @@ def main(argv: list[str]) -> int:
                         "moving window (default 3) — e.g. "
                         "derivative,moving_avg:5; the histogram output "
                         "gains one column per metric")
+    p.add_argument("--matrix-stats", default=None, metavar="COLS",
+                   help="ES matrix_stats: pairwise covariance/"
+                        "correlation of integer metadata columns over "
+                        "each match set (e.g. dl or dl,stars) — exact "
+                        "integer sufficient statistics, one agg pass")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
     if not any([args.facets, args.counts, args.histogram, args.range_agg,
                 args.composite, args.sig_terms, args.sort_by,
-                args.cardinality, args.percentiles]):
+                args.cardinality, args.percentiles,
+                args.matrix_stats]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
-                         "--cardinality/--percentiles")
+                         "--cardinality/--percentiles/--matrix-stats")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -270,6 +276,24 @@ def main(argv: list[str]) -> int:
         emit("percentiles", percentiles_matches_index(
             spark, idx, qs, value_col=col, percents=pcts,
             exact=not args.percentiles_approx, cfg=idx.cfg))
+    if args.matrix_stats:
+        from snowball_java_spark.operators.aggs import matrix_stats
+        from snowball_java_spark.operators.wand import matching_docs_index
+
+        cols = [c.strip() for c in args.matrix_stats.split(",")
+                if c.strip()]
+        docs_df = idx.docs(spark)
+        integral = {f.name for f in docs_df.schema.fields
+                    if f.dataType.typeName() in
+                    ("byte", "short", "integer", "long")}
+        bad = set(cols) - integral
+        if bad:
+            raise SystemExit(
+                f"--matrix-stats column(s) {sorted(bad)} are not integer "
+                f"doc metadata columns (integer: {sorted(integral)})")
+        matches = matching_docs_index(spark, idx, qs, cfg=idx.cfg)
+        emit("matrix_stats", matrix_stats(
+            matches, docs_df.select("doc_id", *cols), cols))
     spark.stop()
     return 0
 
