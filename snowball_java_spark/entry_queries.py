@@ -5760,8 +5760,9 @@ _DRIVER_PRIORITY = [
     # facet_histogram_pipeline, bm25_rescore_index_topk,
     # bm25_delete_by_query_topk, bm25_update_by_query_topk, plus the
     # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
-    # pit_search_after, bpe_merges, rare_terms, phrase_suggest
-    # (19 + 7 = 26 — fits round 5's 50-slot budget with room for
+    # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
+    # stemmed_term_df, matrix_stats_dl
+    # (19 + 9 = 28 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 
