@@ -237,3 +237,31 @@ def test_dismax_rejects_bad_tie_breaker(spark, synth_docs):
         dismax_topk_join(spark, docs, [{"query_id": 0, "terms": ["x"],
                                         "k": 1}],
                          fields=["body", "symbols"], tie_breaker=1.5)
+
+
+def test_bm25f_candidate_predicate_keeps_corpus_stats(spark, synth_docs):
+    """Scoped BM25F: per-doc scores must be IDENTICAL to the unscoped
+    run (df/avgdl stay corpus-wide — the df pass runs over all docs even
+    when candidates are pruned), so the scoped top-k is exactly the
+    unscoped ranking filtered to the candidate set."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.symbols import symbols_expr
+    from snowball_java_spark.functions.tokenize import tokens_expr
+
+    docs = synth_docs.select(
+        "doc_id",
+        tokens_expr("content").alias("body"),
+        symbols_expr("content").alias("symbols"),
+    )
+    weights = {"body": 1.0, "symbols": 3.0}
+    q = [{"query_id": 0, "terms": ["def", "return"], "k": 1000}]
+    full = {r["doc_id"]: r["score"]
+            for r in bm25f_topk_join(spark, docs, q, weights).collect()}
+    pred = F.col("doc_id") % 3 == 0
+    scoped = bm25f_topk_join(
+        spark, docs, [{"query_id": 0, "terms": ["def", "return"], "k": 5}],
+        weights, candidate_predicate=pred).orderBy("rank").collect()
+    want = sorted(((d, s) for d, s in full.items() if d % 3 == 0),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert [(r["doc_id"], r["score"]) for r in scoped] == want
