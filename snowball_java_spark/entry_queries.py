@@ -4562,6 +4562,67 @@ def _q_events_ewma(spark, sf_dir):
     return ordered.select("user_id", F.round(ewma, 6).alias("ewma"))
 
 
+#: sessionization gap (µs): a day — the synthetic per-user median gap
+#: is ~7 h, so day-gapped sessions hold several events each
+_SESSION_GAP_US = 86_400_000_000
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (the classic clickstream op; ES/Kibana
+    "session" analyses, Flink session windows): per user, a new session
+    starts when the gap to the previous event exceeds the threshold.
+    Distributed shape: ONE shuffle on user_id; the lag + running-sum
+    windows stay inside each user partition (bounded by per-user event
+    counts, never corpus-wide)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic on the NTZ column directly — timezone-free, so
+    # the gate is identical under ANY driver session timezone
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_s = F.when(
+        gap.isNull()
+        | (gap > F.expr(f"INTERVAL {_SESSION_GAP_US // 1_000_000} "
+                        f"SECONDS")),
+        1).otherwise(0)
+    s = e.withColumn("session_no", F.sum(new_s).over(w).cast("long"))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), fmt).alias("start_ts"),
+            F.date_format(F.max("ts"), fmt).alias("end_ts"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                "session_no", "n_events", "start_ts", "end_ts",
+                "sum_value")
+    )
+
+
+def _events_sessionize_sql(gap_us: int) -> str:
+    return f"""
+WITH g AS (SELECT user_id, event_id, value, ts,
+             CASE WHEN ts - lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL {gap_us // 1_000_000} SECONDS
+                  OR lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM events),
+s AS (SELECT user_id, value, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+      FROM g)
+SELECT user_id::BIGINT AS user_id, session_no,
+       count(*)::BIGINT AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def _q_events_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
@@ -5691,6 +5752,8 @@ FROM events GROUP BY user_id
             _q_tokens_lang_dispatch, _tokens_lang_dispatch_sql()),
         "ivf_recall_probe": Q(_q_ivf_recall, _ivf_recall_sql("sf0.01")),
         "pq_recall_probe": Q(_q_pq_recall, _pq_recall_sql("sf0.01")),
+        "events_sessionize": Q(
+            _q_events_sessionize, _events_sessionize_sql(_SESSION_GAP_US)),
         "events_hourly": Q(
             _q_events_window,
             """
