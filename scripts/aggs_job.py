@@ -92,17 +92,24 @@ def main(argv: list[str]) -> int:
                         "correlation of integer metadata columns over "
                         "each match set (e.g. dl or dl,stars) — exact "
                         "integer sufficient statistics, one agg pass")
+    p.add_argument("--diversify", default=None,
+                   metavar="COL[:MAX_PER_VALUE[:SHARD_SIZE]]",
+                   help="ES diversified_sampler: best-scored match "
+                        "sample with a hard per-value cap on a metadata "
+                        "column (e.g. repo:2:100 — ≤2 docs per repo, "
+                        "100 overall; defaults 1 and 100)")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
     if not any([args.facets, args.counts, args.histogram, args.range_agg,
                 args.composite, args.sig_terms, args.sort_by,
                 args.cardinality, args.percentiles,
-                args.matrix_stats]):
+                args.matrix_stats, args.diversify]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
-                         "--cardinality/--percentiles/--matrix-stats")
+                         "--cardinality/--percentiles/--matrix-stats/"
+                         "--diversify")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -276,6 +283,21 @@ def main(argv: list[str]) -> int:
         emit("percentiles", percentiles_matches_index(
             spark, idx, qs, value_col=col, percents=pcts,
             exact=not args.percentiles_approx, cfg=idx.cfg))
+    if args.diversify:
+        from snowball_java_spark.operators.aggs import (
+            diversified_sampler_index,
+        )
+
+        col, _, rest = args.diversify.partition(":")
+        mpv, _, shard = rest.partition(":")
+        if col not in {f.name for f in idx.docs(spark).schema.fields}:
+            raise SystemExit(
+                f"--diversify column {col!r} is not a stored doc "
+                "metadata column")
+        emit("diversify", diversified_sampler_index(
+            spark, idx, qs, diversity_col=col,
+            max_docs_per_value=int(mpv) if mpv else 1,
+            shard_size=int(shard) if shard else 100, cfg=idx.cfg))
     if args.matrix_stats:
         from snowball_java_spark.operators.aggs import matrix_stats
         from snowball_java_spark.operators.wand import matching_docs_index

@@ -3487,6 +3487,64 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_DIV_MAX_PER_VALUE = 2
+_DIV_SHARD_SIZE = 10
+
+
+def _q_diversified_sample(spark, sf_dir):
+    """ES diversified_sampler: best-scored match sample with a hard
+    per-source cap (≤ 2 docs per source, 10 overall) — two queries so
+    both the per-value cap and the final cut are exercised."""
+    from snowball_java_spark.operators.aggs import diversified_sampler
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = diversified_sampler(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        diversity_col="source",
+        max_docs_per_value=_DIV_MAX_PER_VALUE,
+        shard_size=_DIV_SHARD_SIZE, n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", "value", F.round("score", 6).alias("score"))
+
+
+def _div_sampler_sql(term_sets: list[list[str]], mpv: int,
+                     shard: int) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, doc_id, value, score FROM (
+  SELECT doc_id, value, score,
+         row_number() OVER (PARTITION BY value
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM (
+    SELECT tfx.doc_id, sum({W_SQL}) AS score,
+           any_value(d.source)::VARCHAR AS value
+    FROM tfx JOIN dfx USING (term)
+             JOIN dl ON tfx.doc_id = dl.doc_id
+             JOIN documents d ON tfx.doc_id = d.doc_id
+             CROSS JOIN st
+    WHERE tfx.term IN ({tl}) AND d.source IS NOT NULL
+    GROUP BY 1)
+) WHERE r <= {mpv}""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+capped AS ({u})
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, value, round(score, 6) AS score
+FROM capped
+QUALIFY rank <= {shard}
+ORDER BY query_id, rank
+"""
+
+
 _RESCORE_WINDOW = 50
 _RESCORE_W = 2.0
 
@@ -5505,6 +5563,11 @@ FROM g
             _q_top_hits,
             _top_hits_sql(MIXED_TERMS, _TOPHITS_FACETS, _TOPHITS_HITS),
         ),
+        "diversified_sample": Q(
+            _q_diversified_sample,
+            _div_sampler_sql([MIXED_TERMS, HOT_TERMS],
+                             _DIV_MAX_PER_VALUE, _DIV_SHARD_SIZE),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -5824,8 +5887,9 @@ _DRIVER_PRIORITY = [
     # bm25_delete_by_query_topk, bm25_update_by_query_topk, plus the
     # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
-    # stemmed_term_df, matrix_stats_dl
-    # (19 + 9 = 28 — fits round 5's 50-slot budget with room for
+    # stemmed_term_df, matrix_stats_dl, events_sessionize,
+    # diversified_sample
+    # (19 + 11 = 30 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

@@ -723,3 +723,106 @@ def matrix_stats(
         .alias("p"),
     ).select("query_id", "p.field_x", "p.field_y", "n",
              "p.mean_x", "p.mean_y", "p.covar", "p.corr")
+
+
+def diversified_sampler(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    diversity_col: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    cfg=None,
+    candidate_predicate: F.Column | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``diversified_sampler``: a best-scored sample of each query's
+    match set with a hard per-value cap on ``diversity_col`` — at most
+    ``max_docs_per_value`` docs per distinct field value survive, then
+    the overall sample keeps the ``shard_size`` best survivors.  The
+    selection-bias control of training-data curation: "top matches, but
+    never more than N per repository/domain/author".
+
+    Output: (query_id, rank, doc_id, value, score) — rank over the
+    FINAL sample under (score desc, doc_id asc); ``value`` the
+    diversity key.  Docs whose diversity value is NULL are skipped
+    (same contract as the ``terms``-agg path in
+    ``top_hits_by_facet``: a null key can't be capped meaningfully and
+    ES's de-dup hash treats missing values as errors).
+
+    Scale shape: one shared scorer pass (``bm25_scores_join``, pruned
+    to the queries' terms); the per-value cap and the final cut both
+    run as two-phase salted rankings (``_two_phase_rank``), so a hot
+    value (one repo owning half the corpus) or a hot query never sorts
+    its full match set in one task — the per-value phase prunes to
+    ≤ max_docs_per_value·n_salt rows per value BEFORE the final merge,
+    which then sees at most shard_size·n_salt rows per query.
+    """
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.bm25_join import bm25_scores_join
+
+    if max_docs_per_value < 1:
+        raise ValueError(
+            f"max_docs_per_value must be >= 1, got {max_docs_per_value}")
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    scores, _qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg or DEFAULT,
+        candidate_predicate=candidate_predicate, n_docs=n_docs,
+        avgdl=avgdl)
+    return _diversify(scores, docs_tok, diversity_col,
+                      max_docs_per_value, shard_size)
+
+
+def _diversify(scores: DataFrame, meta: DataFrame, diversity_col: str,
+               max_docs_per_value: int, shard_size: int) -> DataFrame:
+    """Shared double-cap core: per-(query, value) cap then per-query
+    cut, both two-phase salted (see ``diversified_sampler``)."""
+    vals = meta.select(
+        "doc_id", F.col(diversity_col).cast("string").alias("value")
+    ).filter(F.col("value").isNotNull())
+    sv = scores.join(vals, "doc_id")
+    order = [F.desc("score"), F.asc("doc_id")]
+    capped = _two_phase_rank(
+        sv, ["query_id", "value"], order, max_docs_per_value,
+        salt_on="doc_id").drop("rank")
+    return (
+        _two_phase_rank(capped, ["query_id"], order, shard_size,
+                        salt_on="doc_id")
+        .select("query_id", "rank", "doc_id", "value", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def diversified_sampler_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    diversity_col: str,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Index-native :func:`diversified_sampler`: scores come from
+    postings decode (``wand.bm25_scores_index`` — exhaustive k=∞
+    kernels, dead-sidecar filtered, no corpus scan) and the diversity
+    key from the index's stored doc metadata, pruned to (doc_id,
+    diversity_col) at the parquet scan.  Same output contract and the
+    same two-phase salted double cap as the join path."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import bm25_scores_index
+
+    if max_docs_per_value < 1:
+        raise ValueError(
+            f"max_docs_per_value must be >= 1, got {max_docs_per_value}")
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    scores = bm25_scores_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", diversity_col)
+    return _diversify(scores, meta, diversity_col,
+                      max_docs_per_value, shard_size)

@@ -574,3 +574,103 @@ def test_matrix_stats_validates(spark):
     v = spark.createDataFrame([(1, 2)], "doc_id long, a long")
     with pytest.raises(ValueError, match="field"):
         matrix_stats(m, v, [])
+
+
+# ------------------------------------------------- diversified sampler
+
+def test_diversified_sampler_caps_and_order(spark, synth_docs):
+    from snowball_java_spark.operators.aggs import diversified_sampler
+    from snowball_java_spark.operators.bm25_join import bm25_scores_join
+
+    docs_tok = synth_docs.select(
+        "doc_id", F.col("repo").alias("source"),
+        tokens_expr("content").alias("tokens"))
+    queries = [{"query_id": 0, "terms": ["def", "return"]},
+               {"query_id": 1, "terms": ["read_client_43"]}]
+    mpv, shard = 2, 7
+    got = diversified_sampler(
+        spark, docs_tok, queries, diversity_col="source",
+        max_docs_per_value=mpv, shard_size=shard).collect()
+    assert got
+    # per-value cap holds
+    from collections import Counter
+
+    per_val = Counter((r["query_id"], r["value"]) for r in got)
+    assert all(n <= mpv for n in per_val.values())
+    per_q = Counter(r["query_id"] for r in got)
+    assert all(n <= shard for n in per_q.values())
+
+    # reference: same scorer, plain single-window double ranking
+    scores, _ = bm25_scores_join(spark, docs_tok, queries)
+    sv = scores.join(
+        docs_tok.select("doc_id", F.col("source").cast("string")
+                        .alias("value")), "doc_id")
+    w1 = Window.partitionBy("query_id", "value").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    want = (sv.withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= mpv).drop("_r")
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= shard)).collect()
+    gset = {(r["query_id"], r["rank"]): (r["doc_id"], r["value"])
+            for r in got}
+    wset = {(r["query_id"], r["rank"]): (r["doc_id"], r["value"])
+            for r in want}
+    assert gset == wset and len(got) == len(want)
+
+
+def test_diversified_sampler_skips_null_values(spark, synth_docs):
+    from snowball_java_spark.operators.aggs import diversified_sampler
+
+    docs_tok = synth_docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .otherwise(F.col("repo")).alias("source"),
+        tokens_expr("content").alias("tokens"))
+    got = diversified_sampler(
+        spark, docs_tok, [{"query_id": 0, "terms": ["def"]}],
+        diversity_col="source", max_docs_per_value=1,
+        shard_size=50).collect()
+    assert got
+    assert all(r["value"] is not None for r in got)
+    assert all(r["doc_id"] % 3 != 0 for r in got)
+
+
+def test_diversified_sampler_rejects_bad_args(spark, synth_docs):
+    from snowball_java_spark.operators.aggs import diversified_sampler
+
+    docs_tok = synth_docs.select(
+        "doc_id", F.col("repo").alias("source"),
+        tokens_expr("content").alias("tokens"))
+    with pytest.raises(ValueError, match="max_docs_per_value"):
+        diversified_sampler(spark, docs_tok, [], "source",
+                            max_docs_per_value=0)
+    with pytest.raises(ValueError, match="shard_size"):
+        diversified_sampler(spark, docs_tok, [], "source", shard_size=0)
+
+
+def test_diversified_sampler_index_matches_join_path(spark, synth_docs,
+                                                     index):
+    from snowball_java_spark.operators.aggs import (
+        diversified_sampler,
+        diversified_sampler_index,
+    )
+
+    docs_tok = synth_docs.select(
+        "doc_id", "repo", tokens_expr("content").alias("tokens"))
+    queries = [{"query_id": 0, "terms": ["def", "return"]},
+               {"query_id": 1, "terms": ["read_client_43"]}]
+    got = diversified_sampler_index(
+        spark, index, queries, diversity_col="repo",
+        max_docs_per_value=2, shard_size=7, cfg=CFG).collect()
+    want = diversified_sampler(
+        spark, docs_tok, queries, diversity_col="repo",
+        max_docs_per_value=2, shard_size=7).collect()
+    gset = {(r["query_id"], r["rank"]): (r["doc_id"], r["value"],
+                                         round(r["score"], 9))
+            for r in got}
+    wset = {(r["query_id"], r["rank"]): (r["doc_id"], r["value"],
+                                         round(r["score"], 9))
+            for r in want}
+    assert gset == wset and len(got) == len(want)
