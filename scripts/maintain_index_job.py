@@ -34,8 +34,10 @@ re-ingests matching docs from the source corpus with the SQL expression
 applied to content, superseding prior versions (ES ``_update_by_query``).
 Steps compose and run in the order restore-from → refresh → delete →
 delete-by-query → update-by-query → compact → reindex-to →
-rebuild-stats → snapshot → describe (a composed ``--refresh --snapshot``
-therefore captures the post-mutation state).
+rebuild-stats → snapshot → set-alias/drop-alias → describe (a composed
+``--refresh --snapshot`` therefore captures the post-mutation state,
+and ``--reindex-to NEW --set-alias NEW`` flips the alias only after the
+new index is fully built).
 """
 
 from __future__ import annotations
@@ -143,18 +145,11 @@ def main(argv: list[str]) -> int:
             "elapsed_sec": round(time.time() - t0, 2),
         }))
 
-    needs_spark = any((args.describe, args.compact, args.refresh,
-                       args.delete_keys, args.delete_by_query,
-                       args.update_by_query, args.rebuild_stats,
-                       args.reindex_to))
-    if not needs_spark:
-        if args.snapshot:
-            t0 = time.time()
-            n = snapshot_index(args.index_dir, args.snapshot)
-            print(json.dumps({
-                "snapshot": args.snapshot, "files": n,
-                "elapsed_sec": round(time.time() - t0, 2),
-            }))
+    def _alias_steps() -> None:
+        # runs in BOTH branches: composed with a Spark step
+        # (--reindex-to NEW --set-alias NEW is the advertised blue/green
+        # flip) the alias mutation must still happen — and last, so the
+        # flip only publishes a fully-built target
         if args.set_alias:
             from snowball_java_spark.plans.alias import set_alias
             prev = set_alias(args.index_dir, args.set_alias)
@@ -169,6 +164,20 @@ def main(argv: list[str]) -> int:
             print(json.dumps({
                 "alias_dropped": args.index_dir, "was_target": tgt,
             }))
+
+    needs_spark = any((args.describe, args.compact, args.refresh,
+                       args.delete_keys, args.delete_by_query,
+                       args.update_by_query, args.rebuild_stats,
+                       args.reindex_to))
+    if not needs_spark:
+        if args.snapshot:
+            t0 = time.time()
+            n = snapshot_index(args.index_dir, args.snapshot)
+            print(json.dumps({
+                "snapshot": args.snapshot, "files": n,
+                "elapsed_sec": round(time.time() - t0, 2),
+            }))
+        _alias_steps()
         return 0
 
     from pyspark.sql import SparkSession
@@ -300,6 +309,7 @@ def main(argv: list[str]) -> int:
             "snapshot": args.snapshot, "files": n,
             "elapsed_sec": round(time.time() - t0, 2),
         }))
+    _alias_steps()
     if args.describe:
         print(json.dumps(IndexReader(args.index_dir).describe(spark)))
     spark.stop()

@@ -95,6 +95,54 @@ _RANGE_BRACKET_RE = re.compile(
 _RANGE_CMP_RE = re.compile(r"^(>=|<=|>|<)(.+)$")
 
 
+_CMP_OPS = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}
+
+
+def _take_field_filter(word: str, filters: dict, filters_like: dict,
+                       ranges: dict) -> bool:
+    """``field:value`` / ``field:>=N`` / ``field:val*`` → mutate the
+    filter dicts; False when ``word`` is not a field filter.  The ONE
+    filter grammar shared by the flat and boolean parsers — validations
+    must not diverge between them."""
+    fm = _FIELD_RE.match(word)
+    if not fm or not fm.group(2):
+        return False
+    field, value = fm.groups()
+    cm = _RANGE_CMP_RE.match(value)
+    if cm:
+        _merge_range(ranges, field, _CMP_OPS[cm.group(1)],
+                     _range_number(field, cm.group(2)))
+        return True
+    if "*" in value or "?" in value:
+        # wildcard VALUE filter (ES wildcard query on a keyword field)
+        # — kept verbatim; the executor translates to LIKE.  Distinct
+        # from bare-term wildcards, which expand against the vocabulary.
+        if set(value) <= {"*", "?"}:
+            raise QueryParseError(
+                f"wildcard filter on field {field!r} needs at "
+                "least one literal character")
+        if filters_like.setdefault(field, value) != value:
+            raise QueryParseError(
+                f"conflicting wildcard filters on field {field!r}")
+        return True
+    if filters.setdefault(field, value) != value:
+        raise QueryParseError(f"conflicting filters on field {field!r}")
+    return True
+
+
+def _check_filter_kinds(filters: dict, filters_like: dict,
+                        ranges: dict) -> None:
+    """A field carrying two filter KINDS (exact + wildcard, range +
+    exact, …) is almost always a contradiction that would silently
+    match nothing — loud, on both parser paths."""
+    overlap = (set(filters) & set(filters_like)) \
+        | (set(filters) & set(ranges)) | (set(filters_like) & set(ranges))
+    if overlap:
+        raise QueryParseError(
+            f"field(s) {sorted(overlap)} given more than one filter kind "
+            "(exact / wildcard / range)")
+
+
 def _range_number(field: str, raw: str) -> float | int:
     """Parse one range endpoint; loud on garbage (``dl:>fast`` must not
     silently become anything)."""
@@ -186,9 +234,16 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             "malformed range (use field:[lo TO hi], {..} exclusive, "
             "* = open end)")
 
-    if "(" in q or ")" in q:
-        # parentheses switch to the nested-boolean grammar (executed by
-        # operators/boolquery.py); bracket ranges were already extracted
+    # parentheses switch to the nested-boolean grammar — but only
+    # STRUCTURAL parens: a '(' inside a quoted phrase or a /regexp/
+    # term (Lucene alternation: /r(ow|un)/) is part of that token, so
+    # both are blanked from the probe before the dispatch test
+    probe = re.sub(r'"[^"]*"', " ", q)
+    probe = " ".join(
+        w for w in probe.split()
+        if not (len(w) > 2 and w.startswith("/") and w.endswith("/")))
+    if "(" in probe or ")" in probe:
+        # bracket ranges were already extracted above
         return _parse_bool_string(q, query_id, k, ranges)
 
     matches = list(_LEX_RE.finditer(q))
@@ -242,32 +297,8 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
         if word == "AND":
             saw_and = True
             continue
-        fm = _FIELD_RE.match(word)
-        if fm and not word.startswith(("+", "-")) and fm.group(2):
-            field, value = fm.groups()
-            cm = _RANGE_CMP_RE.match(value)
-            if cm:
-                op_map = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}
-                _merge_range(ranges, field, op_map[cm.group(1)],
-                             _range_number(field, cm.group(2)))
-                continue
-            if "*" in value or "?" in value:
-                # wildcard VALUE filter (ES wildcard query on a keyword
-                # field) — kept verbatim; the executor translates to
-                # LIKE.  Distinct from bare-term wildcards, which expand
-                # against the index vocabulary.
-                if set(value) <= {"*", "?"}:
-                    raise QueryParseError(
-                        f"wildcard filter on field {field!r} needs at "
-                        "least one literal character")
-                if filters_like.setdefault(field, value) != value:
-                    raise QueryParseError(
-                        f"conflicting wildcard filters on field {field!r}")
-                continue
-            if field in filters and filters[field] != value:
-                raise QueryParseError(
-                    f"conflicting filters on field {field!r}")
-            filters[field] = value
+        if not word.startswith(("+", "-")) and _take_field_filter(
+                word, filters, filters_like, ranges):
             continue
         sign = ""
         if word[0] in "+-":
@@ -388,12 +419,7 @@ def parse_query(q: str, query_id: int = 0, k: int = 10) -> dict:
             saw_bare_quoteless = True
             terms.extend(toks)
 
-    overlap = (set(filters) & set(filters_like)) \
-        | (set(filters) & set(ranges)) | (set(filters_like) & set(ranges))
-    if overlap:
-        raise QueryParseError(
-            f"field(s) {sorted(overlap)} given more than one filter kind "
-            "(exact / wildcard / range)")
+    _check_filter_kinds(filters, filters_like, ranges)
 
     if phrase is not None:
         if terms or required or saw_and or prefixes or fuzzy \
@@ -494,33 +520,6 @@ def _parse_bool_string(q: str, query_id: int, k: int,
                 f"boolean group (tokenizes to {ts})")
         return {"term": ts[0]}
 
-    def take_filter(word: str) -> bool:
-        """Top-level field:value / field:>=N / field:val* — mutates the
-        filter dicts; returns False when the word is not a filter."""
-        fm = _FIELD_RE.match(word)
-        if not fm or not fm.group(2):
-            return False
-        field, value = fm.groups()
-        cm = _RANGE_CMP_RE.match(value)
-        if cm:
-            op_map = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte"}
-            _merge_range(ranges, field, op_map[cm.group(1)],
-                         _range_number(field, cm.group(2)))
-            return True
-        if "*" in value or "?" in value:
-            if set(value) <= {"*", "?"}:
-                raise QueryParseError(
-                    f"wildcard filter on field {field!r} needs at "
-                    "least one literal character")
-            if filters_like.setdefault(field, value) != value:
-                raise QueryParseError(
-                    f"conflicting wildcard filters on field {field!r}")
-            return True
-        if filters.setdefault(field, value) != value:
-            raise QueryParseError(
-                f"conflicting filters on field {field!r}")
-        return True
-
     pos = 0
 
     def level(depth: int) -> dict:
@@ -591,7 +590,8 @@ def _parse_bool_string(q: str, query_id: int, k: int,
                         f"field filter {t!r} must sit at the top level "
                         "of a boolean query (filters scope the whole "
                         "query)")
-                take_filter(t)  # filters are not clauses
+                # filters are not clauses
+                _take_field_filter(t, filters, filters_like, ranges)
                 continue
             if after_clause and not neg_next:
                 note_conn("or")  # adjacency = OR (negated clauses sit
@@ -625,6 +625,7 @@ def _parse_bool_string(q: str, query_id: int, k: int,
     tree = level(0)
     if pos < len(toks):  # a stray ')' stopped the top level early
         raise QueryParseError("unbalanced ')'")
+    _check_filter_kinds(filters, filters_like, ranges)
     from snowball_java_spark.operators.boolquery import validate_tree
 
     validate_tree(tree)

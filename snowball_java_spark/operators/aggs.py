@@ -669,7 +669,10 @@ def matrix_stats(
     also carry more chars/stars/imports?" answered per query.
 
     ``matches``: (query_id, doc_id); ``values``: (doc_id, <fields...>)
-    with INTEGER fields.  Output: one row per (query_id, ordered field
+    with INTEGER fields.  Docs with a NULL in ANY requested field are
+    excluded from the whole matrix (ES semantics — n is shared across
+    every moment, so a partial row cannot be mixed in consistently).
+    Output: one row per (query_id, ordered field
     pair (x ≤ y)): n, mean_x, mean_y, covar (sample, n−1), corr
     (Pearson; NULL when either variance is 0 or n < 2) — the diagonal
     rows carry the per-field variance in ``covar``.
@@ -684,6 +687,12 @@ def matrix_stats(
     if len(fields) < 1:
         raise ValueError("matrix_stats needs at least one field")
     j = matches.join(values.select("doc_id", *fields), "doc_id")
+    # ES matrix_stats excludes documents missing any requested field —
+    # and mixing them in would be WORSE than exclusion here: count(*)
+    # would include the row while the integer sums skip it, silently
+    # corrupting every mean/covar derived from the shared n
+    for f in fields:
+        j = j.filter(F.col(f).isNotNull())
     aggs = [F.count("*").alias("n")]
     for f in fields:
         aggs.append(F.sum(F.col(f).cast("long")).alias(f"s_{f}"))

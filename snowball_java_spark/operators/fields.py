@@ -67,10 +67,13 @@ def bm25f_topk_join(
             qdf,
         )
 
-    # weighted doc length, folded in sorted-field order
+    # weighted doc length, folded in sorted-field order; a NULL field
+    # array contributes length 0 (size(NULL) is NULL and would void the
+    # doc's whole wdl)
     wdl = None
     for f in fields:
-        part = F.lit(float(weights[f])) * F.size(F.col(f)).cast("double")
+        part = F.lit(float(weights[f])) * F.coalesce(
+            F.size(F.col(f)).cast("double"), F.lit(0.0))
         wdl = part if wdl is None else wdl + part
     with_wdl = docs_fields.withColumn("wdl", wdl)
     st = with_wdl.agg(
@@ -91,8 +94,11 @@ def bm25f_topk_join(
     t_lit = F.array(*[F.lit(t) for t in terms])
 
     def _tagged(f: str) -> F.Column:
+        # coalesce: concat(arr, NULL) is NULL — one NULL field array
+        # must not erase the doc's matches in every OTHER field
         return F.transform(
-            F.filter(F.col(f), lambda x: F.array_contains(t_lit, x)),
+            F.filter(F.coalesce(F.col(f), F.array().cast("array<string>")),
+                     lambda x: F.array_contains(t_lit, x)),
             lambda x: F.struct(F.lit(f).alias("field"), x.alias("term")),
         )
 
@@ -201,8 +207,13 @@ def dismax_topk_join(
     # filtered arrays tagged (field, dl, term) and concatenated before
     # a single explode — never one corpus scan per field
     def _tag(f: str) -> F.Column:
+        # coalesce: concat(arr, NULL) is NULL — one NULL field array
+        # must not erase the doc's matches in every OTHER field (the
+        # inner size(f) only evaluates when the filter kept a match,
+        # i.e. the field is non-null)
         return F.transform(
-            F.filter(F.col(f), lambda x: F.array_contains(t_lit, x)),
+            F.filter(F.coalesce(F.col(f), F.array().cast("array<string>")),
+                     lambda x: F.array_contains(t_lit, x)),
             lambda x: F.struct(
                 F.lit(f).alias("field"),
                 F.size(F.col(f)).cast("double").alias("dl"),

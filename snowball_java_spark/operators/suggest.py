@@ -653,10 +653,17 @@ def phrase_suggest(
     denom_u = float(c_total) + alpha * v_size
 
     words = sorted({w for q in queries for w in q["terms"]})
-    cand = expand_fuzzy(
+    # the candidate relation is tiny (≤ len(words)·max_candidates rows)
+    # but feeds every position of the combination chain — materialize
+    # it ONCE into a local DataFrame instead of .cache() (a cache here
+    # leaks one pinned relation per call into executor storage for the
+    # session's lifetime; a serving session calls this per keystroke)
+    cand_rows = expand_fuzzy(
         spark, vocab, {w: max_edits for w in words},
         prefix_len=prefix_len, max_expansions=max_candidates,
-    ).select("query_term", "term", "df").cache()
+    ).select("query_term", "term", "df").collect()
+    cand = spark.createDataFrame(
+        cand_rows, "query_term string, term string, df bigint")
     bi = bigram_counts(docs_tok)
     uni = vocab.select("term", F.col("cf").cast("long").alias("cf"))
 

@@ -71,6 +71,16 @@ def set_alias(alias_path: str, target_dir: str) -> str:
             "at other aliases or at unbuilt directories"
         )
     os.makedirs(alias_path, exist_ok=True)
+    if not is_alias(alias_path):
+        # writing _alias.json into a REAL index dir would create the
+        # ambiguous both-alias-and-index state every reader refuses —
+        # catch it at creation, not at the next read
+        for m in _INDEX_MARKERS:
+            if os.path.exists(os.path.join(alias_path, m)):
+                raise ValueError(
+                    f"{alias_path} is a real index ({m} present) — an "
+                    "alias must be its own directory; point a NEW path "
+                    "at the index instead")
     _check_not_ambiguous(alias_path)
     prev = get_alias(alias_path)
     payload = {"target": target, "prev": prev}

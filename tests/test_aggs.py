@@ -674,3 +674,29 @@ def test_diversified_sampler_index_matches_join_path(spark, synth_docs,
                                          round(r["score"], 9))
             for r in want}
     assert gset == wset and len(got) == len(want)
+
+
+def test_matrix_stats_excludes_null_field_rows(spark):
+    # regression: a NULL in any requested field inflated n while the
+    # integer sums skipped the row — every mean/covar derived from the
+    # shared n was silently wrong.  ES excludes such docs entirely.
+    import numpy as np
+
+    from snowball_java_spark.operators.aggs import matrix_stats
+
+    matches = spark.createDataFrame(
+        [(0, d) for d in range(1, 7)], "query_id int, doc_id long")
+    vals = spark.createDataFrame(
+        [(1, 10, 4), (2, 13, 9), (3, None, 5), (4, 19, 2),
+         (5, 22, None), (6, 25, 7)],
+        "doc_id long, a long, b long")
+    got = {(r["field_x"], r["field_y"]):
+           (r["n"], r["mean_x"], r["covar"])
+           for r in matrix_stats(matches, vals, ["a", "b"]).collect()}
+    keep = [1, 2, 4, 6]  # docs with BOTH fields non-null
+    a = np.array([10, 13, 19, 25], dtype=float)
+    b = np.array([4, 9, 2, 7], dtype=float)
+    n, mx, cov = got[("a", "b")]
+    assert n == len(keep)
+    assert mx == pytest.approx(a.mean(), rel=1e-12)
+    assert cov == pytest.approx(np.cov(a, b, ddof=1)[0, 1], rel=1e-12)

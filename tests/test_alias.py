@@ -207,3 +207,44 @@ def test_vector_index_through_alias(spark, tmp_path):
     assert after == [(r["vec_id"], r["cosine"]) for r in
                      ivf_topk_index(spark, tgt, qvec, 10,
                                     n_probe=8).collect()]
+
+
+def test_set_alias_refuses_real_index_dir(spark, synth_docs, tmp_path):
+    # writing _alias.json into a real index would create the ambiguous
+    # state every reader refuses — caught at creation
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    real = str(tmp_path / "real")
+    build_index(spark, corpus, real, cfg=CFG, n_buckets=8)
+    with pytest.raises(ValueError, match="real index"):
+        set_alias(real, real)
+
+
+def test_maintain_job_set_alias_composes_with_spark_steps(
+        spark, synth_docs, tmp_path):
+    # regression: --set-alias was silently ignored whenever a
+    # Spark-requiring step (--describe, --reindex-to, ...) ran in the
+    # same invocation — the advertised blue/green flow left serving on
+    # the old index.  The composed invocation runs in a subprocess
+    # because the job's main() stops its Spark session on exit.
+    import subprocess
+    import sys
+
+    from snowball_java_spark.plans.alias import get_alias
+    from snowball_java_spark.plans.build_index import reindex_index
+
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    blue = str(tmp_path / "blue")
+    build_index(spark, corpus, blue, cfg=CFG, n_buckets=8)
+    alias = str(tmp_path / "serving")
+    set_alias(alias, blue)
+    green = str(tmp_path / "green")
+    reindex_index(spark, blue, green)
+    # composed: a Spark step AND the alias flip in one invocation
+    r = subprocess.run(
+        [sys.executable, "scripts/maintain_index_job.py",
+         "--index-dir", alias, "--set-alias", green, "--describe"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": "/root/repo"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert get_alias(alias) == os.path.abspath(green)
+    assert _topk(spark, alias) == _topk(spark, green)

@@ -265,3 +265,40 @@ def test_bm25f_candidate_predicate_keeps_corpus_stats(spark, synth_docs):
     want = sorted(((d, s) for d, s in full.items() if d % 3 == 0),
                   key=lambda x: (-x[1], x[0]))[:5]
     assert [(r["doc_id"], r["score"]) for r in scoped] == want
+
+
+def test_null_field_array_does_not_erase_other_fields(spark):
+    # regression: the single-scan rewrite concatenates per-field struct
+    # arrays — concat(arr, NULL) is NULL, which silently dropped a doc
+    # from EVERY field when any one field array was NULL
+    from snowball_java_spark.operators.fields import dismax_topk_join
+
+    df = spark.createDataFrame(
+        [(0, ["alpha", "beta"], ["alpha"]),
+         (1, ["alpha"], None),            # body present, symbols NULL
+         (2, ["gamma"], ["alpha"])],
+        "doc_id long, body array<string>, symbols array<string>")
+    got = bm25f_topk_join(
+        spark, df, [{"query_id": 0, "terms": ["alpha"], "k": 10}],
+        weights={"body": 1.0, "symbols": 2.0}).collect()
+    assert {r["doc_id"] for r in got} == {0, 1, 2}
+
+    got2 = dismax_topk_join(
+        spark, df, [{"query_id": 0, "terms": ["alpha"], "k": 10}],
+        fields=["body", "symbols"]).collect()
+    assert {r["doc_id"] for r in got2} == {0, 1, 2}
+
+
+def test_bm25f_null_field_counts_as_zero_length(spark):
+    # a NULL field contributes 0 to the weighted doc length (not NULL,
+    # which would void the doc's wdl and its score)
+    df = spark.createDataFrame(
+        [(0, ["alpha", "beta", "beta"], None),
+         (1, ["alpha", "beta", "beta"], [])],
+        "doc_id long, body array<string>, symbols array<string>")
+    got = bm25f_topk_join(
+        spark, df, [{"query_id": 0, "terms": ["alpha"], "k": 10}],
+        weights={"body": 1.0, "symbols": 2.0}).collect()
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert set(scores) == {0, 1}
+    assert scores[0] == pytest.approx(scores[1], rel=REL_TOL)

@@ -639,3 +639,26 @@ def test_index_path_range_scoping_matches_join_path(spark, synth_docs,
     assert [r.doc_id for r in got] == [r.doc_id for r in want]
     assert got and all(
         abs(a.score - b.score) < 1e-6 for a, b in zip(got, want))
+
+
+# ------------------------------------- regressions: paren dispatch + filters
+
+def test_regexp_alternation_parens_stay_flat():
+    # /r(ow|un)/ carries parens INSIDE the regexp token — it must not
+    # be routed into the boolean grammar (which rejects regexps)
+    p = parse_query("/r(ow|un)/ row")
+    assert p["regexps"] == ["r(ow|un)"]
+    assert p["terms"] == ["row"]
+
+
+def test_quoted_parens_stay_flat():
+    p = parse_query('"foo (bar) baz"')
+    assert p["phrase"] == ["foo", "bar", "baz"]
+
+
+def test_bool_grammar_rejects_cross_kind_filter_overlap():
+    # same validation as the flat path: one field, two filter kinds
+    with pytest.raises(QueryParseError, match="more than one filter kind"):
+        parse_query("(a b) repo:src0 repo:src1*")
+    with pytest.raises(QueryParseError, match="more than one filter kind"):
+        parse_query("(a b) dl:>=40 dl:x")
