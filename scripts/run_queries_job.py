@@ -50,6 +50,10 @@ Query jsonl, one object per line:
          # query-weight*primary + rescore-weight*secondary
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
+    {"query_id": 18, "terms": ["def", "row"], "explain": [3, 42]}   # ES _explain:
+         # per-term score decomposition (tf, df, dl, idf, weight) for
+         # the requested docs — no corpus needed, reads the stored
+         # tf maps + vocabulary
     {"query_id": 17, "suggest": ["tble", "sow"]}                    # phrase
          # suggester (needs --corpus): whole-query corrections ranked
          # by a corpus bigram LM — rows are (query_id, rank,
@@ -216,6 +220,8 @@ def main(argv: list[str]) -> int:
             return "grep"
         if "rescore" in q:
             return "rescore"
+        if "explain" in q:
+            return "explain"
         if "phrase" in q:
             ph = q.get("phrase") or []
             if ph and str(ph[-1]).endswith("*"):
@@ -245,6 +251,25 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             "suggest queries need --corpus: the bigram LM trains on the "
             "token stream (the index stores per-doc tf, not adjacency)")
+    explain_qs = [q for q in qs if kind(q) == "explain"]
+    for q in explain_qs:
+        ids_ok = (isinstance(q["explain"], list) and q["explain"]
+                  and all(isinstance(d, int) and not isinstance(d, bool)
+                          for d in q["explain"]))
+        if not q.get("terms") or not ids_ok:
+            raise SystemExit(
+                "explain queries need non-empty `terms` and a non-empty "
+                "integer doc_id list in `explain` (ES _explain: why did "
+                "THESE docs score what they did)")
+        extra = {k for k in ("phrase", "not_terms", "fuzzy", "boosts",
+                             "prefixes", "wildcards", "regexps",
+                             "filters", "filters_like", "ranges",
+                             "min_should_match", "mode")
+                 if q.get(k)}
+        if extra:
+            raise SystemExit(
+                f"explain queries do not compose with {sorted(extra)} — "
+                "the decomposition is the plain per-term BM25 sum")
     bool_qs = [q for q in qs if kind(q) == "bool"]
     if bool_qs and (args.synonyms or args.lines or args.highlight):
         raise SystemExit(
@@ -292,7 +317,7 @@ def main(argv: list[str]) -> int:
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
         others = (phrase_qs + phrase_prefix_qs + prox_qs + context_qs
-                  + rescore_qs + grep_qs + bool_qs)
+                  + rescore_qs + grep_qs + bool_qs + explain_qs)
         if others:
             raise SystemExit(
                 "--similarity lmd applies to terms queries only — "
@@ -637,6 +662,26 @@ def main(argv: list[str]) -> int:
             "doc_id",
             F.lit(None).cast("double").alias("score"),
         ))
+    if explain_qs:
+        from snowball_java_spark.operators.bm25_join import (
+            bm25_explain_index,
+        )
+
+        erows = bm25_explain_index(
+            spark, idx,
+            [{"query_id": q["query_id"], "terms": q["terms"],
+              "doc_ids": q["explain"]} for q in explain_qs])
+        if args.out:
+            (remap_ids(erows).write.mode("overwrite")
+             .parquet(args.out.rstrip("/") + "_explain"))
+        else:
+            for r in erows.collect():
+                print(json.dumps({
+                    "query_id": orig_ids[r["query_id"]],
+                    "doc_id": r["doc_id"], "term": r["term"],
+                    "tf": r["tf"], "df": r["df"], "dl": r["dl"],
+                    "idf": round(r["idf"], 6),
+                    "weight": round(r["weight"], 6)}))
     if suggest_qs:
         from snowball_java_spark.functions.tokenize import tokens_expr
         from snowball_java_spark.operators.suggest import phrase_suggest

@@ -3487,6 +3487,51 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_EXPLAIN_DOCS = [3, 7, 42, 123, 321]
+
+
+def _q_bm25_explain(spark, sf_dir):
+    """ES _explain: per-term BM25 score decomposition for fixed
+    (query, doc) pairs — tf, corpus df, dl, idf, and the additive
+    weight, identical float64 arithmetic to the scorer."""
+    from snowball_java_spark.operators.bm25_join import bm25_explain_join
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_explain_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "doc_ids": _EXPLAIN_DOCS},
+         {"query_id": 1, "terms": HOT_TERMS, "doc_ids": _EXPLAIN_DOCS}],
+        n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id", "term", "tf", "df", "dl",
+        F.round("idf", 6).alias("idf"),
+        F.round("weight", 6).alias("weight"))
+
+
+def _bm25_explain_sql(term_sets: list[list[str]],
+                      doc_ids: list[int]) -> str:
+    ids = ", ".join(str(d) for d in doc_ids)
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, tfx.doc_id, tfx.term, tfx.tf, dfx.df,
+       dl.dl,
+       round(ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)), 6)
+         AS idf,
+       round({W_SQL}, 6) AS weight
+FROM tfx JOIN dfx USING (term)
+         JOIN dl ON tfx.doc_id = dl.doc_id
+         CROSS JOIN st
+WHERE tfx.term IN ({tl}) AND tfx.doc_id IN ({ids})""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id, doc_id, weight DESC, term
+"""
+
+
 _DIV_MAX_PER_VALUE = 2
 _DIV_SHARD_SIZE = 10
 
@@ -5568,6 +5613,10 @@ FROM g
             _div_sampler_sql([MIXED_TERMS, HOT_TERMS],
                              _DIV_MAX_PER_VALUE, _DIV_SHARD_SIZE),
         ),
+        "bm25_explain": Q(
+            _q_bm25_explain,
+            _bm25_explain_sql([MIXED_TERMS, HOT_TERMS], _EXPLAIN_DOCS),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -5888,8 +5937,8 @@ _DRIVER_PRIORITY = [
     # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
-    # diversified_sample
-    # (19 + 11 = 30 — fits round 5's 50-slot budget with room for
+    # diversified_sample, bm25_explain
+    # (19 + 12 = 31 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

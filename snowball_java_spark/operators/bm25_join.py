@@ -650,3 +650,142 @@ def exclude_not_terms(
         excl_docs.join(q_not, "term").select("query_id", "doc_id").distinct()
     )
     return scores.join(excl_pairs, ["query_id", "doc_id"], "left_anti")
+
+
+def bm25_explain_join(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``_explain``: the per-term BM25 score decomposition for
+    specific (query, doc) pairs — why a document scored what it did.
+    Each query dict carries ``terms`` and a non-empty ``doc_ids`` list
+    (explain is a point lookup; an unbounded per-term dump is
+    :func:`bm25_scores_join`'s job).
+
+    Output: one row per (query_id, doc_id, matched term) —
+    (query_id, doc_id, term, tf, df, dl, idf, weight), weight the
+    term's additive score contribution (``Σ weight`` over a doc's rows
+    = its :func:`bm25_topk_join` score, same float64 arithmetic);
+    ordered (query_id, doc_id, weight desc, term asc).  A requested doc
+    matching none of the terms yields no rows (ES: matched=false).
+
+    The sibling of :func:`explain_scores`, which attributes a RANKED
+    top-k result (rank column, boost folding) — this form answers "why
+    did doc 42 score X for this query" for arbitrary docs, ranked or
+    not, and has an index twin (:func:`bm25_explain_index`).
+
+    Scale shape: the requested (query, doc) pairs broadcast; tf rows
+    come from the shared prune-before-explode pass
+    (:func:`pruned_tf` — ∝ query-term postings, never corpus tokens)
+    with df corpus-wide (:func:`df_for_terms` — stats never scope to
+    the explained docs).
+    """
+    from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+    from snowball_java_spark.operators.df_stats import corpus_stats
+
+    for q in queries:
+        if not q.get("doc_ids"):
+            raise ValueError(
+                f"query {q.get('query_id')}: bm25_explain_join needs a "
+                "non-empty doc_ids list (use bm25_scores_join for the "
+                "full match relation)")
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+
+    terms = sorted({t for q in queries for t in q["terms"]})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, term string, tf long, "
+                "df long, dl long, idf double, weight double")
+    pairs = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), int(d)) for q in queries
+         for d in sorted(set(q["doc_ids"]))],
+        "query_id int, doc_id long"))
+    qterms = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), t) for q in queries
+         for t in sorted(set(q["terms"]))],
+        "query_id int, term string"))
+
+    ids = sorted({int(d) for q in queries for d in q["doc_ids"]})
+    rows = (
+        pruned_tf(docs_tok, terms)
+        .filter(F.col("doc_id").isin(*ids))
+        .join(pairs, "doc_id")
+        .join(qterms, ["query_id", "term"])
+        .join(F.broadcast(df_for_terms(docs_tok, terms)), "term")
+    )
+    idf = idf_expr(F.col("df"), n_docs)
+    w = weight_expr(F.col("tf").cast("double"), idf,
+                    F.col("dl").cast("double"), F.lit(float(avgdl)),
+                    cfg.k1, cfg.b)
+    return (
+        rows.select(
+            "query_id", "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            idf.alias("idf"), w.alias("weight"))
+        .orderBy("query_id", "doc_id", F.desc("weight"), F.asc("term"))
+    )
+
+
+def bm25_explain_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Index-native :func:`bm25_explain_join`: tf/df come from the
+    stored per-doc tf maps + vocabulary (``index.term_vectors`` — the
+    doc_id IN-filter pushes into the parquet scan, so only the
+    requested docs' row groups are read) and (n_docs, avgdl, dl) from
+    the index's own stats — no corpus scan at all.  Same output
+    contract and float64 arithmetic as the join path."""
+    from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+
+    for q in queries:
+        if not q.get("doc_ids"):
+            raise ValueError(
+                f"query {q.get('query_id')}: bm25_explain_index needs a "
+                "non-empty doc_ids list")
+    terms = sorted({t for q in queries for t in q["terms"]})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id int, doc_id long, term string, tf long, "
+                "df long, dl long, idf double, weight double")
+    ids = sorted({int(d) for q in queries for d in q["doc_ids"]})
+    pairs = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), int(d)) for q in queries
+         for d in sorted(set(q["doc_ids"]))],
+        "query_id int, doc_id long"))
+    qterms = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), t) for q in queries
+         for t in sorted(set(q["terms"]))],
+        "query_id int, term string"))
+    tv = index.term_vectors(spark, doc_ids=ids).filter(
+        F.col("term").isin(*terms))
+    dl = index.docs(spark).select(
+        "doc_id", F.col("dl").cast("long").alias("dl"))
+    rows = (
+        tv.join(pairs, "doc_id")
+        .join(qterms, ["query_id", "term"])
+        .join(dl, "doc_id")
+    )
+    idf = idf_expr(F.col("df"), index.n_docs)
+    w = weight_expr(F.col("tf").cast("double"), idf,
+                    F.col("dl").cast("double"),
+                    F.lit(float(index.avgdl)), cfg.k1, cfg.b)
+    return (
+        rows.select(
+            "query_id", "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            idf.alias("idf"), w.alias("weight"))
+        .orderBy("query_id", "doc_id", F.desc("weight"), F.asc("term"))
+    )

@@ -145,3 +145,67 @@ def test_min_should_match_validation(spark, corpus):
     with pytest.raises(ValueError, match="compose"):
         _msm_of({"query_id": 0, "terms": terms, "mode": "and",
                  "min_should_match": 2})
+
+
+# ---------------------------------------------------------------- explain
+
+def test_explain_weights_sum_to_scorer_score(spark, synth_docs):
+    from collections import defaultdict
+
+    from snowball_java_spark.operators.bm25_join import bm25_explain_join
+
+    docs_tok = with_tokens(synth_docs, content_col="content")
+    terms = ["def", "return", "read_client_43"]
+    # pick docs straight off the scorer so every one has a score
+    ranked = bm25_topk_join(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": terms, "k": 5}]).collect()
+    doc_ids = [r["doc_id"] for r in ranked]
+    exp = bm25_explain_join(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": terms, "doc_ids": doc_ids}]).collect()
+    sums = defaultdict(float)
+    for r in exp:
+        sums[r["doc_id"]] += r["weight"]
+    for r in ranked:
+        assert sums[r["doc_id"]] == pytest.approx(r["score"], rel=1e-9)
+    # df is corpus-wide, not scoped to the explained docs
+    n_docs = synth_docs.count()
+    assert all(0 < r["df"] <= n_docs for r in exp)
+    assert any(r["df"] > len(doc_ids) for r in exp)
+
+
+def test_explain_index_matches_join_path(spark, synth_docs, tmp_path):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_explain_index,
+        bm25_explain_join,
+    )
+    from snowball_java_spark.plans.build_index import build_index
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    idx = build_index(spark, corpus, str(tmp_path / "idx"), cfg=cfg,
+                      n_buckets=8)
+    queries = [
+        {"query_id": 0, "terms": ["def", "return"], "doc_ids": [1, 5, 9]},
+        {"query_id": 1, "terms": ["read_client_43"], "doc_ids": [2, 5]},
+    ]
+    docs_tok = with_tokens(synth_docs, content_col="content")
+    want = bm25_explain_join(spark, docs_tok, queries).collect()
+    got = bm25_explain_index(spark, idx, queries).collect()
+    key = lambda r: (r["query_id"], r["doc_id"], r["term"])
+    wm = {key(r): (r["tf"], r["df"], r["dl"], round(r["weight"], 9))
+          for r in want}
+    gm = {key(r): (r["tf"], r["df"], r["dl"], round(r["weight"], 9))
+          for r in got}
+    assert gm == wm and len(got) == len(want)
+
+
+def test_explain_requires_doc_ids(spark, synth_docs):
+    from snowball_java_spark.operators.bm25_join import bm25_explain_join
+
+    docs_tok = with_tokens(synth_docs, content_col="content")
+    with pytest.raises(ValueError, match="doc_ids"):
+        bm25_explain_join(
+            spark, docs_tok, [{"query_id": 0, "terms": ["def"]}])
