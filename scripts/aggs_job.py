@@ -98,18 +98,22 @@ def main(argv: list[str]) -> int:
                         "sample with a hard per-value cap on a metadata "
                         "column (e.g. repo:2:100 — ≤2 docs per repo, "
                         "100 overall; defaults 1 and 100)")
+    p.add_argument("--adjacency", action="store_true",
+                   help="ES adjacency_matrix: pairwise intersection "
+                        "counts of the queries' match sets (diagonal = "
+                        "per-query match count)")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
     if not any([args.facets, args.counts, args.histogram, args.range_agg,
                 args.composite, args.sig_terms, args.sort_by,
                 args.cardinality, args.percentiles,
-                args.matrix_stats, args.diversify]):
+                args.matrix_stats, args.diversify, args.adjacency]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
                          "--cardinality/--percentiles/--matrix-stats/"
-                         "--diversify")
+                         "--diversify/--adjacency")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -153,7 +157,10 @@ def main(argv: list[str]) -> int:
             typ, items = "string", {k: str(v) for k, v in orig_ids.items()}
         m = F.create_map(
             *[F.lit(x) for k, v in items.items() for x in (k, v)])
-        return df.withColumn("query_id", m[F.col("query_id")].cast(typ))
+        for c in ("query_id", "query_id_1", "query_id_2"):
+            if c in df.columns:
+                df = df.withColumn(c, m[F.col(c)].cast(typ))
+        return df
 
     def emit(kind, df):
         if args.out:
@@ -164,8 +171,9 @@ def main(argv: list[str]) -> int:
         else:
             for r in df.collect():
                 d = r.asDict()
-                d["query_id"] = orig_ids.get(d.get("query_id"),
-                                             d.get("query_id"))
+                for c in ("query_id", "query_id_1", "query_id_2"):
+                    if c in d:
+                        d[c] = orig_ids.get(d[c], d[c])
                 print(json.dumps({"kind": kind, **d}))
 
     if args.counts:
@@ -298,6 +306,13 @@ def main(argv: list[str]) -> int:
             spark, idx, qs, diversity_col=col,
             max_docs_per_value=int(mpv) if mpv else 1,
             shard_size=int(shard) if shard else 100, cfg=idx.cfg))
+    if args.adjacency:
+        from snowball_java_spark.operators.aggs import (
+            adjacency_matrix_index,
+        )
+
+        emit("adjacency", adjacency_matrix_index(
+            spark, idx, qs, cfg=idx.cfg))
     if args.matrix_stats:
         from snowball_java_spark.operators.aggs import matrix_stats
         from snowball_java_spark.operators.wand import matching_docs_index

@@ -3487,6 +3487,47 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix: pairwise intersection counts of three
+    queries' match sets (diagonal = per-query match count), match sets
+    from postings decode, one self-equi-join on doc_id."""
+    from snowball_java_spark.operators.aggs import adjacency_matrix_index
+
+    idx = _index_for(spark, sf_dir)
+    res = adjacency_matrix_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS},
+         {"query_id": 2, "terms": RARE_TERMS}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id_1").cast("long").alias("query_id_1"),
+        F.col("query_id_2").cast("long").alias("query_id_2"),
+        "n_docs")
+
+
+def _adjacency_matrix_sql(term_sets: list[list[str]]) -> str:
+    ctes = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        ctes.append(
+            f"m{qid} AS (SELECT DISTINCT doc_id FROM tfx "
+            f"WHERE term IN ({tl}))")
+    unions = []
+    for q1 in range(len(term_sets)):
+        for q2 in range(q1, len(term_sets)):
+            unions.append(
+                f"SELECT {q1}::BIGINT AS query_id_1, "
+                f"{q2}::BIGINT AS query_id_2, count(*)::BIGINT AS n_docs "
+                f"FROM m{q1} a JOIN m{q2} b USING (doc_id)")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT * FROM ({u}) WHERE n_docs > 0 ORDER BY query_id_1, query_id_2
+"""
+
+
 _EXPLAIN_DOCS = [3, 7, 42, 123, 321]
 
 
@@ -5617,6 +5658,10 @@ FROM g
             _q_bm25_explain,
             _bm25_explain_sql([MIXED_TERMS, HOT_TERMS], _EXPLAIN_DOCS),
         ),
+        "adjacency_matrix": Q(
+            _q_adjacency_matrix,
+            _adjacency_matrix_sql([MIXED_TERMS, HOT_TERMS, RARE_TERMS]),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -5937,8 +5982,8 @@ _DRIVER_PRIORITY = [
     # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
-    # diversified_sample, bm25_explain
-    # (19 + 12 = 31 — fits round 5's 50-slot budget with room for
+    # diversified_sample, bm25_explain, adjacency_matrix
+    # (19 + 13 = 32 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

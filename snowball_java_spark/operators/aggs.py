@@ -835,3 +835,52 @@ def diversified_sampler_index(
     meta = index.docs(spark).select("doc_id", diversity_col)
     return _diversify(scores, meta, diversity_col,
                       max_docs_per_value, shard_size)
+
+
+def adjacency_matrix_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+    max_queries: int = 100,
+) -> DataFrame:
+    """ES ``adjacency_matrix``: the co-occurrence matrix of the
+    queries' match sets — for every query pair (q1 ≤ q2), how many docs
+    match BOTH (the diagonal is each query's own match count).  The
+    "which topics overlap, and how much" aggregation; downstream of the
+    same intersection relation ES builds from filter bitsets.
+
+    Output: (query_id_1, query_id_2, n_docs) with query_id_1 ≤
+    query_id_2, ordered; pairs with an empty intersection are omitted
+    (ES behavior — absent bucket, not zero).
+
+    Scale shape: match sets come from postings decode
+    (``wand.matching_docs_index``), never a corpus scan.  The pairing
+    is a self-equi-join on doc_id: each doc contributes rows
+    quadratic in the number of queries matching IT (bounded by
+    ``max_queries``² per doc — ES caps the filter count at 100 for the
+    same reason; raise the cap consciously), and the count aggregation
+    map-side combines before one shuffle on (q1, q2).
+    """
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if len(queries) > max_queries:
+        raise ValueError(
+            f"{len(queries)} queries > max_queries={max_queries}: the "
+            "pairing explodes quadratically per doc — raise the cap "
+            "explicitly if the scale is intended")
+    m = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms).select("query_id", "doc_id")
+    a = m.select(F.col("query_id").alias("query_id_1"), "doc_id")
+    b = m.select(F.col("query_id").alias("query_id_2"), "doc_id")
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("query_id_1") <= F.col("query_id_2"))
+        .groupBy("query_id_1", "query_id_2")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("query_id_1", "query_id_2")
+    )

@@ -700,3 +700,36 @@ def test_matrix_stats_excludes_null_field_rows(spark):
     assert n == len(keep)
     assert mx == pytest.approx(a.mean(), rel=1e-12)
     assert cov == pytest.approx(np.cov(a, b, ddof=1)[0, 1], rel=1e-12)
+
+
+def test_adjacency_matrix_matches_truth(spark, index, toks):
+    from snowball_java_spark.operators.aggs import adjacency_matrix_index
+
+    sets = {0: ["def", "return"], 1: ["read_client_43"],
+            2: ["flush_config_19", "def"]}
+    got = {(r["query_id_1"], r["query_id_2"]): r["n_docs"]
+           for r in adjacency_matrix_index(
+               spark, index,
+               [{"query_id": q, "terms": t} for q, t in sets.items()],
+               cfg=CFG).collect()}
+    match = {q: {d for d, ts in toks.items() if set(ts) & set(t)}
+             for q, t in sets.items()}
+    want = {}
+    for q1 in sets:
+        for q2 in sets:
+            if q1 <= q2:
+                n = len(match[q1] & match[q2])
+                if n:
+                    want[(q1, q2)] = n
+    assert got == want
+    # the diagonal is each query's own match count
+    for q in sets:
+        assert got.get((q, q), 0) == len(match[q])
+
+
+def test_adjacency_matrix_caps_query_count(spark, index):
+    from snowball_java_spark.operators.aggs import adjacency_matrix_index
+
+    qs = [{"query_id": i, "terms": ["def"]} for i in range(5)]
+    with pytest.raises(ValueError, match="max_queries"):
+        adjacency_matrix_index(spark, index, qs, cfg=CFG, max_queries=4)
