@@ -105,6 +105,11 @@ HEADLINE = [
     "phrase_suggest",
     "bpe_merges",
     "pit_search_after",
+    # r4 session-10 additions
+    "diversified_sample",
+    "bm25_explain",
+    "adjacency_matrix",
+    "rank_eval",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

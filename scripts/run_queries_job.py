@@ -172,6 +172,16 @@ def main(argv: list[str]) -> int:
              "representative — rows (query_id, rank, <COL>, doc_id, "
              "score); computed entirely on the index path")
     p.add_argument(
+        "--rank-eval", default=None, metavar="JUDGMENTS",
+        help="ES _rank_eval: evaluate the ranked results against a "
+             "parquet judgment list (query_id, doc_id, relevance int "
+             ">= 0; query_id = YOUR jsonl ids) — emits one row per "
+             "(query_id, metric) with precision/recall/mrr/dcg/ndcg "
+             "at --rank-eval-k alongside the normal results")
+    p.add_argument(
+        "--rank-eval-k", type=int, default=10,
+        help="rank cutoff for --rank-eval metrics")
+    p.add_argument(
         "--federate-with", default=None, metavar="DIR[,DIR…]",
         help="search --index-dir TOGETHER with these indexes under "
              "GLOBAL corpus statistics (ES dfs_query_then_fetch): one "
@@ -715,10 +725,44 @@ def main(argv: list[str]) -> int:
             hall = hall.unionByName(h_)
         (remap_ids(hall).write.mode("overwrite")
          .parquet(args.out.rstrip("/") + "_highlights"))
+    if args.rank_eval and not parts:
+        raise SystemExit(
+            "--rank-eval needs ranked results — no terms/phrase/"
+            "context queries produced any")
     if parts:
         res = parts[0]
         for p_ in parts[1:]:
             res = res.unionByName(p_)
+        if args.rank_eval:
+            from snowball_java_spark.operators.rankeval import rank_eval
+
+            jd = spark.read.parquet(args.rank_eval)
+            need = {"query_id", "doc_id", "relevance"}
+            if not need <= set(jd.columns):
+                raise SystemExit(
+                    f"--rank-eval parquet needs columns {sorted(need)}, "
+                    f"got {sorted(jd.columns)}")
+            # judgments carry the CALLER's query ids — map them onto
+            # the dense internal ids the result relation uses
+            inv = F.create_map(*[
+                F.lit(x) for k, v in orig_ids.items()
+                for x in (str(v), k)])
+            jd = (jd.withColumn(
+                      "query_id",
+                      inv[F.col("query_id").cast("string")].cast("int"))
+                  .filter(F.col("query_id").isNotNull()))
+            ev = rank_eval(res.select("query_id", "rank", "doc_id"), jd,
+                           k=args.rank_eval_k)
+            if args.out:
+                (remap_ids(ev).write.mode("overwrite")
+                 .parquet(args.out.rstrip("/") + "_rank_eval"))
+            else:
+                for r in ev.collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "metric": r["metric"],
+                        "value": (None if r["value"] is None
+                                  else round(r["value"], 6))}))
         if args.out:
             remap_ids(res.orderBy("query_id", "rank")) \
                 .write.mode("overwrite").parquet(args.out)

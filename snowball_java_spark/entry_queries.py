@@ -3487,6 +3487,88 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_RANKEVAL_K = 10
+#: deterministic graded judgments derived from doc_id: docs with
+#: doc_id % 5 < 3 are judged, relevance = doc_id % 3 (0, 1, 2) —
+#: identical arithmetic on both engines
+_JUDGED_PRED = "doc_id % 5 < 3"
+_REL_EXPR = "doc_id % 3"
+
+
+def _q_rank_eval(spark, sf_dir):
+    """ES _rank_eval: precision/recall/MRR/DCG/NDCG@10 of two BM25
+    rankings against a deterministic graded judgment list."""
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.rankeval import rank_eval
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_join(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": _RANKEVAL_K},
+         {"query_id": 1, "terms": HOT_TERMS, "k": _RANKEVAL_K}],
+        n_docs=n_docs, avgdl=avgdl)
+    jd_one = _docs(spark, sf_dir).filter(F.expr(_JUDGED_PRED)).select(
+        "doc_id", F.expr(_REL_EXPR).cast("int").alias("relevance"))
+    jd = jd_one.withColumn("query_id", F.lit(0)).unionByName(
+        jd_one.withColumn("query_id", F.lit(1)))
+    ev = rank_eval(res, jd, k=_RANKEVAL_K)
+    return ev.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "metric", F.round("value", 6).alias("value"))
+
+
+def _rank_eval_sql(term_sets: list[list[str]], k: int) -> str:
+    ctes = [
+        f"jd AS (SELECT doc_id, ({_REL_EXPR})::BIGINT AS rel "
+        f"FROM documents WHERE {_JUDGED_PRED})",
+        f"""ideal AS (
+  SELECT sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_rel_total,
+         sum(CASE WHEN rn <= {k} AND rel > 0
+                  THEN (pow(2, rel) - 1) / log2(rn + 1) ELSE 0 END) AS idcg
+  FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+               AS rn FROM jd))""",
+    ]
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        ctes.append(f"""sc{qid} AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  WHERE tfx.term IN ({tl}) GROUP BY 1)""")
+        ctes.append(f"""r{qid} AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           AS rank FROM sc{qid}) WHERE rank <= {k})""")
+        ctes.append(f"""per{qid} AS (
+  SELECT count(*)::BIGINT AS n_ret,
+         sum(CASE WHEN coalesce(j.rel, 0) >= 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_rel_ret,
+         min(CASE WHEN coalesce(j.rel, 0) >= 1 THEN rank END) AS first_rel,
+         sum((pow(2, coalesce(j.rel, 0)) - 1) / log2(rank + 1)) AS dcg
+  FROM r{qid} LEFT JOIN jd j USING (doc_id))""")
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, m.metric,
+       round(CASE m.metric
+         WHEN 'precision' THEN n_rel_ret::DOUBLE / n_ret
+         WHEN 'recall' THEN CASE WHEN n_rel_total > 0
+              THEN n_rel_ret::DOUBLE / n_rel_total END
+         WHEN 'mrr' THEN coalesce(1.0 / first_rel, 0.0)
+         WHEN 'dcg' THEN dcg
+         WHEN 'ndcg' THEN CASE WHEN idcg > 0 THEN dcg / idcg END
+       END, 6)::DOUBLE AS value
+FROM per{qid}, ideal,
+     (VALUES ('precision'), ('recall'), ('mrr'), ('dcg'), ('ndcg'))
+       m(metric)""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES},
+{",".join(ctes)}
+SELECT * FROM ({u}) ORDER BY query_id, metric
+"""
+
+
 def _q_adjacency_matrix(spark, sf_dir):
     """ES adjacency_matrix: pairwise intersection counts of three
     queries' match sets (diagonal = per-query match count), match sets
@@ -5662,6 +5744,10 @@ FROM g
             _q_adjacency_matrix,
             _adjacency_matrix_sql([MIXED_TERMS, HOT_TERMS, RARE_TERMS]),
         ),
+        "rank_eval": Q(
+            _q_rank_eval,
+            _rank_eval_sql([MIXED_TERMS, HOT_TERMS], _RANKEVAL_K),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -5982,8 +6068,8 @@ _DRIVER_PRIORITY = [
     # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
-    # diversified_sample, bm25_explain, adjacency_matrix
-    # (19 + 13 = 32 — fits round 5's 50-slot budget with room for
+    # diversified_sample, bm25_explain, adjacency_matrix, rank_eval
+    # (19 + 14 = 33 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

@@ -1,0 +1,131 @@
+"""Ranking evaluation — ES ``_rank_eval`` as a relation.
+
+The reference evaluates its extractions by manually eyeballing the
+printed tuple list (``snowball/src/bin/Main.java:58-66``); a search
+engine needs the standard ranked-retrieval metrics computed against a
+judgment list, both to regression-gate ranking changes and to tune
+field weights / rescore windows.  This is ES's ``_rank_eval`` API
+(public: Elasticsearch RankEvalSpec / the classic IR definitions):
+
+* ``precision``  P@k  = relevant retrieved / retrieved (within top k)
+* ``recall``     R@k  = relevant retrieved / total relevant
+* ``mrr``        1 / rank of the first relevant hit (0 when none)
+* ``dcg``        Σ (2^rel − 1) / log2(rank + 1) over the top k
+* ``ndcg``       dcg / ideal-dcg (judgments re-ranked best-first)
+
+``relevance`` is graded (int ≥ 0); a doc counts as *relevant* for the
+binary metrics when ``relevance ≥ relevant_threshold`` (ES's
+``relevant_rating_threshold``, default 1).  Unjudged retrieved docs
+count as relevance 0 (ES default), and judged-but-unretrieved docs
+only affect recall's denominator and the ideal DCG — exactly ES.
+
+Scale shape: results are ∝ queries·k and judgments ∝ labeled pairs —
+both tiny next to the corpus; every metric is one map-side-combinable
+aggregation over the (left-joined) results×judgments relation, the
+ideal-DCG ranking is a per-query window over the judgment list, and
+nothing touches the corpus or index.  Deterministic: rank ties cannot
+exist (rank is unique per query), the ideal ranking breaks relevance
+ties by doc_id asc, and every float folds from exact integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rank_eval", "METRICS"]
+
+METRICS = ("precision", "recall", "mrr", "dcg", "ndcg")
+
+
+def rank_eval(
+    results: DataFrame,
+    judgments: DataFrame,
+    k: int = 10,
+    metrics: "tuple[str, ...] | list[str]" = METRICS,
+    relevant_threshold: int = 1,
+) -> DataFrame:
+    """Evaluate ranked ``results`` (query_id, rank, doc_id) against
+    ``judgments`` (query_id, doc_id, relevance) — one output row per
+    (query_id, metric): (query_id, metric, value), ordered.
+
+    Queries present in ``results`` but with no judged docs at all get
+    precision/mrr/dcg 0 and recall/ndcg NULL (0/0 — ES reports these
+    as unrated rather than inventing a 0); ``k`` truncates results
+    before anything is computed.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bad = [m for m in metrics if m not in METRICS]
+    if bad:
+        raise ValueError(f"unknown metric(s) {bad} (choose from {METRICS})")
+    if not metrics:
+        raise ValueError("metrics must be non-empty")
+    if relevant_threshold < 1:
+        raise ValueError(
+            f"relevant_threshold must be >= 1, got {relevant_threshold}")
+
+    res = results.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "doc_id")
+    jd = judgments.select(
+        "query_id", "doc_id", F.col("relevance").cast("long").alias("rel"))
+
+    joined = res.join(jd, ["query_id", "doc_id"], "left").select(
+        "query_id", "rank", F.coalesce("rel", F.lit(0)).alias("rel"))
+    is_rel = (F.col("rel") >= relevant_threshold).cast("long")
+    gain = (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0) \
+        / F.log2(F.col("rank").cast("double") + 1.0)
+    per_q = joined.groupBy("query_id").agg(
+        F.count("*").alias("n_ret"),
+        F.sum(is_rel).alias("n_rel_ret"),
+        F.min(F.when(is_rel == 1, F.col("rank"))).alias("first_rel"),
+        F.sum(gain).alias("dcg"),
+    )
+
+    # per-query judgment totals + ideal DCG: the best-first re-ranking
+    # of the judged docs (relevance desc, doc_id asc — pinned tiebreak)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        jd.withColumn("_r", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rel") >= relevant_threshold).cast("long"))
+            .alias("n_rel_total"),
+            F.sum(F.when(
+                (F.col("_r") <= k) & (F.col("rel") > 0),
+                (F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0)
+                / F.log2(F.col("_r").cast("double") + 1.0),
+            ).otherwise(F.lit(0.0))).alias("idcg"),
+        )
+    )
+
+    g = per_q.join(ideal, "query_id", "left").select(
+        "query_id", "n_ret", "n_rel_ret", "first_rel", "dcg",
+        F.coalesce("n_rel_total", F.lit(0)).alias("n_rel_total"),
+        F.coalesce("idcg", F.lit(0.0)).alias("idcg"),
+    )
+
+    exprs = {
+        "precision": (F.col("n_rel_ret").cast("double")
+                      / F.col("n_ret").cast("double")),
+        "recall": F.when(
+            F.col("n_rel_total") > 0,
+            F.col("n_rel_ret").cast("double")
+            / F.col("n_rel_total").cast("double")),
+        "mrr": F.coalesce(
+            1.0 / F.col("first_rel").cast("double"), F.lit(0.0)),
+        "dcg": F.col("dcg"),
+        "ndcg": F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")),
+    }
+    picked = [m for m in METRICS if m in set(metrics)]
+    return (
+        g.select(
+            "query_id",
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("metric"),
+                         exprs[m].cast("double").alias("value"))
+                for m in picked])).alias("p"))
+        .select("query_id", "p.metric", "p.value")
+        .orderBy("query_id", "metric")
+    )

@@ -1,0 +1,86 @@
+"""rank_eval: ES _rank_eval metrics vs hand-computed truth."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from snowball_java_spark.operators.rankeval import METRICS, rank_eval
+
+
+def _mk(spark, results, judgments):
+    r = spark.createDataFrame(results, "query_id int, rank int, doc_id long")
+    j = spark.createDataFrame(
+        judgments, "query_id int, doc_id long, relevance int")
+    return r, j
+
+
+def _vals(df):
+    return {(r["query_id"], r["metric"]): r["value"] for r in df.collect()}
+
+
+def test_rank_eval_matches_hand_computed(spark):
+    # q0: ranks 1..5 over docs 10..14; rel: 10->2, 12->1, 14->0, 13
+    # judged 0, 11 unjudged
+    results = [(0, i + 1, 10 + i) for i in range(5)]
+    judgments = [(0, 10, 2), (0, 12, 1), (0, 13, 0), (0, 14, 0),
+                 (0, 99, 3)]  # 99: judged but never retrieved
+    r, j = _mk(spark, results, judgments)
+    got = _vals(rank_eval(r, j, k=5))
+
+    # relevant (rel>=1) retrieved: 10, 12 -> 2 of 5 retrieved
+    assert got[(0, "precision")] == pytest.approx(2 / 5)
+    # total relevant: 10, 12, 99 -> 3
+    assert got[(0, "recall")] == pytest.approx(2 / 3)
+    # first relevant at rank 1
+    assert got[(0, "mrr")] == pytest.approx(1.0)
+    dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    assert got[(0, "dcg")] == pytest.approx(dcg, rel=1e-12)
+    # ideal order: 99(3), 10(2), 12(1), then zeros
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert got[(0, "ndcg")] == pytest.approx(dcg / idcg, rel=1e-12)
+
+
+def test_rank_eval_k_truncates_and_unjudged_query(spark):
+    results = [(0, i + 1, i) for i in range(10)] + [(1, 1, 50)]
+    judgments = [(0, 7, 1)]  # only doc 7 relevant, sits at rank 8
+    r, j = _mk(spark, results, judgments)
+    got5 = _vals(rank_eval(r, j, k=5))
+    assert got5[(0, "precision")] == 0.0
+    assert got5[(0, "recall")] == 0.0       # 0 of 1 relevant retrieved
+    assert got5[(0, "mrr")] == 0.0
+    got10 = _vals(rank_eval(r, j, k=10))
+    assert got10[(0, "mrr")] == pytest.approx(1 / 8)
+    assert got10[(0, "recall")] == pytest.approx(1.0)
+    # q1 has NO judged docs: precision/mrr/dcg 0, recall/ndcg NULL
+    assert got10[(1, "precision")] == 0.0
+    assert got10[(1, "mrr")] == 0.0
+    assert got10[(1, "dcg")] == 0.0
+    assert got10[(1, "recall")] is None
+    assert got10[(1, "ndcg")] is None
+
+
+def test_rank_eval_threshold_and_metric_subset(spark):
+    results = [(0, 1, 1), (0, 2, 2)]
+    judgments = [(0, 1, 1), (0, 2, 2)]
+    r, j = _mk(spark, results, judgments)
+    got = _vals(rank_eval(r, j, k=2, relevant_threshold=2,
+                          metrics=["precision", "recall"]))
+    assert set(got) == {(0, "precision"), (0, "recall")}
+    assert got[(0, "precision")] == pytest.approx(1 / 2)
+    assert got[(0, "recall")] == pytest.approx(1.0)
+
+
+def test_rank_eval_validates(spark):
+    r, j = _mk(spark, [(0, 1, 1)], [(0, 1, 1)])
+    with pytest.raises(ValueError, match="k must"):
+        rank_eval(r, j, k=0)
+    with pytest.raises(ValueError, match="unknown metric"):
+        rank_eval(r, j, metrics=["precision", "f1"])
+    with pytest.raises(ValueError, match="relevant_threshold"):
+        rank_eval(r, j, relevant_threshold=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        rank_eval(r, j, metrics=[])
+    assert set(METRICS) == {"precision", "recall", "mrr", "dcg", "ndcg"}
