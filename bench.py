@@ -110,6 +110,7 @@ HEADLINE = [
     "bm25_explain",
     "adjacency_matrix",
     "rank_eval",
+    "facet_histogram_bucket_ops",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

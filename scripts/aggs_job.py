@@ -87,6 +87,21 @@ def main(argv: list[str]) -> int:
                         "moving window (default 3) — e.g. "
                         "derivative,moving_avg:5; the histogram output "
                         "gains one column per metric")
+    p.add_argument("--pipeline-lag", type=int, default=1,
+                   help="serial_diff pipeline metric: how many buckets "
+                        "back to difference against (ES serial_diff "
+                        "lag; derivative = lag 1)")
+    p.add_argument("--bucket-filter", default=None, metavar="PREDICATE",
+                   help="ES bucket_selector over the --histogram "
+                        "buckets (after --pipeline metrics attach): "
+                        "SQL boolean over the bucket columns, e.g. "
+                        "'n_docs >= 5' or 'derivative < 0'")
+    p.add_argument("--bucket-sort", default=None,
+                   metavar="COL[:asc|desc][:SIZE]",
+                   help="ES bucket_sort over the --histogram buckets: "
+                        "re-rank each query's buckets by one of their "
+                        "columns, optionally keep the SIZE best — e.g. "
+                        "n_docs:desc:5 or derivative:asc")
     p.add_argument("--matrix-stats", default=None, metavar="COLS",
                    help="ES matrix_stats: pairwise covariance/"
                         "correlation of integer metadata columns over "
@@ -123,6 +138,9 @@ def main(argv: list[str]) -> int:
     if args.pipeline and not args.histogram:
         raise SystemExit("--pipeline requires --histogram (it runs over "
                          "the histogram's bucket series)")
+    if (args.bucket_filter or args.bucket_sort) and not args.histogram:
+        raise SystemExit("--bucket-filter/--bucket-sort require "
+                         "--histogram (they run over its buckets)")
 
     from pyspark.sql import SparkSession
 
@@ -207,9 +225,32 @@ def main(argv: list[str]) -> int:
             try:
                 hist = pipeline_over_buckets(
                     hist, metrics=metrics,
-                    window=int(win) if win else 3)
+                    window=int(win) if win else 3,
+                    period=args.pipeline_lag)
             except ValueError as e:
                 raise SystemExit(f"--pipeline: {e}")
+        if args.bucket_filter:
+            from snowball_java_spark.operators.aggs import bucket_selector
+
+            try:
+                hist = bucket_selector(hist, args.bucket_filter)
+            except ValueError as e:
+                raise SystemExit(f"--bucket-filter: {e}")
+        if args.bucket_sort:
+            from snowball_java_spark.operators.aggs import bucket_sort
+
+            col, _, rest = args.bucket_sort.partition(":")
+            direction, _, size = rest.partition(":")
+            if direction not in ("", "asc", "desc"):
+                raise SystemExit(
+                    "--bucket-sort wants COL[:asc|desc][:SIZE], e.g. "
+                    "n_docs:desc:5")
+            try:
+                hist = bucket_sort(
+                    hist, col, ascending=direction == "asc",
+                    size=int(size) if size else None)
+            except ValueError as e:
+                raise SystemExit(f"--bucket-sort: {e}")
         emit("histogram", hist)
     if args.composite:
         from snowball_java_spark.operators.aggs import (

@@ -3487,6 +3487,62 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_BSORT_SIZE = 5
+_SDIFF_PERIOD = 2
+
+
+def _q_facet_histogram_bucket_ops(spark, sf_dir):
+    """ES bucket_selector + bucket_sort + serial_diff composed over the
+    match-set histogram: attach the period-2 serial difference, drop
+    empty buckets, keep each query's 5 largest buckets ranked."""
+    from snowball_java_spark.operators.aggs import (
+        bucket_selector,
+        bucket_sort,
+        histogram_matches_index,
+        pipeline_over_buckets,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    buckets = histogram_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+        value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
+    piped = pipeline_over_buckets(
+        buckets, metrics=["serial_diff"], period=_SDIFF_PERIOD)
+    kept = bucket_selector(piped, "n_docs >= 1")
+    res = bucket_sort(kept, "n_docs", size=_BSORT_SIZE)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "bucket", "n_docs",
+        F.col("serial_diff").cast("long").alias("serial_diff"))
+
+
+def _facet_histogram_bucket_ops_sql(
+        specs: list[tuple[list[str], list[str]]], width: int,
+        period: int, size: int) -> str:
+    inner = _facet_histogram_sql(specs, width).strip()
+    assert inner.endswith("ORDER BY query_id, bucket")
+    inner = inner[: -len("ORDER BY query_id, bucket")]
+    return f"""
+SELECT query_id, rank, bucket, n_docs, serial_diff FROM (
+  SELECT query_id, bucket, n_docs, serial_diff,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_docs DESC, bucket ASC)::BIGINT
+           AS rank
+  FROM (
+    SELECT query_id, bucket, n_docs,
+           (n_docs - lag(n_docs, {period}) OVER
+              (PARTITION BY query_id ORDER BY bucket))::BIGINT
+             AS serial_diff
+    FROM ({inner})
+  ) WHERE n_docs >= 1
+) WHERE rank <= {size}
+ORDER BY query_id, rank
+"""
+
+
 _RANKEVAL_K = 10
 #: deterministic graded judgments derived from doc_id: docs with
 #: doc_id % 5 < 3 are judged, relevance = doc_id % 3 (0, 1, 2) —
@@ -5748,6 +5804,12 @@ FROM g
             _q_rank_eval,
             _rank_eval_sql([MIXED_TERMS, HOT_TERMS], _RANKEVAL_K),
         ),
+        "facet_histogram_bucket_ops": Q(
+            _q_facet_histogram_bucket_ops,
+            _facet_histogram_bucket_ops_sql(
+                [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)],
+                _HIST_WIDTH, _SDIFF_PERIOD, _BSORT_SIZE),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -6068,8 +6130,9 @@ _DRIVER_PRIORITY = [
     # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
-    # diversified_sample, bm25_explain, adjacency_matrix, rank_eval
-    # (19 + 14 = 33 — fits round 5's 50-slot budget with room for
+    # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
+    # facet_histogram_bucket_ops
+    # (19 + 15 = 34 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

@@ -540,7 +540,8 @@ def top_hits_by_facet(
 
 #: supported pipeline metrics → (output column, window column builder).
 #: Built lazily in pipeline_over_buckets so each shares ONE window spec.
-_PIPELINE_METRICS = ("derivative", "cumulative_sum", "moving_avg")
+_PIPELINE_METRICS = ("derivative", "cumulative_sum", "moving_avg",
+                     "serial_diff")
 
 
 def pipeline_over_buckets(
@@ -550,6 +551,7 @@ def pipeline_over_buckets(
     partition_cols: "list[str] | tuple[str, ...]" = ("query_id",),
     metrics: "list[str] | tuple[str, ...]" = _PIPELINE_METRICS,
     window: int = 3,
+    period: int = 1,
 ) -> DataFrame:
     """ES *pipeline aggregations* (parent family) over an already-
     bucketed relation such as ``histogram_matches_index`` output:
@@ -563,7 +565,11 @@ def pipeline_over_buckets(
       INCLUDING the current one (ES ``moving_fn``/``MovingFunctions.
       unweightedAvg`` with ``shift = window``; the inclusive frame is
       the one SQL window frames state exactly, so the engine and any
-      ANSI-SQL oracle compute it identically).
+      ANSI-SQL oracle compute it identically);
+    * ``serial_diff``      — value minus the value ``period`` buckets
+      back (ES ``serial_diff`` with ``lag = period``; NULL on each
+      partition's first ``period`` buckets — ``derivative`` is the
+      period-1 special case).
 
     ES computes these driver-side over an in-memory bucket list; here
     they are window functions over the aggregated bucket relation —
@@ -583,6 +589,8 @@ def pipeline_over_buckets(
         raise ValueError("metrics must be non-empty")
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
     missing = [c for c in (*partition_cols, order_col, value_col)
                if c not in buckets.columns]
     if missing:
@@ -603,6 +611,10 @@ def pipeline_over_buckets(
         out = out.withColumn(
             "moving_avg",
             F.avg(value_col).over(w.rowsBetween(-(window - 1), 0)))
+    if "serial_diff" in metrics:
+        out = out.withColumn(
+            "serial_diff",
+            F.col(value_col) - F.lag(value_col, period).over(w))
     return out.orderBy(*partition_cols, order_col)
 
 
@@ -883,4 +895,70 @@ def adjacency_matrix_index(
         .groupBy("query_id_1", "query_id_2")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("query_id_1", "query_id_2")
+    )
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets failing a predicate over
+    the bucket's own columns (counts, pipeline metrics) — e.g.
+    ``"n_docs >= 5"`` or ``"derivative < 0"``.  The predicate is a SQL
+    boolean expression (the declarative twin of ES's bucket script);
+    row-local by contract — window/aggregate functions raise.
+
+    Runs AFTER any :func:`pipeline_over_buckets` metrics are attached,
+    exactly like ES orders parent pipelines; a plain filter over the
+    tiny aggregated bucket relation, no shuffle."""
+    col = F.expr(predicate)
+    # loud on non-row-local expressions: a window/agg here would
+    # silently change semantics vs the ES bucket script
+    import re as _re
+
+    if _re.search(r"\bover\s*\(", predicate, _re.IGNORECASE):
+        raise ValueError(
+            "bucket_selector predicates are row-local — window "
+            "functions are not bucket scripts")
+    return buckets.filter(col)
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort_by: str,
+    ascending: bool = False,
+    size: "int | None" = None,
+    partition_cols: "list[str] | tuple[str, ...]" = ("query_id",),
+    order_col: str = "bucket",
+) -> DataFrame:
+    """ES ``bucket_sort``: re-rank each parent's buckets by one of
+    their own columns and optionally truncate to the ``size`` best —
+    "the 5 fastest-growing buckets" after a derivative pipeline.
+    Output gains a ``rank`` column (1-based, per partition) under
+    (``sort_by`` asc/desc, ``order_col`` asc — the deterministic
+    tiebreak).
+
+    NULL sort values (a pipeline metric's leading NULLs) order LAST in
+    both directions — pinned so an ANSI oracle with default
+    NULLS LAST semantics computes the identical rank.
+
+    The truncation runs as the same two-phase salted ranking every
+    other top-n in this module uses; without ``size`` it is a pure
+    re-ordering."""
+    missing = [c for c in (*partition_cols, sort_by, order_col)
+               if c not in buckets.columns]
+    if missing:
+        raise ValueError(
+            f"column(s) {missing} not in bucket relation "
+            f"{buckets.columns}")
+    if size is not None and size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    direction = (F.asc_nulls_last(sort_by) if ascending
+                 else F.desc_nulls_last(sort_by))
+    order = [direction, F.asc(order_col)]
+    if size is None:
+        w = Window.partitionBy(*partition_cols).orderBy(*order)
+        return (buckets.withColumn("rank", F.row_number().over(w))
+                .orderBy(*partition_cols, "rank"))
+    return (
+        _two_phase_rank(buckets, list(partition_cols), order, size,
+                        salt_on=order_col)
+        .orderBy(*partition_cols, "rank")
     )

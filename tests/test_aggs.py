@@ -733,3 +733,52 @@ def test_adjacency_matrix_caps_query_count(spark, index):
     qs = [{"query_id": i, "terms": ["def"]} for i in range(5)]
     with pytest.raises(ValueError, match="max_queries"):
         adjacency_matrix_index(spark, index, qs, cfg=CFG, max_queries=4)
+
+
+def test_serial_diff_and_bucket_ops(spark):
+    from snowball_java_spark.operators.aggs import (
+        bucket_selector,
+        bucket_sort,
+        pipeline_over_buckets,
+    )
+
+    rows = [(0, b, n) for b, n in
+            [(0, 4), (16, 7), (32, 2), (48, 9), (64, 9)]] + \
+           [(1, 0, 5), (1, 16, 1)]
+    buckets = spark.createDataFrame(
+        rows, "query_id int, bucket long, n_docs long")
+    out = pipeline_over_buckets(
+        buckets, metrics=["serial_diff"], period=2).collect()
+    got = {(r["query_id"], r["bucket"]): r["serial_diff"] for r in out}
+    # q0: NULL, NULL, 2-4, 9-7, 9-2; q1: NULL, NULL
+    assert got[(0, 0)] is None and got[(0, 16)] is None
+    assert got[(0, 32)] == -2 and got[(0, 48)] == 2 and got[(0, 64)] == 7
+    assert got[(1, 0)] is None and got[(1, 16)] is None
+
+    kept = bucket_selector(
+        spark.createDataFrame(out), "n_docs >= 5").collect()
+    assert sorted((r["query_id"], r["bucket"]) for r in kept) == \
+        [(0, 16), (0, 48), (0, 64), (1, 0)]
+    with pytest.raises(ValueError, match="row-local"):
+        bucket_selector(buckets, "n_docs > avg(n_docs) OVER ()")
+
+    ranked = bucket_sort(buckets, "n_docs", size=2).collect()
+    got2 = {(r["query_id"], r["rank"]): r["bucket"] for r in ranked}
+    # q0 by n_docs desc, bucket asc: 48(9), 64(9) -> ranks 1, 2
+    assert got2 == {(0, 1): 48, (0, 2): 64, (1, 1): 0, (1, 2): 16}
+
+    # NULLs (pipeline leading NULLs) sort LAST in both directions
+    diffed = spark.createDataFrame(out)
+    r_desc = bucket_sort(diffed, "serial_diff").collect()
+    q0 = [r["bucket"] for r in r_desc if r["query_id"] == 0]
+    assert q0[:3] == [64, 48, 32] and set(q0[3:]) == {0, 16}
+    r_asc = bucket_sort(diffed, "serial_diff", ascending=True).collect()
+    q0a = [r["bucket"] for r in r_asc if r["query_id"] == 0]
+    assert q0a[:3] == [32, 48, 64] and set(q0a[3:]) == {0, 16}
+
+    with pytest.raises(ValueError, match="not in bucket"):
+        bucket_sort(buckets, "nope")
+    with pytest.raises(ValueError, match="size"):
+        bucket_sort(buckets, "n_docs", size=0)
+    with pytest.raises(ValueError, match="period"):
+        pipeline_over_buckets(buckets, metrics=["serial_diff"], period=0)
