@@ -111,6 +111,7 @@ HEADLINE = [
     "adjacency_matrix",
     "rank_eval",
     "facet_histogram_bucket_ops",
+    "bm25_boosting_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

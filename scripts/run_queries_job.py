@@ -50,6 +50,10 @@ Query jsonl, one object per line:
          # query-weight*primary + rescore-weight*secondary
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
+    {"query_id": 19, "terms": ["def"], "negative_terms": ["test"],
+     "negative_boost": 0.3}                                         # ES boosting:
+         # docs matching any negative term keep score x negative_boost
+         # (demoted, never excluded — the soft -term)
     {"query_id": 18, "terms": ["def", "row"], "explain": [3, 42]}   # ES _explain:
          # per-term score decomposition (tf, df, dl, idf, weight) for
          # the requested docs — no corpus needed, reads the stored
@@ -232,6 +236,8 @@ def main(argv: list[str]) -> int:
             return "rescore"
         if "explain" in q:
             return "explain"
+        if "negative_terms" in q or "negative_boost" in q:
+            return "boosting"
         if "phrase" in q:
             ph = q.get("phrase") or []
             if ph and str(ph[-1]).endswith("*"):
@@ -261,6 +267,19 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             "suggest queries need --corpus: the bigram LM trains on the "
             "token stream (the index stores per-doc tf, not adjacency)")
+    boosting_qs = [q for q in qs if kind(q) == "boosting"]
+    for q in boosting_qs:
+        if not q.get("terms"):
+            raise SystemExit(
+                "boosting queries need non-empty positive `terms` "
+                "alongside `negative_terms`")
+        extra = {k for k in ("phrase", "fuzzy", "boosts", "prefixes",
+                             "wildcards", "regexps", "bool", "rescore")
+                 if q.get(k)}
+        if extra:
+            raise SystemExit(
+                f"boosting queries do not compose with {sorted(extra)} — "
+                "the demotion applies to the plain terms score relation")
     explain_qs = [q for q in qs if kind(q) == "explain"]
     for q in explain_qs:
         ids_ok = (isinstance(q["explain"], list) and q["explain"]
@@ -672,6 +691,17 @@ def main(argv: list[str]) -> int:
             "doc_id",
             F.lit(None).cast("double").alias("score"),
         ))
+    if boosting_qs:
+        from snowball_java_spark.operators.funcscore import (
+            boosting_topk_index,
+        )
+
+        for flt, grp in by_filter(boosting_qs):
+            try:
+                parts.append(boosting_topk_index(
+                    spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+            except ValueError as e:
+                raise SystemExit(f"boosting query: {e}")
     if explain_qs:
         from snowball_java_spark.operators.bm25_join import (
             bm25_explain_index,

@@ -3487,6 +3487,62 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_NEG_BOOST = 0.3
+
+
+def _q_bm25_boosting(spark, sf_dir):
+    """ES boosting query: docs matching the negative terms keep their
+    BM25 score x negative_boost (demoted, never excluded); query 1 has
+    no negative side and must pass through rank-identical."""
+    from snowball_java_spark.operators.funcscore import boosting_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = boosting_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10,
+          "negative_terms": HOT_TERMS, "negative_boost": _NEG_BOOST},
+         {"query_id": 1, "terms": HOT_TERMS, "k": 10}],
+        n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def _bm25_boosting_sql(specs: list[tuple[list[str], "list[str] | None"]],
+                       nb: float, k: int) -> str:
+    unions = []
+    for qid, (terms, neg) in enumerate(specs):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        demote = "score"
+        if neg:
+            ntl = ", ".join(f"'{t}'" for t in sorted(set(neg)))
+            demote = (
+                f"CASE WHEN doc_id IN (SELECT DISTINCT doc_id FROM tfx "
+                f"WHERE term IN ({ntl})) THEN score * {nb} "
+                f"ELSE score END")
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, rank, doc_id, round(score, 6) AS score
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+           AS rank
+  FROM (
+    SELECT doc_id, {demote} AS score FROM (
+      SELECT tfx.doc_id, sum({W_SQL}) AS score
+      FROM tfx JOIN dfx USING (term)
+               JOIN dl ON tfx.doc_id = dl.doc_id
+               CROSS JOIN st
+      WHERE tfx.term IN ({tl}) GROUP BY 1)
+  )
+) WHERE rank <= {k}""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id, rank
+"""
+
+
 _BSORT_SIZE = 5
 _SDIFF_PERIOD = 2
 
@@ -5810,6 +5866,12 @@ FROM g
                 [(MIXED_TERMS, []), (HOT_TERMS, RARE_TERMS)],
                 _HIST_WIDTH, _SDIFF_PERIOD, _BSORT_SIZE),
         ),
+        "bm25_boosting_topk": Q(
+            _q_bm25_boosting,
+            _bm25_boosting_sql(
+                [(MIXED_TERMS, HOT_TERMS), (HOT_TERMS, None)],
+                _NEG_BOOST, 10),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -6131,8 +6193,8 @@ _DRIVER_PRIORITY = [
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
     # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
-    # facet_histogram_bucket_ops
-    # (19 + 15 = 34 — fits round 5's 50-slot budget with room for
+    # facet_histogram_bucket_ops, bm25_boosting_topk
+    # (19 + 16 = 35 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

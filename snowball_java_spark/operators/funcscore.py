@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 
-__all__ = ["function_score_topk", "decay_score_topk"]
+__all__ = ["function_score_topk", "decay_score_topk",
+           "boosting_topk", "boosting_topk_index"]
 
 _MODIFIERS = ("none", "log1p", "sqrt")
 _BOOST_MODES = ("multiply", "sum")
@@ -178,3 +179,120 @@ def decay_score_topk(
          for q in queries],
         "query_id int, k int")
     return topk(modified, kdf)
+
+
+def _demote(scores: DataFrame, neg_pairs: DataFrame,
+            nb_df: DataFrame) -> DataFrame:
+    """Multiply each (query, doc) score by its query's negative_boost
+    when the doc sits in the query's negative match set."""
+    hit = neg_pairs.withColumn("_neg", F.lit(True))
+    return (
+        scores.join(hit, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(nb_df), "query_id")
+        .select(
+            "query_id", "doc_id",
+            F.when(F.col("_neg").isNotNull(),
+                   F.col("score") * F.col("_nb"))
+            .otherwise(F.col("score")).alias("score"))
+    )
+
+
+def _boosting_frames(spark, queries: list[dict], cfg: EngineConfig):
+    """Shared validation + (negative-query list, boost table, k table)."""
+    neg_qs, nb_rows, k_rows = [], [], []
+    for q in queries:
+        nb = float(q.get("negative_boost", 0.5))
+        if not 0.0 <= nb <= 1.0:
+            raise ValueError(
+                f"query {q.get('query_id')}: negative_boost must be in "
+                f"[0, 1], got {nb}")
+        neg = sorted(set(q.get("negative_terms", [])))
+        if "negative_boost" in q and not neg:
+            raise ValueError(
+                f"query {q.get('query_id')}: negative_boost without "
+                "negative_terms does nothing — remove one")
+        if set(neg) & set(q["terms"]):
+            raise ValueError(
+                f"query {q.get('query_id')}: terms "
+                f"{sorted(set(neg) & set(q['terms']))} are both positive "
+                "and negative — contradictory")
+        if neg:
+            neg_qs.append({"query_id": int(q["query_id"]), "terms": neg})
+        nb_rows.append((int(q["query_id"]), nb))
+        k_rows.append((int(q["query_id"]), int(q.get("k", cfg.default_k))))
+    nb_df = spark.createDataFrame(nb_rows, "query_id int, _nb double")
+    kdf = spark.createDataFrame(k_rows, "query_id int, k int")
+    return neg_qs, nb_df, kdf
+
+
+def boosting_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``boosting`` query: demote — never exclude — docs matching a
+    negative query.  Each query dict may carry ``negative_terms`` (an
+    OR terms query) and ``negative_boost`` ∈ [0, 1] (default 0.5):
+    a doc matching any negative term keeps its BM25 score × the boost,
+    so "python NOT-really test" results sink below clean matches but
+    stay retrievable (the soft version of ``not_terms``).  Queries
+    without ``negative_terms`` pass through rank-identical to
+    :func:`bm25_join.bm25_topk_join`.
+
+    Scale shape: one shared positive scorer pass; the negative match
+    relation is built by the same prune-before-explode trick as
+    ``exclude_not_terms`` (∝ negative terms' postings, never corpus
+    tokens) and joins on the (query_id, doc_id) key the scores already
+    carry; ranking is the shared two-phase salted top-k."""
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        topk,
+    )
+
+    neg_qs, nb_df, kdf = _boosting_frames(spark, queries, cfg)
+    scores, _qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    if not neg_qs:
+        return topk(scores, kdf)
+    nterms = sorted({t for q in neg_qs for t in q["terms"]})
+    kept = F.array_distinct(F.filter("tokens", lambda x: x.isin(*nterms)))
+    nd = docs_tok.select("doc_id", F.explode(kept).alias("term"))
+    nq = F.broadcast(spark.createDataFrame(
+        [(q["query_id"], t) for q in neg_qs for t in q["terms"]],
+        "query_id int, term string"))
+    neg_pairs = nd.join(nq, "term").select("query_id", "doc_id").distinct()
+    return topk(_demote(scores, neg_pairs, nb_df), kdf)
+
+
+def boosting_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    cfg: "EngineConfig | None" = None,
+    doc_filter=None,
+) -> DataFrame:
+    """Index-native :func:`boosting_topk`: the positive side is the
+    full exact score relation (``wand.bm25_scores_index`` — block-max
+    pruning does not apply, a demoted doc outside any window could
+    still rank), the negative match set comes from postings decode
+    (``wand.matching_docs_index``), and both join on (query_id,
+    doc_id) with zero corpus scans."""
+    from snowball_java_spark.operators.bm25_join import topk
+    from snowball_java_spark.operators.wand import (
+        bm25_scores_index,
+        matching_docs_index,
+    )
+
+    eff = cfg or DEFAULT
+    neg_qs, nb_df, kdf = _boosting_frames(spark, queries, eff)
+    scores = bm25_scores_index(
+        spark, index, queries, cfg=eff, doc_filter=doc_filter)
+    if not neg_qs:
+        return topk(scores, kdf)
+    neg_pairs = matching_docs_index(
+        spark, index, neg_qs, cfg=eff, doc_filter=doc_filter
+    ).select("query_id", "doc_id")
+    return topk(_demote(scores, neg_pairs, nb_df), kdf)

@@ -185,3 +185,89 @@ def test_decay_validation(spark, docs_dl):
         decay_score_topk(spark, docs_dl, q, "dl", 0.0, 0.0)
     with pytest.raises(ValueError, match="offset"):
         decay_score_topk(spark, docs_dl, q, "dl", 0.0, 1.0, offset=-1.0)
+
+
+# ---------------------------------------------------------------- boosting
+
+def test_boosting_demotes_but_keeps(spark, synth_docs):
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.df_stats import with_tokens
+    from snowball_java_spark.operators.funcscore import boosting_topk
+
+    docs_tok = with_tokens(synth_docs, content_col="content")
+    base = bm25_topk_join(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": ["def", "return"], "k": 1000}]).collect()
+    neg = ["read_client_43"]
+    got = boosting_topk(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": ["def", "return"], "k": 1000,
+          "negative_terms": neg, "negative_boost": 0.25}]).collect()
+    from snowball_java_spark.functions.tokenize import tokenize_py
+
+    texts = {r["doc_id"]: r["content"]
+             for r in synth_docs.select("doc_id", "content").collect()}
+    neg_docs = {d for d, c in texts.items()
+                if set(tokenize_py(c)) & set(neg)}
+    base_scores = {r["doc_id"]: r["score"] for r in base}
+    got_scores = {r["doc_id"]: r["score"] for r in got}
+    # demoted docs stay retrievable at 0.25x; others unchanged
+    assert set(got_scores) == set(base_scores)
+    assert neg_docs & set(base_scores), "negative term must hit some docs"
+    for d, s in base_scores.items():
+        want = s * 0.25 if d in neg_docs else s
+        assert got_scores[d] == pytest.approx(want, rel=1e-9)
+
+
+def test_boosting_passthrough_and_index_parity(spark, synth_docs, tmp_path):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.df_stats import with_tokens
+    from snowball_java_spark.operators.funcscore import (
+        boosting_topk,
+        boosting_topk_index,
+    )
+    from snowball_java_spark.plans.build_index import build_index
+
+    docs_tok = with_tokens(synth_docs, content_col="content")
+    queries = [
+        {"query_id": 0, "terms": ["def", "return"], "k": 10,
+         "negative_terms": ["read_client_43"], "negative_boost": 0.1},
+        {"query_id": 1, "terms": ["def"], "k": 10},   # passthrough
+    ]
+    got = boosting_topk(spark, docs_tok, queries).collect()
+    # passthrough query ranks exactly as plain BM25
+    plain = bm25_topk_join(
+        spark, docs_tok, [{"query_id": 1, "terms": ["def"], "k": 10}]
+    ).collect()
+    g1 = [(r["rank"], r["doc_id"]) for r in got if r["query_id"] == 1]
+    assert g1 == [(r["rank"], r["doc_id"]) for r in plain]
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    idx = build_index(
+        spark, synth_docs.select("repo", "path", "commit", "lang",
+                                 "content"),
+        str(tmp_path / "bidx"), cfg=cfg, n_buckets=8)
+    got_idx = boosting_topk_index(spark, idx, queries, cfg=cfg).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]):
+                        (r["doc_id"], round(r["score"], 9)) for r in rows}
+    assert key(got_idx) == key(got)
+
+
+def test_boosting_validates(spark, synth_docs):
+    from snowball_java_spark.operators.df_stats import with_tokens
+    from snowball_java_spark.operators.funcscore import boosting_topk
+
+    docs_tok = with_tokens(synth_docs, content_col="content")
+    with pytest.raises(ValueError, match="negative_boost"):
+        boosting_topk(spark, docs_tok,
+                      [{"query_id": 0, "terms": ["def"],
+                        "negative_terms": ["x"], "negative_boost": 1.5}])
+    with pytest.raises(ValueError, match="does nothing"):
+        boosting_topk(spark, docs_tok,
+                      [{"query_id": 0, "terms": ["def"],
+                        "negative_boost": 0.5}])
+    with pytest.raises(ValueError, match="contradictory"):
+        boosting_topk(spark, docs_tok,
+                      [{"query_id": 0, "terms": ["def"],
+                        "negative_terms": ["def"]}])
