@@ -112,6 +112,8 @@ HEADLINE = [
     "rank_eval",
     "facet_histogram_bucket_ops",
     "bm25_boosting_topk",
+    "extended_stats_dl",
+    "multi_terms_buckets",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

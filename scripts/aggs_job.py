@@ -113,6 +113,16 @@ def main(argv: list[str]) -> int:
                         "sample with a hard per-value cap on a metadata "
                         "column (e.g. repo:2:100 — ≤2 docs per repo, "
                         "100 overall; defaults 1 and 100)")
+    p.add_argument("--extended-stats", default=None,
+                   metavar="COL[:SIGMA]",
+                   help="ES extended_stats: stats + population variance "
+                        "/ std deviation / sigma bounds of an integer "
+                        "metadata column over each match set (e.g. "
+                        "dl or dl:3)")
+    p.add_argument("--multi-terms", default=None, metavar="COLS[:N]",
+                   help="ES multi_terms: top-N compound value tuples of "
+                        ">=2 metadata columns over each match set, "
+                        "ranked by doc count (e.g. repo,lang:10)")
     p.add_argument("--adjacency", action="store_true",
                    help="ES adjacency_matrix: pairwise intersection "
                         "counts of the queries' match sets (diagonal = "
@@ -123,12 +133,14 @@ def main(argv: list[str]) -> int:
     if not any([args.facets, args.counts, args.histogram, args.range_agg,
                 args.composite, args.sig_terms, args.sort_by,
                 args.cardinality, args.percentiles,
-                args.matrix_stats, args.diversify, args.adjacency]):
+                args.matrix_stats, args.diversify, args.adjacency,
+                args.extended_stats, args.multi_terms]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
                          "--cardinality/--percentiles/--matrix-stats/"
-                         "--diversify/--adjacency")
+                         "--diversify/--adjacency/--extended-stats/"
+                         "--multi-terms")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -347,6 +359,26 @@ def main(argv: list[str]) -> int:
             spark, idx, qs, diversity_col=col,
             max_docs_per_value=int(mpv) if mpv else 1,
             shard_size=int(shard) if shard else 100, cfg=idx.cfg))
+    if args.extended_stats:
+        from snowball_java_spark.operators.aggs import (
+            extended_stats_index,
+        )
+
+        col, _, sig = args.extended_stats.partition(":")
+        emit("extended_stats", extended_stats_index(
+            spark, idx, qs, value_col=col,
+            sigma=float(sig) if sig else 2.0, cfg=idx.cfg))
+    if args.multi_terms:
+        from snowball_java_spark.operators.aggs import multi_terms_index
+
+        spec, _, n = args.multi_terms.partition(":")
+        cols = [c.strip() for c in spec.split(",") if c.strip()]
+        try:
+            emit("multi_terms", multi_terms_index(
+                spark, idx, qs, group_cols=cols,
+                n_buckets=int(n) if n else 10, cfg=idx.cfg))
+        except ValueError as e:
+            raise SystemExit(f"--multi-terms: {e}")
     if args.adjacency:
         from snowball_java_spark.operators.aggs import (
             adjacency_matrix_index,

@@ -3487,6 +3487,107 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_ESTATS_SIGMA = 2.0
+
+
+def _q_extended_stats(spark, sf_dir):
+    """ES extended_stats: stats + exact-integer second moments
+    (population variance, std bounds at sigma=2) of the stored doc
+    length over each query's match set."""
+    from snowball_java_spark.operators.aggs import extended_stats_index
+
+    idx = _index_for(spark, sf_dir)
+    res = extended_stats_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        value_col="dl", sigma=_ESTATS_SIGMA, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_docs", "min", "max", "sum",
+        F.round("avg", 6).alias("avg"), "sum_of_squares",
+        F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("std_upper", 6).alias("std_upper"),
+        F.round("std_lower", 6).alias("std_lower"))
+
+
+def _extended_stats_sql(term_sets: list[list[str]], sigma: float) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, count(*)::BIGINT AS n_docs,
+       min(dl.dl)::DOUBLE AS min, max(dl.dl)::DOUBLE AS max,
+       sum(dl.dl)::DOUBLE AS sum,
+       round(sum(dl.dl)::DOUBLE / count(*), 6) AS avg,
+       sum(dl.dl * dl.dl)::BIGINT AS sum_of_squares,
+       round(greatest(sum(dl.dl * dl.dl)::DOUBLE / count(*)
+         - (sum(dl.dl)::DOUBLE / count(*)) ^ 2, 0), 6) AS variance,
+       round(sqrt(greatest(sum(dl.dl * dl.dl)::DOUBLE / count(*)
+         - (sum(dl.dl)::DOUBLE / count(*)) ^ 2, 0)), 6)
+         AS std_deviation,
+       round(sum(dl.dl)::DOUBLE / count(*)
+         + {sigma} * sqrt(greatest(sum(dl.dl * dl.dl)::DOUBLE / count(*)
+           - (sum(dl.dl)::DOUBLE / count(*)) ^ 2, 0)), 6) AS std_upper,
+       round(sum(dl.dl)::DOUBLE / count(*)
+         - {sigma} * sqrt(greatest(sum(dl.dl * dl.dl)::DOUBLE / count(*)
+           - (sum(dl.dl)::DOUBLE / count(*)) ^ 2, 0)), 6) AS std_lower
+FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl})) m
+JOIN dl ON m.doc_id = dl.doc_id""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id
+"""
+
+
+_MTERMS_N = 8
+
+
+def _q_multi_terms(spark, sf_dir):
+    """ES multi_terms: the top compound (source, lang) tuples of each
+    query's match set ranked by doc count — the count-ranked complement
+    of the composite agg's key-ordered paging."""
+    from snowball_java_spark.operators.aggs import multi_terms_index
+
+    idx = _index_for(spark, sf_dir)
+    res = multi_terms_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        group_cols=["repo", "lang"], n_buckets=_MTERMS_N,
+        cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("repo").alias("source"), "lang", "n_docs")
+
+
+def _multi_terms_sql(term_sets: list[list[str]], n: int) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id,
+       row_number() OVER (ORDER BY n_docs DESC, source ASC, lang ASC)
+         ::BIGINT AS rank,
+       source, lang, n_docs
+FROM (
+  SELECT d.source::VARCHAR AS source, d.lang::VARCHAR AS lang,
+         count(*)::BIGINT AS n_docs
+  FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl})) m
+  JOIN documents d ON m.doc_id = d.doc_id
+  WHERE d.source IS NOT NULL AND d.lang IS NOT NULL
+  GROUP BY 1, 2)
+QUALIFY rank <= {n}""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id, rank
+"""
+
+
 _NEG_BOOST = 0.3
 
 
@@ -5872,6 +5973,14 @@ FROM g
                 [(MIXED_TERMS, HOT_TERMS), (HOT_TERMS, None)],
                 _NEG_BOOST, 10),
         ),
+        "extended_stats_dl": Q(
+            _q_extended_stats,
+            _extended_stats_sql([MIXED_TERMS, HOT_TERMS], _ESTATS_SIGMA),
+        ),
+        "multi_terms_buckets": Q(
+            _q_multi_terms,
+            _multi_terms_sql([MIXED_TERMS, HOT_TERMS], _MTERMS_N),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -6193,8 +6302,9 @@ _DRIVER_PRIORITY = [
     # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
     # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
-    # facet_histogram_bucket_ops, bm25_boosting_topk
-    # (19 + 16 = 35 — fits round 5's 50-slot budget with room for
+    # facet_histogram_bucket_ops, bm25_boosting_topk,
+    # extended_stats_dl, multi_terms_buckets
+    # (19 + 18 = 37 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

@@ -962,3 +962,119 @@ def bucket_sort(
                         salt_on=order_col)
         .orderBy(*partition_cols, "rank")
     )
+
+
+def extended_stats_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    sigma: float = 2.0,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``extended_stats``: the ``stats`` aggregation plus second
+    moments over an INTEGRAL docs-metadata column of each query's match
+    set — (query_id, n_docs, min, max, sum, avg, sum_of_squares,
+    variance, std_deviation, std_upper, std_lower); variance is the
+    POPULATION variance (ES default) and the bounds are
+    avg ± ``sigma``·std (ES ``std_deviation_bounds``).
+
+    Determinism: every float derives from exact 64-bit integer
+    sufficient statistics (n, Σx, Σx² — order-free, partition-free; the
+    same argument as ``matrix_stats``), so any engine computes the
+    identical bits.  Σx² must stay under 2^63 — holds to ~1e9 docs of
+    dl≈10^5 scale per match set.
+
+    Scale shape: match set from postings decode, metadata join reads
+    only (doc_id, value_col), ONE map-side-combinable aggregation."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if sigma < 0:
+        raise ValueError(f"sigma must be >= 0, got {sigma}")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", value_col)
+    x = F.col(value_col).cast("long")
+    g = (
+        match.join(meta, "doc_id")
+        .filter(F.col(value_col).isNotNull())
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.min(x).alias("min"), F.max(x).alias("max"),
+             F.sum(x).alias("sum"), F.sum(x * x).alias("sum_of_squares"))
+    )
+    n = F.col("n_docs").cast("double")
+    avg = F.col("sum").cast("double") / n
+    var = F.col("sum_of_squares").cast("double") / n - avg * avg
+    # float cancellation can push an exactly-zero variance a hair
+    # negative; clamp so sqrt never NaNs (ES clamps the same way)
+    var = F.greatest(var, F.lit(0.0))
+    std = F.sqrt(var)
+    return (
+        g.select(
+            "query_id", "n_docs",
+            F.col("min").cast("double").alias("min"),
+            F.col("max").cast("double").alias("max"),
+            F.col("sum").cast("double").alias("sum"),
+            avg.alias("avg"), "sum_of_squares",
+            var.alias("variance"), std.alias("std_deviation"),
+            (avg + F.lit(float(sigma)) * std).alias("std_upper"),
+            (avg - F.lit(float(sigma)) * std).alias("std_lower"))
+        .orderBy("query_id")
+    )
+
+
+def multi_terms_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    group_cols: list[str],
+    n_buckets: int = 10,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``multi_terms``: the top-``n_buckets`` COMPOUND value tuples
+    of the group columns over each query's match set, ranked by
+    (n_docs desc, values asc) — "the biggest (repo, lang) combinations
+    among the matches".  The count-ranked complement of
+    ``composite_matches_index`` (which pages ALL tuples in key order);
+    docs with a NULL in any group column are skipped (ES terms-family
+    contract).
+
+    Scale shape: match set from postings decode; metadata join reads
+    only (doc_id, group_cols); the tuple count map-side combines to
+    bucket cardinality; ranking is the two-phase salted window."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not group_cols or len(group_cols) < 2:
+        raise ValueError(
+            "multi_terms needs >= 2 group columns (use the terms/facet "
+            "aggregation for one)")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", *group_cols)
+    j = match.join(meta, "doc_id")
+    for c in group_cols:
+        j = j.filter(F.col(c).isNotNull())
+    counts = (
+        j.select("query_id",
+                 *[F.col(c).cast("string").alias(c) for c in group_cols])
+        .groupBy("query_id", *group_cols)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    order = [F.desc("n_docs")] + [F.asc(c) for c in group_cols]
+    return (
+        _two_phase_rank(counts, ["query_id"], order, n_buckets,
+                        salt_on=group_cols[0])
+        .select("query_id", "rank", *group_cols, "n_docs")
+        .orderBy("query_id", "rank")
+    )

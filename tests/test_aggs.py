@@ -782,3 +782,53 @@ def test_serial_diff_and_bucket_ops(spark):
         bucket_sort(buckets, "n_docs", size=0)
     with pytest.raises(ValueError, match="period"):
         pipeline_over_buckets(buckets, metrics=["serial_diff"], period=0)
+
+
+def test_extended_stats_matches_numpy(spark, index, toks, synth_docs):
+    import numpy as np
+
+    from snowball_java_spark.operators.aggs import extended_stats_index
+
+    got = {r["query_id"]: r for r in extended_stats_index(
+        spark, index, [{"query_id": 0, "terms": ["def", "return"]}],
+        value_col="dl", sigma=1.5, cfg=CFG).collect()}
+    match = {d for d, ts in toks.items() if {"def", "return"} & set(ts)}
+    dls = np.array([len(toks[d]) for d in match], dtype=float)
+    r = got[0]
+    assert r["n_docs"] == len(match)
+    assert r["min"] == dls.min() and r["max"] == dls.max()
+    assert r["sum"] == dls.sum()
+    assert r["avg"] == pytest.approx(dls.mean(), rel=1e-12)
+    assert r["sum_of_squares"] == int((dls * dls).sum())
+    assert r["variance"] == pytest.approx(dls.var(), rel=1e-9)
+    assert r["std_deviation"] == pytest.approx(dls.std(), rel=1e-9)
+    assert r["std_upper"] == pytest.approx(
+        dls.mean() + 1.5 * dls.std(), rel=1e-9)
+    assert r["std_lower"] == pytest.approx(
+        dls.mean() - 1.5 * dls.std(), rel=1e-9)
+    with pytest.raises(ValueError, match="sigma"):
+        extended_stats_index(
+            spark, index, [{"query_id": 0, "terms": ["def"]}],
+            value_col="dl", sigma=-1, cfg=CFG)
+
+
+def test_multi_terms_matches_truth(spark, index, toks, synth_docs):
+    from collections import Counter
+
+    from snowball_java_spark.operators.aggs import multi_terms_index
+
+    got = multi_terms_index(
+        spark, index, [{"query_id": 0, "terms": ["def"]}],
+        group_cols=["repo", "lang"], n_buckets=5, cfg=CFG).collect()
+    meta = {r["doc_id"]: (r["repo"], r["lang"]) for r in
+            synth_docs.select("doc_id", "repo", "lang").collect()}
+    match = {d for d, ts in toks.items() if "def" in ts}
+    truth = Counter(meta[d] for d in match
+                    if None not in meta[d])
+    want = sorted(truth.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert [((r["repo"], r["lang"]), r["n_docs"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+    with pytest.raises(ValueError, match=">= 2 group"):
+        multi_terms_index(spark, index,
+                          [{"query_id": 0, "terms": ["def"]}],
+                          group_cols=["repo"], cfg=CFG)
