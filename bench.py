@@ -114,6 +114,7 @@ HEADLINE = [
     "bm25_boosting_topk",
     "extended_stats_dl",
     "multi_terms_buckets",
+    "bm25_span_first_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -50,6 +50,10 @@ Query jsonl, one object per line:
          # query-weight*primary + rescore-weight*secondary
     {"query_id": 6, "substr": "def main("}                          # substring
     {"query_id": 7, "regex": "def [a-z_]+\\\\(self"}                # regex
+    {"query_id": 20, "terms": ["table"], "first": 10}               # span_first:
+         # the term (or, with "ordered" + "window", an ordered span's
+         # END) must sit within the doc's first N tokens — Lucene
+         # SpanFirstQuery; needs --positions at build
     {"query_id": 19, "terms": ["def"], "negative_terms": ["test"],
      "negative_boost": 0.3}                                         # ES boosting:
          # docs matching any negative term keep score x negative_boost
@@ -243,7 +247,7 @@ def main(argv: list[str]) -> int:
             if ph and str(ph[-1]).endswith("*"):
                 return "phrase_prefix"
             return "phrase"
-        if "window" in q and "terms" in q:
+        if ("window" in q or "first" in q) and "terms" in q:
             return "proximity"
         if any(f"{z}_terms" in q for z in ("left", "middle", "right")):
             return "context"

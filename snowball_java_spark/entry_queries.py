@@ -3487,6 +3487,85 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+_SPAN_FIRST_N = 10
+_SPAN_FIRST_W = 6
+
+
+def _q_span_first(spark, sf_dir):
+    """Lucene SpanFirstQuery: query 0 — a single term occurring within
+    the document's first N tokens (span end <= N); query 1 — an ordered
+    two-term span whose chain END must sit within the first N tokens.
+    Matching docs score as a plain BM25 disjunction."""
+    from snowball_java_spark.operators.positions import proximity_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": [HOT_TERMS[0]], "first": _SPAN_FIRST_N,
+          "k": 10},
+         {"query_id": 1, "terms": [HOT_TERMS[0], HOT_TERMS[1]],
+          "window": _SPAN_FIRST_W, "ordered": True,
+          "first": _SPAN_FIRST_N * 3, "k": 10}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def _span_first_sql(t1: str, t2: str, n: int, w: int, k: int) -> str:
+    w_expr = (
+        f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tfx.tf "
+        f"* {_K1 + 1.0} / (tfx.tf + {_K1} * (1 - {_B} + {_B} * dl.dl "
+        f"/ st.avgdl))"
+    )
+    # occ positions are 1-based (range(1, len+1)); the engine's 0-based
+    # span end + 1 <= N is exactly p <= N here
+    return f"""
+WITH {BASE_CTES},
+occ AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks)+1)) AS p FROM toks),
+m0 AS (SELECT DISTINCT doc_id FROM occ
+       WHERE term = '{t1}' AND p <= {n}),
+m1 AS (SELECT DISTINCT a.doc_id FROM occ a JOIN occ b USING (doc_id)
+       WHERE a.term = '{t1}' AND b.term = '{t2}'
+         AND b.p > a.p AND b.p - a.p <= {w} AND b.p <= {n * 3}),
+s0 AS (
+  SELECT tfx.doc_id, sum({w_expr}) AS score
+  FROM tfx JOIN m0 USING (doc_id)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  WHERE tfx.term = '{t1}' GROUP BY 1),
+s1 AS (
+  SELECT tfx.doc_id, sum({w_expr}) AS score
+  FROM tfx JOIN m1 USING (doc_id)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  WHERE tfx.term IN ('{t1}', '{t2}') GROUP BY 1)
+SELECT * FROM (
+  SELECT 0::BIGINT AS query_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+           AS rank,
+         doc_id, round(score, 6) AS score
+  FROM s0 QUALIFY rank <= {k}
+  UNION ALL
+  SELECT 1::BIGINT, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           ::BIGINT,
+         doc_id, round(score, 6)
+  FROM s1 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           <= {k}
+) ORDER BY query_id, rank
+"""
+
+
 _ESTATS_SIGMA = 2.0
 
 
@@ -5973,6 +6052,11 @@ FROM g
                 [(MIXED_TERMS, HOT_TERMS), (HOT_TERMS, None)],
                 _NEG_BOOST, 10),
         ),
+        "bm25_span_first_topk": Q(
+            _q_span_first,
+            _span_first_sql(HOT_TERMS[0], HOT_TERMS[1],
+                            _SPAN_FIRST_N, _SPAN_FIRST_W, 10),
+        ),
         "extended_stats_dl": Q(
             _q_extended_stats,
             _extended_stats_sql([MIXED_TERMS, HOT_TERMS], _ESTATS_SIGMA),
@@ -6303,8 +6387,8 @@ _DRIVER_PRIORITY = [
     # stemmed_term_df, matrix_stats_dl, events_sessionize,
     # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
     # facet_histogram_bucket_ops, bm25_boosting_topk,
-    # extended_stats_dl, multi_terms_buckets
-    # (19 + 18 = 37 — fits round 5's 50-slot budget with room for
+    # extended_stats_dl, multi_terms_buckets, bm25_span_first_topk
+    # (19 + 19 = 38 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

@@ -374,7 +374,7 @@ def phrase_topk_index(
 
 def proximity_match_kernel(
     pdf: pd.DataFrame,
-    q_spec: list[tuple[int, list[str], int, int, bool]],
+    q_spec: list[tuple[int, list[str], int, int, bool, "int | None"]],
     avgdl: float,
     cfg: EngineConfig,
 ) -> pd.DataFrame:
@@ -409,7 +409,7 @@ def proximity_match_kernel(
             if "dead_bytes" in pdf.columns else None)
     by_term = {row["term"]: row for _, row in pdf.iterrows()}
     out_q, out_d, out_s = [], [], []
-    for qid, terms, window, _k, ordered in q_spec:
+    for qid, terms, window, _k, ordered, first in q_spec:
         if any(t not in by_term for t in terms):
             continue
         decoded = {t: _decode_row(by_term[t]) for t in set(terms)}
@@ -436,6 +436,10 @@ def proximity_match_kernel(
                 if not all_ok.any():
                     break
             all_ok &= (cur - anchors <= w64)
+            if first is not None:
+                # Lucene SpanFirstQuery(end=first): the span's END
+                # (last matched 0-based position + 1) must be <= first
+                all_ok &= (cur % _DOC_SHIFT) < np.int64(first)
         else:
             anchors = np.unique(
                 np.concatenate([keys[t] for t in set(terms)]))
@@ -493,16 +497,30 @@ def proximity_topk_index(
     Scan shape mirrors the phrase path: bucket + term pruning on the
     positions scan, broadcast idf join, per-shard kernel, top-k-rows
     shuffle only."""
+    for q in queries:
+        if q.get("first") is not None:
+            if int(q["first"]) < 1:
+                raise ValueError(
+                    f"query {q.get('query_id')}: first must be >= 1")
+            if len(q.get("terms", [])) > 1 and not q.get("ordered"):
+                # a span END is only defined for ordered spans — Lucene
+                # SpanFirst wraps SpanTerm / in-order SpanNear
+                raise ValueError(
+                    f"query {q.get('query_id')}: first (span_first) "
+                    "needs a single term or an ordered span — set "
+                    '"ordered": true')
     q_spec = [
         (int(q["query_id"]),
-         ([str(t) for t in q["terms"]] if q.get("ordered")
+         ([str(t) for t in q["terms"]]
+          if q.get("ordered") or q.get("first") is not None
           else sorted(set(q["terms"]))),
          int(q.get("window", 8)), int(q.get("k", cfg.default_k)),
-         bool(q.get("ordered", False)))
+         bool(q.get("ordered", False)) or q.get("first") is not None,
+         int(q["first"]) if q.get("first") is not None else None)
         for q in queries
         if q.get("terms")
     ]
-    terms = sorted({t for _, ts, _, _, _ in q_spec for t in ts})
+    terms = sorted({t for _, ts, _, _, _, _ in q_spec for t in ts})
     empty = spark.createDataFrame(
         [], "query_id int, rank int, doc_id long, score double")
     if not terms:
@@ -526,6 +544,6 @@ def proximity_topk_index(
     from snowball_java_spark.operators.bm25_join import topk
 
     ksdf = spark.createDataFrame(
-        [(qid, k) for qid, _, _, k, _ in q_spec], "query_id int, k int"
+        [(qid, k) for qid, _, _, k, _, _ in q_spec], "query_id int, k int"
     )
     return topk(scored, ksdf)

@@ -336,3 +336,70 @@ def test_proximity_tightens_with_window(spark, pos_index):
     both = {d for d in oracle.tf
             if all(t in oracle.tf[d] for t in terms)}
     assert sets[100000] == both
+
+
+# ---------------------------------------------------------------- span_first
+
+def test_span_first_single_term_matches_truth(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    n = 12
+    got = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["def"], "first": n, "k": 500}])
+    got_docs = {r["doc_id"] for r in got.collect()}
+    # truth: docs whose first 'def' occurrence ends within n tokens
+    # (0-based pos + 1 <= n)
+    want = {d for d, ts in oracle.toks.items()
+            if "def" in ts[:n]}
+    assert got_docs == want and want
+    # strictly fewer matches than the unrestricted term
+    all_docs = {d for d, ts in oracle.toks.items() if "def" in ts}
+    assert want < all_docs
+
+
+def test_span_first_ordered_chain_end_bound(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    n, w = 20, 6
+    got = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["def", "return"], "window": w,
+          "ordered": True, "first": n, "k": 500}])
+    got_docs = {r["doc_id"] for r in got.collect()}
+
+    def chain_end(ts):
+        # greedy in-order chain def -> return; returns the chain's end
+        # position or None
+        best = None
+        for a, t in enumerate(ts):
+            if t != "def":
+                continue
+            for b in range(a + 1, len(ts)):
+                if ts[b] == "return":
+                    if b - a <= w:
+                        best = b if best is None else min(best, b)
+                    break
+        return best
+
+    want = set()
+    for d, ts in oracle.toks.items():
+        e = chain_end(ts)
+        if e is not None and e + 1 <= n:
+            want.add(d)
+    assert got_docs == want and want
+
+
+def test_span_first_validates(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, _ = pos_index
+    with pytest.raises(ValueError, match="ordered"):
+        proximity_topk_index(
+            spark, idx,
+            [{"query_id": 0, "terms": ["def", "return"], "first": 5}])
+    with pytest.raises(ValueError, match="first must"):
+        proximity_topk_index(
+            spark, idx, [{"query_id": 0, "terms": ["def"], "first": 0}])
