@@ -253,6 +253,10 @@ def main(argv: list[str]) -> int:
 
             col, _, rest = args.bucket_sort.partition(":")
             direction, _, size = rest.partition(":")
+            if direction.isdigit() and not size:
+                # COL:SIZE — both bracketed parts are independently
+                # optional per the documented grammar
+                direction, size = "", direction
             if direction not in ("", "asc", "desc"):
                 raise SystemExit(
                     "--bucket-sort wants COL[:asc|desc][:SIZE], e.g. "

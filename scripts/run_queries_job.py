@@ -230,6 +230,14 @@ def main(argv: list[str]) -> int:
             "NOT terms are only supported on terms queries (OR/AND)")
 
     def kind(q):
+        # explain/boosting FIRST: their validations reject conflicting
+        # keys loudly — the reverse order would classify a query with
+        # both (e.g. rescore + negative_terms) as the other kind and
+        # silently drop the demotion/decomposition request
+        if "explain" in q:
+            return "explain"
+        if "negative_terms" in q or "negative_boost" in q:
+            return "boosting"
         if "suggest" in q:
             return "suggest"
         if "bool" in q:
@@ -238,10 +246,6 @@ def main(argv: list[str]) -> int:
             return "grep"
         if "rescore" in q:
             return "rescore"
-        if "explain" in q:
-            return "explain"
-        if "negative_terms" in q or "negative_boost" in q:
-            return "boosting"
         if "phrase" in q:
             ph = q.get("phrase") or []
             if ph and str(ph[-1]).endswith("*"):
@@ -278,7 +282,9 @@ def main(argv: list[str]) -> int:
                 "boosting queries need non-empty positive `terms` "
                 "alongside `negative_terms`")
         extra = {k for k in ("phrase", "fuzzy", "boosts", "prefixes",
-                             "wildcards", "regexps", "bool", "rescore")
+                             "wildcards", "regexps", "bool", "rescore",
+                             "suggest", "substr", "regex", "window",
+                             "first")
                  if q.get(k)}
         if extra:
             raise SystemExit(
@@ -297,7 +303,10 @@ def main(argv: list[str]) -> int:
         extra = {k for k in ("phrase", "not_terms", "fuzzy", "boosts",
                              "prefixes", "wildcards", "regexps",
                              "filters", "filters_like", "ranges",
-                             "min_should_match", "mode")
+                             "min_should_match", "mode", "bool",
+                             "rescore", "suggest", "substr", "regex",
+                             "negative_terms", "negative_boost",
+                             "window", "first")
                  if q.get(k)}
         if extra:
             raise SystemExit(
@@ -350,7 +359,8 @@ def main(argv: list[str]) -> int:
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
         others = (phrase_qs + phrase_prefix_qs + prox_qs + context_qs
-                  + rescore_qs + grep_qs + bool_qs + explain_qs)
+                  + rescore_qs + grep_qs + bool_qs + explain_qs
+                  + boosting_qs)
         if others:
             raise SystemExit(
                 "--similarity lmd applies to terms queries only — "
@@ -419,7 +429,7 @@ def main(argv: list[str]) -> int:
             "query_id", m[F.col("query_id")].cast(typ))
 
     filtered_kinds = (term_qs + phrase_qs + phrase_prefix_qs + prox_qs
-                      + context_qs + rescore_qs + bool_qs)
+                      + context_qs + rescore_qs + bool_qs + boosting_qs)
     docs_df = idx.docs(spark)
     doc_cols = set(docs_df.columns)
     bad = {c for q in filtered_kinds
@@ -703,9 +713,21 @@ def main(argv: list[str]) -> int:
         for flt, grp in by_filter(boosting_qs):
             try:
                 parts.append(boosting_topk_index(
-                    spark, idx, grp, cfg=idx.cfg, doc_filter=flt))
+                    spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
+                    synonyms=syn))
             except ValueError as e:
                 raise SystemExit(f"boosting query: {e}")
+            if args.counts:
+                from snowball_java_spark.operators.facets import (
+                    match_counts_index,
+                )
+
+                for r in match_counts_index(
+                        spark, idx, grp, cfg=idx.cfg, doc_filter=flt,
+                        synonyms=syn).collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "total_hits": r["n_docs"]}))
     if explain_qs:
         from snowball_java_spark.operators.bm25_join import (
             bm25_explain_index,
@@ -777,14 +799,29 @@ def main(argv: list[str]) -> int:
                     f"--rank-eval parquet needs columns {sorted(need)}, "
                     f"got {sorted(jd.columns)}")
             # judgments carry the CALLER's query ids — map them onto
-            # the dense internal ids the result relation uses
-            inv = F.create_map(*[
-                F.lit(x) for k, v in orig_ids.items()
-                for x in (str(v), k)])
-            jd = (jd.withColumn(
-                      "query_id",
-                      inv[F.col("query_id").cast("string")].cast("int"))
+            # the dense internal ids the result relation uses.  Integer
+            # caller ids match on a LONG cast (a float64 judgment
+            # column stringifies as "7.0" and would never equal "7");
+            # string ids match on the string form.
+            n_before = jd.count()
+            if all(isinstance(v, int) and not isinstance(v, bool)
+                   for v in orig_ids.values()):
+                inv = F.create_map(*[
+                    F.lit(x) for k, v in orig_ids.items()
+                    for x in (int(v), k)])
+                key = F.col("query_id").cast("long")
+            else:
+                inv = F.create_map(*[
+                    F.lit(x) for k, v in orig_ids.items()
+                    for x in (str(v), k)])
+                key = F.col("query_id").cast("string")
+            jd = (jd.withColumn("query_id", inv[key].cast("int"))
                   .filter(F.col("query_id").isNotNull()))
+            if n_before and jd.isEmpty():
+                raise SystemExit(
+                    "--rank-eval: no judgment row matched any query_id "
+                    "in the jsonl — check the judgments' query_id "
+                    "values/type against your query ids")
             ev = rank_eval(res.select("query_id", "rank", "doc_id"), jd,
                            k=args.rank_eval_k)
             if args.out:

@@ -893,11 +893,7 @@ def _q_ordered_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ordered_span_sql(t1: str, t2: str, window: int, k: int) -> str:
-    w = (
-        f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tfx.tf "
-        f"* {_K1 + 1.0} / (tfx.tf + {_K1} * (1 - {_B} + {_B} * dl.dl "
-        f"/ st.avgdl))"
-    )
+    w = W_SQL
     return f"""
 WITH {BASE_CTES},
 occ AS (SELECT doc_id, unnest(toks) AS term,
@@ -3520,11 +3516,7 @@ def _q_span_first(spark, sf_dir):
 
 
 def _span_first_sql(t1: str, t2: str, n: int, w: int, k: int) -> str:
-    w_expr = (
-        f"ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) * tfx.tf "
-        f"* {_K1 + 1.0} / (tfx.tf + {_K1} * (1 - {_B} + {_B} * dl.dl "
-        f"/ st.avgdl))"
-    )
+    w_expr = W_SQL
     # occ positions are 1-based (range(1, len+1)); the engine's 0-based
     # span end + 1 <= N is exactly p <= N here
     return f"""

@@ -908,16 +908,30 @@ def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
     Runs AFTER any :func:`pipeline_over_buckets` metrics are attached,
     exactly like ES orders parent pipelines; a plain filter over the
     tiny aggregated bucket relation, no shuffle."""
-    col = F.expr(predicate)
-    # loud on non-row-local expressions: a window/agg here would
-    # silently change semantics vs the ES bucket script
+    # loud on non-row-local/unparseable expressions: a window or
+    # aggregate here would silently change semantics vs the ES bucket
+    # script, and a lazy analysis error would surface as a raw Spark
+    # traceback deep in the caller's action
+    try:
+        col = F.expr(predicate)
+    except Exception as e:
+        raise ValueError(
+            f"bucket_selector predicate does not parse: {e}") from e
     import re as _re
 
     if _re.search(r"\bover\s*\(", predicate, _re.IGNORECASE):
         raise ValueError(
             "bucket_selector predicates are row-local — window "
             "functions are not bucket scripts")
-    return buckets.filter(col)
+    try:
+        out = buckets.filter(col)
+        out.schema  # force analysis NOW (catches aggregates, typos)
+    except Exception as e:
+        first = str(e).split("\n")[0]  # drop the plan dump
+        raise ValueError(
+            f"bucket_selector predicate is not a row-local boolean "
+            f"over the bucket columns {buckets.columns}: {first}") from e
+    return out
 
 
 def bucket_sort(
@@ -1007,12 +1021,21 @@ def extended_stats_index(
              F.min(x).alias("min"), F.max(x).alias("max"),
              F.sum(x).alias("sum"), F.sum(x * x).alias("sum_of_squares"))
     )
+    # no-match queries zero-fill (ES: count 0, null stats) — same
+    # contract as cardinality/percentiles in this module; a silently
+    # vanished query_id reads as a lost query, not an empty one
+    qids = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    g = (qids.join(g, "query_id", "left")
+         .fillna(0, subset=["n_docs"]))
     n = F.col("n_docs").cast("double")
     avg = F.col("sum").cast("double") / n
     var = F.col("sum_of_squares").cast("double") / n - avg * avg
     # float cancellation can push an exactly-zero variance a hair
-    # negative; clamp so sqrt never NaNs (ES clamps the same way)
-    var = F.greatest(var, F.lit(0.0))
+    # negative; clamp so sqrt never NaNs (ES clamps the same way).
+    # Guarded on n > 0: greatest(NULL, 0) is 0, which would turn a
+    # zero-filled no-match query's NULL variance into a fake 0.0
+    var = F.when(F.col("n_docs") > 0, F.greatest(var, F.lit(0.0)))
     std = F.sqrt(var)
     return (
         g.select(

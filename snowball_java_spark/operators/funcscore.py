@@ -201,6 +201,11 @@ def _boosting_frames(spark, queries: list[dict], cfg: EngineConfig):
     """Shared validation + (negative-query list, boost table, k table)."""
     neg_qs, nb_rows, k_rows = [], [], []
     for q in queries:
+        if not q.get("terms"):
+            raise ValueError(
+                f"query {q.get('query_id')}: boosting needs non-empty "
+                "positive terms (a pure negative query has no bounded "
+                "match set)")
         nb = float(q.get("negative_boost", 0.5))
         if not 0.0 <= nb <= 1.0:
             raise ValueError(
@@ -232,6 +237,7 @@ def boosting_topk(
     cfg: EngineConfig = DEFAULT,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """ES ``boosting`` query: demote — never exclude — docs matching a
     negative query.  Each query dict may carry ``negative_terms`` (an
@@ -254,7 +260,8 @@ def boosting_topk(
 
     neg_qs, nb_df, kdf = _boosting_frames(spark, queries, cfg)
     scores, _qdf = bm25_scores_join(
-        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl,
+        synonyms=synonyms)
     if not neg_qs:
         return topk(scores, kdf)
     nterms = sorted({t for q in neg_qs for t in q["terms"]})
@@ -273,6 +280,7 @@ def boosting_topk_index(
     queries: list[dict],
     cfg: "EngineConfig | None" = None,
     doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Index-native :func:`boosting_topk`: the positive side is the
     full exact score relation (``wand.bm25_scores_index`` — block-max
@@ -289,10 +297,14 @@ def boosting_topk_index(
     eff = cfg or DEFAULT
     neg_qs, nb_df, kdf = _boosting_frames(spark, queries, eff)
     scores = bm25_scores_index(
-        spark, index, queries, cfg=eff, doc_filter=doc_filter)
+        spark, index, queries, cfg=eff, doc_filter=doc_filter,
+        synonyms=synonyms)
     if not neg_qs:
         return topk(scores, kdf)
+    # synonyms apply to the NEGATIVE side too — a demoted concept's
+    # synonym must demote the same way the positive side expands
     neg_pairs = matching_docs_index(
-        spark, index, neg_qs, cfg=eff, doc_filter=doc_filter
+        spark, index, neg_qs, cfg=eff, doc_filter=doc_filter,
+        synonyms=synonyms
     ).select("query_id", "doc_id")
     return topk(_demote(scores, neg_pairs, nb_df), kdf)

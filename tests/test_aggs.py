@@ -832,3 +832,18 @@ def test_multi_terms_matches_truth(spark, index, toks, synth_docs):
         multi_terms_index(spark, index,
                           [{"query_id": 0, "terms": ["def"]}],
                           group_cols=["repo"], cfg=CFG)
+
+
+def test_extended_stats_zero_fills_no_match_query(spark, index):
+    from snowball_java_spark.operators.aggs import extended_stats_index
+
+    got = {r["query_id"]: r for r in extended_stats_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def"]},
+         {"query_id": 1, "terms": ["zzz_no_such_term"]}],
+        value_col="dl", cfg=CFG).collect()}
+    # ES: count 0 with null stats — the query must NOT vanish
+    assert set(got) == {0, 1}
+    r = got[1]
+    assert r["n_docs"] == 0
+    assert r["min"] is None and r["avg"] is None and r["variance"] is None
