@@ -115,6 +115,8 @@ HEADLINE = [
     "extended_stats_dl",
     "multi_terms_buckets",
     "bm25_span_first_topk",
+    "percentile_ranks_dl",
+    "weighted_avg_dl",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -123,6 +123,15 @@ def main(argv: list[str]) -> int:
                    help="ES multi_terms: top-N compound value tuples of "
                         ">=2 metadata columns over each match set, "
                         "ranked by doc count (e.g. repo,lang:10)")
+    p.add_argument("--percentile-ranks", default=None,
+                   metavar="COL:V1[,V2…]",
+                   help="ES percentile_ranks (exact empirical CDF): "
+                        "for each value, the %% of matched docs at or "
+                        "below it (e.g. dl:64,128,256)")
+    p.add_argument("--weighted-avg", default=None,
+                   metavar="VALUE_COL:WEIGHT_COL",
+                   help="ES weighted_avg: sum(value*weight)/sum(weight) "
+                        "over each match set (e.g. dl:stars)")
     p.add_argument("--adjacency", action="store_true",
                    help="ES adjacency_matrix: pairwise intersection "
                         "counts of the queries' match sets (diagonal = "
@@ -134,13 +143,15 @@ def main(argv: list[str]) -> int:
                 args.composite, args.sig_terms, args.sort_by,
                 args.cardinality, args.percentiles,
                 args.matrix_stats, args.diversify, args.adjacency,
-                args.extended_stats, args.multi_terms]):
+                args.extended_stats, args.multi_terms,
+                args.percentile_ranks, args.weighted_avg]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
                          "--cardinality/--percentiles/--matrix-stats/"
                          "--diversify/--adjacency/--extended-stats/"
-                         "--multi-terms")
+                         "--multi-terms/--percentile-ranks/"
+                         "--weighted-avg")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -383,6 +394,35 @@ def main(argv: list[str]) -> int:
                 n_buckets=int(n) if n else 10, cfg=idx.cfg))
         except ValueError as e:
             raise SystemExit(f"--multi-terms: {e}")
+    if args.percentile_ranks:
+        from snowball_java_spark.operators.aggs import (
+            percentile_ranks_matches_index,
+        )
+
+        col, _, vlist = args.percentile_ranks.partition(":")
+        if not vlist:
+            raise SystemExit(
+                "--percentile-ranks wants COL:V1[,V2…], e.g. dl:64,128")
+        try:
+            emit("percentile_ranks", percentile_ranks_matches_index(
+                spark, idx, qs, value_col=col,
+                values=[float(v) for v in vlist.split(",") if v.strip()],
+                cfg=idx.cfg))
+        except ValueError as e:
+            raise SystemExit(f"--percentile-ranks: {e}")
+    if args.weighted_avg:
+        from snowball_java_spark.operators.aggs import (
+            weighted_avg_matches_index,
+        )
+
+        vcol, _, wcol = args.weighted_avg.partition(":")
+        if not wcol:
+            raise SystemExit(
+                "--weighted-avg wants VALUE_COL:WEIGHT_COL, e.g. "
+                "dl:stars")
+        emit("weighted_avg", weighted_avg_matches_index(
+            spark, idx, qs, value_col=vcol, weight_col=wcol,
+            cfg=idx.cfg))
     if args.adjacency:
         from snowball_java_spark.operators.aggs import (
             adjacency_matrix_index,

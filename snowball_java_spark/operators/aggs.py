@@ -1101,3 +1101,108 @@ def multi_terms_index(
         .select("query_id", "rank", *group_cols, "n_docs")
         .orderBy("query_id", "rank")
     )
+
+
+def percentile_ranks_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    values: list[float],
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``percentile_ranks``: the inverse of ``percentiles`` — for
+    each requested value, what percentage of the match set's
+    ``value_col`` sits at or below it.  Pinned to the EXACT empirical
+    CDF, ``100 · |{x ≤ v}| / n`` (ES interpolates on a t-digest; the
+    exact form is deterministic and oracle-matchable — the same
+    exact-vs-sketch split as ``percentiles_matches_index``).
+
+    Output: (query_id, value, pct), one row per (query, requested
+    value) — every requested value returns for every query (NULL pct
+    when the match set is empty), ordered.
+
+    Scale shape: match set from postings decode; metadata join reads
+    only (doc_id, value_col); ONE aggregation computes every requested
+    value's conditional count map-side — no per-value passes."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not values:
+        raise ValueError("values must be non-empty")
+    vs = sorted(float(v) for v in values)
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", value_col)
+    x = F.col(value_col).cast("double")
+    aggs = [F.count("*").alias("n")] + [
+        F.sum((x <= F.lit(v)).cast("long")).alias(f"_le_{i}")
+        for i, v in enumerate(vs)]
+    g = (match.join(meta, "doc_id")
+         .filter(F.col(value_col).isNotNull())
+         .groupBy("query_id").agg(*aggs))
+    qids = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    g = qids.join(g, "query_id", "left")
+    out = g.select(
+        "query_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(v).alias("value"),
+                (F.lit(100.0) * F.col(f"_le_{i}").cast("double")
+                 / F.col("n").cast("double")).alias("pct"))
+            for i, v in enumerate(vs)])).alias("p"),
+    ).select("query_id", "p.value", "p.pct")
+    return out.orderBy("query_id", "value")
+
+
+def weighted_avg_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    weight_col: str,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg``: Σ(value·weight) / Σ(weight) over each
+    query's match set — "average quality score weighted by doc length".
+    Docs with a NULL value OR weight are excluded entirely (ES skips
+    them from both sums; a one-sided NULL would corrupt the ratio).
+
+    Output: (query_id, n_docs, weighted_avg) — zero-filled (n 0, NULL
+    avg) for no-match queries; ordered.  Exact when both columns are
+    integral (64-bit integer sums); one map-side-combinable pass."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", value_col, weight_col)
+    v = F.col(value_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    g = (
+        match.join(meta, "doc_id")
+        .filter(F.col(value_col).isNotNull()
+                & F.col(weight_col).isNotNull())
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(v * w).alias("_vw"), F.sum(w).alias("_w"))
+    )
+    qids = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    return (
+        qids.join(g, "query_id", "left")
+        .fillna(0, subset=["n_docs"])
+        .select(
+            "query_id", "n_docs",
+            F.when(F.col("_w") > 0,
+                   F.col("_vw").cast("double")
+                   / F.col("_w").cast("double")).alias("weighted_avg"))
+        .orderBy("query_id")
+    )

@@ -847,3 +847,33 @@ def test_extended_stats_zero_fills_no_match_query(spark, index):
     r = got[1]
     assert r["n_docs"] == 0
     assert r["min"] is None and r["avg"] is None and r["variance"] is None
+
+
+def test_percentile_ranks_and_weighted_avg(spark, index, toks):
+    from snowball_java_spark.operators.aggs import (
+        percentile_ranks_matches_index,
+        weighted_avg_matches_index,
+    )
+
+    qs = [{"query_id": 0, "terms": ["def"]},
+          {"query_id": 1, "terms": ["zzz_no_such_term"]}]
+    match = [len(toks[d]) for d, ts in toks.items() if "def" in ts]
+    vals = [40.0, 150.0]
+    got = {(r["query_id"], r["value"]): r["pct"]
+           for r in percentile_ranks_matches_index(
+               spark, index, qs, "dl", vals, cfg=CFG).collect()}
+    for v in vals:
+        want = 100.0 * sum(1 for x in match if x <= v) / len(match)
+        assert got[(0, v)] == pytest.approx(want, rel=1e-12)
+        assert got[(1, v)] is None          # no-match query: NULL pct
+    assert len(got) == 4                    # every (query, value) row
+    with pytest.raises(ValueError, match="non-empty"):
+        percentile_ranks_matches_index(spark, index, qs, "dl", [],
+                                       cfg=CFG)
+
+    wgot = {r["query_id"]: r for r in weighted_avg_matches_index(
+        spark, index, qs, "dl", "dl", cfg=CFG).collect()}
+    want_wa = sum(x * x for x in match) / sum(match)
+    assert wgot[0]["n_docs"] == len(match)
+    assert wgot[0]["weighted_avg"] == pytest.approx(want_wa, rel=1e-12)
+    assert wgot[1]["n_docs"] == 0 and wgot[1]["weighted_avg"] is None
