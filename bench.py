@@ -117,6 +117,7 @@ HEADLINE = [
     "bm25_span_first_topk",
     "percentile_ranks_dl",
     "weighted_avg_dl",
+    "t_test_dl",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

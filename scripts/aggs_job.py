@@ -132,6 +132,11 @@ def main(argv: list[str]) -> int:
                    metavar="VALUE_COL:WEIGHT_COL",
                    help="ES weighted_avg: sum(value*weight)/sum(weight) "
                         "over each match set (e.g. dl:stars)")
+    p.add_argument("--t-test", default=None, metavar="COL",
+                   help="ES t_test (Welch's two-sample, unpaired): the "
+                        "t statistic + Welch df of this metadata column "
+                        "between CONSECUTIVE query pairs in the jsonl "
+                        "(lines 0 vs 1, 2 vs 3, ...)")
     p.add_argument("--adjacency", action="store_true",
                    help="ES adjacency_matrix: pairwise intersection "
                         "counts of the queries' match sets (diagonal = "
@@ -144,14 +149,15 @@ def main(argv: list[str]) -> int:
                 args.cardinality, args.percentiles,
                 args.matrix_stats, args.diversify, args.adjacency,
                 args.extended_stats, args.multi_terms,
-                args.percentile_ranks, args.weighted_avg]):
+                args.percentile_ranks, args.weighted_avg,
+                args.t_test]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
                          "--cardinality/--percentiles/--matrix-stats/"
                          "--diversify/--adjacency/--extended-stats/"
                          "--multi-terms/--percentile-ranks/"
-                         "--weighted-avg")
+                         "--weighted-avg/--t-test")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -423,6 +429,29 @@ def main(argv: list[str]) -> int:
         emit("weighted_avg", weighted_avg_matches_index(
             spark, idx, qs, value_col=vcol, weight_col=wcol,
             cfg=idx.cfg))
+    if args.t_test:
+        from snowball_java_spark.operators.aggs import t_test_index
+
+        if len(qs) % 2:
+            raise SystemExit(
+                "--t-test pairs consecutive jsonl queries — the file "
+                f"has an odd count ({len(qs)})")
+        t_pairs = [
+            {"pair_id": i // 2, "a": qs[i], "b": qs[i + 1]}
+            for i in range(0, len(qs), 2)]
+        tt = t_test_index(
+            spark, idx, t_pairs, value_col=args.t_test, cfg=idx.cfg)
+        if args.out:
+            tt.write.mode("overwrite").parquet(
+                args.out.rstrip("/") + "_t_test")
+            print(json.dumps({"kind": "t_test",
+                              "out": args.out.rstrip("/") + "_t_test"}))
+        else:
+            for r in tt.collect():
+                d = r.asDict()
+                d["query_id_a"] = orig_ids[2 * d["pair_id"]]
+                d["query_id_b"] = orig_ids[2 * d["pair_id"] + 1]
+                print(json.dumps({"kind": "t_test", **d}))
     if args.adjacency:
         from snowball_java_spark.operators.aggs import (
             adjacency_matrix_index,

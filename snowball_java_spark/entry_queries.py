@@ -3483,6 +3483,61 @@ ORDER BY k.bucket_n_docs DESC, h.value ASC, h.rank
 """
 
 
+def _q_t_test(spark, sf_dir):
+    """ES t_test (Welch's two-sample, unpaired): is the mean doc
+    length genuinely different between two queries' match sets —
+    t statistic + Welch-Satterthwaite df from exact integer sums."""
+    from snowball_java_spark.operators.aggs import t_test_index
+
+    idx = _index_for(spark, sf_dir)
+    res = t_test_index(
+        spark, idx,
+        [{"pair_id": 0, "a_terms": MIXED_TERMS, "b_terms": HOT_TERMS},
+         {"pair_id": 1, "a_terms": HOT_TERMS, "b_terms": RARE_TERMS}],
+        value_col="dl", cfg=_INDEX_CFG)
+    return res.select(
+        F.col("pair_id").cast("long").alias("pair_id"),
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("df", 6).alias("df"))
+
+
+def _t_test_sql(pairs: list[tuple[list[str], list[str]]]) -> str:
+    def stats(alias: str, terms: list[str]) -> str:
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return (
+            f"(SELECT count(*)::BIGINT AS n, sum(dl.dl)::DOUBLE AS s, "
+            f"sum(dl.dl * dl.dl)::DOUBLE AS ss "
+            f"FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl})) m "
+            f"JOIN dl ON m.doc_id = dl.doc_id) {alias}")
+
+    unions = []
+    for pid, (a_terms, b_terms) in enumerate(pairs):
+        unions.append(f"""
+SELECT {pid}::BIGINT AS pair_id, a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n, 6) AS mean_a, round(b.s / b.n, 6) AS mean_b,
+       round((a.s / a.n - b.s / b.n)
+             / sqrt(greatest((a.ss - a.n * (a.s/a.n)^2) / (a.n - 1), 0)
+                      / a.n
+                    + greatest((b.ss - b.n * (b.s/b.n)^2) / (b.n - 1), 0)
+                      / b.n), 6) AS t_stat,
+       round(pow(greatest((a.ss - a.n * (a.s/a.n)^2) / (a.n - 1), 0)/a.n
+                 + greatest((b.ss - b.n * (b.s/b.n)^2) / (b.n - 1), 0)
+                   /b.n, 2)
+             / (pow(greatest((a.ss - a.n * (a.s/a.n)^2) / (a.n - 1), 0)
+                    /a.n, 2) / (a.n - 1)
+                + pow(greatest((b.ss - b.n * (b.s/b.n)^2) / (b.n - 1), 0)
+                      /b.n, 2) / (b.n - 1)), 6) AS df
+FROM {stats('a', a_terms)}, {stats('b', b_terms)}""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY pair_id
+"""
+
+
 _PCT_RANK_VALUES = [64.0, 128.0, 256.0]
 
 
@@ -6121,6 +6176,11 @@ FROM g
                 [(MIXED_TERMS, HOT_TERMS), (HOT_TERMS, None)],
                 _NEG_BOOST, 10),
         ),
+        "t_test_dl": Q(
+            _q_t_test,
+            _t_test_sql([(MIXED_TERMS, HOT_TERMS),
+                         (HOT_TERMS, RARE_TERMS)]),
+        ),
         "percentile_ranks_dl": Q(
             _q_percentile_ranks,
             _percentile_ranks_sql([MIXED_TERMS, HOT_TERMS],
@@ -6466,8 +6526,8 @@ _DRIVER_PRIORITY = [
     # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
     # facet_histogram_bucket_ops, bm25_boosting_topk,
     # extended_stats_dl, multi_terms_buckets, bm25_span_first_topk,
-    # percentile_ranks_dl, weighted_avg_dl
-    # (19 + 21 = 40 — fits round 5's 50-slot budget with room for
+    # percentile_ranks_dl, weighted_avg_dl, t_test_dl
+    # (19 + 22 = 41 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

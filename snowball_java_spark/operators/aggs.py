@@ -1206,3 +1206,90 @@ def weighted_avg_matches_index(
                    / F.col("_w").cast("double")).alias("weighted_avg"))
         .orderBy("query_id")
     )
+
+
+def t_test_index(
+    spark: SparkSession,
+    index,
+    pairs: list[dict],
+    value_col: str,
+    cfg=None,
+    doc_filter=None,
+) -> DataFrame:
+    """ES ``t_test`` (unpaired heteroscedastic = Welch's two-sample):
+    is the metadata column's mean genuinely different between two term
+    queries' match sets?  Each pair dict: ``{"pair_id": int,
+    "a_terms": [...], "b_terms": [...]}`` (full terms-query dicts via
+    ``a``/``b`` keys also accepted).
+
+    Output: (pair_id, n_a, n_b, mean_a, mean_b, t_stat, df) — the
+    Welch statistic and Welch–Satterthwaite degrees of freedom, NULL
+    when either side has < 2 docs or both variances are 0.  ES reports
+    the two-tailed p-value; the (t, df) pair determines it exactly and
+    — unlike a t-distribution CDF — derives bit-identically in any
+    engine from exact integer sufficient statistics (n, Σx, Σx² per
+    side; sample variance, ddof=1).
+
+    Scale shape: ONE combined match pass for every pair's two sides
+    (query_ids 2i / 2i+1), one map-side-combinable aggregation, then a
+    pair_id self-join over the ≤ 2·|pairs| aggregated rows."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    queries = []
+    for p in pairs:
+        pid = int(p["pair_id"])
+        a = p.get("a") or {"terms": p["a_terms"]}
+        b = p.get("b") or {"terms": p["b_terms"]}
+        queries.append({**a, "query_id": 2 * pid})
+        queries.append({**b, "query_id": 2 * pid + 1})
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
+    meta = index.docs(spark).select("doc_id", value_col)
+    x = F.col(value_col).cast("long")
+    g = (
+        match.join(meta, "doc_id")
+        .filter(F.col(value_col).isNotNull())
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"), F.sum(x).alias("s"),
+             F.sum(x * x).alias("ss"))
+    )
+    pid = (F.col("query_id") / 2).cast("int").alias("pair_id")
+    a = g.filter(F.col("query_id") % 2 == 0).select(
+        pid, F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"))
+    b = g.filter(F.col("query_id") % 2 == 1).select(
+        pid, F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"))
+    pids = spark.createDataFrame(
+        [(int(p["pair_id"]),) for p in pairs], "pair_id int")
+    j = (pids.join(a, "pair_id", "left").join(b, "pair_id", "left")
+         .fillna(0, subset=["n_a", "n_b"]))
+
+    def side(n, s, ss):
+        nn = F.col(n).cast("double")
+        mean = F.col(s).cast("double") / nn
+        # sample variance (ddof=1), clamped >= 0 against cancellation
+        var = F.greatest(
+            (F.col(ss).cast("double") - nn * mean * mean) / (nn - 1.0),
+            F.lit(0.0))
+        return nn, mean, var
+
+    na, ma, va = side("n_a", "s_a", "ss_a")
+    nb, mb, vb = side("n_b", "s_b", "ss_b")
+    se2 = va / na + vb / nb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dfree = F.when(ok, se2 * se2 / (
+        (va / na) * (va / na) / (na - 1.0)
+        + (vb / nb) * (vb / nb) / (nb - 1.0)))
+    return (
+        j.select(
+            "pair_id", "n_a", "n_b",
+            F.when(F.col("n_a") > 0, ma).alias("mean_a"),
+            F.when(F.col("n_b") > 0, mb).alias("mean_b"),
+            t.alias("t_stat"), dfree.alias("df"))
+        .orderBy("pair_id")
+    )

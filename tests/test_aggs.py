@@ -877,3 +877,36 @@ def test_percentile_ranks_and_weighted_avg(spark, index, toks):
     assert wgot[0]["n_docs"] == len(match)
     assert wgot[0]["weighted_avg"] == pytest.approx(want_wa, rel=1e-12)
     assert wgot[1]["n_docs"] == 0 and wgot[1]["weighted_avg"] is None
+
+
+def test_t_test_matches_scipy_style_truth(spark, index, toks):
+    import numpy as np
+
+    from snowball_java_spark.operators.aggs import t_test_index
+
+    got = {r["pair_id"]: r for r in t_test_index(
+        spark, index,
+        [{"pair_id": 0, "a_terms": ["def", "return"],
+          "b_terms": ["read_client_43"]},
+         {"pair_id": 1, "a_terms": ["def"],
+          "b_terms": ["zzz_no_such_term"]}],
+        value_col="dl", cfg=CFG).collect()}
+    a = np.array([len(ts) for ts in toks.values()
+                  if {"def", "return"} & set(ts)], dtype=float)
+    b = np.array([len(toks[d]) for d, ts in toks.items()
+                  if "read_client_43" in ts], dtype=float)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / a.size + vb / b.size
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2 ** 2 / ((va / a.size) ** 2 / (a.size - 1)
+                     + (vb / b.size) ** 2 / (b.size - 1))
+    r = got[0]
+    assert (r["n_a"], r["n_b"]) == (a.size, b.size)
+    assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert r["df"] == pytest.approx(df, rel=1e-9)
+    # one empty side: stats NULL, pair still present
+    r1 = got[1]
+    assert r1["n_b"] == 0 and r1["t_stat"] is None and r1["df"] is None
+    assert r1["mean_a"] is not None and r1["mean_b"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        t_test_index(spark, index, [], "dl", cfg=CFG)
