@@ -6480,7 +6480,7 @@ FROM events GROUP BY 1, 2
 #: names — mostly index-path twins whose sibling gate IS verified this
 #: round — are queued for the round-5 rotation (listed at the bottom).
 #: Every gate keeps its oracle — order is the ONLY thing this changes;
-#: the local replica (tests/test_entry.py) still checks all 135 names
+#: the local replica (tests/test_entry.py) still checks ALL names
 #: every run.
 _DRIVER_PRIORITY = [
     # --- r3 gates with no driver row in r1–r3 (22) ---
