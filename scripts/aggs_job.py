@@ -441,17 +441,24 @@ def main(argv: list[str]) -> int:
             for i in range(0, len(qs), 2)]
         tt = t_test_index(
             spark, idx, t_pairs, value_col=args.t_test, cfg=idx.cfg)
-        if args.out:
-            tt.write.mode("overwrite").parquet(
-                args.out.rstrip("/") + "_t_test")
-            print(json.dumps({"kind": "t_test",
-                              "out": args.out.rstrip("/") + "_t_test"}))
+        # carry the CALLER's query ids on the frame so parquet output
+        # stays reconnectable to the input queries (same contract as
+        # every other agg's remap)
+        if all(isinstance(v, int) and not isinstance(v, bool)
+               for v in orig_ids.values()):
+            typ, ids = "long", orig_ids
         else:
-            for r in tt.collect():
-                d = r.asDict()
-                d["query_id_a"] = orig_ids[2 * d["pair_id"]]
-                d["query_id_b"] = orig_ids[2 * d["pair_id"] + 1]
-                print(json.dumps({"kind": "t_test", **d}))
+            typ, ids = "string", {k: str(v) for k, v in orig_ids.items()}
+        ma = F.create_map(*[F.lit(x) for i in range(0, len(qs), 2)
+                            for x in (i // 2, ids[i])])
+        mb = F.create_map(*[F.lit(x) for i in range(0, len(qs), 2)
+                            for x in (i // 2, ids[i + 1])])
+        tt = tt.select(
+            "pair_id",
+            ma[F.col("pair_id")].cast(typ).alias("query_id_a"),
+            mb[F.col("pair_id")].cast(typ).alias("query_id_b"),
+            "n_a", "n_b", "mean_a", "mean_b", "t_stat", "df")
+        emit("t_test", tt)
     if args.adjacency:
         from snowball_java_spark.operators.aggs import (
             adjacency_matrix_index,

@@ -1132,7 +1132,7 @@ def percentile_ranks_matches_index(
 
     if not values:
         raise ValueError("values must be non-empty")
-    vs = sorted(float(v) for v in values)
+    vs = sorted({float(v) for v in values})
     match = matching_docs_index(
         spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
         synonyms=synonyms)
@@ -1184,8 +1184,16 @@ def weighted_avg_matches_index(
         spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
         synonyms=synonyms)
     meta = index.docs(spark).select("doc_id", value_col, weight_col)
-    v = F.col(value_col).cast("long")
-    w = F.col(weight_col).cast("long")
+    # integral columns sum as exact 64-bit integers; float columns sum
+    # as double (a long cast would silently TRUNCATE, e.g. a [0, 1)
+    # quality score to all-zeros)
+    integral = {"byte", "short", "integer", "long"}
+    types = {f.name: f.dataType.typeName() for f in meta.schema.fields}
+    exact = (types[value_col] in integral
+             and types[weight_col] in integral)
+    num = "long" if exact else "double"
+    v = F.col(value_col).cast(num)
+    w = F.col(weight_col).cast(num)
     g = (
         match.join(meta, "doc_id")
         .filter(F.col(value_col).isNotNull()
@@ -1215,6 +1223,7 @@ def t_test_index(
     value_col: str,
     cfg=None,
     doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """ES ``t_test`` (unpaired heteroscedastic = Welch's two-sample):
     is the metadata column's mean genuinely different between two term
@@ -1241,12 +1250,18 @@ def t_test_index(
     queries = []
     for p in pairs:
         pid = int(p["pair_id"])
+        if pid < 0:
+            # the 2i/2i+1 encoding breaks under sign-following % and
+            # toward-zero integer division — refuse rather than bin the
+            # sides into the wrong pair
+            raise ValueError(f"pair_id must be >= 0, got {pid}")
         a = p.get("a") or {"terms": p["a_terms"]}
         b = p.get("b") or {"terms": p["b_terms"]}
         queries.append({**a, "query_id": 2 * pid})
         queries.append({**b, "query_id": 2 * pid + 1})
     match = matching_docs_index(
-        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter)
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
     meta = index.docs(spark).select("doc_id", value_col)
     x = F.col(value_col).cast("long")
     g = (
