@@ -141,6 +141,26 @@ def main(argv: list[str]) -> int:
                    help="ES adjacency_matrix: pairwise intersection "
                         "counts of the queries' match sets (diagonal = "
                         "per-query match count)")
+    p.add_argument("--boxplot", default=None, metavar="COL[:WHISKER]",
+                   help="ES boxplot: exact five-number summary + Tukey "
+                        "whiskers (closest observed values inside the "
+                        "WHISKER·IQR fences, default 1.5) of a numeric "
+                        "metadata column over each match set (e.g. dl "
+                        "or dl:3)")
+    p.add_argument("--mad", default=None, metavar="COL",
+                   help="ES median_absolute_deviation (exact): median "
+                        "of |value − median| of a numeric metadata "
+                        "column over each match set")
+    p.add_argument("--string-stats", default=None, metavar="COL",
+                   help="ES string_stats: length stats + Shannon "
+                        "entropy of the character distribution of a "
+                        "string metadata column over each match set")
+    p.add_argument("--filters", default=None,
+                   metavar="NAME=T1|T2[,NAME2=…]",
+                   help="ES filters aggregation: named terms-"
+                        "disjunction buckets counted inside each match "
+                        "set, plus an _other_ bucket (e.g. "
+                        "defs=def|class,flow=if|return)")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
@@ -150,14 +170,16 @@ def main(argv: list[str]) -> int:
                 args.matrix_stats, args.diversify, args.adjacency,
                 args.extended_stats, args.multi_terms,
                 args.percentile_ranks, args.weighted_avg,
-                args.t_test]):
+                args.t_test, args.boxplot, args.mad,
+                args.string_stats, args.filters]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
                          "--cardinality/--percentiles/--matrix-stats/"
                          "--diversify/--adjacency/--extended-stats/"
                          "--multi-terms/--percentile-ranks/"
-                         "--weighted-avg/--t-test")
+                         "--weighted-avg/--t-test/--boxplot/--mad/"
+                         "--string-stats/--filters")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -484,6 +506,48 @@ def main(argv: list[str]) -> int:
         matches = matching_docs_index(spark, idx, qs, cfg=idx.cfg)
         emit("matrix_stats", matrix_stats(
             matches, docs_df.select("doc_id", *cols), cols))
+    if args.boxplot:
+        from snowball_java_spark.operators.aggs import (
+            boxplot_matches_index,
+        )
+
+        col, _, wk = args.boxplot.partition(":")
+        try:
+            emit("boxplot", boxplot_matches_index(
+                spark, idx, qs, value_col=col,
+                whisker=float(wk) if wk else 1.5, cfg=idx.cfg))
+        except ValueError as e:
+            raise SystemExit(f"--boxplot: {e}")
+    if args.mad:
+        from snowball_java_spark.operators.aggs import mad_matches_index
+
+        emit("mad", mad_matches_index(
+            spark, idx, qs, value_col=args.mad, cfg=idx.cfg))
+    if args.string_stats:
+        from snowball_java_spark.operators.aggs import (
+            string_stats_matches_index,
+        )
+
+        emit("string_stats", string_stats_matches_index(
+            spark, idx, qs, value_col=args.string_stats, cfg=idx.cfg))
+    if args.filters:
+        from snowball_java_spark.operators.aggs import (
+            filters_matches_index,
+        )
+
+        buckets: dict[str, list[str]] = {}
+        for part in args.filters.split(","):
+            nm, eq, ts = part.partition("=")
+            if not eq or not nm.strip():
+                raise SystemExit(
+                    "--filters wants NAME=T1|T2[,NAME2=…], e.g. "
+                    "defs=def|class,flow=if|return")
+            buckets[nm.strip()] = [t for t in ts.split("|") if t.strip()]
+        try:
+            emit("filters", filters_matches_index(
+                spark, idx, qs, buckets, cfg=idx.cfg))
+        except ValueError as e:
+            raise SystemExit(f"--filters: {e}")
     spark.stop()
     return 0
 

@@ -3791,6 +3791,199 @@ SELECT * FROM ({u}) ORDER BY query_id, rank
 """
 
 
+_BOX_WHISKER = 1.5
+
+
+def _q_boxplot(spark, sf_dir):
+    """ES boxplot: exact five-number summary + Tukey whiskers (closest
+    observed values inside the 1.5-IQR fences) of the stored doc length
+    over each query's match set."""
+    from snowball_java_spark.operators.aggs import boxplot_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = boxplot_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        value_col="dl", whisker=_BOX_WHISKER, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_docs", "min", "max",
+        F.round("q1", 6).alias("q1"), F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        F.round("lower", 6).alias("lower"),
+        F.round("upper", 6).alias("upper"))
+
+
+def _boxplot_sql(term_sets: list[list[str]], whisker: float) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        m = f"(SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl}))"
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, s.n_docs, s.min, s.max,
+       round(s.q1, 6) AS q1, round(s.q2, 6) AS q2, round(s.q3, 6) AS q3,
+       round((SELECT min(dl.dl)::DOUBLE FROM {m} m2
+              JOIN dl ON m2.doc_id = dl.doc_id
+              WHERE dl.dl >= s.q1 - {whisker} * (s.q3 - s.q1)), 6)
+         AS lower,
+       round((SELECT max(dl.dl)::DOUBLE FROM {m} m3
+              JOIN dl ON m3.doc_id = dl.doc_id
+              WHERE dl.dl <= s.q3 + {whisker} * (s.q3 - s.q1)), 6)
+         AS upper
+FROM (SELECT count(*)::BIGINT AS n_docs,
+             min(dl.dl)::DOUBLE AS min, max(dl.dl)::DOUBLE AS max,
+             quantile_cont(dl.dl, 0.25) AS q1,
+             quantile_cont(dl.dl, 0.5) AS q2,
+             quantile_cont(dl.dl, 0.75) AS q3
+      FROM {m} m JOIN dl ON m.doc_id = dl.doc_id) s""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id
+"""
+
+
+def _q_mad(spark, sf_dir):
+    """ES median_absolute_deviation: exact median of |dl - median(dl)|
+    over each query's match set — the robust dispersion companion of
+    the percentiles gate."""
+    from snowball_java_spark.operators.aggs import mad_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = mad_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        value_col="dl", cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_docs", F.round("median", 6).alias("median"),
+        F.round("mad", 6).alias("mad"))
+
+
+def _mad_sql(term_sets: list[list[str]]) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        m = f"(SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl}))"
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(dl.dl, 0.5), 6) AS median,
+       round(quantile_cont(abs(dl.dl - (
+           SELECT quantile_cont(dl.dl, 0.5) FROM {m} mm
+           JOIN dl ON mm.doc_id = dl.doc_id)), 0.5), 6) AS mad
+FROM {m} m JOIN dl ON m.doc_id = dl.doc_id""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id
+"""
+
+
+def _q_string_stats(spark, sf_dir):
+    """ES string_stats: length stats + canonical-order Shannon entropy
+    of the character distribution of the source field over each query's
+    match set (the gate index stores documents.source as repo)."""
+    from snowball_java_spark.operators.aggs import string_stats_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = string_stats_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        value_col="repo", cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_values",
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"))
+
+
+def _string_stats_sql(term_sets: list[list[str]]) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        m = f"(SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl}))"
+        # entropy: exact per-char counts folded in canonical char order
+        # (list ORDER BY ch + left fold) — the same defined float
+        # sequence the engine uses, so the bits agree
+        ent = f"""(
+  SELECT round(-list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(arr,
+               x -> (x::DOUBLE / n) * log2(x::DOUBLE / n))),
+           (a, b) -> a + b), 6)
+  FROM (SELECT list(c ORDER BY ch) AS arr, sum(c)::DOUBLE AS n
+        FROM (SELECT ch, count(*)::BIGINT AS c
+              FROM (SELECT unnest(string_split(d2.source, '')) AS ch
+                    FROM {m} m2
+                    JOIN documents d2 ON m2.doc_id = d2.doc_id)
+              GROUP BY 1)))"""
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, count(*)::BIGINT AS n_values,
+       min(length(d.source))::BIGINT AS min_length,
+       max(length(d.source))::BIGINT AS max_length,
+       round(sum(length(d.source))::DOUBLE / count(*), 6) AS avg_length,
+       {ent} AS entropy
+FROM {m} m JOIN documents d ON m.doc_id = d.doc_id""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id
+"""
+
+
+_FILTER_BUCKETS = {"hot": HOT_TERMS, "rare": RARE_TERMS}
+
+
+def _q_filters_agg(spark, sf_dir):
+    """ES filters aggregation: named terms-disjunction buckets (plus
+    the _other_ bucket) counted inside each query's match set — buckets
+    overlap freely, every (query, bucket) pair zero-filled."""
+    from snowball_java_spark.operators.aggs import filters_matches_index
+
+    idx = _index_for(spark, sf_dir)
+    res = filters_matches_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        _FILTER_BUCKETS, other_bucket=True, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "bucket", "n_docs")
+
+
+def _filters_agg_sql(term_sets: list[list[str]],
+                     filters: dict[str, list[str]]) -> str:
+    all_f = sorted({t for ts in filters.values() for t in ts})
+    all_tl = ", ".join(f"'{t}'" for t in all_f)
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        m = f"(SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl}))"
+        for nm in sorted(filters):
+            ftl = ", ".join(f"'{t}'" for t in sorted(set(filters[nm])))
+            unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, '{nm}' AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM {m} m
+JOIN (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({ftl})) f
+  ON m.doc_id = f.doc_id""")
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id, '_other_' AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM {m} m
+WHERE m.doc_id NOT IN (SELECT doc_id FROM tfx WHERE term IN ({all_tl}))""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id, bucket
+"""
+
+
 _NEG_BOOST = 0.3
 
 
@@ -6203,6 +6396,22 @@ FROM g
             _q_multi_terms,
             _multi_terms_sql([MIXED_TERMS, HOT_TERMS], _MTERMS_N),
         ),
+        "boxplot_dl": Q(
+            _q_boxplot,
+            _boxplot_sql([MIXED_TERMS, HOT_TERMS], _BOX_WHISKER),
+        ),
+        "mad_dl": Q(
+            _q_mad,
+            _mad_sql([MIXED_TERMS, HOT_TERMS]),
+        ),
+        "string_stats_source": Q(
+            _q_string_stats,
+            _string_stats_sql([MIXED_TERMS, HOT_TERMS]),
+        ),
+        "filters_agg": Q(
+            _q_filters_agg,
+            _filters_agg_sql([MIXED_TERMS, HOT_TERMS], _FILTER_BUCKETS),
+        ),
         "percolate_matches": Q(_q_percolate, _percolate_sql(_PERC_QUERIES)),
         "bm25_rescore_topk": Q(
             _q_rescore,
@@ -6526,8 +6735,9 @@ _DRIVER_PRIORITY = [
     # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
     # facet_histogram_bucket_ops, bm25_boosting_topk,
     # extended_stats_dl, multi_terms_buckets, bm25_span_first_topk,
-    # percentile_ranks_dl, weighted_avg_dl, t_test_dl
-    # (19 + 22 = 41 — fits round 5's 50-slot budget with room for
+    # percentile_ranks_dl, weighted_avg_dl, t_test_dl, boxplot_dl,
+    # mad_dl, string_stats_source, filters_agg
+    # (19 + 26 = 45 — fits round 5's 50-slot budget with room for
     # final-code sentinel re-proofs).
 ]
 

@@ -1308,3 +1308,315 @@ def t_test_index(
             t.alias("t_stat"), dfree.alias("df"))
         .orderBy("pair_id")
     )
+
+
+def boxplot_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    whisker: float = 1.5,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``boxplot`` aggregation: per query, the five-number summary of
+    a numeric metadata field over the matching docs plus Tukey whiskers —
+    (query_id, n_docs, min, max, q1, q2, q3, lower, upper), ordered by
+    query_id.  ``lower``/``upper`` are the closest OBSERVED values inside
+    the ``whisker``·IQR fences (ES's boxplot contract: whiskers sit on
+    data points, never on the fence itself).
+
+    Determinism: quartiles are exact linear-interpolated quantiles
+    (index p·(n−1), the same scheme DuckDB's ``quantile_cont`` uses);
+    over integral fields every quartile is an exact dyadic float, the
+    fences (q ± whisker·IQR) are computed with one canonical expression,
+    and the whisker min/max are conditional aggregates over exact
+    values — any engine computes the identical bits.  ES's own boxplot
+    is TDigest-approximate; the exact form is this engine's oracle-
+    comparable analog (same trade as ``percentiles exact=True``).
+
+    Scale shape: match set from postings decode; metadata join reads
+    only (doc_id, value_col); pass 1 is ONE sort-based quantile
+    aggregation per query, pass 2 re-aggregates the same cached-size
+    relation against the broadcast per-query fences.  Exact quantiles
+    sort each query's value multiset on one reducer — fine for match
+    sets, the scale path is ``percentiles_matches_index(exact=False)``.
+    """
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if whisker < 0:
+        raise ValueError(f"whisker must be >= 0, got {whisker}")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    vals = (
+        match.join(index.docs(spark).select("doc_id", value_col), "doc_id")
+        .select("query_id", F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    qt = (
+        vals.groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("_v").alias("min"), F.max("_v").alias("max"),
+             F.percentile(
+                 "_v",
+                 F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_q"))
+        .select("query_id", "n_docs", "min", "max",
+                F.col("_q")[0].alias("q1"), F.col("_q")[1].alias("q2"),
+                F.col("_q")[2].alias("q3"))
+    )
+    w = float(whisker)
+    lo_fence = F.col("q1") - F.lit(w) * (F.col("q3") - F.col("q1"))
+    hi_fence = F.col("q3") + F.lit(w) * (F.col("q3") - F.col("q1"))
+    fences = qt.select("query_id", lo_fence.alias("_lo"),
+                       hi_fence.alias("_hi"))
+    # per-query fences are ≤ |queries| rows — broadcast them into the
+    # second pass so pass 2 is a map-side join + one aggregation
+    whisk = (
+        vals.join(F.broadcast(fences), "query_id")
+        .groupBy("query_id")
+        .agg(F.min(F.when(F.col("_v") >= F.col("_lo"), F.col("_v")))
+             .alias("lower"),
+             F.max(F.when(F.col("_v") <= F.col("_hi"), F.col("_v")))
+             .alias("upper"))
+    )
+    # no-match queries zero-fill (n_docs 0, null stats) — same contract
+    # as extended_stats/percentiles in this module
+    qids = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    return (
+        qids.join(qt, "query_id", "left").join(whisk, "query_id", "left")
+        .fillna(0, subset=["n_docs"])
+        .select("query_id", "n_docs", "min", "max", "q1", "q2", "q3",
+                "lower", "upper")
+        .orderBy("query_id")
+    )
+
+
+def mad_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` aggregation: per query, the
+    median of each matching doc's absolute deviation from the match
+    set's median of a numeric metadata field — (query_id, n_docs,
+    median, mad), ordered by query_id.  The robust dispersion measure
+    ES pairs with ``percentiles``; a no-match query keeps its row with
+    n_docs 0 and null stats.
+
+    Determinism: both medians are exact linear-interpolated quantiles
+    (DuckDB ``quantile_cont`` scheme); over integral fields the first
+    median is dyadic-exact, the deviations |v − median| are exact, and
+    the second median is again dyadic-exact — identical bits on any
+    engine.  ES's own MAD is TDigest-approximate; this is the exact
+    oracle-comparable analog (same trade as ``percentiles
+    exact=True``).
+
+    Scale shape: match set from postings decode; metadata join reads
+    only (doc_id, value_col); two quantile passes over the SAME
+    match-sized relation, the per-query medians broadcast between them.
+    """
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    vals = (
+        match.join(index.docs(spark).select("doc_id", value_col), "doc_id")
+        .select("query_id", F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    med = (
+        vals.groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.percentile("_v", F.lit(0.5)).alias("median"))
+    )
+    mad = (
+        vals.join(F.broadcast(med.select("query_id", "median")), "query_id")
+        .groupBy("query_id")
+        .agg(F.percentile(F.abs(F.col("_v") - F.col("median")),
+                          F.lit(0.5)).alias("mad"))
+    )
+    qids = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    return (
+        qids.join(med, "query_id", "left").join(mad, "query_id", "left")
+        .fillna(0, subset=["n_docs"])
+        .select("query_id", "n_docs", "median", "mad")
+        .orderBy("query_id")
+    )
+
+
+def string_stats_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    value_col: str,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``string_stats`` aggregation: per query, length statistics and
+    the Shannon entropy of the CHARACTER distribution of a string
+    metadata field over the matching docs — (query_id, n_values,
+    min_length, max_length, avg_length, entropy), ordered by query_id.
+    NULL field values are skipped (ES contract); a query matching
+    nothing keeps its row with n_values 0 and null stats; empty strings
+    count as values of length 0 and contribute no characters.
+
+    Determinism: lengths aggregate as exact integers; entropy is
+    −Σ p·log2(p) over per-character EXACT integer counts, folded in
+    canonical character order (array_sort + left fold), so the float
+    additions happen in one defined sequence — any engine computes the
+    identical bits, unlike a distributed SUM whose accumulation order
+    is partition-dependent.
+
+    Scale shape: match set from postings decode; metadata join reads
+    only (doc_id, value_col); the character explode is bounded by match
+    set × field length (a metadata field, not document content); counts
+    map-side combine to (query, char) cardinality — alphabet-sized per
+    query — before the canonical fold."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    vals = (
+        match.join(index.docs(spark).select("doc_id", value_col), "doc_id")
+        .select("query_id", F.col(value_col).cast("string").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+    )
+    lens = (
+        vals.groupBy("query_id")
+        .agg(F.count("*").alias("n_values"),
+             F.min(F.length("_s")).alias("min_length"),
+             F.max(F.length("_s")).alias("max_length"),
+             F.sum(F.length("_s")).alias("_len_sum"))
+    )
+    # split("", -1) appends one empty trailing element (Java split
+    # semantics) — drop it; DuckDB's string_split never emits it
+    chars = (
+        vals.select("query_id", F.explode(F.split("_s", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("query_id", "ch").agg(F.count("*").alias("c"))
+    ent = (
+        counts.groupBy("query_id")
+        .agg(F.sum("c").alias("_n"),
+             F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("_arr"))
+        .select(
+            "query_id",
+            (-F.aggregate(
+                "_arr", F.lit(0.0),
+                lambda acc, x: acc + (x["c"].cast("double") / F.col("_n")
+                                      .cast("double"))
+                * F.log2(x["c"].cast("double") / F.col("_n")
+                         .cast("double")))).alias("entropy"))
+    )
+    qids = spark.createDataFrame(
+        [(int(q["query_id"]),) for q in queries], "query_id int")
+    return (
+        qids.join(lens, "query_id", "left").join(ent, "query_id", "left")
+        .fillna(0, subset=["n_values"])
+        .select(
+            "query_id", "n_values", "min_length", "max_length",
+            (F.col("_len_sum").cast("double")
+             / F.col("n_values").cast("double")).alias("avg_length"),
+            # all-empty-string match sets have characters=0: ES reports
+            # entropy 0.0 (not null) whenever values exist
+            F.when(F.col("n_values") > 0,
+                   F.coalesce("entropy", F.lit(0.0))).alias("entropy"))
+        .orderBy("query_id")
+    )
+
+
+def filters_matches_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    filters: dict[str, list[str]],
+    other_bucket: bool = True,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``filters`` aggregation: per query, NAMED buckets counting the
+    match-set docs that also satisfy each named terms-disjunction —
+    (query_id, bucket, n_docs), ordered (query_id, bucket).  With
+    ``other_bucket`` (ES ``other_bucket_key``), an ``_other_`` bucket
+    counts match-set docs satisfying NONE of the named filters.  Every
+    (query, bucket) pair is zero-filled — a vanished bucket reads as a
+    lost filter, not an empty one.  Buckets overlap freely (a doc
+    containing terms of two filters counts in both), exactly like ES.
+
+    Scale shape: the named filters run as ONE batched postings decode
+    (they are queries to the same index), then each bucket count is a
+    broadcast-safe semi-join of two doc-id sets followed by a map-side
+    combinable count — no content scan, no per-filter index pass."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if not filters:
+        raise ValueError("filters must name at least one bucket")
+    names = sorted(filters)
+    if other_bucket and "_other_" in names:
+        raise ValueError(
+            "bucket name '_other_' is reserved for other_bucket")
+    for nm, ts in filters.items():
+        if not ts:
+            raise ValueError(f"filter bucket {nm!r} has no terms")
+    cfg = cfg or DEFAULT
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms)
+    # one batched decode for ALL named filters: filter i ↦ synthetic
+    # query id i in `names` order
+    fq = [{"query_id": i, "terms": list(filters[nm])}
+          for i, nm in enumerate(names)]
+    fmatch = matching_docs_index(
+        spark, index, fq, cfg=cfg, doc_filter=doc_filter
+    ).select(F.col("query_id").alias("_f"), "doc_id")
+    hits = (
+        match.join(fmatch, "doc_id")
+        .groupBy("query_id", "_f")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    name_df = spark.createDataFrame(
+        [(i, nm) for i, nm in enumerate(names)], "_f int, bucket string")
+    shell = spark.createDataFrame(
+        [(int(q["query_id"]), i) for q in queries
+         for i in range(len(names))],
+        "query_id int, _f int")
+    out = (
+        shell.join(hits, ["query_id", "_f"], "left")
+        .join(F.broadcast(name_df), "_f")
+        .fillna(0, subset=["n_docs"])
+        .select("query_id", "bucket", "n_docs")
+    )
+    if other_bucket:
+        matched_any = (
+            match.join(fmatch.select("doc_id").distinct(), "doc_id",
+                       "left_semi")
+            .groupBy("query_id").agg(F.count("*").alias("_hit"))
+        )
+        totals = match.groupBy("query_id").agg(F.count("*").alias("_tot"))
+        qids = spark.createDataFrame(
+            [(int(q["query_id"]),) for q in queries], "query_id int")
+        other = (
+            qids.join(totals, "query_id", "left")
+            .join(matched_any, "query_id", "left")
+            .fillna(0, subset=["_tot", "_hit"])
+            .select("query_id", F.lit("_other_").alias("bucket"),
+                    (F.col("_tot") - F.col("_hit")).alias("n_docs"))
+        )
+        out = out.unionByName(other)
+    return out.orderBy("query_id", "bucket")

@@ -910,3 +910,125 @@ def test_t_test_matches_scipy_style_truth(spark, index, toks):
     assert r1["mean_a"] is not None and r1["mean_b"] is None
     with pytest.raises(ValueError, match="non-empty"):
         t_test_index(spark, index, [], "dl", cfg=CFG)
+
+
+def test_boxplot_matches_numpy(spark, index, toks):
+    import numpy as np
+
+    from snowball_java_spark.operators.aggs import boxplot_matches_index
+
+    got = {r["query_id"]: r for r in boxplot_matches_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def", "return"]},
+         {"query_id": 1, "terms": ["zzz_no_such_term"]}],
+        value_col="dl", whisker=1.5, cfg=CFG).collect()}
+    dls = np.array(sorted(len(ts) for ts in
+                          (toks[d] for d, t in toks.items()
+                           if {"def", "return"} & set(t))), dtype=float)
+    q1, q2, q3 = np.quantile(dls, [0.25, 0.5, 0.75])
+    iqr = q3 - q1
+    r = got[0]
+    assert r["n_docs"] == len(dls)
+    assert (r["min"], r["max"]) == (dls.min(), dls.max())
+    assert r["q1"] == pytest.approx(q1, rel=1e-12)
+    assert r["q2"] == pytest.approx(q2, rel=1e-12)
+    assert r["q3"] == pytest.approx(q3, rel=1e-12)
+    assert r["lower"] == dls[dls >= q1 - 1.5 * iqr].min()
+    assert r["upper"] == dls[dls <= q3 + 1.5 * iqr].max()
+    # whiskers sit on observed values, inside the fences
+    assert r["lower"] in dls and r["upper"] in dls
+    # no-match query zero-fills, never vanishes
+    z = got[1]
+    assert z["n_docs"] == 0 and z["q2"] is None and z["lower"] is None
+    with pytest.raises(ValueError, match="whisker"):
+        boxplot_matches_index(
+            spark, index, [{"query_id": 0, "terms": ["def"]}],
+            value_col="dl", whisker=-1, cfg=CFG)
+
+
+def test_mad_matches_numpy(spark, index, toks):
+    import numpy as np
+
+    from snowball_java_spark.operators.aggs import mad_matches_index
+
+    got = {r["query_id"]: r for r in mad_matches_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def"]},
+         {"query_id": 1, "terms": ["zzz_no_such_term"]}],
+        value_col="dl", cfg=CFG).collect()}
+    dls = np.array([len(toks[d]) for d, ts in toks.items()
+                    if "def" in ts], dtype=float)
+    med = np.median(dls)
+    r = got[0]
+    assert r["n_docs"] == len(dls)
+    assert r["median"] == pytest.approx(med, rel=1e-12)
+    assert r["mad"] == pytest.approx(np.median(np.abs(dls - med)),
+                                     rel=1e-12)
+    z = got[1]
+    assert z["n_docs"] == 0 and z["median"] is None and z["mad"] is None
+
+
+def test_string_stats_matches_python(spark, index, toks, synth_docs):
+    import math
+    from collections import Counter
+
+    from snowball_java_spark.operators.aggs import (
+        string_stats_matches_index,
+    )
+
+    got = {r["query_id"]: r for r in string_stats_matches_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["def"]},
+         {"query_id": 1, "terms": ["zzz_no_such_term"]}],
+        value_col="path", cfg=CFG).collect()}
+    paths = {r["doc_id"]: r["path"]
+             for r in synth_docs.select("doc_id", "path").collect()}
+    vals = [paths[d] for d, ts in toks.items() if "def" in ts]
+    r = got[0]
+    assert r["n_values"] == len(vals)
+    assert r["min_length"] == min(len(v) for v in vals)
+    assert r["max_length"] == max(len(v) for v in vals)
+    assert r["avg_length"] == pytest.approx(
+        sum(len(v) for v in vals) / len(vals), rel=1e-12)
+    cnt = Counter("".join(vals))
+    n = sum(cnt.values())
+    want_ent = -sum((c / n) * math.log2(c / n) for _, c in sorted(cnt.items()))
+    assert r["entropy"] == pytest.approx(want_ent, rel=1e-9)
+    z = got[1]
+    assert z["n_values"] == 0 and z["entropy"] is None
+
+
+def test_filters_agg_matches_truth(spark, index, toks):
+    from snowball_java_spark.operators.aggs import filters_matches_index
+
+    filters = {"defs": ["def", "class"], "flow": ["return", "if"]}
+    got = filters_matches_index(
+        spark, index,
+        [{"query_id": 0, "terms": ["import"]},
+         {"query_id": 1, "terms": ["zzz_no_such_term"]}],
+        filters, cfg=CFG).collect()
+    match = {d for d, ts in toks.items() if "import" in ts}
+    want = {}
+    for nm, terms in filters.items():
+        want[(0, nm)] = sum(1 for d in match if set(toks[d]) & set(terms))
+        want[(1, nm)] = 0
+    any_hit = {d for d in match
+               if set(toks[d]) & {"def", "class", "return", "if"}}
+    want[(0, "_other_")] = len(match) - len(any_hit)
+    want[(1, "_other_")] = 0
+    assert {(r["query_id"], r["bucket"]): r["n_docs"] for r in got} == want
+    # ordered (query_id, bucket); every bucket zero-filled for query 1
+    assert [(r["query_id"], r["bucket"]) for r in got] == sorted(want)
+    # buckets may overlap: a doc in both filters counts twice
+    both = sum(1 for d in match
+               if set(toks[d]) & {"def", "class"}
+               and set(toks[d]) & {"return", "if"})
+    assert want[(0, "defs")] + want[(0, "flow")] >= len(any_hit) + both - 1
+    with pytest.raises(ValueError, match="at least one"):
+        filters_matches_index(spark, index,
+                              [{"query_id": 0, "terms": ["def"]}],
+                              {}, cfg=CFG)
+    with pytest.raises(ValueError, match="no terms"):
+        filters_matches_index(spark, index,
+                              [{"query_id": 0, "terms": ["def"]}],
+                              {"empty": []}, cfg=CFG)
