@@ -54,6 +54,12 @@ Query jsonl, one object per line:
          # the term (or, with "ordered" + "window", an ordered span's
          # END) must sit within the doc's first N tokens — Lucene
          # SpanFirstQuery; needs --positions at build
+    {"query_id": 21, "terms": ["table"], "exclude_terms": ["tmp"],
+     "exclude_pre": 2, "exclude_post": 2}                           # span_not:
+         # keep spans (single term, or ordered span with "ordered" +
+         # "window") whose [start-pre, end+post] zone holds NO exclude
+         # occurrence — Lucene SpanNotQuery (positional veto; the
+         # doc-level veto is "not_terms"); needs --positions at build
     {"query_id": 19, "terms": ["def"], "negative_terms": ["test"],
      "negative_boost": 0.3}                                         # ES boosting:
          # docs matching any negative term keep score x negative_boost
@@ -251,7 +257,8 @@ def main(argv: list[str]) -> int:
             if ph and str(ph[-1]).endswith("*"):
                 return "phrase_prefix"
             return "phrase"
-        if ("window" in q or "first" in q) and "terms" in q:
+        if ("window" in q or "first" in q or "exclude_terms" in q) \
+                and "terms" in q:
             return "proximity"
         if any(f"{z}_terms" in q for z in ("left", "middle", "right")):
             return "context"

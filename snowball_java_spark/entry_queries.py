@@ -684,7 +684,7 @@ def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_join(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": HOT_TERMS, "k": 10,
-          "not_terms": _NOT_TERMS}],
+          "exclude_terms": _NOT_TERMS}],
         n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
@@ -711,7 +711,7 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_join(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
-          "not_terms": parsed["not_terms"]}],
+          "exclude_terms": parsed["not_terms"]}],
         candidate_predicate=pred, n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
@@ -776,7 +776,7 @@ def _q_query_string_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_index(
         spark, idx,
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
-          "mode": parsed["mode"], "not_terms": parsed["not_terms"]}],
+          "mode": parsed["mode"], "exclude_terms": parsed["not_terms"]}],
         cfg=_INDEX_CFG, doc_filter=flt,
     )
     return res.select(
@@ -1268,7 +1268,7 @@ def _q_query_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_index(
         spark, idx,
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
-          "not_terms": parsed["not_terms"]}],
+          "exclude_terms": parsed["not_terms"]}],
         cfg=_INDEX_CFG, doc_filter=pred,
     )
     return res.select(
@@ -1568,7 +1568,7 @@ def _q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = match_counts_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         cfg=_INDEX_CFG)
     return res.select(F.col("query_id").cast("long").alias("query_id"),
                       "n_docs")
@@ -1600,7 +1600,7 @@ def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = cardinality_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         value_cols=["repo", "lang"], cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -1771,7 +1771,7 @@ def _bm25_index_topk(
 
     idx = _index_for(spark, sf_dir)
     q = {"query_id": 0, "terms": terms, "k": k, "mode": mode,
-         "not_terms": not_terms or []}
+         "exclude_terms": not_terms or []}
     if min_should_match is not None:
         q["min_should_match"] = min_should_match
     res = bm25_topk_index(
@@ -1921,7 +1921,7 @@ def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = range_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         value_col="dl", ranges=_RANGES, cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -2195,7 +2195,7 @@ def _q_composite(spark, sf_dir):
     res = composite_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": HOT_TERMS},
-         {"query_id": 1, "terms": MIXED_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": MIXED_TERMS, "exclude_terms": RARE_TERMS}],
         group_cols=["repo", "lang"], size=_COMP_SIZE, after=_COMP_AFTER,
         cfg=_INDEX_CFG)
     return res.select(
@@ -2383,7 +2383,7 @@ def _q_upsert_term_df(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BYQ_DELETE_Q = [{"terms": ["dup"]}]
-_BYQ_UPDATE_Q = [{"terms": ["key"], "not_terms": ["spark"]}]
+_BYQ_UPDATE_Q = [{"terms": ["key"], "exclude_terms": ["spark"]}]
 
 _BYQ_CTE = (
     "bdocs AS (SELECT doc_id, CASE WHEN list_contains(__T__, 'key') "
@@ -3133,7 +3133,7 @@ def _q_facet_stats(spark, sf_dir):
     res = facet_stats(
         spark, d,
         [{"query_id": 0, "terms": HOT_TERMS},
-         {"query_id": 1, "terms": RARE_TERMS, "not_terms": ["table"]}],
+         {"query_id": 1, "terms": RARE_TERMS, "exclude_terms": ["table"]}],
         stat_col="dl", facet_col="source")
     return res.select(
         "query_id", "value", "n_docs",
@@ -3288,7 +3288,7 @@ def _q_facet_histogram(spark, sf_dir):
     res = histogram_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -3343,7 +3343,7 @@ def _q_facet_histogram_pipeline(spark, sf_dir):
     buckets = histogram_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
     res = pipeline_over_buckets(buckets, window=_PIPE_WINDOW)
     return res.select(
@@ -3393,7 +3393,7 @@ def _q_percentiles_dl(spark, sf_dir):
     res = percentiles_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         value_col="dl", percents=list(_PCTS), cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -4059,7 +4059,7 @@ def _q_facet_histogram_bucket_ops(spark, sf_dir):
     buckets = histogram_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
         value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
     piped = pipeline_over_buckets(
         buckets, metrics=["serial_diff"], period=_SDIFF_PERIOD)
@@ -4443,6 +4443,263 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_RF_PIVOT = 100.0
+_RF_BOOST = 2.0
+_DF_ORIGIN = 120.0
+_DF_PIVOT = 40.0
+_DF_BOOST = 1.5
+_PINNED_IDS = [7, 3, 999999999]  # last one unknown — must drop silently
+_CS_BOOST = 1.7
+
+
+def _q_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation): BM25 + boost·dl/(dl+pivot) as an
+    additive should clause — doc length stands in for the
+    popularity/freshness feature the sf corpus lacks."""
+    from snowball_java_spark.operators.funcscore import rank_feature_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens"))
+    res = rank_feature_topk(
+        spark, d, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        field="dl", modifier="saturation", pivot=_RF_PIVOT,
+        boost=_RF_BOOST, n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _rank_feature_sql(terms: list[str], pivot: float, boost: float,
+                      k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+fs AS (SELECT sc.doc_id,
+              sc.score + {boost}::DOUBLE * dl.dl
+                / (dl.dl + {pivot}::DOUBLE) AS score
+       FROM sc JOIN dl ON sc.doc_id = dl.doc_id)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM fs
+) WHERE rank <= {k}
+"""
+
+
+def _q_distance_feature(spark, sf_dir):
+    """ES distance_feature: BM25 + boost·pivot/(pivot+|dl−origin|) —
+    docs near the origin length gain up to the full boost (the numeric
+    analog of date-recency boosting)."""
+    from snowball_java_spark.operators.funcscore import (
+        distance_feature_topk,
+    )
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    d = _docs_tok(spark, sf_dir).withColumn("dl", F.size("tokens"))
+    res = distance_feature_topk(
+        spark, d, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        field="dl", origin=_DF_ORIGIN, pivot=_DF_PIVOT, boost=_DF_BOOST,
+        n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _distance_feature_sql(terms: list[str], origin: float, pivot: float,
+                          boost: float, k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+fs AS (SELECT sc.doc_id,
+              sc.score + {boost}::DOUBLE * {pivot}::DOUBLE
+                / ({pivot}::DOUBLE + abs(dl.dl - {origin}::DOUBLE))
+                AS score
+       FROM sc JOIN dl ON sc.doc_id = dl.doc_id)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM fs
+) WHERE rank <= {k}
+"""
+
+
+def _q_pinned(spark, sf_dir):
+    """ES pinned query: listed doc_ids lead in list order (unknown ids
+    dropped, non-matching pins carry score 0.0), organic BM25 ranking
+    follows with the pins removed."""
+    from snowball_java_spark.operators.funcscore import pinned_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = pinned_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "pinned": _PINNED_IDS,
+          "k": 10}],
+        n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _pinned_sql(terms: list[str], pinned: list[int], k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    pvals = ", ".join(f"({d}, {i})" for i, d in enumerate(pinned))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+pins(doc_id, pin_pos) AS (VALUES {pvals}),
+-- unknown pins drop (ES contract); non-matching pins score 0.0
+pinned AS (
+  SELECT p.doc_id, p.pin_pos, coalesce(sc.score, 0.0) AS score
+  FROM pins p JOIN dl ON p.doc_id = dl.doc_id
+  LEFT JOIN sc ON p.doc_id = sc.doc_id),
+organic AS (
+  SELECT sc.doc_id, NULL::INTEGER AS pin_pos, sc.score
+  FROM sc WHERE sc.doc_id NOT IN (SELECT doc_id FROM pinned))
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (
+           ORDER BY (pin_pos IS NULL) ASC, pin_pos ASC,
+                    score DESC, doc_id ASC)::BIGINT AS rank
+  FROM (SELECT * FROM pinned UNION ALL SELECT * FROM organic)
+) WHERE rank <= {k}
+"""
+
+
+def _q_constant_score(spark, sf_dir):
+    """ES constant_score: every doc matching the terms disjunction
+    scores exactly the boost — relevance switched off, rank is the
+    doc_id total order."""
+    from snowball_java_spark.operators.funcscore import constant_score_topk
+
+    res = constant_score_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": RARE_TERMS, "boost": _CS_BOOST,
+          "k": 10}])
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _constant_score_sql(terms: list[str], boost: float, k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES}
+SELECT doc_id, rank, {boost}::DOUBLE AS score FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id ASC)::BIGINT AS rank
+  FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl}))
+) WHERE rank <= {k}
+"""
+
+
+_SNOT_PRE = 2
+_SNOT_POST = 2
+_SNOT_W = 6
+
+
+def _q_span_not(spark, sf_dir):
+    """Lucene SpanNotQuery over the positional sidecar: query 0 — a
+    single term with no excluded term within ±2 tokens; query 1 — an
+    ordered two-term span whose [start−1, end+3] zone holds no
+    excluded term.  Matching docs score as plain BM25."""
+    from snowball_java_spark.operators.positions import proximity_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = proximity_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": [HOT_TERMS[0]],
+          "exclude_terms": [RARE_TERMS[0]], "exclude_pre": _SNOT_PRE,
+          "exclude_post": _SNOT_POST, "k": 10},
+         {"query_id": 1, "terms": [HOT_TERMS[0], HOT_TERMS[1]],
+          "ordered": True, "window": _SNOT_W,
+          "exclude_terms": [MIXED_TERMS[0]], "exclude_pre": 1, "exclude_post": 3,
+          "k": 10}],
+        cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def _span_not_sql(t1: str, x0: str, pre0: int, post0: int,
+                  t2: str, x1: str, w: int, pre1: int, post1: int,
+                  k: int) -> str:
+    w_expr = W_SQL
+    return f"""
+WITH {BASE_CTES},
+occ AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(1, len(toks)+1)) AS p FROM toks),
+m0 AS (SELECT DISTINCT a.doc_id FROM occ a
+       WHERE a.term = '{t1}' AND NOT EXISTS (
+         SELECT 1 FROM occ x WHERE x.doc_id = a.doc_id
+           AND x.term = '{x0}'
+           AND x.p BETWEEN a.p - {pre0} AND a.p + {post0})),
+-- ordered chain a<b within w; zone [a.p-pre, b.p+post] must be clean.
+-- ANY clean chain suffices (the engine's per-anchor greedy check is
+-- equivalent: the minimal-end chain has the smallest zone)
+m1 AS (SELECT DISTINCT a.doc_id FROM occ a JOIN occ b USING (doc_id)
+       WHERE a.term = '{t2}' AND b.term = '{HOT_TERMS[1]}'
+         AND b.p > a.p AND b.p - a.p <= {w}
+         AND NOT EXISTS (
+           SELECT 1 FROM occ x WHERE x.doc_id = a.doc_id
+             AND x.term = '{x1}'
+             AND x.p BETWEEN a.p - {pre1} AND b.p + {post1})),
+s0 AS (
+  SELECT tfx.doc_id, sum({w_expr}) AS score
+  FROM tfx JOIN m0 USING (doc_id)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  WHERE tfx.term = '{t1}' GROUP BY 1),
+s1 AS (
+  SELECT tfx.doc_id, sum({w_expr}) AS score
+  FROM tfx JOIN m1 USING (doc_id)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  WHERE tfx.term IN ('{t2}', '{HOT_TERMS[1]}') GROUP BY 1)
+SELECT * FROM (
+  SELECT 0::BIGINT AS query_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+           AS rank,
+         doc_id, round(score, 6) AS score
+  FROM s0 QUALIFY rank <= {k}
+  UNION ALL
+  SELECT 1::BIGINT, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           ::BIGINT,
+         doc_id, round(score, 6)
+  FROM s1 QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC)
+           <= {k}
+) ORDER BY query_id, rank
+"""
+
+
 def _q_rescore_index(spark, sf_dir):
     """Index-path rescoring: MaxScore kernel window + phrase secondary
     from the positional sidecar — rank-identical to the join-path form
@@ -4476,10 +4733,10 @@ _PERC_QUERIES = [
     {"query_id": 1, "terms": HOT_TERMS, "mode": "and"},
     {"query_id": 2, "terms": ["table", "row", "spark"],
      "min_should_match": 2},
-    {"query_id": 3, "terms": ["table"], "not_terms": ["dup"]},
+    {"query_id": 3, "terms": ["table"], "exclude_terms": ["dup"]},
     {"query_id": 4, "phrase": ["table", "value"]},
     {"query_id": 5, "terms": ["vector"], "phrase": ["table", "value"]},
-    {"query_id": 6, "phrase": ["table", "value"], "not_terms": ["dup"]},
+    {"query_id": 6, "phrase": ["table", "value"], "exclude_terms": ["dup"]},
 ]
 
 
@@ -6427,6 +6684,29 @@ FROM g
             _q_function_score,
             _function_score_sql(MIXED_TERMS, _FVF_FACTOR, 10),
         ),
+        "bm25_rank_feature_topk": Q(
+            _q_rank_feature,
+            _rank_feature_sql(MIXED_TERMS, _RF_PIVOT, _RF_BOOST, 10),
+        ),
+        "bm25_distance_feature_topk": Q(
+            _q_distance_feature,
+            _distance_feature_sql(MIXED_TERMS, _DF_ORIGIN, _DF_PIVOT,
+                                  _DF_BOOST, 10),
+        ),
+        "bm25_pinned_topk": Q(
+            _q_pinned,
+            _pinned_sql(MIXED_TERMS, _PINNED_IDS, 10),
+        ),
+        "bm25_constant_score_topk": Q(
+            _q_constant_score,
+            _constant_score_sql(RARE_TERMS, _CS_BOOST, 10),
+        ),
+        "bm25_span_not_topk": Q(
+            _q_span_not,
+            _span_not_sql(HOT_TERMS[0], RARE_TERMS[0], _SNOT_PRE,
+                          _SNOT_POST, HOT_TERMS[0], MIXED_TERMS[0],
+                          _SNOT_W, 1, 3, 10),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -6736,9 +7016,11 @@ _DRIVER_PRIORITY = [
     # facet_histogram_bucket_ops, bm25_boosting_topk,
     # extended_stats_dl, multi_terms_buckets, bm25_span_first_topk,
     # percentile_ranks_dl, weighted_avg_dl, t_test_dl, boxplot_dl,
-    # mad_dl, string_stats_source, filters_agg
-    # (19 + 26 = 45 — fits round 5's 50-slot budget with room for
-    # final-code sentinel re-proofs).
+    # mad_dl, string_stats_source, filters_agg, bm25_rank_feature_topk,
+    # bm25_distance_feature_topk, bm25_pinned_topk,
+    # bm25_constant_score_topk, bm25_span_not_topk
+    # (19 + 31 = 50 — exactly round 5's 50-slot budget; any further
+    # additions must displace a queued name or ride a sibling row).
 ]
 
 

@@ -26,7 +26,7 @@ ES-equivalent trade, stated rather than hidden."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
@@ -308,3 +308,244 @@ def boosting_topk_index(
         synonyms=synonyms
     ).select("query_id", "doc_id")
     return topk(_demote(scores, neg_pairs, nb_df), kdf)
+
+
+_RF_MODIFIERS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    field: str,
+    modifier: str = "saturation",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+    exponent: float = 1.0,
+    scaling_factor: float = 1.0,
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` query as a bool *should* clause beside the
+    BM25 disjunction: (query_id, rank, doc_id, score) with
+
+        score = BM25(terms) + boost · S(field)
+
+    over the docs matching the terms, where S is the modifier —
+    ``saturation`` f/(f+pivot), ``log`` ln(scaling_factor + f), or
+    ``sigmoid`` f^exp/(f^exp + pivot^exp) — exactly ES's three
+    rank-feature functions.  The feature must be non-negative (ES
+    ``rank_feature`` fields reject negatives at index time); a NULL or
+    negative feature fails the job loudly rather than silently
+    mis-ranking.
+
+    Unlike ``function_score_topk`` (which multiplies), the rank-feature
+    clause is ADDITIVE — a zero feature leaves the BM25 score intact
+    rather than zeroing it, which is why ES recommends it for
+    popularity/freshness boosting.
+
+    Scale shape: identical to the BM25 join path (ONE pruned scan);
+    the feature join reads only (doc_id, field); the arithmetic is
+    whole-stage-codegen expressions, no UDF."""
+    if modifier not in _RF_MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {_RF_MODIFIERS}, got {modifier!r}")
+    if pivot <= 0 or scaling_factor <= 0 or exponent <= 0:
+        raise ValueError(
+            "pivot, scaling_factor and exponent must be > 0 (got "
+            f"{pivot}, {scaling_factor}, {exponent})")
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        topk,
+    )
+
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    f = F.col(field).cast("double")
+    bad = f.isNull() | F.isnan(f) | (f < 0)
+    f = F.when(
+        bad,
+        F.raise_error(F.concat(
+            F.lit(f"rank_feature: field {field} is NULL/NaN/negative "
+                  "for doc_id "),
+            F.col("doc_id").cast("string"))).cast("double"),
+    ).otherwise(f)
+    if modifier == "saturation":
+        s = f / (f + F.lit(float(pivot)))
+    elif modifier == "log":
+        s = F.log(F.lit(float(scaling_factor)) + f)
+    else:
+        fe = F.pow(f, F.lit(float(exponent)))
+        s = fe / (fe + F.lit(float(pivot) ** float(exponent)))
+    meta = docs_tok.select("doc_id", F.col(field))
+    out = (
+        scores.join(meta, "doc_id")
+        .select("query_id", "doc_id",
+                (F.col("score") + F.lit(float(boost)) * s).alias("score"))
+    )
+    return topk(out, qdf)
+
+
+def distance_feature_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``distance_feature`` query as a bool *should* clause beside
+    the BM25 disjunction: (query_id, rank, doc_id, score) with
+
+        score = BM25(terms) + boost · pivot / (pivot + |field − origin|)
+
+    — ES's exact decay shape for numeric/date distance boosting (docs
+    at the origin gain the full ``boost``; at ``pivot`` distance, half).
+    Docs with a NULL field keep their plain BM25 score (ES: missing
+    values contribute 0 to a should clause), never dropped.
+
+    Scale shape: identical to the BM25 join path; feature join reads
+    only (doc_id, field); pure JVM expressions."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot}")
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        topk,
+    )
+
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    f = F.col(field).cast("double")
+    contrib = F.when(
+        f.isNotNull() & ~F.isnan(f),
+        F.lit(float(boost)) * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + F.abs(f - F.lit(float(origin)))),
+    ).otherwise(F.lit(0.0))
+    meta = docs_tok.select("doc_id", F.col(field))
+    out = (
+        scores.join(meta, "doc_id")
+        .select("query_id", "doc_id",
+                (F.col("score") + contrib).alias("score"))
+    )
+    return topk(out, qdf)
+
+
+def pinned_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """ES ``pinned`` query: per query, the ``pinned`` doc_ids rank
+    first IN THE GIVEN ORDER (whether or not they match the organic
+    terms — ES promotes pins unconditionally, provided the doc exists
+    and passes any filter), followed by the organic BM25 ranking with
+    the pinned docs removed.  Query dicts: {query_id, terms, pinned:
+    [doc_id, …], k}.  Output (query_id, rank, doc_id, score): a pinned
+    doc carries its organic BM25 score when it matches and 0.0
+    otherwise (deterministic, oracle-comparable — ES's sentinel
+    1.7e38-rank scores are an implementation detail its own docs tell
+    clients not to read).
+
+    Scale shape: ONE BM25 scores pass; the pin lists live in a
+    broadcast frame (driver-bounded: a pinned query names a handful of
+    ids); existence of non-matching pins resolves against the docs
+    relation by doc_id — a pruned join, no content scan."""
+    from snowball_java_spark.operators.bm25_join import bm25_scores_join
+
+    for q in queries:
+        pins = q.get("pinned", [])
+        if len(pins) != len(set(pins)):
+            raise ValueError(
+                f"query {q.get('query_id')}: duplicate pinned doc_id")
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    pin_rows = [
+        (int(q["query_id"]), int(d), i)
+        for q in queries for i, d in enumerate(q.get("pinned", []))
+    ]
+    pins = F.broadcast(spark.createDataFrame(
+        pin_rows or [], "query_id int, doc_id long, pin_pos int"))
+    # pins must EXIST in the corpus (ES drops unknown ids silently);
+    # resolve by doc_id only — column-pruned, no content read
+    existing = docs_tok.select("doc_id")
+    pinned = (
+        pins.join(existing, "doc_id", "left_semi")
+        .join(scores, ["query_id", "doc_id"], "left")
+        .select("query_id", "doc_id", "pin_pos",
+                F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+    organic = (
+        scores.join(pins.select("query_id", "doc_id"),
+                    ["query_id", "doc_id"], "left_anti")
+        .select("query_id", "doc_id", F.lit(None).cast("int")
+                .alias("pin_pos"), "score")
+    )
+    allrows = pinned.unionByName(organic)
+    # total order: pins first in list order, then (score desc, doc_id)
+    w = Window.partitionBy("query_id").orderBy(
+        F.when(F.col("pin_pos").isNotNull(), 0).otherwise(1).asc(),
+        F.col("pin_pos").asc_nulls_last(),
+        F.col("score").desc(), F.col("doc_id").asc())
+    kdf = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int"))
+    return (
+        allrows.withColumn("rank", F.row_number().over(w))
+        .join(kdf, "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", F.col("rank").cast("int"), "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def constant_score_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """ES ``constant_score`` query: every doc matching the terms
+    disjunction scores exactly ``boost`` — scoring is switched OFF and
+    the filter cached (ES's escape hatch when relevance is noise, e.g.
+    structured lookups).  Query dicts: {query_id, terms, boost, k}.
+    Output (query_id, rank, doc_id, score): rank is doc_id-ascending
+    (the only deterministic total order when all scores tie).
+
+    Scale shape: ONE pruned match scan (token arrays filtered to the
+    query terms before any explode via the shared matching machinery);
+    no tf/df/dl arithmetic at all — the cheapest query the engine
+    serves."""
+    from snowball_java_spark.operators.bm25_join import queries_df
+
+    qdf = queries_df(spark, queries)
+    boosts = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), float(q.get("boost", 1.0)),
+          int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, boost double, k int"))
+    terms_by_q = F.broadcast(
+        qdf.groupBy("query_id").agg(F.collect_set("term").alias("qterms")))
+    matched = (
+        docs_tok.select("doc_id", "tokens")
+        .crossJoin(terms_by_q)
+        .filter(F.arrays_overlap(F.col("tokens"), F.col("qterms")))
+        .select("query_id", "doc_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("doc_id").asc())
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .join(boosts, "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", F.col("rank").cast("int"), "doc_id",
+                F.col("boost").alias("score"))
+        .orderBy("query_id", "rank")
+    )

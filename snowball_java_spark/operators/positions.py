@@ -374,7 +374,7 @@ def phrase_topk_index(
 
 def proximity_match_kernel(
     pdf: pd.DataFrame,
-    q_spec: list[tuple[int, list[str], int, int, bool, "int | None"]],
+    q_spec: "list[tuple]",
     avgdl: float,
     cfg: EngineConfig,
 ) -> pd.DataFrame:
@@ -399,6 +399,14 @@ def proximity_match_kernel(
     there too.  Matching docs score as a plain BM25 disjunction (global
     idf/avgdl) — proximity is the FILTER, relevance stays
     corpus-calibrated.
+
+    Span-not (Lucene ``SpanNotQuery``): a spec with ``exclude_terms``
+    rejects an anchor whose span, widened by ``exclude_pre`` tokens before
+    its start and ``exclude_post`` after its end, contains ANY occurrence
+    of an exclude term.  Exactness per anchor: the greedy span has the
+    minimal end, so its exclusion zone is a subset of every other
+    chain's from the same anchor — if the greedy span is excluded, all
+    are, and if it survives, the doc matches.
     """
     from snowball_java_spark.functions.bm25 import weight_np
     from snowball_java_spark.operators.postings import decode_dead_bytes
@@ -409,16 +417,22 @@ def proximity_match_kernel(
             if "dead_bytes" in pdf.columns else None)
     by_term = {row["term"]: row for _, row in pdf.iterrows()}
     out_q, out_d, out_s = [], [], []
-    for qid, terms, window, _k, ordered, first in q_spec:
+    for spec in q_spec:
+        qid, terms, window, _k, ordered, first = spec[:6]
+        not_terms, not_pre, not_post = (
+            spec[6:9] if len(spec) > 6 else ((), 0, 0))
         if any(t not in by_term for t in terms):
             continue
         decoded = {t: _decode_row(by_term[t]) for t in set(terms)}
-        keys = {}
-        for t in set(terms):
-            docs, tfs, pos = decoded[t]
+
+        def _keys_of(t: str) -> np.ndarray:
+            docs, tfs, pos = (decoded[t] if t in decoded
+                              else _decode_row(by_term[t]))
             doc_rep = np.repeat(docs.astype(np.int64) - np.int64(first_doc),
                                 tfs)
-            keys[t] = doc_rep * _DOC_SHIFT + pos
+            return doc_rep * _DOC_SHIFT + pos
+
+        keys = {t: _keys_of(t) for t in set(terms)}
         w64 = np.int64(window)
         if ordered:
             # greedy chain through the query's term SEQUENCE: from each
@@ -440,6 +454,29 @@ def proximity_match_kernel(
                 # Lucene SpanFirstQuery(end=first): the span's END
                 # (last matched 0-based position + 1) must be <= first
                 all_ok &= (cur % _DOC_SHIFT) < np.int64(first)
+            if not_terms and all_ok.any():
+                # SpanNot: reject anchors whose [start−pre, end+post]
+                # zone holds an exclude occurrence.  Search from the
+                # zone start clamped to the anchor doc's key base, so
+                # a previous doc's occurrence can't mask a violating
+                # one; a later doc's key exceeds end+post (< 2^32) by
+                # construction, so one probe decides.
+                pre64 = np.int64(not_pre)
+                post64 = np.int64(not_post)
+                zone_start = np.maximum(
+                    anchors - pre64, (anchors >> np.int64(32)) * _DOC_SHIFT)
+                for xt in not_terms:
+                    if xt not in by_term:
+                        continue
+                    kx = _keys_of(xt)
+                    if not kx.size:
+                        continue
+                    lo = np.searchsorted(kx, zone_start, side="left")
+                    okx = lo < kx.size
+                    nxt = kx[np.minimum(lo, kx.size - 1)]
+                    all_ok &= ~(okx & (nxt <= cur + post64))
+                    if not all_ok.any():
+                        break
         else:
             anchors = np.unique(
                 np.concatenate([keys[t] for t in set(terms)]))
@@ -496,31 +533,53 @@ def proximity_topk_index(
 
     Scan shape mirrors the phrase path: bucket + term pruning on the
     positions scan, broadcast idf join, per-shard kernel, top-k-rows
-    shuffle only."""
+    shuffle only.
+
+    Span-not (Lucene ``SpanNotQuery``): ``exclude_terms`` on a query
+    excludes any include span whose zone, widened ``exclude_pre`` tokens
+    before its start and ``exclude_post`` after its end, contains an
+    occurrence of any exclude term.  Like ``first``, it needs a
+    defined span end — a single term or an ordered span."""
     for q in queries:
         if q.get("first") is not None:
             if int(q["first"]) < 1:
                 raise ValueError(
                     f"query {q.get('query_id')}: first must be >= 1")
+        if q.get("first") is not None or q.get("exclude_terms"):
             if len(q.get("terms", [])) > 1 and not q.get("ordered"):
                 # a span END is only defined for ordered spans — Lucene
-                # SpanFirst wraps SpanTerm / in-order SpanNear
+                # SpanFirst/SpanNot wrap SpanTerm / in-order SpanNear
                 raise ValueError(
                     f"query {q.get('query_id')}: first (span_first) "
-                    "needs a single term or an ordered span — set "
-                    '"ordered": true')
+                    "and exclude_terms (span_not) need a single term or an "
+                    'ordered span — set "ordered": true')
+        if q.get("exclude_terms"):
+            if int(q.get("exclude_pre", 0)) < 0 or int(q.get("exclude_post", 0)) < 0:
+                raise ValueError(
+                    f"query {q.get('query_id')}: exclude_pre/exclude_post must "
+                    "be >= 0")
+            clash = set(q["exclude_terms"]) & set(q["terms"])
+            if clash:
+                raise ValueError(
+                    f"query {q.get('query_id')}: exclude_terms {sorted(clash)} "
+                    "also appear as include terms")
     q_spec = [
         (int(q["query_id"]),
          ([str(t) for t in q["terms"]]
-          if q.get("ordered") or q.get("first") is not None
+          if (q.get("ordered") or q.get("first") is not None
+              or q.get("exclude_terms"))
           else sorted(set(q["terms"]))),
          int(q.get("window", 8)), int(q.get("k", cfg.default_k)),
-         bool(q.get("ordered", False)) or q.get("first") is not None,
-         int(q["first"]) if q.get("first") is not None else None)
+         (bool(q.get("ordered", False)) or q.get("first") is not None
+          or bool(q.get("exclude_terms"))),
+         int(q["first"]) if q.get("first") is not None else None,
+         tuple(sorted(set(q.get("exclude_terms", [])))),
+         int(q.get("exclude_pre", 0)), int(q.get("exclude_post", 0)))
         for q in queries
         if q.get("terms")
     ]
-    terms = sorted({t for _, ts, _, _, _, _ in q_spec for t in ts})
+    terms = sorted({t for spec in q_spec for t in spec[1]}
+                   | {t for spec in q_spec for t in spec[6]})
     empty = spark.createDataFrame(
         [], "query_id int, rank int, doc_id long, score double")
     if not terms:
@@ -544,6 +603,6 @@ def proximity_topk_index(
     from snowball_java_spark.operators.bm25_join import topk
 
     ksdf = spark.createDataFrame(
-        [(qid, k) for qid, _, _, k, _, _ in q_spec], "query_id int, k int"
+        [(spec[0], spec[3]) for spec in q_spec], "query_id int, k int"
     )
     return topk(scored, ksdf)

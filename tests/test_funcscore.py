@@ -271,3 +271,120 @@ def test_boosting_validates(spark, synth_docs):
         boosting_topk(spark, docs_tok,
                       [{"query_id": 0, "terms": ["def"],
                         "negative_terms": ["def"]}])
+
+
+def _bm25_scores(toks, terms):
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+
+    def w(tf, d, dl):
+        idf = math.log(1 + (n_docs - d + 0.5) / (d + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    out = {}
+    for d, ts in toks.items():
+        s = sum(w(ts.count(t), df[t], len(ts)) for t in sorted(set(terms))
+                if t in ts)
+        if s > 0:
+            out[d] = s
+    return out
+
+
+@pytest.mark.parametrize("modifier", ["saturation", "log", "sigmoid"])
+def test_rank_feature_matches_truth(spark, docs_dl, toks, modifier):
+    from snowball_java_spark.operators.funcscore import rank_feature_topk
+
+    pivot, boost, exp, sf = 100.0, 2.0, 2.0, 3.0
+    got = rank_feature_topk(
+        spark, docs_dl, [{"query_id": 0, "terms": TERMS, "k": 10}],
+        field="dl", modifier=modifier, pivot=pivot, boost=boost,
+        exponent=exp, scaling_factor=sf).collect()
+    base = _bm25_scores(toks, TERMS)
+    want = {}
+    for d, s in base.items():
+        f = float(len(toks[d]))
+        if modifier == "saturation":
+            sv = f / (f + pivot)
+        elif modifier == "log":
+            sv = math.log(sf + f)
+        else:
+            sv = f ** exp / (f ** exp + pivot ** exp)
+        want[d] = s + boost * sv
+    want_rank = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want_rank]
+    for r, (_, ws) in zip(got, want_rank):
+        assert r["score"] == pytest.approx(ws, rel=REL)
+    with pytest.raises(ValueError, match="modifier"):
+        rank_feature_topk(
+            spark, docs_dl, [{"query_id": 0, "terms": TERMS}],
+            field="dl", modifier="bogus")
+    with pytest.raises(ValueError, match="pivot"):
+        rank_feature_topk(
+            spark, docs_dl, [{"query_id": 0, "terms": TERMS}],
+            field="dl", pivot=0)
+
+
+def test_distance_feature_matches_truth(spark, docs_dl, toks):
+    from snowball_java_spark.operators.funcscore import (
+        distance_feature_topk,
+    )
+
+    origin, pivot, boost = 120.0, 40.0, 1.5
+    got = distance_feature_topk(
+        spark, docs_dl, [{"query_id": 0, "terms": TERMS, "k": 10}],
+        field="dl", origin=origin, pivot=pivot, boost=boost).collect()
+    base = _bm25_scores(toks, TERMS)
+    want = {d: s + boost * pivot / (pivot + abs(len(toks[d]) - origin))
+            for d, s in base.items()}
+    want_rank = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want_rank]
+    for r, (_, ws) in zip(got, want_rank):
+        assert r["score"] == pytest.approx(ws, rel=REL)
+    with pytest.raises(ValueError, match="pivot"):
+        distance_feature_topk(
+            spark, docs_dl, [{"query_id": 0, "terms": TERMS}],
+            field="dl", origin=0.0, pivot=0.0)
+
+
+def test_pinned_promotes_in_order(spark, docs_dl, toks):
+    from snowball_java_spark.operators.funcscore import pinned_topk
+
+    base = _bm25_scores(toks, TERMS)
+    organic = sorted(base.items(), key=lambda kv: (-kv[1], kv[0]))
+    # pin: one non-matching doc + one matching doc (reversed order)
+    non_match = next(d for d in sorted(toks) if d not in base)
+    pin_match = organic[3][0]
+    got = pinned_topk(
+        spark, docs_dl,
+        [{"query_id": 0, "terms": TERMS,
+          "pinned": [pin_match, non_match, 999999], "k": 6}]).collect()
+    # unknown id 999999 dropped; pins lead in LIST order
+    assert [r["doc_id"] for r in got[:2]] == [pin_match, non_match]
+    assert got[0]["score"] == pytest.approx(base[pin_match], rel=REL)
+    assert got[1]["score"] == 0.0
+    # organic tail: best non-pinned docs, ranks contiguous from 3
+    tail = [d for d, _ in organic if d != pin_match][:4]
+    assert [r["doc_id"] for r in got[2:]] == tail
+    assert [r["rank"] for r in got] == list(range(1, 7))
+    with pytest.raises(ValueError, match="duplicate"):
+        pinned_topk(spark, docs_dl,
+                    [{"query_id": 0, "terms": TERMS, "pinned": [1, 1]}])
+
+
+def test_constant_score_filter_semantics(spark, docs_dl, toks):
+    from snowball_java_spark.operators.funcscore import constant_score_topk
+
+    got = constant_score_topk(
+        spark, docs_dl,
+        [{"query_id": 0, "terms": ["flush_config_19"], "boost": 1.7,
+          "k": 10000},
+         {"query_id": 1, "terms": ["zzz_absent"], "boost": 2.0, "k": 5}],
+    ).collect()
+    match = sorted(d for d, ts in toks.items() if "flush_config_19" in ts)
+    rows0 = [r for r in got if r["query_id"] == 0]
+    assert [r["doc_id"] for r in rows0] == match
+    assert all(r["score"] == 1.7 for r in rows0)
+    assert [r["rank"] for r in rows0] == list(range(1, len(match) + 1))
+    assert not [r for r in got if r["query_id"] == 1]

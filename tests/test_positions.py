@@ -403,3 +403,106 @@ def test_span_first_validates(spark, pos_index):
     with pytest.raises(ValueError, match="first must"):
         proximity_topk_index(
             spark, idx, [{"query_id": 0, "terms": ["def"], "first": 0}])
+
+
+def _span_not_oracle(oracle, include, exclude, window, pre, post, k,
+                     ordered=True):
+    """Python truth for SpanNot: any include span (single term or
+    ordered chain within window) whose [start-pre, end+post] zone
+    holds no exclude occurrence."""
+    match = []
+    for d, toks in oracle.toks.items():
+        xpos = [i for i, x in enumerate(toks) if x in exclude]
+        spans = []
+        if len(include) == 1:
+            spans = [(i, i) for i, x in enumerate(toks)
+                     if x == include[0]]
+        else:
+            firsts = [i for i, x in enumerate(toks) if x == include[0]]
+            for a in firsts:
+                cur, ok = a, True
+                for t in include[1:]:
+                    nxt = [i for i, x in enumerate(toks)
+                           if x == t and i > cur]
+                    if not nxt:
+                        ok = False
+                        break
+                    cur = nxt[0]
+                if ok and cur - a <= window:
+                    spans.append((a, cur))
+        if any(not any(s - pre <= q <= e + post for q in xpos)
+               for s, e in spans):
+            match.append(d)
+    scored = [(d, oracle.score(sorted(set(include)), d)) for d in match]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
+def test_span_not_rank_identical_to_truth(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, oracle = pos_index
+    qs = [
+        # single-term include, symmetric zone
+        {"query_id": 0, "terms": ["def"], "exclude_terms": ["return"],
+         "exclude_pre": 2, "exclude_post": 2, "k": 10},
+        # ordered two-term span, asymmetric zone
+        {"query_id": 1, "terms": ["def", "return"], "ordered": True,
+         "window": 8, "exclude_terms": ["public"], "exclude_pre": 1,
+         "exclude_post": 3, "k": 10},
+        # absent exclude term: behaves as plain span query
+        {"query_id": 2, "terms": ["def"], "exclude_terms": ["zzz_absent"],
+         "exclude_pre": 5, "exclude_post": 5, "k": 10},
+        # zone width 0: distinct terms can never collide
+        {"query_id": 3, "terms": ["def"], "exclude_terms": ["return"],
+         "k": 10},
+    ]
+    got = proximity_topk_index(spark, idx, qs)
+    by_q: dict[int, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    specs = [
+        (["def"], ["return"], 8, 2, 2),
+        (["def", "return"], ["public"], 8, 1, 3),
+        (["def"], ["zzz_absent"], 8, 5, 5),
+        (["def"], ["return"], 8, 0, 0),
+    ]
+    assert by_q.get(0), "query 0 matched nothing — fixture broken"
+    for qid, (inc, exc, w, pre, post) in enumerate(specs):
+        expect = _span_not_oracle(oracle, inc, exc, w, pre, post, 10)
+        mine = sorted(by_q.get(qid, []))
+        assert [d for _, d, _ in mine] == [d for d, _ in expect], \
+            f"query {qid} docs"
+        for (_, _, s), (_, ws) in zip(mine, expect):
+            assert s == pytest.approx(ws, rel=1e-9), f"query {qid} score"
+    # the exclusion is real: query 0 must drop docs vs the plain form
+    plain = proximity_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["def"], "k": 10000}])
+    n_plain = plain.count()
+    full = proximity_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["def"],
+                      "exclude_terms": ["return"], "exclude_pre": 2,
+                      "exclude_post": 2, "k": 10000}])
+    assert full.count() < n_plain
+
+
+def test_span_not_validation(spark, pos_index):
+    from snowball_java_spark.operators.positions import proximity_topk_index
+
+    idx, _ = pos_index
+    with pytest.raises(ValueError, match="ordered"):
+        proximity_topk_index(
+            spark, idx,
+            [{"query_id": 0, "terms": ["def", "return"],
+              "exclude_terms": ["public"], "k": 5}])
+    with pytest.raises(ValueError, match="exclude_pre"):
+        proximity_topk_index(
+            spark, idx,
+            [{"query_id": 0, "terms": ["def"], "exclude_terms": ["x"],
+              "exclude_pre": -1, "k": 5}])
+    with pytest.raises(ValueError, match="include"):
+        proximity_topk_index(
+            spark, idx,
+            [{"query_id": 0, "terms": ["def"], "exclude_terms": ["def"],
+              "k": 5}])
