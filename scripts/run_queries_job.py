@@ -291,7 +291,8 @@ def main(argv: list[str]) -> int:
         extra = {k for k in ("phrase", "fuzzy", "boosts", "prefixes",
                              "wildcards", "regexps", "bool", "rescore",
                              "suggest", "substr", "regex", "window",
-                             "first")
+                             "first", "exclude_terms", "exclude_pre",
+                             "exclude_post")
                  if q.get(k)}
         if extra:
             raise SystemExit(
@@ -313,7 +314,8 @@ def main(argv: list[str]) -> int:
                              "min_should_match", "mode", "bool",
                              "rescore", "suggest", "substr", "regex",
                              "negative_terms", "negative_boost",
-                             "window", "first")
+                             "window", "first", "exclude_terms",
+                             "exclude_pre", "exclude_post")
                  if q.get(k)}
         if extra:
             raise SystemExit(

@@ -684,7 +684,7 @@ def _q_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_join(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": HOT_TERMS, "k": 10,
-          "exclude_terms": _NOT_TERMS}],
+          "not_terms": _NOT_TERMS}],
         n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
@@ -711,7 +711,7 @@ def _q_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_join(
         spark, _docs_tok(spark, sf_dir),
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
-          "exclude_terms": parsed["not_terms"]}],
+          "not_terms": parsed["not_terms"]}],
         candidate_predicate=pred, n_docs=n_docs, avgdl=avgdl,
     )
     return res.select(
@@ -776,7 +776,7 @@ def _q_query_string_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_index(
         spark, idx,
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
-          "mode": parsed["mode"], "exclude_terms": parsed["not_terms"]}],
+          "mode": parsed["mode"], "not_terms": parsed["not_terms"]}],
         cfg=_INDEX_CFG, doc_filter=flt,
     )
     return res.select(
@@ -1268,7 +1268,7 @@ def _q_query_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = bm25_topk_index(
         spark, idx,
         [{"query_id": 0, "terms": parsed["terms"], "k": parsed["k"],
-          "exclude_terms": parsed["not_terms"]}],
+          "not_terms": parsed["not_terms"]}],
         cfg=_INDEX_CFG, doc_filter=pred,
     )
     return res.select(
@@ -1568,7 +1568,7 @@ def _q_match_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = match_counts_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         cfg=_INDEX_CFG)
     return res.select(F.col("query_id").cast("long").alias("query_id"),
                       "n_docs")
@@ -1600,7 +1600,7 @@ def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = cardinality_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         value_cols=["repo", "lang"], cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -1771,7 +1771,7 @@ def _bm25_index_topk(
 
     idx = _index_for(spark, sf_dir)
     q = {"query_id": 0, "terms": terms, "k": k, "mode": mode,
-         "exclude_terms": not_terms or []}
+         "not_terms": not_terms or []}
     if min_should_match is not None:
         q["min_should_match"] = min_should_match
     res = bm25_topk_index(
@@ -1921,7 +1921,7 @@ def _q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = range_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         value_col="dl", ranges=_RANGES, cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -2195,7 +2195,7 @@ def _q_composite(spark, sf_dir):
     res = composite_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": HOT_TERMS},
-         {"query_id": 1, "terms": MIXED_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": MIXED_TERMS, "not_terms": RARE_TERMS}],
         group_cols=["repo", "lang"], size=_COMP_SIZE, after=_COMP_AFTER,
         cfg=_INDEX_CFG)
     return res.select(
@@ -2383,7 +2383,7 @@ def _q_upsert_term_df(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _BYQ_DELETE_Q = [{"terms": ["dup"]}]
-_BYQ_UPDATE_Q = [{"terms": ["key"], "exclude_terms": ["spark"]}]
+_BYQ_UPDATE_Q = [{"terms": ["key"], "not_terms": ["spark"]}]
 
 _BYQ_CTE = (
     "bdocs AS (SELECT doc_id, CASE WHEN list_contains(__T__, 'key') "
@@ -3133,7 +3133,7 @@ def _q_facet_stats(spark, sf_dir):
     res = facet_stats(
         spark, d,
         [{"query_id": 0, "terms": HOT_TERMS},
-         {"query_id": 1, "terms": RARE_TERMS, "exclude_terms": ["table"]}],
+         {"query_id": 1, "terms": RARE_TERMS, "not_terms": ["table"]}],
         stat_col="dl", facet_col="source")
     return res.select(
         "query_id", "value", "n_docs",
@@ -3288,7 +3288,7 @@ def _q_facet_histogram(spark, sf_dir):
     res = histogram_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -3343,7 +3343,7 @@ def _q_facet_histogram_pipeline(spark, sf_dir):
     buckets = histogram_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
     res = pipeline_over_buckets(buckets, window=_PIPE_WINDOW)
     return res.select(
@@ -3393,7 +3393,7 @@ def _q_percentiles_dl(spark, sf_dir):
     res = percentiles_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         value_col="dl", percents=list(_PCTS), cfg=_INDEX_CFG)
     return res.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -4059,7 +4059,7 @@ def _q_facet_histogram_bucket_ops(spark, sf_dir):
     buckets = histogram_matches_index(
         spark, idx,
         [{"query_id": 0, "terms": MIXED_TERMS},
-         {"query_id": 1, "terms": HOT_TERMS, "exclude_terms": RARE_TERMS}],
+         {"query_id": 1, "terms": HOT_TERMS, "not_terms": RARE_TERMS}],
         value_col="dl", width=_HIST_WIDTH, cfg=_INDEX_CFG)
     piped = pipeline_over_buckets(
         buckets, metrics=["serial_diff"], period=_SDIFF_PERIOD)
@@ -4733,10 +4733,10 @@ _PERC_QUERIES = [
     {"query_id": 1, "terms": HOT_TERMS, "mode": "and"},
     {"query_id": 2, "terms": ["table", "row", "spark"],
      "min_should_match": 2},
-    {"query_id": 3, "terms": ["table"], "exclude_terms": ["dup"]},
+    {"query_id": 3, "terms": ["table"], "not_terms": ["dup"]},
     {"query_id": 4, "phrase": ["table", "value"]},
     {"query_id": 5, "terms": ["vector"], "phrase": ["table", "value"]},
-    {"query_id": 6, "phrase": ["table", "value"], "exclude_terms": ["dup"]},
+    {"query_id": 6, "phrase": ["table", "value"], "not_terms": ["dup"]},
 ]
 
 

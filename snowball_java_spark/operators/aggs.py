@@ -1558,6 +1558,10 @@ def filters_matches_index(
     lost filter, not an empty one.  Buckets overlap freely (a doc
     containing terms of two filters counts in both), exactly like ES.
 
+    ``synonyms`` expand the MAIN queries and the named filters alike —
+    one vocabulary contract for the whole aggregation (a filter bucket
+    named ``def`` counts the same docs a ``def`` query would match).
+
     Scale shape: the named filters run as ONE batched postings decode
     (they are queries to the same index), then each bucket count is a
     broadcast-safe semi-join of two doc-id sets followed by a map-side
@@ -1583,7 +1587,8 @@ def filters_matches_index(
     fq = [{"query_id": i, "terms": list(filters[nm])}
           for i, nm in enumerate(names)]
     fmatch = matching_docs_index(
-        spark, index, fq, cfg=cfg, doc_filter=doc_filter
+        spark, index, fq, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms
     ).select(F.col("query_id").alias("_f"), "doc_id")
     hits = (
         match.join(fmatch, "doc_id")

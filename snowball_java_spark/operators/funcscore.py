@@ -520,26 +520,24 @@ def constant_score_topk(
     Output (query_id, rank, doc_id, score): rank is doc_id-ascending
     (the only deterministic total order when all scores tie).
 
-    Scale shape: ONE pruned match scan (token arrays filtered to the
-    query terms before any explode via the shared matching machinery);
-    no tf/df/dl arithmetic at all — the cheapest query the engine
-    serves."""
-    from snowball_java_spark.operators.bm25_join import queries_df
+    Scale shape: the facet family's shared prune-before-explode match
+    relation (token arrays filtered + deduped to the query terms before
+    the explode, broadcast term→query join); no tf/df/dl arithmetic at
+    all — the cheapest query the engine serves.  ``not_terms`` composes
+    (the shared relation applies the doc-level veto)."""
+    # the one canonical "docs matching >= 1 term" relation — facets,
+    # counts and this filter query must agree on match semantics
+    from snowball_java_spark.operators.facets import _matched_pairs
 
-    qdf = queries_df(spark, queries)
     boosts = F.broadcast(spark.createDataFrame(
         [(int(q["query_id"]), float(q.get("boost", 1.0)),
           int(q.get("k", cfg.default_k)))
          for q in queries],
         "query_id int, boost double, k int"))
-    terms_by_q = F.broadcast(
-        qdf.groupBy("query_id").agg(F.collect_set("term").alias("qterms")))
-    matched = (
-        docs_tok.select("doc_id", "tokens")
-        .crossJoin(terms_by_q)
-        .filter(F.arrays_overlap(F.col("tokens"), F.col("qterms")))
-        .select("query_id", "doc_id")
-    )
+    matched = _matched_pairs(spark, docs_tok, queries, [], None)
+    if matched is None:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.col("doc_id").asc())
     return (
         matched.withColumn("rank", F.row_number().over(w))

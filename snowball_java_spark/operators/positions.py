@@ -563,6 +563,13 @@ def proximity_topk_index(
                 raise ValueError(
                     f"query {q.get('query_id')}: exclude_terms {sorted(clash)} "
                     "also appear as include terms")
+        elif (q.get("exclude_pre") is not None
+              or q.get("exclude_post") is not None):
+            # an orphan zone width silently widening NOTHING is exactly
+            # the typo'd-key mistake the loud-failure policy exists for
+            raise ValueError(
+                f"query {q.get('query_id')}: exclude_pre/exclude_post "
+                "need a non-empty exclude_terms list")
     q_spec = [
         (int(q["query_id"]),
          ([str(t) for t in q["terms"]]

@@ -1019,11 +1019,12 @@ def test_filters_agg_matches_truth(spark, index, toks):
     assert {(r["query_id"], r["bucket"]): r["n_docs"] for r in got} == want
     # ordered (query_id, bucket); every bucket zero-filled for query 1
     assert [(r["query_id"], r["bucket"]) for r in got] == sorted(want)
-    # buckets may overlap: a doc in both filters counts twice
+    # buckets may overlap: inclusion-exclusion must hold EXACTLY —
+    # |defs| + |flow| = |defs ∪ flow| + |defs ∩ flow|
     both = sum(1 for d in match
                if set(toks[d]) & {"def", "class"}
                and set(toks[d]) & {"return", "if"})
-    assert want[(0, "defs")] + want[(0, "flow")] >= len(any_hit) + both - 1
+    assert want[(0, "defs")] + want[(0, "flow")] == len(any_hit) + both
     with pytest.raises(ValueError, match="at least one"):
         filters_matches_index(spark, index,
                               [{"query_id": 0, "terms": ["def"]}],

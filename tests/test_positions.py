@@ -506,3 +506,9 @@ def test_span_not_validation(spark, pos_index):
             spark, idx,
             [{"query_id": 0, "terms": ["def"], "exclude_terms": ["def"],
               "k": 5}])
+    # an orphan zone width (typo'd/forgotten exclude_terms) fails loudly
+    with pytest.raises(ValueError, match="exclude_terms"):
+        proximity_topk_index(
+            spark, idx,
+            [{"query_id": 0, "terms": ["def"], "exclude_pre": 3,
+              "k": 5}])
