@@ -5715,6 +5715,103 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _q_events_cum_users(spark, sf_dir):
+    """ES ``cumulative_cardinality`` pipeline over a daily
+    date_histogram (the canonical "total distinct users to date"
+    metric): per day, the event count, the users seen for the FIRST
+    time, and the running distinct-user total.
+
+    Distributed shape — the reason this beats a naive per-bucket
+    COUNT(DISTINCT): cumulative distinct up to bucket B equals the
+    number of users whose FIRST event is ≤ B, so ONE groupBy(user)
+    min-aggregation plus a bucket-count running sum replaces B
+    overlapping distinct scans (ES merges HLL sketches per bucket; the
+    first-seen rewrite is the exact Spark-native equivalent).  Days
+    with events but no new users zero-fill."""
+    e = _events(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    per_day = (e.groupBy(day.alias("day"))
+               .agg(F.count("*").alias("n_events")))
+    first_seen = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id").agg(F.min("day").alias("day"))
+        .groupBy("day").agg(F.count("*").alias("n_new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.join(first_seen, "day", "left")
+        .fillna(0, subset=["n_new_users"])
+        .withColumn("cumulative_users",
+                    F.sum("n_new_users").over(w).cast("long"))
+        .select("day", "n_events", "n_new_users", "cumulative_users")
+        .orderBy("day")
+    )
+
+
+def _events_cum_users_sql() -> str:
+    return """
+WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  user_id FROM events),
+per_day AS (SELECT day, count(*)::BIGINT AS n_events FROM d GROUP BY 1),
+fs AS (SELECT day, count(*)::BIGINT AS n_new_users
+       FROM (SELECT user_id, min(day) AS day FROM d GROUP BY 1)
+       GROUP BY 1)
+SELECT p.day, p.n_events, coalesce(fs.n_new_users, 0) AS n_new_users,
+       sum(coalesce(fs.n_new_users, 0)) OVER (ORDER BY p.day
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS cumulative_users
+FROM per_day p LEFT JOIN fs ON p.day = fs.day
+ORDER BY p.day
+"""
+
+
+#: ES auto_date_histogram rounding ladder (seconds) — the engine picks
+#: the smallest rung whose gap-free bucket count fits the target
+_AUTOHIST_LADDER = (60, 300, 900, 1800, 3600, 10800, 43200, 86400,
+                    604800, 2592000)
+_AUTOHIST_TARGET = 50
+
+
+def _q_events_auto_hist(spark, sf_dir):
+    """ES ``auto_date_histogram``: pick the smallest interval from the
+    rounding ladder whose epoch-aligned gap-free bucket count fits the
+    target, then bucket events on it — the caller names a RESOLUTION
+    BUDGET, not an interval.  Epoch seconds derive from NTZ interval
+    arithmetic (floor, timezone-free — identical under any session
+    timezone); the interval choice needs one 1-row min/max collect
+    (bounded, the same class as corpus stats)."""
+    e = _events(spark, sf_dir)
+    sec = F.expr(
+        "cast(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' as bigint)")
+    r = e.agg(F.min(sec).alias("mn"), F.max(sec).alias("mx")).collect()[0]
+    mn, mx = int(r["mn"]), int(r["mx"])
+    iv = next((i for i in _AUTOHIST_LADDER
+               if (mx // i) - (mn // i) + 1 <= _AUTOHIST_TARGET),
+              _AUTOHIST_LADDER[-1])
+    return (
+        e.select((sec - (sec % F.lit(iv))).alias("bucket_start"), "value")
+        .groupBy("bucket_start")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select("bucket_start", F.lit(iv).cast("long").alias("interval_sec"),
+                "n_events", "sum_value")
+        .orderBy("bucket_start")
+    )
+
+
+def _events_auto_hist_sql(ladder: tuple, target: int) -> str:
+    lad = ", ".join(f"({i})" for i in ladder)
+    return f"""
+WITH sec AS (SELECT epoch_us(ts) // 1000000 AS s, value FROM events),
+ex AS (SELECT min(s) AS mn, max(s) AS mx FROM sec),
+lad(i) AS (VALUES {lad}),
+iv AS (SELECT coalesce(min(i), {ladder[-1]}) AS i FROM lad, ex
+       WHERE (mx // i) - (mn // i) + 1 <= {target})
+SELECT (s // iv.i) * iv.i AS bucket_start, iv.i::BIGINT AS interval_sec,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM sec, iv GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def _q_events_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
@@ -6941,6 +7038,11 @@ FROM events GROUP BY user_id
         "pq_recall_probe": Q(_q_pq_recall, _pq_recall_sql("sf0.01")),
         "events_sessionize": Q(
             _q_events_sessionize, _events_sessionize_sql(_SESSION_GAP_US)),
+        "events_cumulative_users": Q(
+            _q_events_cum_users, _events_cum_users_sql()),
+        "events_auto_histogram": Q(
+            _q_events_auto_hist,
+            _events_auto_hist_sql(_AUTOHIST_LADDER, _AUTOHIST_TARGET)),
         "events_hourly": Q(
             _q_events_window,
             """
@@ -7019,8 +7121,10 @@ _DRIVER_PRIORITY = [
     # mad_dl, string_stats_source, filters_agg, bm25_rank_feature_topk,
     # bm25_distance_feature_topk, bm25_pinned_topk,
     # bm25_constant_score_topk, bm25_span_not_topk
-    # (19 + 31 = 50 — exactly round 5's 50-slot budget; any further
-    # additions must displace a queued name or ride a sibling row).
+    # (19 + 31 = 50 — exactly round 5's 50-slot budget).  Overflow
+    # beyond the budget (local-oracle evidence only unless a queued
+    # name is displaced): events_cumulative_users,
+    # events_auto_histogram.
 ]
 
 
