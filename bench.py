@@ -118,6 +118,19 @@ HEADLINE = [
     "percentile_ranks_dl",
     "weighted_avg_dl",
     "t_test_dl",
+    # r4 session-11 additions
+    "boxplot_dl",
+    "mad_dl",
+    "string_stats_source",
+    "filters_agg",
+    "bm25_rank_feature_topk",
+    "bm25_distance_feature_topk",
+    "bm25_pinned_topk",
+    "bm25_constant_score_topk",
+    "bm25_span_not_topk",
+    "events_cumulative_users",
+    "events_auto_histogram",
+    "bm25_has_child_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

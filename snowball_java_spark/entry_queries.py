@@ -4612,6 +4612,58 @@ SELECT doc_id, rank, {boost}::DOUBLE AS score FROM (
 """
 
 
+_HC_MIN_CHILDREN = 2
+
+
+def _q_has_child(spark, sf_dir):
+    """ES has_child (join field): rank PARENT entities (source) by the
+    doc_id-ordered SUM of their matching children's BM25 scores —
+    entity retrieval, the complement of field collapsing; parents with
+    fewer than 2 matching children drop (min_children)."""
+    from snowball_java_spark.operators.parentjoin import has_child_topk
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = has_child_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        parent_col="source", score_mode="sum",
+        min_children=_HC_MIN_CHILDREN, n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("parent").alias("source"),
+        F.round("score", 6).alias("score"), "n_children")
+
+
+def _has_child_sql(terms: list[str], min_children: int, k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+pc AS (SELECT sc.doc_id, sc.score, d.source AS parent
+       FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+       WHERE d.source IS NOT NULL),
+-- doc_id-ordered left fold: the engine's ordered_sum bit-for-bit
+g AS (SELECT parent,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list(score ORDER BY doc_id)), (a, b) -> a + b) AS score,
+             count(*)::BIGINT AS n_children
+      FROM pc GROUP BY 1
+      HAVING count(*) >= {min_children})
+SELECT rank, source, round(score, 6) AS score, n_children FROM (
+  SELECT parent AS source, score, n_children,
+         row_number() OVER (ORDER BY score DESC, parent ASC)::BIGINT
+           AS rank
+  FROM g
+) WHERE rank <= {k}
+"""
+
+
 _SNOT_PRE = 2
 _SNOT_POST = 2
 _SNOT_W = 6
@@ -6804,6 +6856,10 @@ FROM g
                           _SNOT_POST, HOT_TERMS[0], MIXED_TERMS[0],
                           _SNOT_W, 1, 3, 10),
         ),
+        "bm25_has_child_topk": Q(
+            _q_has_child,
+            _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -7124,7 +7180,7 @@ _DRIVER_PRIORITY = [
     # (19 + 31 = 50 — exactly round 5's 50-slot budget).  Overflow
     # beyond the budget (local-oracle evidence only unless a queued
     # name is displaced): events_cumulative_users,
-    # events_auto_histogram.
+    # events_auto_histogram, bm25_has_child_topk.
 ]
 
 

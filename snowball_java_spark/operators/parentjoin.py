@@ -1,0 +1,100 @@
+"""ES join-field queries: ``has_child`` — rank PARENT entities by their
+matching children.
+
+The corpus stores flat docs with a parent key column (``repo`` /
+``source`` — ES's ``join`` field routes children to the parent's shard
+for exactly this grouping).  ``has_child`` turns a child-level query
+into a parent-level ranking: "the repositories whose files best match
+the query", the entity-retrieval complement of field collapsing (which
+returns the best CHILD per parent; here the PARENT is the result row).
+
+Score modes are ES's own: ``max`` / ``min`` (order-free, exact),
+``sum`` / ``avg`` (float folds — accumulated in ascending doc_id order
+via the shared ``ordered_sum`` so any engine reproduces the identical
+bits; a plain SUM would be partition-order-dependent).
+
+Scale shape: ONE BM25 scores pass (the pruned join path); the parent
+key join reads only (doc_id, parent_col); the per-parent aggregation
+map-side combines to parent cardinality; ranking is a parent-scale
+top-k.  At 10^12 files / 10^8 repos the aggregate is repo-sized, never
+file-sized, and no content is rescanned.
+
+Prior art: ES ``has_child`` (``score_mode``, ``min_children``); the
+reference engine has no entity layer — SURVEY §2 maps this to the
+beyond-reference query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+
+__all__ = ["has_child_topk"]
+
+_SCORE_MODES = ("max", "min", "sum", "avg")
+
+
+def has_child_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    parent_col: str,
+    score_mode: str = "max",
+    min_children: int = 1,
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """(query_id, rank, parent, score, n_children): parents ranked by
+    the ``score_mode`` aggregate of their matching children's BM25
+    scores, under (score desc, parent asc); parents with fewer than
+    ``min_children`` matching children drop (ES ``min_children``).
+    Children with a NULL parent key are skipped (ES: unrouted docs
+    never join).  Query dicts: {query_id, terms, k}."""
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {_SCORE_MODES}, got {score_mode!r}")
+    if min_children < 1:
+        raise ValueError(f"min_children must be >= 1, got {min_children}")
+    from snowball_java_spark.operators.bm25_join import (
+        bm25_scores_join,
+        ordered_sum,
+    )
+
+    scores, qdf = bm25_scores_join(
+        spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    meta = (docs_tok.select("doc_id", F.col(parent_col).alias("parent"))
+            .filter(F.col("parent").isNotNull()))
+    per_child = scores.join(meta, "doc_id")
+    if score_mode == "max":
+        agg = F.max("score")
+    elif score_mode == "min":
+        agg = F.min("score")
+    else:
+        # float folds in ascending doc_id order — deterministic bits
+        agg = ordered_sum("doc_id", "score")
+    g = (
+        per_child.groupBy("query_id", "parent")
+        .agg(agg.alias("_s"), F.count("*").alias("n_children"))
+        .filter(F.col("n_children") >= int(min_children))
+    )
+    score = (F.col("_s") / F.col("n_children") if score_mode == "avg"
+             else F.col("_s"))
+    ranked = g.select("query_id", "parent", score.alias("score"),
+                      "n_children")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("parent").asc())
+    kdf = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .join(kdf, "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", F.col("rank").cast("int"), "parent",
+                "score", "n_children")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,98 @@
+"""has_child: score modes, min_children, determinism, validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+from snowball_java_spark.functions.tokenize import tokenize_py, tokens_expr
+from snowball_java_spark.operators.parentjoin import has_child_topk
+
+REL = 1e-9
+TERMS = ["def", "flush_config_19"]
+
+
+@pytest.fixture(scope="module")
+def docs_par(spark, synth_docs):
+    d = synth_docs.select(
+        "doc_id", "repo", tokens_expr("content").alias("tokens")).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def truth(synth_docs):
+    rows = synth_docs.select("doc_id", "repo", "content").collect()
+    toks = {r["doc_id"]: tokenize_py(r["content"]) for r in rows}
+    par = {r["doc_id"]: r["repo"] for r in rows}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {t: sum(1 for ts in toks.values() if t in ts) for t in TERMS}
+
+    def w(tf, d, dl):
+        idf = math.log(1 + (n_docs - d + 0.5) / (d + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    scores = {}
+    for d, ts in toks.items():
+        s = sum(w(ts.count(t), df[t], len(ts)) for t in sorted(set(TERMS))
+                if t in ts)
+        if s > 0:
+            scores[d] = s
+    return scores, par
+
+
+@pytest.mark.parametrize("mode", ["max", "min", "sum", "avg"])
+def test_has_child_matches_truth(spark, docs_par, truth, mode):
+    scores, par = truth
+    got = has_child_topk(
+        spark, docs_par, [{"query_id": 0, "terms": TERMS, "k": 8}],
+        parent_col="repo", score_mode=mode).collect()
+    by_parent: dict[str, list[tuple[int, float]]] = {}
+    for d, s in scores.items():
+        by_parent.setdefault(par[d], []).append((d, s))
+    want = {}
+    for p, kids in by_parent.items():
+        vals = [s for _, s in sorted(kids)]  # doc_id-ordered fold
+        if mode == "max":
+            v = max(vals)
+        elif mode == "min":
+            v = min(vals)
+        else:
+            acc = 0.0
+            for s in vals:
+                acc += s
+            v = acc / len(vals) if mode == "avg" else acc
+        want[p] = (v, len(vals))
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:8]
+    assert [r["parent"] for r in got] == [p for p, _ in ranked]
+    for r, (_, (v, n)) in zip(got, ranked):
+        assert r["score"] == pytest.approx(v, rel=REL)
+        assert r["n_children"] == n
+    assert [r["rank"] for r in got] == list(range(1, len(ranked) + 1))
+
+
+def test_has_child_min_children_and_validation(spark, docs_par, truth):
+    scores, par = truth
+    counts: dict[str, int] = {}
+    for d in scores:
+        counts[par[d]] = counts.get(par[d], 0) + 1
+    thresh = max(counts.values())  # only the fullest parents survive
+    got = has_child_topk(
+        spark, docs_par, [{"query_id": 0, "terms": TERMS, "k": 100}],
+        parent_col="repo", score_mode="max",
+        min_children=thresh).collect()
+    assert {r["parent"] for r in got} == \
+        {p for p, c in counts.items() if c >= thresh}
+    with pytest.raises(ValueError, match="score_mode"):
+        has_child_topk(spark, docs_par,
+                       [{"query_id": 0, "terms": TERMS}],
+                       parent_col="repo", score_mode="median")
+    with pytest.raises(ValueError, match="min_children"):
+        has_child_topk(spark, docs_par,
+                       [{"query_id": 0, "terms": TERMS}],
+                       parent_col="repo", min_children=0)
