@@ -131,6 +131,7 @@ HEADLINE = [
     "events_cumulative_users",
     "events_auto_histogram",
     "bm25_has_child_topk",
+    "bm25_has_child_index_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -4634,6 +4634,25 @@ def _q_has_child(spark, sf_dir):
         F.round("score", 6).alias("score"), "n_children")
 
 
+def _q_has_child_index(spark, sf_dir):
+    """Index-path has_child: exact score relation from the postings, the
+    parent key from the docs sidecar — rank-identical to the join path
+    (shared oracle)."""
+    from snowball_java_spark.operators.parentjoin import (
+        has_child_topk_index,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    res = has_child_topk_index(
+        spark, idx, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        parent_col="repo", score_mode="sum",
+        min_children=_HC_MIN_CHILDREN, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("parent").alias("source"),
+        F.round("score", 6).alias("score"), "n_children")
+
+
 def _has_child_sql(terms: list[str], min_children: int, k: int) -> str:
     tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     return f"""
@@ -6860,6 +6879,10 @@ FROM g
             _q_has_child,
             _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
         ),
+        "bm25_has_child_index_topk": Q(
+            _q_has_child_index,
+            _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -7180,7 +7203,8 @@ _DRIVER_PRIORITY = [
     # (19 + 31 = 50 — exactly round 5's 50-slot budget).  Overflow
     # beyond the budget (local-oracle evidence only unless a queued
     # name is displaced): events_cumulative_users,
-    # events_auto_histogram, bm25_has_child_topk.
+    # events_auto_histogram, bm25_has_child_topk,
+    # bm25_has_child_index_topk.
 ]
 
 

@@ -31,9 +31,55 @@ from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 
-__all__ = ["has_child_topk"]
+__all__ = ["has_child_topk", "has_child_topk_index"]
 
 _SCORE_MODES = ("max", "min", "sum", "avg")
+
+
+
+def _rank_parents(
+    spark: SparkSession,
+    per_child: DataFrame,
+    queries: list[dict],
+    score_mode: str,
+    min_children: int,
+    default_k: int,
+) -> DataFrame:
+    """Shared aggregate + rank tail of both has_child paths: per-parent
+    score_mode fold (sum/avg in ascending doc_id order), min_children
+    filter, (score desc, parent asc) top-k."""
+    from snowball_java_spark.operators.bm25_join import ordered_sum
+
+    if score_mode == "max":
+        agg = F.max("score")
+    elif score_mode == "min":
+        agg = F.min("score")
+    else:
+        # float folds in ascending doc_id order — deterministic bits
+        agg = ordered_sum("doc_id", "score")
+    g = (
+        per_child.groupBy("query_id", "parent")
+        .agg(agg.alias("_s"), F.count("*").alias("n_children"))
+        .filter(F.col("n_children") >= int(min_children))
+    )
+    score = (F.col("_s") / F.col("n_children") if score_mode == "avg"
+             else F.col("_s"))
+    ranked = g.select("query_id", "parent", score.alias("score"),
+                      "n_children")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("parent").asc())
+    kdf = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", default_k)))
+         for q in queries],
+        "query_id int, k int"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .join(kdf, "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", F.col("rank").cast("int"), "parent",
+                "score", "n_children")
+        .orderBy("query_id", "rank")
+    )
 
 
 def has_child_topk(
@@ -58,43 +104,48 @@ def has_child_topk(
             f"score_mode must be one of {_SCORE_MODES}, got {score_mode!r}")
     if min_children < 1:
         raise ValueError(f"min_children must be >= 1, got {min_children}")
-    from snowball_java_spark.operators.bm25_join import (
-        bm25_scores_join,
-        ordered_sum,
-    )
+    from snowball_java_spark.operators.bm25_join import bm25_scores_join
 
-    scores, qdf = bm25_scores_join(
+    scores, _ = bm25_scores_join(
         spark, docs_tok, queries, cfg=cfg, n_docs=n_docs, avgdl=avgdl)
     meta = (docs_tok.select("doc_id", F.col(parent_col).alias("parent"))
             .filter(F.col("parent").isNotNull()))
-    per_child = scores.join(meta, "doc_id")
-    if score_mode == "max":
-        agg = F.max("score")
-    elif score_mode == "min":
-        agg = F.min("score")
-    else:
-        # float folds in ascending doc_id order — deterministic bits
-        agg = ordered_sum("doc_id", "score")
-    g = (
-        per_child.groupBy("query_id", "parent")
-        .agg(agg.alias("_s"), F.count("*").alias("n_children"))
-        .filter(F.col("n_children") >= int(min_children))
-    )
-    score = (F.col("_s") / F.col("n_children") if score_mode == "avg"
-             else F.col("_s"))
-    ranked = g.select("query_id", "parent", score.alias("score"),
-                      "n_children")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("parent").asc())
-    kdf = F.broadcast(spark.createDataFrame(
-        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
-         for q in queries],
-        "query_id int, k int"))
-    return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .join(kdf, "query_id")
-        .filter(F.col("rank") <= F.col("k"))
-        .select("query_id", F.col("rank").cast("int"), "parent",
-                "score", "n_children")
-        .orderBy("query_id", "rank")
-    )
+    return _rank_parents(spark, scores.join(meta, "doc_id"), queries,
+                         score_mode, min_children, cfg.default_k)
+
+
+def has_child_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    parent_col: str = "repo",
+    score_mode: str = "max",
+    min_children: int = 1,
+    cfg: EngineConfig | None = None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Index-path :func:`has_child_topk`: the full exact score relation
+    comes from the postings (``wand.bm25_scores_index`` — no corpus
+    scan), the parent key from the index's docs sidecar.  Rank-identical
+    to the join path (same ordered folds), and composes with
+    ``doc_filter`` / ``synonyms`` like every index query.  Block-max
+    pruning is deliberately off: a parent's rank sums ALL its matching
+    children, so every match must be scored — the same exhaustive-decode
+    trade the collapse and boosting index paths make."""
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {_SCORE_MODES}, got {score_mode!r}")
+    if min_children < 1:
+        raise ValueError(f"min_children must be >= 1, got {min_children}")
+    from snowball_java_spark.operators.wand import bm25_scores_index
+
+    eff = cfg or DEFAULT
+    scores = bm25_scores_index(
+        spark, index, queries, cfg=eff, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = (index.docs(spark)
+            .select("doc_id", F.col(parent_col).alias("parent"))
+            .filter(F.col("parent").isNotNull()))
+    return _rank_parents(spark, scores.join(meta, "doc_id"), queries,
+                         score_mode, min_children, eff.default_k)

@@ -96,3 +96,31 @@ def test_has_child_min_children_and_validation(spark, docs_par, truth):
         has_child_topk(spark, docs_par,
                        [{"query_id": 0, "terms": TERMS}],
                        parent_col="repo", min_children=0)
+
+
+def test_has_child_index_matches_join_path(spark, synth_docs, docs_par,
+                                           tmp_path_factory):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.parentjoin import (
+        has_child_topk_index,
+    )
+    from snowball_java_spark.plans.build_index import build_index
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    d = str(tmp_path_factory.mktemp("hc_idx"))
+    idx = build_index(
+        spark, synth_docs.select("repo", "path", "commit", "lang",
+                                 "content"),
+        d, cfg=cfg, n_buckets=8)
+    for mode in ("max", "sum"):
+        join_rows = has_child_topk(
+            spark, docs_par, [{"query_id": 0, "terms": TERMS, "k": 20}],
+            parent_col="repo", score_mode=mode).collect()
+        idx_rows = has_child_topk_index(
+            spark, idx, [{"query_id": 0, "terms": TERMS, "k": 20}],
+            parent_col="repo", score_mode=mode, cfg=cfg).collect()
+        assert [(r["rank"], r["parent"], r["n_children"])
+                for r in idx_rows] == \
+            [(r["rank"], r["parent"], r["n_children"]) for r in join_rows]
+        for a, b in zip(idx_rows, join_rows):
+            assert a["score"] == pytest.approx(b["score"], rel=REL)
