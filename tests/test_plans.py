@@ -261,3 +261,55 @@ def test_line_matches_broadcasts_topk_and_terms(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_has_child_broadcasts_k_and_no_cartesian(spark, idx):
+    from snowball_java_spark.operators.parentjoin import (
+        has_child_topk_index,
+    )
+
+    df = has_child_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["table"], "k": 5}],
+        parent_col="repo", score_mode="sum", cfg=idx.cfg)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the docs-sidecar parent join must not read the fat tf_map column
+    schema_parts = plan.split("ReadSchema")
+    for part in schema_parts[1:]:
+        assert "tf_map" not in part[:300], "parent join pays for tf_map"
+
+
+def test_boxplot_second_pass_broadcasts_fences(spark, idx):
+    from snowball_java_spark.operators.aggs import boxplot_matches_index
+
+    df = boxplot_matches_index(
+        spark, idx, [{"query_id": 0, "terms": ["table"]}],
+        value_col="dl", cfg=idx.cfg)
+    plan = _plan(df)
+    # per-query fences (≤ |queries| rows) must reach pass 2 as a
+    # broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_constant_score_prunes_tokens_before_explode(spark):
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.funcscore import constant_score_topk
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", tokens_expr("text").alias("tokens"))
+    )
+    df = constant_score_topk(
+        spark, docs, [{"query_id": 0, "terms": ["dup"], "boost": 2.0,
+                       "k": 5}])
+    plan = _plan(df)
+    # the shared match relation filters + dedupes the token array to the
+    # query terms BEFORE the explode (prune-before-explode contract) —
+    # a cross-join/arrays_overlap reimplementation would show neither
+    assert "Generate explode" in plan
+    assert "array_distinct" in plan and "filter(tokens" in plan
+    assert "CartesianProduct" not in plan
