@@ -132,6 +132,7 @@ HEADLINE = [
     "events_auto_histogram",
     "bm25_has_child_topk",
     "bm25_has_child_index_topk",
+    "facet_by_metric",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -161,6 +161,13 @@ def main(argv: list[str]) -> int:
                         "disjunction buckets counted inside each match "
                         "set, plus an _other_ bucket (e.g. "
                         "defs=def|class,flow=if|return)")
+    p.add_argument("--terms-by-metric", default=None,
+                   metavar="GROUP:METRIC_COL[:AGG[:N]]",
+                   help="ES terms agg ordered by a sub-aggregation "
+                        "metric (exact global form — ES's sharded "
+                        "version is documented unbounded-error): top-N "
+                        "GROUP values ranked by AGG (avg/sum/min/max, "
+                        "default avg) of METRIC_COL (e.g. repo:dl:avg:10)")
     p.add_argument("--out", default=None,
                    help="parquet output prefix (default: jsonl stdout)")
     args = p.parse_args(argv)
@@ -171,7 +178,8 @@ def main(argv: list[str]) -> int:
                 args.extended_stats, args.multi_terms,
                 args.percentile_ranks, args.weighted_avg,
                 args.t_test, args.boxplot, args.mad,
-                args.string_stats, args.filters]):
+                args.string_stats, args.filters,
+                args.terms_by_metric]):
         raise SystemExit("nothing to do — pass at least one of "
                          "--facets/--counts/--histogram/--range/"
                          "--composite/--sig-terms/--sort-by/"
@@ -179,7 +187,7 @@ def main(argv: list[str]) -> int:
                          "--diversify/--adjacency/--extended-stats/"
                          "--multi-terms/--percentile-ranks/"
                          "--weighted-avg/--t-test/--boxplot/--mad/"
-                         "--string-stats/--filters")
+                         "--string-stats/--filters/--terms-by-metric")
     if args.after and not args.composite:
         raise SystemExit("--after requires --composite")
     if args.cardinality_rsd is not None and not args.cardinality:
@@ -548,6 +556,24 @@ def main(argv: list[str]) -> int:
                 spark, idx, qs, buckets, cfg=idx.cfg))
         except ValueError as e:
             raise SystemExit(f"--filters: {e}")
+    if args.terms_by_metric:
+        from snowball_java_spark.operators.aggs import (
+            terms_by_metric_index,
+        )
+
+        tb = args.terms_by_metric.split(":")
+        if len(tb) < 2 or len(tb) > 4:
+            raise SystemExit(
+                "--terms-by-metric wants GROUP:METRIC_COL[:AGG[:N]], "
+                "e.g. repo:dl:avg:10")
+        try:
+            emit("terms_by_metric", terms_by_metric_index(
+                spark, idx, qs, group_col=tb[0], metric_col=tb[1],
+                metric=tb[2] if len(tb) > 2 else "avg",
+                n_buckets=int(tb[3]) if len(tb) > 3 else 10,
+                cfg=idx.cfg))
+        except ValueError as e:
+            raise SystemExit(f"--terms-by-metric: {e}")
     spark.stop()
     return 0
 

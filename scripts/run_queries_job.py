@@ -186,6 +186,14 @@ def main(argv: list[str]) -> int:
              "representative — rows (query_id, rank, <COL>, doc_id, "
              "score); computed entirely on the index path")
     p.add_argument(
+        "--has-child", default=None, metavar="COL[:MODE[:MIN]]",
+        help="ES has_child (join field): rank PARENT entities — the "
+             "values of this index docs-metadata column — by the MODE "
+             "aggregate (max/min/sum/avg, default max) of their "
+             "matching children's scores; MIN = min_children (default "
+             "1) — rows (query_id, rank, <COL>, score, n_children); "
+             "computed entirely on the index path")
+    p.add_argument(
         "--rank-eval", default=None, metavar="JUDGMENTS",
         help="ES _rank_eval: evaluate the ranked results against a "
              "parquet judgment list (query_id, doc_id, relevance int "
@@ -364,6 +372,27 @@ def main(argv: list[str]) -> int:
             raise SystemExit(
                 "--collapse-by does not compose with --lines/--highlight"
                 "/--federate-with (those are per-doc rank surfaces)")
+    if args.has_child:
+        if args.collapse_by:
+            raise SystemExit(
+                "--has-child and --collapse-by are different result "
+                "shapes (parent ranking vs best-doc-per-group) — pick "
+                "one")
+        if len(term_qs) != len(qs):
+            raise SystemExit(
+                "--has-child supports terms queries only — phrase/"
+                "context/proximity/rescore/grep rank per doc")
+        if args.lines or args.highlight or args.federate_with:
+            raise SystemExit(
+                "--has-child does not compose with --lines/--highlight"
+                "/--federate-with (those are per-doc rank surfaces)")
+        hc = args.has_child.split(":")
+        if len(hc) > 3:
+            raise SystemExit(
+                "--has-child wants COL[:MODE[:MIN]], e.g. repo:sum:2")
+        if len(hc) > 1 and hc[1] not in ("max", "min", "sum", "avg"):
+            raise SystemExit(
+                f"--has-child mode must be max/min/sum/avg, got {hc[1]!r}")
     if args.mu != 2000.0 and args.similarity == "bm25":
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
@@ -463,6 +492,11 @@ def main(argv: list[str]) -> int:
         raise SystemExit(
             f"unknown --collapse-by column {args.collapse_by!r}; the "
             f"index stores doc metadata columns {sorted(doc_cols)}")
+    if args.has_child and args.has_child.split(":")[0] not in doc_cols:
+        raise SystemExit(
+            f"unknown --has-child column "
+            f"{args.has_child.split(':')[0]!r}; the index stores doc "
+            f"metadata columns {sorted(doc_cols)}")
 
     from snowball_java_spark.functions.queryparse import filters_column
 
@@ -548,6 +582,28 @@ def main(argv: list[str]) -> int:
 
         scfg = (_replace(idx.cfg, similarity=args.similarity, mu=args.mu)
                 if args.similarity != "bm25" else idx.cfg)
+        if args.has_child:
+            from snowball_java_spark.operators.parentjoin import (
+                has_child_topk_index,
+            )
+
+            hc = args.has_child.split(":")
+            col = hc[0]
+            hrows = has_child_topk_index(
+                spark, idx, cqs, parent_col=col,
+                score_mode=hc[1] if len(hc) > 1 else "max",
+                min_children=int(hc[2]) if len(hc) > 2 else 1,
+                cfg=scfg, doc_filter=flt, synonyms=csyn)
+            if args.out:
+                parts.append(hrows.withColumnRenamed("parent", col))
+            else:
+                for r in hrows.orderBy("query_id", "rank").collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "rank": r["rank"], col: r["parent"],
+                        "score": r["score"],
+                        "n_children": r["n_children"]}))
+            continue
         if args.collapse_by:
             from snowball_java_spark.operators.facets import (
                 collapse_topk_index,

@@ -4612,6 +4612,56 @@ SELECT doc_id, rank, {boost}::DOUBLE AS score FROM (
 """
 
 
+_FBM_N = 8
+
+
+def _q_facet_by_metric(spark, sf_dir):
+    """ES terms agg ordered by a sub-aggregation metric: source facets
+    of each query's match set ranked by avg stored doc length instead
+    of doc count — computed as the exact global two-phase rank (ES's
+    sharded form is documented unbounded-error; the exact shape is what
+    a Spark groupBy gives for free)."""
+    from snowball_java_spark.operators.aggs import terms_by_metric_index
+
+    idx = _index_for(spark, sf_dir)
+    res = terms_by_metric_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS},
+         {"query_id": 1, "terms": HOT_TERMS}],
+        group_col="repo", metric_col="dl", metric="avg",
+        n_buckets=_FBM_N, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("value").alias("source"), "n_docs",
+        F.round("metric", 6).alias("metric"))
+
+
+def _facet_by_metric_sql(term_sets: list[list[str]], n: int) -> str:
+    unions = []
+    for qid, terms in enumerate(term_sets):
+        tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        unions.append(f"""
+SELECT {qid}::BIGINT AS query_id,
+       row_number() OVER (ORDER BY metric DESC, source ASC)::BIGINT
+         AS rank,
+       source, n_docs, round(metric, 6) AS metric
+FROM (
+  SELECT d.source::VARCHAR AS source, count(*)::BIGINT AS n_docs,
+         sum(dl.dl)::DOUBLE / count(*) AS metric
+  FROM (SELECT DISTINCT doc_id FROM tfx WHERE term IN ({tl})) m
+  JOIN documents d ON m.doc_id = d.doc_id
+  JOIN dl ON m.doc_id = dl.doc_id
+  WHERE d.source IS NOT NULL
+  GROUP BY 1)
+QUALIFY rank <= {n}""")
+    u = " UNION ALL ".join(unions)
+    return f"""
+WITH {BASE_CTES}
+SELECT * FROM ({u}) ORDER BY query_id, rank
+"""
+
+
 _HC_MIN_CHILDREN = 2
 
 
@@ -6883,6 +6933,10 @@ FROM g
             _q_has_child_index,
             _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
         ),
+        "facet_by_metric": Q(
+            _q_facet_by_metric,
+            _facet_by_metric_sql([MIXED_TERMS, HOT_TERMS], _FBM_N),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -7204,7 +7258,7 @@ _DRIVER_PRIORITY = [
     # beyond the budget (local-oracle evidence only unless a queued
     # name is displaced): events_cumulative_users,
     # events_auto_histogram, bm25_has_child_topk,
-    # bm25_has_child_index_topk.
+    # bm25_has_child_index_topk, facet_by_metric.
 ]
 
 

@@ -1625,3 +1625,77 @@ def filters_matches_index(
         )
         out = out.unionByName(other)
     return out.orderBy("query_id", "bucket")
+
+
+_TBM_METRICS = ("avg", "sum", "min", "max")
+
+
+def terms_by_metric_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    group_col: str,
+    metric_col: str,
+    metric: str = "avg",
+    n_buckets: int = 10,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """ES ``terms`` aggregation with ``order: {<metric_agg>: desc}`` —
+    the facet values of ``group_col`` over each query's match set ranked
+    by a sub-aggregation metric of ``metric_col`` instead of doc count:
+    (query_id, rank, value, n_docs, metric), ordered (query_id, rank),
+    ranked (metric desc, value asc).
+
+    ES documents this ordering as UNBOUNDED-ERROR on sharded terms (a
+    shard's local metric order decides which values survive its
+    shard_size cut, so a globally-top value can vanish); the exact
+    global form here — aggregate EVERYTHING, then rank — is the
+    scale-correct shape Spark gets for free from a map-side-combinable
+    groupBy, and the reason this engine doesn't reproduce ES's
+    approximation.  Docs NULL in either column are skipped
+    (terms-family contract).
+
+    Determinism: avg derives from exact integer sums (Σx / n computed
+    once, in one canonical expression); min/max/sum are order-free over
+    integral metrics.
+
+    Scale shape: match set from postings decode; metadata join reads
+    only (doc_id, group_col, metric_col); the aggregate combines
+    map-side to value cardinality; ranking is the two-phase salted
+    window."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.wand import matching_docs_index
+
+    if metric not in _TBM_METRICS:
+        raise ValueError(
+            f"metric must be one of {_TBM_METRICS}, got {metric!r}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    match = matching_docs_index(
+        spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
+        synonyms=synonyms)
+    meta = index.docs(spark).select("doc_id", group_col, metric_col)
+    x = F.col(metric_col).cast("long")
+    g = (
+        match.join(meta, "doc_id")
+        .filter(F.col(group_col).isNotNull()
+                & F.col(metric_col).isNotNull())
+        .groupBy("query_id", F.col(group_col).cast("string").alias("value"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(x).alias("_sum"), F.min(x).alias("_min"),
+             F.max(x).alias("_max"))
+    )
+    m = {"avg": F.col("_sum").cast("double") / F.col("n_docs"),
+         "sum": F.col("_sum").cast("double"),
+         "min": F.col("_min").cast("double"),
+         "max": F.col("_max").cast("double")}[metric]
+    ranked = g.select("query_id", "value", "n_docs", m.alias("metric"))
+    order = [F.desc("metric"), F.asc("value")]
+    return (
+        _two_phase_rank(ranked, ["query_id"], order, n_buckets,
+                        salt_on="value")
+        .select("query_id", "rank", "value", "n_docs", "metric")
+        .orderBy("query_id", "rank")
+    )

@@ -1033,3 +1033,32 @@ def test_filters_agg_matches_truth(spark, index, toks):
         filters_matches_index(spark, index,
                               [{"query_id": 0, "terms": ["def"]}],
                               {"empty": []}, cfg=CFG)
+
+
+def test_terms_by_metric_matches_truth(spark, index, toks, synth_docs):
+    from snowball_java_spark.operators.aggs import terms_by_metric_index
+
+    meta = {r["doc_id"]: r["repo"] for r in
+            synth_docs.select("doc_id", "repo").collect()}
+    match = {d for d, ts in toks.items() if "def" in ts}
+    per_repo: dict[str, list[int]] = {}
+    for d in match:
+        if meta[d] is not None:
+            per_repo.setdefault(meta[d], []).append(len(toks[d]))
+    for metric, fn in (("avg", lambda v: sum(v) / len(v)),
+                       ("max", lambda v: float(max(v)))):
+        got = terms_by_metric_index(
+            spark, index, [{"query_id": 0, "terms": ["def"]}],
+            group_col="repo", metric_col="dl", metric=metric,
+            n_buckets=5, cfg=CFG).collect()
+        want = sorted(((fn(v), r, len(v)) for r, v in per_repo.items()),
+                      key=lambda x: (-x[0], x[1]))[:5]
+        assert [(r["value"], r["n_docs"]) for r in got] == \
+            [(r, n) for _, r, n in want]
+        for g, (m, _, _) in zip(got, want):
+            assert g["metric"] == pytest.approx(m, rel=REL)
+        assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+    with pytest.raises(ValueError, match="metric"):
+        terms_by_metric_index(
+            spark, index, [{"query_id": 0, "terms": ["def"]}],
+            group_col="repo", metric_col="dl", metric="median", cfg=CFG)
