@@ -393,6 +393,14 @@ def main(argv: list[str]) -> int:
         if len(hc) > 1 and hc[1] not in ("max", "min", "sum", "avg"):
             raise SystemExit(
                 f"--has-child mode must be max/min/sum/avg, got {hc[1]!r}")
+        if len(hc) > 2 and (not hc[2].isdigit() or int(hc[2]) < 1):
+            raise SystemExit(
+                f"--has-child min_children must be an integer >= 1, "
+                f"got {hc[2]!r}")
+        if args.rank_eval:
+            raise SystemExit(
+                "--has-child does not compose with --rank-eval "
+                "(judgments are per doc_id; parent rows have none)")
     if args.mu != 2000.0 and args.similarity == "bm25":
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
@@ -603,6 +611,19 @@ def main(argv: list[str]) -> int:
                         "rank": r["rank"], col: r["parent"],
                         "score": r["score"],
                         "n_children": r["n_children"]}))
+            if args.counts:
+                # same total_hits contract as the collapse branch —
+                # counts stay per DOC (children), not per parent
+                from snowball_java_spark.operators.facets import (
+                    match_counts_index,
+                )
+
+                for r in match_counts_index(
+                        spark, idx, cqs, cfg=idx.cfg, doc_filter=flt,
+                        synonyms=csyn).collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "total_hits": r["n_docs"]}))
             continue
         if args.collapse_by:
             from snowball_java_spark.operators.facets import (

@@ -4717,10 +4717,10 @@ sc AS (
 pc AS (SELECT sc.doc_id, sc.score, d.source AS parent
        FROM sc JOIN documents d ON sc.doc_id = d.doc_id
        WHERE d.source IS NOT NULL),
--- doc_id-ordered left fold: the engine's ordered_sum bit-for-bit
+-- DECIMAL(38,18) sum: exact hence associative — the engine's
+-- order-free deterministic aggregate, reproduced here
 g AS (SELECT parent,
-             list_reduce(list_prepend(0.0::DOUBLE,
-               list(score ORDER BY doc_id)), (a, b) -> a + b) AS score,
+             sum(score::DECIMAL(38, 18))::DOUBLE AS score,
              count(*)::BIGINT AS n_children
       FROM pc GROUP BY 1
       HAVING count(*) >= {min_children})

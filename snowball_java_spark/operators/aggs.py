@@ -1677,7 +1677,13 @@ def terms_by_metric_index(
         spark, index, queries, cfg=cfg or DEFAULT, doc_filter=doc_filter,
         synonyms=synonyms)
     meta = index.docs(spark).select("doc_id", group_col, metric_col)
-    x = F.col(metric_col).cast("long")
+    # integral columns sum as exact 64-bit integers; float columns sum
+    # as double (a long cast would silently TRUNCATE, e.g. a [0, 1)
+    # quality score to all-zeros) — same guard as weighted_avg
+    integral = {"byte", "short", "integer", "long"}
+    types = {f.name: f.dataType.typeName() for f in meta.schema.fields}
+    x = F.col(metric_col).cast(
+        "long" if types[metric_col] in integral else "double")
     g = (
         match.join(meta, "doc_id")
         .filter(F.col(group_col).isNotNull()

@@ -9,9 +9,10 @@ the query", the entity-retrieval complement of field collapsing (which
 returns the best CHILD per parent; here the PARENT is the result row).
 
 Score modes are ES's own: ``max`` / ``min`` (order-free, exact),
-``sum`` / ``avg`` (float folds — accumulated in ascending doc_id order
-via the shared ``ordered_sum`` so any engine reproduces the identical
-bits; a plain SUM would be partition-order-dependent).
+``sum`` / ``avg`` (accumulated as DECIMAL(38,18): decimal addition is
+exact hence associative — order-free-deterministic AND map-side
+combinable, where a float SUM is partition-order-dependent and an
+ordered collect-fold materializes every child row per parent).
 
 Scale shape: ONE BM25 scores pass (the pruned join path); the parent
 key join reads only (doc_id, parent_col); the per-parent aggregation
@@ -26,7 +27,7 @@ beyond-reference query surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
@@ -46,17 +47,25 @@ def _rank_parents(
     default_k: int,
 ) -> DataFrame:
     """Shared aggregate + rank tail of both has_child paths: per-parent
-    score_mode fold (sum/avg in ascending doc_id order), min_children
-    filter, (score desc, parent asc) top-k."""
-    from snowball_java_spark.operators.bm25_join import ordered_sum
+    score_mode aggregate, min_children filter, (score desc, parent asc)
+    top-k.
+
+    sum/avg accumulate as DECIMAL(38,18): decimal addition is exact, so
+    the sum is ASSOCIATIVE — order-free-deterministic AND map-side
+    combinable, unlike a float sum (partition-order-dependent bits) or
+    an ordered collect_list fold (materializes every child row per
+    parent — unbounded for a hot term in a huge repo).  Per-element
+    double→decimal rounding is ≤ 1e-18 relative, invisible at the
+    engine's 6-decimal output contract.  The top-k is the salted
+    two-phase rank — no single-task sort over all parents."""
+    from snowball_java_spark.operators.aggs import _two_phase_rank
 
     if score_mode == "max":
         agg = F.max("score")
     elif score_mode == "min":
         agg = F.min("score")
     else:
-        # float folds in ascending doc_id order — deterministic bits
-        agg = ordered_sum("doc_id", "score")
+        agg = F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
     g = (
         per_child.groupBy("query_id", "parent")
         .agg(agg.alias("_s"), F.count("*").alias("n_children"))
@@ -66,15 +75,16 @@ def _rank_parents(
              else F.col("_s"))
     ranked = g.select("query_id", "parent", score.alias("score"),
                       "n_children")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("parent").asc())
+    ks = {int(q["query_id"]): int(q.get("k", default_k))
+          for q in queries}
+    top = _two_phase_rank(
+        ranked, ["query_id"],
+        [F.col("score").desc(), F.col("parent").asc()],
+        max(ks.values(), default=default_k), salt_on="parent")
     kdf = F.broadcast(spark.createDataFrame(
-        [(int(q["query_id"]), int(q.get("k", default_k)))
-         for q in queries],
-        "query_id int, k int"))
+        list(ks.items()), "query_id int, k int"))
     return (
-        ranked.withColumn("rank", F.row_number().over(w))
-        .join(kdf, "query_id")
+        top.join(kdf, "query_id")
         .filter(F.col("rank") <= F.col("k"))
         .select("query_id", F.col("rank").cast("int"), "parent",
                 "score", "n_children")
@@ -97,6 +107,7 @@ def has_child_topk(
     the ``score_mode`` aggregate of their matching children's BM25
     scores, under (score desc, parent asc); parents with fewer than
     ``min_children`` matching children drop (ES ``min_children``).
+    See :func:`_rank_parents` for the decimal-sum determinism story.
     Children with a NULL parent key are skipped (ES: unrouted docs
     never join).  Query dicts: {query_id, terms, k}."""
     if score_mode not in _SCORE_MODES:
@@ -128,7 +139,7 @@ def has_child_topk_index(
     """Index-path :func:`has_child_topk`: the full exact score relation
     comes from the postings (``wand.bm25_scores_index`` — no corpus
     scan), the parent key from the index's docs sidecar.  Rank-identical
-    to the join path (same ordered folds), and composes with
+    to the join path (same decimal-sum aggregates), and composes with
     ``doc_filter`` / ``synonyms`` like every index query.  Block-max
     pruning is deliberately off: a parent's rank sums ALL its matching
     children, so every match must be scored — the same exhaustive-decode
