@@ -133,6 +133,7 @@ HEADLINE = [
     "bm25_has_child_topk",
     "bm25_has_child_index_topk",
     "facet_by_metric",
+    "bm25_ltr_rescore_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

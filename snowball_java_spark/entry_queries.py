@@ -4612,6 +4612,66 @@ SELECT doc_id, rank, {boost}::DOUBLE AS score FROM (
 """
 
 
+_LTR_WEIGHTS = {"bm25": 1.0, "log_dl": 0.3, "n_matched": 0.5}
+_LTR_WINDOW = 50
+
+
+def _q_ltr_rescore(spark, sf_dir):
+    """ES/OpenSearch LTR (sltr rescorer, linear model): the BM25 top
+    window re-ranked by w·(bm25, ln(1+dl), matched-term-count), with
+    the feature values logged alongside the rank (the plugin's feature
+    logging extension)."""
+    from snowball_java_spark.operators.rescore import ltr_rescore_topk_index
+
+    idx = _index_for(spark, sf_dir)
+    res = ltr_rescore_topk_index(
+        spark, idx, [{"query_id": 0, "terms": MIXED_TERMS, "k": 10}],
+        weights=_LTR_WEIGHTS, window_size=_LTR_WINDOW, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"), "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("bm25", 6).alias("bm25"),
+        F.round("log_dl", 6).alias("log_dl"),
+        F.col("n_matched").cast("long").alias("n_matched"))
+
+
+def _ltr_rescore_sql(terms: list[str], weights: dict, window: int,
+                     k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    wb, wd, wm = (weights["bm25"], weights["log_dl"],
+                  weights["n_matched"])
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+sc AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term) JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id CROSS JOIN st
+  GROUP BY 1
+),
+win AS (SELECT doc_id, score AS bm25 FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM sc) WHERE r <= {window}),
+nm AS (SELECT tfx.doc_id, count(DISTINCT tfx.term)::INTEGER AS n_matched
+       FROM tfx JOIN q USING (term) GROUP BY 1),
+feats AS (
+  SELECT w.doc_id, w.bm25, ln(1 + dl.dl) AS log_dl, nm.n_matched,
+         {wb} * w.bm25 + {wd} * ln(1 + dl.dl)
+           + {wm} * nm.n_matched AS score
+  FROM win w JOIN dl ON w.doc_id = dl.doc_id
+             JOIN nm ON w.doc_id = nm.doc_id)
+SELECT rank, doc_id, round(score, 6) AS score, round(bm25, 6) AS bm25,
+       round(log_dl, 6) AS log_dl, n_matched::BIGINT AS n_matched
+FROM (
+  SELECT doc_id, score, bm25, log_dl, n_matched,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+           AS rank
+  FROM feats
+) WHERE rank <= {k}
+"""
+
+
 _FBM_N = 8
 
 
@@ -6937,6 +6997,10 @@ FROM g
             _q_facet_by_metric,
             _facet_by_metric_sql([MIXED_TERMS, HOT_TERMS], _FBM_N),
         ),
+        "bm25_ltr_rescore_topk": Q(
+            _q_ltr_rescore,
+            _ltr_rescore_sql(MIXED_TERMS, _LTR_WEIGHTS, _LTR_WINDOW, 10),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -7258,7 +7322,8 @@ _DRIVER_PRIORITY = [
     # beyond the budget (local-oracle evidence only unless a queued
     # name is displaced): events_cumulative_users,
     # events_auto_histogram, bm25_has_child_topk,
-    # bm25_has_child_index_topk, facet_by_metric.
+    # bm25_has_child_index_topk, facet_by_metric,
+    # bm25_ltr_rescore_topk.
 ]
 
 

@@ -29,13 +29,14 @@ scan lane per phrase.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
 
-__all__ = ["rescore_topk", "rescore_topk_index"]
+__all__ = ["rescore_topk", "rescore_topk_index",
+           "ltr_rescore_topk_index"]
 
 _MODES = ("total", "multiply")
 
@@ -232,3 +233,105 @@ def rescore_topk_index(
         spark, window, per_q_sec,
         [int(q["query_id"]) for q in rescored], queries,
         query_weight, rescore_weight, score_mode, cfg)
+
+
+_LTR_FEATURES = ("bm25", "log_dl", "n_matched")
+
+
+def ltr_rescore_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    weights: dict[str, float],
+    window_size: int = 100,
+    cfg: EngineConfig = DEFAULT,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Learning-to-rank rescoring (the ES/OpenSearch LTR plugin's
+    ``sltr`` rescorer with a LINEAR model): re-rank each query's
+    primary BM25 top-``window_size`` by a weighted sum of per-(query,
+    doc) features —
+
+      * ``bm25``       — the primary score itself
+      * ``log_dl``     — ln(1 + stored doc length)
+      * ``n_matched``  — how many distinct query terms the doc contains
+
+    ``weights`` maps feature name → coefficient (a trained linear
+    model's parameters; training happens offline — the plugin's
+    "uploaded model" contract).  Unknown feature names fail loudly.
+    Output (query_id, rank, doc_id, score, bm25, log_dl, n_matched):
+    the features are returned alongside the rescored rank so a judgment
+    pipeline (``rank_eval``) can log them — the LTR plugin's
+    ``logging`` search extension.
+
+    Scale shape: the primary window is the block-max kernel at
+    k = window_size; dl joins from the column-pruned docs sidecar;
+    n_matched reads tf_map keys ONLY for the window's doc_ids (the
+    id-list filter pushes into the parquet scan — window_size·|queries|
+    rows, driver-bounded exactly like ``term_vectors``); the re-rank is
+    a window-sized sort."""
+    _validate([{k: v for k, v in q.items() if k != "rescore"}
+               for q in queries], window_size, "total", cfg)
+    bad = set(weights) - set(_LTR_FEATURES)
+    if bad:
+        raise ValueError(
+            f"unknown LTR feature(s) {sorted(bad)}; "
+            f"known: {list(_LTR_FEATURES)}")
+    if not weights:
+        raise ValueError("weights must name at least one feature")
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    wqs = [{**{k: v for k, v in q.items() if k != "rescore"},
+            "k": window_size} for q in queries]
+    window = bm25_topk_index(
+        spark, index, wqs, cfg=cfg, doc_filter=doc_filter,
+        synonyms=synonyms).select(
+        "query_id", "doc_id", F.col("score").alias("bm25"))
+    # window_size·|queries| ids — driver-bounded, same class as
+    # term_vectors' doc_ids filter (isin pushes into the parquet scan)
+    win_ids = [int(r["doc_id"])
+               for r in window.select("doc_id").distinct().collect()]
+    if not win_ids:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double, "
+                "bm25 double, log_dl double, n_matched int")
+    docs = index.docs(spark).filter(F.col("doc_id").isin(win_ids))
+    meta = docs.select("doc_id", F.log1p(F.col("dl")).alias("log_dl"))
+    terms_by_q = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), sorted({str(t) for t in q["terms"]}))
+         for q in queries],
+        "query_id int, qterms array<string>"))
+    matched = (
+        index._live_docs_union(spark)
+        .filter(F.col("doc_id").isin(win_ids))
+        .select("doc_id", F.map_keys("tf_map").alias("_terms"))
+    )
+    feats = (
+        window.join(meta, "doc_id")
+        .join(matched, "doc_id")
+        .join(terms_by_q, "query_id")
+        .select(
+            "query_id", "doc_id", "bm25", "log_dl",
+            F.size(F.array_intersect("_terms", "qterms"))
+            .alias("n_matched"))
+    )
+    w = {f: float(weights.get(f, 0.0)) for f in _LTR_FEATURES}
+    score = (F.lit(w["bm25"]) * F.col("bm25")
+             + F.lit(w["log_dl"]) * F.col("log_dl")
+             + F.lit(w["n_matched"]) * F.col("n_matched"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    kdf = F.broadcast(spark.createDataFrame(
+        [(int(q["query_id"]), int(q.get("k", cfg.default_k)))
+         for q in queries],
+        "query_id int, k int"))
+    return (
+        feats.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(win))
+        .join(kdf, "query_id")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", F.col("rank").cast("int"), "doc_id",
+                "score", "bm25", "log_dl", "n_matched")
+        .orderBy("query_id", "rank")
+    )

@@ -136,3 +136,50 @@ def test_rescore_validation(spark, docs_tok):
         rescore_topk(spark, docs_tok,
                      [{"query_id": 0, "terms": ["a"], "k": 200}],
                      window_size=100)
+
+
+def test_ltr_rescore_matches_truth(spark, synth_docs, toks, tmp_path):
+    import math
+
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.rescore import (
+        ltr_rescore_topk_index,
+    )
+    from snowball_java_spark.plans.build_index import build_index
+    from tests.oracle import OracleIndex
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    idx = build_index(
+        spark, synth_docs.select("repo", "path", "commit", "lang",
+                                 "content"),
+        str(tmp_path / "ltr_idx"), cfg=cfg, n_buckets=8)
+    terms = ["def", "return"]
+    weights = {"bm25": 1.0, "log_dl": 0.4, "n_matched": 0.7}
+    got = ltr_rescore_topk_index(
+        spark, idx, [{"query_id": 0, "terms": terms, "k": 8}],
+        weights=weights, window_size=30, cfg=cfg).collect()
+    oracle = OracleIndex([(d, " ".join(ts)) for d, ts in toks.items()])
+    window = oracle.topk(terms, 30)
+    want = []
+    for d, bm25 in window:
+        dl = len(toks[d])
+        nm = sum(1 for t in set(terms) if t in toks[d])
+        s = (weights["bm25"] * bm25 + weights["log_dl"] * math.log1p(dl)
+             + weights["n_matched"] * nm)
+        want.append((d, s, bm25, math.log1p(dl), nm))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    want = want[:8]
+    assert [r["doc_id"] for r in got] == [d for d, *_ in want]
+    for r, (_, s, b, ld, nm) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+        assert r["bm25"] == pytest.approx(b, rel=1e-9)
+        assert r["log_dl"] == pytest.approx(ld, rel=1e-9)
+        assert r["n_matched"] == nm
+    with pytest.raises(ValueError, match="unknown LTR"):
+        ltr_rescore_topk_index(
+            spark, idx, [{"query_id": 0, "terms": terms}],
+            weights={"pagerank": 1.0}, cfg=cfg)
+    with pytest.raises(ValueError, match="at least one"):
+        ltr_rescore_topk_index(
+            spark, idx, [{"query_id": 0, "terms": terms}],
+            weights={}, cfg=cfg)
