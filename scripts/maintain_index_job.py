@@ -79,6 +79,16 @@ def main(argv: list[str]) -> int:
                    help="with --update-by-query: SQL expression over the "
                         "corpus columns producing the new content, e.g. "
                         "\"concat(content, ' migrated')\"")
+    p.add_argument("--check", action="store_true",
+                   help="integrity audit (Lucene CheckIndex analog): "
+                        "catalog stats vs docs recount, vocabulary df "
+                        "vs stored tf_maps, full postings decode vs "
+                        "docs, ascending doc-id streams; one report "
+                        "line per check, exit 3 if any fails")
+    p.add_argument("--check-corpus", metavar="CORPUS", default=None,
+                   help="with --check: also recompute per-row content "
+                        "sha256 from this corpus and compare against "
+                        "the stored hashes (end-to-end equality audit)")
     p.add_argument("--rebuild-stats", action="store_true",
                    help="re-merge term_stats from the stored partials")
     p.add_argument("--snapshot", metavar="DST",
@@ -117,15 +127,17 @@ def main(argv: list[str]) -> int:
         p.error("--update-by-query requires --update-corpus and --transform")
     if (args.update_corpus or args.transform) and not args.update_by_query:
         p.error("--update-corpus/--transform require --update-by-query")
+    if args.check_corpus and not args.check:
+        p.error("--check-corpus requires --check")
     if not any((args.describe, args.compact, args.refresh,
                 args.delete_keys, args.delete_by_query,
                 args.update_by_query, args.rebuild_stats, args.snapshot,
                 args.restore_from, args.reindex_to, args.set_alias,
-                args.drop_alias)):
+                args.drop_alias, args.check)):
         p.error("nothing to do: pass --describe/--compact/--refresh/"
                 "--delete-keys/--delete-by-query/--update-by-query/"
-                "--rebuild-stats/--snapshot/--restore-from/--reindex-to/"
-                "--set-alias/--drop-alias")
+                "--rebuild-stats/--check/--snapshot/--restore-from/"
+                "--reindex-to/--set-alias/--drop-alias")
     if any(v is not None for v in (args.codec, args.block_size,
                                    args.stages, args.buckets)) \
             and not args.reindex_to:
@@ -168,7 +180,7 @@ def main(argv: list[str]) -> int:
     needs_spark = any((args.describe, args.compact, args.refresh,
                        args.delete_keys, args.delete_by_query,
                        args.update_by_query, args.rebuild_stats,
-                       args.reindex_to))
+                       args.reindex_to, args.check))
     if not needs_spark:
         if args.snapshot:
             t0 = time.time()
@@ -312,8 +324,39 @@ def main(argv: list[str]) -> int:
     _alias_steps()
     if args.describe:
         print(json.dumps(IndexReader(args.index_dir).describe(spark)))
+    check_failed = False
+    if args.check:
+        from snowball_java_spark.plans.check_index import check_index
+        from snowball_java_spark.sources.corpus import (
+            assign_doc_ids,
+            with_sha256,
+        )
+
+        t0 = time.time()
+        corpus = None
+        if args.check_corpus:
+            # same id-assignment pipeline build_index_job uses, so the
+            # recomputed hashes line up with the stored doc_ids
+            corpus = assign_doc_ids(with_sha256(
+                read_corpus(spark, args.check_corpus)))
+        report = check_index(spark, IndexReader(args.index_dir),
+                             corpus=corpus).collect()
+        for r in report:
+            print(json.dumps({
+                "check": r["check"], "ok": r["ok"],
+                "expected": r["expected"], "actual": r["actual"],
+                "n_bad": r["n_bad"], "detail": r["detail"],
+            }))
+        check_failed = any(not r["ok"] for r in report)
+        print(json.dumps({
+            "check_passed": not check_failed,
+            "n_checks": len(report),
+            "elapsed_sec": round(time.time() - t0, 1),
+        }))
     spark.stop()
-    return 0
+    # a failed integrity audit is an operational alarm, not a crash —
+    # distinct exit code so schedulers can branch on it
+    return 3 if check_failed else 0
 
 
 if __name__ == "__main__":

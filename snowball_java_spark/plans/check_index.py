@@ -1,0 +1,188 @@
+"""Index integrity audit — the Lucene ``CheckIndex`` analog.
+
+An index that survives refresh/delete/compact cycles accumulates
+invariants that nothing re-validates once the writing job exits: the
+catalog's corpus stats, the vocabulary's document frequencies, the
+postings' doc-id streams, and (north_rule) the per-row content sha256.
+This module re-derives each from its INDEPENDENT source and reports
+agreement — the maintenance command an operator runs before trusting a
+restored snapshot, after a crash mid-compaction, or on a copy that
+crossed storage systems.
+
+Checks (each one row of the report):
+
+* ``conf_n_docs`` / ``conf_total_dl`` — the catalog's corpus stats
+  (`_conf.json`) vs a recount of the live docs table.
+* ``term_stats_vs_docs`` — every vocabulary row's ``df`` vs the count
+  of live docs whose stored ``tf_map`` carries the term (the docs
+  sidecar is written by a different job stage than term_stats — they
+  can only agree if both survived intact).
+* ``postings_vs_docs`` — every posting list decoded end-to-end
+  (delta-varint/PForDelta blocks, skip structure walked exactly as the
+  query kernels do) and its doc-id count compared against the SAME
+  term's tf_map-derived count over ALL docs including tombstoned ones
+  (postings physically retain dead docs until compaction — the
+  tombstone filter is a query-time overlay, so the encode-side
+  invariant is vs the unfiltered docs).  Decode also verifies every
+  stream is strictly ascending — a corrupt delta block surfaces here.
+* ``sha256_vs_corpus`` (only with a corpus) — stored content sha256 vs
+  a recompute from the source of truth, per doc_id (the north_rule's
+  end-to-end per-row equality, auditable on demand).
+
+Scale shape: every check is one distributed aggregation — recounts are
+map-side-combinable groupBys over column-pruned sidecar reads; the
+postings decode is a ``mapInPandas`` over the postings rows themselves
+(no shuffle in, (term, count) rows out); only per-check scalar
+summaries reach the driver.  Nothing loads an index into memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["check_index"]
+
+REPORT_SCHEMA = ("check string, ok boolean, expected long, actual long, "
+                 "n_bad long, detail string")
+
+
+def _row(check: str, ok: bool, expected: int | None, actual: int | None,
+         n_bad: int, detail: str) -> tuple:
+    return (check, bool(ok),
+            None if expected is None else int(expected),
+            None if actual is None else int(actual),
+            int(n_bad), detail)
+
+
+def check_index(
+    spark: SparkSession,
+    index,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Run every integrity check against ``index`` (an ``IndexReader``);
+    ``corpus`` (doc_id + content, or the raw (repo, path, commit, lang,
+    content) shape) enables the sha256 recheck.  Returns the report
+    relation (check, ok, expected, actual, n_bad, detail) — one row per
+    check, ``ok`` false where an invariant is violated."""
+    import numpy as np
+    import pandas as pd
+
+    from snowball_java_spark.functions.codecs import get_codec
+    from snowball_java_spark.operators.postings import (
+        decode_posting_doc_ids,
+    )
+
+    rows: list[tuple] = []
+
+    # -- catalog stats vs live docs recount (one combined aggregation)
+    live = index.docs(spark).select("doc_id", "dl")
+    st = live.agg(F.count("*").alias("n"),
+                  F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).collect()[0]
+    n_live, dl_sum = int(st["n"]), int(st["s"])
+    rows.append(_row(
+        "conf_n_docs", n_live == index.n_docs, index.n_docs, n_live,
+        abs(n_live - index.n_docs),
+        "catalog n_docs vs live docs recount"))
+    rows.append(_row(
+        "conf_total_dl", dl_sum == index.total_dl, index.total_dl,
+        dl_sum, abs(dl_sum - index.total_dl),
+        "catalog total_dl vs sum(dl) over live docs"))
+
+    # -- vocabulary df vs live docs' stored term sets
+    doc_df = (
+        index.doc_terms(spark)
+        .select(F.explode("terms").alias("term"))
+        .groupBy("term").agg(F.count("*").alias("_docs_df"))
+    )
+    ts = index.term_stats(spark).select("term", F.col("df").alias("_ts_df"))
+    joined = ts.join(doc_df, "term", "full_outer")
+    vs = joined.agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.when(
+            F.coalesce("_ts_df", F.lit(-1))
+            != F.coalesce("_docs_df", F.lit(-2)), 1).otherwise(0))
+        .alias("n_bad")).collect()[0]
+    rows.append(_row(
+        "term_stats_vs_docs", int(vs["n_bad"]) == 0, int(vs["n_terms"]),
+        int(vs["n_terms"]) - int(vs["n_bad"]), int(vs["n_bad"]),
+        "vocabulary df vs per-term live doc count from tf_map keys"))
+
+    # -- postings decode vs ALL docs' term sets (dead included: the
+    #    tombstone overlay is query-time, the encode invariant is raw)
+    dec = get_codec(index.cfg.codec)[1]
+    bs = int(index.cfg.block_size)
+
+    def decode_counts(it):
+        for pdf in it:
+            terms, counts, asc_bad = [], [], []
+            for _, row in pdf.iterrows():
+                ids = decode_posting_doc_ids(row, dec, bs)
+                terms.append(row["term"])
+                counts.append(len(ids))
+                asc_bad.append(
+                    int(np.any(np.diff(ids) <= 0)) if ids.size > 1 else 0)
+            yield pd.DataFrame(
+                {"term": terms, "_n": counts, "_asc_bad": asc_bad})
+
+    decoded = (
+        index.postings(spark)
+        .select("term", "n", "doc_bytes", "block_first_doc",
+                "block_doc_off")
+        .mapInPandas(decode_counts, "term string, _n long, _asc_bad int")
+        .groupBy("term")
+        .agg(F.sum("_n").alias("_post_n"),
+             F.sum("_asc_bad").alias("_asc_bad"))
+    )
+    all_df = (
+        # the raw union (docs() drops tf_map) — dead rows kept
+        index._live_docs_union(spark, include_dead=True)
+        .select(F.explode(F.map_keys("tf_map")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("_all_df"))
+    )
+    pj = decoded.join(all_df, "term", "full_outer")
+    ps = pj.agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.when(
+            F.coalesce("_post_n", F.lit(-1))
+            != F.coalesce("_all_df", F.lit(-2)), 1).otherwise(0))
+        .alias("n_bad"),
+        F.coalesce(F.sum("_asc_bad"), F.lit(0)).alias("asc_bad"),
+    ).collect()[0]
+    rows.append(_row(
+        "postings_vs_docs", int(ps["n_bad"]) == 0, int(ps["n_terms"]),
+        int(ps["n_terms"]) - int(ps["n_bad"]), int(ps["n_bad"]),
+        "decoded posting doc count vs tf_map-derived df (dead included)"))
+    rows.append(_row(
+        "postings_ascending", int(ps["asc_bad"]) == 0, 0,
+        int(ps["asc_bad"]), int(ps["asc_bad"]),
+        "posting rows whose decoded doc_id stream is not strictly "
+        "ascending"))
+
+    # -- stored sha256 vs recompute from the source of truth
+    if corpus is not None:
+        from snowball_java_spark.sources.corpus import with_sha256
+
+        src = corpus
+        if "content_sha256" not in src.columns:
+            src = with_sha256(src)
+        if "doc_id" not in src.columns:
+            raise ValueError(
+                "sha256 check needs a corpus carrying doc_id (run it on "
+                "the id-assigned corpus the index was built from)")
+        truth = src.select("doc_id",
+                           F.col("content_sha256").alias("_truth_sha"))
+        stored = index.docs(spark).select("doc_id", "content_sha256")
+        sj = stored.join(truth, "doc_id", "left")
+        ss = sj.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(
+                F.col("_truth_sha").isNull()
+                | (F.col("content_sha256") != F.col("_truth_sha")),
+                1).otherwise(0)).alias("n_bad")).collect()[0]
+        rows.append(_row(
+            "sha256_vs_corpus", int(ss["n_bad"]) == 0, int(ss["n"]),
+            int(ss["n"]) - int(ss["n_bad"]), int(ss["n_bad"]),
+            "stored content sha256 vs recompute from the given corpus"))
+
+    return spark.createDataFrame(rows, REPORT_SCHEMA)

@@ -713,3 +713,57 @@ def test_sorted_matches_index_both_directions(spark, index, oracle):
     expect = sorted(match, key=lambda d: (paths[d], d))[:5]
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] \
         == expect
+
+
+def test_check_index_green_and_detects_corruption(spark, synth_docs,
+                                                  tmp_path):
+    import json
+    import os
+
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import (
+        IndexReader,
+        build_index,
+        refresh_index,
+    )
+    from snowball_java_spark.plans.check_index import check_index
+    from snowball_java_spark.sources.synthetic import synth_corpus_pdf
+    from snowball_java_spark.sources.corpus import (
+        assign_doc_ids,
+        with_sha256,
+    )
+
+    cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+    d = str(tmp_path / "chk_idx")
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    build_index(spark, corpus, d, cfg=cfg, n_buckets=8)
+
+    # green on a fresh build, INCLUDING the sha256 recheck
+    idx = IndexReader(d)
+    rep = {r["check"]: r for r in check_index(
+        spark, idx, corpus=assign_doc_ids(with_sha256(corpus))).collect()}
+    assert set(rep) == {"conf_n_docs", "conf_total_dl",
+                       "term_stats_vs_docs", "postings_vs_docs",
+                       "postings_ascending", "sha256_vs_corpus"}
+    for name, r in rep.items():
+        assert r["ok"] and r["n_bad"] == 0, f"{name}: {r}"
+
+    # still green across a refresh generation (postings retain dead
+    # docs — the check must compare dead-inclusive)
+    delta = spark.createDataFrame(synth_corpus_pdf(300, 340, 40))
+    refresh_index(spark, delta, d)
+    idx = IndexReader(d)
+    rep = {r["check"]: r for r in check_index(spark, idx).collect()}
+    for name, r in rep.items():
+        assert r["ok"], f"{name} after refresh: {r}"
+
+    # corrupt the catalog: n_docs off by one must flag conf_n_docs
+    conf_p = os.path.join(d, "_conf.json")
+    conf = json.load(open(conf_p))
+    conf["n_docs"] += 1
+    json.dump(conf, open(conf_p, "w"))
+    bad = {r["check"]: r for r in check_index(
+        spark, IndexReader(d)).collect()}
+    assert not bad["conf_n_docs"]["ok"] and bad["conf_n_docs"]["n_bad"] == 1
+    # the other checks stay green — the audit localizes the fault
+    assert bad["term_stats_vs_docs"]["ok"] and bad["postings_vs_docs"]["ok"]
