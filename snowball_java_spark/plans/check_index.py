@@ -159,6 +159,56 @@ def check_index(
         "posting rows whose decoded doc_id stream is not strictly "
         "ascending"))
 
+    # -- positions sidecar vs tf_maps (only when the sidecar exists):
+    #    per-term occurrence totals from the varint tf streams must
+    #    equal the tf_map sums — a mismatch means a corrupt stream OR a
+    #    sidecar that predates a refresh generation (stale: rebuild it)
+    if index.has_positions:
+        from snowball_java_spark.functions.codecs import varint_decode
+
+        def decode_pos_counts(it):
+            for pdf in it:
+                terms, occs, nbad = [], [], []
+                for _, row in pdf.iterrows():
+                    tfs = varint_decode(bytes(row["tf_bytes"]))
+                    terms.append(row["term"])
+                    occs.append(int(tfs.sum()))
+                    nbad.append(int(len(tfs) != int(row["n"])))
+                yield pd.DataFrame(
+                    {"term": terms, "_occ": occs, "_len_bad": nbad})
+
+        pos_occ = (
+            index.positions(spark)
+            .select("term", "n", "tf_bytes")
+            .mapInPandas(decode_pos_counts,
+                         "term string, _occ long, _len_bad int")
+            .groupBy("term")
+            .agg(F.sum("_occ").alias("_pos_occ"),
+                 F.sum("_len_bad").alias("_len_bad"))
+        )
+        tf_occ = (
+            index._live_docs_union(spark, include_dead=True)
+            .select(F.explode("tf_map").alias("term", "tf"))
+            .groupBy("term").agg(F.sum("tf").alias("_map_occ"))
+        )
+        pq = pos_occ.join(tf_occ, "term", "full_outer")
+        pr = pq.agg(
+            F.count("*").alias("n_terms"),
+            F.sum(F.when(
+                F.coalesce("_pos_occ", F.lit(-1))
+                != F.coalesce("_map_occ", F.lit(-2)), 1).otherwise(0))
+            .alias("n_bad"),
+            F.coalesce(F.sum("_len_bad"), F.lit(0)).alias("len_bad"),
+        ).collect()[0]
+        rows.append(_row(
+            "positions_vs_docs",
+            int(pr["n_bad"]) == 0 and int(pr["len_bad"]) == 0,
+            int(pr["n_terms"]),
+            int(pr["n_terms"]) - int(pr["n_bad"]),
+            int(pr["n_bad"]) + int(pr["len_bad"]),
+            "positional occurrence totals vs tf_map sums (a mismatch is "
+            "corruption or a sidecar staler than the docs — rebuild it)"))
+
     # -- stored sha256 vs recompute from the source of truth
     if corpus is not None:
         from snowball_java_spark.sources.corpus import with_sha256

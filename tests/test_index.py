@@ -733,18 +733,23 @@ def test_check_index_green_and_detects_corruption(spark, synth_docs,
         with_sha256,
     )
 
+    from snowball_java_spark.plans.build_index import add_positions
+
     cfg = EngineConfig(shard_size=64, block_size=16, build_stages=2)
     d = str(tmp_path / "chk_idx")
     corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
     build_index(spark, corpus, d, cfg=cfg, n_buckets=8)
+    add_positions(spark, synth_docs.select("doc_id", "content"),
+                  IndexReader(d))
 
-    # green on a fresh build, INCLUDING the sha256 recheck
+    # green on a fresh build, INCLUDING positions + the sha256 recheck
     idx = IndexReader(d)
     rep = {r["check"]: r for r in check_index(
         spark, idx, corpus=assign_doc_ids(with_sha256(corpus))).collect()}
     assert set(rep) == {"conf_n_docs", "conf_total_dl",
                        "term_stats_vs_docs", "postings_vs_docs",
-                       "postings_ascending", "sha256_vs_corpus"}
+                       "postings_ascending", "positions_vs_docs",
+                       "sha256_vs_corpus"}
     for name, r in rep.items():
         assert r["ok"] and r["n_bad"] == 0, f"{name}: {r}"
 
