@@ -327,18 +327,14 @@ def main(argv: list[str]) -> int:
     check_failed = False
     if args.check:
         from snowball_java_spark.plans.check_index import check_index
-        from snowball_java_spark.sources.corpus import (
-            assign_doc_ids,
-            with_sha256,
-        )
 
         t0 = time.time()
         corpus = None
         if args.check_corpus:
-            # same id-assignment pipeline build_index_job uses, so the
-            # recomputed hashes line up with the stored doc_ids
-            corpus = assign_doc_ids(with_sha256(
-                read_corpus(spark, args.check_corpus)))
+            # raw corpus — check_index joins by NATURAL KEY against the
+            # stored ids (a fresh re-assignment could never reproduce
+            # cluster_by orders or post-refresh gap ids)
+            corpus = read_corpus(spark, args.check_corpus)
         report = check_index(spark, IndexReader(args.index_dir),
                              corpus=corpus).collect()
         for r in report:

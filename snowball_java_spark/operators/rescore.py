@@ -284,10 +284,14 @@ def ltr_rescore_topk_index(
 
     wqs = [{**{k: v for k, v in q.items() if k != "rescore"},
             "k": window_size} for q in queries]
+    # materialize the window ONCE — the MaxScore kernel is the
+    # expensive leg, and the win_ids collect plus the feature join
+    # would otherwise each re-run it from the postings
     window = bm25_topk_index(
         spark, index, wqs, cfg=cfg, doc_filter=doc_filter,
         synonyms=synonyms).select(
-        "query_id", "doc_id", F.col("score").alias("bm25"))
+        "query_id", "doc_id", F.col("score").alias("bm25")
+    ).localCheckpoint()
     # window_size·|queries| ids — driver-bounded, same class as
     # term_vectors' doc_ids filter (isin pushes into the parquet scan)
     win_ids = [int(r["doc_id"])
@@ -303,9 +307,9 @@ def ltr_rescore_topk_index(
          for q in queries],
         "query_id int, qterms array<string>"))
     matched = (
-        index._live_docs_union(spark)
+        index.doc_terms(spark)
         .filter(F.col("doc_id").isin(win_ids))
-        .select("doc_id", F.map_keys("tf_map").alias("_terms"))
+        .withColumnRenamed("terms", "_terms")
     )
     feats = (
         window.join(meta, "doc_id")

@@ -115,24 +115,38 @@ def check_index(
 
     def decode_counts(it):
         for pdf in it:
-            terms, counts, asc_bad = [], [], []
+            terms, counts, asc_bad, dec_bad = [], [], [], []
             for _, row in pdf.iterrows():
-                ids = decode_posting_doc_ids(row, dec, bs)
                 terms.append(row["term"])
+                try:
+                    ids = decode_posting_doc_ids(row, dec, bs)
+                except Exception:
+                    # truncated/garbage bytes are exactly what this
+                    # audit exists to find — a failing ROW, not a
+                    # crashed job (Lucene CheckIndex catches the same
+                    # way); count -1 can never match a real df
+                    counts.append(-1)
+                    asc_bad.append(0)
+                    dec_bad.append(1)
+                    continue
                 counts.append(len(ids))
                 asc_bad.append(
                     int(np.any(np.diff(ids) <= 0)) if ids.size > 1 else 0)
+                dec_bad.append(0)
             yield pd.DataFrame(
-                {"term": terms, "_n": counts, "_asc_bad": asc_bad})
+                {"term": terms, "_n": counts, "_asc_bad": asc_bad,
+                 "_dec_bad": dec_bad})
 
     decoded = (
         index.postings(spark)
         .select("term", "n", "doc_bytes", "block_first_doc",
                 "block_doc_off")
-        .mapInPandas(decode_counts, "term string, _n long, _asc_bad int")
+        .mapInPandas(decode_counts,
+                     "term string, _n long, _asc_bad int, _dec_bad int")
         .groupBy("term")
         .agg(F.sum("_n").alias("_post_n"),
-             F.sum("_asc_bad").alias("_asc_bad"))
+             F.sum("_asc_bad").alias("_asc_bad"),
+             F.sum("_dec_bad").alias("_dec_bad"))
     )
     all_df = (
         # the raw union (docs() drops tf_map) — dead rows kept
@@ -148,11 +162,17 @@ def check_index(
             != F.coalesce("_all_df", F.lit(-2)), 1).otherwise(0))
         .alias("n_bad"),
         F.coalesce(F.sum("_asc_bad"), F.lit(0)).alias("asc_bad"),
+        F.coalesce(F.sum("_dec_bad"), F.lit(0)).alias("dec_bad"),
     ).collect()[0]
     rows.append(_row(
         "postings_vs_docs", int(ps["n_bad"]) == 0, int(ps["n_terms"]),
         int(ps["n_terms"]) - int(ps["n_bad"]), int(ps["n_bad"]),
         "decoded posting doc count vs tf_map-derived df (dead included)"))
+    rows.append(_row(
+        "postings_decodable", int(ps["dec_bad"]) == 0, 0,
+        int(ps["dec_bad"]), int(ps["dec_bad"]),
+        "posting rows whose byte streams failed to decode (truncated/"
+        "corrupt blocks)"))
     rows.append(_row(
         "postings_ascending", int(ps["asc_bad"]) == 0, 0,
         int(ps["asc_bad"]), int(ps["asc_bad"]),
@@ -170,8 +190,14 @@ def check_index(
             for pdf in it:
                 terms, occs, nbad = [], [], []
                 for _, row in pdf.iterrows():
-                    tfs = varint_decode(bytes(row["tf_bytes"]))
                     terms.append(row["term"])
+                    try:
+                        tfs = varint_decode(bytes(row["tf_bytes"]))
+                    except Exception:
+                        # corrupt stream → failing row, never a crash
+                        occs.append(-1)
+                        nbad.append(1)
+                        continue
                     occs.append(int(tfs.sum()))
                     nbad.append(int(len(tfs) != int(row["n"])))
                 yield pd.DataFrame(
@@ -209,30 +235,49 @@ def check_index(
             "positional occurrence totals vs tf_map sums (a mismatch is "
             "corruption or a sidecar staler than the docs — rebuild it)"))
 
-    # -- stored sha256 vs recompute from the source of truth
+    # -- stored sha256 vs recompute from the source of truth.  Joined
+    #    by NATURAL KEY (or doc_id when the corpus carries one) — a
+    #    fresh id re-assignment could never reproduce cluster_by sort
+    #    orders or post-refresh shard-aligned gap ids, and would
+    #    mass-false-fail healthy indexes.  FULL OUTER: a doc missing
+    #    from either side (dropped from the index, or gone from the
+    #    source) is a finding, not a silently unjoined row.
     if corpus is not None:
-        from snowball_java_spark.sources.corpus import with_sha256
+        from snowball_java_spark.sources.corpus import (
+            CORPUS_KEY,
+            with_sha256,
+        )
 
         src = corpus
         if "content_sha256" not in src.columns:
             src = with_sha256(src)
-        if "doc_id" not in src.columns:
-            raise ValueError(
-                "sha256 check needs a corpus carrying doc_id (run it on "
-                "the id-assigned corpus the index was built from)")
-        truth = src.select("doc_id",
+        stored = index.docs(spark)
+        if "doc_id" in src.columns:
+            joinkey = ["doc_id"]
+        else:
+            joinkey = [k for k in CORPUS_KEY
+                       if k in src.columns and k in stored.columns]
+            if not joinkey:
+                raise ValueError(
+                    "sha256 check needs the corpus to share doc_id or "
+                    f"natural-key columns ({CORPUS_KEY}) with the "
+                    "index's docs table")
+        truth = src.select(*joinkey,
                            F.col("content_sha256").alias("_truth_sha"))
-        stored = index.docs(spark).select("doc_id", "content_sha256")
-        sj = stored.join(truth, "doc_id", "left")
+        sj = stored.select(*joinkey,
+                           F.col("content_sha256").alias("_stored_sha")
+                           ).join(truth, joinkey, "full_outer")
         ss = sj.agg(
             F.count("*").alias("n"),
             F.sum(F.when(
-                F.col("_truth_sha").isNull()
-                | (F.col("content_sha256") != F.col("_truth_sha")),
+                F.col("_stored_sha").isNull()
+                | F.col("_truth_sha").isNull()
+                | (F.col("_stored_sha") != F.col("_truth_sha")),
                 1).otherwise(0)).alias("n_bad")).collect()[0]
         rows.append(_row(
             "sha256_vs_corpus", int(ss["n_bad"]) == 0, int(ss["n"]),
             int(ss["n"]) - int(ss["n_bad"]), int(ss["n_bad"]),
-            "stored content sha256 vs recompute from the given corpus"))
+            f"stored content sha256 vs recompute, joined on {joinkey} "
+            "(missing on either side counts bad)"))
 
     return spark.createDataFrame(rows, REPORT_SCHEMA)

@@ -748,8 +748,8 @@ def test_check_index_green_and_detects_corruption(spark, synth_docs,
         spark, idx, corpus=assign_doc_ids(with_sha256(corpus))).collect()}
     assert set(rep) == {"conf_n_docs", "conf_total_dl",
                        "term_stats_vs_docs", "postings_vs_docs",
-                       "postings_ascending", "positions_vs_docs",
-                       "sha256_vs_corpus"}
+                       "postings_decodable", "postings_ascending",
+                       "positions_vs_docs", "sha256_vs_corpus"}
     for name, r in rep.items():
         assert r["ok"] and r["n_bad"] == 0, f"{name}: {r}"
 
