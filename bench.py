@@ -134,6 +134,7 @@ HEADLINE = [
     "bm25_has_child_index_topk",
     "facet_by_metric",
     "bm25_ltr_rescore_topk",
+    "events_eql_sequence",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -5993,6 +5993,47 @@ FROM sec, iv GROUP BY 1, 2 ORDER BY 1
 """
 
 
+_EQL_STEPS = ["event_type = 'view'", "event_type = 'click'",
+              "event_type = 'purchase'"]
+_EQL_SPAN = 3600.0
+
+
+def _q_events_eql(spark, sf_dir):
+    """EQL sequence (elastic-security's flagship primitive): per user,
+    every view anchoring a greedy view→click→purchase chain that
+    completes within an hour — k−1 per-entity range joins, each reduced
+    by a min-agg before the next; microsecond NTZ arithmetic so
+    same-second events order correctly under any session timezone."""
+    from snowball_java_spark.operators.eql import sequence_matches
+
+    res = sequence_matches(
+        _events(spark, sf_dir), _EQL_STEPS, by="user_id",
+        maxspan_seconds=_EQL_SPAN)
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "first_us", "last_us")
+
+
+def _events_eql_sql(span_seconds: float) -> str:
+    span_us = int(round(span_seconds * 1_000_000))
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+s1 AS (SELECT user_id, us AS first_us FROM e
+       WHERE event_type = 'view'),
+s2 AS (SELECT s1.user_id, s1.first_us, min(e2.us) AS cur
+       FROM s1 JOIN e e2 ON e2.user_id = s1.user_id
+        AND e2.event_type = 'click' AND e2.us > s1.first_us
+       GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, s2.first_us, min(e3.us) AS cur
+       FROM s2 JOIN e e3 ON e3.user_id = s2.user_id
+        AND e3.event_type = 'purchase' AND e3.us > s2.cur
+       GROUP BY 1, 2)
+SELECT user_id::BIGINT AS user_id, first_us, cur AS last_us
+FROM s3 WHERE cur - first_us <= {span_us}
+ORDER BY user_id, first_us
+"""
+
+
 def _q_events_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
@@ -7240,6 +7281,8 @@ FROM events GROUP BY user_id
         "events_auto_histogram": Q(
             _q_events_auto_hist,
             _events_auto_hist_sql(_AUTOHIST_LADDER, _AUTOHIST_TARGET)),
+        "events_eql_sequence": Q(
+            _q_events_eql, _events_eql_sql(_EQL_SPAN)),
         "events_hourly": Q(
             _q_events_window,
             """
@@ -7323,7 +7366,7 @@ _DRIVER_PRIORITY = [
     # name is displaced): events_cumulative_users,
     # events_auto_histogram, bm25_has_child_topk,
     # bm25_has_child_index_topk, facet_by_metric,
-    # bm25_ltr_rescore_topk.
+    # bm25_ltr_rescore_topk, events_eql_sequence.
 ]
 
 

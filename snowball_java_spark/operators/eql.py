@@ -1,0 +1,83 @@
+"""EQL-style event sequences — ``sequence by <entity> with maxspan``.
+
+Elastic's Event Query Language centers on one primitive the ordinary
+query surface cannot express: ORDERED multi-step event patterns per
+entity within a time budget ("a view, then a click, then a purchase by
+the same user inside an hour").  This module implements that primitive
+over the events table with explicitly pinned semantics:
+
+* a sequence ANCHORS on each event matching step 1;
+* each subsequent step binds to the EARLIEST event of its predicate
+  strictly after the previous step's event (greedy-next);
+* the sequence completes if last − first ≤ ``maxspan``.
+
+Greedy-next is exact for existence (the same argument as the span-not
+kernel): the greedy chain has the minimal completion time among all
+chains from the same anchor, so an anchor completes within the span iff
+its greedy chain does — and it is deterministic, so any engine (and the
+SQL oracle) derives the identical rows.  EQL's own engine streams with
+in-memory partial-sequence state; the set-oriented equivalent here is
+k−1 per-entity range joins, each reduced by a min-aggregation before
+the next — the Spark-native shape.
+
+Time is compared in MICROSECONDS from NTZ interval arithmetic
+(timezone-free — identical under any session timezone; second-level
+truncation would corrupt strictly-after comparisons between events in
+the same second).
+
+Scale shape: every join keys on the entity column (one shuffle
+partitioning reused across steps under AQE); each step's relation is
+(entity, anchor, cursor) — bounded by the step-1 match count, shrinking
+monotonically; the min-agg combines map-side.  No window over a global
+ordering, no per-entity state collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sequence_matches"]
+
+_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def sequence_matches(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    maxspan_seconds: float = 3600.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(by, first_us, last_us): one row per step-1 event whose greedy
+    chain through ``steps`` completes within ``maxspan_seconds``.
+    ``steps`` are SQL boolean expressions over the event columns (e.g.
+    ``"event_type = 'view'"``), at least two; rows ordered
+    (by, first_us)."""
+    if len(steps) < 2:
+        raise ValueError(
+            f"a sequence needs >= 2 steps, got {len(steps)} — a "
+            "single-step 'sequence' is a plain filter")
+    if maxspan_seconds <= 0:
+        raise ValueError(f"maxspan_seconds must be > 0, got "
+                         f"{maxspan_seconds}")
+    if ts_col != "ts":
+        events = events.withColumnRenamed(ts_col, "ts")
+    e = events.withColumn("_us", F.expr(_US)).drop("ts")
+    s = (e.filter(F.expr(steps[0]))
+         .select(by, F.col("_us").alias("first_us"),
+                 F.col("_us").alias("_cur")))
+    for pred in steps[1:]:
+        nxt = e.filter(F.expr(pred)).select(by, F.col("_us").alias("_n"))
+        s = (
+            s.join(nxt, by)
+            .filter(F.col("_n") > F.col("_cur"))
+            .groupBy(by, "first_us")
+            .agg(F.min("_n").alias("_cur"))
+        )
+    span_us = int(round(float(maxspan_seconds) * 1_000_000))
+    return (
+        s.filter(F.col("_cur") - F.col("first_us") <= span_us)
+        .select(by, "first_us", F.col("_cur").alias("last_us"))
+        .orderBy(by, "first_us")
+    )

@@ -1,0 +1,81 @@
+"""EQL sequences: greedy-next semantics, maxspan, validation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from snowball_java_spark.operators.eql import sequence_matches
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), t)
+         for u, us, t in rows],
+        "user_id long, ts timestamp_ntz, event_type string")
+
+
+BASE_US = int(dt.datetime(2024, 1, 1).timestamp()) * 1_000_000
+
+
+def test_sequence_greedy_next_and_maxspan(spark):
+    sec = 1_000_000
+    rows = [
+        # user 1: view@0 → click@2s → purchase@5s  (completes, span 5s)
+        (1, 0, "view"), (1, 2 * sec, "click"), (1, 5 * sec, "purchase"),
+        # a SECOND view@1s anchors its own chain through the same tail
+        (1, 1 * sec, "view"),
+        # user 2: purchase BEFORE the click — greedy chain must not
+        # bind backwards; the later purchase@30s completes it
+        (2, 0, "view"), (2, 4 * sec, "purchase"), (2, 3 * sec, "click"),
+        (2, 30 * sec, "purchase"),
+        # user 3: completes but outside maxspan
+        (3, 0, "view"), (3, 1 * sec, "click"),
+        (3, 100 * sec, "purchase"),
+        # user 4: no click at all
+        (4, 0, "view"), (4, 1 * sec, "purchase"),
+    ]
+    steps = ["event_type = 'view'", "event_type = 'click'",
+             "event_type = 'purchase'"]
+    got = sequence_matches(_ev(spark, rows), steps,
+                           maxspan_seconds=10.0).collect()
+    want = {
+        (1, 0, 5 * sec),           # anchor view@0 → click@2 → buy@5
+        (1, 1 * sec, 5 * sec),     # anchor view@1 → click@2 → buy@5
+        # user 2: click@3 → earliest purchase AFTER it is @4s; wait —
+        # purchase@4s IS after click@3s, so the chain completes at 4s
+        (2, 0, 4 * sec),
+    }
+    assert {(r["user_id"], r["first_us"] - BASE_US,
+             r["last_us"] - BASE_US) for r in got} == want
+    # ordered (user, first_us)
+    assert [(r["user_id"], r["first_us"]) for r in got] == sorted(
+        (r["user_id"], r["first_us"]) for r in got)
+    # widening the span admits user 3
+    wide = sequence_matches(_ev(spark, rows), steps,
+                            maxspan_seconds=200.0).collect()
+    assert (3, 0) in {(r["user_id"], r["first_us"] - BASE_US)
+                      for r in wide}
+
+
+def test_sequence_strictly_after_within_same_second(spark):
+    # two events one microsecond apart must chain; same-instant must not
+    rows = [(1, 0, "view"), (1, 1, "click"),
+            (2, 0, "view"), (2, 0, "click")]
+    got = sequence_matches(
+        _ev(spark, rows),
+        ["event_type = 'view'", "event_type = 'click'"],
+        maxspan_seconds=1.0).collect()
+    assert [(r["user_id"], r["last_us"] - r["first_us"])
+            for r in got] == [(1, 1)]
+
+
+def test_sequence_validation(spark):
+    e = _ev(spark, [(1, 0, "view")])
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        sequence_matches(e, ["event_type = 'view'"])
+    with pytest.raises(ValueError, match="maxspan"):
+        sequence_matches(
+            e, ["event_type = 'view'", "event_type = 'click'"],
+            maxspan_seconds=0)
