@@ -135,6 +135,7 @@ HEADLINE = [
     "facet_by_metric",
     "bm25_ltr_rescore_topk",
     "events_eql_sequence",
+    "events_eql_until",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -6034,6 +6034,51 @@ ORDER BY user_id, first_us
 """
 
 
+_EQL_UNTIL = "event_type = 'error'"
+
+
+def _q_events_eql_until(spark, sf_dir):
+    """EQL sequence with the expiry clause: the same
+    view→click→purchase chain, killed when an error event lands
+    strictly between the anchor and the completion (exact under the
+    greedy chain — every other chain's kill window is a superset)."""
+    from snowball_java_spark.operators.eql import sequence_matches
+
+    res = sequence_matches(
+        _events(spark, sf_dir), _EQL_STEPS, by="user_id",
+        maxspan_seconds=_EQL_SPAN, until=_EQL_UNTIL)
+    return res.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "first_us", "last_us")
+
+
+def _events_eql_until_sql(span_seconds: float) -> str:
+    span_us = int(round(span_seconds * 1_000_000))
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+s1 AS (SELECT user_id, us AS first_us FROM e
+       WHERE event_type = 'view'),
+s2 AS (SELECT s1.user_id, s1.first_us, min(e2.us) AS cur
+       FROM s1 JOIN e e2 ON e2.user_id = s1.user_id
+        AND e2.event_type = 'click' AND e2.us > s1.first_us
+       GROUP BY 1, 2),
+s3 AS (SELECT s2.user_id, s2.first_us, min(e3.us) AS cur
+       FROM s2 JOIN e e3 ON e3.user_id = s2.user_id
+        AND e3.event_type = 'purchase' AND e3.us > s2.cur
+       GROUP BY 1, 2),
+k AS (SELECT s3.user_id, s3.first_us, min(eu.us) AS u
+      FROM s3 JOIN e eu ON eu.user_id = s3.user_id
+       AND eu.event_type = 'error' AND eu.us > s3.first_us
+      GROUP BY 1, 2)
+SELECT s3.user_id::BIGINT AS user_id, s3.first_us, s3.cur AS last_us
+FROM s3 LEFT JOIN k ON s3.user_id = k.user_id
+ AND s3.first_us = k.first_us
+WHERE s3.cur - s3.first_us <= {span_us}
+  AND (k.u IS NULL OR k.u >= s3.cur)
+ORDER BY s3.user_id, s3.first_us
+"""
+
+
 def _q_events_window(spark, sf_dir):
     e = _events(spark, sf_dir)
     return (
@@ -7283,6 +7328,8 @@ FROM events GROUP BY user_id
             _events_auto_hist_sql(_AUTOHIST_LADDER, _AUTOHIST_TARGET)),
         "events_eql_sequence": Q(
             _q_events_eql, _events_eql_sql(_EQL_SPAN)),
+        "events_eql_until": Q(
+            _q_events_eql_until, _events_eql_until_sql(_EQL_SPAN)),
         "events_hourly": Q(
             _q_events_window,
             """
@@ -7366,7 +7413,7 @@ _DRIVER_PRIORITY = [
     # name is displaced): events_cumulative_users,
     # events_auto_histogram, bm25_has_child_topk,
     # bm25_has_child_index_topk, facet_by_metric,
-    # bm25_ltr_rescore_topk, events_eql_sequence.
+    # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until.
 ]
 
 

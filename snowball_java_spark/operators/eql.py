@@ -47,13 +47,21 @@ def sequence_matches(
     steps: list[str],
     by: str = "user_id",
     maxspan_seconds: float = 3600.0,
+    until: str | None = None,
     ts_col: str = "ts",
 ) -> DataFrame:
     """(by, first_us, last_us): one row per step-1 event whose greedy
     chain through ``steps`` completes within ``maxspan_seconds``.
     ``steps`` are SQL boolean expressions over the event columns (e.g.
     ``"event_type = 'view'"``), at least two; rows ordered
-    (by, first_us)."""
+    (by, first_us).
+
+    ``until`` (EQL's expiry clause — "sequence … until [logout]"): an
+    event matching it STRICTLY BETWEEN the anchor and the completion
+    kills the sequence.  Exact under greedy-next by the same minimal-
+    completion argument: every other chain from the anchor ends no
+    earlier, so its kill window is a superset — if the greedy chain
+    dies, all do, and if it survives, the anchor matches."""
     if len(steps) < 2:
         raise ValueError(
             f"a sequence needs >= 2 steps, got {len(steps)} — a "
@@ -76,8 +84,23 @@ def sequence_matches(
             .agg(F.min("_n").alias("_cur"))
         )
     span_us = int(round(float(maxspan_seconds) * 1_000_000))
+    s = s.filter(F.col("_cur") - F.col("first_us") <= span_us)
+    if until is not None:
+        # earliest expiry event after each anchor — one more range join
+        # + min-agg, the same shape as a step; LEFT join keeps anchors
+        # with no expiry at all
+        u = e.filter(F.expr(until)).select(by, F.col("_us").alias("_u"))
+        kill = (
+            s.join(u, by)
+            .filter(F.col("_u") > F.col("first_us"))
+            .groupBy(by, "first_us")
+            .agg(F.min("_u").alias("_u"))
+        )
+        s = (
+            s.join(kill, [by, "first_us"], "left")
+            .filter(F.col("_u").isNull() | (F.col("_u") >= F.col("_cur")))
+        )
     return (
-        s.filter(F.col("_cur") - F.col("first_us") <= span_us)
-        .select(by, "first_us", F.col("_cur").alias("last_us"))
+        s.select(by, "first_us", F.col("_cur").alias("last_us"))
         .orderBy(by, "first_us")
     )

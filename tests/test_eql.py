@@ -79,3 +79,34 @@ def test_sequence_validation(spark):
         sequence_matches(
             e, ["event_type = 'view'", "event_type = 'click'"],
             maxspan_seconds=0)
+
+
+def test_sequence_until_kills_in_window_only(spark):
+    sec = 1_000_000
+    rows = [
+        # user 1: error BETWEEN anchor and completion — killed
+        (1, 0, "view"), (1, 1 * sec, "error"), (1, 2 * sec, "click"),
+        (1, 3 * sec, "purchase"),
+        # user 2: error BEFORE the anchor — survives
+        (2, 0, "error"), (2, 1 * sec, "view"), (2, 2 * sec, "click"),
+        (2, 3 * sec, "purchase"),
+        # user 3: error AFTER completion — survives
+        (3, 0, "view"), (3, 1 * sec, "click"), (3, 2 * sec, "purchase"),
+        (3, 5 * sec, "error"),
+        # user 4: no error at all — survives (left-join NULL path)
+        (4, 0, "view"), (4, 1 * sec, "click"), (4, 2 * sec, "purchase"),
+        # user 5: error at EXACTLY the completion instant — survives
+        # (the kill window is strictly between anchor and completion)
+        (5, 0, "view"), (5, 1 * sec, "click"), (5, 2 * sec, "purchase"),
+        (5, 2 * sec, "error"),
+    ]
+    steps = ["event_type = 'view'", "event_type = 'click'",
+             "event_type = 'purchase'"]
+    got = sequence_matches(
+        _ev(spark, rows), steps, maxspan_seconds=10.0,
+        until="event_type = 'error'").collect()
+    assert {r["user_id"] for r in got} == {2, 3, 4, 5}
+    # without until, user 1 matches too
+    plain = sequence_matches(_ev(spark, rows), steps,
+                             maxspan_seconds=10.0).collect()
+    assert {r["user_id"] for r in plain} == {1, 2, 3, 4, 5}
