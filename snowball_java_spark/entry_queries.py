@@ -5960,9 +5960,11 @@ def _q_events_auto_hist(spark, sf_dir):
     arithmetic (floor, timezone-free — identical under any session
     timezone); the interval choice needs one 1-row min/max collect
     (bounded, the same class as corpus stats)."""
+    from snowball_java_spark.functions.exprs import epoch_us_expr
+
     e = _events(spark, sf_dir)
-    sec = F.expr(
-        "cast(ts - TIMESTAMP_NTZ '1970-01-01 00:00:00' as bigint)")
+    # floor-divide the shared tz-free microsecond epoch down to seconds
+    sec = F.floor(epoch_us_expr() / F.lit(1_000_000)).cast("long")
     r = e.agg(F.min(sec).alias("mn"), F.max(sec).alias("mx")).collect()[0]
     mn, mx = int(r["mn"]), int(r["mx"])
     iv = next((i for i in _AUTOHIST_LADDER

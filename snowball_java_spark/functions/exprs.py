@@ -26,3 +26,16 @@ def bind(col: Column, body: Callable[[Column], Column]) -> Column:
     ``body`` must be a pure expression builder; the value it receives is
     a lambda variable bound to ``col``'s single evaluation."""
     return F.transform(F.array(col), body).getItem(0)
+
+
+def epoch_us_expr(ts_col: str = "ts") -> Column:
+    """Microseconds since 1970-01-01 for a TIMESTAMP_NTZ column,
+    timezone-FREE (identical under any driver session timezone — the
+    property every events-table gate depends on; ``unix_timestamp``
+    and friends would re-interpret the wall clock in session tz).
+    DuckDB oracle twin: ``epoch_us(ts)``.  Floor to seconds with an
+    integer division — both engines truncate identically for the
+    post-1970 timestamps this engine handles."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})")

@@ -37,9 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sequence_matches"]
+from snowball_java_spark.functions.exprs import epoch_us_expr
 
-_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+__all__ = ["sequence_matches"]
 
 
 def sequence_matches(
@@ -71,7 +71,7 @@ def sequence_matches(
                          f"{maxspan_seconds}")
     if ts_col != "ts":
         events = events.withColumnRenamed(ts_col, "ts")
-    e = events.withColumn("_us", F.expr(_US)).drop("ts")
+    e = events.withColumn("_us", epoch_us_expr()).drop("ts")
     s = (e.filter(F.expr(steps[0]))
          .select(by, F.col("_us").alias("first_us"),
                  F.col("_us").alias("_cur")))
