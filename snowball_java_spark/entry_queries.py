@@ -4443,6 +4443,69 @@ SELECT doc_id, rank, round(score, 6) AS score FROM (
 """
 
 
+_MWS_TABLE = {"spark": ["dup", "table hash"]}
+
+
+def _q_bm25_multiword_syn(spark, sf_dir):
+    """SynonymGraph analog: 'spark' scores as ONE pseudo-term over
+    {spark, dup, the exact sequence "table hash"} — member tf plus
+    phrase occurrences merged before saturation, idf from the exact
+    union df; 'vector' stays plain."""
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms,
+    )
+
+    n_docs, avgdl = _corpus_stats_for(spark, sf_dir)
+    res = bm25_topk_multiword_synonyms(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": ["spark", "vector"], "k": 10}],
+        synonyms=_MWS_TABLE, n_docs=n_docs, avgdl=avgdl)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
+def _bm25_multiword_syn_sql(k: int) -> str:
+    # group 'spark' = tf(spark) + tf(dup) + occurrences of the exact
+    # bigram "table hash"; union df counts docs where the sum > 0
+    w = (
+        f"ln(1 + (st.n_docs - g.df + 0.5) / (g.df + 0.5)) * g.tf "
+        f"* {_K1 + 1.0} / (g.tf + {_K1} * (1 - {_B} + {_B} * g.dl "
+        f"/ st.avgdl))"
+    )
+    return f"""
+WITH {BASE_CTES},
+ph AS (SELECT doc_id,
+              len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = 'table' AND toks[i+1] = 'hash'))
+                ::BIGINT AS ptf
+       FROM toks),
+grp AS (
+  SELECT dl.doc_id, dl.dl, 'spark' AS term,
+         coalesce(ts.tf, 0) + coalesce(td.tf, 0) + ph.ptf AS tf
+  FROM dl
+  JOIN ph ON dl.doc_id = ph.doc_id
+  LEFT JOIN tfx ts ON ts.doc_id = dl.doc_id AND ts.term = 'spark'
+  LEFT JOIN tfx td ON td.doc_id = dl.doc_id AND td.term = 'dup'
+  UNION ALL
+  SELECT tfx.doc_id, dl.dl, 'vector' AS term, tfx.tf
+  FROM tfx JOIN dl ON tfx.doc_id = dl.doc_id
+  WHERE tfx.term = 'vector'),
+g0 AS (SELECT * FROM grp WHERE tf > 0),
+gdf AS (SELECT term, count(*)::BIGINT AS df FROM g0 GROUP BY 1),
+sc AS (
+  SELECT g.doc_id, sum({w}) AS score
+  FROM (SELECT g0.*, gdf.df FROM g0 JOIN gdf USING (term)) g
+  CROSS JOIN st
+  GROUP BY 1)
+SELECT doc_id, rank, round(score, 6) AS score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
 _RF_PIVOT = 100.0
 _RF_BOOST = 2.0
 _DF_ORIGIN = 120.0
@@ -7088,6 +7151,10 @@ FROM g
         "bm25_ltr_rescore_topk": Q(
             _q_ltr_rescore,
             _ltr_rescore_sql(MIXED_TERMS, _LTR_WEIGHTS, _LTR_WINDOW, 10),
+        ),
+        "bm25_multiword_synonym_topk": Q(
+            _q_bm25_multiword_syn,
+            _bm25_multiword_syn_sql(10),
         ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),

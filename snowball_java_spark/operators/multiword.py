@@ -1,0 +1,161 @@
+"""Multi-word synonyms — the SynonymGraphFilter analog.
+
+The engine's synonym contract (``bm25_join.synonym_maps``) merges
+SINGLE-token groups: a canonical query term scores as one pseudo-term
+whose tf sums the members and whose idf comes from the exact union df.
+Lucene's famously thorny extension is the MULTI-WORD alternative
+("nyc" ≡ "new york" — ``SynonymGraphFilter``, the fix for the broken
+position graphs of its predecessor): occurrences of a token SEQUENCE
+must count as occurrences of the group.
+
+This module extends the same algebra instead of replaying Lucene's
+token-graph machinery: group tf per doc = Σ member-token tf +
+Σ phrase occurrences of each multi-word alternative (the exact
+sequence count ``phrase.phrase_tf_expr`` already provides), group df =
+docs where that sum > 0 (exact union, phrase evidence included), and
+the BM25 weight saturates the merged tf under the union idf — the
+same "one pseudo-term" semantics as the single-token engine, so a
+group with no multi-word members scores IDENTICALLY to the existing
+path.
+
+Scale shape: single-token members ride the shared prune-before-explode
+tf relation; ALL groups' phrase counts come from ONE additional corpus
+pass (an array of (group, phrase-count) structs filtered non-zero
+before the explode — never a scan per phrase); df re-aggregates the
+same per-doc relation, so the whole operator is two corpus passes and
+one broadcast stats join regardless of group count.
+
+Prior art: Lucene ``SynonymGraphFilter`` / ES ``synonym_graph`` token
+filter; the single-token contract is ``bm25_join.synonym_maps``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+
+__all__ = ["bm25_topk_multiword_synonyms"]
+
+
+def _parse_groups(
+    terms: list[str], synonyms: dict[str, list]
+) -> tuple[dict[str, list[str]], dict[str, list[list[str]]]]:
+    """Split each referenced group's alternatives into single tokens and
+    multi-word phrases (space-separated strings or token lists); loud
+    failure on empty/degenerate members (the single-token engine's
+    clash-checking posture)."""
+    singles: dict[str, list[str]] = {}
+    phrases: dict[str, list[list[str]]] = {}
+    for t in terms:
+        alts = synonyms.get(t, [])
+        s, p = [t], []
+        for a in alts:
+            toks = (a.split() if isinstance(a, str) else
+                    [str(w) for w in a])
+            if not toks or any(not w for w in toks):
+                raise ValueError(
+                    f"synonym group {t!r}: empty member {a!r}")
+            if len(toks) == 1:
+                s.append(toks[0])
+            else:
+                p.append(toks)
+        singles[t] = sorted(set(s))
+        if p:
+            phrases[t] = p
+    return singles, phrases
+
+
+def bm25_topk_multiword_synonyms(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    synonyms: dict[str, list],
+    cfg: EngineConfig = DEFAULT,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): BM25 where each query term's
+    group tf merges member-token occurrences AND exact multi-word
+    alternative occurrences, idf from the exact union df.  ``synonyms``
+    maps canonical term → alternatives (tokens, or phrases as
+    space-separated strings / token lists); terms without a group stay
+    plain."""
+    from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+    from snowball_java_spark.operators.bm25_join import (
+        grouped_tf,
+        ordered_sum,
+        queries_df,
+        topk,
+    )
+    from snowball_java_spark.operators.df_stats import corpus_stats
+    from snowball_java_spark.operators.phrase import phrase_tf_expr
+
+    terms = sorted({t for q in queries for t in q["terms"]})
+    qdf = queries_df(spark, queries)
+    if not terms:
+        return topk(spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"), qdf)
+    singles, phrases = _parse_groups(terms, synonyms)
+    if n_docs is None or avgdl is None:
+        st = corpus_stats(docs_tok).collect()[0]
+        n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
+
+    scan_terms = sorted({m for ms in singles.values() for m in ms})
+    group_of = {m: t for t, ms in singles.items() for m in ms}
+    clash = [m for m, c in
+             ((m, sum(1 for ms in singles.values() if m in ms))
+              for m in scan_terms) if c > 1]
+    if clash:
+        raise ValueError(
+            f"synonym member(s) {sorted(set(clash))} appear in two "
+            "groups — group algebra would double-count them")
+    tok_tf = grouped_tf(docs_tok, scan_terms, group_of)
+
+    if phrases:
+        # ONE pass for every group's phrase counts: per doc an array of
+        # (group, count) structs, zero entries dropped pre-explode
+        def guarded(p: list[str]) -> F.Column:
+            # the window scan is an interpreted higher-order expression
+            # — gate it behind a cheap containment test so docs without
+            # the phrase's first token never pay it (the same
+            # prune-before-work posture as pruned_tf)
+            return F.when(F.array_contains("tokens", p[0]),
+                          phrase_tf_expr("tokens", p)).otherwise(F.lit(0))
+
+        entries = [
+            F.struct(
+                F.lit(g).alias("term"),
+                sum((guarded(p) for p in ps), F.lit(0)).alias("tf"))
+            for g, ps in sorted(phrases.items())
+        ]
+        ph_tf = (
+            docs_tok.select(
+                "doc_id", F.size("tokens").alias("dl"),
+                F.explode(F.filter(
+                    F.array(*entries), lambda x: x["tf"] > 0)).alias("e"))
+            .select("doc_id", "dl", F.col("e.term").alias("term"),
+                    F.col("e.tf").alias("tf"))
+        )
+        tfq = (tok_tf.unionByName(ph_tf)
+               .groupBy("doc_id", "dl", "term")
+               .agg(F.sum("tf").alias("tf")))
+    else:
+        tfq = tok_tf
+    # exact union df INCLUDING phrase evidence: the same relation,
+    # re-aggregated — no separate corpus pass
+    dfs = tfq.groupBy("term").agg(F.count("*").alias("df"))
+    q_stats = F.broadcast(
+        qdf.select("query_id", "term").distinct()
+        .join(dfs, "term", "left").fillna(0, subset=["df"]))
+    w = weight_expr(
+        F.col("tf"), idf_expr(F.col("df"), n_docs),
+        F.col("dl"), F.lit(avgdl), cfg.k1, cfg.b)
+    scores = (
+        tfq.join(q_stats, "term")
+        .withColumn("w", w)
+        .groupBy("query_id", "doc_id")
+        .agg(ordered_sum("term", "w").alias("score"))
+    )
+    return topk(scores, qdf)

@@ -371,3 +371,89 @@ def test_boost_composes_with_search_after(spark, index):
         cfg=CFG).collect()
     assert [(r["doc_id"], r["score"]) for r in p2] == \
            [(r["doc_id"], r["score"]) for r in full[10:20]]
+
+
+def _toks_of(docs_tok):
+    return {r["doc_id"]: list(r["tokens"])
+            for r in docs_tok.select("doc_id", "tokens").collect()}
+
+
+def test_multiword_synonyms_match_truth(spark, docs_tok):
+    import math
+
+    from snowball_java_spark.config import BM25_B, BM25_K1
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms,
+    )
+
+    toks = _toks_of(docs_tok)
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    phrase = ["def", "main"]
+    syn = {"class": ["struct", " ".join(phrase)]}
+    terms = ["class", "import"]
+
+    def bigram_tf(ts):
+        return sum(1 for i in range(len(ts) - 1)
+                   if ts[i] == phrase[0] and ts[i + 1] == phrase[1])
+
+    gtf = {d: ts.count("class") + ts.count("struct") + bigram_tf(ts)
+           for d, ts in toks.items()}
+    assert any(bigram_tf(ts) > 0 and ts.count("class") == 0
+               and ts.count("struct") == 0 for ts in toks.values()), \
+        "fixture must contain phrase-only evidence docs"
+    df_g = sum(1 for v in gtf.values() if v > 0)
+    df_i = sum(1 for ts in toks.values() if "import" in ts)
+
+    def w(tf, df, dl):
+        if tf == 0:
+            return 0.0
+        idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    want = {}
+    for d, ts in toks.items():
+        s = (w(gtf[d], df_g, len(ts))
+             + w(ts.count("import"), df_i, len(ts)))
+        if s > 0:
+            want[d] = s
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = bm25_topk_multiword_synonyms(
+        spark, docs_tok, _q(terms=terms), synonyms=syn).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in ranked]
+    for r, (_, s) in zip(got, ranked):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_multiword_degenerates_to_single_token_path(spark, docs_tok):
+    from snowball_java_spark.operators.bm25_join import bm25_topk_join
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms,
+    )
+
+    # no multi-word members → must be rank- AND score-identical to the
+    # established single-token synonym engine
+    a = bm25_topk_multiword_synonyms(
+        spark, docs_tok, _q(), synonyms=SYN).collect()
+    b = bm25_topk_join(
+        spark, docs_tok, _q(), synonyms=SYN).collect()
+    assert [(r["rank"], r["doc_id"]) for r in a] == \
+        [(r["rank"], r["doc_id"]) for r in b]
+    for x, y in zip(a, b):
+        assert x["score"] == pytest.approx(y["score"], rel=1e-12)
+
+
+def test_multiword_validation(spark, docs_tok):
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms,
+    )
+
+    with pytest.raises(ValueError, match="empty member"):
+        bm25_topk_multiword_synonyms(
+            spark, docs_tok, _q(terms=["def"]),
+            synonyms={"def": [""]})
+    with pytest.raises(ValueError, match="two groups"):
+        bm25_topk_multiword_synonyms(
+            spark, docs_tok, _q(terms=["def", "import"]),
+            synonyms={"def": ["shared"], "import": ["shared"]})
