@@ -136,6 +136,8 @@ HEADLINE = [
     "bm25_ltr_rescore_topk",
     "events_eql_sequence",
     "events_eql_until",
+    # r5 additions
+    "bm25_multiword_synonym_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

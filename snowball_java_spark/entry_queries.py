@@ -7413,76 +7413,49 @@ FROM events GROUP BY 1, 2
 
 #: The driver's correctness gate checks only the FIRST 50 ``queries()``
 #: entries (dict order); coverage is CUMULATIVE across rounds (a green
-#: row in any CORRECTNESS_r0N.json attests the gate).  The r1∪r2∪r3
-#: union verified 67 names — including, via round 2, sixteen of the
-#: names VERDICT r3 listed as never-checked (lang_id, quality_score,
-#: token_count, doc_fingerprint, multimodal_meta, media_features_bmp,
-#: clean_corpus_report, deterministic_sample, source_mix_plan,
-#: dedup_components, token_normalize, term_cooccurrence,
-#: label_centroids, events_ewma, events_hourly, embedding_near_dup) —
-#: so those do NOT need a slot this round.  69 registered gates have no
-#: driver row in ANY round; this list holds 50 of them (every genuinely
-#: never-checked r3 gate, every round-4 gate with a join-path flagship
-#: surface, and one representative per new subsystem).  The 19 deferred
-#: names — mostly index-path twins whose sibling gate IS verified this
-#: round — are queued for the round-5 rotation (listed at the bottom).
-#: Every gate keeps its oracle — order is the ONLY thing this changes;
-#: the local replica (tests/test_entry.py) still checks ALL names
-#: every run.
+#: row in any CORRECTNESS_r0N.json attests the gate).  After round 4 the
+#: cumulative r1..r4 union holds 116 driver-green names; this list is the
+#: ROUND-5 rotation exactly as queued at the end of round 4: the 19
+#: deferred r4 names plus the 31 late-r4 gates, with ONE swap mandated by
+#: VERDICT r4 item #1 — ``bm25_multiword_synonym_topk`` (the only
+#: never-checked name the r4 queue omitted; its truth test is now green)
+#: displaces ``bm25_collapse_index_topk`` (an index-path twin whose
+#: sibling ``bm25_collapse_topk`` got its green row in r4).  Every gate
+#: keeps its oracle — order is the ONLY thing this changes; the local
+#: replica (tests/test_entry.py) still checks ALL names every run.
 _DRIVER_PRIORITY = [
-    # --- r3 gates with no driver row in r1–r3 (22) ---
-    "bm25_synonym_topk", "bm25_index_synonym_topk", "bm25_fuzzy_topk",
-    "bm25_boost_topk", "facet_stats_dl", "bm25_index_boost_topk",
-    "bm25_index_fuzzy_topk", "hybrid_rrf_topk", "embedding_filtered_topk",
-    "embedding_ivf_filtered_topk", "embedding_batch_topk",
-    "embedding_ivf_batch_topk", "embedding_ivf_upsert_topk",
-    "embedding_ivf_compacted_topk", "decontam_overlap",
-    "secret_scrub", "repetition_stats", "hash_split",
-    "bm25_upsert_topk", "bm25_delete_topk",
-    "bm25_compacted_topk", "upsert_term_df",
-    # --- round-4 gates (28) ---
-    "tokens_lang_dispatch", "ivf_recall_probe", "term_suggest_index",
-    "bm25_collapse_topk", "media_features_png", "media_features_wav",
-    "bm25_msm_topk", "bm25_index_msm_topk",
-    "bm25_line_matches", "sort_by_field_topk",
-    "lmd_topk", "sequence_pack", "bm25_highlight", "bm25_decay_topk",
-    "composite_buckets", "bm25_federated_topk", "bm25_bool_topk",
-    "bm25_range_topk", "query_string_scoped_topk", "bm25_wildcard_topk",
-    "term_vectors", "significant_terms", "percentiles_dl",
-    "top_hits_by_source", "percolate_matches", "bm25_rescore_topk",
-    "function_score_topk", "pq_recall_probe",
+    # --- r4 deferred index-path twins & family members (19) ---
+    "lmd_index_topk", "pack_shard_stats", "facet_range_dl",
+    "term_did_you_mean", "bm25_multiword_synonym_topk",
+    "bm25_phrase_prefix_topk", "bm25_index_range_topk",
+    "bm25_index_like_topk", "bm25_regexp_topk", "bm25_ordered_span_topk",
+    "facet_cardinality", "term_complete", "embedding_sq8_topk",
+    "embedding_ivf_federated_topk", "facet_histogram_dl",
+    "facet_histogram_pipeline", "bm25_rescore_index_topk",
+    "bm25_delete_by_query_topk", "bm25_update_by_query_topk",
+    # --- late-r4 gates (31) ---
+    "dismax_topk", "chunk_dedup", "lm_doclogprob", "pit_search_after",
+    "bpe_merges", "rare_terms", "phrase_suggest", "stemmed_term_df",
+    "matrix_stats_dl", "events_sessionize", "diversified_sample",
+    "bm25_explain", "adjacency_matrix", "rank_eval",
+    "facet_histogram_bucket_ops", "bm25_boosting_topk",
+    "extended_stats_dl", "multi_terms_buckets", "bm25_span_first_topk",
+    "percentile_ranks_dl", "weighted_avg_dl", "t_test_dl", "boxplot_dl",
+    "mad_dl", "string_stats_source", "filters_agg",
+    "bm25_rank_feature_topk", "bm25_distance_feature_topk",
+    "bm25_pinned_topk", "bm25_constant_score_topk", "bm25_span_not_topk",
     # exactly 50 names total — a 51st would silently fall past the
-    # driver's cap (asserted below).  No sentinel re-proof slots this
-    # round: the base engine holds 67 cumulative driver rows and every
-    # subsystem exercised by a deferred gate has a sibling row above
-    # (e.g. lmd_index_topk ~ lmd_topk, bm25_collapse_index_topk ~
-    # bm25_collapse_topk, bm25_rescore_index_topk ~ bm25_rescore_topk).
+    # driver's cap (asserted below).
     #
-    # Queued for the ROUND-5 rotation (no driver row yet; local-oracle
-    # green in tests/test_entry.py): lmd_index_topk, pack_shard_stats,
-    # facet_range_dl, term_did_you_mean, bm25_collapse_index_topk,
-    # bm25_phrase_prefix_topk, bm25_index_range_topk,
-    # bm25_index_like_topk, bm25_regexp_topk, bm25_ordered_span_topk,
-    # facet_cardinality, term_complete, embedding_sq8_topk,
-    # embedding_ivf_federated_topk, facet_histogram_dl,
-    # facet_histogram_pipeline, bm25_rescore_index_topk,
-    # bm25_delete_by_query_topk, bm25_update_by_query_topk, plus the
-    # late-r4 gates: dismax_topk, chunk_dedup, lm_doclogprob,
-    # pit_search_after, bpe_merges, rare_terms, phrase_suggest,
-    # stemmed_term_df, matrix_stats_dl, events_sessionize,
-    # diversified_sample, bm25_explain, adjacency_matrix, rank_eval,
-    # facet_histogram_bucket_ops, bm25_boosting_topk,
-    # extended_stats_dl, multi_terms_buckets, bm25_span_first_topk,
-    # percentile_ranks_dl, weighted_avg_dl, t_test_dl, boxplot_dl,
-    # mad_dl, string_stats_source, filters_agg, bm25_rank_feature_topk,
-    # bm25_distance_feature_topk, bm25_pinned_topk,
-    # bm25_constant_score_topk, bm25_span_not_topk
-    # (19 + 31 = 50 — exactly round 5's 50-slot budget).  Overflow
-    # beyond the budget (local-oracle evidence only unless a queued
-    # name is displaced): events_cumulative_users,
-    # events_auto_histogram, bm25_has_child_topk,
-    # bm25_has_child_index_topk, facet_by_metric,
-    # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until.
+    # Still without a driver row after this round (local-oracle evidence
+    # only, tests/test_entry.py): bm25_collapse_index_topk (displaced;
+    # sibling green r4), events_cumulative_users, events_auto_histogram,
+    # bm25_has_child_topk, bm25_has_child_index_topk, facet_by_metric,
+    # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until —
+    # 9 names, every one an index twin or a family member of a
+    # driver-green sibling.  New round-5 gates should displace one of
+    # the 50 above only if their subsystem has no green sibling at all;
+    # otherwise queue them here for round 6.
 ]
 
 

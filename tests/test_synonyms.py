@@ -378,7 +378,35 @@ def _toks_of(docs_tok):
             for r in docs_tok.select("doc_id", "tokens").collect()}
 
 
-def test_multiword_synonyms_match_truth(spark, docs_tok):
+# Planted alongside the 1200 synthetic docs: the generator never emits
+# the "def main" bigram, so phrase-only evidence (the branch Lucene's
+# SynonymGraphFilter exists for) must be injected for the truth test's
+# precondition to hold.  Shapes covered: phrase-only (no class/struct),
+# multi-occurrence phrase, phrase+member mixed evidence, overlapping
+# "def def main" (one bigram, not two), reversed "main def" (zero), and
+# phrase docs that also hit the second query term "import".
+_PLANTED = [
+    ["def", "main", "import", "sys", "x"],                  # phrase-only
+    ["def", "main", "y", "def", "main", "z"],               # tf=2, no import
+    ["class", "foo", "def", "main", "bar"],                 # member+phrase
+    ["def", "def", "main", "import"],                       # overlap → tf=1
+    ["main", "def", "import", "q"],                         # reversed → 0
+    ["def", "main"],                                        # minimal dl
+    ["struct", "def", "main", "import", "w", "v"],          # struct+phrase
+    ["def", "main", "def", "main", "def", "main", "u"],     # tf=3
+]
+
+
+@pytest.fixture(scope="module")
+def docs_tok_mw(spark, docs_tok):
+    base = int(docs_tok.agg(F.max("doc_id")).collect()[0][0]) + 1
+    planted = spark.createDataFrame(
+        [(base + i, ts) for i, ts in enumerate(_PLANTED)],
+        "doc_id long, tokens array<string>")
+    return docs_tok.unionByName(planted).cache()
+
+
+def test_multiword_synonyms_match_truth(spark, docs_tok_mw):
     import math
 
     from snowball_java_spark.config import BM25_B, BM25_K1
@@ -386,7 +414,7 @@ def test_multiword_synonyms_match_truth(spark, docs_tok):
         bm25_topk_multiword_synonyms,
     )
 
-    toks = _toks_of(docs_tok)
+    toks = _toks_of(docs_tok_mw)
     n_docs = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n_docs
     phrase = ["def", "main"]
@@ -420,7 +448,7 @@ def test_multiword_synonyms_match_truth(spark, docs_tok):
             want[d] = s
     ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got = bm25_topk_multiword_synonyms(
-        spark, docs_tok, _q(terms=terms), synonyms=syn).collect()
+        spark, docs_tok_mw, _q(terms=terms), synonyms=syn).collect()
     assert [r["doc_id"] for r in got] == [d for d, _ in ranked]
     for r, (_, s) in zip(got, ranked):
         assert r["score"] == pytest.approx(s, rel=1e-9)
