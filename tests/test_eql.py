@@ -110,3 +110,78 @@ def test_sequence_until_kills_in_window_only(spark):
     plain = sequence_matches(_ev(spark, rows), steps,
                              maxspan_seconds=10.0).collect()
     assert {r["user_id"] for r in plain} == {1, 2, 3, 4, 5}
+
+
+def test_sequence_skewed_entity_bounded_and_correct(spark):
+    """A bot entity with 10^4 events: the in-join maxspan bound must
+    keep the pre-aggregation relation near anchors x in-span-events
+    (NOT anchors x all-step-events), without changing results."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.functions.exprs import epoch_us_expr
+
+    sec = 1_000_000
+    n = 10_000
+    rows = [(1, i * sec, "view" if i % 2 == 0 else "click")
+            for i in range(n)]
+    steps = ["event_type = 'view'", "event_type = 'click'"]
+    got = sequence_matches(_ev(spark, rows), steps,
+                           maxspan_seconds=10.0).collect()
+    # python truth: every view at i chains to the click at i+1 (1s gap)
+    want = {(1, i * sec, (i + 1) * sec) for i in range(0, n - 1, 2)}
+    assert {(r["user_id"], r["first_us"] - BASE_US,
+             r["last_us"] - BASE_US) for r in got} == want
+
+    # pin the intermediate cardinality: replicate step 2's join with the
+    # pushed bound and count it
+    e = _ev(spark, rows).withColumn("_us", epoch_us_expr()).drop("ts")
+    anchors = e.filter("event_type = 'view'").select(
+        "user_id", F.col("_us").alias("first_us"),
+        F.col("_us").alias("_cur"))
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id", F.col("_us").alias("_n"))
+    span_us = 10 * sec
+    bounded = anchors.join(clicks, "user_id").filter(
+        (F.col("_n") > F.col("_cur"))
+        & (F.col("_n") - F.col("first_us") <= span_us)).count()
+    # without the bound: sum over each view of clicks-after ~ 12.5M rows
+    unbounded = sum(sum(1 for j in range(1, n, 2) if j > i)
+                    for i in range(0, n, 2))
+    assert unbounded > 12_000_000
+    # with it: each anchor sees at most the ~5 clicks inside 10 s
+    assert bounded <= (n // 2) * 6
+    assert bounded * 100 < unbounded
+
+
+def test_sequence_until_skewed_entity_identity(spark):
+    """The until kill join carries the same in-join span bound; verdicts
+    must be identical to first principles on a skewed entity where most
+    expiry events lie far outside every anchor's span window."""
+    sec = 1_000_000
+    rows = [(1, i * sec, "view" if i % 2 == 0 else "click")
+            for i in range(200)]
+    # errors: one INSIDE the window of anchors near t=50s, the rest far out
+    rows += [(1, 50 * sec + 500_000, "error")]
+    rows += [(1, (100_000 + i) * sec, "error") for i in range(50)]
+    steps = ["event_type = 'view'", "event_type = 'click'"]
+    got = sequence_matches(
+        _ev(spark, rows), steps, maxspan_seconds=10.0,
+        until="event_type = 'error'").collect()
+    # the error at 50.5s sits strictly between the view@50s anchor and
+    # its click@51s completion — that anchor alone is killed
+    firsts = {r["first_us"] - BASE_US for r in got}
+    assert 50 * sec not in firsts
+    assert {i * sec for i in range(0, 199, 2)} - {50 * sec} == firsts
+
+
+def test_sequence_ts_column_clash_raises(spark):
+    import datetime as dt
+
+    e = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1), "view")],
+        "user_id long, ts timestamp_ntz, event_time timestamp_ntz, "
+        "event_type string")
+    with pytest.raises(ValueError, match="'ts' column"):
+        sequence_matches(
+            e, ["event_type = 'view'", "event_type = 'click'"],
+            ts_col="event_time")
