@@ -1,0 +1,113 @@
+"""Hand-computed worked examples for the statistical agg families.
+
+The driver's hash gate compares Spark output against a DuckDB twin
+authored from the SAME spec, so a bug present in both sides of one spec
+passes the gate (VERDICT r4 "shared-spec oracle risk").  Each test here
+pins one worked example per family against LITERAL values derived by
+hand (the arithmetic is written out in the comments), anchoring the
+algebra independently of both engines.  The EQL until-kill chain has
+its own literal-truth tests in ``tests/test_eql.py``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from snowball_java_spark.config import EngineConfig
+from snowball_java_spark.plans.build_index import build_index
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_stages=2)
+
+# Ten docs with exactly controlled lengths (dl = token count):
+#   "aa" docs: dl 1, 2, 3        "bb" docs: dl 5, 7
+#   "cc" docs: dl 1, 2, 3, 4, 100  (the 100 is the boxplot outlier)
+_DOCS = [
+    "aa",
+    "aa x",
+    "aa x y",
+    "bb x y z w",
+    "bb c d e f g h",
+    "cc",
+    "cc x",
+    "cc x y",
+    "cc x y z",
+    "cc " + " ".join(f"f{i}" for i in range(99)),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("worked_idx"))
+    corpus = spark.createDataFrame(
+        [("r", f"p{i}", "c0", "py", c) for i, c in enumerate(_DOCS)],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    return build_index(spark, corpus, d, cfg=CFG, n_buckets=4)
+
+
+def test_t_test_worked_example(spark, tiny_index):
+    """Welch on a = dl{1,2,3} vs b = dl{5,7}, fully by hand:
+    mean_a = 2, var_a = ((1-2)^2+(2-2)^2+(3-2)^2)/2 = 1
+    mean_b = 6, var_b = ((5-6)^2+(7-6)^2)/1 = 2
+    se2 = 1/3 + 2/2 = 4/3
+    t = (2-6)/sqrt(4/3) = -2*sqrt(3) = -3.4641016151377544
+    df = (4/3)^2 / ((1/3)^2/2 + (2/2)^2/1)
+       = (16/9) / (1/18 + 1) = (16/9)*(18/19) = 32/19
+       = 1.6842105263157894"""
+    from snowball_java_spark.operators.aggs import t_test_index
+
+    r = t_test_index(
+        spark, tiny_index,
+        [{"pair_id": 0, "a_terms": ["aa"], "b_terms": ["bb"]}],
+        value_col="dl", cfg=CFG).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["mean_a"] == pytest.approx(2.0, abs=0)
+    assert r["mean_b"] == pytest.approx(6.0, abs=0)
+    assert r["t_stat"] == pytest.approx(-3.4641016151377544, rel=1e-12)
+    assert r["df"] == pytest.approx(32.0 / 19.0, rel=1e-12)
+
+
+def test_boxplot_worked_example(spark, tiny_index):
+    """Five observations {1,2,3,4,100}; linear-interpolated quantile at
+    index p*(n-1) lands exactly on observations 2, 3, 4:
+    q1=2, q2=3, q3=4, IQR=2; fences = q1-1.5*IQR = -1 and
+    q3+1.5*IQR = 7.  Whiskers sit on the closest OBSERVED values inside
+    the fences: lower = 1, upper = 4 (100 is outside)."""
+    from snowball_java_spark.operators.aggs import boxplot_matches_index
+
+    r = boxplot_matches_index(
+        spark, tiny_index, [{"query_id": 0, "terms": ["cc"]}],
+        value_col="dl", whisker=1.5, cfg=CFG).collect()[0]
+    assert r["n_docs"] == 5
+    assert (r["min"], r["max"]) == (1.0, 100.0)
+    assert (r["q1"], r["q2"], r["q3"]) == (2.0, 3.0, 4.0)
+    assert (r["lower"], r["upper"]) == (1.0, 4.0)
+
+
+def test_matrix_stats_worked_example(spark):
+    """Three docs, fields a = (1,2,3), b = (2,4,7):
+    n=3, mean_a=2, mean_b=13/3
+    Sab = 2+8+21 = 31;  covar = (31 - 6*13/3)/2 = (31-26)/2 = 2.5
+    var_a = (14 - 36/3)/2 = 1;  var_b = (69 - 169/3)/2 = 19/3
+    corr = 2.5/sqrt(1 * 19/3) = 0.9933992677987828
+    Diagonal rows carry the variance in ``covar`` and corr = 1."""
+    from snowball_java_spark.operators.aggs import matrix_stats
+
+    matches = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "query_id int, doc_id long")
+    vals = spark.createDataFrame(
+        [(1, 1, 2), (2, 2, 4), (3, 3, 7)],
+        "doc_id long, a long, b long")
+    got = {(r["field_x"], r["field_y"]): r
+           for r in matrix_stats(matches, vals, ["a", "b"]).collect()}
+    ab = got[("a", "b")]
+    assert ab["n"] == 3
+    assert ab["mean_x"] == pytest.approx(2.0, abs=0)
+    assert ab["mean_y"] == pytest.approx(13.0 / 3.0, rel=1e-15)
+    assert ab["covar"] == pytest.approx(2.5, abs=0)
+    assert ab["corr"] == pytest.approx(0.9933992677987828, rel=1e-12)
+    aa = got[("a", "a")]
+    assert aa["covar"] == pytest.approx(1.0, abs=0)
+    assert aa["corr"] == pytest.approx(1.0, rel=1e-15)
+    bb = got[("b", "b")]
+    assert bb["covar"] == pytest.approx(19.0 / 3.0, rel=1e-15)
