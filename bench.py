@@ -138,6 +138,7 @@ HEADLINE = [
     "events_eql_until",
     # r5 additions
     "bm25_multiword_synonym_topk",
+    "mlt_index_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -1343,6 +1343,24 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mlt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-path more-like-this: characteristic terms from the index's
+    own term_vectors (doc-scoped pushdown, no corpus pass), scoring via
+    the WAND kernel — rank/score-identical to the join path, same
+    oracle."""
+    from snowball_java_spark.operators.mlt import more_like_this_index
+
+    res = more_like_this_index(
+        spark, _index_for(spark, sf_dir), _MLT_SOURCES,
+        m_terms=_MLT_M, k=_MLT_K, cfg=_INDEX_CFG,
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+    )
+
+
 def _mlt_sql(sources: list[int], m: int, k: int) -> str:
     vals = ", ".join(f"({i}, {int(d)})" for i, d in enumerate(sources))
     idf = "ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))"
@@ -6867,6 +6885,9 @@ def build_registry() -> dict[str, Q]:
         "more_like_this": Q(
             _q_more_like_this, _mlt_sql(_MLT_SOURCES, _MLT_M, _MLT_K),
         ),
+        "mlt_index_topk": Q(
+            _q_mlt_index, _mlt_sql(_MLT_SOURCES, _MLT_M, _MLT_K),
+        ),
         "substring_search": Q(
             _q_substring_search,
             f"SELECT doc_id FROM documents "
@@ -7451,9 +7472,10 @@ _DRIVER_PRIORITY = [
     # only, tests/test_entry.py): bm25_collapse_index_topk (displaced;
     # sibling green r4), events_cumulative_users, events_auto_histogram,
     # bm25_has_child_topk, bm25_has_child_index_topk, facet_by_metric,
-    # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until —
-    # 9 names, every one an index twin or a family member of a
-    # driver-green sibling.  New round-5 gates should displace one of
+    # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until,
+    # plus the round-5 additions mlt_index_topk (join-path sibling
+    # more_like_this green r1) — every one an index twin or a family
+    # member of a driver-green sibling.  New round-5 gates should displace one of
     # the 50 above only if their subsystem has no green sibling at all;
     # otherwise queue them here for round 6.
 ]

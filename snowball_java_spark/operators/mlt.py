@@ -30,7 +30,7 @@ from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import idf_expr
 from snowball_java_spark.operators.bm25_join import bm25_topk_join, df_for_terms
 
-__all__ = ["characteristic_terms", "more_like_this"]
+__all__ = ["characteristic_terms", "more_like_this", "more_like_this_index"]
 
 
 def _candidate_pool(tf: DataFrame, pool: int) -> DataFrame:
@@ -120,6 +120,14 @@ def more_like_this(
             [], "query_id int, rank int, doc_id long, score double")
     top = bm25_topk_join(spark, docs_tok, queries,
                          cfg=cfg, n_docs=n_docs, avgdl=avgdl)
+    return _exclude_sources_rerank(spark, top, doc_ids, k)
+
+
+def _exclude_sources_rerank(spark: SparkSession, top: DataFrame,
+                            doc_ids: list[int], k: int) -> DataFrame:
+    """Drop each query's own source doc from its k+1-deep result and
+    recompute ranks — a per-query ≤ k+1-row window, shared by both MLT
+    paths so they cannot drift."""
     src_pairs = F.broadcast(spark.createDataFrame(
         [(i, int(d)) for i, d in enumerate(doc_ids)],
         "query_id int, doc_id long"))
@@ -131,3 +139,51 @@ def more_like_this(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def more_like_this_index(
+    spark: SparkSession,
+    index,
+    doc_ids: list[int],
+    m_terms: int = 5,
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    candidate_pool: int | None = None,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score): index-path MLT — rank- and
+    score-identical to :func:`more_like_this` over the corpus the index
+    was built from.  Characteristic terms come from the index's own
+    ``term_vectors`` (the source docs' ``tf_map`` rows under a
+    doc-scoped parquet IN-filter pushdown plus the vocab-sized
+    term_stats join — NO corpus pass at all, unlike the join path's
+    ``df_for_terms`` scan), and scoring runs through the block-max WAND
+    kernel (``bm25_topk_index``).  Same driver-bounded collect contract
+    as the join path: ≤ |sources|·m_terms rows."""
+    from snowball_java_spark.operators.wand import bm25_topk_index
+
+    pool = int(candidate_pool if candidate_pool is not None
+               else max(200, 40 * m_terms))
+    tv = index.term_vectors(spark, doc_ids=[int(d) for d in doc_ids])
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    ct = (
+        _candidate_pool(tv, pool)
+        .withColumn("tfidf",
+                    F.col("tf") * idf_expr(F.col("df"), index.n_docs))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= m_terms)
+    )
+    terms_by_doc: dict[int, list[str]] = {}
+    for r in ct.select("doc_id", "term").collect():
+        terms_by_doc.setdefault(r["doc_id"], []).append(r["term"])
+    queries = [
+        {"query_id": i, "terms": sorted(terms_by_doc.get(int(d), [])),
+         "k": k + 1}
+        for i, d in enumerate(doc_ids)
+        if terms_by_doc.get(int(d))
+    ]
+    if not queries:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double")
+    top = bm25_topk_index(spark, index, queries,
+                          cfg=cfg if cfg is not None else index.cfg)
+    return _exclude_sources_rerank(spark, top, doc_ids, k)

@@ -157,3 +157,40 @@ def test_line_matches_lang_tokenizer_dispatch(spark):
         (2, "return getFooBar(x)")]
     assert line_matches_for_queries(
         ranked, docs, qs, tokenizer="pinned").count() == 0
+
+
+@pytest.fixture(scope="module")
+def mlt_index(spark, synth_docs, tmp_path_factory):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import build_index
+
+    d = str(tmp_path_factory.mktemp("mlt_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    return build_index(
+        spark, corpus, d,
+        cfg=EngineConfig(shard_size=64, block_size=16, build_stages=2),
+        n_buckets=8)
+
+
+def test_mlt_index_matches_join_path(spark, synth_docs, mlt_index):
+    """Index-path MLT (term_vectors + WAND) must be rank- AND
+    score-identical to the join path over the same corpus."""
+    from snowball_java_spark.operators.mlt import more_like_this_index
+
+    docs = with_tokens(synth_docs)
+    sources = [7, 42, 123]
+    jr = more_like_this(spark, docs, sources, m_terms=5, k=10).collect()
+    ir = more_like_this_index(
+        spark, mlt_index, sources, m_terms=5, k=10).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in ir] == \
+           [(r["query_id"], r["rank"], r["doc_id"]) for r in jr]
+    for a, b in zip(ir, jr):
+        assert a["score"] == pytest.approx(b["score"], rel=REL_TOL)
+    # every query's own source is excluded on the index path too
+    assert all(r["doc_id"] != sources[r["query_id"]] for r in ir)
+
+
+def test_mlt_index_unknown_source_is_empty(spark, mlt_index):
+    from snowball_java_spark.operators.mlt import more_like_this_index
+
+    assert more_like_this_index(spark, mlt_index, [999_999], k=3).count() == 0
