@@ -139,6 +139,7 @@ HEADLINE = [
     # r5 additions
     "bm25_multiword_synonym_topk",
     "mlt_index_topk",
+    "bm25_nested_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -4874,6 +4874,72 @@ SELECT rank, source, round(score, 6) AS score, n_children FROM (
 """
 
 
+_NESTED_W, _NESTED_K = 32, 10
+
+
+def _q_bm25_nested(spark, sf_dir):
+    """ES nested: within-doc chunk sub-documents each scored as its own
+    retrieval unit under chunk-level stats, DECIMAL-summed per doc."""
+    from snowball_java_spark.operators.nested import bm25_nested_topk
+
+    res = bm25_nested_topk(
+        spark, _docs_tok(spark, sf_dir),
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": _NESTED_K}],
+        chunk_tokens=_NESTED_W, score_mode="sum")
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+        F.col("n_chunks").cast("long").alias("n_chunks"))
+
+
+def _nested_sql(terms: list[str], w: int, k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    cw = (f"ln(1 + (cst.n_chunks - cdf.df + 0.5) / (cdf.df + 0.5)) "
+          f"* ctf.tf * {_K1 + 1.0} "
+          f"/ (ctf.tf + {_K1} * (1 - {_B} + {_B} * ctf.cdl / cst.avgdl))")
+    return f"""
+WITH {BASE_CTES},
+chnk AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(toks) / {float(w)}) AS BIGINT)))
+           AS chunk_id,
+         toks
+  FROM toks WHERE len(toks) > 0
+),
+csl AS (
+  SELECT doc_id, chunk_id,
+         toks[(chunk_id * {w} + 1):(chunk_id * {w} + {w})] AS ctoks
+  FROM chnk
+),
+cst AS (SELECT count(*)::BIGINT AS n_chunks,
+               sum(len(ctoks))::DOUBLE / count(*) AS avgdl FROM csl),
+q(term) AS (VALUES {tlist}),
+ctf AS (
+  SELECT doc_id, chunk_id, cdl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, chunk_id, len(ctoks)::BIGINT AS cdl,
+               unnest(ctoks) AS term FROM csl) u
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY 1, 2, 3, 4
+),
+cdf AS (SELECT term, count(*)::BIGINT AS df FROM ctf GROUP BY 1),
+cs AS (
+  SELECT ctf.doc_id, ctf.chunk_id, sum({cw}) AS cs
+  FROM ctf JOIN cdf USING (term) CROSS JOIN cst
+  GROUP BY 1, 2
+),
+ds AS (SELECT doc_id, sum(cs::DECIMAL(38, 18))::DOUBLE AS score,
+              count(*)::BIGINT AS n_chunks
+       FROM cs GROUP BY 1)
+SELECT 0::BIGINT AS query_id, rank, doc_id, round(score, 6) AS score,
+       n_chunks FROM (
+  SELECT doc_id, score, n_chunks,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT
+           AS rank
+  FROM ds) WHERE rank <= {k}
+"""
+
+
 _SNOT_PRE = 2
 _SNOT_POST = 2
 _SNOT_W = 6
@@ -7161,6 +7227,10 @@ FROM g
             _q_has_child,
             _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
         ),
+        "bm25_nested_topk": Q(
+            _q_bm25_nested,
+            _nested_sql(MIXED_TERMS, _NESTED_W, _NESTED_K),
+        ),
         "bm25_has_child_index_topk": Q(
             _q_has_child_index,
             _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
@@ -7449,7 +7519,7 @@ _DRIVER_PRIORITY = [
     "lmd_index_topk", "pack_shard_stats", "facet_range_dl",
     "term_did_you_mean", "bm25_multiword_synonym_topk",
     "bm25_phrase_prefix_topk", "bm25_index_range_topk",
-    "bm25_index_like_topk", "bm25_regexp_topk", "bm25_ordered_span_topk",
+    "bm25_nested_topk", "bm25_regexp_topk", "bm25_ordered_span_topk",
     "facet_cardinality", "term_complete", "embedding_sq8_topk",
     "embedding_ivf_federated_topk", "facet_histogram_dl",
     "facet_histogram_pipeline", "bm25_rescore_index_topk",
@@ -7474,8 +7544,11 @@ _DRIVER_PRIORITY = [
     # bm25_has_child_topk, bm25_has_child_index_topk, facet_by_metric,
     # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until,
     # plus the round-5 additions mlt_index_topk (join-path sibling
-    # more_like_this green r1) — every one an index twin or a family
-    # member of a driver-green sibling.  New round-5 gates should displace one of
+    # more_like_this green r1) and bm25_index_like_topk (displaced by
+    # bm25_nested_topk: nested is a NEW scoring subsystem with no green
+    # sibling, while the LIKE family's wildcard sibling went green in
+    # r4) — every one an index twin or a family member of a
+    # driver-green sibling.  New round-5 gates should displace one of
     # the 50 above only if their subsystem has no green sibling at all;
     # otherwise queue them here for round 6.
 ]

@@ -1,0 +1,168 @@
+"""ES ``nested``-style sub-document queries: score WITHIN-doc spans.
+
+``has_child`` (operators/parentjoin.py) ranks parents across documents;
+``nested`` is its within-document complement — a document is an array
+of sub-documents (per-function spans of one source file, paragraphs of
+a page), each scored as its OWN retrieval unit, then combined into the
+parent's score.  ES implements this with hidden child Lucene docs under
+a ``nested`` mapping; this engine derives the sub-documents
+deterministically: consecutive non-overlapping ``chunk_tokens``-token
+spans (exactly the chunk shape ``dedup.chunk_dedup_report`` already
+uses, so "nested" needs no new data model).
+
+Pinned semantics (the nested-index analog, derivable by any engine):
+
+* sub-doc corpus = every non-empty chunk of every doc; its OWN stats
+  (n_chunks, chunk avgdl, per-term chunk df) replace the whole-doc
+  stats — a term filling one function of a 10k-line file scores like a
+  match in a small doc, which is the point of nested scoring;
+* chunk score = BM25 over those stats, terms summed in ascending term
+  order (``ordered_sum`` — float determinism);
+* parent score = ``score_mode`` over its MATCHING chunks (max / min
+  exact order-free; sum / avg as DECIMAL(38,18) — exact hence
+  associative, the house pattern for unbounded groups: a hot term can
+  match thousands of chunks in one giant file);
+* ranking = (score desc, doc_id asc) salted two-phase top-k.
+
+Scale shape: global chunk stats come from ONE chunk-free aggregate
+(ceil(dl/w) per doc — no explode); only docs containing a query term
+explode their chunks, and chunk token arrays are filtered to the query
+vocabulary BEFORE the explode (prune-before-explode); chunk df
+aggregates map-side.  Nothing is corpus-×-chunk except for matching
+docs, which is the output's own lower bound.
+
+Prior art: ES ``nested`` query + ``score_mode`` (public docs); chunk
+derivation per CCNet (Wenzek et al. 2020).  The reference engine is
+whole-snippet only (``snowball/src/vsm/VectorSpaceModel.java``) — this
+is beyond-reference surface per SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowball_java_spark.config import DEFAULT, EngineConfig
+from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+
+__all__ = ["bm25_nested_topk", "chunk_stats"]
+
+_SCORE_MODES = ("max", "min", "sum", "avg")
+
+
+def _chunks_col(arr: F.Column, w: int) -> F.Column:
+    """array<struct<chunk_id int, ctoks array<string>>> — consecutive
+    non-overlapping w-token spans, empty tail dropped (same shape as
+    dedup.chunk_dedup_report; sequence(0,-1) DESCENDS in Spark, hence
+    the greatest() guard for empty docs)."""
+    n_chunks = F.ceil(F.size(arr) / F.lit(w)).cast("int")
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.slice(arr, i * w + 1, w).alias("ctoks"),
+            ),
+        ),
+        lambda s: F.size(s["ctoks"]) > 0,
+    )
+
+
+def chunk_stats(docs_tok: DataFrame, chunk_tokens: int) -> DataFrame:
+    """One-row (n_chunks, avgdl): global sub-document stats WITHOUT any
+    explode — per doc the chunk count is ceil(dl/w) and the chunk
+    lengths sum to dl, so corpus totals derive from dl alone."""
+    w = int(chunk_tokens)
+    dl = docs_tok.select(F.size("tokens").alias("dl")).filter("dl > 0")
+    return dl.agg(
+        F.sum(F.ceil(F.col("dl") / F.lit(w)).cast("long"))
+        .alias("n_chunks"),
+        (F.sum("dl").cast("double")
+         / F.sum(F.ceil(F.col("dl") / F.lit(w)).cast("long")).cast("double"))
+        .alias("avgdl"),
+    )
+
+
+def bm25_nested_topk(
+    spark: SparkSession,
+    docs_tok: DataFrame,
+    queries: list[dict],
+    chunk_tokens: int = 32,
+    score_mode: str = "max",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score, n_chunks): docs ranked by the
+    ``score_mode`` combination of their matching chunks' BM25 scores
+    under the sub-document statistics (see module docstring);
+    ``n_chunks`` counts the doc's matching chunks.  Query dicts:
+    {query_id, terms, k}."""
+    from snowball_java_spark.operators.bm25_join import (
+        ordered_sum,
+        queries_df,
+        topk,
+    )
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {_SCORE_MODES}, got {score_mode!r}")
+    qdf = queries_df(spark, queries)
+    terms = sorted({t for q in queries for t in q["terms"]})
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double, "
+            "n_chunks long")
+    if not terms:
+        return empty
+    st = chunk_stats(docs_tok, chunk_tokens).collect()[0]
+    if st["n_chunks"] is None:
+        return empty
+    n_chunks, avgdl = int(st["n_chunks"]), float(st["avgdl"])
+
+    w = int(chunk_tokens)
+    tlit = F.array(*[F.lit(t) for t in terms])
+    # prune-before-explode twice: only docs containing a query term
+    # explode chunks, and each chunk's array is filtered to the query
+    # vocabulary before the term explode
+    pruned = docs_tok.filter(
+        F.arrays_overlap(F.col("tokens"), tlit)).select(
+        "doc_id", F.explode(_chunks_col(F.col("tokens"), w)).alias("c"))
+    ctf = (
+        pruned.select(
+            "doc_id", F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").alias("cdl"),
+            F.explode(
+                F.filter(F.col("c.ctoks"),
+                         lambda x: F.array_contains(tlit, x))
+            ).alias("term"))
+        .groupBy("doc_id", "chunk_id", "cdl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # chunk-level df: chunks NOT containing a term contribute nothing,
+    # so counting the tf relation's rows per term is exact
+    cdf = ctf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        ctf.join(F.broadcast(cdf), "term")
+        .join(qdf.select("query_id", "term"), "term")
+        .withColumn(
+            "_w",
+            weight_expr(F.col("tf"), idf_expr(F.col("df"), n_chunks),
+                        F.col("cdl"), F.lit(avgdl),
+                        k1=cfg.k1, b=cfg.b))
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(ordered_sum("term", "_w").alias("_cs"))
+    )
+    if score_mode == "max":
+        agg = F.max("_cs")
+    elif score_mode == "min":
+        agg = F.min("_cs")
+    else:
+        agg = F.sum(F.col("_cs").cast("decimal(38,18)")).cast("double")
+    g = scored.groupBy("query_id", "doc_id").agg(
+        agg.alias("_s"), F.count("*").alias("n_chunks"))
+    score = (F.col("_s") / F.col("n_chunks") if score_mode == "avg"
+             else F.col("_s"))
+    return topk(
+        g.select("query_id", "doc_id", score.alias("score"), "n_chunks"),
+        qdf, keep_cols=("score", "n_chunks"),
+    ).orderBy("query_id", "rank")

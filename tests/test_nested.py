@@ -1,0 +1,121 @@
+"""Nested (within-doc sub-document) scoring: chunk semantics, score
+modes, validation — truth computed in pure Python."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from snowball_java_spark.config import BM25_B, BM25_K1
+from snowball_java_spark.operators.nested import bm25_nested_topk, chunk_stats
+
+W = 4  # chunk_tokens for the hand-checkable fixture
+
+DOCS = {
+    1: ["a", "b", "c", "d", "a", "a", "x", "y"],   # chunks: [a b c d][a a x y]
+    2: ["a", "a", "a", "z", "z", "z", "z", "z"],   # [a a a z][z z z z]
+    3: ["q", "w", "e", "r"],                        # [q w e r]
+    4: [],                                          # no chunks
+    5: ["x"],                                       # [x] — short chunk, dl 1
+}
+
+
+def _chunks(ts):
+    return [ts[i:i + W] for i in range(0, len(ts), W)]
+
+
+def _truth(terms, score_mode):
+    chunks = {(d, i): c for d, ts in DOCS.items()
+              for i, c in enumerate(_chunks(ts)) if c}
+    n = len(chunks)
+    avgdl = sum(len(c) for c in chunks.values()) / n
+    df = {t: sum(1 for c in chunks.values() if t in c) for t in terms}
+
+    def w(tf, dfv, dl):
+        idf = math.log(1 + (n - dfv + 0.5) / (dfv + 0.5))
+        return idf * tf * (BM25_K1 + 1) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+
+    per_doc: dict[int, list[float]] = {}
+    for (d, i), c in chunks.items():
+        s = sum(w(c.count(t), df[t], len(c))
+                for t in sorted(terms) if c.count(t))
+        if s > 0:
+            per_doc.setdefault(d, []).append(s)
+    out = {}
+    for d, ss in per_doc.items():
+        if score_mode == "max":
+            v = max(ss)
+        elif score_mode == "min":
+            v = min(ss)
+        elif score_mode == "sum":
+            v = sum(ss)
+        else:
+            v = sum(ss) / len(ss)
+        out[d] = (v, len(ss))
+    return sorted(out.items(), key=lambda kv: (-kv[1][0], kv[0]))
+
+
+@pytest.fixture(scope="module")
+def docs_tok(spark):
+    return spark.createDataFrame(
+        list(DOCS.items()), "doc_id long, tokens array<string>").cache()
+
+
+def test_chunk_stats_without_explode(spark, docs_tok):
+    st = chunk_stats(docs_tok, W).collect()[0]
+    # docs 1,2 -> 2 chunks each; 3 -> 1; 4 -> 0; 5 -> 1  (6 total)
+    assert st["n_chunks"] == 6
+    assert st["avgdl"] == pytest.approx((8 + 8 + 4 + 1) / 6)
+
+
+@pytest.mark.parametrize("mode", ["max", "min", "sum", "avg"])
+def test_nested_matches_python_truth(spark, docs_tok, mode):
+    terms = ["a", "x"]
+    got = bm25_nested_topk(
+        spark, docs_tok, [{"query_id": 0, "terms": terms, "k": 10}],
+        chunk_tokens=W, score_mode=mode).collect()
+    want = _truth(terms, mode)
+    assert [(r["doc_id"], r["n_chunks"]) for r in got] == \
+           [(d, n) for d, (_, n) in want]
+    for r, (_, (s, _n)) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_nested_rewards_concentration(spark):
+    """The point of nested scoring: a term filling ONE span of a huge
+    doc must not be drowned by the doc's length — it outranks (under
+    max) a doc where the same tf is spread thin."""
+    big_concentrated = ["pad"] * 96 + ["hit"] * 4          # one dense chunk
+    big_spread = (["hit"] + ["pad"] * 24) * 4              # 4 sparse chunks
+    docs = spark.createDataFrame(
+        [(1, big_concentrated), (2, big_spread)],
+        "doc_id long, tokens array<string>")
+    got = bm25_nested_topk(
+        spark, docs, [{"query_id": 0, "terms": ["hit"], "k": 2}],
+        chunk_tokens=25, score_mode="max").collect()
+    assert got[0]["doc_id"] == 1
+
+
+def test_nested_edge_cases_and_validation(spark, docs_tok):
+    assert bm25_nested_topk(
+        spark, docs_tok, [{"query_id": 0, "terms": [], "k": 5}],
+        chunk_tokens=W).count() == 0
+    assert bm25_nested_topk(
+        spark, docs_tok,
+        [{"query_id": 0, "terms": ["zzz_absent"], "k": 5}],
+        chunk_tokens=W).count() == 0
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        bm25_nested_topk(spark, docs_tok,
+                         [{"query_id": 0, "terms": ["a"], "k": 5}],
+                         chunk_tokens=0)
+    with pytest.raises(ValueError, match="score_mode"):
+        bm25_nested_topk(spark, docs_tok,
+                         [{"query_id": 0, "terms": ["a"], "k": 5}],
+                         chunk_tokens=W, score_mode="median")
+    # empty corpus: no chunks at all -> empty result, no crash
+    empty = spark.createDataFrame([], "doc_id long, tokens array<string>")
+    assert bm25_nested_topk(
+        spark, empty, [{"query_id": 0, "terms": ["a"], "k": 5}],
+        chunk_tokens=W).count() == 0
