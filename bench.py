@@ -140,6 +140,7 @@ HEADLINE = [
     "bm25_multiword_synonym_topk",
     "mlt_index_topk",
     "bm25_nested_topk",
+    "media_features_jpeg",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -5717,6 +5717,20 @@ def _q_media_png(spark, sf_dir):
     return decode_png_features(pack_media_png(d))
 
 
+def _q_media_jpeg(spark, sf_dir):
+    """Real baseline-JPEG codec roundtrip: encode every doc as a T.81
+    grayscale JPEG (DC quant step rotates {1,8,16} by doc_id), then
+    Huffman-decode, dequantize, IDCT — and aggregate the reconstructed
+    raster.  Rasters are blockwise-constant, so the lossy pipeline has
+    the closed integer form clamp((q*round(8d/q)) // 8 + 128) that the
+    oracle recomputes exactly; one wrong bit anywhere breaks it."""
+    from snowball_java_spark.operators.multimodal import (
+        decode_jpeg_features, pack_media_jpeg)
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return decode_jpeg_features(pack_media_jpeg(d))
+
+
 def _q_media_wav(spark, sf_dir):
     """Real WAV (RIFF/PCM16) roundtrip: pack deterministic waveforms,
     parse the container back with size cross-checks, compute sample-level
@@ -7343,6 +7357,36 @@ SELECT doc_id,
 FROM d
 """,
         ),
+        "media_features_jpeg": Q(
+            _q_media_jpeg,
+            # blockwise-constant rasters: pixel value of block bi is the
+            # closed-form lossy roundtrip of v = (doc_id*59 + bi*17)%256
+            # under DC quant q = [1,8,16][doc_id%3]; position-weighted
+            # sums use the per-block index identity
+            # sum_j(j over block) = 512*(by*w + bx) + 224*(w+1)
+            """
+WITH m AS (SELECT doc_id,
+                  (8 * (1 + octet_length(encode(text)) % 5))::BIGINT AS w,
+                  (8 * (1 + octet_length(encode(text)) % 3))::BIGINT AS h,
+                  [1, 8, 16][(doc_id % 3) + 1]::BIGINT AS q
+           FROM documents),
+b AS (SELECT doc_id, w, h, q,
+             unnest(range((w // 8) * (h // 8))) AS bi
+      FROM m),
+p AS (SELECT doc_id, w, h, bi,
+             least(greatest(
+               (q * floor((8 * ((doc_id * 59 + bi * 17) % 256 - 128))::DOUBLE
+                          / q + 0.5)::BIGINT) // 8 + 128,
+               0), 255) AS pv
+      FROM b)
+SELECT doc_id, max(w)::INTEGER AS width, max(h)::INTEGER AS height,
+       max(w * h)::BIGINT AS data_size,
+       sum(64 * pv)::BIGINT AS sum_px,
+       sum(pv * (512 * ((bi // (w // 8)) * w + (bi % (w // 8)))
+                 + 224 * (w + 1)))::BIGINT AS wsum_px
+FROM p GROUP BY doc_id
+""",
+        ),
         "media_features_png": Q(
             _q_media_png,
             # raster byte j = (doc_id*131 + j*7) % 256 over w*3*h bytes —
@@ -7544,7 +7588,9 @@ _DRIVER_PRIORITY = [
     # bm25_has_child_topk, bm25_has_child_index_topk, facet_by_metric,
     # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until,
     # plus the round-5 additions mlt_index_topk (join-path sibling
-    # more_like_this green r1) and bm25_index_like_topk (displaced by
+    # more_like_this green r1), media_features_jpeg (family siblings
+    # media_features_png/wav green r4), and bm25_index_like_topk
+    # (displaced by
     # bm25_nested_topk: nested is a NEW scoring subsystem with no green
     # sibling, while the LIKE family's wildcard sibling went green in
     # r4) — every one an index twin or a family member of a

@@ -15,8 +15,15 @@ which needs a codec library:
 * **WAV** (RIFF/PCM16 mono) — header parse with size cross-checks plus
   sample-level features (duration, RMS, zero crossings).
 
-JPEG and video remain honestly stubbed behind ``NotImplementedError``:
-their codec libraries (libjpeg/ffmpeg) are not in this container.
+* **JPEG** (ITU T.81 baseline sequential, grayscale) — a real
+  encoder/decoder on numpy alone: 8x8 DCT/IDCT, rotating quantization
+  tables, zigzag run-length coding, the spec's Annex K Huffman tables,
+  0xFF00 byte stuffing.  See the JPEG section for the
+  blockwise-constant oracle design that makes the lossy codec
+  hash-checkable.
+
+Video remains honestly stubbed behind ``NotImplementedError``: its
+codec libraries (ffmpeg) are not in this container.
 
 Scale note for 100 TB: payloads are large, so Arrow batch sizing must be
 by bytes not rows — callers set
@@ -171,8 +178,8 @@ def decode_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 if mtype != "image/bmp":
                     if strict:
                         raise NotImplementedError(
-                            f"decode of {mtype} requires libjpeg/ffmpeg — "
-                            "not present in this container (PNG/WAV have "
+                            f"decode of {mtype} requires ffmpeg — not "
+                            "present in this container (PNG/WAV/JPEG have "
                             "their own decode_*_features paths)"
                         )
                     continue
@@ -540,3 +547,453 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.col("meta.declared_w").alias("declared_w"),
         F.col("meta.declared_h").alias("declared_h"),
     )
+
+
+# --------------------------------------------------------------------------
+# JPEG (ITU T.81 baseline sequential, grayscale).  A real encoder/decoder
+# on numpy + stdlib only — no libjpeg: forward/inverse 8x8 DCT, rotating
+# quantization tables, zigzag + run-length coding, the spec's Annex K
+# standard Huffman tables, and a bitstream with 0xFF00 byte stuffing.
+#
+# Oracle design (the lossy-codec analog of the PNG trick): the packed
+# rasters are BLOCKWISE-CONSTANT — pixel value v is a pure function of
+# (doc_id, block index).  A constant block has one nonzero DCT
+# coefficient (the DC), so the decoded value is the closed-form integer
+# pipeline  clamp((q_dc * round(8*(v-128)/q_dc)) // 8 + 128)  that DuckDB
+# recomputes exactly; the rotating DC quant steps {1, 8, 16} keep the
+# dequantized DC a multiple of 8, so the float IDCT can never land on a
+# rounding boundary (a .5 boundary needs deq % 8 == 4).  Full-spectrum
+# (lossy) rasters are covered in pytest against an independent
+# numpy-DCT recompute of the same quantize→dequantize pipeline.
+# --------------------------------------------------------------------------
+
+JPEG_FEATURE_SCHEMA = PNG_FEATURE_SCHEMA
+
+#: JPEG spec Annex K standard luminance Huffman tables (public constants).
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _zigzag_order() -> list[int]:
+    """Row-major index for each of the 64 zigzag positions (T.81 fig. 5,
+    generated instead of transcribed so there is no typo to find)."""
+    out = []
+    for s in range(15):
+        ys = list(range(max(0, s - 7), min(s, 7) + 1))
+        for y in (ys if s % 2 == 1 else reversed(ys)):
+            out.append(y * 8 + (s - y))
+    return out
+
+
+_ZZ = np.array(_zigzag_order(), dtype=np.int64)
+
+_DCT_A = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT_A
+    if _DCT_A is None:
+        u = np.arange(8).reshape(8, 1).astype(np.float64)
+        x = np.arange(8).reshape(1, 8).astype(np.float64)
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        a[0, :] /= np.sqrt(2.0)
+        _DCT_A = a
+    return _DCT_A
+
+
+def _huff_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), per T.81 C.2 canonical assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, the decoder-side inverse."""
+    return {(ln, c): s for s, (c, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def finish(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt JPEG (entropy stream truncated)")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError(
+                        "corrupt JPEG (marker inside entropy stream)")
+                self.pos += 1  # skip stuffed 0x00
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+#: Quantization boundary guard.  The float DCT of an integer-exact
+#: coefficient carries ~1e-13 absolute noise (e.g. S00 of a constant
+#: block computes as 55.99999999999999 instead of 56), and round-half-up
+#: = floor(x/q + 0.5) is discontinuous exactly where the oracle's
+#: EXACT-arithmetic boundary sits (8d ≡ q/2 mod q).  1e-9 is 4 orders
+#: above the noise and 8 below the smallest legitimate half-step gap,
+#: so float quantization agrees with exact-math floor everywhere.
+_QEPS = 1e-9
+
+
+def _jpeg_quantize(zz: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    return np.floor(zz / quant + 0.5 + _QEPS).astype(np.int64)
+
+
+def _jpeg_dims(n_src: int) -> tuple[int, int]:
+    """(w, h), both multiples of 8 (whole MCUs — the supported baseline
+    subset) — ≤ 40x24, the same small-raster trade as the PNG gate."""
+    return 8 * (1 + n_src % 5), 8 * (1 + n_src % 3)
+
+
+def jpeg_quant_table(doc_id: int) -> np.ndarray:
+    """Rotating quantization: DC step cycles {1, 8, 16} (each keeps the
+    dequantized DC a multiple of 8 — see the oracle-design note), AC
+    steps a fixed mid-strength 13."""
+    q = np.full(64, 13, dtype=np.int64)
+    q[0] = (1, 8, 16)[doc_id % 3]
+    return q
+
+
+def jpeg_block_value(doc_id: int, bi: int) -> int:
+    """Source value of block ``bi`` (row-major block order) — the SAME
+    arithmetic the DuckDB oracle reproduces."""
+    return (doc_id * 59 + bi * 17) % 256
+
+
+def jpeg_raster(doc_id: int, n_src: int) -> np.ndarray:
+    """Blockwise-constant deterministic imagery, h x w uint8."""
+    w, h = _jpeg_dims(n_src)
+    bw = w // 8
+    out = np.empty((h, w), np.uint8)
+    for by in range(h // 8):
+        for bx in range(bw):
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                jpeg_block_value(doc_id, by * bw + bx)
+    return out
+
+
+def _encode_blocks(raster: np.ndarray, quant: np.ndarray) -> bytes:
+    a = _dct_matrix()
+    h, w = raster.shape
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = raster[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            s = a @ (blk.astype(np.float64) - 128.0) @ a.T
+            zz = s.reshape(-1)[_ZZ]
+            # epsilon-guarded round-half-up (see _jpeg_quantize) — the
+            # exact pipeline the oracle and the pytest recompute share
+            qv = _jpeg_quantize(zz, quant)
+            diff = int(qv[0]) - prev_dc
+            prev_dc = int(qv[0])
+            cat = _category(diff)
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            last_nz = int(np.max(np.nonzero(qv)[0])) if np.any(qv[1:]) else 0
+            for i in range(1, 64):
+                v = int(qv[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    return bw.finish()
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def jpeg_bytes_from_raster(raster: np.ndarray, quant: np.ndarray) -> bytes:
+    """A complete baseline JFIF stream (grayscale, whole-MCU dims)."""
+    h, w = raster.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder subset requires dims divisible by 8")
+    dqt = bytes([0x00]) + bytes(int(q) for q in quant)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    dht = (bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+           + bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+            + _seg(0xC4, dht) + _seg(0xDA, sos)
+            + _encode_blocks(raster, quant) + b"\xff\xd9")
+
+
+def jpeg_bytes(doc_id: int, n_src: int) -> bytes:
+    return jpeg_bytes_from_raster(
+        jpeg_raster(doc_id, n_src), jpeg_quant_table(doc_id))
+
+
+def parse_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real baseline JPEG decode → (w, h, raster bytes row-major).
+    Supported subset: baseline sequential (SOF0), grayscale, dims
+    divisible by 8, no restart markers; anything else fails loudly
+    (progressive/SOF2, color, DRI)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    dc_map: dict[tuple[int, int], int] | None = None
+    ac_map: dict[tuple[int, int], int] | None = None
+    w = h = None
+    comp_tq = 0
+    scan_at = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        data = payload[pos + 4:pos + 2 + ln]
+        if len(data) != ln - 2:
+            raise ValueError("corrupt JPEG (segment truncated)")
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported JPEG (16-bit DQT)")
+                quant[tq] = np.frombuffer(
+                    data, np.uint8, 64, p + 1).astype(np.int64)
+                p += 65
+        elif marker == 0xC0:
+            if data[0] != 8 or data[5] != 1:
+                raise ValueError(
+                    "unsupported JPEG (need 8-bit grayscale baseline)")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            if data[7] != 0x11:
+                raise ValueError("unsupported JPEG (subsampled grayscale)")
+            comp_tq = data[8]
+            if h % 8 or w % 8:
+                raise ValueError(
+                    "unsupported JPEG (decoder subset needs whole MCUs)")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG (progressive/extended SOF — baseline "
+                "sequential only)")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                bits = tuple(data[p + 1:p + 17])
+                n = sum(bits)
+                vals = tuple(data[p + 17:p + 17 + n])
+                m = _huff_decode_map(bits, vals)
+                if tc == 0 and th == 0:
+                    dc_map = m
+                elif tc == 1 and th == 0:
+                    ac_map = m
+                else:
+                    raise ValueError(
+                        "unsupported JPEG (only table slot 0 is used)")
+                p += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("unsupported JPEG (restart intervals)")
+        elif marker == 0xDA:
+            if data[0] != 1:
+                raise ValueError("unsupported JPEG (multi-component scan)")
+            scan_at = pos + 2 + ln
+            break
+        # APPn / COM: skipped
+        pos += 2 + ln
+    if scan_at is None or w is None or dc_map is None or ac_map is None \
+            or comp_tq not in quant:
+        raise ValueError("corrupt JPEG (missing SOF/DHT/DQT/SOS)")
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("corrupt JPEG (missing EOI)")
+    rd = _BitReader(payload[scan_at:end])
+    q = quant[comp_tq]
+    a = _dct_matrix()
+
+    def read_symbol(m: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            s = m.get((ln, code))
+            if s is not None:
+                return s
+        raise ValueError("corrupt JPEG (invalid Huffman code)")
+
+    def extend(r: int, cat: int) -> int:
+        return r if r >= (1 << (cat - 1)) else r - (1 << cat) + 1
+
+    out = np.empty((h, w), np.uint8)
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zz = np.zeros(64, np.int64)
+            cat = read_symbol(dc_map)
+            diff = extend(rd.bits(cat), cat) if cat else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = read_symbol(ac_map)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                cat = rs & 0x0F
+                if i > 63:
+                    raise ValueError("corrupt JPEG (AC index overflow)")
+                zz[i] = extend(rd.bits(cat), cat)
+                i += 1
+            s = np.zeros(64, np.float64)
+            s[_ZZ] = (zz * q).astype(np.float64)
+            blk = a.T @ s.reshape(8, 8) @ a
+            px = np.clip(np.floor(blk + 128.5), 0, 255).astype(np.uint8)
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px
+    return w, h, out.reshape(-1)
+
+
+def pack_media_jpeg(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """content → real baseline JPEG payload + typed metadata struct (dims
+    from the content's byte length, raster + quant table from doc_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, ws, hs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[content_col]):
+                n_src = len(("" if text is None else str(text)).encode("utf-8"))
+                w, h = _jpeg_dims(n_src)
+                payloads.append(jpeg_bytes(int(doc_id), n_src))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads,
+                 "declared_w": ws, "declared_h": hs}
+            )
+
+    packed = docs.select("doc_id", content_col).mapInPandas(run, _PACK_SCHEMA)
+    return packed.select(
+        "doc_id",
+        F.lit("image/jpeg").alias("media_type"),
+        "payload",
+        F.struct(
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("declared_w").alias("declared_w"),
+            F.col("declared_h").alias("declared_h"),
+        ).alias("meta"),
+    )
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """mapInPandas JPEG decode: every output column derives from the
+    RECONSTRUCTED raster (post Huffman, dequantize, IDCT), so a single
+    wrong bit anywhere breaks the integer aggregates the oracle
+    recomputes from the closed-form blockwise pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = {k: [] for k in ("doc_id", "width", "height", "data_size",
+                                    "sum_px", "wsum_px")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = parse_jpeg(bytes(payload))
+                px = raster.astype(np.int64)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["data_size"].append(len(raster))
+                rows["sum_px"].append(int(px.sum()))
+                rows["wsum_px"].append(int((np.arange(len(px)) * px).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, JPEG_FEATURE_SCHEMA)

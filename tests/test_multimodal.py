@@ -179,3 +179,114 @@ def test_png_rejects_interlace_and_nonzero_methods():
     tampered = good[:8] + _png_chunk(b"IHDR", bytes(ihdr)) + good[33:]
     with pytest.raises(ValueError, match="interlaced|filter-0"):
         parse_png(tampered)
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential, grayscale, numpy-only codec)
+# --------------------------------------------------------------------------
+
+from snowball_java_spark.operators.multimodal import (  # noqa: E402
+    _ZZ,
+    _dct_matrix,
+    _jpeg_dims,
+    _jpeg_quantize,
+    decode_jpeg_features,
+    jpeg_block_value,
+    jpeg_bytes,
+    jpeg_bytes_from_raster,
+    jpeg_quant_table,
+    jpeg_raster,
+    pack_media_jpeg,
+    parse_jpeg,
+)
+
+
+def _jpeg_expected_raster(doc_id: int, n_src: int) -> np.ndarray:
+    """Closed-form decoded raster for blockwise-constant sources: only
+    the DC survives, so decode = clamp((q*round(8d/q)) // 8 + 128) —
+    the same integer pipeline the DuckDB oracle runs."""
+    w, h = _jpeg_dims(n_src)
+    bw = w // 8
+    q = int(jpeg_quant_table(doc_id)[0])
+    out = np.empty((h, w), np.int64)
+    for by in range(h // 8):
+        for bx in range(bw):
+            d = jpeg_block_value(doc_id, by * bw + bx) - 128
+            qv = int(np.floor(8 * d / q + 0.5))
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                min(max((q * qv) // 8 + 128, 0), 255)
+    return out
+
+
+def test_jpeg_blockwise_constant_roundtrip_exact():
+    """All three rotating quant tables, several dims: decode must equal
+    the closed-form integer pipeline EXACTLY (incl. the 255 clamp)."""
+    for doc_id in (0, 1, 2, 7, 11, 127):
+        for n_src in (0, 5, 17, 301, 999):
+            w, h = _jpeg_dims(n_src)
+            pw, ph, raster = parse_jpeg(jpeg_bytes(doc_id, n_src))
+            assert (pw, ph) == (w, h)
+            assert np.array_equal(
+                raster.reshape(h, w), _jpeg_expected_raster(doc_id, n_src))
+
+
+def test_jpeg_full_spectrum_matches_independent_recompute():
+    """Arbitrary (dense-AC) rasters: the decoder must reproduce the
+    quantize→dequantize→IDCT pipeline recomputed here WITHOUT the
+    Huffman/zigzag/bitstream machinery — a single wrong bit in any of
+    those would scramble whole blocks, not nudge a pixel."""
+    rng = np.random.default_rng(7)
+    a = _dct_matrix()
+    for trial in range(3):
+        h, w = 16, 24
+        r = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        q = jpeg_quant_table(trial)
+        pw, ph, dec = parse_jpeg(jpeg_bytes_from_raster(r, q))
+        assert (pw, ph) == (w, h)
+        exp = np.empty((h, w), np.int64)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = r[by * 8:(by + 1) * 8,
+                        bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
+                zz = (a @ blk @ a.T).reshape(-1)[_ZZ]
+                s2 = np.zeros(64)
+                s2[_ZZ] = _jpeg_quantize(zz, q) * q
+                rec = a.T @ s2.reshape(8, 8) @ a
+                exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                    np.clip(np.floor(rec + 128.5), 0, 255)
+        assert np.abs(dec.reshape(h, w).astype(np.int64) - exp).max() <= 1
+
+
+def test_jpeg_rejects_corruption_and_unsupported():
+    b = bytearray(jpeg_bytes(3, 42))
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x00\x00" + bytes(b[2:]))
+    with pytest.raises(ValueError, match="EOI"):
+        parse_jpeg(bytes(b[:-2]))
+    # SOF0 -> SOF2: progressive must be refused loudly, not mis-decoded
+    sof = bytes(b).find(b"\xff\xc0")
+    prog = bytes(b[:sof + 1]) + b"\xc2" + bytes(b[sof + 2:])
+    with pytest.raises(ValueError, match="progressive"):
+        parse_jpeg(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        parse_jpeg(bytes(b[:len(b) - 8]) + b"\xff\xd9")
+    # dims not divisible by 8 are outside the supported subset
+    with pytest.raises(ValueError, match="divisible by 8"):
+        jpeg_bytes_from_raster(np.zeros((9, 8), np.uint8),
+                               jpeg_quant_table(0))
+
+
+def test_decode_jpeg_features_spark(spark, synth_docs):
+    media = pack_media_jpeg(synth_docs.select("doc_id", "content"))
+    feats = {r["doc_id"]: r for r in decode_jpeg_features(media).collect()}
+    srcs = {r["doc_id"]: r["content"].encode("utf-8")
+            for r in synth_docs.select("doc_id", "content").collect()}
+    assert len(feats) == len(srcs)
+    for doc_id, src in list(srcs.items())[:20]:
+        w, h = _jpeg_dims(len(src))
+        px = _jpeg_expected_raster(doc_id, len(src)).reshape(-1)
+        r = feats[doc_id]
+        assert (r["width"], r["height"], r["data_size"]) == (w, h, w * h)
+        assert r["sum_px"] == int(px.sum())
+        assert r["wsum_px"] == int((np.arange(w * h) * px).sum())
