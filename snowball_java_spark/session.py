@@ -32,6 +32,10 @@ def get_spark(
         # Arrow for all pandas UDF / applyInPandas exchange (no per-row
         # Python anywhere — input_hint hard requirement)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # V2 Python data sources may implement pushFilters (the
+        # Iceberg-style scan contract, sources/dsv2_stub.py) — without
+        # this flag Spark REFUSES such readers outright
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # deterministic oracle comparison (duckdb is UTC-naive)
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,102 @@
+"""An Iceberg-STYLE DataSourceV2 test double with real filter pushdown.
+
+The sandbox has no Iceberg jars (SURVEY §1.3), so the scan contract the
+north_star's 10^12-file Iceberg table depends on — partition pruning at
+PLANNING time, driver-side, before any file is read — is pinned against
+this genuine V2 source instead of a mock: a Python DataSource
+(``pyspark.sql.datasource``, Spark 4's V2 Python binding) laying out a
+lang-partitioned corpus.  ``pushFilters`` receives Catalyst's pushed
+predicates exactly where Iceberg prunes manifests; ``partitions`` plans
+one InputPartition per SURVIVING partition and records its decisions to
+a caller-supplied log file so tests can assert pruning happened at
+planning, not as a post-scan row filter.  Executors only ever run
+``read`` on the partitions the driver planned — the same contract a
+real Iceberg scan gives the engine.
+
+Real-cluster recipe (documented in FIXTURES.md §1.3): spark-submit
+--packages org.apache.iceberg:iceberg-spark-runtime-<spark_ver>:<ver>
+with spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog;
+``read_corpus`` already routes catalog-dotted names to
+``format('iceberg').load``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+LANGS = ("py", "java", "go", "rs")
+ROWS_PER_LANG = 6
+
+
+def _log(log_file: str, key: str, value) -> None:
+    if not log_file:
+        return
+    d = {}
+    if os.path.exists(log_file):
+        with open(log_file) as f:
+            d = json.load(f)
+    d[key] = value
+    with open(log_file, "w") as f:
+        json.dump(d, f)
+
+
+class LangPartition(InputPartition):
+    def __init__(self, lang: str):
+        self.lang = lang
+
+
+class IcebergStyleReader(DataSourceReader):
+    """Accepts lang equality/IN predicates (the partition column) the
+    way Iceberg's manifest pruning does; everything else is handed back
+    to Spark for post-scan evaluation."""
+
+    def __init__(self, options):
+        self.log_file = options.get("plan_log", "")
+        self.langs = list(LANGS)
+
+    def pushFilters(self, filters):
+        kept, unsupported = [], []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("lang",):
+                kept.append(("=", f.value))
+            elif isinstance(f, In) and f.attribute == ("lang",):
+                kept.append(("in", list(f.value)))
+            else:
+                unsupported.append(f)
+        for op, v in kept:
+            allow = {v} if op == "=" else set(v)
+            self.langs = [g for g in self.langs if g in allow]
+        _log(self.log_file, "pushed", [op for op, _ in kept])
+        return iter(unsupported)
+
+    def partitions(self):
+        _log(self.log_file, "planned", self.langs)
+        return [LangPartition(g) for g in self.langs]
+
+    def read(self, partition: LangPartition):
+        g = partition.lang
+        for i in range(ROWS_PER_LANG):
+            yield (f"repo_{g}", f"{g}/f{i}.txt", "c0", g,
+                   f"def name_{g}_{i} return value_{g}")
+
+
+class IcebergStyleSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "iceberg_style_stub"
+
+    def schema(self):
+        return ("repo string, path string, commit string, lang string, "
+                "content string")
+
+    def reader(self, schema):
+        return IcebergStyleReader(self.options)
