@@ -141,6 +141,7 @@ HEADLINE = [
     "mlt_index_topk",
     "bm25_nested_topk",
     "media_features_jpeg",
+    "bm25_nested_index_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
@@ -483,6 +484,43 @@ def phase_query_scaling() -> dict:
             assert n > 0
             walls.setdefault(f"local{cores}", []).append(
                 round(time.time() - t0, 2))
+        if cores == hi_c:
+            # CONCURRENT STREAMS (r4 verdict item #4): the serial-floor
+            # amortization claim, measured instead of asserted.  The
+            # same 256 queries split into 4 independent 64-query batches
+            # submitted from 4 Python threads sharing this SparkContext
+            # (py4j releases the GIL during JVM calls, so each stream's
+            # planning floor overlaps the other streams' scoring work —
+            # exactly what a production search frontend does).
+            import threading
+
+            n_streams = 4
+            per = len(queries) // n_streams
+            chunks = [queries[i * per:(i + 1) * per]
+                      for i in range(n_streams)]
+
+            def run_stream(ch, errs):
+                try:
+                    n = len(bm25_topk_index(
+                        spark, idx, ch, cfg=idx.cfg).collect())
+                    assert n > 0
+                except Exception as e:  # surfaced after join
+                    errs.append(e)
+
+            ms_walls: list[float] = []
+            for _ in range(max(BENCH_REPEATS, 2)):
+                errs: list = []
+                threads = [threading.Thread(target=run_stream,
+                                            args=(c, errs))
+                           for c in chunks]
+                t0 = time.time()
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                if errs:
+                    raise errs[0]
+                ms_walls.append(round(time.time() - t0, 2))
         spark.stop()
     ratio = hi_c / lo_c
     lo_w = min(walls[f"local{lo_c}"])
@@ -498,14 +536,26 @@ def phase_query_scaling() -> dict:
         "efficiency_raw": round(lo_w / (ratio * hi_w), 3),
         "efficiency_compute": round(
             (lo_w - s_lo) / (ratio * (hi_w - s_hi)), 3),
+        # the floor-amortization claim, measured: the SAME 256 queries
+        # as 4 concurrent 64-query streams on the hi-core session
+        "multistream": {
+            "n_streams": 4,
+            "queries_per_stream": len(queries) // 4,
+            "walls_sec": ms_walls,
+            "queries_per_sec": round(len(queries) / min(ms_walls), 1),
+            "efficiency_vs_1core_serial": round(
+                lo_w / (ratio * min(ms_walls)), 3),
+            "speedup_vs_serial_batch": round(hi_w / min(ms_walls), 3),
+        },
         "serial_floor_sec": floors,
         "scan_sec": scans,
         "run_walls_sec": walls,
         "note": "one 256-query bm25_topk_index batch per timed run over "
                 "the phase_b index, min over repeats after a full warm-up; "
                 "serial floor = steady single-rare-term call (per-batch "
-                "driver/planning work, amortized across concurrent query "
-                "streams in production); efficiency_compute excludes it; "
+                "driver/planning work); efficiency_compute excludes it; "
+                "multistream MEASURES the amortization claim: 4 threads x "
+                "64 queries on one session, floor overlapping scoring; "
                 "scan_sec = the batch's pruned postings scan alone "
                 "(reported: it scales with cores on its own); residual "
                 "loss on this SHARED VM is worker-side memory-bandwidth "
@@ -873,6 +923,10 @@ def main() -> None:
         summary["query_scaling"].update({
             k: v for k, v in qs.items()
             if k.startswith("queries_per_sec")})
+        summary["query_scaling"]["multistream"] = {
+            k: qs["multistream"][k]
+            for k in ("queries_per_sec", "efficiency_vs_1core_serial",
+                      "speedup_vs_serial_batch")}
         detail["lifecycle"] = phase_lifecycle()
         detail["vector_lifecycle"] = phase_vector_lifecycle()
         detail["clustering"] = phase_clustering()

@@ -4893,6 +4893,30 @@ def _q_bm25_nested(spark, sf_dir):
         F.col("n_chunks").cast("long").alias("n_chunks"))
 
 
+def _q_bm25_nested_index(spark, sf_dir):
+    """Index-path nested: chunk tfs from the positions sidecar
+    (chunk_id = pos // w), chunk lengths from the dl sidecar — no
+    content rescan; rank-identical to the join path, same oracle."""
+    from snowball_java_spark.operators.nested import bm25_nested_topk_index
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = bm25_nested_topk_index(
+        spark, idx,
+        [{"query_id": 0, "terms": MIXED_TERMS, "k": _NESTED_K}],
+        chunk_tokens=_NESTED_W, score_mode="sum", cfg=_INDEX_CFG)
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+        F.col("n_chunks").cast("long").alias("n_chunks"))
+
+
 def _nested_sql(terms: list[str], w: int, k: int) -> str:
     tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     cw = (f"ln(1 + (cst.n_chunks - cdf.df + 0.5) / (cdf.df + 0.5)) "
@@ -7245,6 +7269,10 @@ FROM g
             _q_bm25_nested,
             _nested_sql(MIXED_TERMS, _NESTED_W, _NESTED_K),
         ),
+        "bm25_nested_index_topk": Q(
+            _q_bm25_nested_index,
+            _nested_sql(MIXED_TERMS, _NESTED_W, _NESTED_K),
+        ),
         "bm25_has_child_index_topk": Q(
             _q_has_child_index,
             _has_child_sql(MIXED_TERMS, _HC_MIN_CHILDREN, 10),
@@ -7589,8 +7617,9 @@ _DRIVER_PRIORITY = [
     # bm25_ltr_rescore_topk, events_eql_sequence, events_eql_until,
     # plus the round-5 additions mlt_index_topk (join-path sibling
     # more_like_this green r1), media_features_jpeg (family siblings
-    # media_features_png/wav green r4), and bm25_index_like_topk
-    # (displaced by
+    # media_features_png/wav green r4), bm25_nested_index_topk
+    # (join-path sibling bm25_nested_topk holds a round-5 slot), and
+    # bm25_index_like_topk (displaced by
     # bm25_nested_topk: nested is a NEW scoring subsystem with no green
     # sibling, while the LIKE family's wildcard sibling went green in
     # r4) — every one an index twin or a family member of a

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from snowball_java_spark.config import DEFAULT, EngineConfig
 from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
 
-__all__ = ["bm25_nested_topk", "chunk_stats"]
+__all__ = ["bm25_nested_topk", "bm25_nested_topk_index", "chunk_stats"]
 
 _SCORE_MODES = ("max", "min", "sum", "avg")
 
@@ -138,6 +138,17 @@ def bm25_nested_topk(
         .groupBy("doc_id", "chunk_id", "cdl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    return _score_chunks(ctf, qdf, n_chunks, avgdl, score_mode, cfg)
+
+
+def _score_chunks(ctf: DataFrame, qdf: DataFrame, n_chunks: int,
+                  avgdl: float, score_mode: str,
+                  cfg: EngineConfig) -> DataFrame:
+    """Shared scoring tail of both nested paths: chunk df → BM25 per
+    (chunk, term) → ordered per-chunk sum → score_mode per doc → salted
+    top-k.  ``ctf``: (doc_id, chunk_id, cdl, term, tf)."""
+    from snowball_java_spark.operators.bm25_join import ordered_sum, topk
+
     # chunk-level df: chunks NOT containing a term contribute nothing,
     # so counting the tf relation's rows per term is exact
     cdf = ctf.groupBy("term").agg(F.count("*").alias("df"))
@@ -166,3 +177,106 @@ def bm25_nested_topk(
         g.select("query_id", "doc_id", score.alias("score"), "n_chunks"),
         qdf, keep_cols=("score", "n_chunks"),
     ).orderBy("query_id", "rank")
+
+
+def bm25_nested_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    chunk_tokens: int = 32,
+    score_mode: str = "max",
+    cfg: EngineConfig | None = None,
+    doc_filter=None,
+) -> DataFrame:
+    """Index-path :func:`bm25_nested_topk` — rank- and score-identical
+    over the corpus the index was built from, WITHOUT rescanning any
+    content: per-chunk tf derives from the positions sidecar
+    (chunk_id = pos // w, one vectorized unique per term row), chunk
+    lengths from the dl sidecar (min(w, dl - chunk_id·w)), and global
+    chunk stats from one map-combinable aggregate over the docs table's
+    dl column.  Tombstoned / filtered docs drop inside the kernel (the
+    dead_bytes sidecar), so deletes and ``doc_filter`` compose exactly
+    as in the phrase/proximity kernels.  Requires the positions sidecar
+    (loud error otherwise)."""
+    import numpy as np
+    import pandas as pd
+
+    from snowball_java_spark.functions.codecs import varint_decode
+    from snowball_java_spark.functions.hashes import h60_py
+    from snowball_java_spark.operators.bm25_join import queries_df
+    from snowball_java_spark.operators.positions import (
+        _DOC_SHIFT,
+        _decode_row,
+    )
+    from snowball_java_spark.operators.postings import decode_dead_bytes
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {_SCORE_MODES}, got {score_mode!r}")
+    if not index.has_positions:
+        raise ValueError(
+            "bm25_nested_topk_index needs the positions sidecar — build "
+            "it with plans.build_index.add_positions (the join path "
+            "bm25_nested_topk works without it)")
+    eff = cfg if cfg is not None else index.cfg
+    qdf = queries_df(spark, queries)
+    terms = sorted({t for q in queries for t in q["terms"]})
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, doc_id long, score double, "
+            "n_chunks long")
+    if not terms:
+        return empty
+    w = int(chunk_tokens)
+    st = (index.docs(spark).select(F.col("dl"))
+          .filter("dl > 0")
+          .agg(F.sum(F.ceil(F.col("dl") / F.lit(w)).cast("long"))
+               .alias("n_chunks"),
+               F.sum("dl").cast("double").alias("_tot"))
+          .collect()[0])
+    if st["n_chunks"] is None or int(st["n_chunks"]) == 0:
+        return empty
+    n_chunks = int(st["n_chunks"])
+    avgdl = float(st["_tot"]) / n_chunks
+
+    buckets = sorted({h60_py(t) % index.n_buckets for t in terms})
+    pos = index.positions(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    with_meta = pos.join(
+        index.scoring_doc_meta(spark, doc_filter=doc_filter), "shard")
+    mask = _DOC_SHIFT - np.int64(1)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_doc = np.int64(pdf["first_doc"].iloc[0])
+        dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
+        out = {k: [] for k in ("term", "doc_id", "chunk_id", "cdl", "tf")}
+        for _, row in pdf.iterrows():
+            docs, tfs, p = _decode_row(row)
+            local = np.repeat(docs.astype(np.int64) - first_doc, tfs)
+            keys = local * _DOC_SHIFT + (p // np.int64(w))
+            uk, counts = np.unique(keys, return_counts=True)
+            ld = uk >> np.int64(32)
+            chunk = (uk & mask).astype(np.int64)
+            gdocs = ld + first_doc
+            if dead is not None and dead.size:
+                i = np.minimum(np.searchsorted(dead, gdocs), dead.size - 1)
+                live = dead[i] != gdocs
+                gdocs, ld, chunk, counts = (
+                    gdocs[live], ld[live], chunk[live], counts[live])
+                if gdocs.size == 0:
+                    continue
+            cdl = np.minimum(np.int64(w), dls[ld] - chunk * np.int64(w))
+            n = gdocs.size
+            out["term"].extend([row["term"]] * n)
+            out["doc_id"].extend(gdocs.tolist())
+            out["chunk_id"].extend(chunk.tolist())
+            out["cdl"].extend(cdl.tolist())
+            out["tf"].extend(counts.tolist())
+        return pd.DataFrame(out)
+
+    ctf = with_meta.groupBy("shard").applyInPandas(
+        kernel, "term string, doc_id long, chunk_id int, cdl long, tf long")
+    return _score_chunks(ctf, qdf, n_chunks, avgdl, score_mode, eff)

@@ -119,3 +119,62 @@ def test_nested_edge_cases_and_validation(spark, docs_tok):
     assert bm25_nested_topk(
         spark, empty, [{"query_id": 0, "terms": ["a"], "k": 5}],
         chunk_tokens=W).count() == 0
+
+
+@pytest.fixture(scope="module")
+def nested_index(spark, synth_docs, tmp_path_factory):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.plans.build_index import (
+        add_positions,
+        build_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("nested_idx"))
+    corpus = synth_docs.select("repo", "path", "commit", "lang", "content")
+    idx = build_index(
+        spark, corpus, d,
+        cfg=EngineConfig(shard_size=64, block_size=16, build_stages=2),
+        n_buckets=8)
+    add_positions(
+        spark, synth_docs.select("doc_id", "content"), idx)
+    return idx
+
+
+@pytest.mark.parametrize("mode", ["max", "sum"])
+def test_nested_index_matches_join_path(spark, synth_docs, nested_index,
+                                        mode):
+    """Positions-sidecar nested path must be rank- AND score-identical
+    to the join path over the same corpus."""
+    from snowball_java_spark.operators.df_stats import with_tokens
+    from snowball_java_spark.operators.nested import bm25_nested_topk_index
+
+    docs = with_tokens(synth_docs).select("doc_id", "tokens")
+    qs = [{"query_id": 0, "terms": ["def", "return"], "k": 10},
+          {"query_id": 1, "terms": ["import"], "k": 5}]
+    jr = bm25_nested_topk(spark, docs, qs, chunk_tokens=16,
+                          score_mode=mode).collect()
+    ir = bm25_nested_topk_index(spark, nested_index, qs, chunk_tokens=16,
+                                score_mode=mode).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"], r["n_chunks"])
+            for r in ir] == \
+           [(r["query_id"], r["rank"], r["doc_id"], r["n_chunks"])
+            for r in jr]
+    for a, b in zip(ir, jr):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+
+
+def test_nested_index_requires_positions(spark, synth_docs,
+                                         tmp_path_factory):
+    from snowball_java_spark.config import EngineConfig
+    from snowball_java_spark.operators.nested import bm25_nested_topk_index
+    from snowball_java_spark.plans.build_index import build_index
+
+    d = str(tmp_path_factory.mktemp("nested_nopos"))
+    idx = build_index(
+        spark, synth_docs.select("repo", "path", "commit", "lang",
+                                 "content"), d,
+        cfg=EngineConfig(shard_size=64, block_size=16, build_stages=2),
+        n_buckets=4)
+    with pytest.raises(ValueError, match="positions sidecar"):
+        bm25_nested_topk_index(
+            spark, idx, [{"query_id": 0, "terms": ["def"], "k": 5}])
