@@ -313,3 +313,59 @@ def test_constant_score_prunes_tokens_before_explode(spark):
     assert "Generate explode" in plan
     assert "array_distinct" in plan and "filter(tokens" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nested_join_path_broadcasts_df_and_prunes_tokens(spark):
+    from snowball_java_spark.functions.tokenize import tokens_expr
+    from snowball_java_spark.operators.nested import bm25_nested_topk
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", tokens_expr("text").alias("tokens"))
+    )
+    df = bm25_nested_topk(
+        spark, docs, [{"query_id": 0, "terms": ["table", "row"], "k": 5}],
+        chunk_tokens=32, score_mode="sum")
+    plan = _plan(df)
+    # the vocab-sized chunk-df relation must broadcast into scoring
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # prune-before-explode: the match pass filters docs on query-term
+    # overlap BEFORE any explode (arrays_overlap shows up as a filter)
+    assert "arrays_overlap" in plan.lower() or "ArraysOverlap" in plan
+
+
+def test_nested_index_path_prunes_positions_scan(spark, idx):
+    from pyspark.sql import functions as F2
+
+    from snowball_java_spark.plans.build_index import add_positions
+
+    add_positions(
+        spark,
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F2.col("text").alias("content")),
+        idx,
+    )
+    from snowball_java_spark.operators.nested import bm25_nested_topk_index
+
+    df = bm25_nested_topk_index(
+        spark, idx, [{"query_id": 0, "terms": ["table", "row"], "k": 5}],
+        chunk_tokens=32, score_mode="sum", cfg=idx.cfg)
+    plan = _plan(df)
+    # the positions sidecar scan must prune on bucket dirs and push the
+    # term predicate — same contract as the phrase/proximity kernels
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "term" in pushed
+    assert "CartesianProduct" not in plan
+
+
+def test_mlt_index_term_vectors_scan_pushes_doc_ids(spark, idx):
+    """The index-path MLT characteristic-term pass must reach parquet
+    with the source-doc IN filter (row-group skip) — the 'no corpus
+    pass' property that distinguishes it from the join path."""
+    tv = idx.term_vectors(spark, doc_ids=[7, 42])
+    plan = _plan(tv)
+    pushed = plan.split("PushedFilters", 1)[1][:250]
+    assert "doc_id" in pushed and "In(doc_id" in pushed
