@@ -194,6 +194,14 @@ def main(argv: list[str]) -> int:
              "1) — rows (query_id, rank, <COL>, score, n_children); "
              "computed entirely on the index path")
     p.add_argument(
+        "--nested", default=None, metavar="W[:MODE]",
+        help="ES nested: score every W-token chunk of a doc as its own "
+             "sub-document under chunk-level stats and combine matching "
+             "chunks per doc via MODE (max/min/sum/avg, default max) — "
+             "rows (query_id, rank, doc_id, score, n_chunks); terms "
+             "queries only, computed entirely on the index path (needs "
+             "the positions sidecar; build with --positions)")
+    p.add_argument(
         "--rank-eval", default=None, metavar="JUDGMENTS",
         help="ES _rank_eval: evaluate the ranked results against a "
              "parquet judgment list (query_id, doc_id, relevance int "
@@ -401,6 +409,46 @@ def main(argv: list[str]) -> int:
             raise SystemExit(
                 "--has-child does not compose with --rank-eval "
                 "(judgments are per doc_id; parent rows have none)")
+    if args.nested:
+        if args.collapse_by or args.has_child:
+            raise SystemExit(
+                "--nested is its own result shape (per-doc chunk "
+                "scoring) — it does not compose with --collapse-by/"
+                "--has-child")
+        if len(term_qs) != len(qs):
+            raise SystemExit(
+                "--nested supports terms queries only — phrase/context/"
+                "proximity/rescore/grep rank whole docs")
+        if args.lines or args.highlight or args.federate_with:
+            raise SystemExit(
+                "--nested does not compose with --lines/--highlight/"
+                "--federate-with")
+        if args.similarity != "bm25":
+            raise SystemExit(
+                "--nested chunk scoring is BM25-defined — it does not "
+                "compose with --similarity lmd")
+        if args.synonyms or any(q.get("fuzzy") or q.get("boosts")
+                                or q.get("mode") == "and"
+                                or q.get("min_should_match")
+                                or q.get("not_terms") for q in qs):
+            raise SystemExit(
+                "--nested supports plain OR terms queries (no synonyms/"
+                "fuzzy/boosts/and/min_should_match/not_terms) — group "
+                "algebra over chunk stats is not defined")
+        if args.rank_eval:
+            raise SystemExit(
+                "--nested does not compose with --rank-eval (judgments "
+                "grade the whole-doc BM25 ranking, not chunk scoring)")
+        nst = args.nested.split(":")
+        if len(nst) > 2:
+            raise SystemExit("--nested wants W[:MODE], e.g. 32:sum")
+        if not nst[0].isdigit() or int(nst[0]) < 1:
+            raise SystemExit(
+                f"--nested chunk size must be an integer >= 1, "
+                f"got {nst[0]!r}")
+        if len(nst) > 1 and nst[1] not in ("max", "min", "sum", "avg"):
+            raise SystemExit(
+                f"--nested mode must be max/min/sum/avg, got {nst[1]!r}")
     if args.mu != 2000.0 and args.similarity == "bm25":
         raise SystemExit("--mu requires --similarity lmd")
     if args.similarity != "bm25":
@@ -590,6 +638,39 @@ def main(argv: list[str]) -> int:
 
         scfg = (_replace(idx.cfg, similarity=args.similarity, mu=args.mu)
                 if args.similarity != "bm25" else idx.cfg)
+        if args.nested:
+            from snowball_java_spark.operators.nested import (
+                bm25_nested_topk_index,
+            )
+
+            nst = args.nested.split(":")
+            nrows = bm25_nested_topk_index(
+                spark, idx, cqs, chunk_tokens=int(nst[0]),
+                score_mode=nst[1] if len(nst) > 1 else "max",
+                cfg=idx.cfg, doc_filter=flt)
+            if args.out:
+                parts.append(nrows)
+            else:
+                for r in nrows.orderBy("query_id", "rank").collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "rank": r["rank"], "doc_id": r["doc_id"],
+                        "score": r["score"],
+                        "n_chunks": r["n_chunks"]}))
+            if args.counts:
+                # a doc has a matching chunk iff it contains a query
+                # term, so total_hits keeps its per-DOC contract
+                from snowball_java_spark.operators.facets import (
+                    match_counts_index,
+                )
+
+                for r in match_counts_index(
+                        spark, idx, cqs, cfg=idx.cfg,
+                        doc_filter=flt).collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "total_hits": r["n_docs"]}))
+            continue
         if args.has_child:
             from snowball_java_spark.operators.parentjoin import (
                 has_child_topk_index,
