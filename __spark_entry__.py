@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (157/157 as of round 4 — including real BMP/PNG/WAV
+                  (179/179 as of round 5 — including real BMP/PNG/WAV
                   codec decodes, the composed cleaning pipeline,
                   connected components via a recursive CTE, the
                   living-corpus lifecycle on BOTH indexes: text
@@ -24,9 +24,12 @@
                   span search, per-doc term vectors, highlighting,
                   a "did you mean" term suggester, LM Dirichlet as a
                   second similarity on the SAME index, GPT-style
-                  sequence packing for training runs, and federated
-                  multi-index search with global statistics, text and
-                  vector).
+                  sequence packing for training runs, federated
+                  multi-index search with global statistics (text and
+                  vector), and the round-5 surfaces: multi-word synonym
+                  graphs, nested sub-document chunk scoring on both
+                  paths, index-path more-like-this, and a real baseline
+                  JPEG codec decode).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.
