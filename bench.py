@@ -142,6 +142,7 @@ HEADLINE = [
     "bm25_nested_topk",
     "media_features_jpeg",
     "bm25_nested_index_topk",
+    "bpe_encode_doc_stats",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the
@@ -491,7 +492,13 @@ def phase_query_scaling() -> dict:
             # submitted from 4 Python threads sharing this SparkContext
             # (py4j releases the GIL during JVM calls, so each stream's
             # planning floor overlaps the other streams' scoring work —
-            # exactly what a production search frontend does).
+            # what a production search frontend does).  The honest
+            # comparison is concurrent-4x64 vs SEQUENTIAL-4x64: each
+            # 64-query stream decodes nearly the full batch vocabulary,
+            # so total decode work is ~4x the one-big-batch shape — the
+            # 256-in-one-call number above measures batch amortization,
+            # this pair isolates what concurrency recovers of the
+            # per-batch floor + scheduling overhead.
             import threading
 
             n_streams = 4
@@ -507,9 +514,18 @@ def phase_query_scaling() -> dict:
                 except Exception as e:  # surfaced after join
                     errs.append(e)
 
+            seq_walls: list[float] = []
+            for _ in range(max(BENCH_REPEATS, 2)):
+                t0 = time.time()
+                for c in chunks:
+                    errs: list = []
+                    run_stream(c, errs)
+                    if errs:
+                        raise errs[0]
+                seq_walls.append(round(time.time() - t0, 2))
             ms_walls: list[float] = []
             for _ in range(max(BENCH_REPEATS, 2)):
-                errs: list = []
+                errs = []
                 threads = [threading.Thread(target=run_stream,
                                             args=(c, errs))
                            for c in chunks]
@@ -536,16 +552,24 @@ def phase_query_scaling() -> dict:
         "efficiency_raw": round(lo_w / (ratio * hi_w), 3),
         "efficiency_compute": round(
             (lo_w - s_lo) / (ratio * (hi_w - s_hi)), 3),
-        # the floor-amortization claim, measured: the SAME 256 queries
-        # as 4 concurrent 64-query streams on the hi-core session
+        # the floor-amortization claim, measured: the SAME 4x64-query
+        # stream set run concurrently vs sequentially on the hi-core
+        # session.  amortization = seq/conc (what thread-concurrency
+        # recovers of per-batch floors + scheduling); batch_advantage =
+        # conc/one-big-batch (how much the 256-in-one-call shape still
+        # wins by decoding each posting list once for all queries — the
+        # preferred serving shape for throughput).
         "multistream": {
             "n_streams": 4,
             "queries_per_stream": len(queries) // 4,
-            "walls_sec": ms_walls,
-            "queries_per_sec": round(len(queries) / min(ms_walls), 1),
-            "efficiency_vs_1core_serial": round(
-                lo_w / (ratio * min(ms_walls)), 3),
-            "speedup_vs_serial_batch": round(hi_w / min(ms_walls), 3),
+            "concurrent_walls_sec": ms_walls,
+            "sequential_walls_sec": seq_walls,
+            "queries_per_sec_concurrent": round(
+                len(queries) / min(ms_walls), 1),
+            "queries_per_sec_sequential": round(
+                len(queries) / min(seq_walls), 1),
+            "stream_amortization": round(min(seq_walls) / min(ms_walls), 3),
+            "batch_advantage": round(min(ms_walls) / hi_w, 3),
         },
         "serial_floor_sec": floors,
         "scan_sec": scans,
@@ -925,8 +949,8 @@ def main() -> None:
             if k.startswith("queries_per_sec")})
         summary["query_scaling"]["multistream"] = {
             k: qs["multistream"][k]
-            for k in ("queries_per_sec", "efficiency_vs_1core_serial",
-                      "speedup_vs_serial_batch")}
+            for k in ("queries_per_sec_concurrent",
+                      "stream_amortization", "batch_advantage")}
         detail["lifecycle"] = phase_lifecycle()
         detail["vector_lifecycle"] = phase_vector_lifecycle()
         detail["clustering"] = phase_clustering()
