@@ -5389,39 +5389,103 @@ def _q_bpe_merges(spark, sf_dir):
         "merge_rank long, lhs string, rhs string, pair_count long")
 
 
-def _bpe_merges_sql(n: int) -> str:
+def _bpe_train_ctes(n: int) -> list:
+    """The unrolled-SQL BPE training rounds (toks/w0..wn/b1..bn) shared
+    by the merges gate and the encode gate.  Every CTE is MATERIALIZED:
+    DuckDB inlines CTEs by default and each b_i scalar subquery is
+    referenced 3+ times, so the inlined chain re-evaluates its whole
+    prefix per reference — exponential once the encode gate doubles the
+    fan-out (measured: >300 s inlined vs 0.2 s materialized, sf0.01)."""
     ctes = [
-        "toks AS (SELECT doc_id, "
+        "toks AS MATERIALIZED (SELECT doc_id, "
         + TOKS_SQL
         + " AS toks FROM documents)",
-        "w0 AS (SELECT regexp_replace(t, '(.)', '·\\1·', 'g') AS sym, "
+        "w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', '·\\1·', 'g') AS sym, "
         "count(*)::BIGINT AS freq FROM "
         "(SELECT unnest(toks) AS t FROM toks) GROUP BY 1)",
     ]
     for i in range(1, n + 1):
         prev = f"w{i - 1}"
         ctes.append(
-            f"s{i} AS (SELECT string_split("
+            f"s{i} AS MATERIALIZED (SELECT string_split("
             f"regexp_replace(sym, '^·|·$', '', 'g'), '··') AS syms, freq "
             f"FROM {prev})")
         ctes.append(
-            f"p{i} AS (SELECT syms[j] AS lhs, syms[j+1] AS rhs, "
+            f"p{i} AS MATERIALIZED (SELECT syms[j] AS lhs, syms[j+1] AS rhs, "
             f"sum(freq)::BIGINT AS c "
             f"FROM s{i}, UNNEST(range(1, len(syms))) AS t(j) "
             f"GROUP BY 1, 2)")
         ctes.append(
-            f"b{i} AS (SELECT {i}::BIGINT AS merge_rank, lhs, rhs, "
+            f"b{i} AS MATERIALIZED (SELECT {i}::BIGINT AS merge_rank, lhs, rhs, "
             f"c AS pair_count FROM p{i} "
             f"ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)")
         ctes.append(
-            f"w{i} AS (SELECT replace(sym, "
+            f"w{i} AS MATERIALIZED (SELECT replace(sym, "
             f"'·' || (SELECT lhs FROM b{i}) || '··' || "
             f"(SELECT rhs FROM b{i}) || '·', "
             f"'·' || (SELECT lhs || rhs FROM b{i}) || '·') AS sym, freq "
             f"FROM {prev})")
+    return ctes
+
+
+def _bpe_merges_sql(n: int) -> str:
+    ctes = _bpe_train_ctes(n)
     union = "\nUNION ALL\n".join(
         f"SELECT * FROM b{i}" for i in range(1, n + 1))
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE APPLY (the tokenize side of train->tokenize->pack): segment
+    the corpus with the _BPE_N merges just trained on it and report
+    per-doc word/subword counts.  Scale shape: the merge chain runs
+    once per DISTINCT word (vocabulary-sized projection), then joins
+    the per-doc tf relation — the corpus pass never re-applies the
+    chain per occurrence."""
+    from snowball_java_spark.operators.bpe import apply_merges_expr, bpe_train
+
+    d = _docs_tok(spark, sf_dir)
+    merges = bpe_train(spark, d, _BPE_N)
+    tf = (d.select("doc_id", F.explode("tokens").alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("tf")))
+    vocab = tf.select("word").distinct().withColumn(
+        "n_sub",
+        F.size(apply_merges_expr(F.col("word"), merges)).cast("long"))
+    return (
+        tf.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_words"),
+             F.sum(F.col("tf") * F.col("n_sub")).cast("long")
+             .alias("n_subwords"))
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_encode_sql(n: int) -> str:
+    ctes = _bpe_train_ctes(n)
+    ctes.append(
+        "v0 AS MATERIALIZED (SELECT DISTINCT t AS word, "
+        "regexp_replace(t, '(.)', '\u00b7\\1\u00b7', 'g') AS sym "
+        "FROM (SELECT unnest(toks) AS t FROM toks))")
+    for i in range(1, n + 1):
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT word, replace(sym, "
+            f"'\u00b7' || (SELECT lhs FROM b{i}) || '\u00b7\u00b7' || "
+            f"(SELECT rhs FROM b{i}) || '\u00b7', "
+            f"'\u00b7' || (SELECT lhs || rhs FROM b{i}) || '\u00b7') "
+            f"AS sym FROM v{i - 1})")
+    ctes.append(
+        f"enc AS MATERIALIZED (SELECT word, len(string_split("
+        f"regexp_replace(sym, '^\u00b7|\u00b7$', '', 'g'), "
+        f"'\u00b7\u00b7'))::BIGINT AS n_sub FROM v{n})")
+    ctes.append(
+        "wtf AS (SELECT doc_id, t AS word, count(*)::BIGINT AS tf "
+        "FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2)")
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT doc_id, sum(tf)::BIGINT AS n_words, "
+              "sum(tf * n_sub)::BIGINT AS n_subwords "
+              "FROM wtf JOIN enc USING (word) "
+              "GROUP BY doc_id ORDER BY doc_id")
 
 
 def _q_stemmed_term_df(spark, sf_dir):
@@ -7314,6 +7378,7 @@ FROM g
         "lm_doclogprob": Q(
             _q_lm_doclogprob, _lm_doclogprob_sql(_LM_ALPHA)),
         "bpe_merges": Q(_q_bpe_merges, _bpe_merges_sql(_BPE_N)),
+        "bpe_encode_doc_stats": Q(_q_bpe_encode, _bpe_encode_sql(_BPE_N)),
         "stemmed_term_df": Q(_q_stemmed_term_df, _stemmed_term_df_sql()),
         "token_count": Q(
             _q_token_count,
@@ -7618,8 +7683,9 @@ _DRIVER_PRIORITY = [
     # plus the round-5 additions mlt_index_topk (join-path sibling
     # more_like_this green r1), media_features_jpeg (family siblings
     # media_features_png/wav green r4), bm25_nested_index_topk
-    # (join-path sibling bm25_nested_topk holds a round-5 slot), and
-    # bm25_index_like_topk (displaced by
+    # (join-path sibling bm25_nested_topk holds a round-5 slot),
+    # bpe_encode_doc_stats (family sibling bpe_merges holds a round-5
+    # slot), and bm25_index_like_topk (displaced by
     # bm25_nested_topk: nested is a NEW scoring subsystem with no green
     # sibling, while the LIKE family's wildcard sibling went green in
     # r4) — every one an index twin or a family member of a
