@@ -1,0 +1,205 @@
+"""Streaming EQL sequences — ``applyInPandasWithState`` per entity.
+
+The batch operator (``operators/eql.sequence_matches``) is set-oriented:
+k−1 per-entity range joins.  Its streaming twin keeps PER-ENTITY STATE
+(the shape Elastic's own EQL engine uses: in-memory partial sequences)
+and emits each completed sequence exactly once, append-mode:
+
+* every event is tagged JVM-side with a step-match BITMASK (one boolean
+  expression per step + the ``until`` predicate) BEFORE grouping, so
+  the Python state function never re-evaluates predicates;
+* state per entity = two parallel arrays (event time in µs, bitmask) —
+  a bounded buffer, NOT unbounded history;
+* an anchor (step-1 event) is RESOLVED only once the event-time
+  watermark passes ``first_us + maxspan``: at that point every event
+  that could bind a step or kill the sequence (all live in
+  ``(first, first+maxspan]``) is final, so the greedy-next chain is
+  computed from complete information — the streaming output is
+  EXACTLY the batch operator's output over the non-late-dropped input
+  (pinned by test);
+* resolved anchors emit-or-die immediately; events older than
+  ``watermark − maxspan`` can no longer bind to any live or future
+  anchor (future anchors arrive with ts above the watermark) and are
+  pruned, which is what bounds state on an entity with unbounded
+  events;
+* an event-time timeout at the earliest unresolved anchor's deadline
+  (or the buffer's own expiry) drives resolution and state cleanup
+  even when the entity goes quiet.
+
+Scale shape: one shuffle on the entity key; state is
+O(events-within-maxspan) per entity; output rows only ever completed
+sequences.  Prior art: Spark Structured Streaming
+``applyInPandasWithState`` (public API); EQL semantics per the batch
+module's docstring.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sequence_matches_stream", "start_sequences_to_memory"]
+
+_UNTIL_BIT = 62
+
+
+def sequence_matches_stream(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    maxspan_seconds: float = 3600.0,
+    until: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Append-mode stream of (by, first_us, last_us): one row per
+    completed greedy-next sequence, identical to the batch operator
+    over the same non-late input.  ``events`` must be a streaming
+    DataFrame with an event-time ``ts_col``."""
+    import numpy as np
+
+    if len(steps) < 2:
+        raise ValueError(
+            f"a sequence needs >= 2 steps, got {len(steps)} — a "
+            "single-step 'sequence' is a plain filter")
+    if len(steps) > 60:
+        raise ValueError(f"at most 60 steps (bitmask encoding), got "
+                         f"{len(steps)}")
+    if maxspan_seconds <= 0:
+        raise ValueError(f"maxspan_seconds must be > 0, got "
+                         f"{maxspan_seconds}")
+    span_us = int(round(float(maxspan_seconds) * 1_000_000))
+    n_steps = len(steps)
+
+    mask_expr = F.lit(0).cast("long")
+    for i, pred in enumerate(steps):
+        mask_expr = mask_expr + F.when(
+            F.expr(pred), F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    if until is not None:
+        mask_expr = mask_expr + F.when(
+            F.expr(until), F.lit(1 << _UNTIL_BIT).cast("long")
+        ).otherwise(F.lit(0))
+    # NO plan-level filter on the mask: a filter below the stateful
+    # operator gets planned under the EventTimeWatermark node, so a
+    # stretch of non-matching events would FREEZE the watermark and
+    # stall every pending sequence (observed empirically; the state fn
+    # drops mask-0 rows instead, after they have advanced the
+    # watermark).  They still shuffle — the price of watermark
+    # liveness; the per-row payload is 24 bytes.
+    keyed = (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(by).alias("_by"), F.col(ts_col).alias("_ts"),
+                mask_expr.alias("_mask"))
+    )
+
+    out_schema = f"{by} long, first_us long, last_us long"
+    state_schema = "us array<long>, flags array<long>"
+
+    def resolve(us: "np.ndarray", fl: "np.ndarray", wm_us: int,
+                key_val) -> tuple[list, "np.ndarray", "np.ndarray", int]:
+        """Resolve every anchor whose span window is final; return
+        (emitted rows, pruned buffer, next timeout µs or 0)."""
+        order = np.argsort(us, kind="stable")
+        us, fl = us[order], fl[order]
+        emitted: list = []
+        seen: set = set()
+        anchors = np.nonzero(fl & 1)[0]
+        unresolved_first = None
+        for a in anchors:
+            first = int(us[a])
+            if first + span_us > wm_us:
+                if unresolved_first is None:
+                    unresolved_first = first
+                continue
+            if first in seen:
+                # duplicate step-1 events at one instant share a chain —
+                # the batch operator's groupBy(by, first_us) emits once
+                continue
+            cur = first
+            ok = True
+            for j in range(1, n_steps):
+                cand = np.nonzero(
+                    (us > cur) & (us <= first + span_us)
+                    & ((fl >> j) & 1).astype(bool))[0]
+                if cand.size == 0:
+                    ok = False
+                    break
+                cur = int(us[cand[0]])
+            if ok and until is not None:
+                kills = np.nonzero(
+                    (us > first) & (us < cur)
+                    & ((fl >> _UNTIL_BIT) & 1).astype(bool))[0]
+                if kills.size:
+                    ok = False
+            if ok:
+                seen.add(first)
+                emitted.append((key_val, first, cur))
+        keep = us > wm_us - span_us
+        us, fl = us[keep], fl[keep]
+        if unresolved_first is not None:
+            timeout_us = unresolved_first + span_us
+        elif us.size:
+            timeout_us = int(us.max()) + span_us
+        else:
+            timeout_us = 0
+        return emitted, us, fl, timeout_us
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state):
+        import numpy as np
+
+        key_val = key[0]
+        if state.exists:
+            st_us, st_fl = state.get
+            us = np.asarray(st_us, dtype=np.int64)
+            fl = np.asarray(st_fl, dtype=np.int64)
+        else:
+            us = np.empty(0, np.int64)
+            fl = np.empty(0, np.int64)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            new_us = (pdf["_ts"].astype("datetime64[us]")
+                      .astype("int64").to_numpy())
+            new_fl = pdf["_mask"].to_numpy().astype(np.int64)
+            hit = new_fl != 0  # non-matching rows only carry the clock
+            us = np.concatenate([us, new_us[hit]])
+            fl = np.concatenate([fl, new_fl[hit]])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        emitted, us, fl, timeout_us = resolve(us, fl, wm_us, key_val)
+        if us.size:
+            state.update((us.tolist(), fl.tolist()))
+            # event-time timeout: must sit strictly above the watermark
+            state.setTimeoutTimestamp(
+                max(timeout_us // 1000, wm_us // 1000 + 1))
+        else:
+            state.remove()
+        if emitted:
+            yield pd.DataFrame(
+                emitted, columns=[by, "first_us", "last_us"])
+
+    return keyed.groupBy("_by").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout")
+
+
+def start_sequences_to_memory(
+    events: DataFrame,
+    query_name: str,
+    steps: list[str],
+    by: str = "user_id",
+    maxspan_seconds: float = 3600.0,
+    until: str | None = None,
+    watermark: str = "1 hour",
+):
+    """Append-mode memory sink for tests/demos."""
+    return (
+        sequence_matches_stream(
+            events, steps, by=by, maxspan_seconds=maxspan_seconds,
+            until=until, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

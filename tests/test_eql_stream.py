@@ -1,0 +1,131 @@
+"""Streaming EQL (applyInPandasWithState) vs the batch operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from snowball_java_spark.operators.eql import sequence_matches
+from snowball_java_spark.streaming.eql import (
+    sequence_matches_stream,
+    start_sequences_to_memory,
+)
+from snowball_java_spark.streaming.windows import EVENTS_SCHEMA, stream_events
+
+BASE = dt.datetime(2024, 1, 1)
+SEC = 1_000_000
+STEPS = ["event_type = 'view'", "event_type = 'click'",
+         "event_type = 'purchase'"]
+
+
+def _rows(spec):
+    """spec: (user, offset_sec, type) → EVENTS_SCHEMA rows."""
+    return [(i, u, t, BASE + dt.timedelta(seconds=s), 1.0)
+            for i, (u, s, t) in enumerate(spec)]
+
+
+# the batch test's shapes: greedy binding, backward-bind refusal,
+# maxspan violation, missing step, and an until kill
+SPEC = [
+    (1, 0, "view"), (1, 2, "click"), (1, 5, "purchase"),
+    (1, 1, "view"),
+    (2, 0, "view"), (2, 4, "purchase"), (2, 3, "click"),
+    (2, 30, "purchase"),
+    (3, 0, "view"), (3, 1, "click"), (3, 100, "purchase"),
+    (4, 0, "view"), (4, 1, "purchase"),
+    # user 5: killed by an error strictly inside the window
+    (5, 0, "view"), (5, 1, "error"), (5, 2, "click"), (5, 3, "purchase"),
+    # user 6: error after completion — survives
+    (6, 0, "view"), (6, 1, "click"), (6, 2, "purchase"), (6, 5, "error"),
+]
+
+
+def _batch_expected(spark, spec, until=None):
+    rows = [(u, s * SEC, t) for u, s, t in spec]
+    ev = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), t)
+         for u, us, t in rows],
+        "user_id long, ts timestamp_ntz, event_type string")
+    return sorted(
+        (r["user_id"], r["first_us"], r["last_us"])
+        for r in sequence_matches(
+            ev, STEPS, maxspan_seconds=10.0, until=until).collect())
+
+
+@pytest.mark.parametrize("until", [None, "event_type = 'error'"])
+def test_stream_matches_batch_operator(spark, tmp_path, until):
+    d = tmp_path / f"ev_{'u' if until else 'p'}"
+    d.mkdir()
+
+    def push(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(str(d))
+
+    name = f"eqlstream_{'u' if until else 'p'}"
+    push(_rows(SPEC))
+    q = start_sequences_to_memory(
+        stream_events(spark, str(d)), name, STEPS,
+        maxspan_seconds=10.0, until=until, watermark="30 seconds")
+    try:
+        q.processAllAvailable()
+        # flush: a far-future non-matching event advances the watermark
+        # past every anchor's deadline; one more trigger fires the
+        # event-time timeouts that resolve quiet entities
+        push(_rows([(999, 3600, "noop")]))
+        q.processAllAvailable()
+        push(_rows([(999, 7200, "noop")]))
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["first_us"], r["last_us"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect())
+    finally:
+        q.stop()
+    # the streaming output over non-late input IS the batch output
+    assert got == _batch_expected(spark, SPEC, until=until)
+    assert got, "fixture must produce completed sequences"
+
+
+def test_stream_incremental_delivery_and_exactly_once(spark, tmp_path):
+    """Events arriving across micro-batches: a sequence completes only
+    once its anchor's span window passes the watermark, and never emits
+    twice."""
+    d = tmp_path / "ev_inc"
+    d.mkdir()
+
+    def push(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(str(d))
+
+    push(_rows([(1, 0, "view"), (1, 2, "click")]))
+    q = start_sequences_to_memory(
+        stream_events(spark, str(d)), "eqlstream_inc", STEPS,
+        maxspan_seconds=10.0, watermark="5 seconds")
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM eqlstream_inc").count() == 0
+        push(_rows([(1, 4, "purchase")]))  # completes the chain
+        q.processAllAvailable()
+        # watermark (4-5s) has not passed first+span=10s yet
+        assert spark.sql("SELECT * FROM eqlstream_inc").count() == 0
+        push(_rows([(999, 60, "noop")]))
+        q.processAllAvailable()
+        push(_rows([(999, 120, "noop")]))
+        q.processAllAvailable()
+        rows = [(r["user_id"], r["first_us"], r["last_us"])
+                for r in spark.sql("SELECT * FROM eqlstream_inc").collect()]
+        base_us = int((BASE - dt.datetime(1970, 1, 1)).total_seconds()) \
+            * SEC
+        assert rows == [(1, base_us, base_us + 4 * SEC)]
+    finally:
+        q.stop()
+
+
+def test_stream_validation():
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        sequence_matches_stream(None, ["event_type = 'view'"])
+    with pytest.raises(ValueError, match="maxspan"):
+        sequence_matches_stream(
+            None, ["a = 1", "b = 2"], maxspan_seconds=0)
+    with pytest.raises(ValueError, match="60 steps"):
+        sequence_matches_stream(None, ["a = 1"] * 61)
