@@ -143,6 +143,7 @@ HEADLINE = [
     "media_features_jpeg",
     "bm25_nested_index_topk",
     "bpe_encode_doc_stats",
+    "bm25_multiword_synonym_index_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

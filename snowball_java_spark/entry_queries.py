@@ -4483,6 +4483,31 @@ def _q_bm25_multiword_syn(spark, sf_dir):
         F.round("score", 6).alias("score"))
 
 
+def _q_bm25_multiword_syn_index(spark, sf_dir):
+    """Index-path multiword synonyms: member tfs from the positions
+    sidecar's doc/tf streams, phrase occurrences from its position
+    streams, one pruned pass — rank-identical to the join path, same
+    oracle."""
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms_index,
+    )
+    from snowball_java_spark.plans.build_index import add_positions
+
+    idx = _index_for(spark, sf_dir)
+    add_positions(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content")),
+        idx,
+    )
+    res = bm25_topk_multiword_synonyms_index(
+        spark, idx,
+        [{"query_id": 0, "terms": ["spark", "vector"], "k": 10}],
+        synonyms=_MWS_TABLE, cfg=_INDEX_CFG)
+    return res.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"))
+
+
 def _bm25_multiword_syn_sql(k: int) -> str:
     # group 'spark' = tf(spark) + tf(dup) + occurrences of the exact
     # bigram "table hash"; union df counts docs where the sum > 0
@@ -7353,6 +7378,10 @@ FROM g
             _q_bm25_multiword_syn,
             _bm25_multiword_syn_sql(10),
         ),
+        "bm25_multiword_synonym_index_topk": Q(
+            _q_bm25_multiword_syn_index,
+            _bm25_multiword_syn_sql(10),
+        ),
         "bm25_index_boost_topk": Q(
             _q_bm25_boost_index, _bm25_boost_sql(_BOOST_TERMS, _BOOST_SPEC, 10)),
         "bm25_index_fuzzy_topk": Q(
@@ -7685,7 +7714,8 @@ _DRIVER_PRIORITY = [
     # media_features_png/wav green r4), bm25_nested_index_topk
     # (join-path sibling bm25_nested_topk holds a round-5 slot),
     # bpe_encode_doc_stats (family sibling bpe_merges holds a round-5
-    # slot), and bm25_index_like_topk (displaced by
+    # slot), bm25_multiword_synonym_index_topk (join sibling holds a
+    # round-5 slot), and bm25_index_like_topk (displaced by
     # bm25_nested_topk: nested is a NEW scoring subsystem with no green
     # sibling, while the LIKE family's wildcard sibling went green in
     # r4) — every one an index twin or a family member of a

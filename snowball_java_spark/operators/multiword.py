@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 
 from snowball_java_spark.config import DEFAULT, EngineConfig
 
-__all__ = ["bm25_topk_multiword_synonyms"]
+__all__ = ["bm25_topk_multiword_synonyms",
+           "bm25_topk_multiword_synonyms_index"]
 
 
 def _parse_groups(
@@ -159,3 +160,148 @@ def bm25_topk_multiword_synonyms(
         .agg(ordered_sum("term", "w").alias("score"))
     )
     return topk(scores, qdf)
+
+
+def bm25_topk_multiword_synonyms_index(
+    spark: SparkSession,
+    docs_index,
+    queries: list[dict],
+    synonyms: dict[str, list],
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """Index-path :func:`bm25_topk_multiword_synonyms` — rank- and
+    score-identical over the corpus the index was built from, with NO
+    corpus rescan: member tfs decode from the positions sidecar's
+    doc/tf streams and each multi-word alternative's exact occurrence
+    counts come from its position streams (the same key-intersection
+    kernel phrase queries use), all in ONE pruned sidecar pass; the
+    group's union df aggregates from the merged-tf relation (shards are
+    doc-range disjoint, so per-shard rows sum to the exact global
+    union, phrase evidence included).  Exhaustive decode of the queried
+    members — block-max pruning deliberately off, the same trade as the
+    collapse/boosting/has_child index paths (a frontier bound for
+    tf-merged groups would need the group's combined curve).  Requires
+    the positions sidecar (loud error otherwise); tombstones honored
+    via the dead sidecar."""
+    import numpy as np
+    import pandas as pd
+
+    from snowball_java_spark.functions.bm25 import idf_expr, weight_expr
+    from snowball_java_spark.functions.codecs import varint_decode
+    from snowball_java_spark.functions.hashes import h60_py
+    from snowball_java_spark.operators.bm25_join import (
+        ordered_sum,
+        queries_df,
+        topk,
+    )
+    from snowball_java_spark.operators.positions import (
+        _DOC_SHIFT,
+        _decode_row,
+        _phrase_keys,
+    )
+    from snowball_java_spark.operators.postings import decode_dead_bytes
+
+    if not docs_index.has_positions:
+        raise ValueError(
+            "bm25_topk_multiword_synonyms_index needs the positions "
+            "sidecar — build it with plans.build_index.add_positions "
+            "(the join path works without it)")
+    eff = cfg if cfg is not None else docs_index.cfg
+    qdf = queries_df(spark, queries)
+    terms = sorted({t for q in queries for t in q["terms"]})
+    if not terms:
+        return topk(spark.createDataFrame(
+            [], "query_id int, doc_id long, score double"), qdf)
+    singles, phrases = _parse_groups(terms, synonyms)
+    clash = [m for m, c in
+             ((m, sum(1 for ms in singles.values() if m in ms))
+              for m in sorted({m for ms in singles.values() for m in ms}))
+             if c > 1]
+    if clash:
+        raise ValueError(
+            f"synonym member(s) {sorted(set(clash))} appear in two "
+            "groups — group algebra would double-count them")
+    group_spec = [(g, singles[g], phrases.get(g, [])) for g in terms]
+    scan_terms = sorted(
+        {m for ms in singles.values() for m in ms}
+        | {w for ps in phrases.values() for p in ps for w in p})
+    buckets = sorted({h60_py(t) % docs_index.n_buckets for t in scan_terms})
+    pos = docs_index.positions(spark).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
+    with_meta = pos.join(docs_index.scoring_doc_meta(spark), "shard")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        first_doc = np.int64(pdf["first_doc"].iloc[0])
+        dls = varint_decode(bytes(pdf["dl_bytes"].iloc[0])).astype(np.int64)
+        dead = (decode_dead_bytes(pdf["dead_bytes"].iloc[0])
+                if "dead_bytes" in pdf.columns else None)
+        by_term = {row["term"]: row for _, row in pdf.iterrows()}
+        decoded: dict = {}
+
+        def dec(t):
+            if t not in decoded:
+                decoded[t] = _decode_row(by_term[t])
+            return decoded[t]
+
+        out = {k: [] for k in ("grp", "doc_id", "tf", "dl")}
+        for g, members, phs in group_spec:
+            acc_docs, acc_tfs = [], []
+            for m in members:
+                if m not in by_term:
+                    continue
+                docs, tfs, _p = dec(m)
+                acc_docs.append(docs.astype(np.int64) - first_doc)
+                acc_tfs.append(tfs)
+            for ph in phs:
+                if any(w not in by_term for w in ph):
+                    continue
+                keys = None
+                for j, w in enumerate(ph):
+                    docs, tfs, p = dec(w)
+                    kj = _phrase_keys(docs, tfs, p, j, int(first_doc))
+                    keys = kj if keys is None else np.intersect1d(
+                        keys, kj, assume_unique=True)
+                    if keys.size == 0:
+                        break
+                if keys is None or keys.size == 0:
+                    continue
+                ld, counts = np.unique(keys >> np.int64(32),
+                                       return_counts=True)
+                acc_docs.append(ld.astype(np.int64))
+                acc_tfs.append(counts.astype(np.int64))
+            if not acc_docs:
+                continue
+            alld = np.concatenate(acc_docs)
+            alltf = np.concatenate(acc_tfs).astype(np.int64)
+            uloc, inv = np.unique(alld, return_inverse=True)
+            merged = np.bincount(inv, weights=alltf).astype(np.int64)
+            gdocs = uloc + first_doc
+            if dead is not None and dead.size:
+                i = np.minimum(np.searchsorted(dead, gdocs), dead.size - 1)
+                live = dead[i] != gdocs
+                gdocs, uloc, merged = gdocs[live], uloc[live], merged[live]
+                if gdocs.size == 0:
+                    continue
+            n = gdocs.size
+            out["grp"].extend([g] * n)
+            out["doc_id"].extend(gdocs.tolist())
+            out["tf"].extend(merged.tolist())
+            out["dl"].extend(dls[uloc].tolist())
+        return pd.DataFrame(out)
+
+    matches = with_meta.groupBy("shard").applyInPandas(
+        kernel, "grp string, doc_id long, tf long, dl long")
+    gdf = matches.groupBy("grp").agg(F.count("*").alias("df"))
+    scored = (
+        matches.join(F.broadcast(gdf), "grp")
+        .join(qdf.select("query_id", F.col("term").alias("grp")), "grp")
+        .withColumn(
+            "_w",
+            weight_expr(F.col("tf"),
+                        idf_expr(F.col("df"), docs_index.n_docs),
+                        F.col("dl"), F.lit(float(docs_index.avgdl)),
+                        k1=eff.k1, b=eff.b))
+        .groupBy("query_id", "doc_id")
+        .agg(ordered_sum("grp", "_w").alias("score"))
+    )
+    return topk(scored, qdf).orderBy("query_id", "rank")

@@ -485,3 +485,64 @@ def test_multiword_validation(spark, docs_tok):
         bm25_topk_multiword_synonyms(
             spark, docs_tok, _q(terms=["def", "import"]),
             synonyms={"def": ["shared"], "import": ["shared"]})
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus, index, tmp_path_factory):
+    from snowball_java_spark.plans.build_index import add_positions
+    from snowball_java_spark.sources.corpus import assign_doc_ids
+
+    add_positions(
+        spark,
+        assign_doc_ids(corpus).select("doc_id", "content"),
+        index)
+    return index
+
+
+def test_multiword_index_matches_join_path(spark, docs_tok, pos_index):
+    """Positions-sidecar multiword path must be rank- AND
+    score-identical to the join path over the same corpus."""
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms,
+        bm25_topk_multiword_synonyms_index,
+    )
+
+    syn = {"def": ["return", "public static"], "class": ["struct"]}
+    qs = [{"query_id": 0, "terms": ["def", "import"], "k": 15},
+          {"query_id": 1, "terms": ["class"], "k": 10}]
+    jr = bm25_topk_multiword_synonyms(
+        spark, docs_tok, qs, synonyms=syn).collect()
+    ir = bm25_topk_multiword_synonyms_index(
+        spark, pos_index, qs, synonyms=syn, cfg=CFG).collect()
+    assert [(r["query_id"], r["rank"], r["doc_id"]) for r in ir] == \
+           [(r["query_id"], r["rank"], r["doc_id"]) for r in jr]
+    for a, b in zip(ir, jr):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+    assert ir, "fixture must match"
+
+
+def test_multiword_index_requires_positions_and_validates(
+        spark, synth_docs, tmp_path_factory):
+    from snowball_java_spark.plans.build_index import build_index
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("mw_nopos"))
+    idx = build_index(
+        spark, synth_docs.select("repo", "path", "commit", "lang",
+                                 "content"), d, cfg=CFG, n_buckets=4)
+    with pytest.raises(ValueError, match="positions sidecar"):
+        bm25_topk_multiword_synonyms_index(
+            spark, idx, _q(terms=["def"]), synonyms={"def": ["a b"]})
+
+
+def test_multiword_index_clash_raises(spark, pos_index):
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms_index,
+    )
+
+    with pytest.raises(ValueError, match="two groups"):
+        bm25_topk_multiword_synonyms_index(
+            spark, pos_index, _q(terms=["def", "import"]),
+            synonyms={"def": ["shared"], "import": ["shared"]})
