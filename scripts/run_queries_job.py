@@ -628,7 +628,51 @@ def main(argv: list[str]) -> int:
     if args.synonyms:
         with open(args.synonyms) as f:
             syn = json.load(f)
+    # multi-word alternatives ("nyc": ["new york"]) switch terms queries
+    # onto the SynonymGraph path (positions sidecar); its group algebra
+    # is defined for plain OR queries only, so every other rewrite or
+    # result shape must be refused loudly rather than silently dropped
+    multiword_syn = bool(syn) and any(
+        (isinstance(a, str) and " " in a.strip()) or isinstance(a, list)
+        for alts in syn.values() for a in alts)
+    if multiword_syn:
+        if (args.nested or args.has_child or args.collapse_by
+                or args.lines or args.highlight or args.counts
+                or args.federate_with or args.rank_eval
+                or args.similarity != "bm25"):
+            raise SystemExit(
+                "multi-word synonyms support the plain ranked surface "
+                "only — they do not compose with --nested/--has-child/"
+                "--collapse-by/--lines/--highlight/--counts/"
+                "--federate-with/--rank-eval/--similarity lmd")
+        bad = [q.get("query_id") for q in term_qs
+               if q.get("fuzzy") or q.get("boosts") or q.get("prefixes")
+               or q.get("wildcards") or q.get("regexps")
+               or q.get("mode") == "and" or q.get("min_should_match")
+               or q.get("not_terms")]
+        if bad or len(term_qs) != len(qs):
+            raise SystemExit(
+                "multi-word synonyms apply to plain OR terms queries "
+                "only (no fuzzy/boosts/wildcards/and/min_should_match/"
+                "not_terms/phrase/grep)")
     for flt, grp in by_filter(term_qs):
+        if multiword_syn:
+            from snowball_java_spark.operators.multiword import (
+                bm25_topk_multiword_synonyms_index,
+            )
+
+            mrows = bm25_topk_multiword_synonyms_index(
+                spark, idx, grp, synonyms=syn, cfg=idx.cfg,
+                doc_filter=flt)
+            if args.out:
+                parts.append(mrows)
+            else:
+                for r in mrows.orderBy("query_id", "rank").collect():
+                    print(json.dumps({
+                        "query_id": orig_ids[r["query_id"]],
+                        "rank": r["rank"], "doc_id": r["doc_id"],
+                        "score": r["score"]}))
+            continue
         # ONE rewrite per batch (fuzzy → synonym groups, wildcards →
         # vocabulary terms, caller synonyms merged) feeds BOTH the
         # ranked query and the optional counts, so total_hits is by

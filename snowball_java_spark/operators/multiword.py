@@ -168,6 +168,7 @@ def bm25_topk_multiword_synonyms_index(
     queries: list[dict],
     synonyms: dict[str, list],
     cfg: EngineConfig | None = None,
+    doc_filter=None,
 ) -> DataFrame:
     """Index-path :func:`bm25_topk_multiword_synonyms` — rank- and
     score-identical over the corpus the index was built from, with NO
@@ -228,7 +229,8 @@ def bm25_topk_multiword_synonyms_index(
     buckets = sorted({h60_py(t) % docs_index.n_buckets for t in scan_terms})
     pos = docs_index.positions(spark).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(scan_terms))
-    with_meta = pos.join(docs_index.scoring_doc_meta(spark), "shard")
+    with_meta = pos.join(
+        docs_index.scoring_doc_meta(spark, doc_filter=doc_filter), "shard")
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         first_doc = np.int64(pdf["first_doc"].iloc[0])
