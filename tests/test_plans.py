@@ -369,3 +369,28 @@ def test_mlt_index_term_vectors_scan_pushes_doc_ids(spark, idx):
     plan = _plan(tv)
     pushed = plan.split("PushedFilters", 1)[1][:250]
     assert "doc_id" in pushed and "In(doc_id" in pushed
+
+
+def test_multiword_index_prunes_positions_scan(spark, idx):
+    from pyspark.sql import functions as F2
+
+    from snowball_java_spark.operators.multiword import (
+        bm25_topk_multiword_synonyms_index,
+    )
+    from snowball_java_spark.plans.build_index import add_positions
+
+    add_positions(
+        spark,
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F2.col("text").alias("content")),
+        idx,
+    )
+    df = bm25_topk_multiword_synonyms_index(
+        spark, idx, [{"query_id": 0, "terms": ["spark"], "k": 5}],
+        synonyms={"spark": ["dup", "table hash"]}, cfg=idx.cfg)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    pushed = plan.split("PushedFilters", 1)[1][:250]
+    assert "term" in pushed
+    assert "CartesianProduct" not in plan
