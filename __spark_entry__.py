@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (179/179 as of round 5 — including real BMP/PNG/WAV
+                  (181/181 as of round 5 — including real BMP/PNG/WAV
                   codec decodes, the composed cleaning pipeline,
                   connected components via a recursive CTE, the
                   living-corpus lifecycle on BOTH indexes: text
