@@ -144,6 +144,7 @@ HEADLINE = [
     "bm25_nested_index_topk",
     "bpe_encode_doc_stats",
     "bm25_multiword_synonym_index_topk",
+    "sequence_pack_bpe",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

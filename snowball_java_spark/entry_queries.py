@@ -5486,7 +5486,10 @@ def _q_bpe_encode(spark, sf_dir):
     )
 
 
-def _bpe_encode_sql(n: int) -> str:
+def _bpe_encode_ctes(n: int) -> list:
+    """Training rounds + the vocabulary-apply chain + the per-doc
+    subword counts (bpec) — shared by the encode gate and the
+    BPE-packing gate."""
     ctes = _bpe_train_ctes(n)
     ctes.append(
         "v0 AS MATERIALIZED (SELECT DISTINCT t AS word, "
@@ -5506,11 +5509,44 @@ def _bpe_encode_sql(n: int) -> str:
     ctes.append(
         "wtf AS (SELECT doc_id, t AS word, count(*)::BIGINT AS tf "
         "FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2)")
-    return ("WITH " + ",\n".join(ctes)
-            + "\nSELECT doc_id, sum(tf)::BIGINT AS n_words, "
-              "sum(tf * n_sub)::BIGINT AS n_subwords "
-              "FROM wtf JOIN enc USING (word) "
-              "GROUP BY doc_id ORDER BY doc_id")
+    ctes.append(
+        "bpec AS MATERIALIZED (SELECT doc_id, sum(tf)::BIGINT AS n_words, "
+        "sum(tf * n_sub)::BIGINT AS n_subwords "
+        "FROM wtf JOIN enc USING (word) GROUP BY doc_id)")
+    return ctes
+
+
+def _bpe_encode_sql(n: int) -> str:
+    return ("WITH " + ",\n".join(_bpe_encode_ctes(n))
+            + "\nSELECT doc_id, n_words, n_subwords FROM bpec "
+              "ORDER BY doc_id")
+
+
+def _q_sequence_pack_bpe(spark, sf_dir):
+    """Pack by TOKENIZER units: the same deterministic first-fit layout
+    as sequence_pack, but budgeted in BPE subwords (train -> encode ->
+    pack, the composition every trainer runs)."""
+    from snowball_java_spark.operators.pack import pack_plan
+
+    counts = _q_bpe_encode(spark, sf_dir).select("doc_id", "n_subwords")
+    return pack_plan(counts, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+                     counts_col="n_subwords")
+
+
+def _sequence_pack_bpe_sql(n: int) -> str:
+    ctes = _bpe_encode_ctes(n)
+    ctes.append(
+        f"pt AS (SELECT doc_id, (doc_id % {_PACK_SHARDS})::INT AS shard, "
+        f"n_subwords AS n_tokens FROM bpec WHERE n_subwords > 0)")
+    ctes.append(
+        "pc AS (SELECT doc_id, shard, n_tokens, "
+        "(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) "
+        "- n_tokens)::BIGINT AS start_off FROM pt)")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, shard, n_tokens, start_off,
+       (start_off // {_PACK_BUDGET})::BIGINT AS seq_first,
+       ((start_off + n_tokens - 1) // {_PACK_BUDGET})::BIGINT AS seq_last
+FROM pc""")
 
 
 def _q_stemmed_term_df(spark, sf_dir):
@@ -7408,6 +7444,8 @@ FROM g
             _q_lm_doclogprob, _lm_doclogprob_sql(_LM_ALPHA)),
         "bpe_merges": Q(_q_bpe_merges, _bpe_merges_sql(_BPE_N)),
         "bpe_encode_doc_stats": Q(_q_bpe_encode, _bpe_encode_sql(_BPE_N)),
+        "sequence_pack_bpe": Q(
+            _q_sequence_pack_bpe, _sequence_pack_bpe_sql(_BPE_N)),
         "stemmed_term_df": Q(_q_stemmed_term_df, _stemmed_term_df_sql()),
         "token_count": Q(
             _q_token_count,
@@ -7715,7 +7753,9 @@ _DRIVER_PRIORITY = [
     # (join-path sibling bm25_nested_topk holds a round-5 slot),
     # bpe_encode_doc_stats (family sibling bpe_merges holds a round-5
     # slot), bm25_multiword_synonym_index_topk (join sibling holds a
-    # round-5 slot), and bm25_index_like_topk (displaced by
+    # round-5 slot), sequence_pack_bpe (siblings sequence_pack r4 /
+    # bpe_merges r5 hold slots), and bm25_index_like_topk (displaced
+    # by
     # bm25_nested_topk: nested is a NEW scoring subsystem with no green
     # sibling, while the LIKE family's wildcard sibling went green in
     # r4) — every one an index twin or a family member of a

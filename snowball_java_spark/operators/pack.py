@@ -36,6 +36,7 @@ def pack_plan(
     n_shards: int,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    counts_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, shard, n_tokens, start_off, seq_first, seq_last) — the
     concat-and-chunk layout of every non-empty doc.
@@ -45,6 +46,11 @@ def pack_plan(
     through ``seq_last = (start_off + n_tokens - 1) div budget`` (a doc
     longer than ``budget`` spans several sequences; a short doc shares
     its sequence with neighbours).
+
+    ``counts_col``: pack by a PRE-COMPUTED per-doc unit count (e.g. BPE
+    subword counts from ``bpe.apply_merges_expr``) instead of sizing
+    ``tokens_col`` — the layout every trainer actually wants is in
+    tokenizer units, not whitespace tokens.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -55,11 +61,13 @@ def pack_plan(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n_tok = (F.col(counts_col).cast("long") if counts_col is not None
+             else F.size(tokens_col).cast("long"))
     return (
         docs_tok.select(
             id_col,
             F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
-            F.size(tokens_col).cast("long").alias("n_tokens"),
+            n_tok.alias("n_tokens"),
         )
         .filter(F.col("n_tokens") > 0)
         .withColumn("start_off",

@@ -89,3 +89,29 @@ def test_validation(spark, docs_tok):
         pack_plan(docs_tok, 0, SHARDS)
     with pytest.raises(ValueError, match="n_shards"):
         pack_plan(docs_tok, BUDGET, 0)
+
+
+def test_pack_plan_counts_col_matches_sized_tokens(spark):
+    """counts_col packing (BPE units) must equal tokens-array packing
+    when the counts ARE the array sizes, and must use the given counts
+    when they differ."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.pack import pack_plan
+
+    docs = spark.createDataFrame(
+        [(i, ["t"] * (3 + i % 5)) for i in range(40)],
+        "doc_id long, tokens array<string>")
+    sized = pack_plan(docs, budget=16, n_shards=4).collect()
+    counted = pack_plan(
+        docs.select("doc_id", F.size("tokens").alias("n")),
+        budget=16, n_shards=4, counts_col="n").collect()
+    key = lambda r: (r["doc_id"], r["shard"], r["n_tokens"],
+                     r["start_off"], r["seq_first"], r["seq_last"])
+    assert sorted(map(key, sized)) == sorted(map(key, counted))
+    # explicit counts differing from sizes: n_tokens follows counts
+    doubled = pack_plan(
+        docs.select("doc_id", (F.size("tokens") * 2).alias("n")),
+        budget=16, n_shards=4, counts_col="n").collect()
+    assert all(r["n_tokens"] == 2 * (3 + r["doc_id"] % 5)
+               for r in doubled)
