@@ -54,11 +54,22 @@ def sequence_matches_stream(
     until: str | None = None,
     ts_col: str = "ts",
     watermark: str = "1 hour",
+    watermark_on_matches: bool = False,
 ) -> DataFrame:
     """Append-mode stream of (by, first_us, last_us): one row per
     completed greedy-next sequence, identical to the batch operator
     over the same non-late input.  ``events`` must be a streaming
-    DataFrame with an event-time ``ts_col``."""
+    DataFrame with an event-time ``ts_col``.
+
+    ``watermark_on_matches``: the scale knob.  False (default) tracks
+    the watermark over ALL events — non-matching rows shuffle to the
+    state operator purely to carry the clock, so sequences resolve even
+    when matches are rare.  True filters non-matching events BEFORE the
+    watermark (legal there — the freeze trap only bites a filter BELOW
+    the watermark node): nothing but matches shuffles, at the cost that
+    event time advances only with matching traffic — the right trade on
+    a 100 TB firehose where step predicates select a sliver and matches
+    are steady."""
     import numpy as np
 
     if len(steps) < 2:
@@ -82,18 +93,22 @@ def sequence_matches_stream(
         mask_expr = mask_expr + F.when(
             F.expr(until), F.lit(1 << _UNTIL_BIT).cast("long")
         ).otherwise(F.lit(0))
-    # NO plan-level filter on the mask: a filter below the stateful
-    # operator gets planned under the EventTimeWatermark node, so a
-    # stretch of non-matching events would FREEZE the watermark and
-    # stall every pending sequence (observed empirically; the state fn
-    # drops mask-0 rows instead, after they have advanced the
-    # watermark).  They still shuffle — the price of watermark
-    # liveness; the per-row payload is 24 bytes.
-    keyed = (
-        events.withWatermark(ts_col, watermark)
-        .select(F.col(by).alias("_by"), F.col(ts_col).alias("_ts"),
-                mask_expr.alias("_mask"))
-    )
+    # NO plan-level filter between the watermark and the stateful
+    # operator: such a filter gets planned under the EventTimeWatermark
+    # node, so a stretch of non-matching events would FREEZE the
+    # watermark and stall every pending sequence (observed empirically;
+    # the state fn drops mask-0 rows instead, after they have advanced
+    # the watermark).  They still shuffle — the price of watermark
+    # liveness (24 bytes/row); see ``watermark_on_matches`` for the
+    # filtered alternative.
+    sel = events.select(
+        F.col(by).alias("_by"), F.col(ts_col).alias("_ts"),
+        mask_expr.alias("_mask"))
+    if watermark_on_matches:
+        keyed = sel.filter(F.col("_mask") != 0).withWatermark(
+            "_ts", watermark)
+    else:
+        keyed = sel.withWatermark("_ts", watermark)
 
     out_schema = f"{by} long, first_us long, last_us long"
     state_schema = "us array<long>, flags array<long>"
@@ -192,12 +207,14 @@ def start_sequences_to_memory(
     maxspan_seconds: float = 3600.0,
     until: str | None = None,
     watermark: str = "1 hour",
+    watermark_on_matches: bool = False,
 ):
     """Append-mode memory sink for tests/demos."""
     return (
         sequence_matches_stream(
             events, steps, by=by, maxspan_seconds=maxspan_seconds,
-            until=until, watermark=watermark)
+            until=until, watermark=watermark,
+            watermark_on_matches=watermark_on_matches)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)

@@ -129,3 +129,37 @@ def test_stream_validation():
             None, ["a = 1", "b = 2"], maxspan_seconds=0)
     with pytest.raises(ValueError, match="60 steps"):
         sequence_matches_stream(None, ["a = 1"] * 61)
+
+
+def test_stream_watermark_on_matches_mode(spark, tmp_path):
+    """The scale knob: with watermark_on_matches=True only MATCHING
+    events shuffle, so the clock advances via matching traffic — a
+    matching far-future flush resolves the pending sequences and the
+    output still equals the batch operator."""
+    d = tmp_path / "ev_wm"
+    d.mkdir()
+
+    def push(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(str(d))
+
+    push(_rows(SPEC))
+    q = start_sequences_to_memory(
+        stream_events(spark, str(d)), "eqlstream_wm", STEPS,
+        maxspan_seconds=10.0, watermark="30 seconds",
+        watermark_on_matches=True)
+    try:
+        q.processAllAvailable()
+        # the flushes MATCH step 1 ('view') — only matching events can
+        # carry the clock in this mode
+        push(_rows([(999, 3600, "view")]))
+        q.processAllAvailable()
+        push(_rows([(999, 7200, "view")]))
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["first_us"], r["last_us"])
+            for r in spark.sql("SELECT * FROM eqlstream_wm").collect())
+    finally:
+        q.stop()
+    assert got == _batch_expected(spark, SPEC, until=None)
+    assert got
