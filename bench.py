@@ -145,6 +145,7 @@ HEADLINE = [
     "bpe_encode_doc_stats",
     "bm25_multiword_synonym_index_topk",
     "sequence_pack_bpe",
+    "bm25_collapse_inner_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

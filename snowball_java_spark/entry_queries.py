@@ -1247,6 +1247,60 @@ def _q_bm25_collapse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CIH_INNER, _CIH_K = 3, 5
+
+
+def _q_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES collapse + inner_hits on the index path: groups ranked by
+    their best doc, each surviving group carrying its top-3 docs —
+    the inner ranking runs only over the winners' members."""
+    from snowball_java_spark.operators.facets import (
+        collapse_inner_hits_topk_index,
+    )
+
+    idx = _index_for(spark, sf_dir)
+    res = collapse_inner_hits_topk_index(
+        spark, idx, [{"query_id": 0, "terms": HOT_TERMS, "k": _CIH_K}],
+        group_col="repo", inner_size=_CIH_INNER, cfg=_INDEX_CFG)
+    return res.select(
+        F.col("repo").alias("source"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("hit_rank").cast("long").alias("hit_rank"),
+        "doc_id", F.round("score", 6).alias("score"))
+
+
+def _collapse_inner_sql(terms: list[str], k: int, inner: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH {BASE_CTES},
+q(term) AS (VALUES {tlist}),
+scores AS (
+  SELECT tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1
+),
+best AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+),
+reps AS (
+  SELECT source,
+         row_number() OVER (ORDER BY score DESC, source ASC)::BIGINT
+           AS rank
+  FROM best WHERE rn = 1
+)
+SELECT b.source, r.rank, b.rn::BIGINT AS hit_rank, b.doc_id,
+       round(b.score, 6) AS score
+FROM best b JOIN reps r USING (source)
+WHERE r.rank <= {k} AND b.rn <= {inner}
+"""
+
+
 def _q_query_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same query STRING executed entirely on the INDEX path: terms +
     NOT via MaxScore, the field filter via doc_filter (per-shard exclusion
@@ -6985,6 +7039,9 @@ def build_registry() -> dict[str, Q]:
                                           min_should_match=2),
             _bm25_topk_sql(MIXED_TERMS, 10, min_match=2),
         ),
+        "bm25_collapse_inner_topk": Q(
+            _q_collapse_inner,
+            _collapse_inner_sql(HOT_TERMS, _CIH_K, _CIH_INNER)),
         "bm25_collapse_topk": Q(
             _q_bm25_collapse, _collapse_sql(HOT_TERMS, 10)
         ),
@@ -7769,7 +7826,8 @@ _DRIVER_PRIORITY = [
     # bpe_encode_doc_stats (family sibling bpe_merges holds a round-5
     # slot), bm25_multiword_synonym_index_topk (join sibling holds a
     # round-5 slot), sequence_pack_bpe (siblings sequence_pack r4 /
-    # bpe_merges r5 hold slots), and bm25_index_like_topk (displaced
+    # bpe_merges r5 hold slots), bm25_collapse_inner_topk (sibling
+    # bm25_collapse_topk green r4), and bm25_index_like_topk (displaced
     # by
     # bm25_nested_topk: nested is a NEW scoring subsystem with no green
     # sibling, while the LIKE family's wildcard sibling went green in

@@ -298,3 +298,75 @@ def collapse_topk_index(
     groups_df = index.docs(spark).select("doc_id", group_col)
     qdf = queries_df(spark, queries)
     return collapse_topk(scores, groups_df, qdf, group_col)
+
+
+def collapse_inner_hits_topk(
+    scores: DataFrame,
+    doc_groups: DataFrame,
+    qdf: DataFrame,
+    group_col: str,
+    inner_size: int = 3,
+) -> DataFrame:
+    """ES ``collapse`` + ``inner_hits``: groups ranked by their best
+    doc (the plain collapse contract), each surviving group carrying
+    its top-``inner_size`` docs — "best repositories, with the top
+    files of each".  Output (query_id, rank, <group_col>, hit_rank,
+    doc_id, score): ``rank`` = the group's rank (representative score
+    desc, group asc), ``hit_rank`` = 1..inner_size within the group
+    (score desc, doc_id asc); the representative is always
+    hit_rank 1.
+
+    Scale shape: group ranking reuses :func:`bm25_join.collapse_topk`
+    (map-side argmax, salted group top-k); the inner ranking runs ONLY
+    over docs of the ≤ k surviving groups (broadcast semi-join BEFORE
+    any ranking — a hot query's losing groups never rank their
+    members), via the salted two-phase rank so one giant repo never
+    funnels through a single task."""
+    from snowball_java_spark.operators.aggs import _two_phase_rank
+    from snowball_java_spark.operators.bm25_join import collapse_topk
+
+    if inner_size < 1:
+        raise ValueError(f"inner_size must be >= 1, got {inner_size}")
+    groups_ranked = collapse_topk(scores, doc_groups, qdf, group_col)
+    top_groups = groups_ranked.select(
+        "query_id", group_col, F.col("rank").alias("_grank"))
+    rel = (
+        scores.join(doc_groups, "doc_id")
+        .join(F.broadcast(top_groups), ["query_id", group_col])
+    )
+    inner = _two_phase_rank(
+        rel, ["query_id", group_col],
+        [F.desc("score"), F.asc("doc_id")], int(inner_size),
+        salt_on="doc_id")
+    return (
+        inner.select(
+            "query_id", F.col("_grank").alias("rank"), group_col,
+            F.col("rank").alias("hit_rank"), "doc_id", "score")
+        .orderBy("query_id", "rank", "hit_rank")
+    )
+
+
+def collapse_inner_hits_topk_index(
+    spark: SparkSession,
+    index,
+    queries: list[dict],
+    group_col: str,
+    inner_size: int = 3,
+    cfg=None,
+    doc_filter=None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Index-path :func:`collapse_inner_hits_topk`: the full exact
+    score relation from the postings, the group column from the docs
+    sidecar (column-pruned) — zero corpus scan."""
+    from snowball_java_spark.config import DEFAULT
+    from snowball_java_spark.operators.bm25_join import queries_df
+    from snowball_java_spark.operators.wand import bm25_scores_index
+
+    scores = bm25_scores_index(
+        spark, index, queries, cfg=cfg or DEFAULT,
+        doc_filter=doc_filter, synonyms=synonyms)
+    groups_df = index.docs(spark).select("doc_id", group_col)
+    qdf = queries_df(spark, queries)
+    return collapse_inner_hits_topk(
+        scores, groups_df, qdf, group_col, inner_size=inner_size)

@@ -209,3 +209,39 @@ def test_explain_requires_doc_ids(spark, synth_docs):
     with pytest.raises(ValueError, match="doc_ids"):
         bm25_explain_join(
             spark, docs_tok, [{"query_id": 0, "terms": ["def"]}])
+
+
+def test_collapse_inner_hits_semantics(spark):
+    """inner_hits: group ranking identical to plain collapse; each
+    surviving group carries its top-inner_size docs under (score desc,
+    doc_id asc); the representative is always hit_rank 1; losing
+    groups contribute NO rows."""
+    from snowball_java_spark.operators.facets import collapse_inner_hits_topk
+
+    scores = spark.createDataFrame(
+        [
+            (0, 1, 5.0), (0, 2, 5.0), (0, 5, 4.0),  # group a: 1,2,5
+            (0, 3, 5.0), (0, 6, 0.5),               # group b: 3,6
+            (0, 4, 1.0),                            # group c: cut (k=2)
+        ],
+        "query_id int, doc_id long, score double",
+    )
+    groups = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "a"), (6, "b")],
+        "doc_id long, source string",
+    )
+    qdf = spark.createDataFrame([(0, 2)], "query_id int, k int")
+    got = [
+        (r["rank"], r["source"], r["hit_rank"], r["doc_id"], r["score"])
+        for r in collapse_inner_hits_topk(
+            scores, groups, qdf, "source", inner_size=2).collect()
+    ]
+    assert got == [
+        (1, "a", 1, 1, 5.0), (1, "a", 2, 2, 5.0),   # doc 5 cut by inner=2
+        (2, "b", 1, 3, 5.0), (2, "b", 2, 6, 0.5),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner_size"):
+        collapse_inner_hits_topk(scores, groups, qdf, "source",
+                                 inner_size=0)
