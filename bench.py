@@ -146,6 +146,7 @@ HEADLINE = [
     "bm25_multiword_synonym_index_topk",
     "sequence_pack_bpe",
     "bm25_collapse_inner_topk",
+    "mlt_unlike_topk",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

@@ -1449,6 +1449,71 @@ SELECT query_id::BIGINT AS query_id, rank, doc_id,
 """
 
 
+_MLT_UNLIKE = [100]
+
+
+def _q_mlt_unlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLT with negative examples (ES ``unlike``): the unlike doc's
+    term mass subtracts from characteristic-term selection on the
+    index path; results may still contain the unlike doc (ES
+    semantics: unlike shapes the query, not the candidate set)."""
+    from snowball_java_spark.operators.mlt import more_like_this_index
+
+    res = more_like_this_index(
+        spark, _index_for(spark, sf_dir), _MLT_SOURCES,
+        m_terms=_MLT_M, k=_MLT_K, cfg=_INDEX_CFG,
+        unlike_ids=_MLT_UNLIKE,
+    )
+    return res.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id", F.round("score", 6).alias("score"),
+    )
+
+
+def _mlt_unlike_sql(sources: list[int], unlike: list[int],
+                    m: int, k: int) -> str:
+    vals = ", ".join(f"({i}, {int(d)})" for i, d in enumerate(sources))
+    ulist = ", ".join(str(int(d)) for d in unlike)
+    idf = "ln(1 + (st.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))"
+    return f"""
+WITH {BASE_CTES},
+src(query_id, doc_id) AS (VALUES {vals}),
+ut AS (SELECT term, sum(tf)::BIGINT AS utf
+       FROM tfx WHERE doc_id IN ({ulist}) GROUP BY 1),
+ct AS (
+  SELECT s.query_id, tfx.term,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY (tfx.tf - coalesce(ut.utf, 0))
+                                     * {idf} DESC,
+                                     tfx.term ASC) AS pos
+  FROM tfx JOIN src s ON tfx.doc_id = s.doc_id
+           JOIN dfx USING (term)
+           LEFT JOIN ut USING (term)
+           CROSS JOIN st
+  WHERE tfx.tf - coalesce(ut.utf, 0) > 0
+),
+q AS (SELECT query_id, term FROM ct WHERE pos <= {m}),
+scores AS (
+  SELECT q.query_id, tfx.doc_id, sum({W_SQL}) AS score
+  FROM tfx JOIN q USING (term)
+           JOIN dfx USING (term)
+           JOIN dl ON tfx.doc_id = dl.doc_id
+           CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT query_id::BIGINT AS query_id, rank, doc_id,
+       round(score, 6) AS score FROM (
+  SELECT sc.query_id, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id ASC)::BIGINT
+           AS rank
+  FROM scores sc JOIN src s USING (query_id)
+  WHERE sc.doc_id <> s.doc_id
+) WHERE rank <= {k}
+"""
+
+
 _TRI_NEEDLE = "table row"
 _TRI_REGEX = "slow [a-z]+ table"
 _TRI_FMT_V = 1
@@ -7188,6 +7253,10 @@ def build_registry() -> dict[str, Q]:
         ),
         "mlt_index_topk": Q(
             _q_mlt_index, _mlt_sql(_MLT_SOURCES, _MLT_M, _MLT_K),
+        ),
+        "mlt_unlike_topk": Q(
+            _q_mlt_unlike,
+            _mlt_unlike_sql(_MLT_SOURCES, _MLT_UNLIKE, _MLT_M, _MLT_K),
         ),
         "substring_search": Q(
             _q_substring_search,

@@ -47,6 +47,32 @@ def _candidate_pool(tf: DataFrame, pool: int) -> DataFrame:
             .filter(F.col("_p") <= pool).drop("_p"))
 
 
+def _unlike_tf(docs_tok: DataFrame, unlike_ids: list[int]) -> DataFrame:
+    """(term, unlike_tf): summed term frequencies over the unlike docs —
+    a handful of docs, so the relation is broadcast-sized."""
+    return (
+        docs_tok.filter(F.col("doc_id").isin([int(d) for d in unlike_ids]))
+        .select(F.explode("tokens").alias("term"))
+        .groupBy("term").agg(F.count("*").alias("unlike_tf"))
+    )
+
+
+def _apply_unlike(tf: DataFrame, unlike: "DataFrame | None") -> DataFrame:
+    """Subtract the unlike mass BEFORE selection (the Lucene
+    MoreLikeThis ``unlike`` contract, pinned): tf_eff = tf − Σ unlike
+    tf; terms driven to ≤ 0 drop entirely — a term that characterizes
+    the negative examples cannot characterize the query."""
+    if unlike is None:
+        return tf
+    return (
+        tf.join(F.broadcast(unlike), "term", "left")
+        .withColumn(
+            "tf", F.col("tf") - F.coalesce(F.col("unlike_tf"), F.lit(0)))
+        .filter(F.col("tf") > 0)
+        .drop("unlike_tf")
+    )
+
+
 def characteristic_terms(
     spark: SparkSession,
     docs_tok: DataFrame,
@@ -54,12 +80,19 @@ def characteristic_terms(
     m_terms: int,
     n_docs: int,
     candidate_pool: int | None = None,
+    unlike_ids: list[int] | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, df, tfidf, pos) — top ``m_terms`` characteristic
     terms per source doc under (tf·idf desc, term asc), selected within a
     per-source candidate pool of the top ``candidate_pool`` terms by tf
     (default ``max(200, 40·m_terms)`` — far above any non-adversarial
-    doc's distinct-term count, so selection is exact there)."""
+    doc's distinct-term count, so selection is exact there).
+
+    ``unlike_ids`` (ES/Lucene MLT ``unlike`` — negative examples): each
+    candidate term's tf is reduced by its summed frequency across the
+    unlike docs before selection; terms driven to ≤ 0 drop.  Applied
+    AFTER the pool cut (the pool bounds the driver collect; unlike docs
+    can only shrink it)."""
     pool = int(candidate_pool if candidate_pool is not None
                else max(200, 40 * m_terms))
     src = docs_tok.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
@@ -69,6 +102,8 @@ def characteristic_terms(
         .agg(F.count("*").alias("tf")),
         pool,
     )
+    tf = _apply_unlike(
+        tf, _unlike_tf(docs_tok, unlike_ids) if unlike_ids else None)
     # the pooled terms are a driver-bounded set (≤ |sources|·pool rows,
     # enforced above) — collect them to prune the corpus df pass
     terms = sorted({r["term"] for r in tf.select("term").distinct().collect()})
@@ -96,16 +131,22 @@ def more_like_this(
     cfg: EngineConfig = DEFAULT,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    unlike_ids: list[int] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): top-``k`` docs most similar to
     each source doc (``query_id`` = its position in ``doc_ids``); the
-    source doc itself is excluded."""
+    source doc itself is excluded.  ``unlike_ids``: negative-example
+    docs whose term mass subtracts from characteristic-term selection
+    (ES MLT ``unlike`` — see :func:`characteristic_terms`); they are
+    NOT excluded from results (ES semantics: unlike shapes the query,
+    not the candidate set)."""
     from snowball_java_spark.operators.df_stats import corpus_stats
 
     if n_docs is None or avgdl is None:
         st = corpus_stats(docs_tok).collect()[0]
         n_docs, avgdl = int(st["n_docs"]), float(st["avgdl"])
-    ct = characteristic_terms(spark, docs_tok, doc_ids, m_terms, n_docs)
+    ct = characteristic_terms(spark, docs_tok, doc_ids, m_terms, n_docs,
+                              unlike_ids=unlike_ids)
     terms_by_doc: dict[int, list[str]] = {}
     for r in ct.select("doc_id", "term").collect():
         terms_by_doc.setdefault(r["doc_id"], []).append(r["term"])
@@ -149,10 +190,13 @@ def more_like_this_index(
     k: int = 10,
     cfg: EngineConfig | None = None,
     candidate_pool: int | None = None,
+    unlike_ids: list[int] | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score): index-path MLT — rank- and
     score-identical to :func:`more_like_this` over the corpus the index
-    was built from.  Characteristic terms come from the index's own
+    was built from.  ``unlike_ids`` subtracts the negative examples'
+    term mass before selection, with their term vectors read under the
+    same doc-scoped pushdown as the sources.  Characteristic terms come from the index's own
     ``term_vectors`` (the source docs' ``tf_map`` rows under a
     doc-scoped parquet IN-filter pushdown plus the vocab-sized
     term_stats join — NO corpus pass at all, unlike the join path's
@@ -164,9 +208,15 @@ def more_like_this_index(
     pool = int(candidate_pool if candidate_pool is not None
                else max(200, 40 * m_terms))
     tv = index.term_vectors(spark, doc_ids=[int(d) for d in doc_ids])
+    pooled = _candidate_pool(tv, pool)
+    if unlike_ids:
+        utv = (index.term_vectors(spark,
+                                  doc_ids=[int(d) for d in unlike_ids])
+               .groupBy("term").agg(F.sum("tf").alias("unlike_tf")))
+        pooled = _apply_unlike(pooled, utv)
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     ct = (
-        _candidate_pool(tv, pool)
+        pooled
         .withColumn("tfidf",
                     F.col("tf") * idf_expr(F.col("df"), index.n_docs))
         .withColumn("pos", F.row_number().over(w))

@@ -194,3 +194,58 @@ def test_mlt_index_unknown_source_is_empty(spark, mlt_index):
     from snowball_java_spark.operators.mlt import more_like_this_index
 
     assert more_like_this_index(spark, mlt_index, [999_999], k=3).count() == 0
+
+
+def test_mlt_unlike_drops_negative_terms(spark, synth_docs, mlt_index):
+    """ES MLT `unlike`: a negative example doc's terms subtract from
+    characteristic-term selection (hand-recomputed truth on a planted
+    negative doc), and the index path agrees with the join path under
+    any unlike set."""
+    import math
+    from collections import Counter
+
+    from snowball_java_spark.operators.mlt import (
+        characteristic_terms,
+        more_like_this_index,
+    )
+
+    docs = with_tokens(synth_docs)
+    n_docs = docs.count()
+    src = 7
+    base = [r["term"] for r in characteristic_terms(
+        spark, docs, [src], 5, n_docs).collect()]
+    # plant a negative doc stuffed with the source's top-2 terms so the
+    # subtraction provably changes selection
+    neg_id = 90_000
+    neg_tokens = [base[0]] * 50 + [base[1]] * 50
+    docs2 = docs.unionByName(spark.createDataFrame(
+        [(neg_id, neg_tokens)], "doc_id long, tokens array<string>")
+        .withColumn("content", F.lit(None).cast("string")),
+        allowMissingColumns=True).select("doc_id", "tokens")
+    n2 = n_docs + 1
+    with_neg = {r["term"] for r in characteristic_terms(
+        spark, docs2, [src], 5, n2, unlike_ids=[neg_id]).collect()}
+    assert base[0] not in with_neg and base[1] not in with_neg
+    # python truth on the planted corpus
+    toks = {r["doc_id"]: list(r["tokens"])
+            for r in docs2.select("doc_id", "tokens").collect()}
+    src_tf = Counter(toks[src])
+    neg_tf = Counter(toks[neg_id])
+    dfs = {t: sum(1 for ts in toks.values() if t in ts) for t in src_tf}
+    eff = {t: c - neg_tf.get(t, 0) for t, c in src_tf.items()}
+    eff = {t: c for t, c in eff.items() if c > 0}
+    want = sorted(
+        eff,
+        key=lambda t: (-eff[t] * math.log(
+            1 + (n2 - dfs[t] + 0.5) / (dfs[t] + 0.5)), t))[:5]
+    assert with_neg == set(want)
+    # index path agrees rank-for-rank with the join path under unlike
+    # (the unlike doc here is an ordinary indexed doc)
+    jr = more_like_this(spark, docs, [src], m_terms=5, k=10,
+                        unlike_ids=[42]).collect()
+    ir = more_like_this_index(spark, mlt_index, [src], m_terms=5, k=10,
+                              unlike_ids=[42]).collect()
+    assert [(r["rank"], r["doc_id"]) for r in ir] == \
+           [(r["rank"], r["doc_id"]) for r in jr]
+    for a, b in zip(ir, jr):
+        assert a["score"] == pytest.approx(b["score"], rel=REL_TOL)
