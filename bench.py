@@ -147,6 +147,7 @@ HEADLINE = [
     "sequence_pack_bpe",
     "bm25_collapse_inner_topk",
     "mlt_unlike_topk",
+    "pack_epoch_order",
 ]
 
 #: the queries that existed in BENCH_r01 — their sum is the

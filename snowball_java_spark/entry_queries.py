@@ -2000,6 +2000,21 @@ def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_shards=_PACK_SHARDS)
 
 
+_PACK_EPOCH = 1
+
+
+def _q_pack_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle of packed sequences: a pure hash of
+    (epoch, shard, seq) — identical order on any restart/partitioning."""
+    from snowball_java_spark.operators.pack import epoch_order, pack_plan
+
+    plan = pack_plan(_docs_tok(spark, sf_dir), budget=_PACK_BUDGET,
+                     n_shards=_PACK_SHARDS)
+    res = epoch_order(plan, _PACK_EPOCH)
+    return res.select(
+        "shard", "seq", F.col("epoch_pos").cast("long").alias("epoch_pos"))
+
+
 def _q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snowball_java_spark.operators.pack import pack_plan, pack_stats
 
@@ -2030,6 +2045,19 @@ plan AS (SELECT doc_id, shard, n_tokens, start_off,
 _SEQUENCE_PACK_SQL = f"""
 WITH {_PACK_CTES}
 SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last FROM plan
+"""
+
+_PACK_EPOCH_SQL = f"""
+WITH {_PACK_CTES},
+seqs AS (SELECT DISTINCT shard,
+                unnest(range(seq_first, seq_last + 1)) AS seq
+         FROM plan)
+SELECT shard, seq,
+       row_number() OVER (
+         PARTITION BY shard
+         ORDER BY {h60_sql("concat_ws('|', " + str(1) + ", shard, seq)")}
+                  ASC, seq ASC)::BIGINT AS epoch_pos
+FROM seqs ORDER BY shard, epoch_pos
 """
 
 _PACK_STATS_SQL = f"""
@@ -7057,6 +7085,7 @@ def build_registry() -> dict[str, Q]:
             _lmd_topk_sql(MIXED_TERMS, 10),
         ),
         "sequence_pack": Q(_q_sequence_pack, _SEQUENCE_PACK_SQL),
+        "pack_epoch_order": Q(_q_pack_epoch_order, _PACK_EPOCH_SQL),
         "pack_shard_stats": Q(_q_pack_stats, _PACK_STATS_SQL),
         "facet_range_dl": Q(
             _q_facet_range,

@@ -101,3 +101,36 @@ def pack_stats(plan: DataFrame, budget: int) -> DataFrame:
             / (F.col("n_seqs") * F.lit(int(budget))),
         )
     )
+
+
+def epoch_order(plan: DataFrame, epoch: int) -> DataFrame:
+    """(shard, seq, epoch_pos): the deterministic shuffled visit order
+    of every packed sequence for one training epoch.
+
+    Trainers must (a) shuffle sequences between epochs and (b) get the
+    IDENTICAL order on any restart/partitioning — so the order is a
+    pure hash of (epoch, shard, seq), ranked within each shard by the
+    salted two-phase rank (``h60`` md5 prefix, the engine's
+    cross-engine hash; ties impossible — (shard, seq) is unique).
+    ``epoch_pos`` is 1-based within the shard; shards stream
+    independently exactly as they pack independently.
+
+    Scale shape: the sequence list derives from the plan by a
+    map-side-combinable distinct over (shard, seq ranges); ranking is
+    per-shard windowed over sequence-scale rows (corpus_tokens /
+    budget), never doc-scale."""
+    from snowball_java_spark.functions.hashes import h60_expr
+
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    seqs = (
+        plan.select(
+            "shard",
+            F.explode(F.sequence("seq_first", "seq_last")).alias("seq"))
+        .distinct()
+    )
+    key = F.concat_ws("|", F.lit(int(epoch)), F.col("shard"), F.col("seq"))
+    w = Window.partitionBy("shard").orderBy(
+        h60_expr(key).asc(), F.col("seq").asc())
+    return seqs.withColumn(
+        "epoch_pos", F.row_number().over(w)).orderBy("shard", "epoch_pos")

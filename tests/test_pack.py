@@ -115,3 +115,39 @@ def test_pack_plan_counts_col_matches_sized_tokens(spark):
         budget=16, n_shards=4, counts_col="n").collect()
     assert all(r["n_tokens"] == 2 * (3 + r["doc_id"] % 5)
                for r in doubled)
+
+
+def test_epoch_order_is_a_true_deterministic_shuffle(spark):
+    """Epoch order: a permutation of each shard's sequences, identical
+    across recomputation/partitioning, DIFFERENT between epochs, and
+    different from the natural order for a non-trivial shard."""
+    from pyspark.sql import functions as F
+
+    from snowball_java_spark.operators.pack import epoch_order, pack_plan
+
+    docs = spark.createDataFrame(
+        [(i, ["t"] * 40) for i in range(60)],
+        "doc_id long, tokens array<string>")
+    plan = pack_plan(docs, budget=64, n_shards=2)
+
+    def orders(epoch, src=None):
+        res = epoch_order(src if src is not None else plan, epoch)
+        out = {}
+        for r in res.collect():
+            out.setdefault(r["shard"], []).append((r["epoch_pos"], r["seq"]))
+        return {s: [q for _, q in sorted(v)] for s, v in out.items()}
+
+    e1, e2 = orders(1), orders(2)
+    for s in e1:
+        assert sorted(e1[s]) == sorted(e2[s])  # same sequence set
+        assert len(set(e1[s])) == len(e1[s])   # a permutation
+    assert e1 != e2, "different epochs must shuffle differently"
+    assert any(e1[s] != sorted(e1[s]) for s in e1), \
+        "epoch order should not be the natural order"
+    # partitioning independence
+    again = orders(1, src=plan.repartition(7))
+    assert again == e1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epoch"):
+        epoch_order(plan, -1)
