@@ -4,7 +4,7 @@
 ``queries()``   — every implemented operator from SURVEY.md §2 plus the
                   training-data pipeline ops, one callable per name.
 ``oracle_sql()``— the matching DuckDB SQL per name; every query has one
-                  (181/181 as of round 5 — including real BMP/PNG/WAV
+                  (185/185 as of round 5 — including real BMP/PNG/WAV
                   codec decodes, the composed cleaning pipeline,
                   connected components via a recursive CTE, the
                   living-corpus lifecycle on BOTH indexes: text
@@ -27,9 +27,12 @@
                   sequence packing for training runs, federated
                   multi-index search with global statistics (text and
                   vector), and the round-5 surfaces: multi-word synonym
-                  graphs, nested sub-document chunk scoring on both
-                  paths, index-path more-like-this, and a real baseline
-                  JPEG codec decode).
+                  graphs (both paths), nested sub-document chunk
+                  scoring (both paths), more-like-this on the index
+                  path and with negative examples, collapse
+                  inner_hits, a real baseline JPEG codec decode, BPE
+                  corpus encoding with subword-budget packing, and
+                  deterministic epoch shuffling).
 
 Implementations live in ``snowball_java_spark.entry_queries`` — each Spark
 query and its SQL are generated from the same pinned constants.
